@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle_sql.json query in DuckDB over the same parquet tables and
+compares against the Verify.scala parquet dumps: row count, column names
+(sorted), and value-by-value equality both order-strict and row-sorted.
+
+Usage: python3 tools/compare.py [sfdir] [outdir]
+"""
+import duckdb, sys, json, math, os
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    path = f"{out}/{name}"
+    if not os.path.isdir(path):
+        print(f"FAIL {name}: no spark output at {path}")
+        fails += 1
+        continue
+    try:
+        mine = con.sql(f"SELECT * FROM '{path}/*.parquet'")
+        gold = con.sql(sql)
+    except Exception as e:
+        print(f"FAIL {name}: query error: {e}")
+        fails += 1
+        continue
+    mc = sorted(c.lower() for c in mine.columns)
+    gc = sorted(c.lower() for c in gold.columns)
+    if mc != gc:
+        print(f"FAIL {name}: columns mine={mc} gold={gc}")
+        fails += 1
+        continue
+    mrows = mine.fetchall()
+    grows = gold.fetchall()
+    mcols = [c.lower() for c in mine.columns]
+    gcols = [c.lower() for c in gold.columns]
+    mi = [mcols.index(c) for c in mc]
+    gi = [gcols.index(c) for c in mc]
+    mnorm = [tuple(norm(r[i]) for i in mi) for r in mrows]
+    gnorm = [tuple(norm(r[i]) for i in gi) for r in grows]
+    if len(mnorm) != len(gnorm):
+        print(f"FAIL {name}: rows mine={len(mnorm)} gold={len(gnorm)}")
+        fails += 1
+        continue
+    strict = mnorm == gnorm
+    sorted_eq = sorted(mnorm) == sorted(gnorm)
+    if strict:
+        print(f"PASS {name} ({len(mnorm)} rows, strict)")
+    elif sorted_eq:
+        print(f"WARN {name} ({len(mnorm)} rows): matches only after row-sort")
+    else:
+        diffs = [(a, b) for a, b in zip(sorted(mnorm), sorted(gnorm)) if a != b][:3]
+        print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+        fails += 1
+
+missing = [n for n in sorted(os.listdir(out))
+           if os.path.isdir(f"{out}/{n}") and n not in oracle]
+if missing:
+    print(f"NOTE rows-only (no oracle): {missing}")
+print(f"{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)
