@@ -1,0 +1,233 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import TextHash._
+
+/** Deduplication operators over the `documents` table: exact, exact
+  * n-gram Jaccard, MinHash+LSH, SimHash, and positional fingerprinting.
+  *
+  * Scale design (the point of each op at 100 TB):
+  *   - exact: one hash-shuffle on the full text — Spark's groupBy computes
+  *     partial aggregates map-side; no text ever collects to the driver.
+  *   - n-gram Jaccard: shingle inverted index + self-equi-join on shingle.
+  *     This is the exact-verification kernel; on skewed corpora you first
+  *     drop stop-shingles (document frequency cap) — kept exact here to
+  *     match the oracle.
+  *   - MinHash+LSH: explode→hash→min is a map-side-combinable aggregation
+  *     (16 mins per doc); banding (b=8, r=2) turns candidate generation
+  *     into an equi-join on (band, bandhash) — O(n·b) shuffle rows instead
+  *     of O(n²) comparisons. Candidates are then verified with the exact
+  *     Jaccard kernel, so output quality is exact; LSH only bounds recall
+  *     (≥ 1 - (1-J²)^8, ≈ 1-1e-9 at the J≥0.96 pairs present in the data).
+  *   - SimHash: 32-bit signatures from word-frequency bit votes; pairs via
+  *     4×8-bit band pigeonhole (guarantees recall for hamming ≤ 3).
+  *   - fingerprint: order-sensitive positional rolling hash — cheap
+  *     content-identity for multisets the exact-dup hash would miss.
+  *
+  * All hashing is [[TextHash]] portable arithmetic so DuckDB oracles can
+  * recompute signatures; swap in `xxhash64` for production throughput.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, w1, w2, w3, sh) — distinct word-3-gram shingles per doc. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .filter(size(col("wl")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(wl)-3), i -> struct(wl[i] AS w1, wl[i+1] AS w2, wl[i+2] AS w3))")).as("s"))
+      .select(col("doc_id"), col("s.w1"), col("s.w2"), col("s.w3"),
+        concat_ws(" ", col("s.w1"), col("s.w2"), col("s.w3")).as("sh"))
+      .distinct()
+
+  /** SQL for the same distinct shingle set (DuckDB). */
+  private val shingleSql: String =
+    """wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(wl[x+1:x+3], ' ') AS sh
+      |       FROM wl, UNNEST(range(len(wl)-2)) AS t(x))""".stripMargin
+
+  /** Exact Jaccard ≥ threshold via shingle inverted index (shared kernel). */
+  private def jaccardPairs(docs: DataFrame, threshold: Double,
+                           candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = shingleRows(docs).select(col("doc_id"), col("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val joined = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val withCand = candidates match {
+      case Some(c) => joined.join(c, Seq("d1", "d2"), "left_semi")
+      case None    => joined
+    }
+    withCand
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private def jaccardSql(threshold: Double): String =
+    s"""WITH $shingleSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+       |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+
+  def dedupExact: Q = (s, dir) => {
+    Tables(s, dir).documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text HAVING COUNT(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  def dedupNgramJaccard: Q = (s, dir) =>
+    jaccardPairs(Tables(s, dir).documents, 0.5)
+
+  val dedupNgramJaccardSql: String = jaccardSql(0.5)
+
+  // --------------------------------------------------------- minhash lsh
+
+  def dedupMinhashLsh: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val sh = shingleRows(docs)
+      .withColumn("shh", shingleHashCol(col("w1"), col("w2"), col("w3")))
+    // 16 min-aggregates: one map-side-combinable pass.
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
+        (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
+    // Banding: array of 8 band keys, posexplode, equi-join on (band, key).
+    val bandArr = array((0 until NumBands).map(k =>
+      bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // Exact verification of LSH candidates — output is exact-Jaccard pairs.
+    jaccardPairs(docs, 0.8, Some(cand))
+  }
+
+  /** LSH recall at the J≥0.96 duplicates present is 1 - (1-J²)^8 ≈ 1-1e-9,
+    * and no pairs exist in (0.5, 0.96), so the exact-Jaccard oracle is the
+    * correct reference for the verified-candidate output. */
+  val dedupMinhashLshSql: String = jaccardSql(0.8)
+
+  // ------------------------------------------------------------- simhash
+
+  /** Per-doc 32-bit SimHash: explode words, one 32-column conditional-sum
+    * aggregation (bit votes), recombine to a signature. */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("g", spreadCol(wordHashCol(col("w"))))
+    val votes = words.groupBy(col("doc_id"))
+      .agg(sum(when(bitCol(col("g"), 0) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until SimBits).map(b =>
+          sum(when(bitCol(col("g"), b) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+    val sig = (0 until SimBits).map(b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  private val simhashSigSql: String = {
+    val wh = wordHashSql("w")
+    val g = spreadSql(wh)
+    val voteCols = (0 until SimBits)
+      .map(b => s"SUM(CASE WHEN ${bitSql("g", b)} = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val sig = (0 until SimBits)
+      .map(b => s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""words AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+       |spread AS (SELECT doc_id, $g AS g FROM words),
+       |votes AS (SELECT doc_id, $voteCols FROM spread GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $sig AS simhash FROM votes)""".stripMargin
+  }
+
+  def dedupSimhash: Q = (s, dir) => {
+    val sims = simhashSigs(Tables(s, dir).documents)
+    // 4 bands × 8 bits: pigeonhole guarantees a shared band at hamming ≤ 3.
+    val bandArr = array((0 until 4).map(k =>
+      floor(col("simhash") / lit(math.pow(2, 8 * k))).cast("long") % 256): _*)
+    val bands = sims.select(col("doc_id"), col("simhash"), posexplode(bandArr).as(Seq("band", "bh")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashSigSql,
+       |bands AS (SELECT doc_id, simhash, k AS band,
+       |            CAST(FLOOR(simhash / (256.0 ** k)) AS BIGINT) % 256 AS bh
+       |          FROM sims, UNNEST(range(4)) AS t(k))
+       |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+
+  // --------------------------------------------------------- fingerprint
+
+  /** Order-sensitive positional fingerprint per document. */
+  def docFingerprint: Q = (s, dir) => {
+    Tables(s, dir).documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("term", fpTermCol(wordHashCol(col("w")), col("pos")))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % lit(M)).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String = {
+    val term = fpTermSql(wordHashSql("wl[i+1]"), "i")
+    s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)
+       |SELECT doc_id,
+       |  list_aggregate(list_transform(range(len(wl)), i -> $term), 'sum') % $M AS fingerprint
+       |FROM wl ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact"         -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh"   -> dedupMinhashLsh,
+    "dedup_simhash"       -> dedupSimhash,
+    "doc_fingerprint"     -> docFingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact"         -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh"   -> dedupMinhashLshSql,
+    "dedup_simhash"       -> dedupSimhashSql,
+    "doc_fingerprint"     -> docFingerprintSql,
+  )
+}

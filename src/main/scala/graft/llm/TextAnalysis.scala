@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-word heuristic), quality scoring, token counting.
+  *
+  * All pure column arithmetic over one scan of `documents` — no UDFs, no
+  * shuffles except the final presentation sort. At 100 TB these run as a
+  * single map-only stage fused into whole-stage codegen, which is exactly
+  * what a per-document scoring pass should be.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cnt(words: Column, w: String): Column =
+    size(filter(words, x => x === lit(w)))
+
+  private def cntSql(w: String): String =
+    s"len(list_filter(wl, x -> x = '$w'))"
+
+  /** Marker-word language scoring: deterministic n-gram-frequency stand-in
+    * for a real char-n-gram language model. Ties break by fixed priority
+    * (en > de > es > fr > zh) via strict comparison chain. */
+  def langId: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.withColumn("wl", split(col("text"), " "))
+    val sEn = cnt(col("wl"), "the") * 3 + cnt(col("wl"), "a") * 2 + cnt(col("wl"), "data")
+    val sDe = cnt(col("wl"), "merge") * 3 + cnt(col("wl"), "group") * 2 + cnt(col("wl"), "window")
+    val sEs = cnt(col("wl"), "line") * 3 + cnt(col("wl"), "vector") * 2 + cnt(col("wl"), "table")
+    val sFr = cnt(col("wl"), "sort") * 3 + cnt(col("wl"), "batch") * 2 + cnt(col("wl"), "filter")
+    val sZh = cnt(col("wl"), "hash") * 3 + cnt(col("wl"), "scan") * 2 + cnt(col("wl"), "join")
+    d.select(col("doc_id"), col("lang").as("labeled_lang"),
+        sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"), sZh.as("s_zh"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") >= col("s_zh"), "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+      .withColumn("correct", (col("pred_lang") === col("labeled_lang")).cast("int"))
+      .select(col("doc_id"), col("pred_lang"), col("labeled_lang"), col("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    def score(ws: (String, String, String)): String =
+      s"${cntSql(ws._1)}*3 + ${cntSql(ws._2)}*2 + ${cntSql(ws._3)}"
+    val (en, de, es, fr, zh) = (
+      score(("the", "a", "data")), score(("merge", "group", "window")),
+      score(("line", "vector", "table")), score(("sort", "batch", "filter")),
+      score(("hash", "scan", "join")))
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr, $zh AS s_zh
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS wl FROM documents))
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_zh THEN 'fr'
+       |    ELSE 'zh' END AS pred_lang,
+       |  labeled_lang,
+       |  CASE WHEN (CASE
+       |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_zh THEN 'fr'
+       |    ELSE 'zh' END) = labeled_lang THEN 1 ELSE 0 END AS correct
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/word statistics + stopword ratio, combined
+    * into a [0,1] heuristic score. Pure IEEE arithmetic on integers —
+    * bit-identical across engines. */
+  def qualityScore: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.withColumn("wl", split(col("text"), " "))
+    val nWords = size(col("wl"))
+    val stops = cnt(col("wl"), "the") + cnt(col("wl"), "a")
+    val meanLen = (col("n_chars") - (nWords - 1)).cast("double") / nWords
+    val stopRatio = stops.cast("double") / nWords
+    val lenScore = least(nWords.cast("double") / 100.0, lit(1.0))
+    d.select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        stopRatio.as("stopword_ratio"),
+        (lenScore * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+          least(meanLen / 8.0, lit(1.0)) * 0.2).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val stops = s"(${cntSql("the")} + ${cntSql("a")})"
+    s"""SELECT doc_id, n_words, mean_word_len, stopword_ratio,
+       |  least(CAST(n_words AS DOUBLE)/100.0, 1.0) * 0.5 +
+       |  (1.0 - stopword_ratio) * 0.3 +
+       |  least(mean_word_len/8.0, 1.0) * 0.2 AS quality
+       |FROM (
+       |  SELECT doc_id, len(wl) AS n_words,
+       |    CAST(n_chars - (len(wl) - 1) AS DOUBLE) / len(wl) AS mean_word_len,
+       |    CAST($stops AS DOUBLE) / len(wl) AS stopword_ratio
+       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS wl FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
+    * digit runs / single other-chars), and the chars/4 estimate. */
+  def tokenCount: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re_tokens"),
+        expr("(n_chars + 3) div 4").as("est_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+      |  (n_chars + 3) // 4 AS est_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_lang_id"     -> langId,
+    "text_quality"     -> qualityScore,
+    "text_token_count" -> tokenCount,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_lang_id"     -> langIdSql,
+    "text_quality"     -> qualityScoreSql,
+    "text_token_count" -> tokenCountSql,
+  )
+}

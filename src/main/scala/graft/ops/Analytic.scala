@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Exact._
+
+/** Window/analytic capability surface: ranking, running frames, lag/lead,
+  * top-k per group, as-of join, pivot, explode, JSON extraction, exact
+  * quantiles, grouping sets (via the SQL API).
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (custkey/user_id) — the shuffle distributes across executors and no
+  * partition exceeds one customer/user's rows. There is deliberately no
+  * un-partitioned `Window.orderBy` (a single-task global sort) anywhere.
+  * The as-of join uses the union + last(ignoreNulls) window pattern, which
+  * scales as one shuffle by (user, time) instead of a quadratic range join.
+  */
+object Analytic {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top-k per group: row_number over a total order, k=3. */
+  def qWindowTopk: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val qWindowTopkSql: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** Running frame: cumulative sum/count over rows-between frame.
+    * Even a sequential-looking running double sum is NOT cross-engine
+    * stable (DuckDB evaluates window aggs over a segment tree, changing
+    * addition order), so the money column runs through integer cents. */
+  def qWindowRunning: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    t.orders
+      .withColumn("run_cents", sum(cents).over(w))
+      .withColumn("run_n", count(lit(1)).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        (col("run_cents").cast("double") / 100.0).as("run_total"),
+        col("run_n"),
+        (col("run_cents").cast("double") / 100.0 / col("run_n")).as("run_avg"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(run_cents AS DOUBLE) / 100.0 AS run_total,
+      |  run_n,
+      |  CAST(run_cents AS DOUBLE) / 100.0 / run_n AS run_avg
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER w AS run_cents,
+      |    COUNT(*) OVER w AS run_n
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Analytic battery: lag/lead/first/last/rank/dense_rank/ntile. */
+  def qWindowAnalytic: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowAnalyticSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** As-of join: for each 'click' event, the most recent 'view' event of
+    * the same user at or before it. Implemented as the scalable union +
+    * last(ignoreNulls) window pattern — one shuffle by (user_id, ts), no
+    * range join blow-up. Oracle uses DuckDB's native ASOF JOIN. */
+  def qAsofJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val views  = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val unioned = clicks.select(col("user_id"), col("ts"), col("event_id"), lit(null).cast("long").as("view_id"))
+      .unionByName(views.select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"), col("view_id")))
+    // Order views before clicks at identical ts so a same-instant view matches.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("view_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("last_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_view"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT c.event_id, c.user_id, c.ts, v.view_id AS last_view
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN
+      |     (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view') v
+      |ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Pivot: order counts + revenue by status across priority columns.
+    * Oracle is the portable FILTER-agg formulation. */
+  def qPivot: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .pivot(col("o_orderpriority"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("1-URGENT", "urgent")
+      .withColumnRenamed("2-HIGH", "high")
+      .withColumnRenamed("3-MEDIUM", "medium")
+      .withColumnRenamed("4-NOT SPECIFIED", "notspec")
+      .withColumnRenamed("5-LOW", "low")
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+      |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+      |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+      |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+      |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Generator/explode: token frequency over documents (flatMap shape). */
+  def qExplodeTokens: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  val qExplodeTokensSql: String =
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
+  /** JSON extraction from the events.props column + time bucketing. */
+  def qJsonEvents: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .select(
+        date_trunc("hour", col("ts")).as("hour"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("hour"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("k_bucket"))
+  }
+
+  val qJsonEventsSql: String =
+    s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Exact continuous percentiles (interpolated) per group. */
+  def qPercentiles: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
+      |  MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** GROUPING SETS via the SQL API (exercises spark.sql + temp views). */
+  def qGroupingSets: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${sqlSum("l_quantity")} AS qty
+         |FROM graft_lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sqlSum("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Deterministic hash-based sampling (portable Bernoulli-by-key):
+    * keeps rows whose key-hash lands under the rate — reproducible across
+    * engines/partitionings, unlike rand(). */
+  def qHashSample: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .filter((col("o_orderkey") * 2654435761L) % 1000 < 100) // 10% sample
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qHashSampleSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE (o_orderkey * 2654435761) % 1000 < 100
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_window_topk"     -> qWindowTopk,
+    "q_window_running"  -> qWindowRunning,
+    "q_window_analytic" -> qWindowAnalytic,
+    "q_asof_join"       -> qAsofJoin,
+    "q_pivot"           -> qPivot,
+    "q_explode_tokens"  -> qExplodeTokens,
+    "q_json_events"     -> qJsonEvents,
+    "q_percentiles"     -> qPercentiles,
+    "q_grouping_sets"   -> qGroupingSets,
+    "q_hash_sample"     -> qHashSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_topk"     -> qWindowTopkSql,
+    "q_window_running"  -> qWindowRunningSql,
+    "q_window_analytic" -> qWindowAnalyticSql,
+    "q_asof_join"       -> qAsofJoinSql,
+    "q_pivot"           -> qPivotSql,
+    "q_explode_tokens"  -> qExplodeTokensSql,
+    "q_json_events"     -> qJsonEventsSql,
+    "q_percentiles"     -> qPercentilesSql,
+    "q_grouping_sets"   -> qGroupingSetsSql,
+    "q_hash_sample"     -> qHashSampleSql,
+  )
+}

@@ -267,7 +267,7 @@ object Relational {
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
         lower(col("p_type")).as("type_l"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 5).as("name_pfx"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         when(col("p_size") < 10, "S").when(col("p_size") < 30, "M").otherwise("L").as("size_class"),

@@ -27,7 +27,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = table("part")
   def orders: DataFrame    = table("orders")
   def lineitem: DataFrame  = table("lineitem")
-  def events: DataFrame    = table("events")
+
+  /** The events table ships as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by [[graft.Verify]]/[[graft.Bench]] session builders). Under
+    * that flag `ts` arrives as nanos-since-epoch LongType; normalize to a
+    * microsecond timestamp here so downstream operators see one type.
+    * Nanos→micros uses integer `div` (no double round-trip — 1.7e18 ns
+    * exceeds the 2^53 exact-double range). */
+  def events: DataFrame = {
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
