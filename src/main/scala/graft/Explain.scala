@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector / single-query profiler:
+  * `runMain graft.Explain <queryName> [sfDir] [mode]`
+  * Prints the formatted physical plan and cold+warm wall times. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val mode = if (args.length > 2) args(2) else "formatted"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    if (mode != "none") fn(spark, sfDir).explain(mode)
+    var last = 0L
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      last = System.nanoTime() - t0
+      println(f"[explain] run$i: ${last / 1e9}%.2f s, $n rows")
+    }
+    spark.stop()
+  }
+}

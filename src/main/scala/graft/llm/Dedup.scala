@@ -49,20 +49,40 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(wl[x+1:x+3], ' ') AS sh
       |       FROM wl, UNNEST(range(len(wl)-2)) AS t(x))""".stripMargin
 
-  /** Exact Jaccard ≥ threshold via shingle inverted index (shared kernel). */
+  /** Exact Jaccard ≥ threshold via shingle inverted index (shared kernel).
+    * The shingle set feeds three subtrees (sizes, both join sides), so
+    * callers persist it once — at cluster scale this is a few bytes per
+    * shingle in memory-and-disk storage, far cheaper than re-explosions. */
   private def jaccardPairs(docs: DataFrame, threshold: Double,
-                           candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shingleRows(docs).select(col("doc_id"), col("sh"))
+                           candidates: Option[DataFrame] = None): DataFrame =
+    jaccardPairsFromShingles(
+      shingleRows(docs).select(col("doc_id"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, candidates)
+
+  /** Jaccard kernel over a prebuilt (doc_id, sh) shingle set.
+    *
+    * With a candidate set, the restriction is applied BEFORE the shingle
+    * join: each candidate pair pulls only its two shingle sets, so the
+    * cost is O(|candidates| · shingles-per-doc) — independent of the full
+    * inverted-index blow-up. Filtering after the full self-join would make
+    * LSH pointless (it would redo the exact all-pairs work). */
+  private def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+                                       candidates: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val joined = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val withCand = candidates match {
-      case Some(c) => joined.join(c, Seq("d1", "d2"), "left_semi")
-      case None    => joined
+    val joined = candidates match {
+      case Some(c) =>
+        c.join(sh.as("a"), col("d1") === col("a.doc_id"))
+          .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("inter"))
+      case None =>
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
     }
-    withCand
+    joined
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
@@ -109,8 +129,11 @@ object Dedup {
 
   def dedupMinhashLsh: Q = (s, dir) => {
     val docs = Tables(s, dir).documents
-    val sh = shingleRows(docs)
-      .withColumn("shh", shingleHashCol(col("w1"), col("w2"), col("w3")))
+    // One persisted shingle pass feeds signature generation AND exact
+    // verification — the explode+distinct is the expensive part.
+    val shAll = shingleRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shAll.withColumn("shh", shingleHashCol(col("w1"), col("w2"), col("w3")))
     // 16 min-aggregates: one map-side-combinable pass.
     val sig = sh.groupBy(col("doc_id"))
       .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
@@ -125,7 +148,7 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     // Exact verification of LSH candidates — output is exact-Jaccard pairs.
-    jaccardPairs(docs, 0.8, Some(cand))
+    jaccardPairsFromShingles(shAll.select(col("doc_id"), col("sh")), 0.8, Some(cand))
   }
 
   /** LSH recall at the J≥0.96 duplicates present is 1 - (1-J²)^8 ≈ 1-1e-9,

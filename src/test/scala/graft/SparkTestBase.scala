@@ -12,6 +12,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
