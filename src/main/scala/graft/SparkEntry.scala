@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytic.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ graft.functions.Udfs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytic.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ graft.functions.Udfs.oracles
 }

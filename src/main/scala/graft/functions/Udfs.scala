@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The UDF capability surface (SURVEY.md §2.3 "UDF surface"): a scalar UDF,
+  * a typed `Aggregator`, and their query entries.
+  *
+  * Position on the customization ladder: built-in `functions._` >> custom
+  * codegen `Expression` ([[DotProduct]]) >> scalar UDF (boxing, no codegen,
+  * opaque to the optimizer — filters can't push through it). The scalar UDF
+  * here exists to prove the surface, with the same logic intentionally
+  * expressible as a CASE for the oracle; real hot paths use the first two
+  * rungs. The `Aggregator` is the typed heap-style reduction (bounded
+  * per-group state, map-side partial merge — the right shape for top-k at
+  * scale, where sort-then-limit per group would shuffle everything).
+  */
+object Udfs {
+
+  /** Scalar UDF: price banding. */
+  val priceBand = udf((p: Double) =>
+    if (p < 50000) "low" else if (p < 200000) "mid" else "high")
+
+  /** Typed Aggregator: bounded top-k (descending) of a double value —
+    * constant-size buffer, associative merge, no per-group sort shuffle. */
+  case class TopKBuf(values: Seq[Double])
+  class TopK(k: Int) extends Aggregator[Double, TopKBuf, Seq[Double]] {
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(buf: TopKBuf, v: Double): TopKBuf =
+      TopKBuf((buf.values :+ v).sorted(Ordering[Double].reverse).take(k))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf((a.values ++ b.values).sorted(Ordering[Double].reverse).take(k))
+    override def finish(r: TopKBuf): Seq[Double] = r.values
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scalar-UDF query: band orders by total price, count per band. */
+  def qUdfScalar: Q = (s, dir) => {
+    Tables(s, dir).orders
+      .select(priceBand(col("o_totalprice")).as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("band"))
+  }
+
+  val qUdfScalarSql: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+      |            WHEN o_totalprice < 200000 THEN 'mid'
+      |            ELSE 'high' END AS band, COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** Typed-Aggregator query: top-3 order totals per customer as an array. */
+  def qAggTopK: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.udaf
+    val top3 = udaf(new TopK(3))
+    Tables(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(top3(col("o_totalprice")).as("top3"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qAggTopKSql: String =
+    """SELECT o_custkey,
+      |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Approximate aggregates: HLL++ distinct + quantile sketch. Sketch
+    * internals differ across engines, so no SQL oracle — the driver's
+    * rows-only check applies; the companion exact columns bound the error
+    * in-row for eyeball verification. */
+  def qApprox: Q = (s, dir) => {
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_udf_scalar"  -> qUdfScalar,
+    "q_agg_topk"    -> qAggTopK,
+    "q_approx_agg"  -> qApprox,
+  )
+
+  /** q_approx_agg intentionally omitted: sketches are engine-specific. */
+  val oracles: Map[String, String] = Map(
+    "q_udf_scalar" -> qUdfScalarSql,
+    "q_agg_topk"   -> qAggTopKSql,
+  )
+}
