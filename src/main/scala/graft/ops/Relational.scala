@@ -333,7 +333,32 @@ object Relational {
        |  AND l_extendedprice <= p_retailprice * 50.0
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Full outer join: null-producing on BOTH sides. High-value customers
+    * vs high-volume buyers by custkey. */
+  def qFullOuter: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val rich = t.customer.filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val busy = t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+    rich.join(busy, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  val qFullOuterSql: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0) r
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      |           GROUP BY o_custkey HAVING COUNT(*) >= 15) b
+      |ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_full_outer_join"     -> qFullOuter,
     "q01_pricing_summary"   -> q01PricingSummary,
     "q03_shipping_priority" -> q03ShippingPriority,
     "q04_order_priority"    -> q04OrderPriority,
@@ -351,6 +376,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_full_outer_join"     -> qFullOuterSql,
     "q01_pricing_summary"   -> q01Sql,
     "q03_shipping_priority" -> q03Sql,
     "q04_order_priority"    -> q04Sql,
