@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.SparkEntry
+
+/** Physical-plan shape assertions — the scale contract, enforced in CI.
+  *
+  * Correctness at sf0.01 says nothing about whether a plan survives 100 TB;
+  * these tests pin the properties that do: predicate pushdown reaching the
+  * parquet scan, column pruning, dimension joins broadcasting instead of
+  * shuffling the fact side, disjunctive theta joins staying hash joins
+  * (not nested-loop cross products), and every window being partitioned
+  * (no single-task global window). A regression in any of these would
+  * still pass the value-compare gate while quietly becoming a bottleneck
+  * at cluster scale — so the plan itself is the test subject.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q06: all four predicates reach the parquet scan as PushedFilters") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_shipdate") && p.contains("l_discount") && p.contains("l_quantity"),
+      s"expected shipdate/discount/quantity pushdown in:\n$p")
+  }
+
+  test("q06: scan reads only the four referenced columns (pruned ReadSchema)") {
+    val p = plan("q06_forecast_revenue")
+    // ReadSchema must not include unused wide columns.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
+      s"scan reads more columns than the query needs: $readSchema")
+  }
+
+  test("q05: dimension joins broadcast (no shuffle of the fact side on dim keys)") {
+    val p = plan("q05_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins in:\n$p")
+  }
+
+  test("q_disjunctive_join: stays a hash join with residual, not a nested loop") {
+    val p = plan("q_disjunctive_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive predicate degraded to a cross product:\n$p")
+  }
+
+  test("q_having_global_share / q_top_supplier: scalar subquery is a one-row broadcast") {
+    // The only nested-loop allowed is against the single-row global aggregate.
+    for (name <- Seq("q_having_global_share", "q_top_supplier", "q_rich_inactive_cust")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product:\n$p")
+    }
+  }
+
+  test("windows: every Window operator has a partition spec (no global window)") {
+    for (name <- Seq("q_window_topk", "q_window_running", "q_window_analytic",
+                     "q_window_range_frame", "q_asof_join")) {
+      val p = plan(name)
+      p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+        // Spark prints `Window [exprs], [partitionExprs], [orderExprs]`;
+        // an empty partition list would render as `, [], [`.
+        assert(!l.contains(", [], ["), s"$name has an unpartitioned window: $l")
+      }
+    }
+  }
+
+  test("q01: aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("q04: EXISTS compiles to a semi join, not an aggregate-join") {
+    val p = plan("q04_order_priority")
+    assert(p.contains("LeftSemi"), s"expected left-semi join in:\n$p")
+  }
+
+  test("q_in_subquery_bigorders: IN-subquery compiles to a semi join") {
+    val p = plan("q_in_subquery_bigorders")
+    assert(p.contains("LeftSemi"), s"expected left-semi join in:\n$p")
+  }
+
+  test("q_scalar_corr_subquery: decorrelated to equi-join (one shuffle per side)") {
+    val p = plan("q_scalar_corr_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery did not decorrelate to an equi-join:\n$p")
+  }
+}
