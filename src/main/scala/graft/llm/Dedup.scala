@@ -33,15 +33,25 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, w1, w2, w3, sh) — distinct word-3-gram shingles per doc. */
+  /** (doc_id, sh) — distinct word-3-gram shingles per doc. Only the joined
+    * shingle string crosses the distinct's shuffle: the three words are
+    * recoverable by splitting (words contain no spaces), so carrying them
+    * as separate columns would triple the shuffle payload for nothing.
+    * Derivations that need the words ([[shingleHashOfSh]]) re-split
+    * map-side AFTER the exchange. */
   private def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("wl"))
       .filter(size(col("wl")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(wl)-3), i -> struct(wl[i] AS w1, wl[i+1] AS w2, wl[i+2] AS w3))")).as("s"))
-      .select(col("doc_id"), col("s.w1"), col("s.w2"), col("s.w3"),
-        concat_ws(" ", col("s.w1"), col("s.w2"), col("s.w3")).as("sh"))
+        explode(expr("transform(sequence(0, size(wl)-3), i -> concat_ws(' ', wl[i], wl[i+1], wl[i+2]))")).as("sh"))
       .distinct()
+
+  /** Shingle hash recomputed from the stored shingle string (map-side,
+    * post-shuffle): split back into the three words and hash. */
+  private def shingleHashOfSh: Column = {
+    val parts = split(col("sh"), " ")
+    shingleHashCol(element_at(parts, 1), element_at(parts, 2), element_at(parts, 3))
+  }
 
   /** SQL for the same distinct shingle set (DuckDB). */
   private val shingleSql: String =
@@ -56,7 +66,7 @@ object Dedup {
   private def jaccardPairs(docs: DataFrame, threshold: Double,
                            candidates: Option[DataFrame] = None): DataFrame =
     jaccardPairsFromShingles(
-      shingleRows(docs).select(col("doc_id"), col("sh"))
+      shingleRows(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       threshold, candidates)
 
@@ -72,7 +82,12 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val joined = candidates match {
       case Some(c) =>
-        c.join(sh.as("a"), col("d1") === col("a.doc_id"))
+        // Candidate pairs are tiny (LSH output): broadcast them so the
+        // first join streams the persisted shingle set with NO shuffle,
+        // and broadcast the (still small: |cand| × shingles-per-doc)
+        // result so the second join streams it too. The full shingle
+        // relation is never exchanged during verification.
+        broadcast(broadcast(c).join(sh.as("a"), col("d1") === col("a.doc_id")))
           .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
           .groupBy(col("d1"), col("d2"))
           .agg(count(lit(1)).as("inter"))
@@ -82,6 +97,8 @@ object Dedup {
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("inter"))
     }
+    // sizes stays a shuffle join: it is one row per document (broadcast
+    // would not survive a billion-doc corpus) and `joined` is tiny.
     joined
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
@@ -133,22 +150,27 @@ object Dedup {
     // verification — the explode+distinct is the expensive part.
     val shAll = shingleRows(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = shAll.withColumn("shh", shingleHashCol(col("w1"), col("w2"), col("w3")))
+    val sh = shAll.withColumn("shh", shingleHashOfSh)
     // 16 min-aggregates: one map-side-combinable pass.
     val sig = sh.groupBy(col("doc_id"))
       .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
         (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
     // Banding: array of 8 band keys, posexplode, equi-join on (band, key).
+    // Persisted: a self-join's two sides are separate subtrees to Spark, so
+    // without it the signature aggregation (the expensive hash pass over
+    // every shingle) runs TWICE — once per side. The band relation is tiny
+    // (8 longs per doc), so this is the textbook cache point.
     val bandArr = array((0 until NumBands).map(k =>
       bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     // Exact verification of LSH candidates — output is exact-Jaccard pairs.
-    jaccardPairsFromShingles(shAll.select(col("doc_id"), col("sh")), 0.8, Some(cand))
+    jaccardPairsFromShingles(shAll, 0.8, Some(cand))
   }
 
   /** LSH recall at the J≥0.96 duplicates present is 1 - (1-J²)^8 ≈ 1-1e-9,
@@ -193,7 +215,10 @@ object Dedup {
     // 4 bands × 8 bits: pigeonhole guarantees a shared band at hamming ≤ 3.
     val bandArr = array((0 until 4).map(k =>
       floor(col("simhash") / lit(math.pow(2, 8 * k))).cast("long") % 256): _*)
+    // Persisted for the same reason as the MinHash bands: the self-join
+    // would otherwise evaluate the 32-column bit-vote aggregation twice.
     val bands = sims.select(col("doc_id"), col("simhash"), posexplode(bandArr).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))

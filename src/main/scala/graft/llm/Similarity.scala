@@ -89,6 +89,9 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("vn"), col("cent_id").as("cell"))
+      // Both sides of the cell join (queries + corpus) read `assigned`;
+      // persisting avoids running the centroid join + argmin window twice.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell"))
     val scored = queries.join(assigned, Seq("cell"))
@@ -126,7 +129,10 @@ object Similarity {
     * above a cosine threshold. Exact all-pairs to match the oracle; the
     * dot is one codegen'd loop per pair over pre-normalized vectors. */
   def embeddingNearDup: Q = (s, dir) => {
+    // Self-join sides are separate subtrees: persist so normalization
+    // (sqrt + per-element divide over every vector) runs once, not twice.
     val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         dotp(col("a.vn"), col("b.vn")).as("cos"))

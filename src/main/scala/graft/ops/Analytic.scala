@@ -254,7 +254,129 @@ object Analytic {
       |WHERE (o_orderkey * 2654435761) % 1000 < 100
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Batch sessionization: gap-based session assignment (30-min timeout)
+    * via lag + cumulative-sum windows, then per-session aggregates. The
+    * batch analog of [[graft.streaming.Streams]] session windows, and the
+    * canonical event-pipeline shape at scale: both windows partition by
+    * user_id, so the whole query is ONE shuffle on user_id followed by
+    * map-side work. Timestamps flow as epoch microseconds (bigint) to keep
+    * the compare engine-neutral (DuckDB holds ns, Spark µs). */
+  def qSessionize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gap = col("us") - lag(col("us"), 1).over(wOrd)
+    t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("new_sess", when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L))
+      .withColumn("sess_idx",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("us")).as("sess_start_us"),
+           max(col("us")).as("sess_end_us"),
+           dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+
+  val qSessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+       |g AS (
+       |  SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+       |                   OR us - LAG(us) OVER w > 1800000000
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+       |  FROM g)
+       |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+       |  MIN(us) AS sess_start_us, MAX(us) AS sess_end_us,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM sess GROUP BY user_id, sess_idx
+       |ORDER BY user_id, sess_idx""".stripMargin
+
+  /** Argmax aggregation: max_by with a composite (value, key) ordering
+    * struct so ties are broken deterministically — plain max_by(x, y) is
+    * nondeterministic under ties and would flake the strict gate. */
+  def qArgmax: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+        max(col("o_totalprice")).as("best_price"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** DuckDB's arg_max lacks composite ordering args, so the oracle uses
+    * row_number with the same lexicographic (value, key) tie-break. */
+  val qArgmaxSql: String =
+    """SELECT o_custkey,
+      |  MAX(CASE WHEN rn_desc = 1 THEN o_orderkey END) AS best_order,
+      |  MAX(o_totalprice) AS best_price,
+      |  MAX(CASE WHEN rn_asc = 1 THEN o_orderkey END) AS worst_order
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_desc,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_asc
+      |  FROM orders)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Array aggregation: collect per-group lists/sets in canonical sorted
+    * order (collect_list order is partition-dependent; sort_array makes it
+    * a deterministic set-valued aggregate). */
+  def qArrayAgg: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qArrayAggSql: String =
+    """SELECT o_orderpriority,
+      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Regex + string function battery: extract/replace/split_part/pad/trim
+    * (patterns kept to the RE2 ∩ java.util.regex common subset so both
+    * engines agree). */
+  def qRegexFns: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.part
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("type_head"),
+        regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_mask"),
+        substring_index(col("p_name"), " ", 1).as("first_word"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+        (instr(col("p_name"), "a") > 0).as("has_a"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val qRegexFnsSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_type, '([A-Z]+)', 1) AS type_head,
+      |  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_mask,
+      |  split_part(p_name, ' ', 1) AS first_word,
+      |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+      |  trim('  ' || p_brand || '  ') AS trimmed,
+      |  instr(p_name, 'a') > 0 AS has_a
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_argmax"          -> qArgmax,
+    "q_array_agg"       -> qArrayAgg,
+    "q_regex_fns"       -> qRegexFns,
+    "q_sessionize"      -> qSessionize,
     "q_window_topk"     -> qWindowTopk,
     "q_window_running"  -> qWindowRunning,
     "q_window_analytic" -> qWindowAnalytic,
@@ -268,6 +390,10 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_argmax"          -> qArgmaxSql,
+    "q_array_agg"       -> qArrayAggSql,
+    "q_regex_fns"       -> qRegexFnsSql,
+    "q_sessionize"      -> qSessionizeSql,
     "q_window_topk"     -> qWindowTopkSql,
     "q_window_running"  -> qWindowRunningSql,
     "q_window_analytic" -> qWindowAnalyticSql,
