@@ -75,6 +75,27 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each click joins views of the same user
+    * within the preceding 15 minutes. Both sides carry watermarks so Spark
+    * can bound join state: a view's row is droppable once the click-side
+    * watermark passes view_ts + 15 min, which is what makes this runnable
+    * indefinitely at scale (unbounded joins would accumulate state
+    * forever). State is keyed by user_id and distributes across executors. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    c.join(v, expr(
+      """c_user = v_user AND
+        |view_ts >= click_ts - INTERVAL 15 MINUTES AND
+        |view_ts <= click_ts""".stripMargin))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Continuous push to H2: per-microbatch overwrite of a staging table —
     * the streaming analog of the reference's one sink, kept idempotent by
     * writing batchId-tagged tables (re-delivered batches overwrite

@@ -79,6 +79,25 @@ class StreamsSpec extends SparkTestBase {
     assert(last == (3L, 5.0))
   }
 
+  test("stream-stream interval join matches views within 15 minutes before the click") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = Streams.clickViewJoin(clicks.toDF(), views.toDF()).writeStream
+      .format("memory").queryName("ssjoin").outputMode(OutputMode.Append()).start()
+    views.addData(
+      Event(10, ts(0), 100, "view", 1.0),   // 20 min before click: outside window
+      Event(11, ts(10), 100, "view", 1.0),  // 10 min before: inside
+      Event(12, ts(15), 101, "view", 1.0))  // other user: no match
+    clicks.addData(Event(1, ts(20), 100, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L)))
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
