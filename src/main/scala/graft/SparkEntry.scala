@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytic, Relational, Subqueries}
+import graft.ops.{Analytic, Extended, Relational, Subqueries}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,14 +19,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Analytic.queries ++ Subqueries.queries ++
+    Relational.queries ++ Analytic.queries ++ Subqueries.queries ++ Extended.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.functions.Udfs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Analytic.oracles ++ Subqueries.oracles ++
+    Relational.oracles ++ Analytic.oracles ++ Subqueries.oracles ++ Extended.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.functions.Udfs.oracles
 }

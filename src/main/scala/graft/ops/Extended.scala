@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Exact._
+
+/** Extended relational breadth: multi-dim profit rollups (TPC-H Q9 shape),
+  * returned-revenue top-N (Q10 shape), correlated EXISTS/NOT-EXISTS
+  * self-joins (Q21 shape), and distribution window functions
+  * (percent_rank / cume_dist).
+  *
+  * Scale notes: dims broadcast via [[Tables]]; lineitem⋈orders shuffles
+  * once on orderkey; the Q21-shape self-joins are semi/anti hash joins on
+  * the order key (linear, partitionable) rather than correlated per-row
+  * probes.
+  */
+object Extended {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q9 shape: profit by nation and order-year through a 5-way join
+    * (no partsupp table in this schema, so supply cost is modeled as 10%
+    * of the part's retail price per unit). */
+  def q09ProfitByNationYear: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.1)
+    t.lineitem
+      .join(t.partDim, col("l_partkey") === col("p_partkey"))
+      .join(t.supplierDim, col("l_suppkey") === col("s_suppkey"))
+      .join(t.nationDim, col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(qsum(amount).as("profit"), count(lit(1)).as("n"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  val q09Sql: String = {
+    val amount = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) - p_retailprice * l_quantity * 0.1"
+    s"""SELECT n_name, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       |  ${sqlQsum(amount)} AS profit, COUNT(*) AS n
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin
+  }
+
+  /** TPC-H Q10 shape: revenue lost to returned items, top 20 customers. */
+  def q10ReturnedRevenue: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t.nationDim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${sqlQsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who were the SOLE supplier on
+    * multi-lineitem orders. EXISTS (another lineitem on the order) becomes
+    * a semi join against the multi-line order set; NOT EXISTS (a lineitem
+    * from a different supplier) becomes an anti self-join with a residual
+    * inequality — both hash joins on l_orderkey. */
+  def qSoleSupplier: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val multi = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("l_orderkey").as("mo"))
+    li.as("a")
+      .join(multi, col("a.l_orderkey") === col("mo"), "left_semi")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey"), "left_anti")
+      .groupBy(col("a.l_suppkey").as("l_suppkey"))
+      .agg(countDistinct(col("a.l_orderkey")).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("l_suppkey"))
+      .limit(25)
+  }
+
+  val qSoleSupplierSql: String =
+    """SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem a
+      |WHERE EXISTS (SELECT 1 FROM lineitem c
+      |              WHERE c.l_orderkey = a.l_orderkey
+      |              GROUP BY c.l_orderkey HAVING COUNT(*) > 1)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem b
+      |                  WHERE b.l_orderkey = a.l_orderkey
+      |                    AND b.l_suppkey <> a.l_suppkey)
+      |GROUP BY l_suppkey ORDER BY n_orders DESC, l_suppkey LIMIT 25""".stripMargin
+
+  /** Distribution window functions: percent_rank and cume_dist over a
+    * per-customer price order (unique tie-break key keeps both exact). */
+  def qWindowDistribution: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowDistributionSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q09_profit_nation_year" -> q09ProfitByNationYear,
+    "q10_returned_revenue"   -> q10ReturnedRevenue,
+    "q_sole_supplier"        -> qSoleSupplier,
+    "q_window_distribution"  -> qWindowDistribution,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q09_profit_nation_year" -> q09Sql,
+    "q10_returned_revenue"   -> q10Sql,
+    "q_sole_supplier"        -> qSoleSupplierSql,
+    "q_window_distribution"  -> qWindowDistributionSql,
+  )
+}
