@@ -243,6 +243,66 @@ object Dedup {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------------------ clusters
+
+  /** Near-dup clusters: connected components over the exact-Jaccard pair
+    * graph (threshold 0.5), labeling every member with the minimum doc_id
+    * of its component — the canonical-representative step that turns
+    * pairwise dedup into "keep one per cluster".
+    *
+    * Implementation is distributed min-label propagation (Pregel shape):
+    * each iteration is one join + min-aggregate over the edge list, all
+    * executor-side; only a scalar convergence flag crosses the driver.
+    * Iteration count is bounded by component diameter — near-dup clusters
+    * are shallow (dup groups, not long chains), so this converges in 2-3
+    * rounds; the large-star/small-star variant is the upgrade path if a
+    * corpus ever produces deep chains. */
+  def dedupClusters: Q = (s, dir) => {
+    val pairs = jaccardPairs(Tables(s, dir).documents, 0.5)
+      .select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("d1").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("d2") === col("node"))
+        .select(col("d1").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same pair graph closed transitively with a recursive CTE,
+    * component = min reachable doc_id (including self). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $shingleSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2
+       |          FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |          WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+       |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |       UNION SELECT d2, d1 FROM pairs),
+       |reach AS (SELECT a, b FROM bi
+       |          UNION
+       |          SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a)
+       |SELECT a AS doc_id, LEAST(MIN(b), a) AS component
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- fingerprint
 
   /** Order-sensitive positional fingerprint per document. */
@@ -268,6 +328,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
+    "dedup_clusters"      -> dedupClusters,
     "doc_fingerprint"     -> docFingerprint,
   )
 
@@ -276,6 +337,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh"   -> dedupMinhashLshSql,
     "dedup_simhash"       -> dedupSimhashSql,
+    "dedup_clusters"      -> dedupClustersSql,
     "doc_fingerprint"     -> docFingerprintSql,
   )
 }
