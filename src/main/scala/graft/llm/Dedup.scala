@@ -258,14 +258,22 @@ object Dedup {
     * rounds; the large-star/small-star variant is the upgrade path if a
     * corpus ever produces deep chains. */
   def dedupClusters: Q = (s, dir) => {
+    // pairs is persisted BEFORE the symmetric union: both union branches
+    // read the same subtree, and without the cache point the whole Jaccard
+    // kernel (shingle self-join) would run twice.
     val pairs = jaccardPairs(Tables(s, dir).documents, 0.5)
       .select(col("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("d1").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Convergence check: labels only ever decrease, so the label sum is a
+    // strictly decreasing potential — one cheap aggregate per iteration
+    // instead of a join against the previous generation.
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, col("d2") === col("node"))
@@ -273,11 +281,11 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0L
+      converged = nextSum == prevSum
+      prevSum = nextSum
     }
     labels
       .select(col("node").as("doc_id"), col("label").as("component"))

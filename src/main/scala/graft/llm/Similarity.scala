@@ -82,13 +82,17 @@ object Similarity {
     val emb = normalized(Tables(s, dir))
     val centroids = broadcast(emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cent_id"))
+    // Argmin via max_by aggregate instead of a row_number window: the
+    // aggregate partially reduces the (vectors × centroids) scores
+    // map-side, shuffling one row per vector rather than one per pair.
+    // Ties break to the lowest cent_id via the (cs, -cent_id) struct.
     val assigned = emb.join(centroids)
       .select(col("vec_id"), col("vn"), col("cent_id"), dotp(col("vn"), col("cv")).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vn"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+        first(col("vn")).as("vn"))  // vn is constant per vec_id
+      .select(col("vec_id"), col("vn"), col("cell"))
       // Both sides of the cell join (queries + corpus) read `assigned`;
       // persisting avoids running the centroid join + argmin window twice.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -235,9 +235,13 @@ object Relational {
   /** Set operations: union / intersect / except with distinct semantics. */
   def qSetOps: Q = (s, dir) => {
     val t = Tables(s, dir)
+    // Both distinct sets feed two set ops each; persist so the orders scan
+    // + distinct shuffle runs once per set, not once per consumer.
     val buyers  = t.orders.select(col("o_custkey").as("custkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big     = t.orders.filter(col("o_totalprice") > 100000.0)
       .select(col("o_custkey").as("custkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nonBig  = buyers.except(big)                       // EXCEPT
     val overlap = buyers.intersect(big)                    // INTERSECT
     nonBig.withColumn("kind", lit("small_only"))
