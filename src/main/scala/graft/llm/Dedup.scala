@@ -36,22 +36,13 @@ object Dedup {
   /** (doc_id, sh) — distinct word-3-gram shingles per doc. Only the joined
     * shingle string crosses the distinct's shuffle: the three words are
     * recoverable by splitting (words contain no spaces), so carrying them
-    * as separate columns would triple the shuffle payload for nothing.
-    * Derivations that need the words ([[shingleHashOfSh]]) re-split
-    * map-side AFTER the exchange. */
+    * as separate columns would triple the shuffle payload for nothing. */
   private def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("wl"))
       .filter(size(col("wl")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(wl)-3), i -> concat_ws(' ', wl[i], wl[i+1], wl[i+2]))")).as("sh"))
       .distinct()
-
-  /** Shingle hash recomputed from the stored shingle string (map-side,
-    * post-shuffle): split back into the three words and hash. */
-  private def shingleHashOfSh: Column = {
-    val parts = split(col("sh"), " ")
-    shingleHashCol(element_at(parts, 1), element_at(parts, 2), element_at(parts, 3))
-  }
 
   /** SQL for the same distinct shingle set (DuckDB). */
   private val shingleSql: String =
@@ -150,7 +141,14 @@ object Dedup {
     // verification — the explode+distinct is the expensive part.
     val shAll = shingleRows(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = shAll.withColumn("shh", shingleHashOfSh)
+    // Signature hashing uses native xxhash64 (single codegen'd call, no
+    // string re-parsing): the hash family only determines candidate
+    // RECALL — every candidate is exactly verified below, and the oracle
+    // checks the verified output — so the internal hash is free to be the
+    // fast one. (SimHash/fingerprint keep the portable polynomial hash
+    // because their oracles recompute signatures.) pmod keeps the affine
+    // minhash arithmetic in [0, M) exactly as before.
+    val sh = shAll.withColumn("shh", pmod(xxhash64(col("sh")), lit(M)))
     // 16 min-aggregates: one map-side-combinable pass.
     val sig = sh.groupBy(col("doc_id"))
       .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
