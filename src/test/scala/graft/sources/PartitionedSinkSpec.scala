@@ -30,4 +30,32 @@ class PartitionedSinkSpec extends SparkTestBase {
     assert(scanLine.contains("1996") || plan.contains("o_year=1996") ||
       scanLine.contains("isnotnull"), s"unexpected scan shape: $scanLine")
   }
+
+  test("dynamic partition pruning fires when the partition key is join-derived") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+
+    // The partition filter is only known at runtime, through the dim join.
+    // DPP requires a *selective predicate* on the dim side (a bare range
+    // doesn't qualify), so the dim is a filtered parquet source.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    spark.range(1992, 1999)
+      .select(col("id").cast("int").as("y"),
+        when(col("id") === 1996, "pick").otherwise("skip").as("tag"))
+      .write.mode("overwrite").parquet(dimDir)
+    val years = spark.read.parquet(dimDir).filter(col("tag") === "pick")
+    val joined = spark.read.parquet(dir)
+      .join(years, col("o_year") === col("y"))
+      .groupBy(col("o_year")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning") ||
+           plan.toLowerCase.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning in:\n$plan")
+    val rows = joined.collect()
+    assert(rows.length == 1 &&
+      rows(0).getInt(0) == 1996 &&
+      rows(0).getLong(1) == orders.filter(col("o_year") === 1996).count())
+  }
 }
