@@ -127,7 +127,58 @@ object Extended {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Statistical aggregates (stddev/variance/correlation) from exact
+    * moment sums. Built-in stddev/corr use merge-order-dependent running
+    * algorithms (different last bits per engine/partitioning), so the
+    * moments Σx, Σx², Σxy are accumulated as integer-quantized cents
+    * (exact, associative) and the closed-form formulas then run in plain
+    * IEEE arithmetic — identical in both engines AND independent of
+    * partitioning, which is also the right 100 TB design: map-side
+    * combinable long sums, no order-sensitive state. */
+  def qStatsAgg: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    // Quantized term stays under 2^53 per row (exact in double), but the
+    // SUM accumulates in DECIMAL(38,0): price²·10⁴ terms would overflow
+    // int64 at ~10⁶ rows per group, and decimal sums never do.
+    def q4(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(10000) + lit(0.5))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / 1e4
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           q4(x).as("sx"), q4(x * x).as("sxx"),
+           q4(y).as("sy"), q4(y * y).as("syy"),
+           q4(x * y).as("sxy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("var_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)).as("stddev_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qStatsAggSql: String = {
+    def q4(e: String) = s"CAST(SUM(CAST(FLOOR(($e) * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e4"
+    s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |  (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+       |  sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_qty,
+       |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+       |FROM (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${q4("l_quantity")} AS sx, ${q4("l_quantity * l_quantity")} AS sxx,
+       |    ${q4("l_extendedprice")} AS sy, ${q4("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${q4("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_agg"            -> qStatsAgg,
     "q09_profit_nation_year" -> q09ProfitByNationYear,
     "q10_returned_revenue"   -> q10ReturnedRevenue,
     "q_sole_supplier"        -> qSoleSupplier,
@@ -135,6 +186,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats_agg"            -> qStatsAggSql,
     "q09_profit_nation_year" -> q09Sql,
     "q10_returned_revenue"   -> q10Sql,
     "q_sole_supplier"        -> qSoleSupplierSql,
