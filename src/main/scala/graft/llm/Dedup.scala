@@ -60,6 +60,12 @@ object Dedup {
       shingleRows(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       threshold, candidates)
+      // The full-kernel result is persisted so plan-identical consumers in
+      // one session (dedup_ngram_jaccard's output, dedup_clusters' edge
+      // graph) materialize the inverted-index self-join once. Callers add
+      // their own orderBy — keeping the cached plan canonical (unsorted)
+      // is what makes the cache entry shared.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Jaccard kernel over a prebuilt (doc_id, sh) shingle set.
     *
@@ -96,7 +102,6 @@ object Dedup {
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("d1"), col("d2"))
   }
 
   private def jaccardSql(threshold: Double): String =
@@ -129,7 +134,7 @@ object Dedup {
   // ------------------------------------------------------- n-gram jaccard
 
   def dedupNgramJaccard: Q = (s, dir) =>
-    jaccardPairs(Tables(s, dir).documents, 0.5)
+    jaccardPairs(Tables(s, dir).documents, 0.5).orderBy(col("d1"), col("d2"))
 
   val dedupNgramJaccardSql: String = jaccardSql(0.5)
 
@@ -168,7 +173,7 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     // Exact verification of LSH candidates — output is exact-Jaccard pairs.
-    jaccardPairsFromShingles(shAll, 0.8, Some(cand))
+    jaccardPairsFromShingles(shAll, 0.8, Some(cand)).orderBy(col("d1"), col("d2"))
   }
 
   /** LSH recall at the J≥0.96 duplicates present is 1 - (1-J²)^8 ≈ 1-1e-9,
@@ -256,12 +261,11 @@ object Dedup {
     * rounds; the large-star/small-star variant is the upgrade path if a
     * corpus ever produces deep chains. */
   def dedupClusters: Q = (s, dir) => {
-    // pairs is persisted BEFORE the symmetric union: both union branches
-    // read the same subtree, and without the cache point the whole Jaccard
-    // kernel (shingle self-join) would run twice.
+    // The kernel result is already persisted inside jaccardPairs, so both
+    // symmetric-union branches (and dedup_ngram_jaccard in the same
+    // session) read one materialization.
     val pairs = jaccardPairs(Tables(s, dir).documents, 0.5)
       .select(col("d1"), col("d2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
