@@ -372,7 +372,47 @@ object Analytic {
       |  instr(p_name, 'a') > 0 AS has_a
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Gap-fill + forward-fill: densify each user's daily series over their
+    * active span (sequence + explode = calendar generation), then carry
+    * the last observed daily sum forward across gap days. One shuffle on
+    * user_id for the daily aggregate; the window rides the same
+    * partitioning. The canonical resample shape for event data. */
+  def qGapFill: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val daily = t.events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"),
+        col("value"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(dsum(col("value")).as("day_sum"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "d"), "left_outer")
+      .withColumn("filled_sum", last(col("day_sum"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("d"), col("day_sum"), col("filled_sum"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  val qGapFillSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS d, value
+       |  FROM events),
+       |daily AS (
+       |  SELECT user_id, d, ${sqlSum("value")} AS day_sum FROM ev GROUP BY user_id, d),
+       |cal AS (
+       |  SELECT user_id, CAST(UNNEST(range(d0, d1 + 1)) AS INTEGER) AS d FROM (
+       |    SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id))
+       |SELECT c.user_id, c.d, dd.day_sum,
+       |  LAST_VALUE(dd.day_sum IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+       |FROM cal c LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d
+       |ORDER BY c.user_id, c.d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_gap_fill"        -> qGapFill,
     "q_argmax"          -> qArgmax,
     "q_array_agg"       -> qArrayAgg,
     "q_regex_fns"       -> qRegexFns,
@@ -390,6 +430,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill"        -> qGapFillSql,
     "q_argmax"          -> qArgmaxSql,
     "q_array_agg"       -> qArrayAggSql,
     "q_regex_fns"       -> qRegexFnsSql,
