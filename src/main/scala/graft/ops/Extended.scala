@@ -177,7 +177,31 @@ object Extended {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Salted two-phase aggregation for skewed keys: l_returnflag has only
+    * 3 values, so a direct groupBy funnels 600k rows into 3 reducers. The
+    * salt spreads phase 1 across (key × 16) groups; phase 2 merges the 48
+    * partials. Decimal partials are associative, so the result is exactly
+    * the direct groupBy's — which is what the oracle checks. (Spark's own
+    * partial aggregation covers this case; explicit salting is the
+    * pattern for when the skew is in a JOIN key or the combiner can't
+    * keep up — demonstrated here where the gate can verify it.) */
+  def qSaltedAgg: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val D = org.apache.spark.sql.types.DecimalType(28, 4)
+    t.lineitem
+      .groupBy(col("l_returnflag"), pmod(xxhash64(col("l_orderkey")), lit(16)).as("salt"))
+      .agg(sum(col("l_quantity").cast(D)).as("ps"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("ps")).cast("double").as("sum_qty"), sum(col("pn")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qSaltedAggSql: String =
+    s"""SELECT l_returnflag, ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_salted_agg"           -> qSaltedAgg,
     "q_stats_agg"            -> qStatsAgg,
     "q09_profit_nation_year" -> q09ProfitByNationYear,
     "q10_returned_revenue"   -> q10ReturnedRevenue,
@@ -186,6 +210,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg"           -> qSaltedAggSql,
     "q_stats_agg"            -> qStatsAggSql,
     "q09_profit_nation_year" -> q09Sql,
     "q10_returned_revenue"   -> q10Sql,
