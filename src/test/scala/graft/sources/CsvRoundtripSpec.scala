@@ -99,6 +99,25 @@ class CsvRoundtripSpec extends SparkTestBase {
     assert(out.head.getDecimal(1) == big.bigDecimal)
   }
 
+  test("beyond-Decimal(38) numeric carries as string losslessly (spec :245, SURVEY §7.4.3)") {
+    // The reference pushes BigDecimal(Long.MaxValue).pow(5) (~95 digits)
+    // into H2's unbounded NUMERIC. Past Spark's Decimal(38) ceiling the
+    // value is carried as a string column; the sink DDL still declares
+    // NUMERIC (H2Sink.ddl keys off the declared ColType, not the Spark
+    // type), so H2 coerces the string back to its unbounded NUMERIC on
+    // insert. Here: string carriage is bit-perfect through the CSV
+    // dialect, and the DDL half is pinned in SinkLayerSpec.
+    // (BigInt, not Scala BigDecimal — the latter's pow rounds to the
+    // DECIMAL128 MathContext and would silently truncate to 34 digits.)
+    val big = BigInt(Long.MaxValue).pow(5).toString
+    assert(big.length > 90)
+    val schema = StructType(Seq(StructField("n", StringType)))
+    val out = roundtrip(schema, Seq(Seq(big)))
+    assert(out.head.getString(0) == big)
+    import graft.sinks.{ColType, H2Sink}
+    assert(H2Sink.ddl(Seq("n" -> ColType.CNumber)) == "\"n\" NUMERIC")
+  }
+
   test("temporal bounds as carried types (spec :265–288, TemporalBounds.scala)") {
     // LocalTime/OffsetTime carry as strings (no Spark TIME type) — any
     // value including MIN/MAX roundtrips untouched. Dates/timestamps carry
