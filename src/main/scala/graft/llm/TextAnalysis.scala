@@ -126,13 +126,39 @@ object TextAnalysis {
       |  (n_chars + 3) // 4 AS est_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified train/val/test split: the split is a pure
+    * function of doc_id (multiplicative hash mod 100), so it is
+    * reproducible across runs, engines, partitionings, and re-shards —
+    * the property a training-data pipeline needs so a document never
+    * migrates between splits. Stratification is per language: counts per
+    * (lang, split) verify the ratios land ~80/10/10 within each stratum. */
+  def stratifiedSplit: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val bucket = (col("doc_id") * 2654435761L) % 100
+    d.select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val stratifiedSplitSql: String =
+    """SELECT lang,
+      |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+      |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_stratified_split" -> stratifiedSplit,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
   )
 
   val oracles: Map[String, String] = Map(
+    "text_stratified_split" -> stratifiedSplitSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,

@@ -57,9 +57,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q09/q10: dimension joins broadcast; no cross products in extended catalog") {
+    for (name <- Seq("q09_profit_nation_year", "q10_returned_revenue", "q_sole_supplier")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product:\n$p")
+    }
+    assert(plan("q09_profit_nation_year").contains("BroadcastHashJoin"))
+  }
+
+  test("q_salted_agg: both aggregation phases are partial before exchange") {
+    val p = plan("q_salted_agg")
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
   test("windows: every Window operator has a partition spec (no global window)") {
     for (name <- Seq("q_window_topk", "q_window_running", "q_window_analytic",
-                     "q_window_range_frame", "q_asof_join")) {
+                     "q_window_range_frame", "q_asof_join", "q_sessionize",
+                     "q_gap_fill", "q_window_distribution")) {
       val p = plan(name)
       p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
         // Spark prints `Window [exprs], [partitionExprs], [orderExprs]`;
