@@ -150,7 +150,52 @@ object TextAnalysis {
       |  COUNT(*) AS n
       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** End-to-end prep pipeline as ONE declarative plan: quality-score
+    * filter → exact dedup (keep lowest doc_id) → per-language corpus
+    * stats. Composition matters at scale: expressed as a single plan,
+    * Catalyst fuses the scoring into the scan stage, the dedup is the
+    * only wide shuffle, and the final stats aggregate partially map-side
+    * — three "steps" but one pass over the corpus plus one exchange. */
+  def prepPipeline: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.withColumn("wl", split(col("text"), " "))
+    val nWords = size(col("wl"))
+    val stops = cnt(col("wl"), "the") + cnt(col("wl"), "a")
+    val meanLen = (col("n_chars") - (nWords - 1)).cast("double") / nWords
+    val stopRatio = stops.cast("double") / nWords
+    val lenScore = least(nWords.cast("double") / 100.0, lit(1.0))
+    val quality = lenScore * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(meanLen / 8.0, lit(1.0)) * 0.2
+    d.withColumn("q", quality)
+      .filter(col("q") >= 0.5)
+      .groupBy(col("text"))                              // exact dedup
+      .agg(min(col("doc_id")).as("doc_id"),
+           min(col("lang")).as("lang"),   // min: deterministic even if dup texts were labeled differently
+           first(size(split(col("text"), " "))).as("toks"))  // toks is a function of the group key
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("toks")).cast("long").as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val prepPipelineSql: String = {
+    val stops = s"(${cntSql("the")} + ${cntSql("a")})"
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, lang,
+       |    least(CAST(len(wl) AS DOUBLE)/100.0, 1.0) * 0.5 +
+       |    (1.0 - CAST($stops AS DOUBLE)/len(wl)) * 0.3 +
+       |    least((CAST(n_chars - (len(wl)-1) AS DOUBLE)/len(wl))/8.0, 1.0) * 0.2 AS q,
+       |    len(wl) AS toks
+       |  FROM (SELECT doc_id, text, lang, n_chars, string_split(text, ' ') AS wl
+       |        FROM documents)),
+       |deduped AS (
+       |  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, ANY_VALUE(toks) AS toks
+       |  FROM scored WHERE q >= 0.5 GROUP BY text)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
+       |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_prep_pipeline"    -> prepPipeline,
     "text_stratified_split" -> stratifiedSplit,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
@@ -158,6 +203,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_prep_pipeline"    -> prepPipelineSql,
     "text_stratified_split" -> stratifiedSplitSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
