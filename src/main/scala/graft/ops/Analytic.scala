@@ -411,7 +411,25 @@ object Analytic {
        |FROM cal c LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d
        |ORDER BY c.user_id, c.d""".stripMargin
 
+  /** Unpivot (melt): wide columns → (metric, value) rows via the stack
+    * generator — the inverse of [[qPivot]]. Generator output, no shuffle
+    * until the presentation sort. */
+  def qUnpivot: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.part.selectExpr("p_partkey",
+        "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, value)")
+      .orderBy(col("p_partkey"), col("metric"))
+  }
+
+  val qUnpivotSql: String =
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+      |ORDER BY p_partkey, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_unpivot"         -> qUnpivot,
     "q_gap_fill"        -> qGapFill,
     "q_argmax"          -> qArgmax,
     "q_array_agg"       -> qArrayAgg,
@@ -430,6 +448,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot"         -> qUnpivotSql,
     "q_gap_fill"        -> qGapFillSql,
     "q_argmax"          -> qArgmaxSql,
     "q_array_agg"       -> qArrayAggSql,
