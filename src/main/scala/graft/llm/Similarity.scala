@@ -153,13 +153,50 @@ object Similarity {
        |WHERE list_dot_product(a.vn, b.vn) >= 0.45
        |ORDER BY v1, v2""".stripMargin
 
+  /** Scalar quantization (float32 → int8 per vector): the 4× memory
+    * reduction real ANN systems apply before index build at scale. Per
+    * vector: min/max → uniform 0..255 codes; emitted as per-vector code
+    * stats so the oracle can verify the quantization grid exactly
+    * (floor((x-mn)/(mx-mn)*255 + 0.5) is pure IEEE, identical in both
+    * engines). Map-only — no shuffle except the presentation sort. */
+  def vecQuantize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val v = transform(col("embedding"), _.cast("double"))
+    t.embeddings
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes", transform(col("v"),
+        x => floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5).cast("long")))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  val vecQuantizeSql: String =
+    """SELECT vec_id, mn, mx,
+      |  list_aggregate(codes, 'sum') AS code_sum,
+      |  list_aggregate(codes, 'min') AS code_min,
+      |  list_aggregate(codes, 'max') AS code_max
+      |FROM (
+      |  SELECT vec_id, mn, mx,
+      |    list_transform(v, x -> CAST(FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)) AS codes
+      |  FROM (
+      |    SELECT vec_id, v, list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx
+      |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "vec_quantize"       -> vecQuantize,
     "knn_brute_force"    -> knnBruteForce,
     "knn_ivf"            -> knnIvf,
     "embedding_near_dup" -> embeddingNearDup,
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_quantize"       -> vecQuantizeSql,
     "knn_brute_force"    -> knnBruteForceSql,
     "knn_ivf"            -> knnIvfSql,
     "embedding_near_dup" -> embeddingNearDupSql,
