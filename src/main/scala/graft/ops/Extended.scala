@@ -200,7 +200,54 @@ object Extended {
     s"""SELECT l_returnflag, ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Null-safe equality join (<=>): NULL keys match each other, unlike
+    * plain = which drops them. Built by nulling out a low-cardinality key
+    * value on both sides, so the null⇔null matches are observable in the
+    * counts. Still a hash join — Spark hashes null-safe keys like any
+    * other. */
+  def qNullSafeJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val nullablePrio = when(col("o_orderpriority") === "5-LOW", lit(null))
+      .otherwise(col("o_orderpriority"))
+    val left = t.orders.select(nullablePrio.as("lp"), col("o_orderkey"))
+    val right = t.orders
+      .select(nullablePrio.as("rp"), col("o_totalprice"))
+      .groupBy(col("rp")).agg(count(lit(1)).as("rn"))
+    left.join(right, col("lp") <=> col("rp"))
+      .groupBy(col("lp"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("rn")).as("right_n"))
+      .orderBy(asc_nulls_first("lp"))
+  }
+
+  val qNullSafeJoinSql: String =
+    """WITH l AS (SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+      |                       ELSE o_orderpriority END AS lp, o_orderkey FROM orders),
+      |r AS (SELECT lp AS rp, COUNT(*) AS rn FROM l GROUP BY 1)
+      |SELECT lp, COUNT(*) AS n_pairs, MAX(rn) AS right_n
+      |FROM l JOIN r ON lp IS NOT DISTINCT FROM rp
+      |GROUP BY lp ORDER BY lp ASC NULLS FIRST""".stripMargin
+
+  /** Discrete percentiles: pick actual elements (no interpolation) —
+    * deterministic because a real data value is returned. */
+  def qPercentileDisc: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem.createOrReplaceTempView("graft_li_pdisc")
+    s.sql(
+      """SELECT l_linestatus,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_disc
+        |FROM graft_li_pdisc GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+  }
+
+  val qPercentileDiscSql: String =
+    """SELECT l_linestatus,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+      |  quantile_disc(l_extendedprice, 0.9) AS p90_disc
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_null_safe_join"       -> qNullSafeJoin,
+    "q_percentile_disc"      -> qPercentileDisc,
     "q_salted_agg"           -> qSaltedAgg,
     "q_stats_agg"            -> qStatsAgg,
     "q09_profit_nation_year" -> q09ProfitByNationYear,
@@ -210,6 +257,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_null_safe_join"       -> qNullSafeJoinSql,
+    "q_percentile_disc"      -> qPercentileDiscSql,
     "q_salted_agg"           -> qSaltedAggSql,
     "q_stats_agg"            -> qStatsAggSql,
     "q09_profit_nation_year" -> q09Sql,

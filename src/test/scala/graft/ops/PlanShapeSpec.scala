@@ -65,6 +65,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q09_profit_nation_year").contains("BroadcastHashJoin"))
   }
 
+  test("q03: top-N compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit should be a bounded top-N operator, got:\n$p")
+  }
+
   test("q_salted_agg: both aggregation phases are partial before exchange") {
     val p = plan("q_salted_agg")
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
