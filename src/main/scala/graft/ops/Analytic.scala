@@ -428,7 +428,82 @@ object Analytic {
       |  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** Funnel analysis: classify each user by how far they progressed
+    * through view → click → purchase IN ORDER (first-touch timestamps).
+    * One conditional-min aggregation per user — a single shuffle — then a
+    * tiny stage rollup. */
+  def qFunnel: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val m = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("us"))).as("v"),
+      min(when(col("event_type") === "click", col("us"))).as("c"),
+      min(when(col("event_type") === "purchase", col("us"))).as("p"))
+    val stage =
+      when(col("v").isNotNull && col("c").isNotNull && col("p").isNotNull &&
+           col("v") <= col("c") && col("c") <= col("p"), 3L)
+      .when(col("v").isNotNull && col("c").isNotNull && col("v") <= col("c"), 2L)
+      .when(col("v").isNotNull, 1L)
+      .otherwise(0L)
+    m.select(stage.as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_stage"))
+  }
+
+  val qFunnelSql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      |  FROM events GROUP BY user_id)
+      |SELECT CASE
+      |    WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+      |         AND v <= c AND c <= p THEN 3
+      |    WHEN v IS NOT NULL AND c IS NOT NULL AND v <= c THEN 2
+      |    WHEN v IS NOT NULL THEN 1
+      |    ELSE 0 END AS funnel_stage,
+      |  COUNT(*) AS n_users
+      |FROM m GROUP BY 1 ORDER BY funnel_stage""".stripMargin
+
+  /** Cohort retention: users grouped by first-active day; retained =
+    * active again exactly 7 days later. distinct (user, day) activity →
+    * cohort min-day → left join back at day+7. Two shuffles on user_id,
+    * both map-side-combinable. */
+  def qRetention: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val act = t.events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val later = act.select(col("user_id").as("r_user"), col("day").as("r_day"))
+    cohort
+      .join(later,
+        col("user_id") === col("r_user") && col("r_day") === col("d0") + 7,
+        "left_outer")
+      .groupBy(col("d0"))
+      .agg(count(lit(1)).as("cohort_size"),
+           count(col("r_user")).as("retained_d7"))
+      .orderBy(col("d0"))
+  }
+
+  val qRetentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(day) AS d0 FROM act GROUP BY user_id)
+      |SELECT d0, COUNT(*) AS cohort_size, COUNT(a.user_id) AS retained_d7
+      |FROM cohort c LEFT JOIN act a
+      |  ON c.user_id = a.user_id AND a.day = c.d0 + 7
+      |GROUP BY d0 ORDER BY d0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_funnel"          -> qFunnel,
+    "q_retention"       -> qRetention,
     "q_unpivot"         -> qUnpivot,
     "q_gap_fill"        -> qGapFill,
     "q_argmax"          -> qArgmax,
@@ -448,6 +523,8 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel"          -> qFunnelSql,
+    "q_retention"       -> qRetentionSql,
     "q_unpivot"         -> qUnpivotSql,
     "q_gap_fill"        -> qGapFillSql,
     "q_argmax"          -> qArgmaxSql,
