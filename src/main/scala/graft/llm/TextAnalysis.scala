@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -194,7 +195,51 @@ object TextAnalysis {
        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** TF-IDF-style salient terms: top-3 terms per document by
+    * tf × (N / df). The idf is the rational N/df rather than ln(N/df):
+    * ln through libm differs in the last ULP across engines, which would
+    * break the bit-exact gate, and the ranking it induces is identical
+    * for any monotone transform. Shapes: tf = one groupBy(doc, term);
+    * df = one groupBy(term); N broadcast as a one-row aggregate; top-k
+    * per doc via partitioned row_number. */
+  def tfidfTopTerms: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, col("tok") === col("df_tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, rk, tok, score FROM (
+      |  SELECT doc_id, tok, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf_top_terms"  -> tfidfTopTerms,
     "text_prep_pipeline"    -> prepPipeline,
     "text_stratified_split" -> stratifiedSplit,
     "text_lang_id"     -> langId,
@@ -203,6 +248,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_top_terms"  -> tfidfTopTermsSql,
     "text_prep_pipeline"    -> prepPipelineSql,
     "text_stratified_split" -> stratifiedSplitSql,
     "text_lang_id"     -> langIdSql,

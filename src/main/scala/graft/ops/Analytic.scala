@@ -501,7 +501,27 @@ object Analytic {
       |  ON c.user_id = a.user_id AND a.day = c.d0 + 7
       |GROUP BY d0 ORDER BY d0""".stripMargin
 
+  /** Fixed-width histogram: bucket index from pure arithmetic (no
+    * width_bucket builtin dependency), capped to the last bucket. The
+    * data-profiling staple — one map-side-combinable aggregation. */
+  def qHistogram: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val bucket = least(floor(col("o_totalprice") / 60000.0), lit(9.0)).cast("long")
+    t.orders
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("o_totalprice")).as("lo"),
+           max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(LEAST(FLOOR(o_totalprice / 60000.0), 9.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_histogram"       -> qHistogram,
     "q_funnel"          -> qFunnel,
     "q_retention"       -> qRetention,
     "q_unpivot"         -> qUnpivot,
@@ -523,6 +543,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram"       -> qHistogramSql,
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,
     "q_unpivot"         -> qUnpivotSql,
