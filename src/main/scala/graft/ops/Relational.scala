@@ -361,7 +361,40 @@ object Relational {
       |ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Right-outer join: every order kept, customer side nullable (the
+    * mirror of the usual left join — exercises the distinct join type). */
+  def qRightOuter: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val richCust = t.customer.filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"))
+    richCust.join(t.orders, col("c_custkey") === col("o_custkey"), "right_outer")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), count(col("c_custkey")).as("n_rich"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qRightOuterSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(c_custkey) AS n_rich
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+      |RIGHT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Intentional cross join of two constant-size dims (region × nation =
+    * 125 rows) — the one place a cartesian product is the right plan. */
+  def qCrossJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.region.select(col("r_name"))
+      .crossJoin(t.nation.select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val qCrossJoinSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_right_outer_join"    -> qRightOuter,
+    "q_cross_join_dims"     -> qCrossJoin,
     "q_full_outer_join"     -> qFullOuter,
     "q01_pricing_summary"   -> q01PricingSummary,
     "q03_shipping_priority" -> q03ShippingPriority,
@@ -380,6 +413,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_right_outer_join"    -> qRightOuterSql,
+    "q_cross_join_dims"     -> qCrossJoinSql,
     "q_full_outer_join"     -> qFullOuterSql,
     "q01_pricing_summary"   -> q01Sql,
     "q03_shipping_priority" -> q03Sql,
