@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.sinks.{H2Config, H2Sink}
 
 /** Event row for typed stateful operators. */
@@ -73,6 +74,38 @@ object Streams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** Per-user running totals on the Spark 4 `transformWithState` API —
+    * the successor to flatMapGroupsWithState: typed per-key `ValueState`
+    * with first-class TTL, timers, and multiple state variables, backed
+    * by the RocksDB state store (required by this API; at 100 TB/day
+    * RocksDB is the right store anyway — state spills off-heap instead
+    * of living in executor heap). */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Event, UserAgg] {
+    @transient private var agg: ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserAgg] = {
+      val prev = Option(agg.get()).getOrElse(UserAgg(key, 0L, 0.0))
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserAgg(key, n, tot)
+      agg.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Running totals via transformWithState (requires the RocksDB state
+    * store provider — see [[RunningTotalsProcessor]]). */
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream interval join: each click joins views of the same user

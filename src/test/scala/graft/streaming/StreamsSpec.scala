@@ -79,6 +79,32 @@ class StreamsSpec extends SparkTestBase {
     assert(last == (3L, 5.0))
   }
 
+  test("transformWithState accumulates per-user totals via ValueState (RocksDB store)") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = Streams.runningUserTotalsTws(in.toDS()).writeStream
+        .format("memory").queryName("tws").outputMode(OutputMode.Update()).start()
+      in.addData(Event(1, ts(0), 100, "click", 1.5), Event(2, ts(1), 100, "view", 2.5))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(2), 100, "click", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)
+      assert(last == (3L, 5.0))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches views within 15 minutes before the click") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
