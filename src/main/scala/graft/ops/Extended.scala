@@ -245,7 +245,62 @@ object Extended {
       |  quantile_disc(l_extendedprice, 0.9) AS p90_disc
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Salted JOIN for skewed keys: the build side replicates ×8 (one copy
+    * per salt), the probe side computes a deterministic salt per row, and
+    * the join key becomes (key, salt) — each probe row still matches
+    * exactly one replica, so results are identical to the plain join
+    * (which is what the oracle runs). This is the pattern for when one
+    * join key dominates and AQE's skew splitting isn't available (e.g.
+    * writing to a pre-AQE cluster or a broadcast-unfriendly build side). */
+  def qSaltedJoin: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val salts = s.range(8).select(col("id").as("salt"))
+    val expanded = t.part.select(col("p_partkey"), col("p_brand")).crossJoin(salts)
+    t.lineitem
+      .withColumn("l_salt", pmod(xxhash64(col("l_orderkey")), lit(8)))
+      .join(expanded,
+        col("l_partkey") === col("p_partkey") && col("l_salt") === col("salt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qSaltedJoinSql: String =
+    s"""SELECT p_brand, COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS total
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Forward-looking window frame (ROWS BETWEEN 1 FOLLOWING AND 3
+    * FOLLOWING): next-three-orders spend per customer in integer cents. */
+  def qWindowForward: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(1, 3)
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    t.orders
+      .withColumn("fwd_cents", sum(cents).over(w))
+      .withColumn("fwd_n", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("fwd_cents").cast("double") / 100.0).as("next3_total"), col("fwd_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowForwardSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(fwd_cents AS DOUBLE) / 100.0 AS next3_total, fwd_n
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER w AS fwd_cents,
+      |    COUNT(*) OVER w AS fwd_n
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)) t
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_salted_join"          -> qSaltedJoin,
+    "q_window_forward"       -> qWindowForward,
     "q_null_safe_join"       -> qNullSafeJoin,
     "q_percentile_disc"      -> qPercentileDisc,
     "q_salted_agg"           -> qSaltedAgg,
@@ -257,6 +312,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join"          -> qSaltedJoinSql,
+    "q_window_forward"       -> qWindowForwardSql,
     "q_null_safe_join"       -> qNullSafeJoinSql,
     "q_percentile_disc"      -> qPercentileDiscSql,
     "q_salted_agg"           -> qSaltedAggSql,
