@@ -313,6 +313,37 @@ object Dedup {
        |SELECT a AS doc_id, LEAST(MIN(b), a) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- savings
+
+  /** Dedup accounting per source: after exact dedup (keep lowest doc_id
+    * per text), how many docs each source kept, how many raw copies it
+    * had, and how many chars the dedup saved — the reporting step every
+    * dedup pass ends with. Attribution follows the KEPT doc's source
+    * (min_by doc_id, deterministic). */
+  def dedupSavings: Q = (s, dir) => {
+    val g = Tables(s, dir).documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"),
+           min_by(col("source"), col("doc_id")).as("src"),
+           count(lit(1)).as("copies"),
+           first(col("n_chars")).as("nc"))   // n_chars is a function of text
+    g.groupBy(col("src"))
+      .agg(count(lit(1)).as("kept_docs"),
+           sum(col("copies")).cast("long").as("total_docs"),
+           sum((col("copies") - 1) * col("nc")).cast("long").as("chars_saved"))
+      .orderBy(col("src"))
+  }
+
+  val dedupSavingsSql: String =
+    """WITH g AS (
+      |  SELECT MIN(doc_id) AS keep_id, arg_min(source, doc_id) AS src,
+      |    COUNT(*) AS copies, ANY_VALUE(n_chars) AS nc
+      |  FROM documents GROUP BY text)
+      |SELECT src, COUNT(*) AS kept_docs,
+      |  CAST(SUM(copies) AS BIGINT) AS total_docs,
+      |  CAST(SUM((copies - 1) * nc) AS BIGINT) AS chars_saved
+      |FROM g GROUP BY src ORDER BY src""".stripMargin
+
   // --------------------------------------------------------- fingerprint
 
   /** Order-sensitive positional fingerprint per document. */
@@ -339,6 +370,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_clusters"      -> dedupClusters,
+    "dedup_savings"       -> dedupSavings,
     "doc_fingerprint"     -> docFingerprint,
   )
 
@@ -348,6 +380,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> dedupMinhashLshSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "dedup_clusters"      -> dedupClustersSql,
+    "dedup_savings"       -> dedupSavingsSql,
     "doc_fingerprint"     -> docFingerprintSql,
   )
 }
