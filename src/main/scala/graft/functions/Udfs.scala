@@ -55,20 +55,29 @@ object Udfs {
       |            ELSE 'high' END AS band, COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
 
-  /** Typed-Aggregator query: top-3 order totals per customer as an array. */
+  /** Typed-Aggregator query: top-3 order totals per customer. Emitted as
+    * three scalar columns (not an array) — the driver's compare sorts rows
+    * with pandas, which cannot order array cells; `element_at` past the
+    * buffer end is NULL on both sides. */
   def qAggTopK: Q = (s, dir) => {
     import org.apache.spark.sql.functions.udaf
     val top3 = udaf(new TopK(3))
     Tables(s, dir).orders
       .groupBy(col("o_custkey"))
       .agg(top3(col("o_totalprice")).as("top3"))
+      .select(col("o_custkey"),
+        try_element_at(col("top3"), lit(1)).as("top1"),
+        try_element_at(col("top3"), lit(2)).as("top2"),
+        try_element_at(col("top3"), lit(3)).as("top3"))
       .orderBy(col("o_custkey"))
   }
 
   val qAggTopKSql: String =
-    """SELECT o_custkey,
-      |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3
-      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    """SELECT o_custkey, l[1] AS top1, l[2] AS top2, l[3] AS top3
+      |FROM (SELECT o_custkey,
+      |        list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey) AS l
+      |      FROM orders GROUP BY o_custkey)
+      |ORDER BY o_custkey""".stripMargin
 
   /** Approximate aggregates: HLL++ distinct + quantile sketch. Sketch
     * internals differ across engines, so no SQL oracle — the driver's

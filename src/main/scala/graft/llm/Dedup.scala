@@ -360,7 +360,7 @@ object Dedup {
     val term = fpTermSql(wordHashSql("wl[i+1]"), "i")
     s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)
        |SELECT doc_id,
-       |  list_aggregate(list_transform(range(len(wl)), i -> $term), 'sum') % $M AS fingerprint
+       |  CAST(list_aggregate(list_transform(range(len(wl)), i -> $term), 'sum') % $M AS BIGINT) AS fingerprint
        |FROM wl ORDER BY doc_id""".stripMargin
   }
 

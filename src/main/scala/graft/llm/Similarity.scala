@@ -177,7 +177,7 @@ object Similarity {
 
   val vecQuantizeSql: String =
     """SELECT vec_id, mn, mx,
-      |  list_aggregate(codes, 'sum') AS code_sum,
+      |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
       |  list_aggregate(codes, 'min') AS code_min,
       |  list_aggregate(codes, 'max') AS code_max
       |FROM (

@@ -287,8 +287,8 @@ object Analytic {
        |                 THEN 1 ELSE 0 END AS new_sess
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
        |sess AS (
-       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
        |  FROM g)
        |SELECT user_id, sess_idx, COUNT(*) AS n_events,
        |  MIN(us) AS sess_start_us, MAX(us) AS sess_end_us,
@@ -334,14 +334,16 @@ object Analytic {
     t.orders
       .groupBy(col("o_orderpriority"))
       .agg(
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        // joined to one string: the driver's pandas row-sort can't order
+        // array cells, and a comma-joined canonical list compares exactly
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
   }
 
   val qArrayAggSql: String =
     """SELECT o_orderpriority,
-      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

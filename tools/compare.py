@@ -51,6 +51,27 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns mine={mc} gold={gc}")
         fails += 1
         continue
+    # Driver-parity checks (learned from CORRECTNESS_r02): the driver
+    # compares pandas frames, so (a) an int64-vs-float64 skew fails its
+    # hash even when values match (DuckDB SUM(int) -> HUGEINT -> float64;
+    # fix: CAST(... AS BIGINT) in the oracle), and (b) array-typed cells
+    # crash its sort_values. int-width and datetime-unit skews are fine.
+    mdf, gdf = mine.df(), gold.df()
+    gl2c_m = {c.lower(): c for c in mdf.columns}
+    gl2c_g = {c.lower(): c for c in gdf.columns}
+    dtype_bad = []
+    for c in mc:
+        mk, gk = str(mdf.dtypes[gl2c_m[c]]).rstrip("0123456789[]nsu"), \
+                 str(gdf.dtypes[gl2c_g[c]]).rstrip("0123456789[]nsu")
+        if {mk, gk} == {"int", "float"}:
+            dtype_bad.append((c, mk, gk))
+        if mk == "object" and len(mdf) and \
+           type(mdf[gl2c_m[c]].iloc[0]).__name__ == "ndarray":
+            dtype_bad.append((c, "array-cell", "driver-sort-crash"))
+    if dtype_bad:
+        print(f"FAIL {name}: driver-dtype risk {dtype_bad}")
+        fails += 1
+        continue
     mrows = mine.fetchall()
     grows = gold.fetchall()
     mcols = [c.lower() for c in mine.columns]
