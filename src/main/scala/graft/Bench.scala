@@ -34,7 +34,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query JSON first (one long line), then a SHORT final line
+    // carrying the headline total: the driver tail-captures stdout, and a
+    // total that only exists at the front of the long line gets truncated
+    // away. The short line last is always inside any sane tail window.
+    // The full JSON also lands in a file for post-hoc analysis.
+    println(full)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"full":"bench_full.json"}""")
     spark.stop()
   }
 }

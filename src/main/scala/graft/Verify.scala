@@ -39,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Cache discipline: query builders persist shared kernels (shingles,
+    // normalized vectors) for cross-query reuse within this run; release
+    // them all once every consumer has finished so a full Verify leaves
+    // zero net block-manager growth.
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

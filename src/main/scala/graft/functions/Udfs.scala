@@ -28,8 +28,19 @@ object Udfs {
   case class TopKBuf(values: Seq[Double])
   class TopK(k: Int) extends Aggregator[Double, TopKBuf, Seq[Double]] {
     override def zero: TopKBuf = TopKBuf(Vector.empty)
-    override def reduce(buf: TopKBuf, v: Double): TopKBuf =
-      TopKBuf((buf.values :+ v).sorted(Ordering[Double].reverse).take(k))
+    // O(1) typical / O(k) worst-case bounded insertion: a full buffer
+    // rejects sub-min values without copying, otherwise the value is
+    // spliced at its descending-order position. A per-element full sort
+    // (O(k log k)) is the wrong shape to copy at k=1000.
+    override def reduce(buf: TopKBuf, v: Double): TopKBuf = {
+      val vs = buf.values
+      if (vs.length >= k && v <= vs.last) buf
+      else {
+        val i = vs.indexWhere(_ < v)
+        val spliced = if (i < 0) vs :+ v else (vs.take(i) :+ v) ++ vs.drop(i)
+        TopKBuf(spliced.take(k))
+      }
+    }
     override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
       TopKBuf((a.values ++ b.values).sorted(Ordering[Double].reverse).take(k))
     override def finish(r: TopKBuf): Seq[Double] = r.values
@@ -79,20 +90,41 @@ object Udfs {
       |      FROM orders GROUP BY o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
-  /** Approximate aggregates: HLL++ distinct + quantile sketch. Sketch
-    * internals differ across engines, so no SQL oracle — the driver's
-    * rows-only check applies; the companion exact columns bound the error
-    * in-row for eyeball verification. */
+  /** Approximate aggregates: HLL++ distinct + quantile sketch, with a
+    * PARTIAL oracle. Sketch values are engine-specific (DuckDB can't
+    * reproduce Spark's HLL++/GK numbers), but sketch ACCURACY is
+    * deterministic: both `approx_count_distinct` (fixed-seed HLL++) and
+    * `percentile_approx` are pure functions of the data, so
+    * |approx − exact| / exact ≤ tol is a stable boolean the oracle can
+    * assert as literal TRUE. The exact companions hash-match outright
+    * (same formulation as q_percentiles). rsd=0.02 keeps HLL++ well
+    * inside the 5% gate. */
   def qApprox: Q = (s, dir) => {
     Tables(s, dir).lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        col("exact_p50"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("approx_parts_ok"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          abs(col("exact_p50")) * 0.05).as("approx_p50_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+  val qApproxSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |  TRUE AS approx_parts_ok,
+      |  TRUE AS approx_p50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_udf_scalar"  -> qUdfScalar,
@@ -100,9 +132,9 @@ object Udfs {
     "q_approx_agg"  -> qApprox,
   )
 
-  /** q_approx_agg intentionally omitted: sketches are engine-specific. */
   val oracles: Map[String, String] = Map(
     "q_udf_scalar" -> qUdfScalarSql,
     "q_agg_topk"   -> qAggTopKSql,
+    "q_approx_agg" -> qApproxSql,
   )
 }

@@ -135,6 +135,9 @@ object Similarity {
   def embeddingNearDup: Q = (s, dir) => {
     // Self-join sides are separate subtrees: persist so normalization
     // (sqrt + per-element divide over every vector) runs once, not twice.
+    // Stays cached for the session by design — knn queries in the same
+    // session share the entry; long-lived hosts reclaim via
+    // spark.catalog.clearCache() after the similarity pass (Verify does).
     val emb = normalized(Tables(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))

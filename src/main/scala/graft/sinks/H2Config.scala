@@ -13,7 +13,8 @@ final case class H2Config(
     connectionUri: String,
     server: Option[ServerConfig] = None,
     numPartitions: Int = H2Sink.DefaultNumPartitions,
-    batchSize: Int = H2Sink.DefaultBatchSize) {
+    batchSize: Int = H2Sink.DefaultBatchSize,
+    driverClass: String = "org.h2.Driver") {
 
   /** `jdbc:` + configured URI (package.scala:50–51). */
   def jdbcUrl: String = s"jdbc:$connectionUri"

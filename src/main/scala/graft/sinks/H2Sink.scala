@@ -23,7 +23,7 @@ final case class ColumnTypesNotSupported(types: List[ColType]) extends IllegalAr
   *   columnTypeToH2 (:85–99)           | [[ColType.toH2Ddl]] / [[ddl]]
   *   spool CSV + CSVREAD CTAS (:50–58) | executor-parallel batched INSERTs
   *   DROP TABLE IF EXISTS + CREATE
-  *     (:55–58, 125–126)               | SaveMode.Overwrite
+  *     (:55–58, 125–126)               | explicit DDL (exact H2 types) then Append
   *   hygienicIdent (package.scala:42)  | [[H2Dialect.quoteIdentifier]]
   *   empty CSV field ⇒ NULL
   *     (H2DestinationSpec.scala:253)   | [[emptyStringsAsNull]]
@@ -75,19 +75,76 @@ object H2Sink {
       d.withColumn(f.name, when(length(col(f.name)) === 0, null).otherwise(col(f.name)))
     }
 
-  /** Push `df` to H2 table `table` with full-overwrite semantics. */
+  /** Open one admin connection by instantiating the configured driver
+    * directly (the same thing Spark's `DriverRegistry` does) — no
+    * `DriverManager` registration dance, and a missing jar fails with the
+    * driver class name in the message. */
+  private def connect(config: H2Config): java.sql.Connection = {
+    val d = Class.forName(config.driverClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[java.sql.Driver]
+    val c = d.connect(config.jdbcUrl, new java.util.Properties)
+    if (c == null)
+      throw new java.sql.SQLException(
+        s"driver ${config.driverClass} does not accept ${config.jdbcUrl}")
+    c
+  }
+
+  /** Explicit init-time connection probe mirroring the reference's
+    * `validateConnection` (H2DestinationModule.scala:75–81): fail
+    * destination setup on `Connection.isValid(10 s)` rather than at the
+    * first write. Left carries the init error (driver jar missing from
+    * the classpath, or the probe connection invalid/refused). */
+  def validate(config: H2Config, timeoutSeconds: Int = 10): Either[String, Unit] = {
+    val loadable =
+      try { Class.forName(config.driverClass); true }
+      catch { case _: ClassNotFoundException => false }
+    if (!loadable)
+      Left(s"JDBC driver ${config.driverClass} is not on the classpath")
+    else
+      try {
+        val c = connect(config)
+        try {
+          if (c.isValid(timeoutSeconds)) Right(())
+          else Left(s"connection to ${config.sanitized.jdbcUrl} failed validation (isValid=false)")
+        } finally c.close()
+      } catch {
+        case e: java.sql.SQLException =>
+          Left(s"connection to ${config.sanitized.jdbcUrl} failed: ${e.getMessage}")
+      }
+  }
+
+  /** Push `df` to H2 table `table` with full-overwrite semantics.
+    *
+    * DDL runs on ONE admin connection with exact H2 types — the analog of
+    * the reference's `dropTableIfExistsQuery` + `createTableQuery`
+    * (H2CsvCreateSink.scala:106–126). It is deliberately NOT Spark's
+    * `createTableColumnTypes` option: that option is parsed as SPARK SQL
+    * types (backtick idents, no `TIME(9)`/`WITH TIME ZONE`), so
+    * H2-specific DDL can't pass through it. The data load then appends
+    * through Spark's JDBC writer — one connection per partition, batched
+    * inserts, idents quoted by [[H2Dialect]]. */
   def write(df: DataFrame, table: String, config: H2Config,
             declared: Option[Seq[(String, ColType)]] = None): Unit = {
     H2Dialect.register()
     val name = validateTableName(table.split('/').toSeq.filter(_.nonEmpty))
-    val types = declared.map(ddl).getOrElse(ddlFromSchema(df.schema))
+    val cols = declared.getOrElse(
+      df.schema.fields.toSeq.map(f => f.name -> ColType.fromSpark(f.dataType)))
+    val columnDdl = ddl(cols)   // validates, accumulating ALL bad columns
+    val qName = H2Dialect.quoteIdentifier(name)
+    val conn = connect(config)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"DROP TABLE IF EXISTS $qName")
+        st.executeUpdate(s"CREATE TABLE $qName ($columnDdl)")
+      } finally st.close()
+    } finally conn.close()
     emptyStringsAsNull(df).write
       .format("jdbc")
-      .mode(SaveMode.Overwrite)
+      .mode(SaveMode.Append)
       .option("url", config.jdbcUrl)
-      .option("driver", "org.h2.Driver")
-      .option("dbtable", H2Dialect.quoteIdentifier(name))
-      .option("createTableColumnTypes", types)
+      .option("driver", config.driverClass)
+      .option("dbtable", qName)
       .option("numPartitions", config.numPartitions)
       .option("batchsize", config.batchSize)
       .option("isolationLevel", "READ_COMMITTED")
@@ -101,7 +158,7 @@ object H2Sink {
     H2Dialect.register()
     spark.read.format("jdbc")
       .option("url", config.jdbcUrl)
-      .option("driver", "org.h2.Driver")
+      .option("driver", config.driverClass)
       .option("dbtable", H2Dialect.quoteIdentifier(table))
       .load()
   }

@@ -1,0 +1,206 @@
+package graft.sinks
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, Driver, DriverPropertyInfo, SQLException}
+import java.util.Properties
+
+/** TEST-ONLY recording JDBC stack: a real `java.sql.Driver` that accepts
+  * `jdbc:h2:` URLs and records every statement instead of executing it —
+  * so [[H2Sink.write]] can be driven through Spark's ACTUAL JDBC write
+  * path (DriverRegistry → ConnectionProvider → per-partition batched
+  * inserts) without the H2 jar, verifying DDL emission, identifier
+  * quoting, drop-then-create ordering, and insert batching against the
+  * reference's semantics (H2CsvCreateSink.scala:54–58, 106–126).
+  *
+  * The JDBC surface is a handful of `java.lang.reflect.Proxy`s: only the
+  * methods Spark's writer touches are interpreted; everything else
+  * returns a type-appropriate default. One process-wide "database"
+  * ([[RecordingDb]]) is shared by all connections, since Spark opens one
+  * connection per partition.
+  */
+object RecordingDb {
+
+  /** Every statement in arrival order; batched inserts appear as
+    * `BATCH[n]: <sql>`, commits as `COMMIT`. */
+  private val log = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def reset(): Unit = { log.clear(); tables.clear() }
+  def statements: List[String] = {
+    val it = log.iterator(); val b = List.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  def tableNames: Set[String] = {
+    val it = tables.keySet.iterator(); val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def record(s: String): Unit = log.add(s)
+  private def unq(ident: String): String = ident.replace("\"\"", "\"")
+
+  // Split a column-DDL body on top-level commas (commas inside quoted
+  // idents or parens — TIME(9), adversarial names — must not split).
+  private def splitCols(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false; var depth = 0; var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"') { inQ = !inQ; cur += c }
+      else if (!inQ && c == '(') { depth += 1; cur += c }
+      else if (!inQ && c == ')') { depth -= 1; cur += c }
+      else if (!inQ && depth == 0 && c == ',') { out += cur.result().trim; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result().trim
+    out.result()
+  }
+
+  /** Leading quoted ident of a column DDL fragment. */
+  private def colName(fragment: String): String = {
+    require(fragment.startsWith("\""), s"unquoted column ident in DDL: $fragment")
+    var i = 1; val sb = new StringBuilder
+    while (i < fragment.length) {
+      val c = fragment.charAt(i)
+      if (c == '"') {
+        if (i + 1 < fragment.length && fragment.charAt(i + 1) == '"') { sb += '"'; i += 2 }
+        else return sb.result()
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+
+  private val CreateRe = "(?s)^\\s*CREATE TABLE (\"(?:[^\"]|\"\")*\") \\((.*)\\)\\s*$".r
+  private val DropIfRe = "^\\s*DROP TABLE IF EXISTS (\"(?:[^\"]|\"\")*\")\\s*$".r
+  private val DropRe   = "^\\s*DROP TABLE (\"(?:[^\"]|\"\")*\")\\s*$".r
+  private val FromRe   = "(?s)^\\s*SELECT .*? FROM (\"(?:[^\"]|\"\")*\").*$".r
+
+  def executeUpdate(sql: String): Int = {
+    record(sql)
+    sql match {
+      case CreateRe(t, body) =>
+        val name = unq(t.substring(1, t.length - 1))
+        if (tables.containsKey(name)) throw new SQLException(s"table already exists: $name")
+        tables.put(name, splitCols(body).map(colName)); 0
+      case DropIfRe(t) =>
+        tables.remove(unq(t.substring(1, t.length - 1))); 0
+      case DropRe(t) =>
+        if (tables.remove(unq(t.substring(1, t.length - 1))) == null)
+          throw new SQLException(s"table not found: $t")
+        0
+      case _ => 0
+    }
+  }
+
+  /** Table-exists / schema probes: throw if the table is unknown, else an
+    * empty result whose metadata carries the created column names. */
+  def executeQuery(sql: String): Seq[String] = sql match {
+    case FromRe(t) =>
+      val name = unq(t.substring(1, t.length - 1))
+      val cols = tables.get(name)
+      if (cols == null) throw new SQLException(s"table not found: $name")
+      cols
+    case _ => Seq.empty
+  }
+
+  def recordBatch(sql: String, n: Int): Unit = record(s"BATCH[$n]: $sql")
+  def recordCommit(): Unit = record("COMMIT")
+
+  // ------------------------------------------------------------- proxies
+
+  private def dflt(rt: Class[_]): AnyRef = rt match {
+    case java.lang.Boolean.TYPE   => java.lang.Boolean.FALSE
+    case java.lang.Integer.TYPE   => Integer.valueOf(0)
+    case java.lang.Long.TYPE      => java.lang.Long.valueOf(0L)
+    case java.lang.Short.TYPE     => java.lang.Short.valueOf(0.toShort)
+    case java.lang.Byte.TYPE      => java.lang.Byte.valueOf(0.toByte)
+    case java.lang.Double.TYPE    => java.lang.Double.valueOf(0.0)
+    case java.lang.Float.TYPE     => java.lang.Float.valueOf(0.0f)
+    case _                        => null
+  }
+
+  private def proxy[T](iface: Class[T])(pf: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    Proxy.newProxyInstance(iface.getClassLoader, Array(iface), new InvocationHandler {
+      override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+        val key = (m.getName, if (args == null) Array.empty[AnyRef] else args)
+        m.getName match {
+          case "toString" => s"Recording${iface.getSimpleName}"
+          case "hashCode" => Integer.valueOf(System.identityHashCode(p))
+          case "equals"   => java.lang.Boolean.valueOf(p eq args(0))
+          case _ => if (pf.isDefinedAt(key)) pf(key) else dflt(m.getReturnType)
+        }
+      }
+    }).asInstanceOf[T]
+
+  private def resultSet(cols: Seq[String]): java.sql.ResultSet = {
+    lazy val rsmd: java.sql.ResultSetMetaData =
+      proxy(classOf[java.sql.ResultSetMetaData]) {
+        case ("getColumnCount", _)        => Integer.valueOf(cols.size)
+        case ("getColumnName", a)         => cols(a(0).asInstanceOf[Integer] - 1)
+        case ("getColumnLabel", a)        => cols(a(0).asInstanceOf[Integer] - 1)
+        case ("getColumnType", _)         => Integer.valueOf(java.sql.Types.VARCHAR)
+        case ("getColumnTypeName", _)     => "VARCHAR"
+        case ("getPrecision", _)          => Integer.valueOf(255)
+        case ("isNullable", _)            => Integer.valueOf(java.sql.ResultSetMetaData.columnNullable)
+      }
+    proxy(classOf[java.sql.ResultSet]) {
+      case ("next", _)        => java.lang.Boolean.FALSE
+      case ("getMetaData", _) => rsmd
+    }
+  }
+
+  private def preparedStatement(sql: String): java.sql.PreparedStatement = {
+    val batchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    proxy(classOf[java.sql.PreparedStatement]) {
+      case ("addBatch", a) if a.isEmpty => batchCount.incrementAndGet(); null
+      case ("executeBatch", _) =>
+        val n = batchCount.getAndSet(0)
+        recordBatch(sql, n)
+        Array.fill(n)(1)
+      case ("executeQuery", a) if a.isEmpty  => resultSet(executeQuery(sql))
+      case ("executeUpdate", a) if a.isEmpty => Integer.valueOf(executeUpdate(sql))
+    }
+  }
+
+  private def statement(): java.sql.Statement =
+    proxy(classOf[java.sql.Statement]) {
+      case ("executeUpdate", a) => Integer.valueOf(executeUpdate(a(0).asInstanceOf[String]))
+      case ("executeQuery", a)  => resultSet(executeQuery(a(0).asInstanceOf[String]))
+      case ("execute", a)       => executeUpdate(a(0).asInstanceOf[String]); java.lang.Boolean.FALSE
+    }
+
+  private lazy val dbMeta: java.sql.DatabaseMetaData =
+    proxy(classOf[java.sql.DatabaseMetaData]) {
+      case ("supportsTransactions", _)                                    => java.lang.Boolean.TRUE
+      case ("supportsDataDefinitionAndDataManipulationTransactions", _)   => java.lang.Boolean.TRUE
+      case ("supportsTransactionIsolationLevel", _)                       => java.lang.Boolean.TRUE
+      case ("getDatabaseProductName", _)                                  => "H2"
+    }
+
+  def connection(): Connection =
+    proxy(classOf[Connection]) {
+      case ("prepareStatement", a)        => preparedStatement(a(0).asInstanceOf[String])
+      case ("createStatement", _)         => statement()
+      case ("getMetaData", _)             => dbMeta
+      case ("commit", _)                  => recordCommit(); null
+      case ("isValid", _)                 => java.lang.Boolean.TRUE
+      case ("getTransactionIsolation", _) => Integer.valueOf(Connection.TRANSACTION_READ_COMMITTED)
+    }
+}
+
+/** The registrable driver class (no-arg ctor for Spark's DriverRegistry). */
+class RecordingDriver extends Driver {
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:h2:")
+  override def connect(url: String, info: Properties): Connection =
+    if (acceptsURL(url)) RecordingDb.connection() else null
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getPropertyInfo(url: String, info: Properties): Array[DriverPropertyInfo] = Array.empty
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger: java.util.logging.Logger =
+    java.util.logging.Logger.getGlobal
+}
