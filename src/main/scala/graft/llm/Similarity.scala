@@ -96,8 +96,13 @@ object Similarity {
       // Both sides of the cell join (queries + corpus) read `assigned`;
       // persisting avoids running the centroid join + argmin window twice.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell"))
+    // The query side is a handful of rows: broadcast it so the cell join
+    // streams the persisted assignment with NO shuffle (without the hint
+    // the pre-AQE plan is a sort-merge join exchanging BOTH sides on
+    // `cell` — the materialized cache has no stats to trigger the
+    // broadcast conversion planning-side).
+    val queries = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")))
     val scored = queries.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
