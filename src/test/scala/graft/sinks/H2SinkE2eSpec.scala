@@ -86,7 +86,21 @@ class H2SinkE2eSpec extends SparkTestBase {
     val create = RecordingDb.statements.find(_.startsWith("CREATE TABLE")).get
     assert(create == s"""CREATE TABLE "t4" ("$evilCol" VARCHAR)""")
     // the recording db parsed it back as ONE column — nothing escaped
-    assert(RecordingDb.executeQuery("SELECT * FROM \"t4\" WHERE 1=0") == Seq(evilCol))
+    assert(RecordingDb.executeQuery("SELECT * FROM \"t4\" WHERE 1=0")._1 == Seq(evilCol))
+  }
+
+  test("write → read round-trip through Spark's JDBC scan") {
+    RecordingDb.reset()
+    H2Sink.write(sampleDf, "t6", config)
+    val back = H2Sink.read(spark, "t6", config)
+    // schema resolved through the JDBC metadata path (stub serves VARCHAR)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "ok"))
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // empty string loaded as SQL NULL (reference CSVREAD semantics,
+    // H2DestinationSpec.scala:253–263) and surfaced as NULL on read-back
+    assert(rows == Set(
+      ("1", "alpha", "true"), ("2", "beta", "false"), ("3", null, "true"),
+      ("4", "delta", "true"), ("5", "epsilon", "false")))
   }
 
   test("unsupported declared types accumulate before any statement runs") {

@@ -24,8 +24,12 @@ object RecordingDb {
     * `BATCH[n]: <sql>`, commits as `COMMIT`. */
   private val log = new java.util.concurrent.CopyOnWriteArrayList[String]()
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  /** Row store per table, rows in table-column order (values as set by the
+    * writer's setXxx calls) — lets the read path serve real data back. */
+  private val data =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CopyOnWriteArrayList[Array[AnyRef]]]()
 
-  def reset(): Unit = { log.clear(); tables.clear() }
+  def reset(): Unit = { log.clear(); tables.clear(); data.clear() }
   def statements: List[String] = {
     val it = log.iterator(); val b = List.newBuilder[String]
     while (it.hasNext) b += it.next()
@@ -84,26 +88,66 @@ object RecordingDb {
       case CreateRe(t, body) =>
         val name = unq(t.substring(1, t.length - 1))
         if (tables.containsKey(name)) throw new SQLException(s"table already exists: $name")
-        tables.put(name, splitCols(body).map(colName)); 0
-      case DropIfRe(t) =>
-        tables.remove(unq(t.substring(1, t.length - 1))); 0
-      case DropRe(t) =>
-        if (tables.remove(unq(t.substring(1, t.length - 1))) == null)
-          throw new SQLException(s"table not found: $t")
+        tables.put(name, splitCols(body).map(colName))
+        data.put(name, new java.util.concurrent.CopyOnWriteArrayList[Array[AnyRef]]())
         0
+      case DropIfRe(t) =>
+        val name = unq(t.substring(1, t.length - 1))
+        tables.remove(name); data.remove(name); 0
+      case DropRe(t) =>
+        val name = unq(t.substring(1, t.length - 1))
+        if (tables.remove(name) == null)
+          throw new SQLException(s"table not found: $t")
+        data.remove(name); 0
       case _ => 0
     }
   }
 
-  /** Table-exists / schema probes: throw if the table is unknown, else an
-    * empty result whose metadata carries the created column names. */
-  def executeQuery(sql: String): Seq[String] = sql match {
+  private val InsertRe = "(?s)^\\s*INSERT INTO (\"(?:[^\"]|\"\")*\") \\((.*?)\\) VALUES.*$".r
+
+  /** (table name, table-position per insert-statement parameter). */
+  def insertTarget(sql: String): (String, Seq[Int]) = sql match {
+    case InsertRe(t, colList) =>
+      val name = unq(t.substring(1, t.length - 1))
+      val tableCols = tables.get(name)
+      if (tableCols == null) throw new SQLException(s"table not found: $name")
+      val positions = splitCols(colList).map(colName).map { c =>
+        val i = tableCols.indexOf(c)
+        if (i < 0) throw new SQLException(s"column not found: $c in $name")
+        i
+      }
+      (name, positions)
+    case _ => throw new SQLException(s"not an insert: $sql")
+  }
+
+  def appendRows(table: String, rows: Seq[Array[AnyRef]]): Unit =
+    data.get(table).addAll(java.util.Arrays.asList(rows: _*))
+
+  def rowsOf(table: String): Seq[Array[AnyRef]] = {
+    val rs = data.get(table)
+    if (rs == null) Seq.empty
+    else { val b = Seq.newBuilder[Array[AnyRef]]; rs.forEach(r => b += r); b.result() }
+  }
+
+  /** SELECT interpretation: throw if the table is unknown; schema probes
+    * (`WHERE 1=0`) return no rows; a bare projection serves the stored
+    * rows projected to the selected columns. Metadata always carries the
+    * selected column names. */
+  def executeQuery(sql: String): (Seq[String], Seq[Array[AnyRef]]) = sql match {
     case FromRe(t) =>
       val name = unq(t.substring(1, t.length - 1))
       val cols = tables.get(name)
       if (cols == null) throw new SQLException(s"table not found: $name")
-      cols
-    case _ => Seq.empty
+      val selectList = sql.substring(sql.indexOf("SELECT") + 6, sql.indexOf(" FROM")).trim
+      val selected =
+        if (selectList == "*" || selectList == "1") cols
+        else splitCols(selectList).map(colName)
+      if (sql.contains("WHERE 1=0") || selectList == "1") (selected, Seq.empty)
+      else {
+        val pos = selected.map(cols.indexOf)
+        (selected, rowsOf(name).map(r => pos.map(r(_)).toArray))
+      }
+    case _ => (Seq.empty, Seq.empty)
   }
 
   def recordBatch(sql: String, n: Int): Unit = record(s"BATCH[$n]: $sql")
@@ -135,7 +179,7 @@ object RecordingDb {
       }
     }).asInstanceOf[T]
 
-  private def resultSet(cols: Seq[String]): java.sql.ResultSet = {
+  private def resultSet(cols: Seq[String], rows: Seq[Array[AnyRef]]): java.sql.ResultSet = {
     lazy val rsmd: java.sql.ResultSetMetaData =
       proxy(classOf[java.sql.ResultSetMetaData]) {
         case ("getColumnCount", _)        => Integer.valueOf(cols.size)
@@ -146,21 +190,55 @@ object RecordingDb {
         case ("getPrecision", _)          => Integer.valueOf(255)
         case ("isNullable", _)            => Integer.valueOf(java.sql.ResultSetMetaData.columnNullable)
       }
+    val cursor = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val sawNull = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def cell(i: Int): AnyRef = {
+      val v = rows(cursor.get)(i - 1)
+      sawNull.set(v == null)
+      v
+    }
     proxy(classOf[java.sql.ResultSet]) {
-      case ("next", _)        => java.lang.Boolean.FALSE
+      case ("next", _)        => java.lang.Boolean.valueOf(cursor.incrementAndGet() < rows.size)
       case ("getMetaData", _) => rsmd
+      case ("getString", a) if a.length == 1 && a(0).isInstanceOf[Integer] =>
+        val v = cell(a(0).asInstanceOf[Integer].intValue); if (v == null) null else v.toString
+      case ("getObject", a) if a.length == 1 && a(0).isInstanceOf[Integer] =>
+        cell(a(0).asInstanceOf[Integer].intValue)
+      case ("wasNull", _)     => java.lang.Boolean.valueOf(sawNull.get)
     }
   }
 
   private def preparedStatement(sql: String): java.sql.PreparedStatement = {
-    val batchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val isInsert = sql.trim.toUpperCase(java.util.Locale.ROOT).startsWith("INSERT")
+    lazy val (targetTable, paramPos) = insertTarget(sql)
+    lazy val width = tables.get(targetTable).size
+    val current = new java.util.concurrent.atomic.AtomicReference[Array[AnyRef]](null)
+    val batch = new java.util.ArrayList[Array[AnyRef]]()
+    def row(): Array[AnyRef] = {
+      var r = current.get
+      if (r == null) { r = new Array[AnyRef](width); current.set(r) }
+      r
+    }
     proxy(classOf[java.sql.PreparedStatement]) {
-      case ("addBatch", a) if a.isEmpty => batchCount.incrementAndGet(); null
+      case ("setNull", a) if isInsert && a.length >= 1 =>
+        row()(paramPos(a(0).asInstanceOf[Integer] - 1)) = null; null
+      case (setter, a) if isInsert && setter.startsWith("set") &&
+          setter != "setQueryTimeout" && setter != "setFetchSize" &&
+          a != null && a.length >= 2 && a(0).isInstanceOf[Integer] =>
+        row()(paramPos(a(0).asInstanceOf[Integer] - 1)) = a(1); null
+      case ("addBatch", a) if a.isEmpty =>
+        batch.add(row()); current.set(null); null
       case ("executeBatch", _) =>
-        val n = batchCount.getAndSet(0)
+        val n = batch.size
         recordBatch(sql, n)
+        if (isInsert && n > 0) {
+          val rs = Seq.newBuilder[Array[AnyRef]]; batch.forEach(r => rs += r)
+          appendRows(targetTable, rs.result())
+        }
+        batch.clear()
         Array.fill(n)(1)
-      case ("executeQuery", a) if a.isEmpty  => resultSet(executeQuery(sql))
+      case ("executeQuery", a) if a.isEmpty =>
+        val (cols, rows) = executeQuery(sql); resultSet(cols, rows)
       case ("executeUpdate", a) if a.isEmpty => Integer.valueOf(executeUpdate(sql))
     }
   }
@@ -168,7 +246,8 @@ object RecordingDb {
   private def statement(): java.sql.Statement =
     proxy(classOf[java.sql.Statement]) {
       case ("executeUpdate", a) => Integer.valueOf(executeUpdate(a(0).asInstanceOf[String]))
-      case ("executeQuery", a)  => resultSet(executeQuery(a(0).asInstanceOf[String]))
+      case ("executeQuery", a)  =>
+        val (cols, rows) = executeQuery(a(0).asInstanceOf[String]); resultSet(cols, rows)
       case ("execute", a)       => executeUpdate(a(0).asInstanceOf[String]); java.lang.Boolean.FALSE
     }
 

@@ -143,4 +143,26 @@ class StreamsSpec extends SparkTestBase {
       .filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
     assert(tenOclock.map(_.getLong(2)).toSeq == Seq(1L))
   }
+
+  test("foreachBatch H2 sink drives the real JDBC write path per microbatch") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.sinks.RecordingDb.reset()
+    val config = graft.sinks.H2Config("h2:mem:stream",
+      driverClass = classOf[graft.sinks.RecordingDriver].getName)
+    val in = MemoryStream[Event]
+    val q = Streams.writeToH2(in.toDS(), "stream_t", config).start()
+    in.addData(Event(1, ts(0), 100, "click", 1.0), Event(2, ts(1), 101, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 102, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val st = graft.sinks.RecordingDb.statements
+    // each microbatch is a full push: drop-if-exists + create + batched insert
+    assert(st.count(_.startsWith("CREATE TABLE \"stream_t\"")) == 2)
+    assert(st.count(_ == "DROP TABLE IF EXISTS \"stream_t\"") == 2)
+    assert(st.exists(s => s.startsWith("BATCH[") && s.contains("INSERT INTO \"stream_t\"")))
+    // the second microbatch replaced the first batch's rows
+    assert(graft.sinks.RecordingDb.rowsOf("stream_t").size == 1)
+  }
 }
