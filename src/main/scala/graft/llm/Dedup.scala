@@ -355,6 +355,85 @@ object Dedup {
        |SELECT a AS doc_id, LEAST(MIN(b), a) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the deep-chain-safe variant of [[dedupClusters]]: min-label
+    * propagation needs rounds proportional to component DIAMETER, while
+    * star contraction converges in O(log² n) rounds regardless of shape.
+    * Same output contract and the same recursive-CTE oracle.
+    *
+    * Each round is two groupBy-min aggregates + two equi-joins over the
+    * edge list — every step partitioned by node id, map-side-combinable;
+    * only a (count, hash-sum) convergence signature crosses the driver.
+    *
+    *   - large-star: every node links its larger neighbors to its
+    *     min-neighbor (or itself) — long chains fold toward minima;
+    *   - small-star: every node links its smaller-or-equal neighbors and
+    *     itself to their minimum — stars flatten;
+    *   - fixed point: every edge is (member → component-min).
+    */
+  def dedupClustersStar: Q = (s, dir) => {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val j = oriented.join(mins, "u")
+      j.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(j.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // Convergence signature: count + order-independent hash-sum of the
+    // canonically-oriented edge set — one scalar row to the driver. The
+    // sum runs in DECIMAL(38,0) so it cannot overflow under ANSI mode at
+    // any edge count.
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(
+          sum(xxhash64(greatest(col("u"), col("v")), least(col("u"), col("v")))
+            .cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))
+      ).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = jaccardPairs(Tables(s, dir).documents, 0.5)
+      .select(col("d1").as("u"), col("d2").as("v"))
+      .persist(MEMORY_AND_DISK)
+    var sig = signature(edges)
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).persist(MEMORY_AND_DISK)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
+    }
+    // Fixed point is a star forest: (member → root) plus the roots
+    // themselves labeling their own component.
+    // Final star relation stays persisted: the returned plan reads it
+    // (session teardown / Verify's clearCache reclaims it).
+    val members = edges.select(col("u").as("doc_id"), col("v").as("component"))
+    val roots = edges.select(col("v")).distinct()
+      .select(col("v").as("doc_id"), col("v").as("component"))
+    members.union(roots).distinct().orderBy(col("doc_id"))
+  }
+
+  /** Star contraction computes the same components as label propagation. */
+  val dedupClustersStarSql: String = dedupClustersSql
+
   // ------------------------------------------------------------- savings
 
   /** Dedup accounting per source: after exact dedup (keep lowest doc_id
@@ -413,6 +492,7 @@ object Dedup {
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
     "dedup_simhash"              -> dedupSimhash,
     "dedup_clusters"             -> dedupClusters,
+    "dedup_clusters_star"        -> dedupClustersStar,
     "dedup_savings"              -> dedupSavings,
     "doc_fingerprint"            -> docFingerprint,
   )
@@ -424,6 +504,7 @@ object Dedup {
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
     "dedup_simhash"              -> dedupSimhashSql,
     "dedup_clusters"             -> dedupClustersSql,
+    "dedup_clusters_star"        -> dedupClustersStarSql,
     "dedup_savings"              -> dedupSavingsSql,
     "doc_fingerprint"            -> docFingerprintSql,
   )
