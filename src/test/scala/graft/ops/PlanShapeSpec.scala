@@ -109,4 +109,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"correlated subquery did not decorrelate to an equi-join:\n$p")
   }
+
+  test("knn_ivf: cell join broadcasts the query side (persisted cache has no stats)") {
+    // Regression pin for the round-4 fix: a persisted relation carries no
+    // statistics, so without the explicit hint the cell join planned as a
+    // sort-merge join exchanging BOTH sides on `cell`.
+    val p = plan("knn_ivf")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast cell join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cell join degraded to sort-merge (persist stats regression):\n$p")
+  }
+
+  test("dedup_ngram_jaccard_capped: stop-shingle restriction is a broadcast anti-join") {
+    val p = plan("dedup_ngram_jaccard_capped")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti stop-shingle filter in:\n$p")
+  }
 }
