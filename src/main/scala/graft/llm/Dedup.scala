@@ -408,23 +408,31 @@ object Dedup {
       ).head
       (r.getLong(0), r.getDecimal(1))
     }
+    // Lineage discipline — the load-bearing line of any iterative Spark
+    // algorithm: one star round references its input ~16× (self-unions +
+    // join sides), so plans grow ~16× per generation and Catalyst
+    // ANALYSIS — not execution — becomes the cost (measured: 60+ s of
+    // driver time at 2 generations with plain persist). Eager
+    // `localCheckpoint` materializes the generation AND truncates its
+    // logical plan to a LogicalRDD, keeping every generation's plan
+    // constant-size. Same discipline GraphX/GraphFrames apply to
+    // iterative graph state.
     var edges = jaccardPairs(Tables(s, dir).documents, 0.5)
       .select(col("d1").as("u"), col("d2").as("v"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var sig = signature(edges)
     var converged = false
     while (!converged) {
-      val next = smallStar(largeStar(edges)).persist(MEMORY_AND_DISK)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
-      edges.unpersist()
       edges = next
       sig = nextSig
     }
     // Fixed point is a star forest: (member → root) plus the roots
     // themselves labeling their own component.
-    // Final star relation stays persisted: the returned plan reads it
-    // (session teardown / Verify's clearCache reclaims it).
+    // Final star generation is a materialized LogicalRDD; the returned
+    // plan reads it directly (blocks reclaimed at session teardown).
     val members = edges.select(col("u").as("doc_id"), col("v").as("component"))
     val roots = edges.select(col("v")).distinct()
       .select(col("v").as("doc_id"), col("v").as("component"))
