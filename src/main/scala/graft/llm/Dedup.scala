@@ -303,12 +303,18 @@ object Dedup {
     // session) read one materialization.
     val pairs = jaccardPairs(Tables(s, dir).documents, 0.5)
       .select(col("d1"), col("d2"))
+    // Eager localCheckpoint on the edge list and on every label
+    // generation: materializes AND truncates lineage, so each iteration's
+    // logical plan stays constant-size (labels are referenced twice per
+    // round — with plain persist the plan doubles per round and Catalyst
+    // analysis time compounds; see dedupClustersStar for the measured
+    // version of this failure mode).
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("d1").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Convergence check: labels only ever decrease, so the label sum is a
     // strictly decreasing potential — one cheap aggregate per iteration
     // instead of a join against the previous generation.
@@ -319,18 +325,12 @@ object Dedup {
         .select(col("d1").as("node"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("label"))).head.getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
     }
-    // The label relation is materialized (the convergence aggregate was an
-    // action), so the edge list is no longer needed: release its blocks
-    // now rather than at session teardown. The final `labels` cache stays —
-    // the returned plan reads it.
-    edges.unpersist()
     labels
       .select(col("node").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
