@@ -161,6 +161,81 @@ object Similarity {
        |WHERE list_dot_product(a.vn, b.vn) >= 0.45
        |ORDER BY v1, v2""".stripMargin
 
+  // ------------------------------------------ SRP-LSH near-dup (bucketed)
+
+  /** 8 tables × 4 sign-random-projection bits. Hyperplane components come
+    * from a portable LCG on a 1/1000 grid, so the SAME values embed as
+    * plain literals in both the Spark plan and the DuckDB oracle —
+    * bucketing is bit-identical across engines and the entry is fully
+    * oracle-gated despite being an approximate (bucketed) algorithm. */
+  private val NumTables = 8
+  private val BitsPerTable = 4
+  private val Planes: Array[Array[Double]] = Array.tabulate(NumTables * BitsPerTable, 64) {
+    (p, i) =>
+      val k = (p * 64 + i + 1).toLong
+      (((1103515245L * k + 12345L) % 2001L + 2001L) % 2001L - 1000L) / 1000.0
+  }
+
+  /** Embedding near-dup via sign-random-projection LSH — the BUCKETED
+    * scale path for semantic dedup (the exact [[embeddingNearDup]] is the
+    * all-pairs oracle kernel). Per vector: 32 codegen'd dot products
+    * against literal hyperplanes → 8 (table, 4-bit bucket) keys; candidate
+    * pairs via equi-join on (table, bucket) — O(n · tables) shuffle rows,
+    * quadratic only WITHIN buckets; then exact cosine verification of
+    * candidates, so emitted pairs carry true cosines. Recall at cosine c
+    * is 1−(1−p⁴)⁸ with p = 1−acos(c)/π (≈0.998 at c=0.9); the miss set is
+    * the documented trade, not a correctness gap — the oracle runs the
+    * identical algorithm. */
+  def embeddingNearDupLsh: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketCols = (0 until NumTables).map { t =>
+      (0 until BitsPerTable).map { j =>
+        val plane = array(Planes(t * BitsPerTable + j).map(lit): _*)
+        when(dotp(col("vn"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    // Bucket relation carries only (vec_id, tbl, bucket) — 3 longs/row —
+    // and is persisted because the candidate self-join reads it twice.
+    val buckets = emb
+      .select(col("vec_id"), posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(emb.as("a"), col("v1") === col("a.vec_id"))
+      .join(emb.as("b"), col("v2") === col("b.vec_id"))
+      .select(col("v1"), col("v2"), dotp(col("a.vn"), col("b.vn")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("v1"), col("v2"), round(col("cos"), 9).as("cos_sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  private def planeLiteral(p: Int): String =
+    Planes(p).map(v => f"$v%.3f").mkString("[", ", ", "]")
+
+  val embeddingNearDupLshSql: String = {
+    val arms = (0 until NumTables).map { t =>
+      val bits = (0 until BitsPerTable).map { j =>
+        s"(CASE WHEN list_dot_product(vn, ${planeLiteral(t * BitsPerTable + j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $normalizedSql,
+       |buckets AS (
+       |  $arms),
+       |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |         FROM buckets x JOIN buckets y
+       |           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT v1, v2, ROUND(list_dot_product(a.vn, b.vn), 9) AS cos_sim
+       |FROM cand JOIN e a ON v1 = a.vec_id JOIN e b ON v2 = b.vec_id
+       |WHERE list_dot_product(a.vn, b.vn) >= 0.45
+       |ORDER BY v1, v2""".stripMargin
+  }
+
   /** Scalar quantization (float32 → int8 per vector): the 4× memory
     * reduction real ANN systems apply before index build at scale. Per
     * vector: min/max → uniform 0..255 codes; emitted as per-vector code
@@ -197,16 +272,18 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "vec_quantize"       -> vecQuantize,
-    "knn_brute_force"    -> knnBruteForce,
-    "knn_ivf"            -> knnIvf,
-    "embedding_near_dup" -> embeddingNearDup,
+    "vec_quantize"           -> vecQuantize,
+    "knn_brute_force"        -> knnBruteForce,
+    "knn_ivf"                -> knnIvf,
+    "embedding_near_dup"     -> embeddingNearDup,
+    "embedding_near_dup_lsh" -> embeddingNearDupLsh,
   )
 
   val oracles: Map[String, String] = Map(
-    "vec_quantize"       -> vecQuantizeSql,
-    "knn_brute_force"    -> knnBruteForceSql,
-    "knn_ivf"            -> knnIvfSql,
-    "embedding_near_dup" -> embeddingNearDupSql,
+    "vec_quantize"           -> vecQuantizeSql,
+    "knn_brute_force"        -> knnBruteForceSql,
+    "knn_ivf"                -> knnIvfSql,
+    "embedding_near_dup"     -> embeddingNearDupSql,
+    "embedding_near_dup_lsh" -> embeddingNearDupLshSql,
   )
 }
