@@ -238,13 +238,131 @@ object TextAnalysis {
       |  FROM scored) t
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Repetition-based quality filter (the Gopher-style "repetitious
+    * document" signals): per document, the max single-word frequency
+    * fraction, the duplicate-word fraction, and the duplicate-bigram
+    * fraction, plus the keep/drop verdict. Entirely per-row ARRAY
+    * arithmetic (array_distinct / transform / filter / aggregate inside
+    * codegen) — ZERO shuffles beyond the presentation sort, so at 100 TB
+    * this is a pure map stage fused into the scan, unlike the
+    * explode+groupBy formulation which would shuffle every word. The
+    * per-row cost is O(distinct·words) on ≤few-hundred-word documents —
+    * cheaper than a word shuffle by orders of magnitude. */
+  def repetitionFilter: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+      .withColumn("wl", split(col("text"), " "))
+      .withColumn("n_words", size(col("wl")))
+      .withColumn("n_distinct", size(array_distinct(col("wl"))))
+      .withColumn("top_word",
+        array_max(transform(array_distinct(col("wl")),
+          w => size(filter(col("wl"), x => x === w)))))
+      .withColumn("bg", transform(sequence(lit(0), col("n_words") - 2),
+        i => concat(element_at(col("wl"), i + 1), lit(" "), element_at(col("wl"), i + 2))))
+    d.select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        (col("top_word").cast("double") / col("n_words")).as("top_word_frac"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("dup_word_frac"),
+        ((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") / size(col("bg")))
+          .as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= 0.12 && col("dup_word_frac") <= 0.55)
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionFilterSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |m AS (SELECT doc_id,
+      |        len(wl) AS n_words,
+      |        len(list_distinct(wl)) AS n_distinct,
+      |        list_max(list_transform(list_distinct(wl),
+      |          w -> len(list_filter(wl, x -> x = w)))) AS top_word,
+      |        list_transform(range(len(wl) - 1),
+      |          i -> wl[i+1] || ' ' || wl[i+2]) AS bg
+      |      FROM d)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(top_word AS DOUBLE) / n_words AS top_word_frac,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+      |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
+      |  (CAST(top_word AS DOUBLE) / n_words <= 0.12
+      |    AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.55) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Fixed-window document chunking with overlap (context-window prep:
+    * 32-word chunks, stride 24 ⇒ 8-word overlap). Chunk starts are a
+    * per-row array (`filter(sequence(...))`), chunk text a 1-based
+    * `slice` — one generator per chunk, no join, no shuffle except the
+    * presentation sort. At 100 TB chunking MUST be generator-shaped like
+    * this: any formulation that explodes words first shuffles the entire
+    * corpus word-by-word. */
+  def chunkPack: Q = (s, dir) => {
+    val ChunkLen = 32
+    val Stride = 24
+    Tables(s, dir).documents
+      .withColumn("wl", split(col("text"), " "))
+      .withColumn("n", size(col("wl")))
+      .select(col("doc_id"), col("wl"), col("n"),
+        posexplode(filter(sequence(lit(0), col("n") - 1),
+          st => st % Stride === 0)).as(Seq("chunk_idx", "st")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("wl"), col("st") + 1, lit(ChunkLen))).cast("long").as("n_chunk_words"),
+        array_join(slice(col("wl"), col("st") + 1, lit(ChunkLen)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkPackSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |c AS (SELECT doc_id, wl, st
+      |      FROM d, UNNEST(list_filter(range(len(wl)), s -> s % 24 = 0)) AS t(st))
+      |SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_idx,
+      |  CAST(len(wl[st+1 : st+32]) AS BIGINT) AS n_chunk_words,
+      |  array_to_string(wl[st+1 : st+32], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Greedy contiguous sequence packing: concatenate documents in
+    * deterministic order and cut fixed 512-word training sequences; each
+    * doc lands at (seq_id, seq_offset) of its start. Packing is a running
+    * sum — inherently sequential — so it is PARTITIONED BY SOURCE: each
+    * source shard packs independently (one window partition each), which
+    * is how packing parallelizes on a real corpus (pack per input shard,
+    * never one global cumsum). */
+  def seqPack: Q = (s, dir) => {
+    val SeqLen = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).documents
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start", sum(col("n_words")).over(w) - col("n_words"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        floor(col("start") / SeqLen).as("seq_id"),
+        (col("start") % SeqLen).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val seqPackSql: String =
+    """SELECT doc_id, source, n_words,
+      |  CAST(FLOOR(start / 512) AS BIGINT) AS seq_id,
+      |  CAST(start % 512 AS BIGINT) AS seq_offset
+      |FROM (
+      |  SELECT doc_id, source, n_words,
+      |    CAST(SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words AS BIGINT) AS start
+      |  FROM (SELECT doc_id, source,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "text_tfidf_top_terms"  -> tfidfTopTerms,
-    "text_prep_pipeline"    -> prepPipeline,
-    "text_stratified_split" -> stratifiedSplit,
+    "text_tfidf_top_terms"   -> tfidfTopTerms,
+    "text_prep_pipeline"     -> prepPipeline,
+    "text_stratified_split"  -> stratifiedSplit,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
+    "text_repetition_filter" -> repetitionFilter,
+    "text_chunk_pack"  -> chunkPack,
+    "text_seq_pack"    -> seqPack,
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +372,8 @@ object TextAnalysis {
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
+    "text_repetition_filter" -> repetitionFilterSql,
+    "text_chunk_pack"  -> chunkPackSql,
+    "text_seq_pack"    -> seqPackSql,
   )
 }
