@@ -90,6 +90,33 @@ object Udfs {
       |      FROM orders GROUP BY o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  /** Native `TypedImperativeAggregate` query ([[TopKPairs]]): top-3
+    * orders by total price per order priority, exploded back to rows
+    * (array cells crash the driver's pandas row-sort). The tie rule
+    * (score desc, payload asc) matches the oracle's ROW_NUMBER ordering
+    * exactly, so the hash comparison is strict. */
+  def qTopKTypedAgg: Q = (s, dir) => {
+    Tables(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(call_function("graft_topk",
+        col("o_totalprice"), col("o_orderkey"), lit(3)).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("p.payload").as("o_orderkey"),
+        col("p.score").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  val qTopKTypedAggSql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin
+
   /** Approximate aggregates: HLL++ distinct + quantile sketch, with a
     * PARTIAL oracle. Sketch values are engine-specific (DuckDB can't
     * reproduce Spark's HLL++/GK numbers), but sketch ACCURACY is
@@ -127,14 +154,16 @@ object Udfs {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "q_udf_scalar"  -> qUdfScalar,
-    "q_agg_topk"    -> qAggTopK,
-    "q_approx_agg"  -> qApprox,
+    "q_udf_scalar"     -> qUdfScalar,
+    "q_agg_topk"       -> qAggTopK,
+    "q_topk_typed_agg" -> qTopKTypedAgg,
+    "q_approx_agg"     -> qApprox,
   )
 
   val oracles: Map[String, String] = Map(
-    "q_udf_scalar" -> qUdfScalarSql,
-    "q_agg_topk"   -> qAggTopKSql,
-    "q_approx_agg" -> qApproxSql,
+    "q_udf_scalar"     -> qUdfScalarSql,
+    "q_agg_topk"       -> qAggTopKSql,
+    "q_topk_typed_agg" -> qTopKTypedAggSql,
+    "q_approx_agg"     -> qApproxSql,
   )
 }

@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dotp"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopKPairs(children(0), children(1), children(2))))
   }
 }
 

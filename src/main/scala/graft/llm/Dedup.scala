@@ -373,7 +373,6 @@ object Dedup {
     *   - fixed point: every edge is (member → component-min).
     */
   def dedupClustersStar: Q = (s, dir) => {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
@@ -493,8 +492,53 @@ object Dedup {
        |FROM wl ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- contamination
+
+  /** Benchmark decontamination (the GPT-3-style exact n-gram overlap
+    * check): flag training documents sharing word-3-gram shingles with an
+    * eval/benchmark set — here the deterministic pseudo-benchmark
+    * `doc_id % 97 == 0`, standing in for a real eval suite.
+    *
+    * 100 TB shape: benchmark suites are tiny (10⁴–10⁶ grams) next to a
+    * training corpus, so the DISTINCT eval-gram set is broadcast and the
+    * train side streams through a map-side hash join — the full corpus
+    * shingle relation is never shuffled. Only matched grams reach the
+    * per-doc count shuffle, which is map-side-combinable. Output is every
+    * contaminated-candidate doc with its overlap share; the `drop`
+    * decision thresholds the share (5% here, per-suite in practice). */
+  def contaminationCheck: Q = (s, dir) => {
+    // Same canonical shingle plan as the Jaccard kernel ⇒ the cache
+    // manager serves it from the session's existing persisted entry.
+    val sh = shingleRows(Tables(s, dir).documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh")).distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    train.join(broadcast(evalGrams), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))   // (doc_id, sh) distinct upstream
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams") >= 0.05).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationCheckSql: String =
+    s"""WITH $shingleSql,
+       |ev AS (SELECT DISTINCT sh.sh FROM sh WHERE doc_id % 97 = 0),
+       |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+       |hit AS (SELECT doc_id, COUNT(*) AS n_shared
+       |        FROM tr JOIN ev USING (sh) GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_shared,
+       |  CAST(n_shared AS DOUBLE) / n_grams >= 0.05 AS contaminated
+       |FROM hit JOIN sz USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"                -> dedupExact,
+    "dedup_contamination"        -> contaminationCheck,
     "dedup_ngram_jaccard"        -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
@@ -507,6 +551,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"                -> dedupExactSql,
+    "dedup_contamination"        -> contaminationCheckSql,
     "dedup_ngram_jaccard"        -> dedupNgramJaccardSql,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCappedSql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,

@@ -214,8 +214,11 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  // Locale.ROOT: f"$v%.3f" would emit comma decimal separators on
+  // non-English default locales, producing malformed DuckDB list literals.
   private def planeLiteral(p: Int): String =
-    Planes(p).map(v => f"$v%.3f").mkString("[", ", ", "]")
+    Planes(p).map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+      .mkString("[", ", ", "]")
 
   val embeddingNearDupLshSql: String = {
     val arms = (0 until NumTables).map { t =>

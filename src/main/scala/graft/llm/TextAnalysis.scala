@@ -256,14 +256,20 @@ object TextAnalysis {
       .withColumn("top_word",
         array_max(transform(array_distinct(col("wl")),
           w => size(filter(col("wl"), x => x === w)))))
-      .withColumn("bg", transform(sequence(lit(0), col("n_words") - 2),
-        i => concat(element_at(col("wl"), i + 1), lit(" "), element_at(col("wl"), i + 2))))
+      // Guard the <2-word case: sequence(0, -1) would count DOWN and
+      // element_at(wl, 0) throws — DuckDB's range(len-1) is just empty.
+      .withColumn("bg", when(col("n_words") >= 2,
+        transform(sequence(lit(0), col("n_words") - 2),
+          i => concat(element_at(col("wl"), i + 1), lit(" "), element_at(col("wl"), i + 2))))
+        .otherwise(array().cast("array<string>")))
     d.select(
         col("doc_id"),
         col("n_words").cast("long").as("n_words"),
         (col("top_word").cast("double") / col("n_words")).as("top_word_frac"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("dup_word_frac"),
-        ((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") / size(col("bg")))
+        when(size(col("bg")) > 0,
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") / size(col("bg")))
+          .otherwise(lit(null).cast("double"))
           .as("dup_bigram_frac"))
       .withColumn("keep",
         col("top_word_frac") <= 0.12 && col("dup_word_frac") <= 0.55)
@@ -283,7 +289,9 @@ object TextAnalysis {
       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
       |  CAST(top_word AS DOUBLE) / n_words AS top_word_frac,
       |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
-      |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
+      |  CASE WHEN len(bg) > 0
+      |    THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+      |    ELSE NULL END AS dup_bigram_frac,
       |  (CAST(top_word AS DOUBLE) / n_words <= 0.12
       |    AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.55) AS keep
       |FROM m ORDER BY doc_id""".stripMargin

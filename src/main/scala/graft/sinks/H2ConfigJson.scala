@@ -71,7 +71,7 @@ object H2ConfigJson {
       port <- n.get("port") match {
         case null                 => Right(None)
         case p if p.isNull        => Right(None)
-        case p if p.canConvertToInt => Right(Some(p.intValue))
+        case p if p.isIntegralNumber && p.canConvertToInt => Right(Some(p.intValue))
         case _                    => Left(s"server.$at.port must be an integer")
       }
       allow <- n.get("allowOthers") match {

@@ -31,9 +31,9 @@ final case class ColumnTypesNotSupported(types: List[ColType]) extends IllegalAr
   * Scale: the reference loads over ONE connection; Spark's JDBC writer
   * opens one connection per partition with `batchsize`d inserts. For a
   * single-node H2 target, `numPartitions` caps fan-in at the reference's
-  * pool size (10). Overwrite is DROP+CREATE (same weak atomicity as the
-  * reference — H2 auto-commits DDL); `truncate=true` keeps the table when
-  * the schema is unchanged.
+  * pool size (10). Overwrite is DROP+CREATE over one admin connection
+  * (same weak atomicity as the reference — H2 auto-commits DDL) followed
+  * by a Spark JDBC Append of the data.
   */
 object H2Sink {
 
@@ -108,7 +108,10 @@ object H2Sink {
           else Left(s"connection to ${config.sanitized.jdbcUrl} failed validation (isValid=false)")
         } finally c.close()
       } catch {
-        case e: java.sql.SQLException =>
+        // Any init failure (bad driver class shape, connect() throwing a
+        // runtime exception, SQLException) is a Left — callers pattern
+        // -match on the Either and must never see a thrown exception.
+        case scala.util.control.NonFatal(e) =>
           Left(s"connection to ${config.sanitized.jdbcUrl} failed: ${e.getMessage}")
       }
   }
@@ -131,6 +134,11 @@ object H2Sink {
       df.schema.fields.toSeq.map(f => f.name -> ColType.fromSpark(f.dataType)))
     val columnDdl = ddl(cols)   // validates, accumulating ALL bad columns
     val qName = H2Dialect.quoteIdentifier(name)
+    // The admin connection stays open across the Append: for in-memory
+    // targets (`h2:mem:` without DB_CLOSE_DELAY=-1) closing the last
+    // connection destroys the database — and with it the just-created
+    // table, which Spark would then silently re-create with
+    // Spark-inferred types instead of the exact H2 DDL.
     val conn = connect(config)
     try {
       val st = conn.createStatement()
@@ -138,17 +146,17 @@ object H2Sink {
         st.executeUpdate(s"DROP TABLE IF EXISTS $qName")
         st.executeUpdate(s"CREATE TABLE $qName ($columnDdl)")
       } finally st.close()
+      emptyStringsAsNull(df).write
+        .format("jdbc")
+        .mode(SaveMode.Append)
+        .option("url", config.jdbcUrl)
+        .option("driver", config.driverClass)
+        .option("dbtable", qName)
+        .option("numPartitions", config.numPartitions)
+        .option("batchsize", config.batchSize)
+        .option("isolationLevel", "READ_COMMITTED")
+        .save()
     } finally conn.close()
-    emptyStringsAsNull(df).write
-      .format("jdbc")
-      .mode(SaveMode.Append)
-      .option("url", config.jdbcUrl)
-      .option("driver", config.driverClass)
-      .option("dbtable", qName)
-      .option("numPartitions", config.numPartitions)
-      .option("batchsize", config.batchSize)
-      .option("isolationLevel", "READ_COMMITTED")
-      .save()
   }
 
   /** Read a table back from H2 (the reference reads back only in tests;

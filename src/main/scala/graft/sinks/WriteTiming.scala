@@ -23,11 +23,15 @@ final class WriteTimingListener(maxRetained: Int = 1024) extends QueryExecutionL
   final case class WriteEvent(funcName: String, millis: Long, error: Option[String])
 
   private val retained = new ConcurrentLinkedQueue[WriteEvent]()
+  // CLQ.size() is O(n); bound-checking every dispatch with it would make
+  // the listener O(maxRetained) per event. Track the count separately.
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[WriteTimingListener])
 
   private def record(e: WriteEvent): Unit = {
     retained.add(e)
-    while (retained.size > maxRetained) retained.poll()
+    if (count.incrementAndGet() > maxRetained && retained.poll() != null)
+      count.decrementAndGet()
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {

@@ -46,4 +46,44 @@ class VectorExpressionsSpec extends SparkTestBase {
     val row7 = df.filter(col("id") === 7).select(dotp(col("v"), col("v"))).collect().head.getDouble(0)
     assert(row7 == (0 until 64).map(i => math.pow(i + 7, 2)).sum)
   }
+
+  test("graft_topk keeps top-k under any partitioning (partial-merge determinism)") {
+    import spark.implicits._
+    // scores collide on purpose: payload-asc tie-break must hold.
+    val rows = (1L to 1000L).map(i => (i % 7, (i % 13).toDouble, i))
+    def run(parts: Int) =
+      rows.toDF("g", "s", "p").repartition(parts)
+        .groupBy(col("g"))
+        .agg(call_function("graft_topk", col("s"), col("p"), lit(5)).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "x")))
+        .select(col("g"), col("pos"), col("x.score"), col("x.payload"))
+        .orderBy(col("g"), col("pos"))
+        .collect().toSeq
+    val a = run(1)
+    val b = run(17)
+    assert(a == b)
+    // expected winners for group 0: score 12.0 first, smallest payloads
+    val g0 = a.filter(_.getLong(0) == 0L).map(r => (r.getDouble(2), r.getLong(3)))
+    val expect = rows.filter(_._1 == 0).map(t => (t._2, t._3))
+      .sortBy { case (s, p) => (-s, p) }.take(5)
+    assert(g0 == expect)
+  }
+
+  test("graft_topk serialize/deserialize round-trips the buffer") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKPairs(Literal(0.0), Literal(0L), Literal(3))
+    val buf = scala.collection.mutable.ArrayBuffer((3.5, 10L), (2.5, 11L), (2.5, 12L))
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+    assert(agg.deserialize(agg.serialize(scala.collection.mutable.ArrayBuffer.empty)).isEmpty)
+  }
+
+  test("graft_topk rejects non-positive k at analysis") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 1L)).toDF("g", "s", "p")
+    intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(call_function("graft_topk", col("s"), col("p"), lit(0)).as("t"))
+        .collect()
+    }
+  }
 }

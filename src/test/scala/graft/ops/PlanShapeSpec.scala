@@ -125,4 +125,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast left-anti stop-shingle filter in:\n$p")
   }
+
+  test("dedup_contamination: eval-gram join broadcasts (corpus side never shuffled to match)") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast eval-gram join in:\n$p")
+  }
+
+  test("q_topk_typed_agg: native top-k aggregates partially before the exchange") {
+    val p = plan("q_topk_typed_agg")
+    assert(p.contains("partial_"),
+      s"expected map-side partial graft_topk in:\n$p")
+  }
 }

@@ -76,6 +76,9 @@ class H2ConfigJsonSpec extends AnyFunSuite {
     assert(H2ConfigJson.sanitize("""{"connectionUri":"h2:mem:x","server":"s"}""") == "{}")
     assert(H2ConfigJson.sanitize(
       """{"connectionUri":"h2:mem:x","server":{"tcp":{"port":"high"}}}""") == "{}")
+    // Fractional port must fail the strict decode, not truncate to 9092.
+    assert(H2ConfigJson.sanitize(
+      """{"connectionUri":"h2:mem:x","server":{"tcp":{"port":9092.7}}}""") == "{}")
   }
 
   test("decode defaults: absent and null optionals agree; allowOthers defaults false") {

@@ -123,6 +123,10 @@ class H2SinkE2eSpec extends SparkTestBase {
     val noDriver = H2Sink.validate(H2Config("h2:mem:x"))
     assert(noDriver.isLeft)
     assert(noDriver.swap.exists(_.contains("classpath")))
+    // A loadable class that is not a java.sql.Driver must come back as a
+    // Left too (Either contract), not a thrown ClassCastException.
+    val notADriver = H2Sink.validate(H2Config("h2:mem:x", driverClass = "java.lang.String"))
+    assert(notADriver.isLeft)
   }
 
   test("write-timing listener fires per write action (logHandler analog)") {

@@ -39,8 +39,14 @@ for name in sorted(oracle):
         fails += 1
         continue
     try:
-        mine = con.sql(f"SELECT * FROM '{path}/*.parquet'")
-        gold = con.sql(sql)
+        # Materialize each side ONCE into a temp table: DuckDBPyRelation
+        # re-executes the query per .df()/.fetchall(), which doubles the
+        # cost of heavy oracles (recursive-CTE closures, LSH unions).
+        # CTAS preserves the query's ORDER BY in scan order.
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _mine AS SELECT * FROM '{path}/*.parquet'")
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _gold AS {sql}")
+        mine = con.sql("SELECT * FROM _mine")
+        gold = con.sql("SELECT * FROM _gold")
     except Exception as e:
         print(f"FAIL {name}: query error: {e}")
         fails += 1
