@@ -361,7 +361,66 @@ object TextAnalysis {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- PII scrub
+
+  /** PII redaction (emails, URLs, long digit runs → typed placeholders) —
+    * a standard pre-training privacy pass. The corpus is synthetic
+    * word-soup with no real PII, so each engine deterministically injects
+    * the same PII markers first (doc_id-keyed), then scrubs them; the
+    * oracle runs the identical inject+scrub, so counts AND redacted text
+    * hash-match. Pure per-row regex map — no shuffle beyond the
+    * presentation sort; at 100 TB this fuses into the scan. Patterns stay
+    * inside the Java-regex ∩ RE2 common subset (character classes +
+    * bounded quantifiers — no lookaround, no backrefs) so both engines
+    * match identically. Replacement order matters: emails first (their
+    * local part would otherwise be eaten by the digit-run rule),
+    * then URLs, then standalone digit runs. */
+  def piiScrub: Q = (s, dir) => {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe   = "https?://[A-Za-z0-9./?=&_%-]+"
+    val numRe   = "[0-9]{7,}"
+    val injected = Tables(s, dir).documents
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" contact alice.smith+dev@example.com now")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" visit https://example.com/a/b?q=1&r=2 today")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" ref 90125550147 pending")).otherwise(lit(""))).as("text"))
+    injected.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(urlRe)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(numRe)).cast("long").as("n_idnums"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+            lit(urlRe), lit("<URL>")),
+          lit(numRe), lit("<NUM>")).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' contact alice.smith+dev@example.com now' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' visit https://example.com/a/b?q=1&r=2 today' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN ' ref 90125550147 pending' ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, 'https?://[A-Za-z0-9./?=&_%-]+')) AS n_urls,
+      |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_idnums,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      'https?://[A-Za-z0-9./?=&_%-]+', '<URL>', 'g'),
+      |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+      |FROM inj ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_pii_scrub"         -> piiScrub,
     "text_tfidf_top_terms"   -> tfidfTopTerms,
     "text_prep_pipeline"     -> prepPipeline,
     "text_stratified_split"  -> stratifiedSplit,
@@ -374,6 +433,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pii_scrub"        -> piiScrubSql,
     "text_tfidf_top_terms"  -> tfidfTopTermsSql,
     "text_prep_pipeline"    -> prepPipelineSql,
     "text_stratified_split" -> stratifiedSplitSql,

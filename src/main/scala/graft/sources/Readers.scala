@@ -36,4 +36,11 @@ object Readers {
 
   def jsonInfer(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Columnar ORC source (Spark-native): same V2 pushdown/pruning as
+    * parquet — predicates reach the scan as ORC search arguments. (Avro
+    * is intentionally absent: the `spark-avro` connector jar is not on
+    * this classpath.) */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -132,6 +132,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected broadcast eval-gram join in:\n$p")
   }
 
+  test("knn_ivf_multiprobe: probe join broadcasts like nprobe=1 (no sort-merge on cell)") {
+    val p = plan("knn_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe join degraded to sort-merge (persist stats regression):\n$p")
+  }
+
   test("q_topk_typed_agg: native top-k aggregates partially before the exchange") {
     val p = plan("q_topk_typed_agg")
     assert(p.contains("partial_"),
