@@ -74,6 +74,104 @@ object Extended {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by
+    * ship year. The 100 TB move: each nation dim is pre-filtered to the
+    * two nations BEFORE its broadcast join, so the fact side is pruned at
+    * the earliest join instead of carrying all 25 nations to a late
+    * filter; the cross-pair restriction (no same-nation flows) stays as a
+    * cheap residual. */
+  def q07VolumeShipping: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val two = Seq("NATION_1", "NATION_2")
+    val sn = broadcast(t.nation.filter(col("n_name").isin(two: _*))
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+    val cn = broadcast(t.nation.filter(col("n_name").isin(two: _*))
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+    t.lineitem
+      .join(t.supplierDim, col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("snk"))
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(cn, col("c_nationkey") === col("cnk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q07Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+       |  ${sqlQsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+       |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+       |  AND sn.n_name <> cn.n_name
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape: one supplier nation's share of ECONOMY-part revenue
+    * sold to ASIA customers, by order year. The share is a conditional
+    * sum over the SAME aggregated rows (one pass — no second scan or
+    * self-join), and every dimension input (filtered part set,
+    * region-restricted nation keys, nation names) broadcasts, so the only
+    * fact shuffle is lineitem⋈orders on the order key. */
+  def q08MarketShare: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val asiaNations = broadcast(
+      t.nation.join(t.region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("rnk")))
+    val supNation = broadcast(t.nation
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.supplierDim, col("l_suppkey") === col("s_suppkey"))
+      .join(supNation, col("s_nationkey") === col("snk"))
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(asiaNations, col("c_nationkey") === col("rnk"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        qsum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))).as("nation_rev"),
+        qsum(vol).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev") / col("total_rev"), 9).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q08Sql: String = {
+    val vol = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+    s"""SELECT o_year,
+       |  ROUND(nation_rev / total_rev, 9) AS mkt_share
+       |FROM (
+       |  SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       |    ${sqlQsum(s"CASE WHEN sn.n_name = 'NATION_3' THEN $vol ELSE CAST(0.0 AS DOUBLE) END")} AS nation_rev,
+       |    ${sqlQsum(vol)} AS total_rev
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE p_type = 'ECONOMY'
+       |    AND c_nationkey IN (SELECT n_nationkey FROM nation
+       |                        JOIN region ON n_regionkey = r_regionkey
+       |                        WHERE r_name = 'ASIA')
+       |  GROUP BY o_year)
+       |ORDER BY o_year""".stripMargin
+  }
+
   /** TPC-H Q21 shape: suppliers who were the SOLE supplier on
     * multi-lineitem orders. EXISTS (another lineitem on the order) becomes
     * a semi join against the multi-line order set; NOT EXISTS (a lineitem
@@ -305,6 +403,8 @@ object Extended {
     "q_percentile_disc"      -> qPercentileDisc,
     "q_salted_agg"           -> qSaltedAgg,
     "q_stats_agg"            -> qStatsAgg,
+    "q07_volume_shipping"    -> q07VolumeShipping,
+    "q08_market_share"       -> q08MarketShare,
     "q09_profit_nation_year" -> q09ProfitByNationYear,
     "q10_returned_revenue"   -> q10ReturnedRevenue,
     "q_sole_supplier"        -> qSoleSupplier,
@@ -318,6 +418,8 @@ object Extended {
     "q_percentile_disc"      -> qPercentileDiscSql,
     "q_salted_agg"           -> qSaltedAggSql,
     "q_stats_agg"            -> qStatsAggSql,
+    "q07_volume_shipping"    -> q07Sql,
+    "q08_market_share"       -> q08Sql,
     "q09_profit_nation_year" -> q09Sql,
     "q10_returned_revenue"   -> q10Sql,
     "q_sole_supplier"        -> qSoleSupplierSql,

@@ -65,6 +65,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q09_profit_nation_year").contains("BroadcastHashJoin"))
   }
 
+  test("q07/q08: every dimension joins broadcast; no cross products") {
+    for (name <- Seq("q07_volume_shipping", "q08_market_share")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: expected broadcast dims in:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: cross product:\n$p")
+    }
+  }
+
   test("q03: top-N compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("q03_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"),
