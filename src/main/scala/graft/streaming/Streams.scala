@@ -129,6 +129,19 @@ object Streams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Streaming top-k per user via the native [[graft.functions.TopKPairs]]
+    * aggregate (`graft_topk`): the raw-binary buffer is exactly what the
+    * streaming state store persists between microbatches, so the same
+    * bounded-heap state that partial-merges map-side in batch also
+    * incrementally merges across triggers — no re-aggregation of history. */
+  def topEventsPerUser(events: DataFrame, k: Int): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(call_function("graft_topk", col("value"), col("event_id"), lit(k)).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("p.payload").as("event_id"), col("p.score").as("value"))
+
   /** Continuous push to H2: per-microbatch overwrite of a staging table —
     * the streaming analog of the reference's one sink, kept idempotent by
     * writing batchId-tagged tables (re-delivered batches overwrite

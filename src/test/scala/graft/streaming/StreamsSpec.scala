@@ -105,6 +105,24 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("native graft_topk aggregate merges bounded state across microbatches") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.topEventsPerUser(in.toDF(), 2).writeStream
+      .format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Complete()).start()
+    in.addData(Event(1, ts(0), 100, "click", 5.0), Event(2, ts(1), 100, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 100, "click", 9.0), Event(4, ts(3), 101, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topk_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // k=2 bound held across triggers: batch-2's 9.0 displaced batch-1's 1.0.
+    assert(rows == Set((100L, 1L, 3L, 9.0), (100L, 2L, 1L, 5.0), (101L, 1L, 4L, 2.0)))
+  }
+
   test("stream-stream interval join matches views within 15 minutes before the click") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
