@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytic.queries ++ Subqueries.queries ++ Extended.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.functions.Udfs.queries
+      Multimodal.queries ++ graft.functions.Udfs.queries ++ graft.plans.PlanOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytic.oracles ++ Subqueries.oracles ++ Extended.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ graft.functions.Udfs.oracles
+      Multimodal.oracles ++ graft.functions.Udfs.oracles ++ graft.plans.PlanOps.oracles
 }

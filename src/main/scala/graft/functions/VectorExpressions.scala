@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1), children(2))))
+    e.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
   }
 }
 

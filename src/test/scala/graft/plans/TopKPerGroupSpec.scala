@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom whole-operator path: logical node → injected strategy →
+  * physical operator. Correctness is pinned against the Window
+  * formulation it replaces; the plan is pinned to contain the custom
+  * operator and NO Window/Sort (the whole point: no full partition sort). */
+class TopKPerGroupSpec extends SparkTestBase {
+
+  // 10k rows, 23 groups, deliberate score ties (v has only 40 values).
+  private def data = {
+    spark.range(10000).select(
+      (col("id") % 23).as("g"),
+      (col("id") % 40).cast("double").as("v"),
+      col("id").as("uid"))
+  }
+
+  private def viaCustom(parts: Int) =
+    TopKPerGroup(data.repartition(parts), Seq("g"), Seq(("v", false), ("uid", true)), 5)
+      .orderBy(col("g"), col("v").desc, col("uid"))
+      .collect().toSeq
+
+  test("matches the window row_number formulation, under any partitioning") {
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("uid"))
+    val expected = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy(col("g"), col("v").desc, col("uid"))
+      .collect().toSeq
+    assert(viaCustom(1) == expected)
+    assert(viaCustom(13) == expected)
+  }
+
+  test("groups smaller than k keep all their rows") {
+    import spark.implicits._
+    val tiny = Seq((1L, 1.0, 1L), (1L, 2.0, 2L), (2L, 9.0, 3L)).toDF("g", "v", "uid")
+    val out = TopKPerGroup(tiny, Seq("g"), Seq(("v", false), ("uid", true)), 5)
+      .orderBy(col("g"), col("v").desc).collect()
+    assert(out.length == 3)
+  }
+
+  test("plans as the custom operator with one exchange and no Window/Sort") {
+    val p = TopKPerGroup(data, Seq("g"), Seq(("v", false), ("uid", true)), 5)
+      .queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix in plan strings.
+    assert(p.contains("TopKPerGroup"), s"custom operator missing from plan:\n$p")
+    assert(!p.contains("Window"), s"window leaked into custom-op plan:\n$p")
+    assert(!p.contains("Sort"), s"full sort defeats the bounded-heap design:\n$p")
+    assert(p.contains("Exchange"), s"expected hash exchange on the group key:\n$p")
+  }
+
+  test("unknown column and bad k fail fast") {
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(data, Seq("nope"), Seq(("v", false)), 3)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(data, Seq("g"), Seq(("v", false)), 0)
+    }
+  }
+}
