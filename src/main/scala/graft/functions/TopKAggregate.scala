@@ -42,12 +42,15 @@ case class TopKPairs(
   override def children: Seq[Expression] = Seq(score, payload, kExpr)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (score.dataType, payload.dataType) match {
-      case (DoubleType, LongType) if kExpr.foldable =>
-        if (kExpr.eval().asInstanceOf[Number].intValue() > 0) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("graft_topk: k must be positive")
-      case (s, p) => TypeCheckResult.TypeCheckFailure(
-        s"graft_topk requires (double, bigint, foldable int k), got ($s, $p)")
+    (score.dataType, payload.dataType, kExpr.dataType) match {
+      case (DoubleType, LongType, IntegerType) if kExpr.foldable =>
+        kExpr.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure("graft_topk: k must not be null")
+          case i: Integer if i > 0 => TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure("graft_topk: k must be positive")
+        }
+      case (s, p, kt) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk requires (double, bigint, foldable int k), got ($s, $p, $kt)")
     }
 
   override def dataType: DataType = ArrayType(
@@ -61,9 +64,15 @@ case class TopKPairs(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
 
-  // Total order: better = higher score, then lower payload.
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // Total order: better = higher score, then lower payload. Double.compare
+  // (not the > / == primitives, which make NaN unordered) so NaN sorts as
+  // GREATEST — the same rule Spark's ORDER BY ... DESC and DuckDB apply,
+  // keeping this aggregate interchangeable with the ROW_NUMBER formulation
+  // even on NaN scores (reachable as 0/0 cosine of a zero vector).
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   /** O(1) reject when full and not beating the current minimum; O(k)
     * bounded splice otherwise. Buffer is kept sorted best-first. */

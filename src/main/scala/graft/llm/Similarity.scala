@@ -76,34 +76,35 @@ object Similarity {
        |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** IVF (nprobe=1): deterministic centroids, cell assignment by nearest
-    * centroid, search restricted to the query's cell. */
-  def knnIvf: Q = (s, dir) => {
-    val emb = normalized(Tables(s, dir))
-    val centroids = broadcast(emb.filter(col("vec_id") % 25 === 0)
+  /** Deterministic coarse quantizer (every 25th vector), broadcast. */
+  private def ivfCentroids(emb: DataFrame): DataFrame =
+    broadcast(emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv")))
-    // Argmin via max_by aggregate instead of a row_number window: the
-    // aggregate partially reduces the (vectors × centroids) scores
-    // map-side, shuffling one row per vector rather than one per pair.
-    // Ties break to the lowest cent_id via the (cs, -cent_id) struct.
-    val assigned = emb.join(centroids)
+
+  /** (vec_id, vn, cell): corpus cell assignment, shared by both IVF
+    * variants. Argmin via max_by aggregate instead of a row_number
+    * window: the aggregate partially reduces the (vectors × centroids)
+    * scores map-side, shuffling one row per vector rather than one per
+    * pair. Ties break to the lowest cent_id via the (cs, -cent_id)
+    * struct. Persisted: both sides of the cell join (queries + corpus)
+    * read it. */
+  private def ivfAssigned(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.join(centroids)
       .select(col("vec_id"), col("vn"), col("cent_id"), dotp(col("vn"), col("cv")).as("cs"))
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
         first(col("vn")).as("vn"))  // vn is constant per vec_id
       .select(col("vec_id"), col("vn"), col("cell"))
-      // Both sides of the cell join (queries + corpus) read `assigned`;
-      // persisting avoids running the centroid join + argmin window twice.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The query side is a handful of rows: broadcast it so the cell join
-    // streams the persisted assignment with NO shuffle (without the hint
-    // the pre-AQE plan is a sort-merge join exchanging BOTH sides on
-    // `cell` — the materialized cache has no stats to trigger the
-    // broadcast conversion planning-side).
-    val queries = broadcast(assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")))
-    val scored = queries.join(assigned, Seq("cell"))
+
+  /** Final IVF stage shared by both variants: probe-cell candidate join →
+    * exact top-3 per query. `probes` must already carry the broadcast
+    * hint: without it the pre-AQE plan is a sort-merge join exchanging
+    * BOTH sides on `cell` (the persisted assignment has no stats to
+    * trigger the broadcast conversion planning-side). */
+  private def ivfSearch(probes: DataFrame, assigned: DataFrame): DataFrame = {
+    val scored = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dotp(col("qv"), col("vn")).as("cos"))
@@ -116,7 +117,9 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val knnIvfSql: String =
+  /** Oracle builder shared by both IVF variants: only the probes CTE
+    * (named `p`) differs. */
+  private def ivfSql(probesCte: String): String =
     s"""WITH $normalizedSql,
        |c AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 25 = 0),
        |assigned AS (
@@ -125,14 +128,28 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
        |    FROM e CROSS JOIN c) t WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, vn AS qv, cell FROM assigned WHERE vec_id < 10)
+       |$probesCte
        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
-       |  SELECT q.query_id, a.vec_id AS neighbor_id,
-       |    ROUND(list_dot_product(q.qv, a.vn), 9) AS cos_sim,
-       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |      ORDER BY list_dot_product(q.qv, a.vn) DESC, a.vec_id) AS rank
-       |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id) t
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(p.qv, a.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_dot_product(p.qv, a.vn) DESC, a.vec_id) AS rank
+       |  FROM p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF (nprobe=1): deterministic centroids, cell assignment by nearest
+    * centroid, search restricted to the query's cell. */
+  def knnIvf: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+    val assigned = ivfAssigned(emb, ivfCentroids(emb))
+    // nprobe=1: a query's probed cell IS its own assignment.
+    val queries = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")))
+    ivfSearch(queries, assigned)
+  }
+
+  val knnIvfSql: String = ivfSql(
+    "p AS (SELECT vec_id AS query_id, vn AS qv, cell FROM assigned WHERE vec_id < 10)")
 
   /** Embedding-cosine near-duplicate pairs (semantic dedup): all pairs
     * above a cosine threshold. Exact all-pairs to match the oracle; the
@@ -251,16 +268,8 @@ object Similarity {
     * persisted corpus assignment shuffle-free. */
   def knnIvfMultiprobe: Q = (s, dir) => {
     val emb = normalized(Tables(s, dir))
-    val centroids = broadcast(emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("vn").as("cv")))
-    val assigned = emb.join(centroids)
-      .select(col("vec_id"), col("vn"), col("cent_id"), dotp(col("vn"), col("cv")).as("cs"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
-        first(col("vn")).as("vn"))
-      .select(col("vec_id"), col("vn"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfCentroids(emb)
+    val assigned = ivfAssigned(emb, centroids)
     // Top-2 probed cells per query: the query set is tiny, so a window
     // over (query × centroids) scores is a few hundred rows.
     val cw = Window.partitionBy(col("query_id"))
@@ -274,41 +283,16 @@ object Similarity {
         .withColumn("rn", row_number().over(cw))
         .filter(col("rn") <= 2)
         .select(col("query_id"), col("qv"), col("cent_id").as("cell")))
-    val scored = probes.join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dotp(col("qv"), col("vn")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 9).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    ivfSearch(probes, assigned)
   }
 
-  val knnIvfMultiprobeSql: String =
-    s"""WITH $normalizedSql,
-       |c AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 25 = 0),
-       |assigned AS (
-       |  SELECT vec_id, vn, cell FROM (
-       |    SELECT e.vec_id, e.vn, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
-       |    FROM e CROSS JOIN c) t WHERE rn = 1),
-       |probes AS (
-       |  SELECT query_id, qv, cell FROM (
-       |    SELECT e.vec_id AS query_id, e.vn AS qv, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
-       |    FROM e CROSS JOIN c WHERE e.vec_id < 10) t WHERE rn <= 2)
-       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    ROUND(list_dot_product(p.qv, a.vn), 9) AS cos_sim,
-       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
-       |      ORDER BY list_dot_product(p.qv, a.vn) DESC, a.vec_id) AS rank
-       |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
-       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  val knnIvfMultiprobeSql: String = ivfSql(
+    """p AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.vn AS qv, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 10) t WHERE rn <= 2)""".stripMargin)
 
   /** Scalar quantization (float32 → int8 per vector): the 4× memory
     * reduction real ANN systems apply before index build at scale. Per

@@ -42,7 +42,18 @@ final case class TopKPerGroupPlan(
 
 /** Physical operator: hash-clustered on the group keys (EnsureRequirements
   * inserts the single exchange), then one streaming pass per partition
-  * maintaining a k-bounded sorted buffer per group. */
+  * maintaining a k-bounded sorted buffer per group.
+  *
+  * Memory envelope: O(distinct groups per partition × k) rows on-heap,
+  * with NO spill path — the same stance as Spark's ObjectHashAggregate
+  * before its sort fallback. Size `spark.sql.shuffle.partitions` so a
+  * partition's group count × k rows fits in executor memory (at k=3 and
+  * 200-byte rows, 10M groups/partition ≈ 6 GB). The named upgrade path if
+  * group cardinality outgrows that: a sort-based fallback that switches
+  * to emit-on-group-change when the map crosses a row threshold, exactly
+  * like ObjectHashAggregateExec. The Window formulation survives such
+  * partitions today by spilling its sorter — at the cost of the full
+  * O(n log n) sort this operator exists to avoid. */
 final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
@@ -103,11 +114,17 @@ class TopKPerGroupStrategy extends SparkStrategy {
 
 object TopKPerGroup {
   /** Top-k rows per group as a DataFrame transform. `orderBy` is
-    * (column, ascending); include a unique tie-break for determinism. */
+    * (column, ascending); include a unique tie-break for determinism.
+    * Name resolution honors `spark.sql.caseSensitive` like the rest of
+    * the DataFrame API (H2-sourced frames arrive uppercased). */
   def apply(df: DataFrame, groupCols: Seq[String], orderBy: Seq[(String, Boolean)],
             k: Int): DataFrame = {
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n).getOrElse(
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def matches(a: String, b: String) =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    def attr(n: String): Attribute = analyzed.output.find(a => matches(a.name, n)).getOrElse(
       throw new IllegalArgumentException(
         s"topKPerGroup: no column '$n' in ${analyzed.output.map(_.name).mkString(", ")}"))
     val so = orderBy.map { case (n, asc) =>

@@ -95,11 +95,19 @@ object H2Sink {
     * first write. Left carries the init error (driver jar missing from
     * the classpath, or the probe connection invalid/refused). */
   def validate(config: H2Config, timeoutSeconds: Int = 10): Either[String, Unit] = {
-    val loadable =
-      try { Class.forName(config.driverClass); true }
-      catch { case _: ClassNotFoundException => false }
-    if (!loadable)
-      Left(s"JDBC driver ${config.driverClass} is not on the classpath")
+    // LinkageError too: a driver jar whose static init throws (or with a
+    // missing transitive class) must also come back as Left — NonFatal in
+    // the probe below would not catch it.
+    val loadError: Option[String] =
+      try { Class.forName(config.driverClass); None }
+      catch {
+        case _: ClassNotFoundException =>
+          Some(s"JDBC driver ${config.driverClass} is not on the classpath")
+        case e: LinkageError =>
+          Some(s"JDBC driver ${config.driverClass} failed to load: $e")
+      }
+    if (loadError.isDefined)
+      Left(loadError.get)
     else
       try {
         val c = connect(config)

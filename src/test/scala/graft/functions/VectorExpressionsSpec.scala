@@ -69,6 +69,16 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(g0 == expect)
   }
 
+  test("graft_topk ranks NaN scores greatest, matching ORDER BY ... DESC") {
+    import spark.implicits._
+    val df = Seq((1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, 7.0, 12L)).toDF("g", "s", "p")
+    val out = df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("s"), col("p"), lit(2)).as("t"))
+      .select(posexplode(col("t")).as(Seq("pos", "x")))
+      .select(col("x.payload")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(10L, 12L)) // NaN sorts first (greatest), then 7.0
+  }
+
   test("graft_topk serialize/deserialize round-trips the buffer") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val agg = TopKPairs(Literal(0.0), Literal(0L), Literal(3))

@@ -16,6 +16,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# The strict-row-order check relies on CTAS carrying each oracle's
+# ORDER BY into the temp table's scan order — pin the setting that
+# guarantees it rather than trusting the default.
+con.execute("SET preserve_insertion_order = true")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
