@@ -58,12 +58,20 @@ final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  // Partial/final like hash aggregation: the partial instance runs
+  // map-side with no distribution requirement, cutting shuffle volume to
+  // ≤ k rows per (group, map task) — correct because any row in the
+  // overall top-k is necessarily in the top-k of its own substream. The
+  // final instance requires group clustering; EnsureRequirements inserts
+  // the one exchange between them.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
@@ -103,11 +111,14 @@ final case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to its physical operator. */
+/** Planner strategy: one logical node plans to a partial (map-side)
+  * instance below the exchange and a final instance above it — the same
+  * two-phase shape Catalyst gives hash aggregation. */
 class TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, so, k, child) =>
-      TopKPerGroupExec(g, so, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, so, k, partial = false,
+        TopKPerGroupExec(g, so, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -44,8 +44,10 @@ class TopKPerGroupSpec extends SparkTestBase {
   test("plans as the custom operator with one exchange and no Window/Sort") {
     val p = TopKPerGroup(data, Seq("g"), Seq(("v", false), ("uid", true)), 5)
       .queryExecution.executedPlan.toString
-    // nodeName strips the Exec suffix in plan strings.
-    assert(p.contains("TopKPerGroup"), s"custom operator missing from plan:\n$p")
+    // nodeName strips the Exec suffix in plan strings. Two instances:
+    // the map-side partial below the exchange and the final above it.
+    assert("TopKPerGroup".r.findAllIn(p).size == 2,
+      s"expected partial+final custom operators in plan:\n$p")
     assert(!p.contains("Window"), s"window leaked into custom-op plan:\n$p")
     assert(!p.contains("Sort"), s"full sort defeats the bounded-heap design:\n$p")
     assert(p.contains("Exchange"), s"expected hash exchange on the group key:\n$p")
