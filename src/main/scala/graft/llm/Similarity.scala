@@ -1,10 +1,10 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorFunctions.dotp
+import graft.plans.TopKPerGroup
 
 /** Vector similarity search over the `embeddings` table
   * (embedding: array<float>, 64-dim).
@@ -49,6 +49,25 @@ object Similarity {
       |    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
       |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))""".stripMargin
 
+  /** Per-query top-k via the native [[graft.plans.TopKPerGroup]] bounded
+    * heap, then rank derivation WITHOUT a Window: after the reduction each
+    * query holds ≤k rows, so `sort_array(collect_list(...))` + `posexplode`
+    * reconstructs ROW_NUMBER order inside a bounded aggregate. The Window
+    * formulation this replaces put each query's ENTIRE candidate set into
+    * one task's sort buffer (for brute force: the whole corpus per query at
+    * scale); the heap keeps ≤k rows per (query, map task) and ships only
+    * those through the one exchange. The only Sort left in the plan is the
+    * presentation orderBy over the final ≤ queries×k rows. */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    TopKPerGroup(scored, Seq("query_id"), Seq(("cos", false), ("neighbor_id", true)), k)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct((-col("cos")).as("nc"), col("neighbor_id")))).as("xs"))
+      .select(col("query_id"), posexplode(col("xs")).as(Seq("pos", "x")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("x.neighbor_id").as("neighbor_id"),
+        round(-col("x.nc"), 9).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Exact top-k cosine neighbors for the first 10 vectors (query set). */
   def knnBruteForce: Q = (s, dir) => {
     val emb = normalized(Tables(s, dir))
@@ -57,13 +76,7 @@ object Similarity {
     val scored = queries.join(emb, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dotp(col("qv"), col("vn")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 9).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, 5)
   }
 
   val knnBruteForceSql: String =
@@ -108,13 +121,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dotp(col("qv"), col("vn")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 9).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, 3)
   }
 
   /** Oracle builder shared by both IVF variants: only the probes CTE
@@ -270,18 +277,15 @@ object Similarity {
     val emb = normalized(Tables(s, dir))
     val centroids = ivfCentroids(emb)
     val assigned = ivfAssigned(emb, centroids)
-    // Top-2 probed cells per query: the query set is tiny, so a window
-    // over (query × centroids) scores is a few hundred rows.
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("cent_id"))
+    // Top-2 probed cells per query, via the same bounded-heap operator as
+    // the search itself — keeps the whole multiprobe plan Window-free.
+    val probeScores = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+      .join(centroids)
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        dotp(col("qv"), col("cv")).as("cs"))
     val probes = broadcast(
-      emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vn").as("qv"))
-        .join(centroids)
-        .select(col("query_id"), col("qv"), col("cent_id"),
-          dotp(col("qv"), col("cv")).as("cs"))
-        .withColumn("rn", row_number().over(cw))
-        .filter(col("rn") <= 2)
+      TopKPerGroup(probeScores, Seq("query_id"), Seq(("cs", false), ("cent_id", true)), 2)
         .select(col("query_id"), col("qv"), col("cent_id").as("cell")))
     ivfSearch(probes, assigned)
   }

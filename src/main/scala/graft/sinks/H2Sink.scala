@@ -167,6 +167,33 @@ object H2Sink {
     } finally conn.close()
   }
 
+  /** Streaming micro-batch push with true idempotency: load into a
+    * batchId-tagged staging table via [[write]], then swap it in (DROP old
+    * target + RENAME staging→target) on an admin connection. A re-delivered
+    * batchId rebuilds the SAME staging table from the same data and re-runs
+    * the same swap, leaving the target identical; a crash mid-load leaves
+    * the previous target untouched (the staging table is the only partial
+    * state, and the next attempt DROP+CREATEs it). Per micro-batch this is
+    * the reference's overwrite semantics (H2CsvCreateSink.scala:106–126). */
+  def writeBatch(df: DataFrame, table: String, batchId: Long, config: H2Config): Unit = {
+    val name = validateTableName(table.split('/').toSeq.filter(_.nonEmpty))
+    val staging = s"${name}__stage_b$batchId"
+    val qName = H2Dialect.quoteIdentifier(name)
+    val qStaging = H2Dialect.quoteIdentifier(staging)
+    // Held open across write(): for `h2:mem:` targets the database dies
+    // with its last connection, and write()'s own admin connection closes
+    // before the swap below runs.
+    val conn = connect(config)
+    try {
+      write(df, staging, config)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"DROP TABLE IF EXISTS $qName")
+        st.executeUpdate(s"ALTER TABLE $qStaging RENAME TO $qName")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Read a table back from H2 (the reference reads back only in tests;
     * for us it is a first-class source). */
   def read(spark: org.apache.spark.sql.SparkSession, table: String,

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions.broadcast
   * cluster; local testing at sf0.001–0.1):
   *   - Every reader is a plain parquet scan so Catalyst's V2 pushdown
   *     (predicate + column pruning + partition pruning) applies untouched.
-  *   - `region`/`nation` are constant-size (5/25 rows) at any SF and
-  *     `supplier`/`part` grow far slower than `lineitem`; the `*Dim` accessors
-  *     pre-mark them with [[broadcast]] so joins against facts never shuffle
-  *     the fact side on a dimension key.
+  *   - `region`/`nation` are constant-size (5/25 rows) at any SF, so their
+  *     `*Dim` accessors pre-mark them with [[broadcast]]; `supplier`/`part`
+  *     grow with SF, so theirs deliberately do NOT — the planner's
+  *     size-based conversion (and AQE at runtime) broadcasts them while
+  *     they fit and falls back to a shuffled join when they don't.
   *   - Nothing is cached here: at 100 TB caching a fact table is a mistake;
   *     callers cache intermediate results explicitly when reused.
   */
@@ -46,11 +47,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** Broadcast-hinted dimensions: always tiny relative to facts. */
+  /** Broadcast-hinted dimensions — CONSTANT-size only. `region` (5 rows)
+    * and `nation` (25 rows) never grow with scale factor, so an
+    * unconditional hint is always right. */
   def regionDim: DataFrame   = broadcast(region)
   def nationDim: DataFrame   = broadcast(nation)
-  def supplierDim: DataFrame = broadcast(supplier)
-  def partDim: DataFrame     = broadcast(part)
+
+  /** `supplier`/`part` GROW with scale factor, so they get NO explicit
+    * broadcast hint: a forced hint disables the size check, and at 100 TB
+    * a multi-TB `part` would blow the 8 GB broadcast hard limit and kill
+    * the query outright. Un-hinted, the planner broadcasts them while
+    * their file-size stats fit `spark.sql.autoBroadcastJoinThreshold`
+    * (they do at every test SF — plan pins stay BroadcastHashJoin) and
+    * AQE's runtime size check takes over beyond that, degrading
+    * gracefully to a shuffled hash join instead of an OOM. */
+  def supplierDim: DataFrame = supplier
+  def partDim: DataFrame     = part
 }
 
 object Tables {

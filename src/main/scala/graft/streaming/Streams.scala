@@ -142,15 +142,16 @@ object Streams {
       .select(col("user_id"), (col("pos") + 1).cast("long").as("rk"),
         col("p.payload").as("event_id"), col("p.score").as("value"))
 
-  /** Continuous push to H2: per-microbatch overwrite of a staging table —
-    * the streaming analog of the reference's one sink, kept idempotent by
-    * writing batchId-tagged tables (re-delivered batches overwrite
-    * themselves, not the target). */
+  /** Continuous push to H2 — the streaming analog of the reference's one
+    * sink. Idempotent via [[H2Sink.writeBatch]]: each micro-batch loads
+    * into a batchId-tagged staging table, then swaps it in with
+    * DROP + RENAME, so a re-delivered batch rebuilds the identical target
+    * and a crash mid-load never leaves a partial target visible. */
   def writeToH2[T](stream: Dataset[T], table: String, config: H2Config): DataStreamWriter[T] =
     stream.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[T], batchId: Long) =>
-        H2Sink.write(batch.toDF(), table, config)
+        H2Sink.writeBatch(batch.toDF(), table, batchId, config)
         ()
       }
 }

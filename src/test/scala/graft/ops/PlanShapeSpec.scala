@@ -129,6 +129,36 @@ class PlanShapeSpec extends SparkTestBase {
       s"cell join degraded to sort-merge (persist stats regression):\n$p")
   }
 
+  test("knn paths: per-query top-k is the native bounded heap, never a Window") {
+    // Round-5 fix: the per-query top-k used to be row_number over
+    // Window.partitionBy(query_id) — ≤10 tasks each fully sorting that
+    // query's whole candidate set (for brute force: the entire corpus per
+    // task at scale). The TopKPerGroup operator reduces to ≤k rows per
+    // (query, map task) before the one exchange; rank is derived after the
+    // reduction from a bounded collect_list, so no Window node may appear.
+    for (name <- Seq("knn_brute_force", "knn_ivf", "knn_ivf_multiprobe")) {
+      val p = plan(name)
+      assert(p.contains("TopKPerGroup"),
+        s"$name: expected the native TopKPerGroup operator in:\n$p")
+      assert(!p.contains("Window"),
+        s"$name: per-query top-k regressed to a Window sort:\n$p")
+    }
+  }
+
+  test("q05/q07/q08/q09: un-hinted part/supplier still broadcast at test SF (size-based)") {
+    // Round-5 fix: part/supplier GROW with SF, so their forced broadcast
+    // hints were dropped (a hint disables the 8 GB size check and would
+    // kill these queries at 100×). This pins that the planner's size-based
+    // conversion still broadcasts them while they genuinely fit.
+    for (name <- Seq("q05_local_supplier", "q07_volume_shipping",
+                     "q08_market_share", "q09_profit_nation_year")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: expected size-based broadcast in:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: dim join degraded to sort-merge at tiny SF:\n$p")
+    }
+  }
+
   test("dedup_ngram_jaccard_capped: stop-shingle restriction is a broadcast anti-join") {
     val p = plan("dedup_ngram_jaccard_capped")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -103,6 +103,28 @@ class H2SinkE2eSpec extends SparkTestBase {
       ("4", "delta", "true"), ("5", "epsilon", "false")))
   }
 
+  test("writeBatch: staging + rename swap; re-run of the same batchId is idempotent") {
+    RecordingDb.reset()
+    H2Sink.writeBatch(sampleDf, "tb", batchId = 7L, config)
+    val st = RecordingDb.statements
+    // load goes to the batchId-tagged staging table, never the target
+    assert(st.exists(_.startsWith("CREATE TABLE \"tb__stage_b7\"")))
+    assert(st.filter(_.startsWith("BATCH[")).forall(_.contains("INSERT INTO \"tb__stage_b7\"")))
+    // swap: drop old target, rename staging in — the only target mutation
+    assert(st.containsSlice(Seq(
+      "DROP TABLE IF EXISTS \"tb\"",
+      "ALTER TABLE \"tb__stage_b7\" RENAME TO \"tb\"")))
+    assert(RecordingDb.tableNames == Set("tb"))
+    val rows = RecordingDb.rowsOf("tb").map(_.toSeq)
+    assert(rows.size == 5)
+    // re-delivery of the SAME batchId (failure replay) → identical target,
+    // no leftover staging table
+    H2Sink.writeBatch(sampleDf, "tb", batchId = 7L, config)
+    assert(RecordingDb.tableNames == Set("tb"))
+    assert(RecordingDb.rowsOf("tb").map(_.toSeq).sortBy(_.head.toString) ==
+      rows.sortBy(_.head.toString))
+  }
+
   test("unsupported declared types accumulate before any statement runs") {
     RecordingDb.reset()
     val schema = StructType(Seq(StructField("a", StringType)))

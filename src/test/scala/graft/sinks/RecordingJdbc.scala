@@ -80,6 +80,7 @@ object RecordingDb {
   private val CreateRe = "(?s)^\\s*CREATE TABLE (\"(?:[^\"]|\"\")*\") \\((.*)\\)\\s*$".r
   private val DropIfRe = "^\\s*DROP TABLE IF EXISTS (\"(?:[^\"]|\"\")*\")\\s*$".r
   private val DropRe   = "^\\s*DROP TABLE (\"(?:[^\"]|\"\")*\")\\s*$".r
+  private val RenameRe = "^\\s*ALTER TABLE (\"(?:[^\"]|\"\")*\") RENAME TO (\"(?:[^\"]|\"\")*\")\\s*$".r
   private val FromRe   = "(?s)^\\s*SELECT .*? FROM (\"(?:[^\"]|\"\")*\").*$".r
 
   def executeUpdate(sql: String): Int = {
@@ -99,6 +100,15 @@ object RecordingDb {
         if (tables.remove(name) == null)
           throw new SQLException(s"table not found: $t")
         data.remove(name); 0
+      // H2 rename semantics: source must exist, target must not.
+      case RenameRe(f, t) =>
+        val from = unq(f.substring(1, f.length - 1))
+        val to = unq(t.substring(1, t.length - 1))
+        if (!tables.containsKey(from)) throw new SQLException(s"table not found: $from")
+        if (tables.containsKey(to)) throw new SQLException(s"table already exists: $to")
+        tables.put(to, tables.remove(from))
+        data.put(to, data.remove(from))
+        0
       case _ => 0
     }
   }

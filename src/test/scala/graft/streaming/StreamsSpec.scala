@@ -176,11 +176,15 @@ class StreamsSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
     val st = graft.sinks.RecordingDb.statements
-    // each microbatch is a full push: drop-if-exists + create + batched insert
-    assert(st.count(_.startsWith("CREATE TABLE \"stream_t\"")) == 2)
+    // each microbatch loads a batchId-tagged staging table, then swaps it
+    // in with DROP + RENAME (idempotent re-delivery, no partial target)
+    assert(st.exists(_.startsWith("CREATE TABLE \"stream_t__stage_b0\"")))
+    assert(st.exists(_.startsWith("CREATE TABLE \"stream_t__stage_b1\"")))
     assert(st.count(_ == "DROP TABLE IF EXISTS \"stream_t\"") == 2)
-    assert(st.exists(s => s.startsWith("BATCH[") && s.contains("INSERT INTO \"stream_t\"")))
-    // the second microbatch replaced the first batch's rows
+    assert(st.count(_.matches("ALTER TABLE \"stream_t__stage_b\\d+\" RENAME TO \"stream_t\"")) == 2)
+    assert(st.exists(s => s.startsWith("BATCH[") && s.contains("INSERT INTO \"stream_t__stage_b")))
+    // the second microbatch's swap replaced the first batch's rows
     assert(graft.sinks.RecordingDb.rowsOf("stream_t").size == 1)
+    assert(graft.sinks.RecordingDb.tableNames == Set("stream_t"))
   }
 }
