@@ -53,6 +53,35 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(p.contains("Exchange"), s"expected hash exchange on the group key:\n$p")
   }
 
+  test("fallback: tiny threshold forces flush-and-reset + sort-based emit, same result") {
+    // Threshold of 7 buffered rows: with 23 groups × k=5 (≤115 held rows
+    // per partition) EVERY partition overflows — the partial instances
+    // flush multiple chunks and the final instances all take the
+    // sort-based path. Output must be bit-identical to the hash path.
+    val expected = viaCustom(13)
+    spark.conf.set(TopKPerGroupExec.FallbackRowsKey, "7")
+    try {
+      assert(viaCustom(13) == expected)
+      assert(viaCustom(1) == expected)
+    } finally spark.conf.unset(TopKPerGroupExec.FallbackRowsKey)
+  }
+
+  test("fallback survives a skewed group mixed with many small groups") {
+    // One giant group (id%2=0 half the rows) plus high-cardinality groups:
+    // exercises group-run emission where a run is far longer than k.
+    val skewed = spark.range(20000).select(
+      when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 501).as("g"),
+      (col("id") % 97).cast("double").as("v"),
+      col("id").as("uid"))
+    def run() = TopKPerGroup(skewed.repartition(7), Seq("g"),
+        Seq(("v", false), ("uid", true)), 3)
+      .orderBy(col("g"), col("v").desc, col("uid")).collect().toSeq
+    val expected = run()
+    spark.conf.set(TopKPerGroupExec.FallbackRowsKey, "16")
+    try assert(run() == expected)
+    finally spark.conf.unset(TopKPerGroupExec.FallbackRowsKey)
+  }
+
   test("unknown column and bad k fail fast") {
     intercept[IllegalArgumentException] {
       TopKPerGroup(data, Seq("nope"), Seq(("v", false)), 3)

@@ -136,6 +136,46 @@ class CsvRoundtripSpec extends SparkTestBase {
       java.time.LocalDateTime.parse("9999-12-31T23:59:59.999"))
   }
 
+  test("reference extreme values end-to-end: string carriage + declared ColType DDL " +
+       "(TemporalBounds.scala:21–36, spec :245)") {
+    import java.time.{LocalDate, LocalDateTime}
+    import graft.sinks.{ColType, H2Config, RecordingDb, RecordingDriver}
+    // The reference's exact boundary constants: ±999999999-year dates and
+    // datetimes (far outside Spark's Date/Timestamp range) and the
+    // ~95-digit BigDecimal(Long.MaxValue).pow(5) (past Decimal(38)).
+    val minD  = LocalDate.MIN.toString        // -999999999-01-01
+    val maxD  = LocalDate.MAX.toString        // +999999999-12-31
+    val minDt = LocalDateTime.MIN.toString    // -999999999-01-01T00:00
+    val maxDt = LocalDateTime.MAX.toString    // +999999999-12-31T23:59:59.999999999
+    val bigN  = BigInt(Long.MaxValue).pow(5).toString
+    assert(minD.startsWith("-999999999") && maxDt.startsWith("+999999999")
+      && bigN.length > 90)
+    // 1. The declared-ColType carriage path is strings: all five survive
+    //    the CSV wire format bit-exactly.
+    val schema = StructType(Seq(
+      StructField("ld", StringType), StructField("ldt", StringType),
+      StructField("n", StringType)))
+    val rows = Seq(Seq(minD, minDt, bigN), Seq(maxD, maxDt, "0"))
+    assert(roundtrip(schema, rows).map(r => Seq(r.getString(0), r.getString(1), r.getString(2)))
+      == rows)
+    // 2. Through the sink with declared ColTypes: DDL keeps the exact H2
+    //    types (DATE / TIMESTAMP(3) / unbounded NUMERIC — H2 coerces the
+    //    strings on insert), and the recording driver sees the boundary
+    //    values verbatim in the batched inserts.
+    RecordingDb.reset()
+    val config = H2Config("h2:mem:extremes", driverClass = classOf[RecordingDriver].getName)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r: _*)): _*), schema)
+    H2Sink.write(df, "extremes", config, declared = Some(Seq(
+      "ld" -> ColType.CLocalDate, "ldt" -> ColType.CLocalDateTime,
+      "n" -> ColType.CNumber)))
+    val create = RecordingDb.statements.find(_.startsWith("CREATE TABLE")).get
+    assert(create ==
+      "CREATE TABLE \"extremes\" (\"ld\" DATE, \"ldt\" TIMESTAMP(3), \"n\" NUMERIC)")
+    val got = RecordingDb.rowsOf("extremes").map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == rows.map(_.toSeq).toSet)
+  }
+
   test("emptyStringsAsNull blanks only string columns (sink prep)") {
     import org.apache.spark.sql.functions.lit
     val df = spark.range(1).select(
