@@ -19,22 +19,31 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    // Two timed runs, report the min: wall times on a shared host vary
-    // ±30% run-to-run, and min-of-2 is a far more stable round-over-round
-    // signal than a single sample. A query that throws reports -1.
+    // Three timed runs per query, report the min: wall times on a shared
+    // host vary ±30% run-to-run (single queries up to ~6x — measured on an
+    // identical binary across rounds 4/5), and min-of-3 is a far more
+    // stable round-over-round signal than a single sample. The full spread
+    // {min, med, max, n} is emitted per query so future rounds can tell
+    // noise from plan regressions without re-measuring. A query that
+    // throws reports -1.
+    val samplesPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to samplesPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.contains(-1.0)) Seq(-1.0) else times.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.head }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val spread = results.map { case (k, v) =>
+      val med = v(v.size / 2)
+      s"\"" + k + s"""":{"min":${v.head},"med":$med,"max":${v.last},"n":${v.size}}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.head).sum else 0.0
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line
     // carrying the headline total: the driver tail-captures stdout, and a
     // total that only exists at the front of the long line gets truncated

@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan inspector / single-query profiler:
-  * `runMain graft.Explain <queryName> [sfDir] [mode]`
+  * `runMain graft.Explain <queryName> [sfDir] [mode] [runs]`
   * Prints the formatted physical plan and cold+warm wall times. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val mode = if (args.length > 2) args(2) else "formatted"
+    val runs = if (args.length > 3) args(3).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +24,7 @@ object Explain {
     val fn = SparkEntry.queries(name)
     if (mode != "none") fn(spark, sfDir).explain(mode)
     var last = 0L
-    for (i <- 1 to 2) {
+    for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       last = System.nanoTime() - t0

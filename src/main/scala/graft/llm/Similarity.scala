@@ -61,11 +61,19 @@ object Similarity {
   private def topKRanked(scored: DataFrame, k: Int): DataFrame =
     TopKPerGroup(scored, Seq("query_id"), Seq(("cos", false), ("neighbor_id", true)), k)
       .groupBy(col("query_id"))
-      .agg(sort_array(collect_list(struct((-col("cos")).as("nc"), col("neighbor_id")))).as("xs"))
+      // Rank must replay the selection order EXACTLY, for every double:
+      // the heap selects (cos DESC, neighbor_id ASC), where Spark's
+      // ordering puts NaN greatest (→ first under DESC). A descending
+      // sort_array on (cos, -neighbor_id) is that same order — whereas
+      // the previous ascending sort on -cos flipped NaN to the other end
+      // (-NaN is still NaN = greatest → last ascending), so a NaN cosine
+      // from a zero-norm vector would have ranked opposite its selection.
+      .agg(sort_array(collect_list(struct(col("cos"), (-col("neighbor_id")).as("nni"))),
+        asc = false).as("xs"))
       .select(col("query_id"), posexplode(col("xs")).as(Seq("pos", "x")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("x.neighbor_id").as("neighbor_id"),
-        round(-col("x.nc"), 9).as("cos_sim"))
+        (-col("x.nni")).as("neighbor_id"),
+        round(col("x.cos"), 9).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
 
   /** Exact top-k cosine neighbors for the first 10 vectors (query set). */

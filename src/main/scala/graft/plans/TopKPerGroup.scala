@@ -94,9 +94,12 @@ final case class TopKPerGroupExec(
     val so = sortOrder
     val limit = k
     val isPartial = partial
-    val fallbackRows =
+    // Clamp to ≥1: a zero/negative threshold would make hashChunk consume
+    // no input while iter.hasNext stays true — an infinite task spin, not
+    // a config error.
+    val fallbackRows = math.max(1L,
       conf.getConfString(TopKPerGroupExec.FallbackRowsKey, TopKPerGroupExec.FallbackRowsDefault)
-        .toLong
+        .toLong)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
       val ord = new LazilyGeneratedOrdering(so, schema)
@@ -229,12 +232,29 @@ object TopKPerGroupExec {
 
 /** Planner strategy: one logical node plans to a partial (map-side)
   * instance below the exchange and a final instance above it — the same
-  * two-phase shape Catalyst gives hash aggregation. */
+  * two-phase shape Catalyst gives hash aggregation.
+  *
+  * Floating-point group keys are normalized (NaN bit patterns collapsed,
+  * -0.0 → 0.0) the way Spark's own NormalizeFloatingNumbers rule does for
+  * groupBy: the hash phase groups by UnsafeRow BYTE equality while the
+  * sort fallback groups by ORDERING equality, and without normalization
+  * the two phases would disagree on -0.0 vs 0.0 and on distinct NaN bit
+  * patterns — making results fallback-threshold-dependent. Nested float
+  * keys (array/struct of float) are not normalized; use scalar keys. */
 class TopKPerGroupStrategy extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  private def normalizeKey(e: Expression): Expression = e.dataType match {
+    case DoubleType | FloatType => NormalizeNaNAndZero(e)
+    case _                      => e
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, so, k, child) =>
-      TopKPerGroupExec(g, so, k, partial = false,
-        TopKPerGroupExec(g, so, k, partial = true, planLater(child))) :: Nil
+      val gn = g.map(normalizeKey)
+      TopKPerGroupExec(gn, so, k, partial = false,
+        TopKPerGroupExec(gn, so, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -171,13 +171,29 @@ object H2Sink {
     * batchId-tagged staging table via [[write]], then swap it in (DROP old
     * target + RENAME staging→target) on an admin connection. A re-delivered
     * batchId rebuilds the SAME staging table from the same data and re-runs
-    * the same swap, leaving the target identical; a crash mid-load leaves
+    * the same swap, leaving the target identical; a crash mid-LOAD leaves
     * the previous target untouched (the staging table is the only partial
     * state, and the next attempt DROP+CREATEs it). Per micro-batch this is
-    * the reference's overwrite semantics (H2CsvCreateSink.scala:106–126). */
+    * the reference's overwrite semantics (H2CsvCreateSink.scala:106–126).
+    *
+    * The swap itself is NOT atomic — H2 auto-commits DDL and offers no
+    * rename-over — so a crash BETWEEN the DROP and the RENAME leaves no
+    * target table visible until the micro-batch is replayed, and a
+    * concurrent reader can observe that missing-table window. Readers that
+    * must tolerate a restarting stream should treat "table not found" as
+    * retry-able. (Same exposure as the reference's own
+    * dropTableIfExistsQuery-then-CTAS sequence.)
+    *
+    * After a successful swap, staging siblings (`<name>__stage_b*`) left
+    * behind by batches that crashed mid-load and were never retried (a
+    * restarted-from-checkpoint stream replays the SAME batchId and cleans
+    * its own table; an abandoned stream doesn't) are dropped, so a
+    * months-running target accumulates no junk. Single writer per target
+    * assumed — the streaming-sink contract. */
   def writeBatch(df: DataFrame, table: String, batchId: Long, config: H2Config): Unit = {
     val name = validateTableName(table.split('/').toSeq.filter(_.nonEmpty))
-    val staging = s"${name}__stage_b$batchId"
+    val stagePrefix = s"${name}__stage_b"
+    val staging = s"$stagePrefix$batchId"
     val qName = H2Dialect.quoteIdentifier(name)
     val qStaging = H2Dialect.quoteIdentifier(staging)
     // Held open across write(): for `h2:mem:` targets the database dies
@@ -190,6 +206,16 @@ object H2Sink {
       try {
         st.executeUpdate(s"DROP TABLE IF EXISTS $qName")
         st.executeUpdate(s"ALTER TABLE $qStaging RENAME TO $qName")
+        // GC: our staging table was just renamed away, so every remaining
+        // `<name>__stage_b*` is an abandoned leftover. Exact-prefix match
+        // via SUBSTRING (not LIKE) so wildcard chars in an adversarial
+        // table name can never over-match and drop unrelated tables.
+        val rs = st.executeQuery(
+          s"SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES WHERE " +
+          s"SUBSTRING(TABLE_NAME, 1, ${stagePrefix.length}) = '${stagePrefix.replace("'", "''")}'")
+        val stale = scala.collection.mutable.ListBuffer.empty[String]
+        try { while (rs.next()) stale += rs.getString(1) } finally rs.close()
+        stale.foreach(t => st.executeUpdate(s"DROP TABLE IF EXISTS ${H2Dialect.quoteIdentifier(t)}"))
       } finally st.close()
     } finally conn.close()
   }

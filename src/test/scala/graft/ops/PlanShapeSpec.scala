@@ -117,6 +117,18 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q_scalar_corr_subquery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"correlated subquery did not decorrelate to an equi-join:\n$p")
+    // Tightened after the round-6 bench mystery (which turned out to be
+    // cold-run sampling, BENCH_NOTES.md): pin the whole scale shape so any
+    // future shuffle multiplication fails CI instead of surfacing as an
+    // unexplained bench swing. Expected: the per-part average reduces
+    // partially map-side, and the only shuffles are its hashpartitioning
+    // exchange plus the SinglePartition exchange of the final global
+    // aggregate — the probe lineitem side itself is never shuffled.
+    assert(p.contains("partial_"), s"per-part aggregate lost map-side combine:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange SinglePartition") ||
+      l.contains("Exchange rangepartitioning"))
+    assert(shuffles <= 2, s"expected <=2 shuffle exchanges, got $shuffles:\n$p")
   }
 
   test("knn_ivf: cell join broadcasts the query side (persisted cache has no stats)") {

@@ -125,6 +125,26 @@ class H2SinkE2eSpec extends SparkTestBase {
       rows.sortBy(_.head.toString))
   }
 
+  test("writeBatch: successive batchIds GC abandoned staging siblings") {
+    RecordingDb.reset()
+    // Simulate a batch that crashed mid-load and was never retried: its
+    // staging table exists, no swap ever ran.
+    RecordingDb.executeUpdate("CREATE TABLE \"tg__stage_b3\" (\"id\" NUMERIC)")
+    H2Sink.writeBatch(sampleDf, "tg", batchId = 4L, config)
+    // The abandoned b3 staging table is gone along with b4's own (renamed).
+    assert(RecordingDb.tableNames == Set("tg"),
+      s"staging junk survived: ${RecordingDb.tableNames}")
+    assert(RecordingDb.statements.contains("DROP TABLE IF EXISTS \"tg__stage_b3\""))
+    // Two successive healthy batches: exactly one target, zero stage tables,
+    // and the GC probe never touches tables outside the <name>__stage_b*
+    // namespace (the target itself is only dropped by the swap, once per
+    // batch).
+    H2Sink.writeBatch(sampleDf, "tg", batchId = 5L, config)
+    assert(RecordingDb.tableNames == Set("tg"))
+    val targetDrops = RecordingDb.statements.count(_ == "DROP TABLE IF EXISTS \"tg\"")
+    assert(targetDrops == 2)   // one per swap — GC never targets "tg"
+  }
+
   test("unsupported declared types accumulate before any statement runs") {
     RecordingDb.reset()
     val schema = StructType(Seq(StructField("a", StringType)))

@@ -143,7 +143,18 @@ object RecordingDb {
     * (`WHERE 1=0`) return no rows; a bare projection serves the stored
     * rows projected to the selected columns. Metadata always carries the
     * selected column names. */
+  private val StagePrefixRe =
+    ("(?s)^\\s*SELECT TABLE_NAME FROM INFORMATION_SCHEMA\\.TABLES WHERE " +
+     "SUBSTRING\\(TABLE_NAME, 1, (\\d+)\\) = '((?:[^']|'')*)'\\s*$").r
+
   def executeQuery(sql: String): (Seq[String], Seq[Array[AnyRef]]) = sql match {
+    // The sink's staging-GC catalog probe (H2Sink.writeBatch): serve the
+    // table names with the given exact prefix, like H2's catalog would.
+    case StagePrefixRe(len, lit) =>
+      val prefix = lit.replace("''", "'")
+      require(prefix.length == len.toInt, s"prefix length mismatch in: $sql")
+      val names = tableNames.filter(_.startsWith(prefix)).toSeq.sorted
+      (Seq("TABLE_NAME"), names.map(n => Array[AnyRef](n)))
     case FromRe(t) =>
       val name = unq(t.substring(1, t.length - 1))
       val cols = tables.get(name)

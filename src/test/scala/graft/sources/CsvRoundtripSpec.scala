@@ -176,6 +176,45 @@ class CsvRoundtripSpec extends SparkTestBase {
     assert(got == rows.map(_.toSeq).toSet)
   }
 
+  test("offset-type bounds end-to-end: string carriage + WITH TIME ZONE DDL " +
+       "(TemporalBounds.scala:31–36, spec :265–273)") {
+    import java.time.{OffsetDateTime, OffsetTime}
+    import graft.sinks.{ColType, H2Config, RecordingDb, RecordingDriver}
+    // The reference's offset-type boundary constants: extreme local parts
+    // AND extreme ±18:00 offsets. OffsetTime has no Spark type at all;
+    // the OffsetDateTime extremes (±999999999 years) are far outside
+    // Spark's TimestampType range — both carry as ISO-8601 strings with
+    // the declared ColType driving H2 DDL, exactly like the
+    // LocalDate/LocalDateTime/NUMERIC extremes test above.
+    val minOt  = OffsetTime.MIN.toString       // 00:00+18:00
+    val maxOt  = OffsetTime.MAX.toString       // 23:59:59.999999999-18:00
+    val minOdt = OffsetDateTime.MIN.toString   // -999999999-01-01T00:00+18:00
+    val maxOdt = OffsetDateTime.MAX.toString   // +999999999-12-31T23:59:59.999999999-18:00
+    assert(minOt == "00:00+18:00" && maxOt == "23:59:59.999999999-18:00")
+    assert(minOdt.startsWith("-999999999") && minOdt.endsWith("+18:00"))
+    assert(maxOdt.startsWith("+999999999") && maxOdt.endsWith("-18:00"))
+    // 1. Bit-exact through the CSV wire format.
+    val schema = StructType(Seq(
+      StructField("ot", StringType), StructField("odt", StringType)))
+    val rows = Seq(Seq(minOt, minOdt), Seq(maxOt, maxOdt))
+    assert(roundtrip(schema, rows).map(r => Seq(r.getString(0), r.getString(1))) == rows)
+    // 2. Through the sink with declared ColTypes: DDL keeps the exact
+    //    H2-only WITH TIME ZONE types (ColType.scala:46,50 — never
+    //    expressible via Spark's createTableColumnTypes), and the
+    //    recording driver sees the boundary values verbatim.
+    RecordingDb.reset()
+    val config = H2Config("h2:mem:offsets", driverClass = classOf[RecordingDriver].getName)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r: _*)): _*), schema)
+    H2Sink.write(df, "offsets", config, declared = Some(Seq(
+      "ot" -> ColType.COffsetTime, "odt" -> ColType.COffsetDateTime)))
+    val create = RecordingDb.statements.find(_.startsWith("CREATE TABLE")).get
+    assert(create == "CREATE TABLE \"offsets\" " +
+      "(\"ot\" TIME(9) WITH TIME ZONE, \"odt\" TIMESTAMP(3) WITH TIME ZONE)")
+    val got = RecordingDb.rowsOf("offsets").map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == rows.map(_.toSeq).toSet)
+  }
+
   test("emptyStringsAsNull blanks only string columns (sink prep)") {
     import org.apache.spark.sql.functions.lit
     val df = spark.range(1).select(
