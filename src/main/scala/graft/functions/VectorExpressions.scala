@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "graft_image_meta"),
+      (children: Seq[Expression]) => ImageMeta(children(0))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -19,13 +19,17 @@ final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   * columns with typed metadata, and decode/feature-extract/resize/
   * frame-sample as partition-parallel transforms.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic fake
-  * dimensions/features from the bytes. Everything around it — the schema,
-  * the binary carriage, the `mapPartitions` batch shape (one codec init
-  * per partition, the reason mapPartitions and not map), partitioning, and
-  * the metadata pushdown — is real and tested. Swap [[decodeStub]] for a
-  * JNI/FFmpeg/ImageIO call and nothing else changes.
+  * IMAGE header decode is REAL: [[decode]] parses PNG IHDR / JPEG SOF
+  * container headers ([[graft.functions.ImageHeader]], pure JVM, no
+  * libraries) and the `multimodal_decode` query runs it scan-fused
+  * through the `graft_image_meta` codegen expression, oracle-gated.
+  * Pixel decode and the audio/video codecs remain STUBBED (no media
+  * libraries in this environment): [[decode]] falls back to
+  * deterministic fake dimensions for non-image bytes. Everything around
+  * the stub — schema, binary carriage, the `mapPartitions` batch shape
+  * (one codec init per partition, the reason mapPartitions and not map),
+  * partitioning, metadata pushdown — is real and tested. Swap the
+  * fallback for a JNI/FFmpeg call and nothing else changes.
   */
 object Multimodal {
 
@@ -37,15 +41,50 @@ object Multimodal {
       StructField("kind", StringType), StructField("width", IntegerType),
       StructField("height", IntegerType), StructField("durationMs", LongType))))))
 
-  /** STUB for the real codec: deterministic pseudo-decode of a blob.
-    * A real implementation would hand `bytes` to ImageIO/FFmpeg here. */
-  def decodeStub(bytes: Array[Byte]): MediaMeta = {
-    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
-    MediaMeta(
-      kind = if ((h & 1) == 0) "image" else "audio",
-      width = 64 + (math.abs(h) % 1920).toInt,
-      height = 64 + (math.abs(h >> 11) % 1080).toInt,
-      durationMs = math.abs(h >> 21) % 600000)
+  /** Blob → metadata. PNG/JPEG bytes get REAL width/height from the
+    * container header ([[graft.functions.ImageHeader]]); anything else
+    * falls back to the deterministic pseudo-decode (the remaining honest
+    * stub — audio/video codecs aren't available offline). */
+  def decode(bytes: Array[Byte]): MediaMeta =
+    graft.functions.ImageHeader.decode(bytes) match {
+      case null =>
+        val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+        MediaMeta(
+          kind = if ((h & 1) == 0) "image" else "audio",
+          width = 64 + (math.abs(h) % 1920).toInt,
+          height = 64 + (math.abs(h >> 11) % 1080).toInt,
+          durationMs = math.abs(h >> 21) % 600000)
+      case (_, w, h) => MediaMeta(kind = "image", width = w, height = h, durationMs = 0L)
+    }
+
+  /** Minimal-but-valid PNG header bytes (signature + IHDR; CRC zeroed —
+    * irrelevant to header parsing). Written field-by-field from the spec,
+    * deliberately NOT sharing code with the parser it tests. */
+  def synthPng(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)   // 8 sig + 4 len + 4 type + 13 data + 4 crc
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0)
+    bb.array()
+  }
+
+  /** Minimal-but-valid JPEG header bytes: SOI, a JFIF APP0 segment (so the
+    * parser must WALK segments, not assume SOF first), SOF0, EOI. */
+  def synthJpeg(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
+    bb.put(0xff.toByte).put(0xd8.toByte)                      // SOI
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(16)         // APP0, len 16
+    bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    bb.put(1.toByte).put(1.toByte).put(0.toByte)              // version, units
+    bb.putShort(72).putShort(72).put(0.toByte).put(0.toByte)  // density, thumb
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(17)         // SOF0, len 8+3*3
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)  // precision, H, W
+    bb.put(3.toByte)                                          // 3 components
+    for (c <- 1 to 3) { bb.put(c.toByte).put(0x11.toByte).put(0.toByte) }
+    bb.put(0xff.toByte).put(0xd9.toByte)                      // EOI
+    bb.array()
   }
 
   /** Feature extraction over binary columns: one "codec" init per
@@ -116,8 +155,40 @@ object Multimodal {
       |  md5(text) AS digest
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Oracle-gated REAL header decode: synthesize valid PNG/JPEG header
+    * bytes per document (dimensions derived arithmetically from doc_id),
+    * then recover the dimensions by PARSING the bytes with the scan-fused
+    * `graft_image_meta` expression. The oracle recomputes the expected
+    * dimensions from doc_id with the same arithmetic — synthesis (spec
+    * field layout, ByteBuffer writes) and parse (offset reads, marker
+    * walk) are independent code paths, so a bug in either breaks the
+    * hash match. Scale shape: map-only, header-only reads, codegen-fused
+    * into the scan — no shuffle, no UDF boxing. */
+  def decodeQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ImageFunctions.imageMeta
+    val media = graft.sources.Tables(s, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 1 + (id % 509).toInt
+        val h = 1 + (id % 383).toInt
+        (id, if (id % 2 == 0) synthPng(w, h) else synthJpeg(w, h))
+      }.toDF("media_id", "bytes")
+    media.select(col("media_id"), imageMeta(col("bytes")).as("m"))
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+      .orderBy(col("media_id"))
+  }
+
+  val decodeQuerySql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(1 + doc_id % 509 AS INTEGER) AS width,
+      |  CAST(1 + doc_id % 383 AS INTEGER) AS height
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("multimodal_meta" -> metaQuery)
+    Map("multimodal_meta" -> metaQuery, "multimodal_decode" -> decodeQuery)
   val oracles: Map[String, String] =
-    Map("multimodal_meta" -> metaQuerySql)
+    Map("multimodal_meta" -> metaQuerySql, "multimodal_decode" -> decodeQuerySql)
 }

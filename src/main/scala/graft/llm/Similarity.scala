@@ -58,7 +58,7 @@ object Similarity {
     * scale); the heap keeps ≤k rows per (query, map task) and ships only
     * those through the one exchange. The only Sort left in the plan is the
     * presentation orderBy over the final ≤ queries×k rows. */
-  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+  private[llm] def topKRanked(scored: DataFrame, k: Int): DataFrame =
     TopKPerGroup(scored, Seq("query_id"), Seq(("cos", false), ("neighbor_id", true)), k)
       .groupBy(col("query_id"))
       // Rank must replay the selection order EXACTLY, for every double:

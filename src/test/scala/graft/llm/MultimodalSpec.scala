@@ -9,7 +9,7 @@ class MultimodalSpec extends SparkTestBase {
   private def mediaDS = {
     import spark.implicits._
     spark.createDataset(Seq(
-      MediaRow(1, "image", "hello world".getBytes("UTF-8"), Multimodal.decodeStub("hello world".getBytes("UTF-8"))),
+      MediaRow(1, "image", "hello world".getBytes("UTF-8"), Multimodal.decode("hello world".getBytes("UTF-8"))),
       MediaRow(2, "video", ("frame" * 100).getBytes("UTF-8"), MediaMeta("video", 640, 480, 32000)),
       MediaRow(3, "audio", null, MediaMeta("audio", 0, 0, 5000))))
   }
@@ -36,10 +36,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(0).feature.toSeq == again(0).feature.toSeq)
   }
 
-  test("decode stub is deterministic and total") {
-    val a = Multimodal.decodeStub("abc".getBytes)
-    assert(a == Multimodal.decodeStub("abc".getBytes))
+  test("non-image fallback decode is deterministic and total") {
+    val a = Multimodal.decode("abc".getBytes)
+    assert(a == Multimodal.decode("abc".getBytes))
     assert(a.width >= 64 && a.height >= 64)
+  }
+
+  test("PNG IHDR header parses to real dimensions") {
+    import graft.functions.ImageHeader
+    assert(ImageHeader.decode(Multimodal.synthPng(1920, 1080)) == ("png", 1920, 1080))
+    assert(ImageHeader.decode(Multimodal.synthPng(1, 1)) == ("png", 1, 1))
+    // width beyond 2^15 exercises the unsigned big-endian read
+    assert(ImageHeader.decode(Multimodal.synthPng(65535, 3)) == ("png", 65535, 3))
+    assert(Multimodal.decode(Multimodal.synthPng(64, 32)) ==
+      MediaMeta("image", 64, 32, 0L))
+    // truncated signature / mangled IHDR → not a PNG
+    assert(ImageHeader.decode(Multimodal.synthPng(10, 10).take(20)) == null)
+    val bad = Multimodal.synthPng(10, 10); bad(13) = 'X'.toByte
+    assert(ImageHeader.decode(bad) == null)
+  }
+
+  test("JPEG SOF header parses through the marker-segment walk") {
+    import graft.functions.ImageHeader
+    // synthJpeg puts an APP0 before SOF0 — the walk must skip it
+    assert(ImageHeader.decode(Multimodal.synthJpeg(640, 480)) == ("jpeg", 640, 480))
+    assert(ImageHeader.decode(Multimodal.synthJpeg(16383, 1)) == ("jpeg", 16383, 1))
+    // SOI+EOI with no frame header → unknown
+    assert(ImageHeader.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) == null)
+    // truncated mid-segment → null, not an exception
+    assert(ImageHeader.decode(Multimodal.synthJpeg(640, 480).take(10)) == null)
+    // arbitrary junk and empty input are inert
+    assert(ImageHeader.decode("not an image at all".getBytes) == null)
+    assert(ImageHeader.decode(Array.emptyByteArray) == null)
+    assert(ImageHeader.decode(null) == null)
+  }
+
+  test("graft_image_meta expression decodes scan-fused, null-safe") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ImageFunctions.imageMeta
+    val rows = Seq(
+      (1L, Multimodal.synthPng(300, 200)),
+      (2L, Multimodal.synthJpeg(64, 128)),
+      (3L, "plain text".getBytes("UTF-8")),
+      (4L, null))
+    val df = spark.createDataFrame(rows).toDF("id", "bytes")
+      .select(col("id"), imageMeta(col("bytes")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy(col("id"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+       if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, "png", 300, 200), (2L, "jpeg", 64, 128),
+      (3L, "unknown", -1, -1), (4L, null, -1, -1)))
   }
 
   test("resize updates metadata, preserves ids") {

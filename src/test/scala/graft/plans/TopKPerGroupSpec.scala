@@ -82,6 +82,40 @@ class TopKPerGroupSpec extends SparkTestBase {
     finally spark.conf.unset(TopKPerGroupExec.FallbackRowsKey)
   }
 
+  test("zero/negative fallback threshold clamps to 1 instead of spinning a task") {
+    // Regression: hashChunk(cap=0) consumed no input while iter.hasNext
+    // stayed true — the partial instance's hasNext loop spun forever.
+    // Clamped to 1, every row becomes its own chunk: slow, but correct
+    // and terminating.
+    val expected = viaCustom(4)
+    for (bad <- Seq("0", "-5")) {
+      spark.conf.set(TopKPerGroupExec.FallbackRowsKey, bad)
+      try assert(viaCustom(4) == expected, s"threshold=$bad")
+      finally spark.conf.unset(TopKPerGroupExec.FallbackRowsKey)
+    }
+  }
+
+  test("float group keys: -0.0/0.0 and NaN group identically in hash and sort paths") {
+    // Regression for the planning-time NormalizeNaNAndZero wrap: the hash
+    // phase groups by UnsafeRow bytes (-0.0 != 0.0, NaN patterns differ),
+    // the sort fallback by ordering (-0.0 == 0.0) — unnormalized, the
+    // result depended on which path ran.
+    import spark.implicits._
+    val nan1 = java.lang.Double.longBitsToDouble(0x7ff8000000000000L)
+    val nan2 = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)  // distinct bits
+    val rows = Seq((0.0, 1.0, 1L), (-0.0, 2.0, 2L), (-0.0, 3.0, 3L),
+                   (nan1, 4.0, 4L), (nan2, 5.0, 5L)).toDF("g", "v", "uid")
+    def run() = TopKPerGroup(rows.repartition(3), Seq("g"), Seq(("v", false), ("uid", true)), 2)
+      .orderBy(col("v")).collect().map(_.getLong(2)).toSeq
+    // ±0.0 is ONE group (top-2 of v: uid 2,3) and NaN is ONE group
+    // (top-2: uid 4,5) — so uid 1 is the only row cut.
+    val hashPath = run()
+    assert(hashPath == Seq(2L, 3L, 4L, 5L), s"got $hashPath")
+    spark.conf.set(TopKPerGroupExec.FallbackRowsKey, "1")   // force sort path
+    try assert(run() == hashPath)
+    finally spark.conf.unset(TopKPerGroupExec.FallbackRowsKey)
+  }
+
   test("unknown column and bad k fail fast") {
     intercept[IllegalArgumentException] {
       TopKPerGroup(data, Seq("nope"), Seq(("v", false)), 3)
