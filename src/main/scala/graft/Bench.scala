@@ -26,7 +26,7 @@ object Bench {
     // {min, med, max, n} is emitted per query so future rounds can tell
     // noise from plan regressions without re-measuring. A query that
     // throws reports -1.
-    val samplesPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    val samplesPerQuery = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to samplesPerQuery).map { _ =>
         val t0 = System.nanoTime()
@@ -39,7 +39,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.head }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, v) =>
-      val med = v(v.size / 2)
+      // True median for even n too (v is sorted) — with n=2 the naive
+      // v(n/2) would report the MAX labeled as the median.
+      val med = (v((v.size - 1) / 2) + v(v.size / 2)) / 2.0
       s"\"" + k + s"""":{"min":${v.head},"med":$med,"max":${v.last},"n":${v.size}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.head).sum else 0.0

@@ -109,6 +109,8 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ImageHeader.rowType
 
+  override def prettyName: String = "graft_image_meta"
+
   override def nullSafeEval(bytes: Any): Any =
     ImageHeader.decodeRow(bytes.asInstanceOf[Array[Byte]])
 

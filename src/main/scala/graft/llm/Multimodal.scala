@@ -45,7 +45,8 @@ object Multimodal {
     * container header ([[graft.functions.ImageHeader]]); anything else
     * falls back to the deterministic pseudo-decode (the remaining honest
     * stub — audio/video codecs aren't available offline). */
-  def decode(bytes: Array[Byte]): MediaMeta =
+  def decode(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null) return MediaMeta("unknown", 0, 0, 0L)
     graft.functions.ImageHeader.decode(bytes) match {
       case null =>
         val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
@@ -56,6 +57,7 @@ object Multimodal {
           durationMs = math.abs(h >> 21) % 600000)
       case (_, w, h) => MediaMeta(kind = "image", width = w, height = h, durationMs = 0L)
     }
+  }
 
   /** Minimal-but-valid PNG header bytes (signature + IHDR; CRC zeroed —
     * irrelevant to header parsing). Written field-by-field from the spec,
@@ -187,8 +189,38 @@ object Multimodal {
       |  CAST(1 + doc_id % 383 AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Oracle-gated frame sampling in the DECLARATIVE shape: every-8th
+    * 16-unit frame per document via `sequence` + `explode` — the lateral
+    * unnest a real frame sampler compiles to, with no typed flatMap and
+    * no JVM objects in the loop, so it stays inside whole-stage codegen
+    * and scales as a narrow map + generate. Frames are character-sliced
+    * here (byte-identical semantics in both engines; the byte-slicing
+    * variant over binary columns is [[sampleFrames]], unit-tested) and
+    * emitted as md5 digests. */
+  def framesQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = graft.sources.Tables(s, dir).documents
+    val nf = least(floor(length(col("text")) / 16), lit(32)).cast("int")
+    docs.select(col("doc_id").as("media_id"), col("text"), nf.as("nf"))
+      .filter(col("nf") >= 1)
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0), col("nf") - 1, lit(8))).as("frame_no"))
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(encode(col("text").substr(col("frame_no") * 16 + 1, lit(16)), "UTF-8")).as("digest"))
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  val framesQuerySql: String =
+    """SELECT d.doc_id AS media_id, CAST(t.frame_no AS BIGINT) AS frame_no,
+      |  md5(substring(d.text, CAST(t.frame_no*16+1 AS INTEGER), 16)) AS digest
+      |FROM documents d,
+      |  UNNEST(range(0, CAST(LEAST(length(d.text)//16, 32) AS BIGINT), 8)) AS t(frame_no)
+      |WHERE length(d.text) >= 16
+      |ORDER BY media_id, frame_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("multimodal_meta" -> metaQuery, "multimodal_decode" -> decodeQuery)
+    Map("multimodal_meta" -> metaQuery, "multimodal_decode" -> decodeQuery,
+        "multimodal_frames" -> framesQuery)
   val oracles: Map[String, String] =
-    Map("multimodal_meta" -> metaQuerySql, "multimodal_decode" -> decodeQuerySql)
+    Map("multimodal_meta" -> metaQuerySql, "multimodal_decode" -> decodeQuerySql,
+        "multimodal_frames" -> framesQuerySql)
 }

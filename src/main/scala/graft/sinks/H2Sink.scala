@@ -207,15 +207,26 @@ object H2Sink {
         st.executeUpdate(s"DROP TABLE IF EXISTS $qName")
         st.executeUpdate(s"ALTER TABLE $qStaging RENAME TO $qName")
         // GC: our staging table was just renamed away, so every remaining
-        // `<name>__stage_b*` is an abandoned leftover. Exact-prefix match
-        // via SUBSTRING (not LIKE) so wildcard chars in an adversarial
-        // table name can never over-match and drop unrelated tables.
+        // `<name>__stage_b<digits>` is an abandoned leftover. Exact-prefix
+        // match via SUBSTRING (not LIKE) so wildcard chars in an
+        // adversarial table name can never over-match; the suffix must
+        // then be pure digits (a batchId this writer could have minted) —
+        // an unrelated table that merely shares the prefix text (e.g. a
+        // user's `t__stage_backup`, or another target named
+        // `t__stage_b2_copy` and its own staging family) is never
+        // touched. Catalog predicates bound it to real tables in the
+        // current schema so a matching VIEW or another schema's table
+        // can't make the post-swap DROP throw and wedge the stream.
         val rs = st.executeQuery(
           s"SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES WHERE " +
-          s"SUBSTRING(TABLE_NAME, 1, ${stagePrefix.length}) = '${stagePrefix.replace("'", "''")}'")
+          s"SUBSTRING(TABLE_NAME, 1, ${stagePrefix.length}) = '${stagePrefix.replace("'", "''")}' " +
+          s"AND TABLE_SCHEMA = SCHEMA() AND TABLE_TYPE = 'BASE TABLE'")
         val stale = scala.collection.mutable.ListBuffer.empty[String]
         try { while (rs.next()) stale += rs.getString(1) } finally rs.close()
-        stale.foreach(t => st.executeUpdate(s"DROP TABLE IF EXISTS ${H2Dialect.quoteIdentifier(t)}"))
+        stale
+          .filter(t => t.length > stagePrefix.length &&
+            t.substring(stagePrefix.length).forall(_.isDigit))
+          .foreach(t => st.executeUpdate(s"DROP TABLE IF EXISTS ${H2Dialect.quoteIdentifier(t)}"))
       } finally st.close()
     } finally conn.close()
   }

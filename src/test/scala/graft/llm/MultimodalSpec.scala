@@ -40,6 +40,8 @@ class MultimodalSpec extends SparkTestBase {
     val a = Multimodal.decode("abc".getBytes)
     assert(a == Multimodal.decode("abc".getBytes))
     assert(a.width >= 64 && a.height >= 64)
+    // null bytes (nullable blob column) → sentinel, not an executor NPE
+    assert(Multimodal.decode(null) == MediaMeta("unknown", 0, 0, 0L))
   }
 
   test("PNG IHDR header parses to real dimensions") {

@@ -190,6 +190,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe join degraded to sort-merge (persist stats regression):\n$p")
   }
 
+  test("multimodal_decode: header decode is map-only (no shuffle before the presentation sort)") {
+    // The scan-fused graft_image_meta expression must keep the decode a
+    // narrow map over the blob column: the only exchange allowed is the
+    // rangepartitioning for the final orderBy — a hashpartitioning
+    // exchange would mean the decode picked up a shuffle it doesn't need.
+    val p = plan("multimodal_decode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"header decode acquired a hash shuffle:\n$p")
+    assert(p.contains("graft_image_meta"),
+      s"expected the native image-meta expression in:\n$p")
+  }
+
   test("q_topk_typed_agg: native top-k aggregates partially before the exchange") {
     val p = plan("q_topk_typed_agg")
     assert(p.contains("partial_"),

@@ -130,11 +130,19 @@ class H2SinkE2eSpec extends SparkTestBase {
     // Simulate a batch that crashed mid-load and was never retried: its
     // staging table exists, no swap ever ran.
     RecordingDb.executeUpdate("CREATE TABLE \"tg__stage_b3\" (\"id\" NUMERIC)")
+    // Unrelated tables that merely SHARE the prefix text must survive GC:
+    // a user table with a non-digit suffix, and another stream's target
+    // whose name happens to extend the prefix.
+    RecordingDb.executeUpdate("CREATE TABLE \"tg__stage_backup\" (\"id\" NUMERIC)")
+    RecordingDb.executeUpdate("CREATE TABLE \"tg__stage_b2_copy\" (\"id\" NUMERIC)")
     H2Sink.writeBatch(sampleDf, "tg", batchId = 4L, config)
-    // The abandoned b3 staging table is gone along with b4's own (renamed).
-    assert(RecordingDb.tableNames == Set("tg"),
-      s"staging junk survived: ${RecordingDb.tableNames}")
+    // The abandoned b3 staging table is gone along with b4's own (renamed);
+    // the prefix-sharing bystanders are untouched.
+    assert(RecordingDb.tableNames == Set("tg", "tg__stage_backup", "tg__stage_b2_copy"),
+      s"GC blast radius wrong: ${RecordingDb.tableNames}")
     assert(RecordingDb.statements.contains("DROP TABLE IF EXISTS \"tg__stage_b3\""))
+    RecordingDb.executeUpdate("DROP TABLE \"tg__stage_backup\"")
+    RecordingDb.executeUpdate("DROP TABLE \"tg__stage_b2_copy\"")
     // Two successive healthy batches: exactly one target, zero stage tables,
     // and the GC probe never touches tables outside the <name>__stage_b*
     // namespace (the target itself is only dropped by the swap, once per

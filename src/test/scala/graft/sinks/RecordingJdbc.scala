@@ -145,7 +145,8 @@ object RecordingDb {
     * selected column names. */
   private val StagePrefixRe =
     ("(?s)^\\s*SELECT TABLE_NAME FROM INFORMATION_SCHEMA\\.TABLES WHERE " +
-     "SUBSTRING\\(TABLE_NAME, 1, (\\d+)\\) = '((?:[^']|'')*)'\\s*$").r
+     "SUBSTRING\\(TABLE_NAME, 1, (\\d+)\\) = '((?:[^']|'')*)' " +
+     "AND TABLE_SCHEMA = SCHEMA\\(\\) AND TABLE_TYPE = 'BASE TABLE'\\s*$").r
 
   def executeQuery(sql: String): (Seq[String], Seq[Array[AnyRef]]) = sql match {
     // The sink's staging-GC catalog probe (H2Sink.writeBatch): serve the
