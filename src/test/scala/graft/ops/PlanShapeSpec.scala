@@ -202,6 +202,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the native image-meta expression in:\n$p")
   }
 
+  test("multimodal_frames: declarative sampling is a Generate, no typed flatMap, no hash shuffle") {
+    val p = plan("multimodal_frames")
+    assert(p.contains("Generate"), s"expected sequence+explode Generate in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame sampling acquired a hash shuffle:\n$p")
+    // A typed flatMap would show object (de)serialization boundaries that
+    // break whole-stage codegen around the hot loop.
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"frame sampling fell out of the declarative/codegen path:\n$p")
+  }
+
   test("q_topk_typed_agg: native top-k aggregates partially before the exchange") {
     val p = plan("q_topk_typed_agg")
     assert(p.contains("partial_"),
