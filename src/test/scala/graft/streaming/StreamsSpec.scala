@@ -123,6 +123,32 @@ class StreamsSpec extends SparkTestBase {
     assert(rows == Set((100L, 1L, 3L, 9.0), (100L, 2L, 1L, 5.0), (101L, 1L, 4L, 2.0)))
   }
 
+  test("graft_image_meta decodes blob headers in a streaming pipeline") {
+    // The scan-fused header decode must compose with Structured Streaming
+    // (deterministic expression, no state): incoming blob micro-batches →
+    // per-format dimension aggregates, e.g. a live ingest-quality monitor.
+    import spark.implicits._
+    import graft.functions.ImageFunctions.imageMeta
+    import graft.llm.Multimodal
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = in.toDF().toDF("media_id", "bytes")
+      .select(imageMeta(org.apache.spark.sql.functions.col("bytes")).as("m"))
+      .groupBy($"m.format".as("format"))
+      .agg(org.apache.spark.sql.functions.max($"m.width").as("max_w"),
+           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("img_stream")
+      .outputMode(OutputMode.Complete()).start()
+    in.addData((1L, Multimodal.synthPng(640, 480)), (2L, Multimodal.synthJpeg(320, 200)))
+    q.processAllAvailable()
+    in.addData((3L, Multimodal.synthPng(1920, 1080)), (4L, "junk".getBytes))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("img_stream").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set(("png", 1920, 2L), ("jpeg", 320, 1L), ("unknown", -1, 1L)))
+  }
+
   test("stream-stream interval join matches views within 15 minutes before the click") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
