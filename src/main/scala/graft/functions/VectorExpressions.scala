@@ -83,6 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_image_meta"),
       new ExpressionInfo(classOf[ImageMeta].getName, "graft_image_meta"),
       (children: Seq[Expression]) => ImageMeta(children(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
+      (children: Seq[Expression]) => AudioMeta(children(0))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -89,6 +89,32 @@ object Multimodal {
     bb.array()
   }
 
+  /** Minimal-but-valid WAV header bytes: RIFF/WAVE, then a junk `LIST`
+    * chunk with an ODD declared size (so the parser must honor RIFF word
+    * alignment and walk, not assume `fmt ` first), then `fmt `, then the
+    * `data` chunk HEADER with its declared size but no payload — the
+    * header-only prefix a real pipeline reads from a 100 MB blob. Written
+    * field-by-field from the RIFF spec, deliberately NOT sharing code
+    * with the parser it tests. */
+  def synthWav(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val byteRate = rate * blockAlign
+    val dataSize = nSamples.toLong * blockAlign
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 0)            // odd size: 5 (+1 pad)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + junk.length + 1 + 8 + 16 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(4 + (8 + junk.length + 1) + (8 + 16) + 8 + dataSize.toInt)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1)                                            // PCM
+    bb.putShort(channels.toShort).putInt(rate).putInt(byteRate)
+    bb.putShort(blockAlign.toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize.toInt)
+    bb.array()
+  }
+
   /** Feature extraction over binary columns: one "codec" init per
     * partition, then streaming over rows — the mapPartitions batch shape a
     * real decoder needs (this is the Scala analog of mapInPandas: batched,
@@ -189,6 +215,50 @@ object Multimodal {
       |  CAST(1 + doc_id % 383 AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Oracle-gated REAL WAV header decode, same construction as
+    * [[decodeQuery]]: synthesize a valid RIFF/WAVE header per document
+    * (format parameters derived arithmetically from doc_id), recover them
+    * by PARSING the bytes with the scan-fused `graft_audio_meta`
+    * expression ([[graft.functions.AudioHeader]]). The oracle recomputes
+    * the expected values from doc_id — synthesis (little-endian
+    * ByteBuffer writes, chunk layout) and parse (chunk walk, alignment,
+    * byteRate arithmetic) are independent code paths. Scale shape:
+    * map-only, header-only reads, codegen-fused — the `data` payload is
+    * never touched, so duration extraction over a 100 TB audio corpus is
+    * a metadata pass. */
+  def audioQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    import graft.functions.AudioFunctions.audioMeta
+    val rates = Array(8000, 11025, 16000, 22050, 44100)
+    val allBits = Array(8, 16, 32)
+    val media = graft.sources.Tables(s, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        (id, synthWav(ch, rates((id % 5).toInt), allBits((id % 3).toInt),
+          1 + (id % 44100).toInt))
+      }.toDF("media_id", "bytes")
+    media.select(col("media_id"), audioMeta(col("bytes")).as("m"))
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.channels").as("channels"), col("m.sample_rate").as("sample_rate"),
+        col("m.bits").as("bits"), col("m.duration_ms").as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  val audioQuerySql: String = {
+    val rate = "CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000 WHEN 3 THEN 22050 ELSE 44100 END"
+    val bits = "CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END"
+    // duration mirrors the parser exactly: declared data bytes * 1000,
+    // integer-divided by fmt byteRate (both engines: exact int64 math)
+    s"""SELECT doc_id AS media_id, 'wav' AS format,
+       |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       |  CAST($rate AS INTEGER) AS sample_rate,
+       |  CAST($bits AS INTEGER) AS bits,
+       |  CAST(((1 + doc_id % 44100) * (1 + doc_id % 2) * ($bits // 8) * 1000)
+       |    // (($rate) * (1 + doc_id % 2) * ($bits // 8)) AS BIGINT) AS duration_ms
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** Oracle-gated frame sampling in the DECLARATIVE shape: every-8th
     * 16-unit frame per document via `sequence` + `explode` — the lateral
     * unnest a real frame sampler compiles to, with no typed flatMap and
@@ -219,8 +289,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("multimodal_meta" -> metaQuery, "multimodal_decode" -> decodeQuery,
-        "multimodal_frames" -> framesQuery)
+        "multimodal_frames" -> framesQuery, "multimodal_audio_meta" -> audioQuery)
   val oracles: Map[String, String] =
     Map("multimodal_meta" -> metaQuerySql, "multimodal_decode" -> decodeQuerySql,
-        "multimodal_frames" -> framesQuerySql)
+        "multimodal_frames" -> framesQuerySql, "multimodal_audio_meta" -> audioQuerySql)
 }

@@ -93,6 +93,51 @@ class MultimodalSpec extends SparkTestBase {
       (3L, "unknown", -1, -1), (4L, null, -1, -1)))
   }
 
+  test("WAV RIFF header parses through the chunk walk") {
+    import graft.functions.AudioHeader
+    // synthWav puts an odd-sized LIST chunk before fmt — the walk must
+    // skip it AND honor the RIFF pad byte to stay marker-aligned
+    assert(AudioHeader.decode(Multimodal.synthWav(2, 44100, 16, 44100)) ==
+      (2, 44100, 16, 1000L))
+    // duration = declared data bytes * 1000 / byteRate, integer ms
+    assert(AudioHeader.decode(Multimodal.synthWav(1, 8000, 8, 12345)) ==
+      (1, 8000, 8, 12345L * 1000 / 8000))
+    // mono 32-bit at a non-multiple rate exercises the floor
+    assert(AudioHeader.decode(Multimodal.synthWav(1, 11025, 32, 999)) ==
+      (1, 11025, 32, 999L * 4 * 1000 / (11025L * 4)))
+    // not RIFF / truncated / junk → null, not an exception
+    assert(AudioHeader.decode("RIFFxxxx not wave".getBytes) == null)
+    assert(AudioHeader.decode(Multimodal.synthWav(2, 44100, 16, 100).take(11)) == null)
+    assert(AudioHeader.decode(Multimodal.synthWav(2, 44100, 16, 100).take(30)) == null)
+    assert(AudioHeader.decode("definitely not audio".getBytes) == null)
+    assert(AudioHeader.decode(Array.emptyByteArray) == null)
+    assert(AudioHeader.decode(null) == null)
+    // fmt present but no data chunk → null (no duration derivable)
+    val noData = Multimodal.synthWav(2, 44100, 16, 100).dropRight(8)
+    assert(AudioHeader.decode(noData) == null)
+  }
+
+  test("graft_audio_meta expression decodes scan-fused, null-safe") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.AudioFunctions.audioMeta
+    val rows = Seq(
+      (1L, Multimodal.synthWav(2, 44100, 16, 22050)),
+      (2L, "plain text".getBytes("UTF-8")),
+      (3L, null))
+    val df = spark.createDataFrame(rows).toDF("id", "bytes")
+      .select(col("id"), audioMeta(col("bytes")).as("m"))
+      .select(col("id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits"), col("m.duration_ms"))
+      .orderBy(col("id"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+       if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3),
+       if (r.isNullAt(4)) -1 else r.getInt(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, "wav", 2, 44100, 16, 500L),
+      (2L, "unknown", -1, -1, -1, -1L), (3L, null, -1, -1, -1, -1L)))
+  }
+
   test("resize updates metadata, preserves ids") {
     val out = Multimodal.resize(mediaDS, 224, 224).collect().sortBy(_.media_id)
     assert(out.forall(r => r.meta.width == 224 && r.meta.height == 224))
