@@ -536,6 +536,57 @@ object Dedup {
        |FROM hit JOIN sz USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental corpus delta: classify every document across two crawl
+    * snapshots as added / removed / changed / unchanged — the primitive
+    * behind incremental ingestion (recompute only what moved instead of
+    * re-processing the whole corpus). Snapshots are derived
+    * deterministically from `documents` (old drops doc_id % 11 = 3, new
+    * drops % 13 = 5 and appends a revision marker at % 7 = 2).
+    *
+    * Scale shape: each side is reduced AT THE SCAN to
+    * (doc_id, xxhash64(text)) — 16 bytes/row — before the full-outer
+    * join, so the shuffle never carries document text; at 100 TB the
+    * delta detect moves ~1/1000th of the corpus bytes. Content equality
+    * is hash equality (engine-native xxhash64; a collision would
+    * misclassify one changed doc as unchanged — the standard, accepted
+    * trade of every content-hash delta pipeline). The oracle compares
+    * the text itself (IS NOT DISTINCT FROM — null text on both sides is
+    * "unchanged", matching xxhash64's null-skip seed on the Spark side),
+    * so the gate proves hash-classification ≡ content-classification on
+    * this corpus. Output: per-class doc counts + doc_id checksums. */
+  def incrementalDelta: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val old = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), xxhash64(col("text")).as("h_old"))
+    val neu = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        xxhash64(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("change"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("change")
+  }
+
+  val incrementalDeltaSql: String =
+    """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+      |n AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+      |      FROM documents WHERE doc_id % 13 <> 5),
+      |cls AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+      |       ELSE 'changed' END AS change
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT change, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM cls GROUP BY change ORDER BY change""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"                -> dedupExact,
     "dedup_contamination"        -> contaminationCheck,
@@ -546,6 +597,7 @@ object Dedup {
     "dedup_clusters"             -> dedupClusters,
     "dedup_clusters_star"        -> dedupClustersStar,
     "dedup_savings"              -> dedupSavings,
+    "dedup_incremental"          -> incrementalDelta,
     "doc_fingerprint"            -> docFingerprint,
   )
 
@@ -559,6 +611,7 @@ object Dedup {
     "dedup_clusters"             -> dedupClustersSql,
     "dedup_clusters_star"        -> dedupClustersStarSql,
     "dedup_savings"              -> dedupSavingsSql,
+    "dedup_incremental"          -> incrementalDeltaSql,
     "doc_fingerprint"            -> docFingerprintSql,
   )
 }

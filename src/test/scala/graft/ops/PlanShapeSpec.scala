@@ -218,4 +218,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"),
       s"expected map-side partial graft_topk in:\n$p")
   }
+
+  test("dedup_incremental: delta join shuffles hashes, never document text") {
+    // The point of the hash-delta shape is that the full-outer join moves
+    // 16 bytes/row. If `text` ever appears in an Exchange's output the
+    // scan-time hash projection regressed and the shuffle would carry the
+    // whole corpus at 100 TB.
+    val p = plan("dedup_incremental")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected a shuffle for the full-outer delta join in:\n$p")
+    assert(exchanges.forall(l => !l.contains("text")),
+      s"delta shuffle carries document text:\n${exchanges.mkString("\n")}")
+    // full-outer on equi-keys: a shuffled join (sort-merge or hash), and
+    // the hash projection must sit below it (xxhash64 computed at scan)
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("FullOuter"),
+      s"expected a shuffled full-outer equi-join in:\n$p")
+    assert(p.contains("xxhash64"),
+      s"expected scan-side xxhash64 projections below the join in:\n$p")
+  }
 }
