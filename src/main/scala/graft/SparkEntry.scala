@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytic, Extended, Relational, Subqueries}
+import graft.ops.{Analytic, Extended, Layout, Relational, Subqueries}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytic.queries ++ Subqueries.queries ++ Extended.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.functions.Udfs.queries ++ graft.plans.PlanOps.queries
+      Multimodal.queries ++ graft.functions.Udfs.queries ++ graft.plans.PlanOps.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytic.oracles ++ Subqueries.oracles ++ Extended.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ graft.functions.Udfs.oracles ++ graft.plans.PlanOps.oracles
+      Multimodal.oracles ++ graft.functions.Udfs.oracles ++ graft.plans.PlanOps.oracles ++
+      Layout.oracles
 }
