@@ -153,11 +153,45 @@ object Udfs {
       |  TRUE AS approx_p50_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Heavy hitters via Misra–Gries sketch + exact recount ([[FrequentItems]]).
+    *
+    * The 100 TB shape: pass 1 aggregates the WHOLE fact table down to one
+    * bounded sketch (cap counters per map task cross the exchange — not
+    * one row per distinct key, of which there may be billions); pass 2
+    * broadcast-semi-joins the tiny candidate set back against the fact
+    * table and recounts exactly, so the final filter runs on true counts.
+    * MG guarantees candidates ⊇ {items with count > n/(cap+1)}, and the
+    * query's threshold n/1500 > n/1501 sits inside that guarantee — the
+    * result is therefore EXACTLY the heavy set, deterministic under any
+    * partitioning, and hash-equal to the oracle's full GROUP BY … HAVING. */
+  def qHeavyHitters: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    val candidates = li
+      .agg(call_function("graft_freq_items", col("l_partkey"), lit(1500)).as("sketch"))
+      .select(explode(col("sketch")).as("c"))
+      .select(col("c.item").as("cand_key"))
+    val total = li.agg(count(lit(1)).as("n_total"))
+    li.join(broadcast(candidates), col("l_partkey") === col("cand_key"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_total") / lit(1500.0))
+      .select(col("l_partkey").as("item"), col("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  val qHeavyHittersSql: String =
+    """SELECT l_partkey AS item, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY 1
+      |HAVING COUNT(*) > (SELECT COUNT(*) FROM lineitem) / 1500.0
+      |ORDER BY cnt DESC, item""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_udf_scalar"     -> qUdfScalar,
     "q_agg_topk"       -> qAggTopK,
     "q_topk_typed_agg" -> qTopKTypedAgg,
     "q_approx_agg"     -> qApprox,
+    "q_heavy_hitters"  -> qHeavyHitters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,5 +199,6 @@ object Udfs {
     "q_agg_topk"       -> qAggTopKSql,
     "q_topk_typed_agg" -> qTopKTypedAggSql,
     "q_approx_agg"     -> qApproxSql,
+    "q_heavy_hitters"  -> qHeavyHittersSql,
   )
 }

@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1), children(2))))
     e.injectFunction((
+      new FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FrequentItems].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => FrequentItems(children(0), children(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_image_meta"),
       new ExpressionInfo(classOf[ImageMeta].getName, "graft_image_meta"),
       (children: Seq[Expression]) => ImageMeta(children(0))))
