@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph analytics over relational facts: PageRank on the
+  * supplier co-supply graph (s1 → s2 iff both supplied the same order).
+  * Complements the connected-components family in [[graft.llm.Dedup]] —
+  * CC is the min-label fixpoint; this is the weighted-propagation fixpoint.
+  *
+  * Scale notes:
+  *   - Edge construction is a self-equi-join on l_orderkey — co-partitioned
+  *     hash join, then distinct. At 100 TB the per-order fanout is bounded
+  *     (lines per order is a constant ~4), so the pair explosion is linear
+  *     in input, not quadratic.
+  *   - Each PageRank iteration is: ranks ⋈ edges (equi-join on src) →
+  *     groupBy(dst) sum — one shuffle of the SMALL ranks relation per
+  *     iteration against a REUSED edges partitioning (Catalyst's
+  *     ReuseExchange dedupes the identical edges/deg subplan exchanges
+  *     across the unrolled iterations). The iteration count is fixed and
+  *     small (5); for deep fixpoints, truncate lineage per generation with
+  *     `localCheckpoint` exactly as Dedup.connectedComponents does.
+  *   - The co-supply graph is symmetric, so every node has outdeg ≥ 1 (no
+  *     dangling-mass redistribution term) and every node receives mass
+  *     (no left-join backfill needed) — both asserted by construction.
+  *   - Ranks are doubles; the final `round(rank, 6)` makes the hash gate
+  *     robust to sub-ulp accumulation-order differences (sums of ≤ |V|
+  *     terms carry ~1e-16 relative error vs a 1e-6 rounding grain).
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D = 0.85
+  private val Iters = 5
+
+  def qPageRank: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val edges = supp.as("a")
+      .join(supp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to Iters) {
+      ranks = edges
+        .join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("mass"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          (lit(1 - D) / col("n_nodes") + lit(D) * col("mass")).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  val qPageRankSql: String = {
+    def iterCte(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT e.dst AS node,
+         |    CAST(${1 - D} AS DOUBLE) / (SELECT n_nodes FROM n)
+         |      + CAST($D AS DOUBLE) * SUM(r.rank / d.outdeg) AS rank
+         |  FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    val iters = (1 to Iters)
+      .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+       |  FROM supp a JOIN supp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM n) AS rank FROM deg),
+       |$iters
+       |SELECT node, ROUND(rank, 6) AS rank FROM r$Iters ORDER BY node""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q_pagerank" -> qPageRank)
+  val oracles: Map[String, String] = Map("q_pagerank" -> qPageRankSql)
+}

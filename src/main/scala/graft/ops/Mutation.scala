@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Snapshot-mutation operators: MERGE-style upsert between immutable
+  * snapshots and SCD Type-2 history construction — the data-management
+  * layer every warehouse feeding an H2-style destination needs (the
+  * reference overwrites whole tables per push; these operators compute
+  * the NEXT snapshot to push).
+  *
+  * Scale notes:
+  *   - Upsert is ONE full-outer shuffled join on the merge key. Both
+  *     sides are fact-sized at 100 TB, so neither can broadcast — a
+  *     sort-merge/shuffled-hash join keyed on the primary key is the
+  *     floor, and AQE handles skew splitting. (The union + row_number
+  *     alternative shuffles the same bytes but adds a window sort —
+  *     strictly worse.) If the update batch were small, Spark still
+  *     cannot broadcast a full-outer join; the right small-batch plan is
+  *     the same join with the update side pre-shuffled — still one
+  *     exchange of the big side.
+  *   - SCD2 history is two windows over the same (user_id | ts, event_id)
+  *     partitioning — Catalyst reuses the single sort+shuffle for both
+  *     `lag` and `lead`, so the whole operator is one exchange of the
+  *     events table, partitioned by user (millions of partitions' worth
+  *     of parallelism at 100 TB, no global sort).
+  */
+object Mutation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** MERGE (upsert): apply an update batch to a base snapshot keyed on
+    * o_orderkey — matched rows take the update's values, unmatched update
+    * rows insert, unmatched base rows carry over. Base/updates are carved
+    * deterministically from `orders` so the oracle can rebuild both. */
+  def qMergeUpsert: Q = (s, dir) => {
+    val orders = Tables(s, dir).orders
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val updates = orders.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").as("u_orderkey"),
+      col("o_custkey").as("u_custkey"),
+      lit("U").as("u_orderstatus"),
+      (col("o_totalprice") * lit(1.1)).as("u_totalprice"),
+      col("o_orderdate").as("u_orderdate"),
+      col("o_orderpriority").as("u_orderpriority"))
+    base.join(updates, col("o_orderkey") === col("u_orderkey"), "full_outer")
+      .select(
+        coalesce(col("u_orderkey"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("u_custkey"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("u_orderstatus"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("u_totalprice"), col("o_totalprice")).as("o_totalprice"),
+        coalesce(col("u_orderdate"), col("o_orderdate")).as("o_orderdate"),
+        coalesce(col("u_orderpriority"), col("o_orderpriority")).as("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      |upd AS (SELECT o_orderkey AS u_orderkey, o_custkey AS u_custkey,
+      |          'U' AS u_orderstatus,
+      |          o_totalprice * CAST(1.1 AS DOUBLE) AS u_totalprice,
+      |          o_orderdate AS u_orderdate, o_orderpriority AS u_orderpriority
+      |        FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT COALESCE(u_orderkey, o_orderkey) AS o_orderkey,
+      |       COALESCE(u_custkey, o_custkey) AS o_custkey,
+      |       COALESCE(u_orderstatus, o_orderstatus) AS o_orderstatus,
+      |       COALESCE(u_totalprice, o_totalprice) AS o_totalprice,
+      |       COALESCE(u_orderdate, o_orderdate) AS o_orderdate,
+      |       COALESCE(u_orderpriority, o_orderpriority) AS o_orderpriority
+      |FROM base FULL JOIN upd ON o_orderkey = u_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SCD Type-2 history: per user, one validity row per CHANGE of the
+    * tracked attribute (event_type), with [valid_from, valid_to) ranges
+    * and an is_current flag. `lag` detects the change points, `lead` over
+    * the surviving change rows closes each range. (event_id tie-breaks
+    * identical timestamps, and rides along as the version surrogate key.) */
+  def qScd2History: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val qScd2HistorySql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, ts, event_id, event_type FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_id, event_type, ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  (LEAD(ts) OVER w IS NULL) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_scd2_history" -> qScd2History,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> qMergeUpsertSql,
+    "q_scd2_history" -> qScd2HistorySql,
+  )
+}

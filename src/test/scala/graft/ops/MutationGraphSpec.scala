@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape pins for the snapshot-mutation operators
+  * ([[Mutation]]) and iterative PageRank ([[Graph]]). */
+class MutationGraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("merge upsert: matched rows take update values, unmatched both ways survive") {
+    val out = Mutation.qMergeUpsert(spark, sf)
+    val base = spark.read.parquet(s"$sf/orders.parquet").filter($"o_orderkey" % 3 =!= 0)
+    val updKeys = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderkey" % 2 === 0).select($"o_orderkey")
+    val baseN = base.count(); val updN = updKeys.count()
+    val overlapN = base.join(updKeys, "o_orderkey").count()
+    assert(out.count() === baseN + updN - overlapN)
+    // every updated key carries the update's marker status
+    val wrong = out.join(updKeys, "o_orderkey").filter($"o_orderstatus" =!= "U").count()
+    assert(wrong === 0)
+    // carried-over base rows are untouched
+    val carried = out.join(updKeys, Seq("o_orderkey"), "left_anti")
+    val expected = base.join(updKeys, Seq("o_orderkey"), "left_anti")
+    assert(carried.exceptAll(expected).isEmpty && expected.exceptAll(carried).isEmpty)
+  }
+
+  test("merge upsert plan: one shuffled full-outer join, no nested loop") {
+    val p = Mutation.qMergeUpsert(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected shuffled full-outer join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"full-outer must not degrade to a nested loop:\n$p")
+  }
+
+  test("scd2: ranges per user are contiguous, non-overlapping, one current") {
+    val out = Mutation.qScd2History(spark, sf)
+      .select($"user_id", $"valid_from", $"valid_to", $"event_type", $"is_current").cache()
+    // exactly one open range per user
+    val open = out.groupBy($"user_id").agg(sum(when($"is_current", 1).otherwise(0)).as("n"))
+    assert(open.filter($"n" =!= 1).count() === 0)
+    // each closed range's valid_to equals the next range's valid_from (gapless)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"valid_from")
+    val gaps = out.withColumn("next_from", lead($"valid_from", 1).over(w))
+      .filter($"valid_to".isNotNull && $"valid_to" =!= $"next_from").count()
+    assert(gaps === 0)
+    // consecutive ranges always change the tracked attribute
+    val noChange = out.withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull && $"next_type" === $"event_type").count()
+    assert(noChange === 0)
+    out.unpersist()
+  }
+
+  test("scd2 plan: lag and lead share ONE exchange (single shuffle of events)") {
+    val p = Mutation.qScd2History(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows >= 2, s"expected lag+lead windows in:\n$p")
+    assert(exchanges === 1,
+      s"expected the two windows to reuse one user_id partitioning, got $exchanges exchanges:\n$p")
+  }
+
+  test("pagerank: mass sums to ~1, ranks positive, tiny graph matches hand-rolled") {
+    val out = Graph.qPageRank(spark, sf).cache()
+    val total = out.agg(sum($"rank")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted: $total")
+    assert(out.filter($"rank" <= 0).count() === 0)
+    // hand-rolled check on a 3-node symmetric path graph a-b-c:
+    // local iteration of the same recurrence must agree with the operator's
+    // formulation (computed here via the same DataFrame code path on a
+    // fabricated lineitem-shaped table).
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L))
+      .toDF("l_orderkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("pr").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.qPageRank(spark, dir).as[(Long, Double)].collect().toMap
+    var r = Map(10L -> 1.0 / 3, 20L -> 1.0 / 3, 30L -> 1.0 / 3)
+    val deg = Map(10L -> 1, 20L -> 2, 30L -> 1)
+    val in = Map(10L -> Seq(20L), 20L -> Seq(10L, 30L), 30L -> Seq(20L))
+    for (_ <- 1 to 5)
+      r = r.map { case (v, _) =>
+        v -> (0.15 / 3 + 0.85 * in(v).map(u => r(u) / deg(u)).sum)
+      }
+    r.foreach { case (v, expect) =>
+      assert(math.abs(got(v) - expect) < 1e-6, s"node $v: ${got(v)} vs $expect")
+    }
+    out.unpersist()
+  }
+
+  test("pagerank plan: rank propagation joins are hash-based, not cartesian") {
+    val p = Graph.qPageRank(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected hash joins in:\n$p")
+  }
+}
