@@ -1,0 +1,194 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Product quantization (PQ) for embedding compression + approximate
+  * search — the memory-side half of a production ANN stack (IVF in
+  * [[Similarity]] is the partition-side half). 64-dim float vectors are
+  * split into M=8 subspaces of 8 dims; each subvector is encoded as the
+  * index of its nearest codebook centroid (K=4 per subspace), compressing
+  * 256 bytes of floats to 8 small codes. Search uses asymmetric-distance
+  * computation (ADC): the query precomputes one K-entry lookup table per
+  * subspace, and each candidate's approximate distance is M table lookups
+  * — no float math per candidate at all.
+  *
+  * The codebooks and the query vector are PORTABLE LITERALS (deterministic
+  * formulas, not trained k-means): both the Spark expressions and the
+  * DuckDB oracle inline the exact same decimal strings, so encode codes
+  * and ADC sums are bit-identical across engines and the hash gate is
+  * strict. (In production the codebook comes from a k-means fit and is
+  * broadcast the same way — the plumbing, plan shape, and cost model here
+  * are the real thing; only the centroid VALUES are synthetic.)
+  *
+  * Scale notes:
+  *   - Encoding is map-only and scan-fused: per-row argmin over K literal
+  *     centroids inside whole-stage codegen, no shuffle, no UDF.
+  *   - ADC search is map-only over the encoded (tiny) representation plus
+  *     one bounded TakeOrderedAndProject — the 100 TB plan touches the
+  *     8-byte codes, not the 256-byte vectors.
+  *   - Re-ranking re-reads exact vectors ONLY for the bounded shortlist
+  *     (ADC top-50 → exact top-10), the standard recall-repair pattern:
+  *     approximate first pass over everything, exact math over almost
+  *     nothing.
+  */
+object ProductQuantization {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val M = 8       // subspaces
+  private val SubDim = 8  // dims per subspace (M * SubDim = 64)
+  private val K = 4       // centroids per subspace
+
+  private val centers = Array(-0.6, -0.2, 0.2, 0.6)
+
+  /** Codebook centroid value for (subspace s, code c, local dim d) —
+    * a fixed portable formula, identical in Spark and the oracle. */
+  private def cb(s: Int, c: Int, d: Int): Double =
+    centers(c) + 0.05 * (((s * SubDim + d) % 5) - 2)
+
+  /** Fixed literal query vector for the ADC queries. */
+  private def qv(dim: Int): Double = 0.1 * ((dim % 7) - 3)
+
+  /** ADC lookup table: ||q_s − cb[s][c]||², computed once driver-side and
+    * inlined as a literal on both engines. */
+  private def lut(s: Int, c: Int): Double = {
+    var acc = 0.0
+    var d = 0
+    while (d < SubDim) {
+      val x = qv(s * SubDim + d) - cb(s, c, d)
+      acc += x * x
+      d += 1
+    }
+    acc
+  }
+
+  // ---- Spark side ---------------------------------------------------
+
+  private def subDist(emb: Column, s: Int, c: Int): Column =
+    (0 until SubDim).map { d =>
+      val x = element_at(emb, s * SubDim + d + 1).cast("double") - lit(cb(s, c, d))
+      x * x
+    }.reduce(_ + _)
+
+  /** Nearest-centroid code for subspace s: argmin over K distances with
+    * lowest-code tie-break (expressed as a CASE so both engines evaluate
+    * the identical comparison chain). */
+  private def codeCol(emb: Column, s: Int): Column = {
+    val dist = (0 until K).map(c => subDist(emb, s, c))
+    when(dist(0) <= dist(1) && dist(0) <= dist(2) && dist(0) <= dist(3), 0)
+      .when(dist(1) <= dist(2) && dist(1) <= dist(3), 1)
+      .when(dist(2) <= dist(3), 2)
+      .otherwise(3)
+  }
+
+  private def encoded(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    emb.select(
+      col("vec_id") +:
+        (0 until M).map(sub => codeCol(col("embedding"), sub).as(s"code_$sub")): _*)
+  }
+
+  def vecPqEncode: Q = (s, dir) => encoded(s, dir).orderBy(col("vec_id"))
+
+  private def adcCol: Column =
+    (0 until M).map { sub =>
+      val c = col(s"code_$sub")
+      when(c === 0, lit(lut(sub, 0)))
+        .when(c === 1, lit(lut(sub, 1)))
+        .when(c === 2, lit(lut(sub, 2)))
+        .otherwise(lit(lut(sub, 3)))
+    }.reduce(_ + _)
+
+  def vecPqAdcTopK: Q = (s, dir) =>
+    encoded(s, dir)
+      .withColumn("adc_dist", adcCol)
+      .select(col("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(10)
+
+  /** ADC shortlist (top-50 codes-only) → exact squared distance over the
+    * full vectors for just those 50 → top-10. */
+  def vecPqRerank: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val shortlist = encoded(s, dir)
+      .withColumn("adc_dist", adcCol)
+      .select(col("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(50)
+    val exact = (0 until M * SubDim).map { d =>
+      val x = element_at(col("embedding"), d + 1).cast("double") - lit(qv(d))
+      x * x
+    }.reduce(_ + _)
+    emb.join(broadcast(shortlist), "vec_id")
+      .withColumn("exact_dist", exact)
+      .select(col("vec_id"), col("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  // ---- Oracle side (same literals, same operation order) -------------
+
+  private def sqlSubDist(s: Int, c: Int): String =
+    (0 until SubDim).map { d =>
+      val i = s * SubDim + d + 1
+      s"(CAST(embedding[$i] AS DOUBLE) - (${cb(s, c, d)})) * (CAST(embedding[$i] AS DOUBLE) - (${cb(s, c, d)}))"
+    }.mkString(" + ")
+
+  private def sqlCode(s: Int): String = {
+    val d = (0 until K).map(c => s"(${sqlSubDist(s, c)})")
+    s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
+       |     WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
+       |     WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END""".stripMargin
+  }
+
+  private val sqlEncoded: String =
+    s"""SELECT vec_id, ${(0 until M).map(s => s"${sqlCode(s)} AS code_$s").mkString(",\n")}
+       |FROM embeddings""".stripMargin
+
+  /** LUT literals must be CAST to DOUBLE: DuckDB parses a bare decimal
+    * literal as DECIMAL and would sum the CASE chain in decimal
+    * arithmetic — off by an ulp from Spark's double left-fold. */
+  private def sqlAdc: String =
+    (0 until M).map { sub =>
+      s"""CASE WHEN code_$sub = 0 THEN CAST(${lut(sub, 0)} AS DOUBLE)
+         |     WHEN code_$sub = 1 THEN CAST(${lut(sub, 1)} AS DOUBLE)
+         |     WHEN code_$sub = 2 THEN CAST(${lut(sub, 2)} AS DOUBLE)
+         |     ELSE CAST(${lut(sub, 3)} AS DOUBLE) END""".stripMargin
+    }.mkString(" + ")
+
+  val vecPqEncodeSql: String =
+    s"""SELECT * FROM ($sqlEncoded) ORDER BY vec_id""".stripMargin
+
+  val vecPqAdcTopKSql: String =
+    s"""SELECT vec_id, $sqlAdc AS adc_dist
+       |FROM ($sqlEncoded)
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+
+  val vecPqRerankSql: String = {
+    val exact = (0 until M * SubDim).map { d =>
+      val i = d + 1
+      s"(CAST(e.embedding[$i] AS DOUBLE) - (${qv(d)})) * (CAST(e.embedding[$i] AS DOUBLE) - (${qv(d)}))"
+    }.mkString(" + ")
+    s"""WITH shortlist AS (
+       |  SELECT vec_id, $sqlAdc AS adc_dist
+       |  FROM ($sqlEncoded)
+       |  ORDER BY adc_dist, vec_id LIMIT 50)
+       |SELECT e.vec_id, $exact AS exact_dist
+       |FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id
+       |ORDER BY exact_dist, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "vec_pq_encode"   -> vecPqEncode,
+    "vec_pq_adc_topk" -> vecPqAdcTopK,
+    "vec_pq_rerank"   -> vecPqRerank,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "vec_pq_encode"   -> vecPqEncodeSql,
+    "vec_pq_adc_topk" -> vecPqAdcTopKSql,
+    "vec_pq_rerank"   -> vecPqRerankSql,
+  )
+}
