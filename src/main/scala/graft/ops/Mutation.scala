@@ -80,7 +80,7 @@ object Mutation {
     * and an is_current flag. `lag` detects the change points, `lead` over
     * the surviving change rows closes each range. (event_id tie-breaks
     * identical timestamps, and rides along as the version surrogate key.) */
-  def qScd2History: Q = (s, dir) => {
+  private def scd2Ranges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -91,8 +91,52 @@ object Mutation {
         col("user_id"), col("event_id"), col("event_type"),
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
+
+  def qScd2History: Q = (s, dir) =>
+    scd2Ranges(s, dir).orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  /** SCD2 point-in-time lookup: each purchase event probes the history
+    * for the version active at its timestamp — equi-join on the entity
+    * key with the [valid_from, valid_to) range as join residual. Because
+    * the ranges tile each user's timeline gaplessly from their first
+    * event, every probe matches exactly one version. At 100 TB this is
+    * the standard fact→SCD2 dimension probe: hash-partitioned by the
+    * key, per-key range list is small, so the residual scan is bounded;
+    * the degenerate hot-entity case upgrades to the as-of merge pattern
+    * (q_asof_join). */
+  def qScd2Lookup: Q = (s, dir) => {
+    val hist = scd2Ranges(s, dir).select(
+      col("user_id").as("h_user"), col("event_id").as("version_id"),
+      col("event_type").as("active_type"), col("valid_from"), col("valid_to"))
+    val probes = Tables(s, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    probes.join(hist,
+        col("user_id") === col("h_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("version_id"), col("active_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val qScd2LookupSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |hist AS (
+      |  SELECT user_id AS h_user, event_id AS version_id, event_type AS active_type,
+      |    ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT e.event_id, e.user_id, e.ts, e.value, h.version_id, h.active_type
+      |FROM events e JOIN hist h
+      |  ON e.user_id = h.h_user AND e.ts >= h.valid_from
+      |     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
 
   val qScd2HistorySql: String =
     """WITH ordered AS (
@@ -112,10 +156,12 @@ object Mutation {
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_history" -> qScd2History,
+    "q_scd2_lookup"  -> qScd2Lookup,
   )
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_scd2_history" -> qScd2HistorySql,
+    "q_scd2_lookup"  -> qScd2LookupSql,
   )
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Column profiling — the data-quality sweep a pipeline runs before
+  * pushing a table to a destination: per column, null count, distinct
+  * count, and (numeric columns) min/max.
+  *
+  * Scale notes: ONE pass over the table computes every statistic as a
+  * single wide aggregate row (all partial-aggregable, map-side combined),
+  * then `stack` unpivots driver-side-free to one row per column — no
+  * per-column scans, no collect. The distinct counts are the one
+  * genuinely expensive item at 100 TB (each needs its own dedup state);
+  * swap `countDistinct` for `approx_count_distinct` when exactness isn't
+  * required — same plan shape, constant memory.
+  */
+object Profile {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private case class ColSpec(name: String, numeric: Boolean)
+
+  private val orderCols = Seq(
+    ColSpec("o_orderkey", numeric = true),
+    ColSpec("o_custkey", numeric = true),
+    ColSpec("o_orderstatus", numeric = false),
+    ColSpec("o_totalprice", numeric = true),
+    ColSpec("o_orderpriority", numeric = false))
+
+  def qProfileOrders: Q = (s, dir) => {
+    val t = Tables(s, dir).orders
+    val aggs = orderCols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c.name))).as(s"${c.name}__nulls"),
+        countDistinct(col(c.name)).as(s"${c.name}__distinct")) ++
+        (if (c.numeric) Seq(
+          min(col(c.name)).cast("double").as(s"${c.name}__min"),
+          max(col(c.name)).cast("double").as(s"${c.name}__max"))
+        else Seq.empty)
+    }
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = orderCols.map { c =>
+      val mn = if (c.numeric) s"`${c.name}__min`" else "CAST(NULL AS DOUBLE)"
+      val mx = if (c.numeric) s"`${c.name}__max`" else "CAST(NULL AS DOUBLE)"
+      s"'${c.name}', `${c.name}__nulls`, `${c.name}__distinct`, $mn, $mx"
+    }.mkString(", ")
+    wide.select(expr(
+        s"stack(${orderCols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_num, max_num)"))
+      .orderBy(col("col_name"))
+  }
+
+  val qProfileOrdersSql: String = {
+    val selects = orderCols.map { c =>
+      val mn = if (c.numeric) s"CAST(MIN(${c.name}) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (c.numeric) s"CAST(MAX(${c.name}) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '${c.name}' AS col_name,
+         |  COUNT(*) - COUNT(${c.name}) AS n_nulls,
+         |  COUNT(DISTINCT ${c.name}) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num
+         |FROM orders""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val queries: Map[String, Q] = Map("q_profile" -> qProfileOrders)
+  val oracles: Map[String, String] = Map("q_profile" -> qProfileOrdersSql)
+}

@@ -91,6 +91,28 @@ class MutationGraphSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("scd2 lookup: every purchase probe resolves to exactly one version") {
+    val probes = graft.sources.Tables(spark, sf).events
+      .filter($"event_type" === "purchase").count()
+    val out = Mutation.qScd2Lookup(spark, sf).cache()
+    assert(out.count() === probes, "a probe matched zero or multiple versions")
+    assert(out.groupBy($"event_id").count().filter($"count" > 1).count() === 0)
+    // the resolved version is always a 'purchase'-typed change row or earlier
+    // change whose range covers the probe ts
+    val bad = out.filter($"active_type".isNull).count()
+    assert(bad === 0)
+    out.unpersist()
+  }
+
+  test("profile: single-pass wide aggregate, no per-column scans") {
+    val df = Profile.qProfileOrders(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected ONE scan of orders, got $scans:\n$p")
+    val row = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(row("o_orderstatus") >= 1 && row("o_orderkey") >= 1)
+  }
+
   test("pagerank plan: rank propagation joins are hash-based, not cartesian") {
     val p = Graph.qPageRank(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
