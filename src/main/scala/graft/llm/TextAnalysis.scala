@@ -419,8 +419,67 @@ object TextAnalysis {
       |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
       |FROM inj ORDER BY doc_id""".stripMargin
 
+  /** All-pairs TF-IDF cosine similarity via a df-capped inverted index —
+    * the sparse-vector sibling of the dense embedding near-dup in
+    * [[Similarity]], and the Bayardo/Chaudhuri-style scale shape: instead
+    * of the O(n²) doc×doc cross join, docs meet ONLY through tokens they
+    * share, and the index drops tokens with df > 50 so no token fans out
+    * more than C(50,2) pairs. Norms use the FULL vector (computed before
+    * the cap), so the reported score is a certified LOWER BOUND of the
+    * true cosine — the standard prefix-filter trade: recall on pairs whose
+    * overlap lives entirely in ultra-common tokens is sacrificed for a
+    * linear index instead of a quadratic one.
+    *
+    * idf is the rational N/df (not ln) and the final score is rounded to
+    * 6 dp on both engines — same determinism treatment as q_pagerank:
+    * accumulation-order noise is ~1e-15 against a 1e-6 grain. */
+  def tfidfCosinePairs: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(df, col("tok") === col("df_tok")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"), col("df"))
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val idx = w.filter(col("df") <= 50).select(col("doc_id"), col("tok"), col("w"))
+    val cos = round(col("dot") / (col("na.norm") * col("nb.norm")), 6)
+    idx.as("x")
+      .join(idx.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"))
+      .join(norms.as("na"), col("a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("b") === col("nb.doc_id"))
+      .filter(cos >= 0.5)
+      .select(col("a"), col("b"), cos.as("cos_lb"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val tfidfCosinePairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |w AS (SELECT tf.doc_id, tf.tok, CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS w, df.df
+      |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+      |norms AS (SELECT doc_id, sqrt(SUM(w*w)) AS norm FROM w GROUP BY doc_id),
+      |idx AS (SELECT doc_id, tok, w FROM w WHERE df <= 50),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.w * y.w) AS dot
+      |  FROM idx x JOIN idx y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, ROUND(dot / (na.norm * nb.norm), 6) AS cos_lb
+      |FROM pairs JOIN norms na ON a = na.doc_id JOIN norms nb ON b = nb.doc_id
+      |WHERE ROUND(dot / (na.norm * nb.norm), 6) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_pii_scrub"         -> piiScrub,
+    "text_tfidf_cosine_pairs" -> tfidfCosinePairs,
     "text_tfidf_top_terms"   -> tfidfTopTerms,
     "text_prep_pipeline"     -> prepPipeline,
     "text_stratified_split"  -> stratifiedSplit,
@@ -434,6 +493,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_pii_scrub"        -> piiScrubSql,
+    "text_tfidf_cosine_pairs" -> tfidfCosinePairsSql,
     "text_tfidf_top_terms"  -> tfidfTopTermsSql,
     "text_prep_pipeline"    -> prepPipelineSql,
     "text_stratified_split" -> stratifiedSplitSql,

@@ -44,7 +44,13 @@ object Graph {
           col("a.l_suppkey") =!= col("b.l_suppkey"))
       .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist()
+    // The edge list and degree table are read once per iteration; persist
+    // them so the 5 unrolled iterations reuse ONE materialization instead
+    // of recomputing the scan+distinct+self-join chain each round (same
+    // shared-kernel discipline as Dedup's shingle relation; Verify's
+    // clearCache() releases them at end of run).
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
     val n = deg.agg(count(lit(1)).as("n_nodes"))
 
     var ranks = deg.crossJoin(broadcast(n))
