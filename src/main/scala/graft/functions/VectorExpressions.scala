@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
       (children: Seq[Expression]) => AudioMeta(children(0))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 
