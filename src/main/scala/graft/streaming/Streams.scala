@@ -129,6 +129,18 @@ object Streams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's dimension row. The static side is a plain batch DataFrame —
+    * re-read per micro-batch (so slowly-changing dimension updates are
+    * picked up between triggers) and broadcast when it fits, which is the
+    * right plan: the unbounded side never shuffles and carries no join
+    * state (unlike stream-stream joins, nothing needs a watermark — the
+    * static side is complete by definition). Left join keeps events whose
+    * user is not in the dimension (dim_name null), the usual contract for
+    * late-arriving dimension rows. */
+  def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Streaming top-k per user via the native [[graft.functions.TopKPairs]]
     * aggregate (`graft_topk`): the raw-binary buffer is exactly what the
     * streaming state store persists between microbatches, so the same

@@ -48,6 +48,30 @@ class StreamsSpec extends SparkTestBase {
     assert(counts == Seq(1L, 2L))
   }
 
+  test("stream-static enrichment join broadcasts the dimension, keeps dimension-less events") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(1), 101, "view", 2.0),
+      Event(3, ts(2), 999, "click", 3.0)) // no dimension row
+    val dim = Seq((100L, "alice"), (101L, "bob")).toDF("user_id", "dim_name")
+    val q = Streams.enrichWithDim(in.toDF(), dim).writeStream
+      .format("memory").queryName("enrich").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich")
+      .select($"event_id", $"dim_name").as[(Long, Option[String])].collect().toSet
+    assert(rows === Set((1L, Some("alice")), (2L, Some("bob")), (3L, None)))
+    // plan: the static side must broadcast — no shuffle of the stream
+    val p = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim join in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the unbounded side must not shuffle:\n$p")
+  }
+
   test("dropDuplicatesWithinWatermark removes in-watermark repeats") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
