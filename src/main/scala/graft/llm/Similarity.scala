@@ -341,8 +341,63 @@ object Similarity {
       |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))
       |ORDER BY vec_id""".stripMargin
 
+  /** Semantic dedup end-to-end: cosine near-dup pairs → connected
+    * components → component id (= min vec_id, the canonical
+    * representative). Same min-label propagation as
+    * [[Dedup.dedupClusters]] (one join + min-aggregate per round,
+    * localCheckpoint lineage truncation, scalar convergence potential);
+    * at scale the pair source swaps to the LSH-bucketed kernel
+    * ([[embeddingNearDupLsh]]) with an identical downstream — the exact
+    * all-pairs source here is what makes the entry oracle-checkable. */
+  def embeddingDedupClusters: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        dotp(col("a.vn"), col("b.vn")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("d1").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("d2") === col("node"))
+        .select(col("d1").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+    }
+    labels
+      .select(col("node").as("vec_id"), col("label").as("component"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embeddingDedupClustersSql: String =
+    s"""WITH RECURSIVE $normalizedSql,
+       |pairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.vn, b.vn) >= 0.45),
+       |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |       UNION SELECT d2, d1 FROM pairs),
+       |reach AS (SELECT a, b FROM bi
+       |          UNION
+       |          SELECT r.a, e2.b FROM reach r JOIN bi e2 ON r.b = e2.a)
+       |SELECT a AS vec_id, LEAST(MIN(b), a) AS component
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "vec_quantize"           -> vecQuantize,
+    "embedding_dedup_clusters" -> embeddingDedupClusters,
     "knn_brute_force"        -> knnBruteForce,
     "knn_ivf"                -> knnIvf,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobe,
@@ -352,6 +407,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "vec_quantize"           -> vecQuantizeSql,
+    "embedding_dedup_clusters" -> embeddingDedupClustersSql,
     "knn_brute_force"        -> knnBruteForceSql,
     "knn_ivf"                -> knnIvfSql,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobeSql,
