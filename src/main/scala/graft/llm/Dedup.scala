@@ -285,39 +285,37 @@ object Dedup {
 
   // ------------------------------------------------------------ clusters
 
-  /** Near-dup clusters: connected components over the exact-Jaccard pair
-    * graph (threshold 0.5), labeling every member with the minimum doc_id
-    * of its component — the canonical-representative step that turns
-    * pairwise dedup into "keep one per cluster".
+  /** Distributed min-label connected components over an undirected pair
+    * list (columns `d1`, `d2`): returns (node, label) where label is the
+    * minimum node id reachable from `node`. Shared by the text
+    * ([[dedupClusters]]) and embedding
+    * ([[Similarity.embeddingDedupClusters]]) dedup families.
     *
-    * Implementation is distributed min-label propagation (Pregel shape):
-    * each iteration is one join + min-aggregate over the edge list, all
-    * executor-side; only a scalar convergence flag crosses the driver.
-    * Iteration count is bounded by component diameter — near-dup clusters
-    * are shallow (dup groups, not long chains), so this converges in 2-3
-    * rounds; the large-star/small-star variant is the upgrade path if a
-    * corpus ever produces deep chains. */
-  def dedupClusters: Q = (s, dir) => {
-    // The kernel result is already persisted inside jaccardPairs, so both
-    // symmetric-union branches (and dedup_ngram_jaccard in the same
-    // session) read one materialization.
-    val pairs = jaccardPairs(Tables(s, dir).documents, 0.5)
-      .select(col("d1"), col("d2"))
-    // Eager localCheckpoint on the edge list and on every label
-    // generation: materializes AND truncates lineage, so each iteration's
-    // logical plan stays constant-size (labels are referenced twice per
-    // round — with plain persist the plan doubles per round and Catalyst
-    // analysis time compounds; see dedupClustersStar for the measured
-    // version of this failure mode).
+    * Implementation is min-label propagation (Pregel shape): each
+    * iteration is one join + min-aggregate over the edge list, all
+    * executor-side. Eager localCheckpoint on the edge list and on every
+    * label generation materializes AND truncates lineage, so each
+    * iteration's logical plan stays constant-size (labels are referenced
+    * twice per round — with plain persist the plan doubles per round and
+    * Catalyst analysis time compounds; see dedupClustersStar for the
+    * measured version of this failure mode). Iteration count is bounded
+    * by component diameter — near-dup clusters are shallow, so this
+    * converges in 2-3 rounds; the large-star/small-star variant is the
+    * upgrade path for deep chains.
+    *
+    * Convergence check: labels only ever decrease, so the label sum is a
+    * strictly decreasing potential — one cheap aggregate per iteration
+    * instead of a join against the previous generation. An EMPTY pair
+    * list short-circuits to the empty (node, label) frame (the sum
+    * aggregate over zero rows is null — getLong would NPE). */
+  private[llm] def minLabelComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
     var labels = edges.select(col("d1").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    // Convergence check: labels only ever decrease, so the label sum is a
-    // strictly decreasing potential — one cheap aggregate per iteration
-    // instead of a join against the previous generation.
+    if (labels.isEmpty) return labels
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     while (!converged) {
@@ -332,6 +330,19 @@ object Dedup {
       prevSum = nextSum
     }
     labels
+  }
+
+  /** Near-dup clusters: connected components over the exact-Jaccard pair
+    * graph (threshold 0.5), labeling every member with the minimum doc_id
+    * of its component — the canonical-representative step that turns
+    * pairwise dedup into "keep one per cluster". */
+  def dedupClusters: Q = (s, dir) => {
+    // The kernel result is already persisted inside jaccardPairs, so both
+    // symmetric-union branches (and dedup_ngram_jaccard in the same
+    // session) read one materialization.
+    val pairs = jaccardPairs(Tables(s, dir).documents, 0.5)
+      .select(col("d1"), col("d2"))
+    minLabelComponents(pairs)
       .select(col("node").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
   }

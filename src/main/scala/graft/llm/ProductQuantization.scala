@@ -101,22 +101,22 @@ object ProductQuantization {
         .otherwise(lit(lut(sub, 3)))
     }.reduce(_ + _)
 
-  def vecPqAdcTopK: Q = (s, dir) =>
+  /** ADC top-n over the encoded representation — the rerank input and the
+    * test hook for the shortlist-subset property. */
+  private[llm] def adcShortlist(s: SparkSession, dir: String, n: Int): DataFrame =
     encoded(s, dir)
       .withColumn("adc_dist", adcCol)
       .select(col("vec_id"), col("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(10)
+      .limit(n)
+
+  def vecPqAdcTopK: Q = (s, dir) => adcShortlist(s, dir, 10)
 
   /** ADC shortlist (top-50 codes-only) → exact squared distance over the
     * full vectors for just those 50 → top-10. */
   def vecPqRerank: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
-    val shortlist = encoded(s, dir)
-      .withColumn("adc_dist", adcCol)
-      .select(col("vec_id"), col("adc_dist"))
-      .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(50)
+    val shortlist = adcShortlist(s, dir, 50)
     val exact = (0 until M * SubDim).map { d =>
       val x = element_at(col("embedding"), d + 1).cast("double") - lit(qv(d))
       x * x

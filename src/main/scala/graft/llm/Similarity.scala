@@ -357,26 +357,7 @@ object Similarity {
         dotp(col("a.vn"), col("b.vn")).as("cos"))
       .filter(col("cos") >= 0.45)
       .select(col("d1"), col("d2"))
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("d1").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-    var converged = false
-    while (!converged) {
-      val prop = edges.join(labels, col("d2") === col("node"))
-        .select(col("d1").as("node"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-    }
-    labels
+    Dedup.minLabelComponents(pairs)
       .select(col("node").as("vec_id"), col("label").as("component"))
       .orderBy(col("vec_id"))
   }

@@ -31,9 +31,6 @@ object Mutation {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val orderCols =
-    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
-
   /** MERGE (upsert): apply an update batch to a base snapshot keyed on
     * o_orderkey — matched rows take the update's values, unmatched update
     * rows insert, unmatched base rows carry over. Base/updates are carved

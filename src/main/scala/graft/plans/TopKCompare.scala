@@ -20,6 +20,12 @@ object TopKCompare {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      // The comparison needs the Window arm to STAY a Window: the
+      // globally-injected WindowTopKRewrite would otherwise rewrite the
+      // dead-rank idiom below into TopKPerGroup and we'd benchmark the
+      // custom operator against itself.
+      .config("spark.sql.optimizer.excludedRules",
+        "graft.plans.WindowTopKRewrite")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

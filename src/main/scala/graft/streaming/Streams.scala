@@ -137,9 +137,15 @@ object Streams {
     * state (unlike stream-stream joins, nothing needs a watermark — the
     * static side is complete by definition). Left join keeps events whose
     * user is not in the dimension (dim_name null), the usual contract for
-    * late-arriving dimension rows. */
+    * late-arriving dimension rows.
+    *
+    * Deliberately NO broadcast hint: a forced hint disables the size
+    * check (the Tables.scala supplierDim hazard — a dimension that grows
+    * past the 8 GB broadcast hard limit would then kill every
+    * micro-batch), while un-hinted the planner broadcasts while the dim
+    * fits and degrades to a shuffled join when it doesn't. */
   def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
-    events.join(broadcast(userDim), Seq("user_id"), "left")
+    events.join(userDim, Seq("user_id"), "left")
 
   /** Streaming top-k per user via the native [[graft.functions.TopKPairs]]
     * aggregate (`graft_topk`): the raw-binary buffer is exactly what the

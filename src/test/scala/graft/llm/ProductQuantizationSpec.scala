@@ -39,17 +39,16 @@ class ProductQuantizationSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), s"ADC scan must be map-only:\n$p")
   }
 
-  test("rerank: exact distances ascending, and a superset-of-ADC sanity") {
+  test("rerank: exact distances ascending, ids drawn from the ADC top-50 shortlist") {
     val rr = ProductQuantization.queries("vec_pq_rerank")(spark, sf)
       .as[(Long, Double)].collect()
     assert(rr.length === 10)
     assert(rr.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "exact_dist not ascending")
-    // every reranked id must come from the ADC top-50 shortlist
-    val shortlist = ProductQuantization.queries("vec_pq_adc_topk")(spark, sf)
+    val shortlist = ProductQuantization.adcShortlist(spark, sf, 50)
       .select($"vec_id").as[Long].collect().toSet
-    // top-10 ADC ⊆ top-50 ADC by construction; weaker but cheap cross-check:
-    // the best ADC candidate should appear in the shortlist the rerank used.
-    assert(shortlist.nonEmpty)
+    assert(shortlist.size === 50)
+    val outside = rr.map(_._1).filterNot(shortlist.contains)
+    assert(outside.isEmpty, s"reranked ids not in the ADC shortlist: $outside")
   }
 
   test("rerank plan: shortlist joins back via broadcast, not a shuffle of vectors") {

@@ -219,6 +219,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected map-side partial graft_topk in:\n$p")
   }
 
+  test("q_topk_window_rewrite: the optimizer rule replaces the Window on the real query") {
+    // WindowTopKRewriteSpec pins the rule on synthetic frames; this pins
+    // it END-TO-END on the parquet-scanned production query — if the
+    // rewrite silently stopped firing here, results would still
+    // hash-match (same semantics) while the plan regressed to the full
+    // partition sort.
+    val p = plan("q_topk_window_rewrite")
+    assert(p.contains("TopKPerGroup"), s"rewrite did not fire on the real query:\n$p")
+    assert(!p.contains("Window"), s"Window survived the rewrite:\n$p")
+  }
+
   test("dedup_incremental: delta join shuffles hashes, never document text") {
     // The point of the hash-delta shape is that the full-outer join moves
     // 16 bytes/row. If `text` ever appears in an Exchange's output the

@@ -67,6 +67,23 @@ class WindowTopKRewriteSpec extends SparkTestBase {
     assert(!p.contains("TopKPerGroup"), s"global window must not rewrite:\n$p")
   }
 
+  test("spark.sql.optimizer.excludedRules disables the rewrite (TopKCompare relies on this)") {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "graft.plans.WindowTopKRewrite")
+      val out = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2).drop("rn")
+      val p = planOf(out)
+      assert(p.contains("Window") && !p.contains("TopKPerGroup"),
+        s"exclusion must keep the Window arm a Window:\n$p")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("rewritten query matches the un-rewritten Window result on real data") {
     val sf = "/root/testdata/sf0.001"
     val rewritten = PlanOps.queries("q_topk_window_rewrite")(spark, sf)
