@@ -230,6 +230,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"Window survived the rewrite:\n$p")
   }
 
+  test("q_fuzzy_join: candidates meet through the bigram equi-join, no name cross join") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join must prefix-filter via the q-gram index, not cross-join names:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge candidate join in:\n$p")
+  }
+
   test("dedup_incremental: delta join shuffles hashes, never document text") {
     // The point of the hash-delta shape is that the full-outer join moves
     // 16 bytes/row. If `text` ever appears in an Exchange's output the
