@@ -76,6 +76,35 @@ class FrequentItemsSpec extends SparkTestBase {
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("property: MG guarantee holds on random zipf-ish streams × partitionings × caps") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // Random streams (zipf-ish: value v drawn with weight ~ 1/(v+1)),
+    // random cap and partitioning — items with count > n/(cap+1) must
+    // always survive the distributed sketch.
+    val gen = for {
+      n     <- Gen.choose(200, 2000)
+      seed  <- Gen.choose(0L, Long.MaxValue)
+      cap   <- Gen.choose(4, 40)
+      parts <- Gen.choose(1, 16)
+    } yield (n, seed, cap, parts)
+    val prop = Prop.forAll(gen) { case (n, seed, cap, parts) =>
+      val rnd = new scala.util.Random(seed)
+      // inverse-CDF-ish zipf over 50 values
+      val data = Seq.fill(n)(math.min(49, (50.0 / (1 + rnd.nextInt(500))).toInt * 7 + rnd.nextInt(3)).toLong)
+      val exact = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val thresh = n.toDouble / (cap + 1)
+      val must = exact.collect { case (k, c) if c > thresh => k }.toSet
+      val got = spark.createDataset(data).toDF("item").repartition(parts)
+        .agg(call_function("graft_freq_items", col("item"), lit(cap)).as("s"))
+        .select(explode(col("s")).as("c")).select($"c.item".as[Long])
+        .collect().toSet
+      must.subsetOf(got) && got.size <= cap
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"MG guarantee property failed: ${res.status}")
+  }
+
   test("q_heavy_hitters plan: sketch aggregates partially map-side; recount join broadcasts") {
     val df = Udfs.qHeavyHitters(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
