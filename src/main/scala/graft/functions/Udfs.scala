@@ -186,12 +186,50 @@ object Udfs {
       |HAVING COUNT(*) > (SELECT COUNT(*) FROM lineitem) / 1500.0
       |ORDER BY cnt DESC, item""".stripMargin
 
+  /** Re-aggregatable distinct-count sketches (Apache DataSketches HLL):
+    * build one sketch per source, then MERGE the binary sketches into the
+    * global count — no second pass over the data. This is the 100 TB
+    * pattern for distinct counts across rollup levels: per-partition/
+    * per-day sketches are tiny, persist as bytes, and any coarser rollup
+    * (week, global, any dimension subset) is a sketch union instead of a
+    * re-scan — what `countDistinct` fundamentally cannot do (distinct
+    * counts don't add). Oracle treatment = q_approx_agg: exact companions
+    * hash-match outright; sketch ACCURACY is asserted as a deterministic
+    * within-2% boolean (HLL lgk=12 ⇒ ~1.6% RSE; the sketch is a pure
+    * function of the data, so the boolean is stable). */
+  def qHllRollup: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val per = docs.groupBy(col("source")).agg(
+      hll_sketch_agg(col("doc_id")).as("sk"),
+      countDistinct(col("doc_id")).as("exact_ids"))
+    val perOut = per.select(
+      col("source"), col("exact_ids"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_ids")) <=
+        col("exact_ids") * 0.02).as("approx_ok"))
+    val globalExact = docs.agg(countDistinct(col("doc_id")).as("g_exact"))
+    val globalOut = per.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(globalExact))
+      .select(
+        lit("__all__").as("source"), col("g_exact").as("exact_ids"),
+        (abs(hll_sketch_estimate(col("sk")) - col("g_exact")) <=
+          col("g_exact") * 0.02).as("approx_ok"))
+    perOut.unionByName(globalOut).orderBy(col("source"))
+  }
+
+  val qHllRollupSql: String =
+    """SELECT source, COUNT(DISTINCT doc_id) AS exact_ids, TRUE AS approx_ok
+      |FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT '__all__', COUNT(DISTINCT doc_id), TRUE FROM documents
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_udf_scalar"     -> qUdfScalar,
     "q_agg_topk"       -> qAggTopK,
     "q_topk_typed_agg" -> qTopKTypedAgg,
     "q_approx_agg"     -> qApprox,
     "q_heavy_hitters"  -> qHeavyHitters,
+    "q_hll_rollup"     -> qHllRollup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +238,6 @@ object Udfs {
     "q_topk_typed_agg" -> qTopKTypedAggSql,
     "q_approx_agg"     -> qApproxSql,
     "q_heavy_hitters"  -> qHeavyHittersSql,
+    "q_hll_rollup"     -> qHllRollupSql,
   )
 }
