@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector contract: filter pushdown narrows the planned key
+  * range, column pruning reaches the reader, split planning parallelizes,
+  * and reads are deterministic. */
+class SyntheticEventsSourceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def read(rows: Long = 1000, splits: Int = 4): DataFrame =
+    spark.read.format("graft.sources.SyntheticEventsSource")
+      .option("rows", rows.toString).option("splits", splits.toString).load()
+
+  private def scanDesc(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("full scan returns rows deterministic in id") {
+    val df = read(1000)
+    assert(df.count() === 1000)
+    val a = df.orderBy($"id").collect()
+    val b = read(1000).orderBy($"id").collect()
+    assert(a.sameElements(b))
+    // content is the advertised pure function of id
+    val r42 = df.filter($"id" === 42).head()
+    assert(r42.getLong(1) === SyntheticEventsSource.userOf(42))
+    assert(r42.getString(2) === SyntheticEventsSource.kindOf(42))
+    assert(r42.getDouble(3) === SyntheticEventsSource.valueOf(42))
+  }
+
+  test("id range predicates push down and narrow the planned range") {
+    val df = read(100000, splits = 8).filter($"id" >= 90000 && $"id" < 90010)
+    val p = scanDesc(df)
+    assert(p.contains("range=[90000,90010)"),
+      s"pushdown did not narrow the generator range:\n$p")
+    assert(df.count() === 10)
+  }
+
+  test("equality predicate narrows to a single-key range") {
+    val df = read(100000).filter($"id" === 12345)
+    assert(scanDesc(df).contains("range=[12345,12346)"), scanDesc(df))
+    assert(df.count() === 1)
+  }
+
+  test("non-id predicates stay residual (correct results, range unnarrowed)") {
+    val df = read(1000).filter($"kind" === "click" && $"id" < 100)
+    val p = scanDesc(df)
+    assert(p.contains("range=[0,100)"), s"id filter should still push:\n$p")
+    val expected = (0L until 100L).count(SyntheticEventsSource.kindOf(_) == "click")
+    assert(df.count() === expected)
+  }
+
+  test("column pruning reaches the reader (ReadSchema shrinks)") {
+    val df = read(1000).select($"user_id")
+    val p = scanDesc(df)
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"expected pruned single-column ReadSchema in:\n$p")
+    assert(df.distinct().count() <= 97)
+  }
+
+  test("split planning: contradictory range plans the empty scan, not a failure") {
+    val df = read(1000).filter($"id" > 5000L)
+    assert(df.count() === 0)
+  }
+
+  test("splits partition the range") {
+    val df = read(1000, splits = 7)
+    assert(df.rdd.getNumPartitions === 7)
+  }
+}
