@@ -45,22 +45,27 @@ object Graph {
       .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .distinct()
       .persist()
-    // The edge list and degree table are read once per iteration; persist
-    // them so the 5 unrolled iterations reuse ONE materialization instead
-    // of recomputing the scan+distinct+self-join chain each round (same
-    // shared-kernel discipline as Dedup's shingle relation; Verify's
-    // clearCache() releases them at end of run).
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Fold the out-degree into the persisted edge list ONCE (w = 1/outdeg):
+    // each iteration is then a single edges⋈ranks join + partial-summed
+    // groupBy instead of a second per-iteration deg join. The persisted
+    // weighted edges (and deg above, inside them) are the shared kernel
+    // the 5 unrolled iterations reuse (same discipline as Dedup's shingle
+    // relation; Verify's clearCache() releases them at end of run). The
+    // oracle mirrors the same w = 1/outdeg factoring so rank*w stays
+    // bit-identical across engines.
+    val edgesW = edges.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .persist()
     val n = deg.agg(count(lit(1)).as("n_nodes"))
 
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("n_nodes")).as("rank"))
     for (_ <- 1 to Iters) {
-      ranks = edges
+      ranks = edgesW
         .join(ranks, col("src") === col("node"))
-        .join(deg, "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("mass"))
+        .agg(sum(col("rank") * col("w")).as("mass"))
         .crossJoin(broadcast(n))
         .select(col("dst").as("node"),
           (lit(1 - D) / col("n_nodes") + lit(D) * col("mass")).as("rank"))
@@ -74,8 +79,8 @@ object Graph {
       s"""$cur AS (
          |  SELECT e.dst AS node,
          |    CAST(${1 - D} AS DOUBLE) / (SELECT n_nodes FROM n)
-         |      + CAST($D AS DOUBLE) * SUM(r.rank / d.outdeg) AS rank
-         |  FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |      + CAST($D AS DOUBLE) * SUM(r.rank * e.w) AS rank
+         |  FROM edgesw e JOIN $prev r ON e.src = r.node
          |  GROUP BY e.dst)""".stripMargin
     val iters = (1 to Iters)
       .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
@@ -85,6 +90,9 @@ object Graph {
        |  FROM supp a JOIN supp b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |edgesw AS (
+       |  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.outdeg AS w
+       |  FROM edges e JOIN deg d ON e.src = d.src),
        |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM n) AS rank FROM deg),
        |$iters
