@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -77,15 +78,18 @@ private class SyntheticEventsTable(rows: Long, splits: Int)
     new SyntheticScanBuilder(rows, splits)
 }
 
-/** Planning-time state: the id range narrowed by accepted filters and the
-  * schema narrowed by column pruning. */
+/** Planning-time state: the id range narrowed by accepted filters, the
+  * schema narrowed by column pruning, and (when the whole aggregation is
+  * answerable from the range arithmetic alone) a pushed-down aggregate. */
 private class SyntheticScanBuilder(rows: Long, splits: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo: Long = 0L              // inclusive
   private var hi: Long = rows            // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticEventsSource.Schema
+  private var aggFuncs: Option[Seq[AggregateFunc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -120,7 +124,76 @@ private class SyntheticScanBuilder(rows: Long, splits: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SyntheticScan(lo, hi, splits, pushed, required)
+  /** COUNT(*), MIN(id), MAX(id) over the (already filter-narrowed) key
+    * range are pure range arithmetic — COMPLETE pushdown: the scan emits
+    * one pre-aggregated row and no generator runs at all. Anything else
+    * (grouping, other columns, SUM/AVG) is declined and Spark aggregates
+    * the ordinary scan. */
+  private def isIdRef(e: V2Expression): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+    case _                  => false
+  }
+
+  private def supported(a: Aggregation): Boolean =
+    a.groupByExpressions().isEmpty && a.aggregateExpressions().nonEmpty &&
+      a.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => isIdRef(m.column())
+        case m: Max => isIdRef(m.column())
+        case _ => false
+      }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    supported(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supported(aggregation)) return false
+    aggFuncs = Some(aggregation.aggregateExpressions().toSeq)
+    true
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) => new SyntheticAggScan(lo, hi, funcs)
+    case None        => new SyntheticScan(lo, hi, splits, pushed, required)
+  }
+}
+
+/** Completely-pushed aggregate: one partition, one row, zero generator
+  * work — the DSv2 analog of answering COUNT(*) from table metadata. */
+private class SyntheticAggScan(lo: Long, hi: Long, funcs: Seq[AggregateFunc])
+  extends Scan with Batch {
+
+  private val empty = hi <= lo
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticEvents AGG-PUSHDOWN range=[$lo,$hi) funcs=${funcs.mkString("[", ", ", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(0, 1))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: IndexedSeq[Any] = funcs.toIndexedSeq.map {
+      case _: CountStar => math.max(0L, hi - lo)
+      case _: Min       => if (empty) null else lo
+      case _: Max       => if (empty) null else hi - 1
+      case _            => null
+    }
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(values)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 private class SyntheticScan(

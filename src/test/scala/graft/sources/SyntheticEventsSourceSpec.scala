@@ -70,4 +70,31 @@ class SyntheticEventsSourceSpec extends SparkTestBase {
     val df = read(1000, splits = 7)
     assert(df.rdd.getNumPartitions === 7)
   }
+
+  test("count/min/max push down completely — no generator runs") {
+    val df = read(100000).filter($"id" >= 100 && $"id" < 50000)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"))
+    val p = scanDesc(df)
+    assert(p.contains("AGG-PUSHDOWN"), s"aggregation did not push into the scan:\n$p")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((49900L, 100L, 49999L)))
+  }
+
+  test("aggregate pushdown declines grouping and non-id aggregates (results still right)") {
+    val grouped = read(1000).groupBy($"kind").agg(count(lit(1)).as("n"))
+    assert(!scanDesc(grouped).contains("AGG-PUSHDOWN"))
+    assert(grouped.agg(sum($"n")).head().getLong(0) === 1000L)
+    val other = read(1000).agg(min($"value"))
+    assert(!scanDesc(other).contains("AGG-PUSHDOWN"))
+    val expected = (0L until 1000L).map(SyntheticEventsSource.valueOf).min
+    assert(other.head().getDouble(0) === expected)
+  }
+
+  test("pushed count over a contradictory range is zero, min/max null") {
+    val df = read(1000).filter($"id" > 5000L)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"))
+    assert(scanDesc(df).contains("AGG-PUSHDOWN"), scanDesc(df))
+    val r = df.head()
+    assert(r.getLong(0) === 0L && r.isNullAt(1))
+  }
 }
