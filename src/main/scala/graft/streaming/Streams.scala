@@ -160,6 +160,19 @@ object Streams {
       .select(col("user_id"), (col("pos") + 1).cast("long").as("rk"),
         col("p.payload").as("event_id"), col("p.score").as("value"))
 
+  /** Streaming heavy hitters per event kind via the native
+    * [[graft.functions.FrequentItems]] Misra–Gries aggregate: like
+    * [[topEventsPerUser]], the raw-binary sketch buffer is exactly what
+    * the state store persists, so the bounded counter map merges
+    * incrementally across triggers — per-key state stays ≤ cap entries
+    * no matter how many distinct users flow through the stream. */
+  def frequentUsersPerKind(events: DataFrame, cap: Int): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_freq_items", col("user_id"), lit(cap)).as("sketch"))
+      .select(col("event_type"), explode(col("sketch")).as("c"))
+      .select(col("event_type"), col("c.item").as("user_id"), col("c.lb").as("lb"))
+
   /** Continuous push to H2 — the streaming analog of the reference's one
     * sink. Idempotent via [[H2Sink.writeBatch]]: each micro-batch loads
     * into a batchId-tagged staging table, then swaps it in with

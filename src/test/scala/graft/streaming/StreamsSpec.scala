@@ -147,6 +147,33 @@ class StreamsSpec extends SparkTestBase {
     assert(rows == Set((100L, 1L, 3L, 9.0), (100L, 2L, 1L, 5.0), (101L, 1L, 4L, 2.0)))
   }
 
+  test("native graft_freq_items sketch merges bounded state across microbatches") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.frequentUsersPerKind(in.toDF(), cap = 2).writeStream
+      .format("memory").queryName("freq_stream")
+      .outputMode(OutputMode.Complete()).start()
+    // batch 1: user 100 dominates 'click'
+    in.addData(Event(1, ts(0), 100, "click", 1.0), Event(2, ts(1), 100, "click", 1.0),
+      Event(3, ts(2), 101, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: three more distinct users hit 'click' — with cap=2 the
+    // sketch must evict, but the dominant user 100 (5 of 8 clicks) is
+    // guaranteed to survive: count 5 > n/(cap+1) = 8/3.
+    in.addData(Event(4, ts(3), 100, "click", 1.0), Event(5, ts(4), 100, "click", 1.0),
+      Event(6, ts(5), 100, "click", 1.0), Event(7, ts(6), 102, "click", 1.0),
+      Event(8, ts(7), 103, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("freq_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length <= 2, s"cap bound violated: ${rows.mkString(",")}")
+    val heavy = rows.filter(_._2 == 100L)
+    assert(heavy.nonEmpty, s"dominant user evicted despite MG guarantee: ${rows.mkString(",")}")
+    assert(heavy.head._3 >= 3, s"lower bound too weak: ${heavy.head}")
+  }
+
   test("graft_image_meta decodes blob headers in a streaming pipeline") {
     // The scan-fused header decode must compose with Structured Streaming
     // (deterministic expression, no state): incoming blob micro-batches →
