@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.functions.VectorFunctions.dotp
+import graft.plans.TopKPerGroup
 
 /** Product quantization (PQ) for embedding compression + approximate
   * search — the memory-side half of a production ANN stack (IVF in
@@ -128,20 +130,78 @@ object ProductQuantization {
       .limit(10)
   }
 
+  // ---- IVF-PQ: coarse cells + in-cell ADC over codes + exact re-rank --
+
+  /** Inner-product ADC lookup entry for (query vn, subspace s, code c):
+    * dot(q_s, cb[s][c]). Computed once per QUERY on the broadcast side —
+    * per candidate the score is 8 CASE lookups, zero vector math. */
+  private def lutIpCol(q: Column, s: Int, c: Int): Column =
+    (0 until SubDim).map { d =>
+      element_at(q, s * SubDim + d + 1) * lit(cb(s, c, d))
+    }.reduce(_ + _)
+
+  /** IVF-PQ — the FAISS IVFPQ composition of this module's PQ with
+    * [[Similarity]]'s IVF. The coarse quantizer restricts each query to
+    * its own cell (nprobe=1); within the cell, candidates are scored by
+    * asymmetric distance over their 8 PQ codes (approximate cosine =
+    * Σ_s dot(q_s, cb[s][code_s]), with the 32 per-query LUT entries
+    * precomputed on the broadcast query side); the ADC top-10 shortlist
+    * is re-ranked with exact dot products read ONLY for those ≤100 rows.
+    *
+    * Scale shape: the candidate join touches (vec_id, cell, 8 small
+    * codes) per corpus row — never the 256-byte vectors — which is the
+    * point of IVFPQ at 100 TB: cells bound the candidate count, codes
+    * bound the bytes per candidate, and exact math happens on a
+    * broadcast-sized shortlist. Top-k selection is the native
+    * [[graft.plans.TopKPerGroup]] bounded heap (no Window, no partition
+    * sort). The oracle runs the identical algorithm, so the entry is
+    * strictly hash-gated despite being approximate. */
+  def knnIvfPq: Q = (s, dir) => {
+    val emb = Similarity.normalized(Tables(s, dir))
+    val assigned = Similarity.ivfAssigned(emb, Similarity.ivfCentroids(emb))
+    val codes = assigned.select(
+      Seq(col("vec_id"), col("cell")) ++
+        (0 until M).map(sub => codeCol(col("vn"), sub).as(s"code_$sub")): _*)
+    val luts = for { sub <- 0 until M; c <- 0 until K }
+      yield lutIpCol(col("vn"), sub, c).as(s"lut_${sub}_$c")
+    val queries = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(Seq(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")) ++ luts: _*))
+    val adcIp = (0 until M).map { sub =>
+      val c = col(s"code_$sub")
+      when(c === 0, col(s"lut_${sub}_0"))
+        .when(c === 1, col(s"lut_${sub}_1"))
+        .when(c === 2, col(s"lut_${sub}_2"))
+        .otherwise(col(s"lut_${sub}_3"))
+    }.reduce(_ + _)
+    val cands = queries.join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        adcIp.as("adc_ip"))
+    val shortlist = TopKPerGroup(cands, Seq("query_id"),
+      Seq(("adc_ip", false), ("neighbor_id", true)), 10)
+    val exact = emb.join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dotp(col("qv"), col("vn")).as("cos"))
+    Similarity.topKRanked(exact, 3)
+  }
+
   // ---- Oracle side (same literals, same operation order) -------------
 
-  private def sqlSubDist(s: Int, c: Int): String =
+  private def sqlSubDistOn(v: String, s: Int, c: Int): String =
     (0 until SubDim).map { d =>
       val i = s * SubDim + d + 1
-      s"(CAST(embedding[$i] AS DOUBLE) - (${cb(s, c, d)})) * (CAST(embedding[$i] AS DOUBLE) - (${cb(s, c, d)}))"
+      s"(CAST($v[$i] AS DOUBLE) - (${cb(s, c, d)})) * (CAST($v[$i] AS DOUBLE) - (${cb(s, c, d)}))"
     }.mkString(" + ")
 
-  private def sqlCode(s: Int): String = {
-    val d = (0 until K).map(c => s"(${sqlSubDist(s, c)})")
+  private def sqlSubDist(s: Int, c: Int): String = sqlSubDistOn("embedding", s, c)
+
+  private def sqlCodeOn(v: String, s: Int): String = {
+    val d = (0 until K).map(c => s"(${sqlSubDistOn(v, s, c)})")
     s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
        |     WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
        |     WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END""".stripMargin
   }
+
+  private def sqlCode(s: Int): String = sqlCodeOn("embedding", s)
 
   private val sqlEncoded: String =
     s"""SELECT vec_id, ${(0 until M).map(s => s"${sqlCode(s)} AS code_$s").mkString(",\n")}
@@ -180,15 +240,57 @@ object ProductQuantization {
        |ORDER BY exact_dist, e.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Oracle for [[knnIvfPq]]: the identical IVF-PQ algorithm in DuckDB —
+    * same normalized vectors, same assigned cells, same PQ codes over vn,
+    * same per-query inner-product LUTs, same ADC CASE chain, same
+    * shortlist and exact re-rank. */
+  val knnIvfPqSql: String = {
+    val codeCols = (0 until M).map(s => s"${sqlCodeOn("vn", s)} AS code_$s").mkString(",\n")
+    def lutIpSql(s: Int, c: Int): String =
+      (0 until SubDim).map { d =>
+        val i = s * SubDim + d + 1
+        s"q.vn[$i] * (${cb(s, c, d)})"
+      }.mkString(" + ")
+    val adc = (0 until M).map { s =>
+      s"""CASE WHEN a.code_$s = 0 THEN (${lutIpSql(s, 0)})
+         |     WHEN a.code_$s = 1 THEN (${lutIpSql(s, 1)})
+         |     WHEN a.code_$s = 2 THEN (${lutIpSql(s, 2)})
+         |     ELSE (${lutIpSql(s, 3)}) END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH ${Similarity.normalizedSql},
+       |${Similarity.assignedCtesSql},
+       |codes AS (SELECT vec_id, cell, $codeCols FROM assigned),
+       |cands AS (
+       |  SELECT q.vec_id AS query_id, q.vn AS qv, a.vec_id AS neighbor_id,
+       |    $adc AS adc_ip
+       |  FROM assigned q JOIN codes a ON q.cell = a.cell AND a.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |shortlist AS (
+       |  SELECT query_id, qv, neighbor_id FROM (
+       |    SELECT query_id, qv, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_ip DESC, neighbor_id) AS rn
+       |    FROM cands) t WHERE rn <= 10)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ROUND(list_dot_product(s.qv, e.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_dot_product(s.qv, e.vn) DESC, s.neighbor_id) AS rank
+       |  FROM shortlist s JOIN e ON e.vec_id = s.neighbor_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "vec_pq_encode"   -> vecPqEncode,
     "vec_pq_adc_topk" -> vecPqAdcTopK,
     "vec_pq_rerank"   -> vecPqRerank,
+    "knn_ivfpq"       -> knnIvfPq,
   )
 
   val oracles: Map[String, String] = Map(
     "vec_pq_encode"   -> vecPqEncodeSql,
     "vec_pq_adc_topk" -> vecPqAdcTopKSql,
     "vec_pq_rerank"   -> vecPqRerankSql,
+    "knn_ivfpq"       -> knnIvfPqSql,
   )
 }

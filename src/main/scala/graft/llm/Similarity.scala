@@ -35,7 +35,7 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   /** (vec_id, vn): L2-normalized double vectors, computed once per row. */
-  private def normalized(t: Tables): DataFrame = {
+  private[llm] def normalized(t: Tables): DataFrame = {
     val v = transform(col("embedding"), _.cast("double"))
     t.embeddings
       .select(col("vec_id"), v.as("v"))
@@ -43,7 +43,7 @@ object Similarity {
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
   }
 
-  private val normalizedSql: String =
+  private[llm] val normalizedSql: String =
     """e AS (
       |  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM (
       |    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
@@ -98,7 +98,7 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Deterministic coarse quantizer (every 25th vector), broadcast. */
-  private def ivfCentroids(emb: DataFrame): DataFrame =
+  private[llm] def ivfCentroids(emb: DataFrame): DataFrame =
     broadcast(emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv")))
 
@@ -109,7 +109,7 @@ object Similarity {
     * pair. Ties break to the lowest cent_id via the (cs, -cent_id)
     * struct. Persisted: both sides of the cell join (queries + corpus)
     * read it. */
-  private def ivfAssigned(emb: DataFrame, centroids: DataFrame): DataFrame =
+  private[llm] def ivfAssigned(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.join(centroids)
       .select(col("vec_id"), col("vn"), col("cent_id"), dotp(col("vn"), col("cv")).as("cs"))
       .groupBy(col("vec_id"))
@@ -132,17 +132,22 @@ object Similarity {
     topKRanked(scored, 3)
   }
 
+  /** The centroid + cell-assignment CTE pair, shared verbatim by the IVF
+    * oracles here and the IVF-PQ oracle in [[ProductQuantization]]. */
+  private[llm] val assignedCtesSql: String =
+    """c AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 25 = 0),
+      |assigned AS (
+      |  SELECT vec_id, vn, cell FROM (
+      |    SELECT e.vec_id, e.vn, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN c) t WHERE rn = 1)""".stripMargin
+
   /** Oracle builder shared by both IVF variants: only the probes CTE
     * (named `p`) differs. */
   private def ivfSql(probesCte: String): String =
     s"""WITH $normalizedSql,
-       |c AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 25 = 0),
-       |assigned AS (
-       |  SELECT vec_id, vn, cell FROM (
-       |    SELECT e.vec_id, e.vn, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
-       |    FROM e CROSS JOIN c) t WHERE rn = 1),
+       |$assignedCtesSql,
        |$probesCte
        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,

@@ -148,13 +148,25 @@ class PlanShapeSpec extends SparkTestBase {
     // task at scale). The TopKPerGroup operator reduces to ≤k rows per
     // (query, map task) before the one exchange; rank is derived after the
     // reduction from a bounded collect_list, so no Window node may appear.
-    for (name <- Seq("knn_brute_force", "knn_ivf", "knn_ivf_multiprobe")) {
+    for (name <- Seq("knn_brute_force", "knn_ivf", "knn_ivf_multiprobe", "knn_ivfpq")) {
       val p = plan(name)
       assert(p.contains("TopKPerGroup"),
         s"$name: expected the native TopKPerGroup operator in:\n$p")
       assert(!p.contains("Window"),
         s"$name: per-query top-k regressed to a Window sort:\n$p")
     }
+  }
+
+  test("knn_ivfpq: both joins broadcast — codes-only candidate join, shortlist-only rerank") {
+    // The IVFPQ contract: the candidate join must be a broadcast of the
+    // query side against the codes relation (8 small ints per corpus row),
+    // and the exact re-rank must join the corpus against a BROADCAST
+    // shortlist — if either degrades to sort-merge the plan shuffles a
+    // corpus-sized relation and the codes-only economy is gone.
+    val p = plan("knn_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a knn_ivfpq join degraded to sort-merge:\n$p")
   }
 
   test("q05/q07/q08/q09: un-hinted part/supplier still broadcast at test SF (size-based)") {
