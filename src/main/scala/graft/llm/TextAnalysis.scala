@@ -151,6 +151,52 @@ object TextAnalysis {
       |  COUNT(*) AS n
       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** Mixture resampling: draw one training epoch whose per-source
+    * composition follows declared target weights instead of the corpus's
+    * natural distribution — the domain-rebalancing step every large-scale
+    * training mix applies (upweight curated sources, downweight crawl).
+    *
+    * Targets here are a literal formula (source srcN gets weight
+    * 1 + N % 5, epoch = half the corpus); in production the weights come
+    * from a config. Per source: target_count = (total div 2) * w div ΣW,
+    * keep-rate threshold = target * 2^20 div n_src (capped at 2^20), and
+    * a doc survives iff its multiplicative hash lands under the
+    * threshold. ALL arithmetic is 64-bit integer — no float rates — so
+    * membership is bit-reproducible across engines, runs, and re-shards,
+    * and a document never flips epochs under repartitioning.
+    *
+    * Scale shape: two tiny aggregates (total + per-source counts) feed a
+    * broadcast of ~|sources| rows; the corpus itself is scanned ONCE,
+    * map-only, through a codegen'd integer filter — no shuffle of the
+    * big table, same plan at 500 docs or 100 TB. */
+  def mixtureSample: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val rates = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .join(broadcast(total))
+      .withColumn("w", lit(1L) + substring(col("source"), 4, 10).cast("long") % 5L)
+      .withColumn("target", expr("((n_total div 2) * w) div 60"))
+      .withColumn("thr", least(lit(1048576L), expr("(target * 1048576) div n_src")))
+      .select(col("source"), col("thr"))
+    d.join(broadcast(rates), Seq("source"))
+      .filter((col("doc_id") * 2654435761L) % 1048576L < col("thr"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixtureSampleSql: String =
+    """WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
+      |per AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+      |thr AS (
+      |  SELECT source,
+      |    LEAST(1048576, ((((n_total // 2) * (1 + CAST(substr(source, 4) AS BIGINT) % 5)) // 60)
+      |                    * 1048576) // n_src) AS thr
+      |  FROM per CROSS JOIN tot)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN thr t ON d.source = t.source
+      |WHERE (d.doc_id * 2654435761) % 1048576 < t.thr
+      |ORDER BY d.doc_id""".stripMargin
+
   /** End-to-end prep pipeline as ONE declarative plan: quality-score
     * filter → exact dedup (keep lowest doc_id) → per-language corpus
     * stats. Composition matters at scale: expressed as a single plan,
@@ -483,6 +529,7 @@ object TextAnalysis {
     "text_tfidf_top_terms"   -> tfidfTopTerms,
     "text_prep_pipeline"     -> prepPipeline,
     "text_stratified_split"  -> stratifiedSplit,
+    "text_mixture_sample"    -> mixtureSample,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
@@ -497,6 +544,7 @@ object TextAnalysis {
     "text_tfidf_top_terms"  -> tfidfTopTermsSql,
     "text_prep_pipeline"    -> prepPipelineSql,
     "text_stratified_split" -> stratifiedSplitSql,
+    "text_mixture_sample"   -> mixtureSampleSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
