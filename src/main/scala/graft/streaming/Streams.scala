@@ -57,6 +57,15 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Running per-user totals as a plain streaming aggregation — the
+    * canonical restart-recovery shape: the sum/count state lives in the
+    * state store, so a query restarted from its checkpoint resumes the
+    * totals (and the source offsets) exactly where the previous process
+    * stopped. Exercised end-to-end across a stop/restart in StreamsSpec. */
+  def userTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
   /** Arbitrary stateful aggregation: running per-user totals via
     * flatMapGroupsWithState (update mode, processing-time timeout off). */
   def runningUserTotals(events: Dataset[Event]): Dataset[UserAgg] = {

@@ -264,4 +264,56 @@ class StreamsSpec extends SparkTestBase {
     assert(graft.sinks.RecordingDb.rowsOf("stream_t").size == 1)
     assert(graft.sinks.RecordingDb.tableNames == Set("stream_t"))
   }
+
+  test("checkpoint recovery: a restarted query resumes state and offsets exactly") {
+    // The restart contract a production stream lives on: kill the process,
+    // start a NEW query object over the SAME checkpoint, and (a) aggregate
+    // state continues from where it stopped, (b) already-committed input
+    // files are not reprocessed. MemoryStream can't express this (its data
+    // dies with the query), so this drives a real replayable file source.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-recovery").toString
+    val (srcDir, ckpt) = (s"$root/in", s"$root/ckpt")
+    Files.createDirectories(Paths.get(srcDir))
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    def startQuery() =
+      Streams.userTotals(spark.readStream.schema(schema).json(srcDir))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.collect().foreach { r =>
+            captured.synchronized {
+              captured += ((batchId, r.getLong(0), r.getLong(1), r.getDouble(2)))
+            }
+          }
+        }
+        .start()
+
+    Files.writeString(Paths.get(s"$srcDir/f1.json"),
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":100,"event_type":"click","value":1.5}
+        |{"event_id":2,"ts":"2024-01-01T10:01:00.000Z","user_id":100,"event_type":"view","value":2.5}
+        |""".stripMargin)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(captured.synchronized(captured.toList).map(t => (t._2, t._3, t._4))
+      .contains((100L, 2L, 4.0)), s"phase 1 missing user-100 total: $captured")
+
+    // Process death simulated: q1 is gone; f2 arrives while nothing runs.
+    Files.writeString(Paths.get(s"$srcDir/f2.json"),
+      """{"event_id":3,"ts":"2024-01-01T10:02:00.000Z","user_id":100,"event_type":"click","value":1.0}
+        |{"event_id":4,"ts":"2024-01-01T10:03:00.000Z","user_id":101,"event_type":"view","value":9.0}
+        |""".stripMargin)
+    captured.synchronized(captured.clear())
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val phase2 = captured.synchronized(captured.toList).map(t => (t._2, t._3, t._4)).toSet
+    // 3 events / 5.0 proves BOTH halves: state recovered (not 1 / 1.0 from
+    // a cold aggregate) AND f1 not replayed (not 5 events / 9.0 double-count).
+    assert(phase2.contains((100L, 3L, 5.0)), s"state did not recover: $phase2")
+    assert(phase2.contains((101L, 1L, 9.0)), s"new key missing post-restart: $phase2")
+  }
 }
