@@ -91,6 +91,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_audio_meta"),
       new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
       (children: Seq[Expression]) => AudioMeta(children(0))))
+    // Spark ships a production Bloom-filter aggregate + membership probe
+    // but registers them internal-only (the runtime-filter rewrite is
+    // their sole built-in consumer). Surface them as graft functions so
+    // pipelines can build an explicit membership sketch (decontamination,
+    // semi-join pre-filters) without a UDF re-implementation.
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }

@@ -547,6 +547,52 @@ object Dedup {
        |FROM hit JOIN sz USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Decontamination via a Bloom membership sketch — the 100 TB shape of
+    * [[contaminationCheck]]. The exact variant broadcasts the DISTINCT
+    * eval-gram SET (gigabytes once the eval suite is large); this one
+    * reduces the eval side to a ~100 KB Bloom filter in ONE aggregate
+    * (Spark's own `BloomFilterAggregate`, surfaced as `graft_bloom_agg`),
+    * attaches it as a literal, and probes every train gram scan-side with
+    * `graft_might_contain` — the train table is never shuffled until
+    * after the (rare) hits are counted.
+    *
+    * Gate: Bloom filters have NO false negatives, so for every exactly
+    * contaminated doc the sketch must flag at least its shared grams —
+    * emitted as `bloom_caught_all`, which the oracle pins to TRUE. The
+    * false-positive set is sketch-parameter-specific (measured
+    * engine-side in BloomMembershipSpec, not oracle-predictable), so the
+    * output keys on the exact hit set. */
+  def contaminationBloom: Q = (s, dir) => {
+    val sh = shingleRows(Tables(s, dir).documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSide = sh.filter(col("doc_id") % 97 === 0)
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    // Build step (tiny job): eval grams → one 800-kbit sketch, collected
+    // once and inlined as a foldable literal — the two-job pattern a
+    // production decontamination run uses to keep the probe scan-fused.
+    val bf = evalSide
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("sh")), lit(100000L), lit(800000L)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val flagged = train
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("sh"))))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+    val exact = train.join(broadcast(evalSide.select(col("sh")).distinct()), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    exact.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shared"),
+        (coalesce(col("n_flagged"), lit(0L)) >= col("n_shared")).as("bloom_caught_all"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationBloomSql: String =
+    s"""WITH $shingleSql,
+       |ev AS (SELECT DISTINCT sh.sh FROM sh WHERE doc_id % 97 = 0),
+       |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, COUNT(*) AS n_shared, TRUE AS bloom_caught_all
+       |FROM tr JOIN ev USING (sh) GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Incremental corpus delta: classify every document across two crawl
     * snapshots as added / removed / changed / unchanged — the primitive
     * behind incremental ingestion (recompute only what moved instead of
@@ -601,6 +647,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact"                -> dedupExact,
     "dedup_contamination"        -> contaminationCheck,
+    "dedup_contamination_bloom"  -> contaminationBloom,
     "dedup_ngram_jaccard"        -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
@@ -615,6 +662,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact"                -> dedupExactSql,
     "dedup_contamination"        -> contaminationCheckSql,
+    "dedup_contamination_bloom"  -> contaminationBloomSql,
     "dedup_ngram_jaccard"        -> dedupNgramJaccardSql,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCappedSql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
