@@ -64,6 +64,56 @@ object Profile {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
-  val queries: Map[String, Q] = Map("q_profile" -> qProfileOrders)
-  val oracles: Map[String, String] = Map("q_profile" -> qProfileOrdersSql)
+  /** The 100 TB profile: identical single-pass wide-aggregate plan, with
+    * `approx_count_distinct` (HLL++, rsd 0.02) in place of the exact
+    * distinct — constant memory per column instead of a full dedup state.
+    * Gated with the suite's tolerance-boolean treatment: sketch VALUES
+    * are engine-specific, sketch ERROR is a pure function of the data, so
+    * the exact count rides along in the same pass and the emitted
+    * `distinct_within_5pct` boolean (plus exact nulls/min/max) must
+    * hash-match the oracle's TRUE. */
+  def qProfileOrdersApprox: Q = (s, dir) => {
+    val t = Tables(s, dir).orders
+    val aggs = orderCols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c.name))).as(s"${c.name}__nulls"),
+        countDistinct(col(c.name)).as(s"${c.name}__exact"),
+        approx_count_distinct(col(c.name), 0.02).as(s"${c.name}__approx")) ++
+        (if (c.numeric) Seq(
+          min(col(c.name)).cast("double").as(s"${c.name}__min"),
+          max(col(c.name)).cast("double").as(s"${c.name}__max"))
+        else Seq.empty)
+    }
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = orderCols.map { c =>
+      val mn = if (c.numeric) s"`${c.name}__min`" else "CAST(NULL AS DOUBLE)"
+      val mx = if (c.numeric) s"`${c.name}__max`" else "CAST(NULL AS DOUBLE)"
+      val ok = s"ABS(CAST(`${c.name}__approx` AS DOUBLE) - `${c.name}__exact`) " +
+        s"<= 0.05 * `${c.name}__exact`"
+      s"'${c.name}', `${c.name}__nulls`, $ok, $mn, $mx"
+    }.mkString(", ")
+    wide.select(expr(
+        s"stack(${orderCols.size}, $stackArgs) AS (col_name, n_nulls, distinct_within_5pct, min_num, max_num)"))
+      .orderBy(col("col_name"))
+  }
+
+  val qProfileOrdersApproxSql: String = {
+    val selects = orderCols.map { c =>
+      val mn = if (c.numeric) s"CAST(MIN(${c.name}) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (c.numeric) s"CAST(MAX(${c.name}) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '${c.name}' AS col_name,
+         |  COUNT(*) - COUNT(${c.name}) AS n_nulls,
+         |  TRUE AS distinct_within_5pct,
+         |  $mn AS min_num, $mx AS max_num
+         |FROM orders""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_profile"        -> qProfileOrders,
+    "q_profile_approx" -> qProfileOrdersApprox)
+  val oracles: Map[String, String] = Map(
+    "q_profile"        -> qProfileOrdersSql,
+    "q_profile_approx" -> qProfileOrdersApproxSql)
 }
