@@ -62,4 +62,34 @@ class AdaptiveSkewSpec extends SparkTestBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("AQE coalesces undersized shuffle partitions (the other adaptive half)") {
+    import org.apache.spark.sql.functions._
+    // Skew splitting handles partitions that are too BIG; this pins the
+    // complementary behavior the 100 TB posture also relies on: a job
+    // tuned for a wide stage (thousands of shuffle partitions) must not
+    // drag that width through a small downstream aggregate — AQE reads
+    // the real map output sizes and fuses undersized partitions, so task
+    // count follows data volume instead of a static conf.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled"                              -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled"           -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst"  -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"         -> "8m",
+      "spark.sql.shuffle.partitions"                            -> "64")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = spark.range(0, 10000)
+        .select((col("id") % 50).as("k"), col("id").as("v"))
+        .groupBy(col("k")).agg(sum(col("v")).as("s"))
+      assert(agg.collect().length == 50)
+      val finalPlan = agg.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("coalesced"),
+        s"AQE did not coalesce the 64 undersized shuffle partitions:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -316,4 +316,42 @@ class StreamsSpec extends SparkTestBase {
     assert(phase2.contains((100L, 3L, 5.0)), s"state did not recover: $phase2")
     assert(phase2.contains((101L, 1L, 9.0)), s"new key missing post-restart: $phase2")
   }
+
+  test("Trigger.AvailableNow drains the backlog in rate-limited batches, then stops") {
+    // Backfill mode: process everything that exists NOW with the
+    // streaming engine (checkpoints, state, rate limits all apply), then
+    // terminate — how a periodic batch job shares code and exactly-once
+    // semantics with the continuous pipeline. maxFilesPerTrigger=1 forces
+    // the backlog to drain as multiple bounded micro-batches rather than
+    // one giant one (the OOM guard a real backfill needs).
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-availablenow").toString
+    val (srcDir, ckpt) = (s"$root/in", s"$root/ckpt")
+    Files.createDirectories(Paths.get(srcDir))
+    for (i <- 1 to 3)
+      Files.writeString(Paths.get(s"$srcDir/f$i.json"),
+        s"""{"event_id":$i,"ts":"2024-01-01T10:0$i:00.000Z","user_id":100,"event_type":"click","value":$i.0}
+           |""".stripMargin)
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last: Option[(Long, Double)] = None
+    val q = Streams.userTotals(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(srcDir))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.collect().foreach { r =>
+          batchIds.synchronized { batchIds += batchId }
+          last = Some((r.getLong(1), r.getDouble(2)))
+        }
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    // Drained as 3 rate-limited batches; final state saw all 6.0 = 1+2+3.
+    assert(batchIds.synchronized(batchIds.distinct.size) == 3,
+      s"expected 3 bounded micro-batches, got $batchIds")
+    assert(last.contains((3L, 6.0)), s"backlog not fully drained: $last")
+  }
 }
