@@ -64,27 +64,38 @@ object Profile {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
-  /** The 100 TB profile: identical single-pass wide-aggregate plan, with
-    * `approx_count_distinct` (HLL++, rsd 0.02) in place of the exact
-    * distinct — constant memory per column instead of a full dedup state.
-    * Gated with the suite's tolerance-boolean treatment: sketch VALUES
-    * are engine-specific, sketch ERROR is a pure function of the data, so
-    * the exact count rides along in the same pass and the emitted
-    * `distinct_within_5pct` boolean (plus exact nulls/min/max) must
-    * hash-match the oracle's TRUE. */
+  /** The 100 TB profile: `approx_count_distinct` (HLL++, rsd 0.02) in
+    * place of the exact distinct — constant memory per column instead of
+    * a full dedup state; the sketch pass on its own is ONE map-only
+    * aggregate (the production shape). Gated with the suite's
+    * tolerance-boolean treatment: sketch VALUES are engine-specific,
+    * sketch ERROR is a pure function of the data, so an exact-distinct
+    * pass joins in (1 row × 1 row) and the emitted `distinct_within_5pct`
+    * boolean (plus exact nulls/min/max) must hash-match the oracle's
+    * TRUE. */
   def qProfileOrdersApprox: Q = (s, dir) => {
     val t = Tables(s, dir).orders
-    val aggs = orderCols.flatMap { c =>
+    // The exact distincts (gate input) and the HLL sketches MUST stay in
+    // separate aggregates: five different countDistinct columns trigger
+    // the distinct-rewrite (Expand ×6, first-phase groups = every distinct
+    // value), and any sketch riding in that same Aggregate allocates its
+    // multi-KB HLL buffer PER EXPANDED GROUP — measured 18–34 s at sf0.1
+    // vs ~1 s split this way (each side keeps q_profile's own plan shape;
+    // the join is 1 row × 1 row).
+    val exactAggs = orderCols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c.name))).as(s"${c.name}__nulls"),
-        countDistinct(col(c.name)).as(s"${c.name}__exact"),
-        approx_count_distinct(col(c.name), 0.02).as(s"${c.name}__approx")) ++
+        countDistinct(col(c.name)).as(s"${c.name}__exact")) ++
         (if (c.numeric) Seq(
           min(col(c.name)).cast("double").as(s"${c.name}__min"),
           max(col(c.name)).cast("double").as(s"${c.name}__max"))
         else Seq.empty)
     }
-    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val approxAggs = orderCols.map { c =>
+      approx_count_distinct(col(c.name), 0.02).as(s"${c.name}__approx")
+    }
+    val wide = t.agg(exactAggs.head, exactAggs.tail: _*)
+      .join(t.agg(approxAggs.head, approxAggs.tail: _*))
     val stackArgs = orderCols.map { c =>
       val mn = if (c.numeric) s"`${c.name}__min`" else "CAST(NULL AS DOUBLE)"
       val mx = if (c.numeric) s"`${c.name}__max`" else "CAST(NULL AS DOUBLE)"

@@ -317,6 +317,35 @@ class StreamsSpec extends SparkTestBase {
     assert(phase2.contains((101L, 1L, 9.0)), s"new key missing post-restart: $phase2")
   }
 
+  test("graft_bloom_agg builds a membership sketch incrementally across microbatches") {
+    // Streaming sketch build: the Bloom aggregate's binary buffer lives in
+    // the state store and ORs together across triggers, so a pipeline can
+    // maintain a continuously-updated membership filter (e.g. "grams seen
+    // so far" for online decontamination) without reprocessing history.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = in.toDF().select(col("value").as("x"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col("x")), lit(10000L), lit(80000L)).as("bf"))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Complete()).start()
+    in.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    in.addData(1000L, 2000L)
+    q.processAllAvailable()
+    q.stop()
+    val bf = spark.table("bloom_stream").collect().head.getAs[Array[Byte]]("bf")
+    val hits = Seq(1L, 3L, 1000L, 2000L, 777L).toDF("x")
+      .select(col("x"), call_function("graft_might_contain", lit(bf), xxhash64(col("x"))).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // Members from BOTH batches must probe true (no false negatives after
+    // the cross-trigger merge); the sized filter makes a fp on 777 wildly
+    // unlikely but it is not a hard guarantee, so only members are pinned.
+    assert(Seq(1L, 3L, 1000L, 2000L).forall(hits(_)),
+      s"cross-batch member missed: $hits")
+  }
+
   test("Trigger.AvailableNow drains the backlog in rate-limited batches, then stops") {
     // Backfill mode: process everything that exists NOW with the
     // streaming engine (checkpoints, state, rate limits all apply), then
