@@ -254,6 +254,46 @@ object Analytic {
       |WHERE (o_orderkey * 2654435761) % 1000 < 100
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Time-proximity self-join (all event pairs within 60 s) via bucketed
+    * interval matching — the scale-correct form of a pure theta join.
+    * Spark has no native interval join: the naive `ON |b.ts − a.ts| ≤ w`
+    * plans as a nested-loop over the whole cross product (O(n²) at any
+    * cluster size). Bucketizing by the window width recovers an EQUI key:
+    * the probe side emits each event under buckets {b, b+1} (a 2-row
+    * generator, no data blowup), the build side keys by its own bucket,
+    * and the band predicate survives only as a residual filter — work
+    * becomes O(Σ per-bucket n²), bounded by time density, and the join
+    * shuffles/broadcasts on a hashable key like any other. Canonical
+    * (a ≤ b by time, id tiebreak) ordering emits each unordered pair
+    * exactly once; bucket math guarantees exactly one probe key matches,
+    * so no dedup pass is needed. */
+  def qIntervalJoinBucketed: Q = (s, dir) => {
+    val w = 60000000L // 60 s in µs
+    val e = Tables(s, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    // `div` (exact integer division), NOT `/` (double division whose
+    // rounding near a bucket boundary could disagree with the oracle's
+    // integer `//`).
+    val probe = e.select(col("event_id").as("a_id"), col("us").as("a_us"))
+      .withColumn("bkt", explode(array(
+        expr(s"a_us div ${w}L"), expr(s"a_us div ${w}L + 1L"))))
+    val build = e.select(col("event_id").as("b_id"), col("us").as("b_us"),
+      expr(s"us div ${w}L").as("bkt"))
+    probe.join(build, "bkt")
+      .filter(col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= w &&
+        (col("a_us") < col("b_us") || col("a_id") < col("b_id")))
+      .select(col("a_id"), col("b_id"), (col("b_us") - col("a_us")).as("dt_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val qIntervalJoinBucketedSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+      |SELECT a.event_id AS a_id, b.event_id AS b_id, b.us - a.us AS dt_us
+      |FROM e a JOIN e b
+      |  ON b.us >= a.us AND b.us - a.us <= 60000000
+      | AND (a.us < b.us OR a.event_id < b.event_id)
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Batch sessionization: gap-based session assignment (30-min timeout)
     * via lag + cumulative-sum windows, then per-session aggregates. The
     * batch analog of [[graft.streaming.Streams]] session windows, and the
@@ -532,6 +572,7 @@ object Analytic {
     "q_array_agg"       -> qArrayAgg,
     "q_regex_fns"       -> qRegexFns,
     "q_sessionize"      -> qSessionize,
+    "q_interval_join_bucketed" -> qIntervalJoinBucketed,
     "q_window_topk"     -> qWindowTopk,
     "q_window_running"  -> qWindowRunning,
     "q_window_analytic" -> qWindowAnalytic,
@@ -554,6 +595,7 @@ object Analytic {
     "q_array_agg"       -> qArrayAggSql,
     "q_regex_fns"       -> qRegexFnsSql,
     "q_sessionize"      -> qSessionizeSql,
+    "q_interval_join_bucketed" -> qIntervalJoinBucketedSql,
     "q_window_topk"     -> qWindowTopkSql,
     "q_window_running"  -> qWindowRunningSql,
     "q_window_analytic" -> qWindowAnalyticSql,

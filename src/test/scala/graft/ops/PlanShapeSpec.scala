@@ -157,6 +157,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_interval_join_bucketed: band predicate rides an equi key, never a nested loop") {
+    // A pure |dt| <= w theta join plans as BroadcastNestedLoopJoin (the
+    // full cross product at scale). The bucketed form must join on the
+    // generated bucket key with the band as residual — pin that the
+    // generator is present and no nested-loop/cartesian node appears.
+    val p = plan("q_interval_join_bucketed")
+    assert(p.contains("Generate"), s"expected the 2-bucket generator in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested loop:\n$p")
+  }
+
   test("knn_ivfpq: both joins broadcast — codes-only candidate join, shortlist-only rerank") {
     // The IVFPQ contract: the candidate join must be a broadcast of the
     // query side against the codes relation (8 small ints per corpus row),
