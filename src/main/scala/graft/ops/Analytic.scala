@@ -294,6 +294,45 @@ object Analytic {
       | AND (a.us < b.us OR a.event_id < b.event_id)
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Native batch session windows: the SAME gap sessions as
+    * [[qSessionize]] but through Spark's `session_window` operator
+    * instead of the hand-rolled lag+cumsum — one `groupBy(session_window,
+    * user)` declares the semantics and the engine plans the merge
+    * (partial session buffers reduce map-side before the user_id
+    * exchange). Semantic detail the oracle must mirror: session end =
+    * last event + gap with an EXCLUSIVE bound, so an event arriving at
+    * exactly `prev + gap` starts a NEW session (the lag formulation's
+    * `gap > g` keeps it — hence `>=` in this oracle, `>` in
+    * qSessionize's). */
+  def qSessionWindowNative: Q = (s, dir) => {
+    Tables(s, dir).events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("sess_start_us"),
+        unix_micros(col("w.end")).as("sess_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  val qSessionWindowNativeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN LAG(us) OVER w IS NULL
+      |           OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g)
+      |SELECT user_id, MIN(us) AS sess_start_us,
+      |  MAX(us) + 1800000000 AS sess_end_us, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, sess_start_us""".stripMargin
+
   /** Batch sessionization: gap-based session assignment (30-min timeout)
     * via lag + cumulative-sum windows, then per-session aggregates. The
     * batch analog of [[graft.streaming.Streams]] session windows, and the
@@ -573,6 +612,7 @@ object Analytic {
     "q_regex_fns"       -> qRegexFns,
     "q_sessionize"      -> qSessionize,
     "q_interval_join_bucketed" -> qIntervalJoinBucketed,
+    "q_session_window_native"  -> qSessionWindowNative,
     "q_window_topk"     -> qWindowTopk,
     "q_window_running"  -> qWindowRunning,
     "q_window_analytic" -> qWindowAnalytic,
@@ -596,6 +636,7 @@ object Analytic {
     "q_regex_fns"       -> qRegexFnsSql,
     "q_sessionize"      -> qSessionizeSql,
     "q_interval_join_bucketed" -> qIntervalJoinBucketedSql,
+    "q_session_window_native"  -> qSessionWindowNativeSql,
     "q_window_topk"     -> qWindowTopkSql,
     "q_window_running"  -> qWindowRunningSql,
     "q_window_analytic" -> qWindowAnalyticSql,
