@@ -138,6 +138,49 @@ object Analytic {
       |ON c.user_id = v.user_id AND v.ts <= c.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** As-of join with a tolerance bound (pandas `merge_asof(tolerance=)` /
+    * kdb wj semantics): the most recent view matches a click only if it
+    * happened within the last 15 minutes — stale matches null out, they
+    * don't fall back to an older row. Same union + last(ignoreNulls)
+    * kernel as [[qAsofJoin]] (one shuffle, no range blow-up): the
+    * matched view's timestamp rides the SAME window as its id, so the
+    * tolerance check is a post-hoc column compare, not a second join. */
+  def qAsofJoinTolerance: Q = (s, dir) => {
+    val tolUs = 900000000L // 15 min
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val views  = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val unioned = clicks
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("view_id"), lit(null).cast("long").as("view_us"))
+      .unionByName(views.select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"), col("view_id"),
+        unix_micros(col("ts")).as("view_us")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("view_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("last_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("last_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(unix_micros(col("ts")) - col("last_view_us") <= tolUs, col("last_view"))
+          .otherwise(lit(null).cast("long")).as("recent_view"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinToleranceSql: String =
+    """SELECT c.event_id, c.user_id, c.ts,
+      |  CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 900000000
+      |       THEN v.view_id ELSE NULL END AS recent_view
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN
+      |     (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view') v
+      |ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
   /** Pivot: order counts + revenue by status across priority columns.
     * Oracle is the portable FILTER-agg formulation. */
   def qPivot: Q = (s, dir) => {
@@ -613,6 +656,7 @@ object Analytic {
     "q_sessionize"      -> qSessionize,
     "q_interval_join_bucketed" -> qIntervalJoinBucketed,
     "q_session_window_native"  -> qSessionWindowNative,
+    "q_asof_join_tolerance"    -> qAsofJoinTolerance,
     "q_window_topk"     -> qWindowTopk,
     "q_window_running"  -> qWindowRunning,
     "q_window_analytic" -> qWindowAnalytic,
@@ -637,6 +681,7 @@ object Analytic {
     "q_sessionize"      -> qSessionizeSql,
     "q_interval_join_bucketed" -> qIntervalJoinBucketedSql,
     "q_session_window_native"  -> qSessionWindowNativeSql,
+    "q_asof_join_tolerance"    -> qAsofJoinToleranceSql,
     "q_window_topk"     -> qWindowTopkSql,
     "q_window_running"  -> qWindowRunningSql,
     "q_window_analytic" -> qWindowAnalyticSql,

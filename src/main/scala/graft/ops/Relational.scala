@@ -289,6 +289,38 @@ object Relational {
       |  ABS(p_size - 25) AS size_dist
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Higher-order array function battery over the documents word lists:
+    * filter / exists / aggregate (fold) / transform / distinct+sort /
+    * slice / element access — the lambda surface that keeps per-row
+    * collection logic inside codegen instead of a UDF. The fold sums
+    * integers (order-insensitive), distinct goes through a sort before
+    * any ordered use, so every column is engine-portable. */
+  def qArrayFns: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.withColumn("wl", split(col("text"), " "))
+    d.select(
+        col("doc_id"),
+        size(col("wl")).cast("long").as("n_words"),
+        size(filter(col("wl"), w => length(w) > 4)).cast("long").as("n_long"),
+        exists(col("wl"), w => w === lit("spark")).as("has_spark"),
+        aggregate(col("wl"), lit(0L), (acc, w) => acc + length(w).cast("long")).as("chars_sum"),
+        array_join(slice(array_sort(array_distinct(col("wl"))), 1, 3), "|").as("first3_uniq"),
+        element_at(col("wl"), 1).as("first_word"),
+        element_at(col("wl"), -1).as("last_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qArrayFnsSql: String =
+    """SELECT doc_id,
+      |  LEN(wl) AS n_words,
+      |  LEN(list_filter(wl, w -> LEN(w) > 4)) AS n_long,
+      |  list_contains(wl, 'spark') AS has_spark,
+      |  CAST(list_sum(list_transform(wl, w -> LEN(w))) AS BIGINT) AS chars_sum,
+      |  array_to_string((list_sort(list_distinct(wl)))[1:3], '|') AS first3_uniq,
+      |  wl[1] AS first_word,
+      |  wl[-1] AS last_word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Date/time function battery over orders. */
   def qDateFns: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -408,6 +440,7 @@ object Relational {
     "q_distinct_agg"        -> qDistinctAgg,
     "q_set_ops"             -> qSetOps,
     "q_scalar_fns"          -> qScalarFns,
+    "q_array_fns"           -> qArrayFns,
     "q_date_fns"            -> qDateFns,
     "q_range_join"          -> qRangeJoin,
   )
@@ -428,6 +461,7 @@ object Relational {
     "q_distinct_agg"        -> qDistinctAggSql,
     "q_set_ops"             -> qSetOpsSql,
     "q_scalar_fns"          -> qScalarFnsSql,
+    "q_array_fns"           -> qArrayFnsSql,
     "q_date_fns"            -> qDateFnsSql,
     "q_range_join"          -> qRangeJoinSql,
   )
