@@ -289,6 +289,42 @@ object Relational {
       |  ABS(p_size - 25) AS size_dist
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Null-semantics battery — the SQL null rules every aggregate consumer
+    * silently depends on, pinned cross-engine: COUNT(*) vs null-skipping
+    * COUNT(col), DISTINCT ignoring nulls, SUM over a nullable column,
+    * CASE-without-ELSE producing nulls, MAX over a possibly-empty set
+    * rescued by COALESCE. Nullable inputs are derived deterministically
+    * from raw columns so both engines see identical null placement. */
+  def qNullSemantics: Q = (s, dir) => {
+    val t = Tables(s, dir).lineitem
+    val d = t.select(
+      (col("l_orderkey") % 3).as("grp"),
+      when(col("l_quantity") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")).as("q7"),
+      when(col("l_tax") > 0.05, col("l_tax")).as("hi_tax"))
+    d.groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("q7")).as("n_q7"),
+        (count(lit(1)) - count(col("q7"))).as("n_null_q7"),
+        countDistinct(col("q7")).as("nd_q7"),
+        dsum(col("q7")).as("sum_q7"),
+        coalesce(max(col("hi_tax")), lit(-1.0)).as("max_hitax"))
+      .orderBy(col("grp"))
+  }
+
+  val qNullSemanticsSql: String =
+    s"""SELECT grp, COUNT(*) AS n_rows, COUNT(q7) AS n_q7,
+       |  COUNT(*) - COUNT(q7) AS n_null_q7,
+       |  COUNT(DISTINCT q7) AS nd_q7,
+       |  ${sqlSum("q7")} AS sum_q7,
+       |  COALESCE(MAX(hi_tax), -1.0) AS max_hitax
+       |FROM (SELECT l_orderkey % 3 AS grp,
+       |        CASE WHEN l_quantity % 7 = 0 THEN NULL ELSE l_quantity END AS q7,
+       |        CASE WHEN l_tax > 0.05 THEN l_tax END AS hi_tax
+       |      FROM lineitem)
+       |GROUP BY grp ORDER BY grp""".stripMargin
+
   /** Higher-order array function battery over the documents word lists:
     * filter / exists / aggregate (fold) / transform / distinct+sort /
     * slice / element access — the lambda surface that keeps per-row
@@ -441,6 +477,7 @@ object Relational {
     "q_set_ops"             -> qSetOps,
     "q_scalar_fns"          -> qScalarFns,
     "q_array_fns"           -> qArrayFns,
+    "q_null_semantics"      -> qNullSemantics,
     "q_date_fns"            -> qDateFns,
     "q_range_join"          -> qRangeJoin,
   )
@@ -462,6 +499,7 @@ object Relational {
     "q_set_ops"             -> qSetOpsSql,
     "q_scalar_fns"          -> qScalarFnsSql,
     "q_array_fns"           -> qArrayFnsSql,
+    "q_null_semantics"      -> qNullSemanticsSql,
     "q_date_fns"            -> qDateFnsSql,
     "q_range_join"          -> qRangeJoinSql,
   )

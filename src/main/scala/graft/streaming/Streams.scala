@@ -138,6 +138,30 @@ object Streams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickViewJoin]] but a
+    * click with no qualifying view must still be emitted — with nulls —
+    * once it CAN no longer match. That "once" is the hard part outer
+    * streaming joins exist to solve: the engine holds the unmatched click
+    * in state until the view-side watermark passes the end of its match
+    * interval, and only then emits the null-completed row (emitting
+    * earlier could be contradicted by a late view). Same watermark-bounded
+    * state posture as the inner form — droppable state, keyed by user,
+    * runnable indefinitely. */
+  def clickViewJoinLeftOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    c.join(v, expr(
+      """c_user = v_user AND
+        |view_ts >= click_ts - INTERVAL 15 MINUTES AND
+        |view_ts <= click_ts""".stripMargin), "left_outer")
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * user's dimension row. The static side is a plain batch DataFrame —
     * re-read per micro-batch (so slowly-changing dimension updates are

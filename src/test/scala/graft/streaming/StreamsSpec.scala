@@ -219,6 +219,36 @@ class StreamsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 11L)))
   }
 
+  test("stream-stream LEFT OUTER join null-completes a click once it can no longer match") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = Streams.clickViewJoinLeftOuter(clicks.toDF(), views.toDF()).writeStream
+      .format("memory").queryName("ssjoin_outer").outputMode(OutputMode.Append()).start()
+    views.addData(Event(11, ts(10), 100, "view", 1.0))
+    clicks.addData(
+      Event(1, ts(20), 100, "click", 1.0),  // matched by view 11
+      Event(2, ts(20), 102, "click", 1.0))  // no view will ever qualify
+    q.processAllAvailable()
+    // The unmatched click must NOT appear yet — a late view could still
+    // arrive. Advance both watermarks past its interval end, then one
+    // more batch so the evicted state flushes as a null-completed row.
+    views.addData(Event(13, ts(55), 101, "view", 1.0))
+    clicks.addData(Event(3, ts(55), 101, "click", 1.0))
+    q.processAllAvailable()
+    clicks.addData(Event(4, ts(59), 103, "click", 1.0))
+    views.addData(Event(14, ts(59), 104, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows.contains((1L, Some(11L))), s"inner match missing: $rows")
+    assert(rows.contains((3L, Some(13L))), s"same-instant match missing: $rows")
+    assert(rows.contains((2L, None)),
+      s"unmatched click was never null-completed after watermark passed: $rows")
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
