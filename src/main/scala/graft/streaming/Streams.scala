@@ -85,6 +85,46 @@ object Streams {
       }
   }
 
+  /** Closed session emitted ON EVENT-TIME TIMEOUT — the state-machine
+    * pattern behind every custom sessionizer: events accumulate into an
+    * open per-user session, each batch re-arms a timeout at
+    * `last_event + gap`, and the session is emitted exactly once, when
+    * the WATERMARK (not wall clock) passes that deadline — i.e. when no
+    * in-order event could still extend it. Complements the declarative
+    * [[sessionCounts]]: use this form when closing a session must run
+    * arbitrary logic (emit to a different sink, score, join state).
+    * Append-mode output; state removed on emit, so steady-state size is
+    * one open session per active user. */
+  final case class OpenSession(user_id: Long, n_events: Long,
+                               start_ms: Long, last_ms: Long)
+
+  def sessionsClosedByTimeout(events: Dataset[Event],
+                              gapMs: Long = 30L * 60 * 1000): Dataset[OpenSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, OpenSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption
+            val next = OpenSession(uid,
+              prev.map(_.n_events).getOrElse(0L) + times.size,
+              prev.map(_.start_ms).getOrElse(times.min),
+              math.max(prev.map(_.last_ms).getOrElse(Long.MinValue), times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ms + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-user running totals on the Spark 4 `transformWithState` API —
     * the successor to flatMapGroupsWithState: typed per-key `ValueState`
     * with first-class TTL, timers, and multiple state variables, backed

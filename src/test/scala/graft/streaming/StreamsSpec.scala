@@ -249,6 +249,32 @@ class StreamsSpec extends SparkTestBase {
       s"unmatched click was never null-completed after watermark passed: $rows")
   }
 
+  test("event-time timeout closes a session when the watermark passes last+gap") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionsClosedByTimeout(in.toDS()).writeStream
+      .format("memory").queryName("timeout_sessions")
+      .outputMode(OutputMode.Append()).start()
+    // Open a session for user 100 (2 events, 5 minutes apart).
+    in.addData(Event(1, ts(0), 100, "click", 1.0), Event(2, ts(5), 100, "view", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("timeout_sessions").isEmpty,
+      "session emitted while the watermark could still extend it")
+    // Another user's much-later events push the watermark past
+    // last(10:05) + gap(30m) + delay(10m); the next batch fires the timeout.
+    in.addData(Event(3, ts(55), 200, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(4, ts(57), 200, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("timeout_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3) - r.getLong(2)))
+    assert(closed.exists(_ == ((100L, 2L, 300000L))),
+      s"user-100 session not closed by event-time timeout: ${closed.mkString(",")}")
+    assert(!closed.exists(_._1 == 200L), "user-200 session closed while still open")
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
