@@ -310,13 +310,12 @@ object Analytic {
     * (a ≤ b by time, id tiebreak) ordering emits each unordered pair
     * exactly once; bucket math guarantees exactly one probe key matches,
     * so no dedup pass is needed. */
-  def qIntervalJoinBucketed: Q = (s, dir) => {
-    val w = 60000000L // 60 s in µs
-    val e = Tables(s, dir).events
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
-    // `div` (exact integer division), NOT `/` (double division whose
-    // rounding near a bucket boundary could disagree with the oracle's
-    // integer `//`).
+  /** Kernel for [[qIntervalJoinBucketed]], reusable over any
+    * (event_id, us) relation and window width — property-tested against
+    * a naive theta join in IntervalJoinPropertySpec. Uses `div` (exact
+    * integer division), NOT `/` (double division whose rounding near a
+    * bucket boundary could disagree with integer `//`). */
+  private[ops] def intervalSelfJoin(e: DataFrame, w: Long): DataFrame = {
     val probe = e.select(col("event_id").as("a_id"), col("us").as("a_us"))
       .withColumn("bkt", explode(array(
         expr(s"a_us div ${w}L"), expr(s"a_us div ${w}L + 1L"))))
@@ -326,7 +325,12 @@ object Analytic {
       .filter(col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= w &&
         (col("a_us") < col("b_us") || col("a_id") < col("b_id")))
       .select(col("a_id"), col("b_id"), (col("b_us") - col("a_us")).as("dt_us"))
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def qIntervalJoinBucketed: Q = (s, dir) => {
+    val e = Tables(s, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    intervalSelfJoin(e, 60000000L).orderBy(col("a_id"), col("b_id"))
   }
 
   val qIntervalJoinBucketedSql: String =
