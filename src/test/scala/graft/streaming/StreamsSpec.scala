@@ -373,6 +373,65 @@ class StreamsSpec extends SparkTestBase {
     assert(phase2.contains((101L, 1L, 9.0)), s"new key missing post-restart: $phase2")
   }
 
+  test("transformWithState recovers RocksDB ValueState across a restart") {
+    // The checkpoint-recovery contract again, but for the Spark 4 typed
+    // stateful API on its required RocksDB store: per-key ValueState must
+    // come back from the checkpoint in a NEW query (new process, in
+    // production) and continue, with committed input not replayed.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-tws-recovery").toString
+      val (srcDir, ckpt) = (s"$root/in", s"$root/ckpt")
+      Files.createDirectories(Paths.get(srcDir))
+      val schema = org.apache.spark.sql.Encoders.product[Event].schema
+      // foreachBatch, not the memory sink: memory rejects recovery from
+      // an existing checkpoint ("does not support recovering").
+      val captured = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def startQuery() =
+        Streams.runningUserTotalsTws(
+            spark.readStream.schema(schema).json(srcDir).as[Event])
+          .toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach { r =>
+              captured.synchronized {
+                captured += ((r.getLong(0), r.getLong(1), r.getDouble(2)))
+              }
+            }
+          }
+          .start()
+      Files.writeString(Paths.get(s"$srcDir/f1.json"),
+        """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":100,"event_type":"click","value":1.5}
+          |{"event_id":2,"ts":"2024-01-01T10:01:00.000Z","user_id":100,"event_type":"view","value":2.5}
+          |""".stripMargin)
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      Files.writeString(Paths.get(s"$srcDir/f2.json"),
+        """{"event_id":3,"ts":"2024-01-01T10:02:00.000Z","user_id":100,"event_type":"click","value":1.0}
+          |""".stripMargin)
+      captured.synchronized(captured.clear())
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val phase2 = captured.synchronized(captured.toList)
+        .map(t => (t._2, t._3)).maxBy(_._1)
+      // 3 events / 5.0 = ValueState recovered AND f1 not replayed.
+      assert(phase2 == (3L, 5.0), s"RocksDB state did not recover: $phase2")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("graft_bloom_agg builds a membership sketch incrementally across microbatches") {
     // Streaming sketch build: the Bloom aggregate's binary buffer lives in
     // the state store and ORs together across triggers, so a pipeline can
