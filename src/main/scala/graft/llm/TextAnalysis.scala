@@ -175,7 +175,11 @@ object TextAnalysis {
     val rates = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       .join(broadcast(total))
       .withColumn("w", lit(1L) + substring(col("source"), 4, 10).cast("long") % 5L)
-      .withColumn("target", expr("((n_total div 2) * w) div 60"))
+      // ΣW derived from the same tiny relation (unbounded window over
+      // ~|sources| rows), NOT hardcoded — a fixture with a different
+      // source count must rescale targets, not silently mis-split.
+      .withColumn("sum_w", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("target", expr("((n_total div 2) * w) div sum_w"))
       .withColumn("thr", least(lit(1048576L), expr("(target * 1048576) div n_src")))
       .select(col("source"), col("thr"))
     d.join(broadcast(rates), Seq("source"))
@@ -187,11 +191,15 @@ object TextAnalysis {
   val mixtureSampleSql: String =
     """WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
       |per AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+      |wts AS (
+      |  SELECT source, n_src, n_total,
+      |    1 + CAST(substr(source, 4) AS BIGINT) % 5 AS w
+      |  FROM per CROSS JOIN tot),
       |thr AS (
       |  SELECT source,
-      |    LEAST(1048576, ((((n_total // 2) * (1 + CAST(substr(source, 4) AS BIGINT) % 5)) // 60)
+      |    LEAST(1048576, ((((n_total // 2) * w) // SUM(w) OVER ())
       |                    * 1048576) // n_src) AS thr
-      |  FROM per CROSS JOIN tot)
+      |  FROM wts)
       |SELECT d.doc_id, d.source
       |FROM documents d JOIN thr t ON d.source = t.source
       |WHERE (d.doc_id * 2654435761) % 1048576 < t.thr

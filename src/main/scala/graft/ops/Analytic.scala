@@ -365,14 +365,14 @@ object Analytic {
   val qSessionWindowNativeSql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
       |g AS (
-      |  SELECT user_id, us,
+      |  SELECT user_id, event_id, us,
       |    CASE WHEN LAG(us) OVER w IS NULL
       |           OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM e
       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |s AS (
       |  SELECT user_id, us,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
       |                        ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM g)
       |SELECT user_id, MIN(us) AS sess_start_us,

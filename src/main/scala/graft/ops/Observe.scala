@@ -30,9 +30,4 @@ object Observe {
       sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"),
       sum(col(valueCol)).as("total_value"))
 
-  /** Arbitrary observation passthrough (first + rest mirrors Spark's
-    * `observe` signature). */
-  def withMetrics(df: DataFrame, name: String,
-                  first: Column, rest: Column*): DataFrame =
-    df.observe(name, first, rest: _*)
 }

@@ -88,13 +88,18 @@ object Streams {
   /** Closed session emitted ON EVENT-TIME TIMEOUT — the state-machine
     * pattern behind every custom sessionizer: events accumulate into an
     * open per-user session, each batch re-arms a timeout at
-    * `last_event + gap`, and the session is emitted exactly once, when
-    * the WATERMARK (not wall clock) passes that deadline — i.e. when no
-    * in-order event could still extend it. Complements the declarative
-    * [[sessionCounts]]: use this form when closing a session must run
-    * arbitrary logic (emit to a different sink, score, join state).
-    * Append-mode output; state removed on emit, so steady-state size is
-    * one open session per active user. */
+    * `last_event + gap`, and the session is emitted when the WATERMARK
+    * (not wall clock) passes that deadline — i.e. when no in-order event
+    * could still extend it. Gap semantics hold in the DATA path too: a
+    * batch whose (sorted) events jump more than the gap past the open
+    * session closes it immediately and opens a new one, so a backfill
+    * that delivers a user's whole history in one batch still emits one
+    * session per gap, not one giant blob. An out-of-order event landing
+    * inside the open session (late but within watermark) extends its
+    * bounds on BOTH sides. Complements the declarative [[sessionCounts]]:
+    * use this form when closing a session must run arbitrary logic.
+    * Append-mode output; state removed on timeout-emit, so steady-state
+    * size is one open session per active user. */
   final case class OpenSession(user_id: Long, n_events: Long,
                                start_ms: Long, last_ms: Long)
 
@@ -112,15 +117,29 @@ object Streams {
             state.remove()
             Iterator.single(closed)
           } else {
-            val times = batch.map(_.ts.getTime).toSeq
-            val prev = state.getOption
-            val next = OpenSession(uid,
-              prev.map(_.n_events).getOrElse(0L) + times.size,
-              prev.map(_.start_ms).getOrElse(times.min),
-              math.max(prev.map(_.last_ms).getOrElse(Long.MinValue), times.max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.last_ms + gapMs)
-            Iterator.empty
+            var closed = List.empty[OpenSession]
+            var cur = state.getOption
+            for (t <- batch.map(_.ts.getTime).toSeq.sorted) {
+              cur = cur match {
+                case Some(s) if t > s.last_ms + gapMs =>
+                  closed ::= s // gap inside the batch: close now, open anew
+                  Some(OpenSession(uid, 1L, t, t))
+                case Some(s) =>
+                  Some(OpenSession(uid, s.n_events + 1L,
+                    math.min(s.start_ms, t), math.max(s.last_ms, t)))
+                case None =>
+                  Some(OpenSession(uid, 1L, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // A replayed/stale session's deadline may already be behind
+              // the watermark; Spark rejects such a timestamp, so clamp
+              // just past it (fires on the next batch).
+              state.setTimeoutTimestamp(
+                math.max(s.last_ms + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.reverseIterator
           }
       }
   }

@@ -256,11 +256,19 @@ class StreamsSpec extends SparkTestBase {
     val q = Streams.sessionsClosedByTimeout(in.toDS()).writeStream
       .format("memory").queryName("timeout_sessions")
       .outputMode(OutputMode.Append()).start()
-    // Open a session for user 100 (2 events, 5 minutes apart).
-    in.addData(Event(1, ts(0), 100, "click", 1.0), Event(2, ts(5), 100, "view", 1.0))
+    // Open a session for user 100 (2 events, 5 minutes apart). User 300's
+    // two events in the SAME batch jump 45 min — more than the gap — so
+    // the first must close in the data path, backfill-style, while the
+    // second stays open.
+    in.addData(Event(1, ts(0), 100, "click", 1.0), Event(2, ts(5), 100, "view", 1.0),
+      Event(5, ts(0), 300, "click", 1.0), Event(6, ts(45), 300, "view", 1.0))
     q.processAllAvailable()
-    assert(spark.table("timeout_sessions").isEmpty,
+    val afterB1 = spark.table("timeout_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!afterB1.exists(_._1 == 100L),
       "session emitted while the watermark could still extend it")
+    assert(afterB1.toSeq == Seq((300L, 1L)),
+      s"in-batch gap did not split the backfilled session: ${afterB1.mkString(",")}")
     // Another user's much-later events push the watermark past
     // last(10:05) + gap(30m) + delay(10m); the next batch fires the timeout.
     in.addData(Event(3, ts(55), 200, "click", 1.0))
@@ -487,15 +495,17 @@ class StreamsSpec extends SparkTestBase {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         batch.collect().foreach { r =>
-          batchIds.synchronized { batchIds += batchId }
-          last = Some((r.getLong(1), r.getDouble(2)))
+          batchIds.synchronized {
+            batchIds += batchId
+            last = Some((r.getLong(1), r.getDouble(2)))
+          }
         }
       }
       .start()
     assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
     // Drained as 3 rate-limited batches; final state saw all 6.0 = 1+2+3.
-    assert(batchIds.synchronized(batchIds.distinct.size) == 3,
-      s"expected 3 bounded micro-batches, got $batchIds")
-    assert(last.contains((3L, 6.0)), s"backlog not fully drained: $last")
+    val (ids, lastSeen) = batchIds.synchronized((batchIds.distinct.size, last))
+    assert(ids == 3, s"expected 3 bounded micro-batches, got $batchIds")
+    assert(lastSeen.contains((3L, 6.0)), s"backlog not fully drained: $lastSeen")
   }
 }
