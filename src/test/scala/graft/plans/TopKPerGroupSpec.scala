@@ -95,6 +95,30 @@ class TopKPerGroupSpec extends SparkTestBase {
     }
   }
 
+  test("string + composite group keys: variable-length rows in hash and fallback paths") {
+    // Every existing fixture groups on fixed-width keys; string keys make
+    // the UnsafeRow variable-length, exercising byte-equality grouping,
+    // heap copying, and the sort fallback's run detection on non-scalar
+    // layouts. Composite (string, long) keys also cover multi-expr
+    // grouping. Pinned against the Window formulation, both paths.
+    val d = spark.range(2000).select(
+      concat(lit("grp_"), (col("id") % 7).cast("string")).as("g1"),
+      (col("id") % 3).as("g2"),
+      (col("id") % 40).cast("double").as("v"),
+      col("id").as("uid"))
+    val w = Window.partitionBy(col("g1"), col("g2")).orderBy(col("v").desc, col("uid"))
+    val expected = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).drop("rn")
+      .orderBy(col("g1"), col("g2"), col("v").desc, col("uid")).collect().toSeq
+    def run() = TopKPerGroup(d.repartition(9), Seq("g1", "g2"),
+        Seq(("v", false), ("uid", true)), 4)
+      .orderBy(col("g1"), col("g2"), col("v").desc, col("uid")).collect().toSeq
+    assert(run() == expected, "hash path diverged on string keys")
+    spark.conf.set(TopKPerGroupExec.FallbackRowsKey, "11")
+    try assert(run() == expected, "fallback path diverged on string keys")
+    finally spark.conf.unset(TopKPerGroupExec.FallbackRowsKey)
+  }
+
   test("float group keys: -0.0/0.0 and NaN group identically in hash and sort paths") {
     // Regression for the planning-time NormalizeNaNAndZero wrap: the hash
     // phase groups by UnsafeRow bytes (-0.0 != 0.0, NaN patterns differ),
