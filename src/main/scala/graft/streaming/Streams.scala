@@ -206,7 +206,16 @@ object Streams {
     * earlier could be contradicted by a late view). Same watermark-bounded
     * state posture as the inner form — droppable state, keyed by user,
     * runnable indefinitely. */
-  def clickViewJoinLeftOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+  def clickViewJoinLeftOuter(clicks: DataFrame, views: DataFrame): DataFrame =
+    clickViewJoinOuter(clicks, views, "left_outer")
+
+  /** Full outer adds the symmetric half: a view no click ever claims is
+    * itself emitted null-completed once the click-side watermark passes
+    * the last instant a qualifying click could exist (view_ts + 15 min).
+    * The interval condition bounds BOTH sides, which is what makes outer
+    * stream-stream joins plannable with droppable state at all. */
+  def clickViewJoinOuter(clicks: DataFrame, views: DataFrame,
+                         joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
@@ -216,8 +225,9 @@ object Streams {
     c.join(v, expr(
       """c_user = v_user AND
         |view_ts >= click_ts - INTERVAL 15 MINUTES AND
-        |view_ts <= click_ts""".stripMargin), "left_outer")
-      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        |view_ts <= click_ts""".stripMargin), joinType)
+      .select(col("click_id"), col("view_id"),
+        coalesce(col("c_user"), col("v_user")).as("user_id"),
         col("click_ts"), col("view_ts"))
   }
 

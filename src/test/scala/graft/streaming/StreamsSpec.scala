@@ -249,6 +249,38 @@ class StreamsSpec extends SparkTestBase {
       s"unmatched click was never null-completed after watermark passed: $rows")
   }
 
+  test("stream-stream FULL OUTER join null-completes both unmatched sides") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = Streams.clickViewJoinOuter(clicks.toDF(), views.toDF(), "full_outer")
+      .writeStream.format("memory").queryName("ssjoin_full")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(
+      Event(11, ts(10), 100, "view", 1.0),  // matched below
+      Event(12, ts(10), 300, "view", 1.0))  // no click will ever qualify
+    clicks.addData(
+      Event(1, ts(20), 100, "click", 1.0),  // matched by view 11
+      Event(2, ts(20), 102, "click", 1.0))  // no view will ever qualify
+    q.processAllAvailable()
+    // Advance both watermarks past every interval end, plus a flush batch.
+    views.addData(Event(13, ts(55), 200, "view", 1.0))
+    clicks.addData(Event(3, ts(55), 201, "click", 1.0))
+    q.processAllAvailable()
+    views.addData(Event(14, ts(59), 200, "view", 1.0))
+    clicks.addData(Event(4, ts(59), 201, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin_full").collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+       if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }.toSet
+    assert(rows.contains((Some(1L), Some(11L))), s"inner match missing: $rows")
+    assert(rows.contains((Some(2L), None)), s"unmatched click not completed: $rows")
+    assert(rows.contains((None, Some(12L))), s"unmatched view not completed: $rows")
+  }
+
   test("event-time timeout closes a session when the watermark passes last+gap") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
