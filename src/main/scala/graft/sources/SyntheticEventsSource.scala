@@ -50,7 +50,8 @@ class SyntheticEventsSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SyntheticEventsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("splits", "4").toInt)
+      properties.getOrDefault("splits", "4").toInt,
+      properties.getOrDefault("ratePerBatch", "100").toLong)
 }
 
 object SyntheticEventsSource {
@@ -68,20 +69,20 @@ object SyntheticEventsSource {
   def valueOf(id: Long): Double = ((id * 1103515245L + 12345L) % 1000L).toDouble / 10.0
 }
 
-private class SyntheticEventsTable(rows: Long, splits: Int)
+private class SyntheticEventsTable(rows: Long, splits: Int, rate: Long)
   extends Table with SupportsRead {
   override def name(): String = s"synthetic_events($rows)"
   override def schema(): StructType = SyntheticEventsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, splits)
+    new SyntheticScanBuilder(rows, splits, rate)
 }
 
 /** Planning-time state: the id range narrowed by accepted filters, the
   * schema narrowed by column pruning, and (when the whole aggregation is
   * answerable from the range arithmetic alone) a pushed-down aggregate. */
-private class SyntheticScanBuilder(rows: Long, splits: Int)
+private class SyntheticScanBuilder(rows: Long, splits: Int, rate: Long)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -154,7 +155,7 @@ private class SyntheticScanBuilder(rows: Long, splits: Int)
 
   override def build(): Scan = aggFuncs match {
     case Some(funcs) => new SyntheticAggScan(lo, hi, funcs)
-    case None        => new SyntheticScan(lo, hi, splits, pushed, required)
+    case None        => new SyntheticScan(lo, hi, splits, rate, pushed, required)
   }
 }
 
@@ -197,7 +198,8 @@ private class SyntheticAggScan(lo: Long, hi: Long, funcs: Seq[AggregateFunc])
 }
 
 private class SyntheticScan(
-    lo: Long, hi: Long, splits: Int, pushed: Array[Filter], required: StructType)
+    lo: Long, hi: Long, splits: Int, rate: Long,
+    pushed: Array[Filter], required: StructType)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -216,6 +218,76 @@ private class SyntheticScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new SyntheticMicroBatchStream(lo, hi, splits, rate, required)
+}
+
+/** Streaming half of the connector: the id space is the offset space.
+  * Admission control comes through `SupportsAdmissionControl` — Spark
+  * hands `latestOffset(start, limit)` the CURRENT start offset, so the
+  * source is stateless across restarts by construction (the naive no-arg
+  * `latestOffset` must track a driver-side high-water mark, and a fresh
+  * post-restart instance would regress it before any recovered offset is
+  * handed back — observed as a backward offset in the checkpoint log).
+  * Each trigger admits at most `ratePerBatch` new ids, partitions split
+  * the admitted range exactly like the batch scan, offsets serialize as
+  * the plain id position — a restarted query resumes from its
+  * checkpointed id with no duplication and no gaps. */
+private class SyntheticMicroBatchStream(
+    lo: Long, hi: Long, splits: Int, rate: Long, required: StructType)
+  extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+
+  private case class IdOffset(pos: Long) extends streaming.Offset {
+    override def json(): String = pos.toString
+  }
+
+  private def pos(o: streaming.Offset): Long = o match {
+    case IdOffset(p) => p
+    case other       => other.json().toLong
+  }
+
+  override def initialOffset(): streaming.Offset = IdOffset(lo)
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(math.max(1L, rate))
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val s = pos(start)
+    val admit = limit match {
+      case mr: streaming.ReadMaxRows => mr.maxRows()
+      case _                         => math.max(1L, rate)
+    }
+    IdOffset(math.min(hi, s + admit))
+  }
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def reportLatestOffset(): streaming.Offset = IdOffset(hi)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    IdOffset(json.toLong)
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val (s, e) = (pos(start), pos(end))
+    if (e <= s) Array.empty
+    else {
+      val per = math.max(1L, (e - s + splits - 1) / splits)
+      (s until e by per)
+        .map(p => SyntheticPartition(p, math.min(p + per, e)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class SyntheticPartition(start: Long, end: Long) extends InputPartition

@@ -97,4 +97,44 @@ class SyntheticEventsSourceSpec extends SparkTestBase {
     val r = df.head()
     assert(r.getLong(0) === 0L && r.isNullAt(1))
   }
+
+  private def readStreamRows(rows: Long, ckpt: String,
+      captured: scala.collection.mutable.ArrayBuffer[(Long, Long)]) =
+    spark.readStream.format("graft.sources.SyntheticEventsSource")
+      .option("rows", rows.toString).option("splits", "3")
+      .option("ratePerBatch", "100")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.select($"id").collect().foreach { r =>
+          captured.synchronized { captured += ((batchId, r.getLong(0))) }
+        }
+      }
+      .start()
+
+  test("micro-batch stream: rate-limited admission, exactly-once ids, restart continuity") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsv2-stream").toString
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // Phase 1: 250 ids at ≤100/trigger → ≥3 micro-batches, each id once.
+    val q1 = readStreamRows(250, ckpt, captured)
+    q1.processAllAvailable()
+    q1.stop()
+    val phase1 = captured.synchronized(captured.toList)
+    assert(phase1.map(_._2).sorted == (0L until 250L).toList,
+      s"phase 1 ids wrong: ${phase1.size} rows")
+    assert(phase1.map(_._1).distinct.size >= 3,
+      s"rate limit ignored: ${phase1.map(_._1).distinct}")
+    assert(phase1.groupBy(_._1).values.forall(_.size <= 100),
+      "a trigger admitted more than ratePerBatch ids")
+    // Phase 2: the source has grown to 400 ids; a NEW query on the same
+    // checkpoint must resume at id 250 — no replay, no gap.
+    captured.synchronized(captured.clear())
+    val q2 = readStreamRows(400, ckpt, captured)
+    q2.processAllAvailable()
+    q2.stop()
+    val phase2 = captured.synchronized(captured.toList).map(_._2).sorted
+    assert(phase2 == (250L until 400L).toList,
+      s"restart did not resume at the checkpointed offset: ${phase2.take(5)}... (${phase2.size} rows)")
+  }
 }
