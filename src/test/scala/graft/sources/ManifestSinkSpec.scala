@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The custom DSv2 write path and its manifest commit protocol: atomic
+  * job-level visibility, orphaned-attempt invisibility, task/job abort
+  * cleanup, and append accumulation. */
+class ManifestSinkSpec extends SparkTestBase {
+
+  private def fmt = classOf[ManifestFileSink].getName
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-manifest").toString
+
+  test("write-read roundtrip; appends accumulate one manifest per job") {
+    import spark.implicits._
+    val dir = freshDir()
+    val df1 = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "\\N", -1.0))
+      .toDF("id", "name", "score")
+    df1.repartition(3).write.format(fmt).option("path", dir).mode("append").save()
+    val back1 = spark.read.format(fmt).option("path", dir).load()
+    assert(back1.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted
+      === Array((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, null, -1.0)).sorted)
+
+    Seq((4L, "gamma", 4.0)).toDF("id", "name", "score")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 4)
+    assert(ManifestFileSink.manifests(dir).size === 2, "one manifest per job")
+  }
+
+  test("orphaned attempt files are invisible: readers resolve via manifests only") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    // A speculative/failed attempt that wrote bytes but never reached a
+    // commit message: physically present, logically absent.
+    Files.writeString(Paths.get(dir, "data", "part-99999-424242"), "666\tghost\t6.66\n")
+    val back = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(back.length === 1 && back.head.getString(1) === "a",
+      s"orphaned attempt leaked into the read: ${back.mkString(",")}")
+  }
+
+  test("task abort deletes the attempt's file; job abort deletes committed files") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir, "data"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    val factory = new ManifestWriterFactory(dir, schema)
+    // Task-level abort.
+    val w = factory.createWriter(0, 7L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      1L, org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+    w.abort()
+    assert(new java.io.File(s"$dir/data").listFiles().isEmpty,
+      "task abort left its attempt file behind")
+    // Job-level abort: two committed tasks, then the driver aborts.
+    val m1 = { val a = factory.createWriter(1, 11L); a.write(
+      org.apache.spark.sql.catalyst.InternalRow(2L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("y"))); a.commit() }
+    val m2 = { val b = factory.createWriter(2, 12L); b.write(
+      org.apache.spark.sql.catalyst.InternalRow(3L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("z"))); b.commit() }
+    assert(new java.io.File(s"$dir/data").listFiles().length === 2)
+    new ManifestBatchWrite(dir, schema).abort(Array(m1, m2))
+    assert(new java.io.File(s"$dir/data").listFiles().isEmpty,
+      "job abort left committed-but-unpublished files behind")
+    assert(ManifestFileSink.manifests(dir).isEmpty, "abort must not publish a manifest")
+  }
+
+  test("duplicate attempts cannot clobber: only the committed attempt is visible") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir, "data"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    val factory = new ManifestWriterFactory(dir, schema)
+    // Same partition, two attempts (distinct taskIds — Spark guarantees
+    // attempt-unique ids): both write, only attempt A reaches the driver.
+    val a = factory.createWriter(0, 100L)
+    a.write(org.apache.spark.sql.catalyst.InternalRow(1L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("winner")))
+    val committed = a.commit()
+    val b = factory.createWriter(0, 101L)
+    b.write(org.apache.spark.sql.catalyst.InternalRow(1L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("loser")))
+    b.commit() // commits at the task level, but its message is never delivered
+    new ManifestBatchWrite(dir, schema).commit(Array(committed))
+    val back = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(back.length === 1 && back.head.getString(1) === "winner",
+      s"duplicate attempt leaked: ${back.mkString(",")}")
+    assert(new java.io.File(s"$dir/data").listFiles().length === 2,
+      "attempt files must not clobber each other")
+  }
+}
