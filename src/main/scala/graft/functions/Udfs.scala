@@ -223,6 +223,83 @@ object Udfs {
       |SELECT '__all__', COUNT(DISTINCT doc_id), TRUE FROM documents
       |ORDER BY source""".stripMargin
 
+  /** Re-aggregatable QUANTILE sketches — the [[qHllRollup]] story for
+    * percentiles. Quantiles, like distinct counts, don't add: per-month
+    * medians cannot be combined into a global median, so naive rollups
+    * re-scan raw data per level. The mergeable sketch here is a
+    * deterministic bottom-k sample: keep the k rows whose affine row-id
+    * hash is smallest (a uniform sample, since the hash is independent of
+    * the value), carried as (hash, value) pairs in [[TopKPairs]]'s bounded
+    * binary buffer (score = −hash makes top-k = bottom-k). Mergeability is
+    * exact — the global bottom-k of a union is the bottom-k of the
+    * per-source bottom-k's — so per-month sketches of ~k rows union into
+    * any coarser rollup with no raw re-scan, and the estimate is the order
+    * statistic of the merged sample (error ~1/√k on quantile rank).
+    *
+    * Unlike HLL the construction is fully deterministic (the hash is a
+    * pure function of the row id, ties break on value), so the oracle
+    * mirrors it row-for-row and the gate is an EXACT hash match, not a
+    * tolerance boolean. Values travel as integer cents — order statistics
+    * stay exact, and the final `/100.0` is the same single IEEE op in both
+    * engines. The row-id hash pre-reduces `uid % M` before the affine
+    * multiply so the product stays < 2⁶³ for any BIGINT uid — no overflow
+    * at 100 TB key ranges (and in production `xxhash64` is the drop-in). */
+  def qQuantileSketch: Q = (s, dir) => {
+    val k = 2048
+    val M = 2147483647L // 2^31 − 1, prime
+    val pts = Tables(s, dir).lineitem.select(
+      date_trunc("month", col("l_shipdate")).as("month"),
+      (((col("l_orderkey") * 8 + col("l_linenumber")) % M) * 2654435761L % M)
+        .as("h"),
+      (col("l_extendedprice") * 100).cast("long").as("cents"))
+    // Build: one bounded sketch per month — map-side partial merges, ≤k
+    // (hash, cents) pairs per group ever cross the exchange.
+    val monthly = pts.groupBy(col("month")).agg(
+      call_function("graft_topk",
+        -col("h").cast("double"), col("cents"), lit(k)).as("sk"))
+    // Merge: union the ~months×k sketch rows into the global bottom-k.
+    // Raw lineitem is NOT rescanned past the build stage.
+    val merged = monthly.select(explode(col("sk")).as("e"))
+      .agg(call_function("graft_topk",
+        col("e.score"), col("e.payload"), lit(k)).as("sk"))
+    val sample = merged.select(
+      array_sort(transform(col("sk"), x => x.getField("payload"))).as("cs"),
+      size(col("sk")).as("n"))
+    def q(p: Double, name: String): Column =
+      (element_at(col("cs"), ceil(lit(p) * col("n")).cast("int")) / 100.0)
+        .as(name)
+    sample.select(q(0.5, "p50_est"), q(0.9, "p90_est"), q(0.99, "p99_est"),
+      col("n").as("sample_n"))
+  }
+
+  val qQuantileSketchSql: String =
+    """WITH pts AS (
+      |  SELECT date_trunc('month', l_shipdate) AS month,
+      |         (((l_orderkey * 8 + l_linenumber) % 2147483647)
+      |           * 2654435761) % 2147483647 AS h,
+      |         CAST(l_extendedprice * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |monthly AS (
+      |  SELECT month, h, cents,
+      |         row_number() OVER (PARTITION BY month ORDER BY h, cents) AS rn
+      |  FROM pts),
+      |merged AS (
+      |  SELECT h, cents, row_number() OVER (ORDER BY h, cents) AS rn2
+      |  FROM monthly WHERE rn <= 2048),
+      |samp AS (
+      |  SELECT cents, row_number() OVER (ORDER BY cents) AS r,
+      |         count(*) OVER () AS n
+      |  FROM merged WHERE rn2 <= 2048)
+      |SELECT
+      |  max(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT) THEN cents END)
+      |    / 100.0 AS p50_est,
+      |  max(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END)
+      |    / 100.0 AS p90_est,
+      |  max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT) THEN cents END)
+      |    / 100.0 AS p99_est,
+      |  CAST(max(n) AS INT) AS sample_n
+      |FROM samp""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_udf_scalar"     -> qUdfScalar,
     "q_agg_topk"       -> qAggTopK,
@@ -230,6 +307,7 @@ object Udfs {
     "q_approx_agg"     -> qApprox,
     "q_heavy_hitters"  -> qHeavyHitters,
     "q_hll_rollup"     -> qHllRollup,
+    "q_quantile_sketch" -> qQuantileSketch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +317,6 @@ object Udfs {
     "q_approx_agg"     -> qApproxSql,
     "q_heavy_hitters"  -> qHeavyHittersSql,
     "q_hll_rollup"     -> qHllRollupSql,
+    "q_quantile_sketch" -> qQuantileSketchSql,
   )
 }
