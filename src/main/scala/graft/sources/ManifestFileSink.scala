@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,7 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * deliberately simple TSV over long/int/double/boolean/string (nulls as
   * `\N`; tabs/newlines in strings unsupported) — the protocol, not the
   * encoding, is the point. Appends accumulate: each job adds one
-  * manifest; a read is the union of all manifests. */
+  * manifest; a read is the union of all manifests.
+  *
+  * The STREAMING half ([[ManifestStreamingWrite]]) reuses the same task
+  * mechanics but names the manifest by epochId, so a replayed micro-batch
+  * finds its manifest already published and discards its duplicate files —
+  * sink-side idempotency that upgrades the engine's at-least-once replay
+  * to exactly-once. */
 class ManifestFileSink extends TableProvider {
 
   override def supportsExternalMetadata(): Boolean = true
@@ -86,6 +93,36 @@ object ManifestFileSink {
       }
     }.mkString("\t")
 
+  /** Publish a manifest listing `messages`' files under `name`, via
+    * write-to-temp + atomic rename (a reader can never observe a
+    * half-written manifest). Returns false — publishing NOTHING — if a
+    * manifest of that name already exists: with epoch-derived names this
+    * is the first-commit-wins idempotency point for replayed micro-batches
+    * (both the pre-existence check and the `CREATE_NEW`/no-replace move
+    * refuse to overwrite, so the race loser always loses cleanly). */
+  private[sources] def publish(
+      path: String,
+      name: String,
+      schema: StructType,
+      messages: Array[WriterCommitMessage]): Boolean = {
+    if (Files.exists(Paths.get(path, name))) return false
+    val lines = schema.toDDL +: messages.collect {
+      case CommittedFile(f, n) => s"$f\t$n"
+    }.toSeq
+    val tmp = Paths.get(path, s".$name.tmp")
+    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE_NEW)
+    try {
+      Files.move(tmp, Paths.get(path, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
+    }
+  }
+
   private[sources] def parse(line: String, schema: StructType): InternalRow = {
     val parts = line.split("\t", -1)
     InternalRow.fromSeq(schema.fields.indices.map { i =>
@@ -110,13 +147,15 @@ private class ManifestTable(path: String, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestBatchWrite(path, info.schema())
+        override def toStreaming: StreamingWrite =
+          new ManifestStreamingWrite(path, info.schema())
       }
     }
 
@@ -134,21 +173,13 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema)
 
-  /** The atomic visibility point: write-to-temp + rename keeps a reader
-    * from ever observing a half-written manifest. Only files that made it
-    * into a task commit message are listed — an attempt that wrote bytes
-    * but never committed stays permanently invisible. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val id = java.util.UUID.randomUUID().toString
-    val lines = schema.toDDL +: messages.collect {
-      case CommittedFile(f, n) => s"$f\t$n"
-    }.toSeq
-    val tmp = Paths.get(path, s".manifest-$id.tmp")
-    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE_NEW)
-    Files.move(tmp, Paths.get(path, s"manifest-$id"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** The atomic visibility point: only files that made it into a task
+    * commit message are listed — an attempt that wrote bytes but never
+    * committed stays permanently invisible. The UUID name never collides,
+    * so batch publication is unconditional. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ManifestFileSink.publish(path,
+      s"manifest-${java.util.UUID.randomUUID().toString}", schema, messages)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -161,30 +192,75 @@ private class ManifestWriterFactory(path: String, schema: StructType)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      // taskId is unique per attempt, so a speculative/retried attempt
-      // can never clobber another attempt's file.
-      private val name = f"part-$partitionId%05d-$taskId"
-      private val file = Paths.get(path, "data", name)
-      Files.createDirectories(file.getParent)
-      private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8,
-        StandardOpenOption.CREATE_NEW)
-      private var rows = 0L
+    // taskId is unique per attempt, so a speculative/retried attempt
+    // can never clobber another attempt's file.
+    new ManifestDataWriter(path, schema, f"part-$partitionId%05d-$taskId")
+}
 
-      override def write(record: InternalRow): Unit = {
-        out.write(ManifestFileSink.render(record, schema)); out.write("\n")
-        rows += 1
-      }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        CommittedFile(name, rows)
-      }
-      override def abort(): Unit = {
-        out.close()
-        Files.deleteIfExists(file)
-      }
-      override def close(): Unit = ()
+private class ManifestDataWriter(path: String, schema: StructType, name: String)
+  extends DataWriter[InternalRow] {
+
+  private val file = Paths.get(path, "data", name)
+  Files.createDirectories(file.getParent)
+  private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8,
+    StandardOpenOption.CREATE_NEW)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    out.write(ManifestFileSink.render(record, schema)); out.write("\n")
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    CommittedFile(name, rows)
+  }
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(file)
+  }
+  override def close(): Unit = ()
+}
+
+/** Streaming half of the write protocol: identical task-file mechanics,
+  * but the job-level commit is keyed by `epochId` — the micro-batch id the
+  * engine replays VERBATIM after a failure. The manifest is named by
+  * epoch, and [[ManifestFileSink.publish]]'s `CREATE_NEW` + atomic rename
+  * makes "first commit wins" a filesystem invariant: a replayed epoch
+  * whose predecessor already published finds the manifest present, deletes
+  * its own (duplicate) task files, and publishes nothing. Sink-side
+  * idempotency + the engine's replay = end-to-end exactly-once, the same
+  * contract H2Sink.writeBatch implements with a staging-table swap. */
+private class ManifestStreamingWrite(path: String, schema: StructType)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val published = ManifestFileSink.publish(
+      path, f"manifest-e$epochId%012d", schema, messages)
+    if (!published) messages.foreach {
+      case CommittedFile(f, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case _ =>
     }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CommittedFile(f, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case _ =>
+    }
+}
+
+/** Top-level (not an inner class of the non-serializable write) — it is
+  * shipped to executors. */
+private class ManifestStreamingWriterFactory(path: String, schema: StructType)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    // Epoch in the name is for operator forensics only; uniqueness
+    // still rests on the attempt-unique taskId.
+    new ManifestDataWriter(path, schema, f"part-e$epochId-$partitionId%05d-$taskId")
 }
 
 private case class FileSplit(file: String) extends InputPartition

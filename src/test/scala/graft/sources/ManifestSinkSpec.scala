@@ -69,6 +69,52 @@ class ManifestSinkSpec extends SparkTestBase {
     assert(ManifestFileSink.manifests(dir).isEmpty, "abort must not publish a manifest")
   }
 
+  test("streaming write: one epoch manifest per micro-batch, all rows visible") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir()
+    val cp = freshDir()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("id", "name", "score")
+      .writeStream.format(fmt).option("path", dir)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      in.addData((1L, "a", 1.0), (2L, "b", 2.0)); q.processAllAvailable()
+      in.addData((3L, "c", 3.0)); q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.count() === 3)
+    val names = ManifestFileSink.manifests(dir).map(_.getName)
+    assert(names.size === 2 && names.forall(_.startsWith("manifest-e")),
+      s"expected one epoch manifest per micro-batch, got $names")
+  }
+
+  test("replayed epoch is idempotent: first commit wins, duplicates are discarded") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir, "data"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    val sw = new ManifestStreamingWrite(dir, schema)
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    def runAttempt(taskId: Long, v: String) = {
+      val w = sw.createStreamingWriterFactory(info).createWriter(0, taskId, 7L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        1L, org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      w.commit()
+    }
+    sw.commit(7L, Array(runAttempt(500L, "first")))
+    // Driver failover: epoch 7 replays with fresh task attempts.
+    sw.commit(7L, Array(runAttempt(501L, "replay")))
+    assert(ManifestFileSink.manifests(dir).size === 1,
+      "replayed epoch must not publish a second manifest")
+    val back = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(back.length === 1 && back.head.getString(1) === "first",
+      s"replay leaked or clobbered: ${back.mkString(",")}")
+    assert(new java.io.File(s"$dir/data").listFiles().length === 1,
+      "the replay's duplicate task file must be deleted on the skipped commit")
+  }
+
   test("duplicate attempts cannot clobber: only the committed attempt is visible") {
     val dir = freshDir()
     Files.createDirectories(Paths.get(dir, "data"))
