@@ -242,6 +242,35 @@ object Analytic {
        |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** VARIANT semi-structured path (Spark 4 native): `parse_json` once
+    * into the binary VARIANT encoding, then typed `variant_get`
+    * extraction — shredded access without a declared schema, the modern
+    * alternative to per-field `get_json_object` string re-parsing (each
+    * `get_json_object` call re-tokenizes the JSON text; VARIANT parses
+    * once and navigates offsets). `try_variant_get` on an absent path
+    * demonstrates the null-not-error contract. Oracle extracts the same
+    * fields via DuckDB's JSON functions — VARIANT is an encoding, not a
+    * semantics change, so results match exactly. */
+  def qVariantEvents: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .select(
+        col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.absent', 'bigint')").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(col("absent")).as("n_absent"))
+      .orderBy(col("event_type"))
+  }
+
+  val qVariantEventsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(CASE WHEN json_extract_string(props, '$.absent') IS NOT NULL
+      |             THEN 1 END) AS n_absent
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Exact continuous percentiles (interpolated) per group. */
   def qPercentiles: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -668,6 +697,7 @@ object Analytic {
     "q_pivot"           -> qPivot,
     "q_explode_tokens"  -> qExplodeTokens,
     "q_json_events"     -> qJsonEvents,
+    "q_variant_events"  -> qVariantEvents,
     "q_percentiles"     -> qPercentiles,
     "q_grouping_sets"   -> qGroupingSets,
     "q_hash_sample"     -> qHashSample,
@@ -693,6 +723,7 @@ object Analytic {
     "q_pivot"           -> qPivotSql,
     "q_explode_tokens"  -> qExplodeTokensSql,
     "q_json_events"     -> qJsonEventsSql,
+    "q_variant_events"  -> qVariantEventsSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_hash_sample"     -> qHashSampleSql,

@@ -258,7 +258,58 @@ object Subqueries {
       |               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)) t
       |ORDER BY o_custkey, d, o_orderkey""".stripMargin
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): build the complete monthly
+    * calendar spine between the corpus min/max ship months by recursion —
+    * no generator UDF, no driver-side sequence — then left-join
+    * pre-aggregated monthly revenue onto it, so calendar gaps surface as
+    * explicit zero rows. The recursion state carries the `hi` sentinel AS
+    * A COLUMN: referencing the `bounds` CTE inside the recursive step
+    * would re-evaluate its fact-table aggregate on EVERY iteration (83
+    * extra scans — measured 10.9 s vs 0.6 s at sf0.001), so the anchor
+    * reads it once and each step is a genuine one-row relation. Depth =
+    * month span (83 here), bounded by `spark.sql.cteRecursionLevelLimit`
+    * (default 100) — a multi-century spine would raise it or fall back to
+    * `sequence()`. */
+  def qRecursiveCte: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem.createOrReplaceTempView("graft_li_rec")
+    s.sql(
+      s"""WITH RECURSIVE months AS (
+         |  SELECT CAST(DATE_TRUNC('month', MIN(l_shipdate)) AS DATE) AS m,
+         |         CAST(DATE_TRUNC('month', MAX(l_shipdate)) AS DATE) AS hi
+         |  FROM graft_li_rec
+         |  UNION ALL
+         |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi
+         |  FROM months WHERE m < hi),
+         |rev AS (
+         |  SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS m,
+         |         COUNT(*) AS n_items, ${sqlSum("l_quantity")} AS qty
+         |  FROM graft_li_rec GROUP BY 1)
+         |SELECT months.m AS month, COALESCE(rev.n_items, 0) AS n_items,
+         |       COALESCE(rev.qty, CAST(0 AS DOUBLE)) AS qty
+         |FROM months LEFT JOIN rev ON months.m = rev.m
+         |ORDER BY month""".stripMargin)
+  }
+
+  val qRecursiveCteSql: String =
+    s"""WITH RECURSIVE months AS (
+       |  SELECT CAST(DATE_TRUNC('month', MIN(l_shipdate)) AS DATE) AS m,
+       |         CAST(DATE_TRUNC('month', MAX(l_shipdate)) AS DATE) AS hi
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi
+       |  FROM months WHERE m < hi),
+       |rev AS (
+       |  SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS m,
+       |         COUNT(*) AS n_items, ${sqlSum("l_quantity")} AS qty
+       |  FROM lineitem GROUP BY 1)
+       |SELECT months.m AS month, COALESCE(rev.n_items, 0) AS n_items,
+       |       COALESCE(rev.qty, CAST(0 AS DOUBLE)) AS qty
+       |FROM months LEFT JOIN rev ON months.m = rev.m
+       |ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_recursive_cte"         -> qRecursiveCte,
     "q_scalar_corr_subquery"  -> qScalarCorrSubquery,
     "q_having_global_share"   -> qHavingGlobalShare,
     "q_top_supplier"          -> qTopSupplier,
@@ -271,6 +322,7 @@ object Subqueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_recursive_cte"         -> qRecursiveCteSql,
     "q_scalar_corr_subquery"  -> qScalarCorrSubquerySql,
     "q_having_global_share"   -> qHavingGlobalShareSql,
     "q_top_supplier"          -> qTopSupplierSql,
