@@ -308,8 +308,44 @@ object Subqueries {
        |FROM months LEFT JOIN rev ON months.m = rev.m
        |ORDER BY month""".stripMargin
 
+  /** Correlated LATERAL subquery (SQL:99 lateral derived table): per
+    * nation, the top-2 suppliers by account balance — the "for each outer
+    * row, run this parameterized subquery" surface. Catalyst decorrelates
+    * the LIMIT-bearing lateral into a ranked window + filter over one
+    * equi-join on the correlation key (no per-row re-execution, no
+    * nested loop) — and then our [[graft.plans.WindowTopKRewrite]] fires
+    * on that dead-rank window, so the lateral actually executes as the
+    * native partial+final `TopKPerGroup` bounded heap (pinned in
+    * PlanShapeSpec): the engine's own rewrites compose with Catalyst's
+    * decorrelation with zero coordination. */
+  def qLateralTopk: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.supplier.createOrReplaceTempView("graft_supp_lat")
+    t.nation.createOrReplaceTempView("graft_nat_lat")
+    s.sql(
+      """SELECT n.n_name AS nation, top.s_name, top.s_acctbal
+        |FROM graft_nat_lat n
+        |JOIN LATERAL (
+        |  SELECT s_name, s_acctbal FROM graft_supp_lat s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name
+        |  LIMIT 2) top
+        |ORDER BY nation, s_acctbal DESC, s_name""".stripMargin)
+  }
+
+  val qLateralTopkSql: String =
+    """SELECT n.n_name AS nation, top.s_name, top.s_acctbal
+      |FROM nation n
+      |JOIN LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name
+      |  LIMIT 2) top ON TRUE
+      |ORDER BY nation, s_acctbal DESC, s_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_recursive_cte"         -> qRecursiveCte,
+    "q_lateral_topk"          -> qLateralTopk,
     "q_scalar_corr_subquery"  -> qScalarCorrSubquery,
     "q_having_global_share"   -> qHavingGlobalShare,
     "q_top_supplier"          -> qTopSupplier,
@@ -323,6 +359,7 @@ object Subqueries {
 
   val oracles: Map[String, String] = Map(
     "q_recursive_cte"         -> qRecursiveCteSql,
+    "q_lateral_topk"          -> qLateralTopkSql,
     "q_scalar_corr_subquery"  -> qScalarCorrSubquerySql,
     "q_having_global_share"   -> qHavingGlobalShareSql,
     "q_top_supplier"          -> qTopSupplierSql,

@@ -43,6 +43,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins in:\n$p")
   }
 
+  test("q_lateral_topk: lateral decorrelates to equi-join + native bounded-heap top-k") {
+    val p = plan("q_lateral_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral subquery fell back to per-outer-row execution:\n$p")
+    // Catalyst decorrelates the LIMIT-bearing lateral into a rank window;
+    // our WindowTopKRewrite then replaces that window with TopKPerGroup —
+    // the two rewrites compose, so the declarative lateral runs on the
+    // partial+final bounded heap, not a per-group sort.
+    assert(p.contains("TopKPerGroup") && !p.contains("Window"),
+      s"expected the rewritten bounded-heap top-k (no Window) in:\n$p")
+  }
+
   test("q_disjunctive_join: stays a hash join with residual, not a nested loop") {
     val p = plan("q_disjunctive_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
