@@ -114,6 +114,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(0), children(1))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    e.injectOptimizerRule(session => graft.plans.MaterializedRollupRewrite(session))
   }
 }
 

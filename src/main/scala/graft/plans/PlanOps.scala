@@ -50,13 +50,61 @@ object PlanOps {
         col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Materialized-rollup rewrite ([[MaterializedRollupRewrite]]): the
+    * query is written against the BASE lineitem table — coarser group key
+    * (l_returnflag ⊂ the rollup's (l_returnflag, l_linestatus)), plain
+    * SUM/COUNT(*)/MIN/MAX — and the injected rule transparently answers
+    * it from the pre-materialized summary parquet, re-aggregating partial
+    * states. The oracle computes from the base table, so the gate proves
+    * the rewrite is invisible to results; the plan pin (PlanShapeSpec)
+    * proves the base table was NOT scanned. The summary is (re)built at
+    * most once per (session, dir): rebuilding on every call would dwarf
+    * the rewritten query — and a real MV is built once, refreshed on a
+    * schedule, not per query. */
+  def qMvRewrite: Q = (s, dir) => {
+    val basePath = s"$dir/lineitem.parquet"
+    MaterializedRollupRewrite.synchronized {
+      val cur = MaterializedRollupRewrite.lookup(basePath)
+      if (cur.isEmpty || !cur.exists(_.rollupPath.contains(mvTag(dir)))) {
+        val rollupPath = java.nio.file.Files
+          .createTempDirectory(s"graft-mv-${mvTag(dir)}").toString
+        MaterializedRollupRewrite.create(
+          s, basePath,
+          keys = Seq("l_returnflag", "l_linestatus"),
+          sumCols = Seq("l_quantity"),
+          minCols = Seq("l_extendedprice"),
+          maxCols = Seq("l_extendedprice"),
+          rollupPath = rollupPath)
+      }
+    }
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).as("qty"),
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Filesystem-safe marker tying a cached rollup to its scale factor. */
+  private def mvTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "")
+
+  val qMvRewriteSql: String =
+    """SELECT l_returnflag, SUM(l_quantity) AS qty, COUNT(*) AS n,
+      |  MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_topk_native_plan"    -> qTopKNativePlan,
     "q_topk_window_rewrite" -> qTopKWindowRewrite,
+    "q_mv_rewrite"          -> qMvRewrite,
   )
 
   val oracles: Map[String, String] = Map(
     "q_topk_native_plan"    -> qTopKNativePlanSql,
     "q_topk_window_rewrite" -> qTopKNativePlanSql,
+    "q_mv_rewrite"          -> qMvRewriteSql,
   )
 }

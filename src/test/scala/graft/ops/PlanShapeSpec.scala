@@ -55,6 +55,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the rewritten bounded-heap top-k (no Window) in:\n$p")
   }
 
+  test("q_mv_rewrite: answered from the materialized rollup, base never scanned") {
+    val p = plan("q_mv_rewrite")
+    assert(p.contains("graft-mv") && !p.contains("lineitem.parquet"),
+      s"expected the summary-table scan, not the base fact table:\n$p")
+  }
+
   test("q_disjunctive_join: stays a hash join with residual, not a nested loop") {
     val p = plan("q_disjunctive_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
