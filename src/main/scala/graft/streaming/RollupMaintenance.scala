@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Incremental maintenance of a materialized rollup from a stream — the
+  * freshness half of [[graft.plans.MaterializedRollupRewrite]]: the
+  * rewrite answers queries from a summary table, this keeps that summary
+  * current as micro-batches arrive, so together they are incremental view
+  * maintenance + transparent rewrite.
+  *
+  * Each micro-batch folds in as partial states (counts and sums ADD —
+  * the same algebra the rewrite exploits downward, applied upward), so
+  * maintenance cost is O(batch) + O(summary), never a rescan of history.
+  * Columns use the rewrite's `g_sum_*`/`g_cnt` naming, so a maintained
+  * summary registers as a [[graft.plans.MaterializedRollupRewrite.RollupDef]]
+  * verbatim.
+  *
+  * Exactly-once: versioned summary dirs plus ONE atomically-replaced
+  * `_state` file carrying (lastBatchId, currentDir) TOGETHER. A replayed
+  * batchId (engine restart after a crash anywhere in applyBatch) compares
+  * against `_state` and is a no-op if already applied; a crash before the
+  * `_state` swap leaves the old (id, dir) pair, so the retry re-merges
+  * from the OLD summary and simply overwrites the orphaned version dir.
+  * Splitting id and pointer across two files would open double-count
+  * (pointer new, id old) or lost-batch (id new, pointer old) windows —
+  * the single-file swap is the whole protocol. */
+object RollupMaintenance {
+
+  /** (last applied batchId, current summary dir), if any batch applied. */
+  def state(root: String): Option[(Long, String)] = {
+    val f = Paths.get(root, "_state")
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f).get(0).split("\t") match {
+      case Array(id, dir) => Some((id.toLong, dir))
+    }
+  }
+
+  def currentDir(root: String): Option[String] = state(root).map(_._2)
+
+  /** Fold one micro-batch into the summary. Returns false (no-op) for an
+    * already-applied batchId. */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      root: String): Boolean = {
+    val st = state(root)
+    if (st.exists(_._1 >= batchId)) return false
+
+    val aggs = sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) :+
+      count(lit(1)).as("g_cnt")
+    val partials = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged = st match {
+      case Some((_, dir)) =>
+        val reAggs = sumCols.map(c => sum(col(s"g_sum_$c")).as(s"g_sum_$c")) :+
+          sum(col("g_cnt")).as("g_cnt")
+        batch.sparkSession.read.parquet(dir)
+          .unionByName(partials)
+          .groupBy(keys.map(col): _*)
+          .agg(reAggs.head, reAggs.tail: _*)
+      case None => partials
+    }
+    // sum(g_cnt) over longs is LongType but nullable; the groups here are
+    // non-empty by construction, so the value is never null — keep the
+    // schema identical across versions for unionByName.
+    val stable = merged.select(
+      keys.map(col) ++ sumCols.map(c => col(s"g_sum_$c")) :+
+        coalesce(col("g_cnt"), lit(0L)).as("g_cnt"): _*)
+
+    val newDir = s"$root/v$batchId"
+    // overwrite: a crashed previous attempt of THIS batch may have left a
+    // partial dir; `_state` still points at the predecessor, so replacing
+    // it is safe.
+    stable.write.mode("overwrite").parquet(newDir)
+
+    val tmp = Paths.get(root, "_state.tmp")
+    Files.write(tmp, s"$batchId\t$newDir".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, "_state"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+
+    // GC the superseded version (best effort — readers of the old dir
+    // mid-swap finish their scan; this is local-fs test hygiene, an
+    // object store would lifecycle these).
+    st.foreach { case (_, old) =>
+      val p = Paths.get(old)
+      if (Files.isDirectory(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+    true
+  }
+
+  /** foreachBatch sink maintaining the rollup at `root`. */
+  def sink(
+      stream: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      root: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Row], id: Long) =>
+        applyBatch(b.toDF(), id, keys, sumCols, root); ()
+    }
+}
