@@ -241,7 +241,10 @@ object Udfs {
     * mirrors it row-for-row and the gate is an EXACT hash match, not a
     * tolerance boolean. Values travel as integer cents — order statistics
     * stay exact, and the final `/100.0` is the same single IEEE op in both
-    * engines. The row-id hash pre-reduces `uid % M` before the affine
+    * engines; Spark's long cast TRUNCATES the `price*100` product while
+    * DuckDB's CAST rounds, so the oracle mirrors the truncation with
+    * `trunc()` (values are positive) — on this data the two differ on ~5%
+    * of rows, enough to flip an order statistic. The row-id hash pre-reduces `uid % M` before the affine
     * multiply so the product stays < 2⁶³ for any BIGINT uid — no overflow
     * at 100 TB key ranges (and in production `xxhash64` is the drop-in). */
   def qQuantileSketch: Q = (s, dir) => {
@@ -277,7 +280,7 @@ object Udfs {
       |  SELECT date_trunc('month', l_shipdate) AS month,
       |         (((l_orderkey * 8 + l_linenumber) % 2147483647)
       |           * 2654435761) % 2147483647 AS h,
-      |         CAST(l_extendedprice * 100 AS BIGINT) AS cents
+      |         CAST(trunc(l_extendedprice * 100) AS BIGINT) AS cents
       |  FROM lineitem),
       |monthly AS (
       |  SELECT month, h, cents,

@@ -61,6 +61,14 @@ object MaterializedRollupRewrite {
   def deregister(basePath: String): Unit = registry.remove(normalize(basePath))
   def clear(): Unit = registry.clear()
 
+  /** Swing every registration whose summary lives at `oldPath` to
+    * `newPath` — the version-swap hook for incremental maintenance
+    * ([[graft.streaming.RollupMaintenance]] GC's superseded dirs, so a
+    * registration left pointing at one would go dark). */
+  def repointRollup(oldPath: String, newPath: String): Unit =
+    registry.replaceAll((_, d) =>
+      if (d.rollupPath == oldPath) d.copy(rollupPath = newPath) else d)
+
   private[plans] def lookup(path: String): Option[RollupDef] =
     Option(registry.get(normalize(path)))
 
@@ -75,6 +83,11 @@ object MaterializedRollupRewrite {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
       rollupPath: String): RollupDef = {
+    // A refresh must read the BASE: with a registration still live, the
+    // build aggregate below is itself derivable and the rule would answer
+    // it from the stale rollup — a refresh that copies the staleness it
+    // was called to fix (or a self-overwrite error when paths coincide).
+    deregister(basePath)
     val aggs =
       sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) ++
       minCols.map(c => min(col(c)).as(s"g_min_$c")) ++
@@ -104,8 +117,10 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
     * have to be derivable itself. */
   private def unwrap(p: LogicalPlan): Option[(String, Option[Expression])] = p match {
     case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.map(rp => (rp.toUri.getPath, None))
+      // Exactly one root path: a union-of-paths scan must never be
+      // answered from a rollup covering only one of them.
+      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
+        Some((h.location.rootPaths.head.toUri.getPath, None))
       case _ => None
     }
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -144,8 +159,14 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
       d: RollupDef,
       filterCond: Option[Expression]): Option[LogicalPlan] = {
     // A fresh scan per rewrite: attribute ids must not collide if the
-    // same rollup serves several aggregates in one query tree.
-    val scan = spark.read.parquet(d.rollupPath).queryExecution.analyzed
+    // same rollup serves several aggregates in one query tree. A missing
+    // or unreadable rollup (GC'd version dir, stale registration) must
+    // cancel the rewrite, never fail a query that would otherwise run.
+    val scan = try {
+      spark.read.parquet(d.rollupPath).queryExecution.analyzed
+    } catch {
+      case scala.util.control.NonFatal(_) => return None
+    }
     val ra: Map[String, Attribute] = scan.output.map(a => a.name -> a).toMap
 
     def rollupAttr(baseName: String, m: Map[String, String]): Option[Attribute] =

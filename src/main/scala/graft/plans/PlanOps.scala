@@ -65,7 +65,7 @@ object PlanOps {
     val basePath = s"$dir/lineitem.parquet"
     MaterializedRollupRewrite.synchronized {
       val cur = MaterializedRollupRewrite.lookup(basePath)
-      if (cur.isEmpty || !cur.exists(_.rollupPath.contains(mvTag(dir)))) {
+      if (!cur.exists(_.rollupPath.contains(mvTag(dir)))) {
         val rollupPath = java.nio.file.Files
           .createTempDirectory(s"graft-mv-${mvTag(dir)}").toString
         MaterializedRollupRewrite.create(

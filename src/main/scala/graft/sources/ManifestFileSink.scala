@@ -66,10 +66,16 @@ object ManifestFileSink {
     else d.listFiles().filter(_.getName.startsWith("manifest-")).sortBy(_.getName).toSeq
   }
 
+  /** Schema of the most recently PUBLISHED manifest — by modification
+    * time, not name (batch manifests carry random UUID names, so
+    * name-order says nothing about write order; ties break on name for
+    * determinism on coarse-mtime filesystems). */
   private[sources] def storedSchema(path: String): Option[StructType] =
-    manifests(path).lastOption.map { m =>
-      StructType.fromDDL(Files.readAllLines(m.toPath).get(0))
-    }
+    manifests(path)
+      .sortBy(f => (Files.getLastModifiedTime(f.toPath).toMillis, f.getName))
+      .lastOption.map { m =>
+        StructType.fromDDL(Files.readAllLines(m.toPath).get(0))
+      }
 
   /** (file, rows) entries of every manifest — the complete visible set. */
   private[sources] def visibleFiles(path: String): Seq[(String, Long)] =
@@ -97,9 +103,15 @@ object ManifestFileSink {
     * write-to-temp + atomic rename (a reader can never observe a
     * half-written manifest). Returns false — publishing NOTHING — if a
     * manifest of that name already exists: with epoch-derived names this
-    * is the first-commit-wins idempotency point for replayed micro-batches
-    * (both the pre-existence check and the `CREATE_NEW`/no-replace move
-    * refuse to overwrite, so the race loser always loses cleanly). */
+    * is the idempotency point for REPLAYED micro-batches, which is the
+    * engine's actual contract (one driver; replays are sequential, after
+    * the previous attempt crashed or finished). A stale `.tmp` from an
+    * attempt that died between write and rename is deleted up front, so
+    * the replay can't wedge on `CREATE_NEW`. A concurrent zombie-driver
+    * race is NOT fenced here (POSIX rename replaces): both attempts carry
+    * the same epoch's data, so the epoch converges to whichever complete
+    * manifest landed last, and the loser's task files stay invisible —
+    * readers resolve through manifests only. */
   private[sources] def publish(
       path: String,
       name: String,
@@ -110,17 +122,12 @@ object ManifestFileSink {
       case CommittedFile(f, n) => s"$f\t$n"
     }.toSeq
     val tmp = Paths.get(path, s".$name.tmp")
+    Files.deleteIfExists(tmp)
     Files.write(tmp, lines.asJava, StandardCharsets.UTF_8,
       StandardOpenOption.CREATE_NEW)
-    try {
-      Files.move(tmp, Paths.get(path, name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        false
-    }
+    Files.move(tmp, Paths.get(path, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
   }
 
   private[sources] def parse(line: String, schema: StructType): InternalRow = {
@@ -224,10 +231,11 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
 /** Streaming half of the write protocol: identical task-file mechanics,
   * but the job-level commit is keyed by `epochId` — the micro-batch id the
   * engine replays VERBATIM after a failure. The manifest is named by
-  * epoch, and [[ManifestFileSink.publish]]'s `CREATE_NEW` + atomic rename
-  * makes "first commit wins" a filesystem invariant: a replayed epoch
-  * whose predecessor already published finds the manifest present, deletes
-  * its own (duplicate) task files, and publishes nothing. Sink-side
+  * epoch, so a replayed epoch whose predecessor already published finds
+  * the manifest present, deletes its own (duplicate) task files, and
+  * publishes nothing — see [[ManifestFileSink.publish]] for the exact
+  * guarantee (sequential replay fenced; a concurrent zombie driver
+  * converges to one complete manifest of the same epoch's data). Sink-side
   * idempotency + the engine's replay = end-to-end exactly-once, the same
   * contract H2Sink.writeBatch implements with a staging-table swap. */
 private class ManifestStreamingWrite(path: String, schema: StructType)

@@ -86,12 +86,17 @@ object RollupMaintenance {
 
     // GC the superseded version (best effort — readers of the old dir
     // mid-swap finish their scan; this is local-fs test hygiene, an
-    // object store would lifecycle these).
+    // object store would lifecycle these). Any MV registration serving
+    // queries from the old dir is swung to the new one FIRST, so the
+    // rewrite never chases a deleted path.
     st.foreach { case (_, old) =>
+      graft.plans.MaterializedRollupRewrite.repointRollup(old, newDir)
       val p = Paths.get(old)
       if (Files.isDirectory(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
       }
     }
     true

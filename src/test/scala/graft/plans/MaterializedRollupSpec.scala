@@ -72,6 +72,63 @@ class MaterializedRollupSpec extends SparkTestBase {
     assert(scans(distinctAgg).contains("lineitem.parquet"))
   }
 
+  test("refresh reads the base, not its own stale registration") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-refresh").toString
+    val basePath = s"$root/base.parquet"
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").write.parquet(basePath)
+    MaterializedRollupRewrite.create(spark, basePath, keys = Seq("k"),
+      sumCols = Seq("v"), rollupPath = s"$root/r1")
+    try {
+      // Base grows; a refresh with the old registration still live must
+      // rebuild from the BASE (the rule would otherwise answer the build
+      // query from the stale summary).
+      Seq(("a", 10.0)).toDF("k", "v").write.mode("append").parquet(basePath)
+      MaterializedRollupRewrite.create(spark, basePath, keys = Seq("k"),
+        sumCols = Seq("v"), rollupPath = s"$root/r2")
+      val got = spark.read.parquet(basePath).groupBy(col("k"))
+        .agg(sum(col("v")).as("sv")).orderBy(col("k"))
+      assert(scans(got).contains("/r2"))
+      assert(got.collect().map(r => (r.getString(0), r.getDouble(1)))
+        === Array(("a", 11.0), ("b", 2.0)),
+        "refreshed rollup reproduced the stale summary")
+    } finally MaterializedRollupRewrite.deregister(basePath)
+  }
+
+  test("a union-of-paths scan is never answered from a single-path rollup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-union").toString
+    val basePath = s"$root/base.parquet"
+    val otherPath = s"$root/other.parquet"
+    Seq(("a", 1.0)).toDF("k", "v").write.parquet(basePath)
+    Seq(("a", 100.0)).toDF("k", "v").write.parquet(otherPath)
+    MaterializedRollupRewrite.create(spark, basePath, keys = Seq("k"),
+      sumCols = Seq("v"), rollupPath = s"$root/r")
+    try {
+      val q = spark.read.parquet(basePath, otherPath).groupBy(col("k"))
+        .agg(sum(col("v")).as("sv"))
+      assert(!scans(q).contains("/r"), "multi-path scan must not rewrite")
+      assert(q.collect().head.getDouble(1) === 101.0)
+    } finally MaterializedRollupRewrite.deregister(basePath)
+  }
+
+  test("a registration whose rollup files vanished cancels, not crashes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-gone").toString
+    val basePath = s"$root/base.parquet"
+    Seq(("a", 1.0)).toDF("k", "v").write.parquet(basePath)
+    MaterializedRollupRewrite.register(MaterializedRollupRewrite.RollupDef(
+      basePath, s"$root/nonexistent", Seq("k"),
+      Map("v" -> "g_sum_v"), Some("g_cnt"), Map.empty, Map.empty))
+    try {
+      val q = spark.read.parquet(basePath).groupBy(col("k"))
+        .agg(sum(col("v")).as("sv"))
+      assert(q.collect().head.getDouble(1) === 1.0,
+        "query must fall back to the base when the rollup is unreadable")
+      assert(scans(q).contains("base.parquet"))
+    } finally MaterializedRollupRewrite.deregister(basePath)
+  }
+
   test("count(*) re-aggregates partial counts exactly") {
     rollupReady
     val viaRollup = base.groupBy(col("l_linestatus"))

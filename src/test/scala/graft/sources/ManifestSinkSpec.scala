@@ -115,6 +115,26 @@ class ManifestSinkSpec extends SparkTestBase {
       "the replay's duplicate task file must be deleted on the skipped commit")
   }
 
+  test("a commit that crashed between tmp-write and rename does not wedge the replay") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir, "data"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    // The crashed attempt's orphan: tmp written, rename never happened.
+    Files.writeString(Paths.get(dir, ".manifest-e000000000003.tmp"), "garbage\n")
+    val sw = new ManifestStreamingWrite(dir, schema)
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    val w = sw.createStreamingWriterFactory(info).createWriter(0, 900L, 3L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      5L, org.apache.spark.unsafe.types.UTF8String.fromString("ok")))
+    sw.commit(3L, Array(w.commit())) // must not throw on the stale tmp
+    val back = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(back.length === 1 && back.head.getString(1) === "ok")
+    assert(!Files.exists(Paths.get(dir, ".manifest-e000000000003.tmp")),
+      "stale tmp must be consumed by the successful replay")
+  }
+
   test("duplicate attempts cannot clobber: only the committed attempt is visible") {
     val dir = freshDir()
     Files.createDirectories(Paths.get(dir, "data"))

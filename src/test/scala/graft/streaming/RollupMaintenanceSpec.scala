@@ -79,6 +79,21 @@ class RollupMaintenanceSpec extends SparkTestBase {
         s"query not answered from the maintained summary:\n$plan")
       assert(q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
         === Array(("a", 4.0, 2L), ("b", 2.0, 1L), ("c", 4.0, 1L)))
+
+      // A further batch supersedes (and GC's) the registered version dir;
+      // the registration must be repointed, not left chasing deleted files.
+      val more = Seq(("c", 6.0))
+      (more.toDF("k", "v").write.mode("append").parquet(baseDir))
+      assert(RollupMaintenance.applyBatch(
+        more.toDF("k", "v"), 2L, Seq("k"), Seq("v"), root))
+      val q2 = spark.read.parquet(baseDir).groupBy(col("k"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .orderBy(col("k"))
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains("v2") && !plan2.contains(baseDir),
+        s"registration was not repointed to the new summary version:\n$plan2")
+      assert(q2.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        === Array(("a", 4.0, 2L), ("b", 2.0, 1L), ("c", 10.0, 2L)))
     } finally MaterializedRollupRewrite.deregister(baseDir)
   }
 }
