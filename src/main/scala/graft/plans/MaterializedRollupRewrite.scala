@@ -29,11 +29,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *                                        widens per level, so re-summing
   *                                        would change the result type]
   *       COUNT(*)   → SUM(partial_count) (counts add)
+  *       COUNT(col) → SUM(partial_nn_count) (per-column null-aware counts)
   *       MIN(col)   → MIN(partial_min)
   *       MAX(col)   → MAX(partial_max)
-  *     AVG/COUNT(col)/COUNT(DISTINCT) are NOT derivable from this layout
-  *     (avg needs per-column null-aware counts; distinct doesn't add —
-  *     that's [[graft.functions.Udfs.qHllRollup]]'s sketch territory).
+  *       AVG(col)   → SUM(partial_sum) / SUM(partial_nn_count) — averages
+  *                    don't add, but their (sum, count) decomposition
+  *                    does; needs BOTH maps populated for the column
+  *     COUNT(DISTINCT) is never derivable (distinct doesn't add — that's
+  *     [[graft.functions.Udfs.qHllRollup]]'s sketch territory).
   *
   * Output attributes keep the original `exprId`s (each rewritten column is
   * re-aliased under the old id), so parents of the Aggregate resolve
@@ -42,7 +45,9 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object MaterializedRollupRewrite {
 
-  /** A registered summary table. Column maps are base-name → rollup-name. */
+  /** A registered summary table. Column maps are base-name → rollup-name;
+    * `cnts` holds per-column null-aware counts (for COUNT(col) and the
+    * denominator of AVG). */
   final case class RollupDef(
       basePath: String,
       rollupPath: String,
@@ -50,7 +55,8 @@ object MaterializedRollupRewrite {
       sums: Map[String, String],
       countCol: Option[String],
       mins: Map[String, String],
-      maxs: Map[String, String])
+      maxs: Map[String, String],
+      cnts: Map[String, String] = Map.empty)
 
   private val registry = new ConcurrentHashMap[String, RollupDef]()
 
@@ -90,6 +96,7 @@ object MaterializedRollupRewrite {
     deregister(basePath)
     val aggs =
       sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) ++
+      sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) ++
       minCols.map(c => min(col(c)).as(s"g_min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"g_max_$c")) :+
       count(lit(1)).as("g_cnt")
@@ -102,7 +109,8 @@ object MaterializedRollupRewrite {
       sums = sumCols.map(c => c -> s"g_sum_$c").toMap,
       countCol = Some("g_cnt"),
       mins = minCols.map(c => c -> s"g_min_$c").toMap,
-      maxs = maxCols.map(c => c -> s"g_max_$c").toMap)
+      maxs = maxCols.map(c => c -> s"g_max_$c").toMap,
+      cnts = sumCols.map(c => c -> s"g_cntn_$c").toMap)
     register(d)
     d
   }
@@ -184,6 +192,19 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
             case Count(Seq(Literal(v, _))) if v != null =>
               d.countCol.flatMap(ra.get).map(cnt =>
                 Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L))))
+            case Count(Seq(a: AttributeReference)) =>
+              rollupAttr(a.name, d.cnts).map(pc =>
+                Coalesce(Seq(Sum(pc).toAggregateExpression(), Literal(0L))))
+            case Average(a: AttributeReference, _) if summable(a) =>
+              // Averages don't add; (Σ, n) pairs do. Null semantics ride
+              // along: an all-null group has a null partial sum, so the
+              // division is null exactly where AVG is.
+              for {
+                ps <- rollupAttr(a.name, d.sums)
+                pc <- rollupAttr(a.name, d.cnts)
+              } yield Divide(
+                Cast(Sum(ps).toAggregateExpression(), DoubleType),
+                Cast(Sum(pc).toAggregateExpression(), DoubleType))
             case Min(a: AttributeReference) =>
               rollupAttr(a.name, d.mins).map(pa => Min(pa).toAggregateExpression())
             case Max(a: AttributeReference) =>

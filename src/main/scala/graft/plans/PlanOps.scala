@@ -82,6 +82,7 @@ object PlanOps {
       .agg(
         sum(col("l_quantity")).as("qty"),
         count(lit(1)).as("n"),
+        avg(col("l_quantity")).as("aq"),
         min(col("l_extendedprice")).as("mn"),
         max(col("l_extendedprice")).as("mx"))
       .orderBy(col("l_returnflag"))
@@ -93,6 +94,7 @@ object PlanOps {
 
   val qMvRewriteSql: String =
     """SELECT l_returnflag, SUM(l_quantity) AS qty, COUNT(*) AS n,
+      |  AVG(l_quantity) AS aq,
       |  MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -53,12 +53,14 @@ object RollupMaintenance {
     val st = state(root)
     if (st.exists(_._1 >= batchId)) return false
 
-    val aggs = sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) :+
+    val aggs = sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) ++
+      sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) :+
       count(lit(1)).as("g_cnt")
     val partials = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val merged = st match {
       case Some((_, dir)) =>
-        val reAggs = sumCols.map(c => sum(col(s"g_sum_$c")).as(s"g_sum_$c")) :+
+        val reAggs = sumCols.map(c => sum(col(s"g_sum_$c")).as(s"g_sum_$c")) ++
+          sumCols.map(c => sum(col(s"g_cntn_$c")).as(s"g_cntn_$c")) :+
           sum(col("g_cnt")).as("g_cnt")
         batch.sparkSession.read.parquet(dir)
           .unionByName(partials)
@@ -66,11 +68,12 @@ object RollupMaintenance {
           .agg(reAggs.head, reAggs.tail: _*)
       case None => partials
     }
-    // sum(g_cnt) over longs is LongType but nullable; the groups here are
-    // non-empty by construction, so the value is never null — keep the
+    // sum over longs is LongType but nullable; the groups here are
+    // non-empty by construction, so the values are never null — keep the
     // schema identical across versions for unionByName.
     val stable = merged.select(
-      keys.map(col) ++ sumCols.map(c => col(s"g_sum_$c")) :+
+      keys.map(col) ++ sumCols.map(c => col(s"g_sum_$c")) ++
+        sumCols.map(c => coalesce(col(s"g_cntn_$c"), lit(0L)).as(s"g_cntn_$c")) :+
         coalesce(col("g_cnt"), lit(0L)).as("g_cnt"): _*)
 
     val newDir = s"$root/v$batchId"

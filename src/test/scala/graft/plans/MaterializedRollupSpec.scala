@@ -54,9 +54,9 @@ class MaterializedRollupSpec extends SparkTestBase {
       .agg(sum(col("l_quantity")).as("qty"))
     assert(scans(ungroupable).contains("lineitem.parquet"))
 
-    val avgQuery = base.groupBy(col("l_returnflag")) // AVG not derivable
-      .agg(avg(col("l_quantity")).as("aq"))
-    assert(scans(avgQuery).contains("lineitem.parquet"))
+    val avgUncovered = base.groupBy(col("l_returnflag")) // no partials for l_discount
+      .agg(avg(col("l_discount")).as("ad"))
+    assert(scans(avgUncovered).contains("lineitem.parquet"))
 
     val exprSum = base.groupBy(col("l_returnflag")) // computed sum input
       .agg(sum(col("l_quantity") * 2).as("q2"))
@@ -127,6 +127,25 @@ class MaterializedRollupSpec extends SparkTestBase {
         "query must fall back to the base when the rollup is unreadable")
       assert(scans(q).contains("base.parquet"))
     } finally MaterializedRollupRewrite.deregister(basePath)
+  }
+
+  test("AVG and COUNT(col) derive from the (sum, null-aware count) decomposition") {
+    rollupReady
+    val q = base.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("aq"), count(col("l_quantity")).as("nq"))
+      .orderBy(col("l_returnflag"))
+    val p = scans(q)
+    assert(p.contains("graft-mv") && !p.contains("lineitem.parquet"),
+      s"avg/count(col) should now be derivable:\n$p")
+    val viaRollup = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    MaterializedRollupRewrite.deregister(s"$dir/lineitem.parquet")
+    try {
+      val direct = base.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("aq"), count(col("l_quantity")).as("nq"))
+        .orderBy(col("l_returnflag"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(viaRollup === direct)
+    } finally { PlanOps.queries("q_mv_rewrite")(spark, dir) }
   }
 
   test("count(*) re-aggregates partial counts exactly") {

@@ -28,7 +28,8 @@ class RollupMaintenanceSpec extends SparkTestBase {
     } finally q.stop()
 
     val dir = RollupMaintenance.currentDir(root).get
-    val got = spark.read.parquet(dir).collect()
+    val got = spark.read.parquet(dir)
+      .select(col("k"), col("g_sum_v"), col("g_cnt")).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
     assert(got === Array(("a", 4.0, 2L), ("b", 6.0, 2L), ("c", 5.0, 1L)),
       s"summary diverged from the direct aggregate: ${got.mkString(",")}")
@@ -69,7 +70,7 @@ class RollupMaintenanceSpec extends SparkTestBase {
     MaterializedRollupRewrite.register(MaterializedRollupRewrite.RollupDef(
       basePath = baseDir, rollupPath = summaryDir, keys = Seq("k"),
       sums = Map("v" -> "g_sum_v"), countCol = Some("g_cnt"),
-      mins = Map.empty, maxs = Map.empty))
+      mins = Map.empty, maxs = Map.empty, cnts = Map("v" -> "g_cntn_v")))
     try {
       val q = spark.read.parquet(baseDir).groupBy(col("k"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
