@@ -58,12 +58,30 @@ object MaterializedRollupRewrite {
       maxs: Map[String, String],
       cnts: Map[String, String] = Map.empty)
 
-  private val registry = new ConcurrentHashMap[String, RollupDef]()
+  /** The MV catalog: a base table may have SEVERAL rollups (different key
+    * sets — the lattice); the rule tries them registration-newest-first
+    * and the first derivable one answers. */
+  private val registry = new ConcurrentHashMap[String, List[RollupDef]]()
+
+  /** Non-zero while [[create]] is scanning the base: its own build
+    * aggregate must read the BASE, never an (older, possibly stale)
+    * registration — see create(). Global rather than thread-local because
+    * parts of query compilation can hop threads; a concurrent unrelated
+    * query during the short build window merely skips its rewrite (always
+    * correct, the base answers). */
+  private val buildDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[plans] def building: Boolean = buildDepth.get() > 0
 
   private def normalize(p: String): String =
     java.nio.file.Paths.get(p.stripPrefix("file:")).normalize.toString
 
-  def register(d: RollupDef): Unit = registry.put(normalize(d.basePath), d)
+  /** Register `d`, replacing any existing rollup of the same base with the
+    * same key set (a refresh supersedes its predecessor; distinct key sets
+    * coexist as lattice levels). */
+  def register(d: RollupDef): Unit =
+    registry.compute(normalize(d.basePath), (_, old) =>
+      d :: Option(old).getOrElse(Nil).filterNot(_.keys.toSet == d.keys.toSet))
+
   def deregister(basePath: String): Unit = registry.remove(normalize(basePath))
   def clear(): Unit = registry.clear()
 
@@ -72,11 +90,11 @@ object MaterializedRollupRewrite {
     * ([[graft.streaming.RollupMaintenance]] GC's superseded dirs, so a
     * registration left pointing at one would go dark). */
   def repointRollup(oldPath: String, newPath: String): Unit =
-    registry.replaceAll((_, d) =>
-      if (d.rollupPath == oldPath) d.copy(rollupPath = newPath) else d)
+    registry.replaceAll((_, ds) => ds.map(d =>
+      if (d.rollupPath == oldPath) d.copy(rollupPath = newPath) else d))
 
-  private[plans] def lookup(path: String): Option[RollupDef] =
-    Option(registry.get(normalize(path)))
+  private[plans] def lookup(path: String): List[RollupDef] =
+    Option(registry.get(normalize(path))).getOrElse(Nil)
 
   /** Build the summary parquet for `basePath` grouped by `keys` and
     * register it. Partial columns are namespaced `g_sum_*`/`g_min_*`/
@@ -89,21 +107,25 @@ object MaterializedRollupRewrite {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
       rollupPath: String): RollupDef = {
-    // A refresh must read the BASE: with a registration still live, the
-    // build aggregate below is itself derivable and the rule would answer
-    // it from the stale rollup — a refresh that copies the staleness it
-    // was called to fix (or a self-overwrite error when paths coincide).
-    deregister(basePath)
+    // A refresh must read the BASE: with registrations still live, the
+    // build aggregate below may itself be derivable and the rule would
+    // answer it from a stale rollup — a refresh that copies the staleness
+    // it was called to fix (or a self-overwrite error when paths
+    // coincide). Suspend rewriting for the build instead of deregistering,
+    // so OTHER rollups of this base (lattice levels) survive a refresh.
     val aggs =
       sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) ++
       sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) ++
       minCols.map(c => min(col(c)).as(s"g_min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"g_max_$c")) :+
       count(lit(1)).as("g_cnt")
-    spark.read.parquet(basePath)
-      .groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(rollupPath)
+    buildDepth.incrementAndGet()
+    try {
+      spark.read.parquet(basePath)
+        .groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(rollupPath)
+    } finally buildDepth.decrementAndGet()
     val d = RollupDef(
       basePath, rollupPath, keys,
       sums = sumCols.map(c => c -> s"g_sum_$c").toMap,
@@ -146,21 +168,57 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg: Aggregate =>
-      val rewritten = for {
-        (path, filterCond) <- unwrap(agg.child)
-        d <- lookup(path)
-        groupNames <- Some(agg.groupingExpressions).collect {
-          case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
-            gs.map(_.asInstanceOf[AttributeReference].name)
-        }
-        if groupNames.forall(d.keys.contains)
-        if filterCond.forall(_.references.forall(r => d.keys.contains(r.name)))
-        out <- rewrite(agg, d, filterCond)
-      } yield out
-      rewritten.getOrElse(agg)
+  /** Undo `PullOutGroupingExpressions` for matching: by the post-hoc batch
+    * where injected rules run, a complex grouping (e.g. a date grain) has
+    * been hoisted into a `_groupingexpression` alias in a Project below
+    * the Aggregate. Inline such aliases back into the groupings/results so
+    * derivability is judged against BASE columns; top-level attribute
+    * results that named an alias are re-aliased under their original
+    * exprId. Returns the aggregate unchanged when there is nothing to
+    * inline. */
+  private def inlineProjectAliases(agg: Aggregate): Aggregate = agg.child match {
+    case Project(pl, gchild)
+        if pl.exists(_.isInstanceOf[Alias]) && pl.forall {
+          case _: AttributeReference => true
+          case Alias(e, _)           => e.deterministic
+          case _                     => false
+        } =>
+      val m: Map[ExprId, Expression] =
+        pl.collect { case a @ Alias(e, _) => a.exprId -> e }.toMap
+      def sub(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference if m.contains(ar.exprId) => m(ar.exprId)
+      }
+      val r2 = agg.aggregateExpressions.map {
+        case ar: AttributeReference if m.contains(ar.exprId) =>
+          Alias(m(ar.exprId), ar.name)(exprId = ar.exprId)
+        case ne => sub(ne).asInstanceOf[NamedExpression]
+      }
+      Aggregate(agg.groupingExpressions.map(sub), r2, gchild)
+    case _ => agg
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MaterializedRollupRewrite.building) plan
+    else plan.transform {
+      case agg0: Aggregate =>
+        val agg = inlineProjectAliases(agg0)
+        val rewritten = unwrap(agg.child).flatMap { case (path, filterCond) =>
+          lookup(path).iterator.map { d =>
+            // Groupings may be arbitrary deterministic EXPRESSIONS of the
+            // rollup keys (date grains, concatenations): any function of
+            // the keys is constant within a rollup group, so re-grouping
+            // the summary by it is sound.
+            val groupable = agg.groupingExpressions.forall(ge =>
+              ge.deterministic && ge.references.nonEmpty &&
+                ge.references.forall(r => d.keys.contains(r.name)))
+            val filterable = filterCond.forall(c =>
+              c.deterministic &&
+                c.references.forall(r => d.keys.contains(r.name)))
+            if (groupable && filterable) rewrite(agg, d, filterCond) else None
+          }.collectFirst { case Some(out) => out }
+        }
+        rewritten.getOrElse(agg0)
+    }
 
   private def rewrite(
       agg: Aggregate,
@@ -179,6 +237,15 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
 
     def rollupAttr(baseName: String, m: Map[String, String]): Option[Attribute] =
       m.get(baseName).flatMap(ra.get)
+
+    // Substitute base key attributes with their rollup counterparts in a
+    // key-only expression (grouping expr, filter, grouping output).
+    def subst(e: Expression): Expression = e.transform {
+      case a: AttributeReference if ra.contains(a.name) => ra(a.name)
+    }
+    def keyOnly(e: Expression): Boolean =
+      e.deterministic && e.references.forall(r => d.keys.contains(r.name)) &&
+        !e.exists(_.isInstanceOf[AggregateExpression])
 
     // Every result column must be derivable; one miss cancels the rewrite.
     val results: Option[Seq[NamedExpression]] =
@@ -212,17 +279,17 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
             case _ => None
           }
           re.map(e => Alias(e, name)(exprId = al.exprId))
+        // Grouping output under an alias — a key expression (date grain,
+        // concat) rides through with its attributes swapped.
+        case al @ Alias(e, name) if keyOnly(e) =>
+          Some(Alias(subst(e), name)(exprId = al.exprId))
         case _ => None
       }
 
     results.map { rs =>
-      val newGrouping = agg.groupingExpressions.map {
-        case a: AttributeReference => ra(a.name)
-        case other => other
-      }
+      val newGrouping = agg.groupingExpressions.map(subst)
       val newChild = filterCond match {
-        case Some(c) =>
-          Filter(c.transform { case a: AttributeReference => ra(a.name) }, scan)
+        case Some(c) => Filter(subst(c), scan)
         case None => scan
       }
       Aggregate(newGrouping, rs, newChild)

@@ -64,10 +64,10 @@ object PlanOps {
   def qMvRewrite: Q = (s, dir) => {
     val basePath = s"$dir/lineitem.parquet"
     MaterializedRollupRewrite.synchronized {
-      val cur = MaterializedRollupRewrite.lookup(basePath)
-      if (!cur.exists(_.rollupPath.contains(mvTag(dir)))) {
-        val rollupPath = java.nio.file.Files
-          .createTempDirectory(s"graft-mv-${mvTag(dir)}").toString
+      val tag = s"graft-mv-${mvTag(dir)}"
+      if (!MaterializedRollupRewrite.lookup(basePath)
+            .exists(_.rollupPath.contains(tag))) {
+        val rollupPath = java.nio.file.Files.createTempDirectory(tag).toString
         MaterializedRollupRewrite.create(
           s, basePath,
           keys = Seq("l_returnflag", "l_linestatus"),
@@ -92,6 +92,40 @@ object PlanOps {
   private def mvTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "")
 
+  /** The lattice/date-grain face of the MV catalog: a SECOND rollup of the
+    * same base, keyed by raw `l_shipdate` (one row per ship day), serves a
+    * query grouped by the MONTH — a deterministic expression of the key is
+    * constant within each rollup group, so the summary re-groups by
+    * `date_trunc('month', …)` soundly. The rule holds both lineitem
+    * rollups at once and picks the derivable one per query (the
+    * flag/status rollup can't cover a shipdate grouping and vice versa) —
+    * which is exactly how a date-hierarchy lattice answers day/month/
+    * quarter/year dashboards from one daily summary. */
+  def qMvRewriteGrain: Q = (s, dir) => {
+    val basePath = s"$dir/lineitem.parquet"
+    MaterializedRollupRewrite.synchronized {
+      val tag = s"graft-mvgrain-${mvTag(dir)}"
+      if (!MaterializedRollupRewrite.lookup(basePath)
+            .exists(_.rollupPath.contains(tag))) {
+        val rollupPath = java.nio.file.Files.createTempDirectory(tag).toString
+        MaterializedRollupRewrite.create(
+          s, basePath,
+          keys = Seq("l_shipdate"),
+          sumCols = Seq("l_quantity"),
+          rollupPath = rollupPath)
+      }
+    }
+    Tables(s, dir).lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      .orderBy(col("month"))
+  }
+
+  val qMvRewriteGrainSql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+      |  SUM(l_quantity) AS qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qMvRewriteSql: String =
     """SELECT l_returnflag, SUM(l_quantity) AS qty, COUNT(*) AS n,
       |  AVG(l_quantity) AS aq,
@@ -102,11 +136,13 @@ object PlanOps {
     "q_topk_native_plan"    -> qTopKNativePlan,
     "q_topk_window_rewrite" -> qTopKWindowRewrite,
     "q_mv_rewrite"          -> qMvRewrite,
+    "q_mv_rewrite_grain"    -> qMvRewriteGrain,
   )
 
   val oracles: Map[String, String] = Map(
     "q_topk_native_plan"    -> qTopKNativePlanSql,
     "q_topk_window_rewrite" -> qTopKNativePlanSql,
     "q_mv_rewrite"          -> qMvRewriteSql,
+    "q_mv_rewrite_grain"    -> qMvRewriteGrainSql,
   )
 }

@@ -61,6 +61,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the summary-table scan, not the base fact table:\n$p")
   }
 
+  test("q_mv_rewrite_grain: month grouping answered from the daily rollup") {
+    val p = plan("q_mv_rewrite_grain")
+    assert(p.contains("graft-mvgrain") && !p.contains("lineitem.parquet"),
+      s"expected the date-grain summary scan, not the base fact table:\n$p")
+  }
+
   test("q_disjunctive_join: stays a hash join with residual, not a nested loop") {
     val p = plan("q_disjunctive_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

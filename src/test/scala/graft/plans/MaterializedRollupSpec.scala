@@ -148,6 +148,25 @@ class MaterializedRollupSpec extends SparkTestBase {
     } finally { PlanOps.queries("q_mv_rewrite")(spark, dir) }
   }
 
+  test("lattice: two rollups of one base coexist; each query picks its derivable level") {
+    rollupReady
+    PlanOps.queries("q_mv_rewrite_grain")(spark, dir) // registers the daily rollup
+    // Month grouping → daily rollup; flag grouping → flag/status rollup.
+    val byMonth = base.groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val pm = scans(byMonth)
+    assert(pm.contains("graft-mvgrain") && !pm.contains("lineitem.parquet"),
+      s"month grain should come from the shipdate rollup:\n$pm")
+    val byFlag = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val pf = scans(byFlag)
+    assert(pf.contains("graft-mv-") && !pf.contains("graft-mvgrain"),
+      s"flag grouping should come from the flag/status rollup:\n$pf")
+    // A grouping neither covers still reads the base.
+    val bySupp = base.groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+    assert(scans(bySupp).contains("lineitem.parquet"))
+  }
+
   test("count(*) re-aggregates partial counts exactly") {
     rollupReady
     val viaRollup = base.groupBy(col("l_linestatus"))
