@@ -81,9 +81,17 @@ class VectorExpressionsSpec extends SparkTestBase {
 
   test("graft_topk serialize/deserialize round-trips the buffer") {
     import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
     val agg = TopKPairs(Literal(0.0), Literal(0L), Literal(3))
     val buf = scala.collection.mutable.ArrayBuffer((3.5, 10L), (2.5, 11L), (2.5, 12L))
-    assert(agg.deserialize(agg.serialize(buf)) == buf)
+    // The wire format carries the PAIRS, not their order (the buffer is a
+    // heap internally); eval imposes the total order, so roundtrip is
+    // judged on the evaluated result.
+    val roundtripped = agg.deserialize(agg.serialize(buf))
+    assert(roundtripped.sorted == buf.sorted)
+    assert(agg.eval(roundtripped).asInstanceOf[GenericArrayData].array.toSeq
+      == Seq(InternalRow(3.5, 10L), InternalRow(2.5, 11L), InternalRow(2.5, 12L)))
     assert(agg.deserialize(agg.serialize(scala.collection.mutable.ArrayBuffer.empty)).isEmpty)
   }
 
