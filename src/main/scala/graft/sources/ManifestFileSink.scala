@@ -36,7 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * deliberately simple TSV over long/int/double/boolean/string (nulls as
   * `\N`; tabs/newlines in strings unsupported) — the protocol, not the
   * encoding, is the point. Appends accumulate: each job adds one
-  * manifest; a read is the union of all manifests.
+  * manifest; a read is the union of all manifests — or, with
+  * `option("asOfManifest", <name>)`, of the snapshot sealed when that
+  * manifest's job committed (time travel: the read is repeatable no
+  * matter how many appends land afterwards).
   *
   * The STREAMING half ([[ManifestStreamingWrite]]) reuses the same task
   * mechanics but names the manifest by epochId, so a replayed micro-batch
@@ -47,10 +50,13 @@ class ManifestFileSink extends TableProvider {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  /** Reads resolve the schema from the newest manifest; an empty target
-    * has no schema (writes never consult it — ACCEPT_ANY_SCHEMA). */
+  /** Reads resolve the schema from the newest visible manifest (or the
+    * `asOfManifest` snapshot when time-traveling); an empty target has no
+    * schema (writes never consult it — ACCEPT_ANY_SCHEMA). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestFileSink.storedSchema(options.get("path")).getOrElse(new StructType())
+    ManifestFileSink.storedSchema(
+      options.get("path"), Option(options.get("asOfManifest")))
+      .getOrElse(new StructType())
 
   override def getTable(
       schema: StructType,
@@ -66,20 +72,41 @@ object ManifestFileSink {
     else d.listFiles().filter(_.getName.startsWith("manifest-")).sortBy(_.getName).toSeq
   }
 
-  /** Schema of the most recently PUBLISHED manifest — by modification
-    * time, not name (batch manifests carry random UUID names, so
-    * name-order says nothing about write order; ties break on name for
-    * determinism on coarse-mtime filesystems). */
-  private[sources] def storedSchema(path: String): Option[StructType] =
-    manifests(path)
-      .sortBy(f => (Files.getLastModifiedTime(f.toPath).toMillis, f.getName))
-      .lastOption.map { m =>
-        StructType.fromDDL(Files.readAllLines(m.toPath).get(0))
-      }
+  /** Manifests in PUBLICATION order — modification time, not name (batch
+    * manifests carry random UUID names, so name-order says nothing about
+    * write order; ties break on name for determinism on coarse-mtime
+    * filesystems). This order is also the snapshot timeline for
+    * [[visibleFiles]]' time travel. */
+  private[sources] def orderedManifests(path: String): Seq[File] =
+    manifests(path).sortBy(f => (
+      Files.getLastModifiedTime(f.toPath).to(java.util.concurrent.TimeUnit.NANOSECONDS),
+      f.getName))
 
-  /** (file, rows) entries of every manifest — the complete visible set. */
-  private[sources] def visibleFiles(path: String): Seq[(String, Long)] =
-    manifests(path).flatMap { m =>
+  /** Schema as of a snapshot (default: the most recently published). */
+  private[sources] def storedSchema(
+      path: String, asOf: Option[String] = None): Option[StructType] =
+    snapshot(path, asOf).lastOption.map { m =>
+      StructType.fromDDL(Files.readAllLines(m.toPath).get(0))
+    }
+
+  /** The manifest set visible at a snapshot: every manifest published at
+    * or before `asOf` (a manifest file name), in publication order — each
+    * job's commit is one manifest, so "as of manifest M" is exactly the
+    * table state the moment M's job committed. Unknown names resolve to
+    * the empty snapshot (nothing was visible "as of" a manifest that
+    * never published). */
+  private[sources] def snapshot(path: String, asOf: Option[String]): Seq[File] = {
+    val ordered = orderedManifests(path)
+    asOf match {
+      case None => ordered
+      case Some(name) => ordered.take(ordered.indexWhere(_.getName == name) + 1)
+    }
+  }
+
+  /** (file, rows) entries visible at the snapshot. */
+  private[sources] def visibleFiles(
+      path: String, asOf: Option[String] = None): Seq[(String, Long)] =
+    snapshot(path, asOf).flatMap { m =>
       Files.readAllLines(m.toPath).asScala.drop(1).map { line =>
         val Array(f, n) = line.split("\t")
         (f, n.toLong)
@@ -168,8 +195,13 @@ private class ManifestTable(path: String, schema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
+      // Time travel: `asOfManifest` pins the scan to the snapshot sealed
+      // by that manifest's commit — reads are repeatable against it no
+      // matter how many appends land afterwards.
+      private val asOf = Option(options.get("asOfManifest"))
       override def build(): Scan = new ManifestScan(path,
-        ManifestFileSink.storedSchema(path).getOrElse(new StructType()))
+        ManifestFileSink.storedSchema(path, asOf).getOrElse(new StructType()),
+        asOf)
     }
 }
 
@@ -273,13 +305,17 @@ private class ManifestStreamingWriterFactory(path: String, schema: StructType)
 
 private case class FileSplit(file: String) extends InputPartition
 
-private class ManifestScan(path: String, schema: StructType) extends Scan with Batch {
+private class ManifestScan(
+    path: String, schema: StructType, asOf: Option[String] = None)
+  extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"ManifestScan($path)"
+  override def description(): String =
+    s"ManifestScan($path${asOf.fold("")(m => s", asOf=$m")})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    ManifestFileSink.visibleFiles(path).map(f => FileSplit(f._1): InputPartition).toArray
+    ManifestFileSink.visibleFiles(path, asOf)
+      .map(f => FileSplit(f._1): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (p, s) = (path, schema)

@@ -49,18 +49,26 @@ object RollupMaintenance {
       batchId: Long,
       keys: Seq[String],
       sumCols: Seq[String],
-      root: String): Boolean = {
+      root: String,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): Boolean = {
     val st = state(root)
     if (st.exists(_._1 >= batchId)) return false
 
     val aggs = sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) ++
-      sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) :+
+      sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) ++
+      minCols.map(c => min(col(c)).as(s"g_min_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"g_max_$c")) :+
       count(lit(1)).as("g_cnt")
     val partials = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val merged = st match {
       case Some((_, dir)) =>
+        // The same partial-state algebra downward: sums and counts add,
+        // min-of-mins and max-of-maxes fold.
         val reAggs = sumCols.map(c => sum(col(s"g_sum_$c")).as(s"g_sum_$c")) ++
-          sumCols.map(c => sum(col(s"g_cntn_$c")).as(s"g_cntn_$c")) :+
+          sumCols.map(c => sum(col(s"g_cntn_$c")).as(s"g_cntn_$c")) ++
+          minCols.map(c => min(col(s"g_min_$c")).as(s"g_min_$c")) ++
+          maxCols.map(c => max(col(s"g_max_$c")).as(s"g_max_$c")) :+
           sum(col("g_cnt")).as("g_cnt")
         batch.sparkSession.read.parquet(dir)
           .unionByName(partials)
@@ -73,7 +81,9 @@ object RollupMaintenance {
     // schema identical across versions for unionByName.
     val stable = merged.select(
       keys.map(col) ++ sumCols.map(c => col(s"g_sum_$c")) ++
-        sumCols.map(c => coalesce(col(s"g_cntn_$c"), lit(0L)).as(s"g_cntn_$c")) :+
+        sumCols.map(c => coalesce(col(s"g_cntn_$c"), lit(0L)).as(s"g_cntn_$c")) ++
+        minCols.map(c => col(s"g_min_$c")) ++
+        maxCols.map(c => col(s"g_max_$c")) :+
         coalesce(col("g_cnt"), lit(0L)).as("g_cnt"): _*)
 
     val newDir = s"$root/v$batchId"
@@ -110,9 +120,11 @@ object RollupMaintenance {
       stream: DataFrame,
       keys: Seq[String],
       sumCols: Seq[String],
-      root: String): DataStreamWriter[Row] =
+      root: String,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Row], id: Long) =>
-        applyBatch(b.toDF(), id, keys, sumCols, root); ()
+        applyBatch(b.toDF(), id, keys, sumCols, root, minCols, maxCols); ()
     }
 }

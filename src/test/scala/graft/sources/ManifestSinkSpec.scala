@@ -69,6 +69,30 @@ class ManifestSinkSpec extends SparkTestBase {
     assert(ManifestFileSink.manifests(dir).isEmpty, "abort must not publish a manifest")
   }
 
+  test("time travel: asOfManifest pins the snapshot sealed by that commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    def append(id: Long): Unit = {
+      Seq((id, s"row$id", id.toDouble)).toDF("id", "name", "score")
+        .write.format(fmt).option("path", dir).mode("append").save()
+      Thread.sleep(5) // keep publication mtimes distinct on coarse filesystems
+    }
+    append(1L)
+    append(2L)
+    val secondSnapshot = ManifestFileSink.orderedManifests(dir).last.getName
+    append(3L)
+
+    val asOf = spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", secondSnapshot).load()
+    assert(asOf.collect().map(_.getLong(0)).sorted === Array(1L, 2L),
+      "snapshot read must exclude appends after the pinned manifest")
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 3,
+      "default read sees the full table")
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", "manifest-never-published").load().count() === 0,
+      "an unknown manifest resolves to the empty snapshot")
+  }
+
   test("streaming write: one epoch manifest per micro-batch, all rows visible") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext

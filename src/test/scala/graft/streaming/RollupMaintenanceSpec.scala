@@ -20,7 +20,8 @@ class RollupMaintenanceSpec extends SparkTestBase {
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = freshDir()
     val in = MemoryStream[(String, Double)]
-    val q = RollupMaintenance.sink(in.toDF().toDF("k", "v"), Seq("k"), Seq("v"), root)
+    val q = RollupMaintenance.sink(in.toDF().toDF("k", "v"), Seq("k"), Seq("v"), root,
+        minCols = Seq("v"), maxCols = Seq("v"))
       .option("checkpointLocation", freshDir()).start()
     try {
       in.addData(("a", 1.0), ("b", 2.0), ("a", 3.0)); q.processAllAvailable()
@@ -29,9 +30,12 @@ class RollupMaintenanceSpec extends SparkTestBase {
 
     val dir = RollupMaintenance.currentDir(root).get
     val got = spark.read.parquet(dir)
-      .select(col("k"), col("g_sum_v"), col("g_cnt")).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
-    assert(got === Array(("a", 4.0, 2L), ("b", 6.0, 2L), ("c", 5.0, 1L)),
+      .select(col("k"), col("g_sum_v"), col("g_cnt"), col("g_min_v"), col("g_max_v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got === Array(
+      ("a", 4.0, 2L, 1.0, 3.0), ("b", 6.0, 2L, 2.0, 4.0), ("c", 5.0, 1L, 5.0, 5.0)),
       s"summary diverged from the direct aggregate: ${got.mkString(",")}")
     // Exactly one live version dir (predecessors GC'd) + the state file.
     val versions = new java.io.File(root).listFiles().map(_.getName)
