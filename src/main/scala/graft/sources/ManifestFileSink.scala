@@ -103,7 +103,11 @@ object ManifestFileSink {
     }
   }
 
-  /** (file, rows) entries visible at the snapshot. */
+  /** (file, rows) entries visible at the snapshot. Distinct by file name:
+    * task files are immutable once committed, so a file listed twice
+    * (e.g. by a [[compact]] that crashed between publishing the combined
+    * manifest and deleting its inputs) is the same data — deduping here
+    * makes that crash window harmless instead of a double-read. */
   private[sources] def visibleFiles(
       path: String, asOf: Option[String] = None): Seq[(String, Long)] =
     snapshot(path, asOf).flatMap { m =>
@@ -111,7 +115,32 @@ object ManifestFileSink {
         val Array(f, n) = line.split("\t")
         (f, n.toLong)
       }
-    }
+    }.distinctBy(_._1)
+
+  /** Metadata maintenance: rewrite every published manifest into ONE
+    * combined manifest, then delete the inputs — a long-lived append
+    * target otherwise accumulates a manifest per job and pays an O(jobs)
+    * listing on every read. Returns the number of manifests compacted
+    * (0 = nothing to do). Crash-safe at every point: the combined
+    * manifest publishes via the same atomic rename, a crash before the
+    * input deletes leaves duplicate listings that [[visibleFiles]]
+    * dedupes, and a concurrent append's new manifest is not in the input
+    * set so it survives untouched. Snapshots sealed by the deleted
+    * manifests are retired (the standard expire-snapshots trade). */
+  def compact(path: String): Int = {
+    val ms = orderedManifests(path)
+    if (ms.size < 2) return 0
+    val schema = StructType.fromDDL(Files.readAllLines(ms.last.toPath).get(0))
+    val entries = ms.flatMap(m => Files.readAllLines(m.toPath).asScala.drop(1)).distinct
+    val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+    val tmp = Paths.get(path, s".$name.tmp")
+    Files.write(tmp, (schema.toDDL +: entries).asJava, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(path, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ms.foreach(m => Files.deleteIfExists(m.toPath))
+    ms.size
+  }
 
   private[sources] def render(row: InternalRow, schema: StructType): String =
     schema.fields.indices.map { i =>

@@ -93,6 +93,37 @@ class ManifestSinkSpec extends SparkTestBase {
       "an unknown manifest resolves to the empty snapshot")
   }
 
+  test("compaction folds all manifests into one; interrupted compaction never double-reads") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1L to 3L).foreach { i =>
+      Seq((i, s"r$i", i.toDouble)).toDF("id", "name", "score")
+        .write.format(fmt).option("path", dir).mode("append").save()
+      Thread.sleep(5)
+    }
+    assert(ManifestFileSink.manifests(dir).size === 3)
+    // Interrupted compaction: the combined manifest published but the
+    // inputs were not yet deleted — every file is listed twice.
+    val combined = ManifestFileSink.orderedManifests(dir)
+    val schemaLine = Files.readAllLines(combined.last.toPath).get(0)
+    val allEntries = combined.flatMap(m =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(m.toPath)).asScala.drop(1))
+    Files.write(Paths.get(dir, "manifest-zz-interrupted"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(schemaLine +: allEntries).asJava)
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 3,
+      "duplicate manifest listings must not double-read immutable files")
+    // Completing the compaction: one manifest, same table.
+    assert(ManifestFileSink.compact(dir) === 4)
+    assert(ManifestFileSink.manifests(dir).size === 1)
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    // The table keeps working: append after compaction.
+    Seq((4L, "r4", 4.0)).toDF("id", "name", "score")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 4)
+  }
+
   test("streaming write: one epoch manifest per micro-batch, all rows visible") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
