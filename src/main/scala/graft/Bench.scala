@@ -45,7 +45,14 @@ object Bench {
       s"\"" + k + s"""":{"min":${v.head},"med":$med,"max":${v.last},"n":${v.size}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.head).sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    // Med-of-3 total alongside min-of-3: run-wide environmental modes (GC,
+    // host contention) shift the median while barely moving the min, so a
+    // round-over-round med jump with a flat min says "noisy run", not
+    // "plan regression" — no archaeology needed.
+    val medTotal = if (results.nonEmpty) results.values.map { v =>
+      (v((v.size - 1) / 2) + v(v.size / 2)) / 2.0
+    }.sum else 0.0
+    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line
     // carrying the headline total: the driver tail-captures stdout, and a
     // total that only exists at the front of the long line gets truncated
@@ -56,7 +63,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"full":"bench_full.json"}""")
     spark.stop()
   }
 }

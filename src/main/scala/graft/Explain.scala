@@ -21,14 +21,18 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    if (mode != "none") fn(spark, sfDir).explain(mode)
-    var last = 0L
-    for (i <- 1 to runs) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      last = System.nanoTime() - t0
-      println(f"[explain] run$i: ${last / 1e9}%.2f s, $n rows")
+    // A comma-separated name list runs the queries in sequence in ONE JVM —
+    // the A/B harness for session-global effects (registered rollups,
+    // persisted kernels) that a standalone run can't reproduce.
+    for (qn <- name.split(',')) {
+      val fn = SparkEntry.queries(qn)
+      if (mode != "none") fn(spark, sfDir).explain(mode)
+      for (i <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val last = System.nanoTime() - t0
+        println(f"[explain] $qn run$i: ${last / 1e9}%.2f s, $n rows")
+      }
     }
     spark.stop()
   }

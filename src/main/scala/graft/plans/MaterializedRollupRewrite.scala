@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
@@ -47,7 +47,11 @@ object MaterializedRollupRewrite {
 
   /** A registered summary table. Column maps are base-name → rollup-name;
     * `cnts` holds per-column null-aware counts (for COUNT(col) and the
-    * denominator of AVG). */
+    * denominator of AVG). `baseFp` is the base table's file fingerprint at
+    * build time: a non-zero value cancels the rewrite when the base has
+    * since changed (regenerated fixture, overwritten partition) — an MV
+    * must go dark when stale, not answer from the past. 0 = no check
+    * (registrant owns freshness, the classic contract). */
   final case class RollupDef(
       basePath: String,
       rollupPath: String,
@@ -56,7 +60,21 @@ object MaterializedRollupRewrite {
       countCol: Option[String],
       mins: Map[String, String],
       maxs: Map[String, String],
-      cnts: Map[String, String] = Map.empty)
+      cnts: Map[String, String] = Map.empty,
+      baseFp: Long = 0L)
+
+  /** Order-stable fingerprint of a table directory: file names + mtimes.
+    * One `listFiles` per rewrite attempt — metadata-cheap next to the scan
+    * the rewrite saves. */
+  private[plans] def fingerprint(path: String): Long = {
+    val d = new java.io.File(normalize(path))
+    val fs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    fs.sortBy(_.getName).foldLeft(0L)((h, f) =>
+      h * 1000003L + f.getName.hashCode.toLong * 31L + f.lastModified())
+  }
+
+  private[plans] def isStale(d: RollupDef): Boolean =
+    d.baseFp != 0L && fingerprint(d.basePath) != d.baseFp
 
   /** The MV catalog: a base table may have SEVERAL rollups (different key
     * sets — the lattice); the rule tries them registration-newest-first
@@ -96,6 +114,8 @@ object MaterializedRollupRewrite {
   private[plans] def lookup(path: String): List[RollupDef] =
     Option(registry.get(normalize(path))).getOrElse(Nil)
 
+  private[plans] def hasRollups: Boolean = !registry.isEmpty
+
   /** Build the summary parquet for `basePath` grouped by `keys` and
     * register it. Partial columns are namespaced `g_sum_*`/`g_min_*`/
     * `g_max_*`/`g_cnt` so they can never shadow a key. */
@@ -132,7 +152,8 @@ object MaterializedRollupRewrite {
       countCol = Some("g_cnt"),
       mins = minCols.map(c => c -> s"g_min_$c").toMap,
       maxs = maxCols.map(c => c -> s"g_max_$c").toMap,
-      cnts = sumCols.map(c => c -> s"g_cntn_$c").toMap)
+      cnts = sumCols.map(c => c -> s"g_cntn_$c").toMap,
+      baseFp = fingerprint(basePath))
     register(d)
     d
   }
@@ -198,8 +219,23 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MaterializedRollupRewrite.building) plan
+    // Empty-registry bail keeps the rule O(1) for every session that never
+    // registered an MV — no per-Aggregate pattern work on unrelated plans.
+    if (MaterializedRollupRewrite.building || !MaterializedRollupRewrite.hasRollups) plan
     else plan.transform {
+      // ROLLUP/CUBE/GROUPING SETS: Aggregate over Expand. Each expanded
+      // grouping set is still a grouping by (a subset of) the rollup keys,
+      // so the summary answers level-by-level — see [[rewriteExpand]].
+      case agg0 @ Aggregate(_, _, expand: Expand, _) =>
+        unwrap(expand.child).flatMap { case (path, filterCond) =>
+          lookup(path).iterator.map { d =>
+            val filterable = filterCond.forall(c =>
+              c.deterministic &&
+                c.references.forall(r => d.keys.contains(r.name)))
+            if (filterable && !isStale(d)) rewriteExpand(agg0, expand, d, filterCond)
+            else None
+          }.collectFirst { case Some(out) => out }
+        }.getOrElse(agg0)
       case agg0: Aggregate =>
         val agg = inlineProjectAliases(agg0)
         val rewritten = unwrap(agg.child).flatMap { case (path, filterCond) =>
@@ -214,7 +250,8 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
             val filterable = filterCond.forall(c =>
               c.deterministic &&
                 c.references.forall(r => d.keys.contains(r.name)))
-            if (groupable && filterable) rewrite(agg, d, filterCond) else None
+            if (groupable && filterable && !isStale(d)) rewrite(agg, d, filterCond)
+            else None
           }.collectFirst { case Some(out) => out }
         }
         rewritten.getOrElse(agg0)
@@ -301,5 +338,142 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
   private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
     val out = xs.map(f)
     if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  /** Derive ROLLUP/CUBE/GROUPING SETS from the summary. After analysis the
+    * plan is `Aggregate(groupings, results, Expand(projections, output,
+    * base))`: every Expand output position is one of
+    *
+    *   - GROUPING-KEY: projection rows mix a base key attribute with null
+    *     literals (the per-set null markers) — or carry the key in every
+    *     row. Sound over the summary with the key attribute substituted:
+    *     each expanded set still groups by a subset of the rollup keys.
+    *   - METADATA: rows hold no attribute at all (the grouping-id
+    *     literals) — kept verbatim.
+    *   - VALUE PASSTHROUGH: every row is the same base attribute, feeding
+    *     the aggregates above. These positions are REPLACED by partial
+    *     columns (`g_sum_*`, `g_cntn_*`, …) and the aggregates re-derive
+    *     exactly as in the flat case: SUM→SUM(partial), COUNT→SUM(count
+    *     partial), AVG→ΣΣ/Σn, MIN/MAX→MIN/MAX(partial).
+    *
+    * Output attributes of kept positions (keys, grouping id) retain their
+    * exprIds, and every rewritten aggregate is re-aliased under its
+    * original exprId, so parents resolve untouched. Any position or
+    * aggregate outside these shapes cancels the rewrite (base answers). */
+  private def rewriteExpand(
+      agg: Aggregate,
+      expand: Expand,
+      d: RollupDef,
+      filterCond: Option[Expression]): Option[LogicalPlan] = {
+    val scan = try {
+      spark.read.parquet(d.rollupPath).queryExecution.analyzed
+    } catch {
+      case scala.util.control.NonFatal(_) => return None
+    }
+    val ra: Map[String, Attribute] = scan.output.map(a => a.name -> a).toMap
+    // Rollup keys must all exist in the summary by name.
+    if (!d.keys.forall(ra.contains)) return None
+
+    sealed trait Pos
+    case object Keep extends Pos
+    case object Key extends Pos
+    final case class Value(baseName: String, exprId: ExprId) extends Pos
+
+    val positions: Seq[Pos] = expand.output.indices.map { i =>
+      val cells = expand.projections.map(_(i))
+      val refs = cells.flatMap(_.collect { case a: AttributeReference => a })
+      if (refs.isEmpty) Keep
+      else if (refs.map(_.exprId).distinct.size == 1) {
+        val a = refs.head
+        val shapeOk = cells.forall {
+          case _: AttributeReference => true
+          case Literal(null, _)      => true
+          case _                     => false
+        }
+        if (!shapeOk) return None
+        if (d.keys.contains(a.name)) Key
+        else if (cells.forall(_.isInstanceOf[AttributeReference]))
+          Value(a.name, expand.output(i).exprId)
+        else return None // null-marked grouping over a non-key column
+      } else return None
+    }
+
+    val valueByOut: Map[ExprId, String] =
+      positions.collect { case v: Value => v.exprId -> v.baseName }.toMap
+
+    // Groupings must be untouched by the value replacement.
+    if (agg.groupingExpressions.exists(_.references.exists(r =>
+      valueByOut.contains(r.exprId)))) return None
+
+    // Partial columns get appended as fresh passthrough positions (one per
+    // distinct partial, shared by all grouping sets).
+    val extra = scala.collection.mutable.LinkedHashMap.empty[String, (Attribute, AttributeReference)]
+    def partialAttr(pname: String): AttributeReference =
+      extra.getOrElseUpdate(pname, {
+        val p = ra(pname)
+        (p, AttributeReference(pname, p.dataType, nullable = true)())
+      })._2
+
+    var failed = false
+    def derive(fn: AggregateFunction): Option[Expression] = fn match {
+      case Sum(a: AttributeReference, _)
+          if valueByOut.contains(a.exprId) && summable(a) =>
+        d.sums.get(valueByOut(a.exprId)).filter(ra.contains)
+          .map(p => Sum(partialAttr(p)).toAggregateExpression())
+      case Count(Seq(Literal(v, _))) if v != null =>
+        d.countCol.filter(ra.contains).map(p =>
+          Coalesce(Seq(Sum(partialAttr(p)).toAggregateExpression(), Literal(0L))))
+      case Count(Seq(a: AttributeReference)) if valueByOut.contains(a.exprId) =>
+        d.cnts.get(valueByOut(a.exprId)).filter(ra.contains).map(p =>
+          Coalesce(Seq(Sum(partialAttr(p)).toAggregateExpression(), Literal(0L))))
+      case Average(a: AttributeReference, _)
+          if valueByOut.contains(a.exprId) && summable(a) =>
+        for {
+          ps <- d.sums.get(valueByOut(a.exprId)).filter(ra.contains)
+          pc <- d.cnts.get(valueByOut(a.exprId)).filter(ra.contains)
+        } yield Divide(
+          Cast(Sum(partialAttr(ps)).toAggregateExpression(), DoubleType),
+          Cast(Sum(partialAttr(pc)).toAggregateExpression(), DoubleType))
+      case Min(a: AttributeReference) if valueByOut.contains(a.exprId) =>
+        d.mins.get(valueByOut(a.exprId)).filter(ra.contains)
+          .map(p => Min(partialAttr(p)).toAggregateExpression())
+      case Max(a: AttributeReference) if valueByOut.contains(a.exprId) =>
+        d.maxs.get(valueByOut(a.exprId)).filter(ra.contains)
+          .map(p => Max(partialAttr(p)).toAggregateExpression())
+      case _ => None
+    }
+    val newResults = agg.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        // EVERY aggregate must re-derive: an untouched one would count
+        // summary rows where it counted base rows.
+        case ae @ AggregateExpression(fn, _, false, None, _) =>
+          derive(fn).getOrElse { failed = true; ae }
+        case ae: AggregateExpression => failed = true; ae
+      }.asInstanceOf[NamedExpression]
+    }
+    if (failed) return None
+    // No surviving reference to a replaced value column anywhere (a bare
+    // passthrough outside an aggregate would dangle).
+    if (newResults.exists(_.references.exists(r => valueByOut.contains(r.exprId))))
+      return None
+
+    def substKeys(e: Expression): Expression = e.transform {
+      case a: AttributeReference if ra.contains(a.name) => ra(a.name)
+    }
+    val keptIdx = positions.indices.filterNot(i => positions(i).isInstanceOf[Value])
+    val newOutput: Seq[Attribute] =
+      keptIdx.map(expand.output) ++ extra.values.map(_._2)
+    val newProjections: Seq[Seq[Expression]] = expand.projections.map { row =>
+      keptIdx.map(i => positions(i) match {
+        case Key => substKeys(row(i))
+        case _   => row(i)
+      }) ++ extra.values.map(_._1)
+    }
+    val newChild = filterCond match {
+      case Some(c) => Filter(substKeys(c), scan)
+      case None    => scan
+    }
+    Some(Aggregate(agg.groupingExpressions, newResults,
+      Expand(newProjections, newOutput, newChild)))
   }
 }

@@ -62,6 +62,25 @@ object PlanOps {
     * the rewritten query — and a real MV is built once, refreshed on a
     * schedule, not per query. */
   def qMvRewrite: Q = (s, dir) => {
+    ensureFlagStatusRollup(s, dir)
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).as("qty"),
+        count(lit(1)).as("n"),
+        avg(col("l_quantity")).as("aq"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Filesystem-safe marker tying a cached rollup to its scale factor. */
+  private def mvTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "")
+
+  /** Build-and-register the (l_returnflag, l_linestatus) summary once per
+    * (session, dir) — shared by the flat and ROLLUP rewrite queries. */
+  private def ensureFlagStatusRollup(s: SparkSession, dir: String): Unit = {
     val basePath = s"$dir/lineitem.parquet"
     MaterializedRollupRewrite.synchronized {
       val tag = s"graft-mv-${mvTag(dir)}"
@@ -77,20 +96,33 @@ object PlanOps {
           rollupPath = rollupPath)
       }
     }
+  }
+
+  /** ROLLUP over the SAME registered summary: each grouping-set level is a
+    * grouping by a subset of the rollup keys, so the rule derives the
+    * whole Expand tree from the summary (grouping-set re-aggregation of
+    * partials) — a dashboard's `ROLLUP(a,b)` never touches the base. The
+    * oracle computes from the base; PlanShapeSpec pins the base is not
+    * scanned. */
+  def qMvRewriteRollup: Q = (s, dir) => {
+    ensureFlagStatusRollup(s, dir)
     Tables(s, dir).lineitem
-      .groupBy(col("l_returnflag"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("qty"),
         count(lit(1)).as("n"),
         avg(col("l_quantity")).as("aq"),
         min(col("l_extendedprice")).as("mn"),
         max(col("l_extendedprice")).as("mx"))
-      .orderBy(col("l_returnflag"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
-  /** Filesystem-safe marker tying a cached rollup to its scale factor. */
-  private def mvTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "")
+  val qMvRewriteRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS qty, COUNT(*) AS n,
+      |  AVG(l_quantity) AS aq,
+      |  MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   /** The lattice/date-grain face of the MV catalog: a SECOND rollup of the
     * same base, keyed by raw `l_shipdate` (one row per ship day), serves a
@@ -137,6 +169,7 @@ object PlanOps {
     "q_topk_window_rewrite" -> qTopKWindowRewrite,
     "q_mv_rewrite"          -> qMvRewrite,
     "q_mv_rewrite_grain"    -> qMvRewriteGrain,
+    "q_mv_rewrite_rollup"   -> qMvRewriteRollup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,5 +177,6 @@ object PlanOps {
     "q_topk_window_rewrite" -> qTopKNativePlanSql,
     "q_mv_rewrite"          -> qMvRewriteSql,
     "q_mv_rewrite_grain"    -> qMvRewriteGrainSql,
+    "q_mv_rewrite_rollup"   -> qMvRewriteRollupSql,
   )
 }

@@ -72,34 +72,82 @@ object ManifestFileSink {
     else d.listFiles().filter(_.getName.startsWith("manifest-")).sortBy(_.getName).toSeq
   }
 
-  /** Manifests in PUBLICATION order — modification time, not name (batch
-    * manifests carry random UUID names, so name-order says nothing about
-    * write order; ties break on name for determinism on coarse-mtime
-    * filesystems). This order is also the snapshot timeline for
-    * [[visibleFiles]]' time travel. */
+  /** Manifest file layout (v2):
+    *   line 0: `#graft\tseq=<n>\tfolded=<name,name,...>`   (metadata header)
+    *   line 1: schema DDL
+    *   line 2+: `<file>\t<rows>` entries
+    * `seq` is the monotonic commit counter — publication order is defined
+    * by it, never by file mtime (coarse-mtime filesystems order same-tick
+    * commits arbitrarily). `folded` names the manifests a [[compact]]
+    * absorbed: it is how a replayed epoch recognises its commit as already
+    * published after its epoch-named manifest was compacted away, and how
+    * a time-travel read of a retired snapshot fails explicitly instead of
+    * answering empty. One name is ~50 bytes of metadata; the list grows
+    * with total folded commits, which a 100 TB table bounds by running
+    * compaction on compounding intervals (each compact folds the previous
+    * combined manifest, so the list is the commit history, not a blowup). */
+  private[sources] final case class ManifestMeta(seq: Long, folded: Seq[String])
+
+  private[sources] def readMeta(f: File): ManifestMeta = {
+    val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+    try {
+      val h = r.readLine()
+      require(h != null && h.startsWith("#graft"), s"not a graft manifest: $f")
+      val kv = h.split("\t").drop(1).map { p =>
+        val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1)
+      }.toMap
+      ManifestMeta(kv("seq").toLong,
+        kv.get("folded").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+    } finally r.close()
+  }
+
+  private def renderHeader(m: ManifestMeta): String =
+    s"#graft\tseq=${m.seq}\tfolded=${m.folded.mkString(",")}"
+
+  /** Next commit sequence: one past the max published. Single-driver
+    * commit protocol (the streaming engine's own contract), so no CAS. */
+  private[sources] def nextSeq(path: String): Long =
+    manifests(path).map(readMeta(_).seq).maxOption.getOrElse(0L) + 1L
+
+  /** Manifests in PUBLICATION order — the embedded commit sequence, with a
+    * name tiebreak only for malformed hand-written duplicates. This order
+    * is also the snapshot timeline for [[visibleFiles]]' time travel. */
   private[sources] def orderedManifests(path: String): Seq[File] =
-    manifests(path).sortBy(f => (
-      Files.getLastModifiedTime(f.toPath).to(java.util.concurrent.TimeUnit.NANOSECONDS),
-      f.getName))
+    manifests(path).sortBy(f => (readMeta(f).seq, f.getName))
+
+  /** Every manifest name ever folded away by a [[compact]] — the
+    * "already published, then compacted" set [[publish]] must honour. */
+  private[sources] def foldedNames(path: String): Set[String] =
+    manifests(path).flatMap(readMeta(_).folded).toSet
+
+  private def schemaLine(f: File): String = {
+    val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+    try { r.readLine(); r.readLine() } finally r.close()
+  }
 
   /** Schema as of a snapshot (default: the most recently published). */
   private[sources] def storedSchema(
       path: String, asOf: Option[String] = None): Option[StructType] =
-    snapshot(path, asOf).lastOption.map { m =>
-      StructType.fromDDL(Files.readAllLines(m.toPath).get(0))
-    }
+    snapshot(path, asOf).lastOption.map(m => StructType.fromDDL(schemaLine(m)))
 
   /** The manifest set visible at a snapshot: every manifest published at
     * or before `asOf` (a manifest file name), in publication order — each
     * job's commit is one manifest, so "as of manifest M" is exactly the
-    * table state the moment M's job committed. Unknown names resolve to
-    * the empty snapshot (nothing was visible "as of" a manifest that
-    * never published). */
+    * table state the moment M's job committed. A name retired by
+    * [[compact]] raises — the snapshot was expired, and an explicit error
+    * beats silently answering empty; a name that NEVER published resolves
+    * to the empty snapshot. */
   private[sources] def snapshot(path: String, asOf: Option[String]): Seq[File] = {
     val ordered = orderedManifests(path)
     asOf match {
       case None => ordered
-      case Some(name) => ordered.take(ordered.indexWhere(_.getName == name) + 1)
+      case Some(name) =>
+        val i = ordered.indexWhere(_.getName == name)
+        if (i < 0 && foldedNames(path).contains(name))
+          throw new IllegalArgumentException(
+            s"snapshot $name was retired by compaction (expire-snapshots): " +
+              "pre-compaction snapshots are not time-travelable")
+        ordered.take(i + 1)
     }
   }
 
@@ -111,7 +159,7 @@ object ManifestFileSink {
   private[sources] def visibleFiles(
       path: String, asOf: Option[String] = None): Seq[(String, Long)] =
     snapshot(path, asOf).flatMap { m =>
-      Files.readAllLines(m.toPath).asScala.drop(1).map { line =>
+      Files.readAllLines(m.toPath).asScala.drop(2).map { line =>
         val Array(f, n) = line.split("\t")
         (f, n.toLong)
       }
@@ -126,16 +174,27 @@ object ManifestFileSink {
     * input deletes leaves duplicate listings that [[visibleFiles]]
     * dedupes, and a concurrent append's new manifest is not in the input
     * set so it survives untouched. Snapshots sealed by the deleted
-    * manifests are retired (the standard expire-snapshots trade). */
+    * manifests are retired (the standard expire-snapshots trade) and the
+    * input names are recorded in the combined manifest's `folded` header
+    * (transitively), so a replayed epoch still recognises its commit and
+    * a retired-snapshot read errors explicitly. Mixed schemas REFUSE to
+    * compact: merging entries under the newest DDL would silently reparse
+    * older files with the wrong columns. */
   def compact(path: String): Int = {
     val ms = orderedManifests(path)
     if (ms.size < 2) return 0
-    val schema = StructType.fromDDL(Files.readAllLines(ms.last.toPath).get(0))
-    val entries = ms.flatMap(m => Files.readAllLines(m.toPath).asScala.drop(1)).distinct
+    val schemas = ms.map(schemaLine).distinct
+    if (schemas.size > 1)
+      throw new IllegalStateException(
+        s"refusing to compact $path: ${schemas.size} distinct schemas across " +
+          "manifests; older entries would reparse under the newest DDL")
+    val entries = ms.flatMap(m => Files.readAllLines(m.toPath).asScala.drop(2)).distinct
+    val folded = ms.flatMap(m => m.getName +: readMeta(m).folded).distinct
+    val meta = ManifestMeta(nextSeq(path), folded)
     val name = s"manifest-${java.util.UUID.randomUUID().toString}"
     val tmp = Paths.get(path, s".$name.tmp")
-    Files.write(tmp, (schema.toDDL +: entries).asJava, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE_NEW)
+    Files.write(tmp, (renderHeader(meta) +: schemas.head +: entries).asJava,
+      StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(path, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ms.foreach(m => Files.deleteIfExists(m.toPath))
@@ -167,14 +226,20 @@ object ManifestFileSink {
     * race is NOT fenced here (POSIX rename replaces): both attempts carry
     * the same epoch's data, so the epoch converges to whichever complete
     * manifest landed last, and the loser's task files stay invisible —
-    * readers resolve through manifests only. */
+    * readers resolve through manifests only. A name absorbed by a
+    * [[compact]] counts as published (it is listed in a live manifest's
+    * `folded` header) — otherwise a replay arriving after compaction
+    * would republish its epoch under fresh task-file names, and the
+    * by-name dedup in [[visibleFiles]] could not catch the double-read. */
   private[sources] def publish(
       path: String,
       name: String,
       schema: StructType,
       messages: Array[WriterCommitMessage]): Boolean = {
-    if (Files.exists(Paths.get(path, name))) return false
-    val lines = schema.toDDL +: messages.collect {
+    if (Files.exists(Paths.get(path, name)) || foldedNames(path).contains(name))
+      return false
+    val lines = renderHeader(ManifestMeta(nextSeq(path), Nil)) +:
+      schema.toDDL +: messages.collect {
       case CommittedFile(f, n) => s"$f\t$n"
     }.toSeq
     val tmp = Paths.get(path, s".$name.tmp")
@@ -350,17 +415,20 @@ private class ManifestScan(
     val (p, s) = (path, schema)
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val lines = Files.readAllLines(
-          Paths.get(p, "data", partition.asInstanceOf[FileSplit].file)).iterator()
+        // Streamed, not slurped: a compacted/large append target would
+        // otherwise buffer an entire data file per executor thread.
+        val reader = Files.newBufferedReader(
+          Paths.get(p, "data", partition.asInstanceOf[FileSplit].file),
+          StandardCharsets.UTF_8)
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
           override def next(): Boolean = {
-            val has = lines.hasNext
-            if (has) cur = ManifestFileSink.parse(lines.next(), s)
-            has
+            val line = reader.readLine()
+            if (line != null) cur = ManifestFileSink.parse(line, s)
+            line != null
           }
           override def get(): InternalRow = cur
-          override def close(): Unit = ()
+          override def close(): Unit = reader.close()
         }
       }
     }

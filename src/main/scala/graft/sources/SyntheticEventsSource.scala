@@ -255,11 +255,24 @@ private class SyntheticMicroBatchStream(
   override def latestOffset(start: streaming.Offset,
                             limit: streaming.ReadLimit): streaming.Offset = {
     val s = pos(start)
-    val admit = limit match {
-      case mr: streaming.ReadMaxRows => mr.maxRows()
-      case _                         => math.max(1L, rate)
+    // ReadAllAvailable is Trigger.Once/AvailableNow's drain-everything
+    // contract — mapping it to the rate default would silently stop after
+    // one batch. Composites take the tightest row cap their parts allow
+    // (min across ReadMaxRows; an embedded all-available widens to hi).
+    def admitted(l: streaming.ReadLimit): Long = l match {
+      case _: streaming.ReadAllAvailable => hi - s
+      case mr: streaming.ReadMaxRows     => mr.maxRows()
+      case c: streaming.CompositeReadLimit =>
+        // Only row-cap members constrain admission; ReadMinRows and
+        // friends are hints this unbounded generator always satisfies.
+        val caps = c.getReadLimits.toSeq.collect {
+          case mr: streaming.ReadMaxRows     => mr.maxRows()
+          case _: streaming.ReadAllAvailable => hi - s
+        }
+        if (caps.nonEmpty) caps.min else math.max(1L, rate)
+      case _                             => math.max(1L, rate)
     }
-    IdOffset(math.min(hi, s + admit))
+    IdOffset(math.min(hi, s + math.max(0L, admitted(limit))))
   }
 
   override def latestOffset(): streaming.Offset =

@@ -49,6 +49,38 @@ class QuantileSketchSpec extends SparkTestBase {
       "union-of-per-month-bottom-k must equal the global bottom-k")
   }
 
+  test("rank error stays inside the theoretical 3·√(q(1−q)/k) bound on a skewed distribution") {
+    // The accuracy CONTRACT for the 100 TB user: a bottom-k-by-hash sketch
+    // is a uniform k-sample, so the estimated q-quantile's true rank is a
+    // Binomial(k, q) mean with std √(q(1−q)/k) — the error is in RANK
+    // space, independent of how skewed the VALUES are. k=2048 ⇒ p50 rank
+    // error ≲ 3·0.01105 ≈ 0.033 at 3σ. Values here span 5 orders of
+    // magnitude (exp ramp) to show value-skew does not degrade rank error.
+    val k = 2048
+    val n = 200000L
+    val data = spark.range(n).select(
+      col("id"),
+      // exp ramp: half the mass below ~e^6≈400, top percentile ≥ ~e^11.9.
+      exp(col("id").cast("double") / lit(n.toDouble) * 12.0).as("v"))
+    val sample = data
+      .agg(call_function("graft_topk",
+        -abs(xxhash64(col("id"))).cast("double"),
+        (col("v") * 1e6).cast("long"), lit(k)).as("sk"))
+      .select(array_sort(transform(col("sk"), x => x.getField("payload"))).as("cs"),
+        size(col("sk")).as("sn"))
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val est = sample.select(
+        element_at(col("cs"), ceil(lit(q) * col("sn")).cast("int")) / 1e6)
+        .collect().head.getDouble(0)
+      // True rank of the estimate under the generating distribution.
+      val rank = data.filter(col("v") <= est).count().toDouble / n
+      val bound = 3.0 * math.sqrt(q * (1 - q) / k)
+      assert(math.abs(rank - q) <= bound,
+        f"q=$q: estimate $est%.1f has true rank $rank%.4f, " +
+          f"off by ${math.abs(rank - q)}%.4f > 3σ bound $bound%.4f")
+    }
+  }
+
   test("estimates are invariant under input repartitioning") {
     val base = Udfs.qQuantileSketch(spark, dir).collect().head
     // Same query over a deliberately re-shuffled scan: merge order differs,

@@ -67,6 +67,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the date-grain summary scan, not the base fact table:\n$p")
   }
 
+  test("q_mv_rewrite_rollup: ROLLUP grouping sets answered from the summary") {
+    val p = plan("q_mv_rewrite_rollup")
+    assert(p.contains("graft-mv") && !p.contains("lineitem.parquet"),
+      s"expected the summary scan under the Expand, not the base:\n$p")
+    assert(p.contains("Expand"), s"grouping-set Expand should survive the rewrite:\n$p")
+  }
+
   test("q_disjunctive_join: stays a hash join with residual, not a nested loop") {
     val p = plan("q_disjunctive_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -167,6 +167,68 @@ class MaterializedRollupSpec extends SparkTestBase {
     assert(scans(bySupp).contains("lineitem.parquet"))
   }
 
+  test("ROLLUP/CUBE over a registered rollup derive level-by-level from the summary") {
+    rollupReady
+    // Grouping-set plans (Aggregate over Expand) rewrite too: each set
+    // groups by a subset of the rollup keys.
+    val viaRollup = base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"),
+        avg(col("l_quantity")).as("aq"), min(col("l_extendedprice")).as("mn"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    val p = scans(viaRollup)
+    assert(p.contains("graft-mv") && !p.contains("lineitem.parquet"),
+      s"grouping-set plan should answer from the summary:\n$p")
+    val got = viaRollup.collect()
+    val cube = base.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    assert(scans(cube).contains("graft-mv"), "cube should rewrite as well")
+    val gotCube = cube.collect().length
+    MaterializedRollupRewrite.deregister(s"$dir/lineitem.parquet")
+    try {
+      val direct = base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"),
+          avg(col("l_quantity")).as("aq"), min(col("l_extendedprice")).as("mn"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+        .collect()
+      assert(got === direct, "grouping-set rewrite changed results")
+      assert(gotCube === base.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n")).collect().length)
+    } finally { PlanOps.queries("q_mv_rewrite")(spark, dir) }
+  }
+
+  test("a grouping-set aggregate without partials falls back to the base") {
+    rollupReady
+    val q = base.rollup(col("l_returnflag"))
+      .agg(avg(col("l_discount")).as("ad")) // no partials for l_discount
+    assert(scans(q).contains("lineitem.parquet"))
+    val q2 = base.rollup(col("l_suppkey")) // not a rollup key
+      .agg(sum(col("l_quantity")).as("qty"))
+    assert(scans(q2).contains("lineitem.parquet"))
+  }
+
+  test("a stale registration (base changed after build) cancels the rewrite") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-stale").toString
+    val basePath = s"$root/base.parquet"
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v").write.parquet(basePath)
+    MaterializedRollupRewrite.create(spark, basePath, keys = Seq("k"),
+      sumCols = Seq("v"), rollupPath = s"$root/r1")
+    try {
+      val q1 = spark.read.parquet(basePath).groupBy(col("k"))
+        .agg(sum(col("v")).as("sv"))
+      assert(scans(q1).contains("/r1"), "fresh registration should answer")
+      // The base gains data behind the MV's back: the registration is now
+      // stale and must go dark — correct answers beat fast wrong ones.
+      Seq(("a", 10.0)).toDF("k", "v").write.mode("append").parquet(basePath)
+      val q2 = spark.read.parquet(basePath).groupBy(col("k"))
+        .agg(sum(col("v")).as("sv")).orderBy(col("k"))
+      assert(scans(q2).contains("base.parquet"),
+        "stale rollup must not answer after the base changed")
+      assert(q2.collect().map(r => (r.getString(0), r.getDouble(1)))
+        === Array(("a", 11.0), ("b", 2.0)))
+    } finally MaterializedRollupRewrite.deregister(basePath)
+  }
+
   test("count(*) re-aggregates partial counts exactly") {
     rollupReady
     val viaRollup = base.groupBy(col("l_linestatus"))

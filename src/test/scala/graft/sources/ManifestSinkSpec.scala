@@ -105,12 +105,14 @@ class ManifestSinkSpec extends SparkTestBase {
     // Interrupted compaction: the combined manifest published but the
     // inputs were not yet deleted — every file is listed twice.
     val combined = ManifestFileSink.orderedManifests(dir)
-    val schemaLine = Files.readAllLines(combined.last.toPath).get(0)
+    val schemaLine = Files.readAllLines(combined.last.toPath).get(1)
     val allEntries = combined.flatMap(m =>
       scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.readAllLines(m.toPath)).asScala.drop(1))
+        Files.readAllLines(m.toPath)).asScala.drop(2))
     Files.write(Paths.get(dir, "manifest-zz-interrupted"),
-      scala.jdk.CollectionConverters.SeqHasAsJava(schemaLine +: allEntries).asJava)
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        s"#graft\tseq=99\tfolded=${combined.map(_.getName).mkString(",")}" +:
+          schemaLine +: allEntries).asJava)
     assert(spark.read.format(fmt).option("path", dir).load().count() === 3,
       "duplicate manifest listings must not double-read immutable files")
     // Completing the compaction: one manifest, same table.
@@ -211,5 +213,132 @@ class ManifestSinkSpec extends SparkTestBase {
       s"duplicate attempt leaked: ${back.mkString(",")}")
     assert(new java.io.File(s"$dir/data").listFiles().length === 2,
       "attempt files must not clobber each other")
+  }
+
+  test("publication order is the commit sequence, not mtime: same-tick commits stay ordered") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1L to 4L).foreach { i =>
+      Seq((i, s"r$i", i.toDouble)).toDF("id", "name", "score")
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    // Coarse-mtime filesystem: every manifest lands in the same tick.
+    val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    ManifestFileSink.manifests(dir).foreach(m => Files.setLastModifiedTime(m.toPath, t))
+    val ordered = ManifestFileSink.orderedManifests(dir)
+    assert(ordered.map(m => ManifestFileSink.readMeta(m).seq) === Seq(1L, 2L, 3L, 4L),
+      "publication order must come from the embedded sequence")
+    // Time travel at the 2nd commit is exact despite identical mtimes.
+    val second = ordered(1).getName
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", second).load().collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+  }
+
+  test("epoch replay AFTER compaction is still idempotent (folded names fence it)") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir, "data"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    val sw = new ManifestStreamingWrite(dir, schema)
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    def runAttempt(taskId: Long, epoch: Long, v: String) = {
+      val w = sw.createStreamingWriterFactory(info).createWriter(0, taskId, epoch)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        epoch, org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      w.commit()
+    }
+    sw.commit(7L, Array(runAttempt(600L, 7L, "e7")))
+    sw.commit(8L, Array(runAttempt(601L, 8L, "e8")))
+    assert(ManifestFileSink.compact(dir) === 2)
+    // Recovery from an old checkpoint replays epoch 7 — its manifest is
+    // gone (folded), and republishing would double-read under new names.
+    sw.commit(7L, Array(runAttempt(602L, 7L, "e7-replay")))
+    val back = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(back.length === 2 &&
+      back.map(_.getString(1)).sorted === Array("e7", "e8"),
+      s"replayed epoch republished after compaction: ${back.mkString(",")}")
+    assert(new java.io.File(s"$dir/data").listFiles().length === 2,
+      "the replay's duplicate task files must be deleted, not retained")
+  }
+
+  test("compaction refuses mixed schemas instead of reparsing old files under new DDL") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    Seq((2L, "b")).toDF("id", "name") // ACCEPT_ANY_SCHEMA lets this land
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val e = intercept[IllegalStateException](ManifestFileSink.compact(dir))
+    assert(e.getMessage.contains("distinct schemas"))
+    assert(ManifestFileSink.manifests(dir).size === 2, "refusal must not delete inputs")
+  }
+
+  test("time travel to a compaction-retired snapshot errors explicitly") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1L to 2L).foreach { i =>
+      Seq((i, s"r$i", i.toDouble)).toDF("id", "name", "score")
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val retired = ManifestFileSink.orderedManifests(dir).head.getName
+    ManifestFileSink.compact(dir)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", dir)
+        .option("asOfManifest", retired).load().collect()
+    }
+    assert(e.getMessage.contains("retired by compaction"))
+    // Unknown names still answer empty — only RETIRED ones error.
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", "manifest-never-published").load().count() === 0)
+  }
+
+  test("large data file streams through the scan (no whole-file buffering)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val n = 50000L
+    spark.range(n).select(col("id"), concat(lit("payload-"), col("id")).as("name"),
+      (col("id") * 1.5).as("score"))
+      .coalesce(1).write.format(fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    val r = back.agg(count(lit(1)), sum("id"), max("score")).head()
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === n * (n - 1) / 2)
+    assert(r.getDouble(2) === (n - 1) * 1.5)
+  }
+
+  test("e2e: streaming epochs + compact mid-stream + time travel across the boundary") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir()
+    val cp = freshDir()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("id", "name", "score")
+      .writeStream.format(fmt).option("path", dir)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      in.addData((1L, "a", 1.0)); q.processAllAvailable()
+      in.addData((2L, "b", 2.0)); q.processAllAvailable()
+      // Maintenance runs while the stream is live.
+      assert(ManifestFileSink.compact(dir) === 2)
+      in.addData((3L, "c", 3.0)); q.processAllAvailable()
+      in.addData((4L, "d", 4.0)); q.processAllAvailable()
+    } finally q.stop()
+    // All epochs visible; post-compaction epochs appended cleanly.
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+    // The combined manifest is itself a valid time-travel anchor: it seals
+    // epochs 0-1; the post-compaction snapshot timeline works across the
+    // boundary (pre-compaction epoch manifests are retired by contract).
+    val ordered = ManifestFileSink.orderedManifests(dir)
+    assert(ordered.size === 3, s"combined + 2 fresh epochs, got ${ordered.map(_.getName)}")
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", ordered.head.getName).load()
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L),
+      "the combined manifest must seal exactly the pre-compaction table")
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", ordered(1).getName).load()
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
   }
 }

@@ -137,4 +137,28 @@ class SyntheticEventsSourceSpec extends SparkTestBase {
     assert(phase2 == (250L until 400L).toList,
       s"restart did not resume at the checkpointed offset: ${phase2.take(5)}... (${phase2.size} rows)")
   }
+
+  test("Trigger.AvailableNow drains everything despite the rate limit, then stops") {
+    // ReadAllAvailable must admit all remaining ids — mapping it to the
+    // rate default would stop after one 100-row batch and lose the rest.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsv2-avnow").toString
+    val captured = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.SyntheticEventsSource")
+      .option("rows", "350").option("splits", "3")
+      .option("ratePerBatch", "100")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"id").collect().foreach { r =>
+          captured.synchronized { captured += r.getLong(0) }
+        }
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+    val got = captured.synchronized(captured.toList).sorted
+    assert(got == (0L until 350L).toList,
+      s"AvailableNow drained ${got.size}/350 ids")
+  }
 }
