@@ -431,7 +431,43 @@ object Extended {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY n1, n2""".stripMargin
 
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007): each row draws a deterministic
+    * uniform u ∈ (0,1] from an affine hash of its key and gets priority
+    * w/u; the k highest priorities are the sample. Inclusion probability
+    * is ∝ weight (heavy rows almost surely enter), and with threshold
+    * τ = (k+1)-th priority, ŵ = max(w, τ) estimates subset sums
+    * near-optimally (variance within 1+O(1/k) of the best possible
+    * k-sample — the property PrioritySampleSpec measures).
+    *
+    * Scale shape: map-only scoring (3 IEEE ops, all exactly-rounded so
+    * the sample is bit-reproducible across engines and partitionings —
+    * no pow/log, whose rounding is libm-specific), then ONE global
+    * bounded top-k (TakeOrderedAndProject: per-partition heaps, k rows
+    * per partition to the driver-free final heap). A 100 TB corpus
+    * yields a k-row sample with zero full shuffles. */
+  def qWeightedSample: Q = (s, dir) => {
+    val M = 2147483647L // 2^31 - 1
+    val u = ((col("o_orderkey") * 2654435761L) % M + 1L).cast("double") / M.toDouble
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") / u).as("priority"))
+      .orderBy(desc("priority"), col("o_orderkey"))
+      .limit(100)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qWeightedSampleSql: String =
+    """SELECT o_orderkey, o_totalprice, priority FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |    o_totalprice / (CAST((o_orderkey * 2654435761) % 2147483647 + 1 AS DOUBLE)
+      |                    / 2147483647.0) AS priority
+      |  FROM orders
+      |  ORDER BY priority DESC, o_orderkey LIMIT 100) t
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_weighted_sample"      -> qWeightedSample,
     "q_fuzzy_join"           -> qFuzzyJoin,
     "q_salted_join"          -> qSaltedJoin,
     "q_window_forward"       -> qWindowForward,
@@ -448,6 +484,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample"      -> qWeightedSampleSql,
     "q_fuzzy_join"           -> qFuzzyJoinSql,
     "q_salted_join"          -> qSaltedJoinSql,
     "q_window_forward"       -> qWindowForwardSql,

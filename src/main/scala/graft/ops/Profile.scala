@@ -121,10 +121,78 @@ object Profile {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Data-quality expectation suite (deequ-style "unit tests for data"):
+    * one row per check with its violation count and pass flag — the gate a
+    * pipeline evaluates before publishing a snapshot downstream.
+    *
+    * Scale shape: all orders-level checks fold into ONE wide aggregate
+    * pass (map-side combined — uniqueness rides the same pass as its
+    * count-distinct), the lineitem range check is a second single pass,
+    * and referential integrity is one LEFT ANTI join on the key
+    * (broadcast-able when the parent's key set is small; shuffled-on-key
+    * otherwise — never a cartesian). Adding a check adds a column to a
+    * pass, not a pass. */
+  def qDqChecks: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val orders = t.orders
+    val li = t.lineitem
+    val ordersWide = orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+      (count(lit(1)) - count(col("o_custkey"))).as("null_cust"),
+      count(when(col("o_totalprice") <= 0, 1)).as("nonpos_price"),
+      count(when(col("o_orderdate") < to_date(lit("1992-01-01")) ||
+                 col("o_orderdate") > to_date(lit("1998-12-31")), 1)).as("stale_date"))
+    val liWide = li.agg(
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("qty_range"))
+    val orphans = li.join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lines"))
+
+    val checks = ordersWide.select(expr(
+        "stack(4, " +
+          "'orders.o_orderkey unique', dup_keys, " +
+          "'orders.o_custkey not_null', null_cust, " +
+          "'orders.o_totalprice positive', nonpos_price, " +
+          "'orders.o_orderdate in_range', stale_date" +
+          ") AS (check_name, violations)"))
+      .unionByName(liWide.select(lit("lineitem.l_quantity in_1_50").as("check_name"),
+        col("qty_range").as("violations")))
+      .unionByName(orphans.select(lit("lineitem.l_orderkey ref_orders").as("check_name"),
+        col("orphan_lines").as("violations")))
+    checks.select(col("check_name"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy(col("check_name"))
+  }
+
+  val qDqChecksSql: String =
+    """WITH c AS (
+      |  SELECT 'orders.o_orderkey unique' AS check_name,
+      |         COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey not_null', COUNT(*) - COUNT(o_custkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice positive',
+      |         COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderdate in_range',
+      |         COUNT(CASE WHEN o_orderdate < DATE '1992-01-01'
+      |                      OR o_orderdate > DATE '1998-12-31' THEN 1 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in_1_50',
+      |         COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey ref_orders', COUNT(*) FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |)
+      |SELECT check_name, violations, violations = 0 AS pass
+      |FROM c ORDER BY check_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_profile"        -> qProfileOrders,
-    "q_profile_approx" -> qProfileOrdersApprox)
+    "q_profile_approx" -> qProfileOrdersApprox,
+    "q_dq_checks"      -> qDqChecks)
   val oracles: Map[String, String] = Map(
     "q_profile"        -> qProfileOrdersSql,
-    "q_profile_approx" -> qProfileOrdersApproxSql)
+    "q_profile_approx" -> qProfileOrdersApproxSql,
+    "q_dq_checks"      -> qDqChecksSql)
 }

@@ -291,11 +291,16 @@ private class ManifestTable(path: String, schema: StructType)
     new ScanBuilder {
       // Time travel: `asOfManifest` pins the scan to the snapshot sealed
       // by that manifest's commit — reads are repeatable against it no
-      // matter how many appends land afterwards.
+      // matter how many appends land afterwards. `sinceManifest` turns the
+      // scan into a CHANGE FEED: only files committed AFTER that snapshot
+      // (task files are immutable and append-only, so the snapshot diff IS
+      // the row diff) — the incremental-consumer contract that lets a
+      // downstream maintenance job process each commit exactly once.
       private val asOf = Option(options.get("asOfManifest"))
+      private val since = Option(options.get("sinceManifest"))
       override def build(): Scan = new ManifestScan(path,
         ManifestFileSink.storedSchema(path, asOf).getOrElse(new StructType()),
-        asOf)
+        asOf, since)
     }
 }
 
@@ -400,16 +405,34 @@ private class ManifestStreamingWriterFactory(path: String, schema: StructType)
 private case class FileSplit(file: String) extends InputPartition
 
 private class ManifestScan(
-    path: String, schema: StructType, asOf: Option[String] = None)
+    path: String, schema: StructType, asOf: Option[String] = None,
+    since: Option[String] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"ManifestScan($path${asOf.fold("")(m => s", asOf=$m")})"
+    s"ManifestScan($path${asOf.fold("")(m => s", asOf=$m")}" +
+      s"${since.fold("")(m => s", since=$m")})"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ManifestFileSink.visibleFiles(path, asOf)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val visible = ManifestFileSink.visibleFiles(path, asOf)
+    // Change feed: subtract the `since` snapshot's files. A retired
+    // `since` raises through snapshot() — the consumer's resume point was
+    // compacted away, which must fail loudly (skipping would double-read,
+    // silently narrowing would drop changes).
+    val baseline = since.fold(Set.empty[String]) { m =>
+      // An unknown resume point must also fail: treating it as "empty
+      // snapshot" would replay the whole table into the consumer.
+      if (!ManifestFileSink.manifests(path).exists(_.getName == m) &&
+          !ManifestFileSink.foldedNames(path).contains(m))
+        throw new IllegalArgumentException(
+          s"sinceManifest $m is not a published manifest of $path")
+      // A retired (compacted-away) resume point raises inside snapshot().
+      ManifestFileSink.visibleFiles(path, Some(m)).map(_._1).toSet
+    }
+    visible.filterNot(f => baseline.contains(f._1))
       .map(f => FileSplit(f._1): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (p, s) = (path, schema)

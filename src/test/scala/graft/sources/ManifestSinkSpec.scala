@@ -308,6 +308,43 @@ class ManifestSinkSpec extends SparkTestBase {
     assert(r.getDouble(2) === (n - 1) * 1.5)
   }
 
+  test("change feed: sinceManifest reads exactly the commits after the resume point") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1L to 4L).foreach { i =>
+      Seq((i, s"r$i", i.toDouble)).toDF("id", "name", "score")
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val ordered = ManifestFileSink.orderedManifests(dir)
+    // Changes after commit 2 = commits 3 and 4.
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("sinceManifest", ordered(1).getName).load()
+      .collect().map(_.getLong(0)).sorted === Array(3L, 4L))
+    // Bounded window: since commit 1, as of commit 3 = commits 2..3.
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("sinceManifest", ordered(0).getName)
+      .option("asOfManifest", ordered(2).getName).load()
+      .collect().map(_.getLong(0)).sorted === Array(2L, 3L))
+    // Since the newest commit = empty (caught up).
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("sinceManifest", ordered(3).getName).load().count() === 0)
+    // An unknown resume point fails loudly — "empty baseline" would
+    // replay the whole table into the consumer.
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", dir)
+        .option("sinceManifest", "manifest-never-published").load().collect()
+    }
+    assert(e.getMessage.contains("not a published manifest"))
+    // A resume point retired by compaction fails with the retirement error.
+    val retired = ordered.head.getName
+    ManifestFileSink.compact(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", dir)
+        .option("sinceManifest", retired).load().collect()
+    }
+    assert(e2.getMessage.contains("retired by compaction"))
+  }
+
   test("e2e: streaming epochs + compact mid-stream + time travel across the boundary") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
