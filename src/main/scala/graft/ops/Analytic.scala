@@ -568,6 +568,77 @@ object Analytic {
        |FROM cal c LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d
        |ORDER BY c.user_id, c.d""".stripMargin
 
+  /** Time-series linear interpolation: [[qGapFill]]'s calendar spine, but
+    * gaps take the straight line between the neighbouring observations
+    * (pv + (nv−pv)·(d−pd)/(nd−pd)) instead of carrying the last value
+    * forward — the resampling step before feeding regularly-spaced models.
+    * Edges (no observation on one side) stay null, explicitly.
+    *
+    * Scale shape: identical to gap-fill — per-user windows over the
+    * per-(user, day) AGGREGATED series (|users|·|days| rows, not |events|),
+    * Catalyst shares one sort+exchange across all four neighbour windows
+    * (same partitioning and ordering), and the lerp arithmetic is all
+    * exactly-rounded IEEE ops, so the result is bit-stable across engines
+    * and partitionings. */
+  def qInterpolate: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val daily = t.events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"),
+        col("value"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(dsum(col("value")).as("day_sum"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsD = when(col("day_sum").isNotNull, col("d"))
+    cal.join(daily, Seq("user_id", "d"), "left_outer")
+      .withColumn("pv", last(col("day_sum"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("day_sum"), ignoreNulls = true).over(wNext))
+      .withColumn("pd", last(obsD, ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(obsD, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("d"),
+        when(col("day_sum").isNotNull, col("day_sum"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("d") - col("pd")).cast("double") /
+             (col("nd") - col("pd")).cast("double"))).as("filled"),
+        col("day_sum").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  val qInterpolateSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS d, value
+       |  FROM events),
+       |daily AS (
+       |  SELECT user_id, d, ${sqlSum("value")} AS day_sum FROM ev GROUP BY user_id, d),
+       |cal AS (
+       |  SELECT user_id, CAST(UNNEST(range(d0, d1 + 1)) AS INTEGER) AS d FROM (
+       |    SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id)),
+       |j AS (
+       |  SELECT c.user_id, c.d, dd.day_sum,
+       |    LAST_VALUE(dd.day_sum IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    FIRST_VALUE(dd.day_sum IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.d
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    LAST_VALUE(CASE WHEN dd.day_sum IS NOT NULL THEN c.d END IGNORE NULLS)
+       |      OVER (PARTITION BY c.user_id ORDER BY c.d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+       |    FIRST_VALUE(CASE WHEN dd.day_sum IS NOT NULL THEN c.d END IGNORE NULLS)
+       |      OVER (PARTITION BY c.user_id ORDER BY c.d
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+       |  FROM cal c LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d)
+       |SELECT user_id, d,
+       |  CASE WHEN day_sum IS NOT NULL THEN day_sum
+       |       ELSE pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+       |  END AS filled,
+       |  day_sum IS NULL AS is_gap
+       |FROM j ORDER BY user_id, d""".stripMargin
+
   /** Unpivot (melt): wide columns → (metric, value) rows via the stack
     * generator — the inverse of [[qPivot]]. Generator output, no shuffle
     * until the presentation sort. */
@@ -683,6 +754,7 @@ object Analytic {
     "q_retention"       -> qRetention,
     "q_unpivot"         -> qUnpivot,
     "q_gap_fill"        -> qGapFill,
+    "q_interpolate"     -> qInterpolate,
     "q_argmax"          -> qArgmax,
     "q_array_agg"       -> qArrayAgg,
     "q_regex_fns"       -> qRegexFns,
@@ -709,6 +781,7 @@ object Analytic {
     "q_retention"       -> qRetentionSql,
     "q_unpivot"         -> qUnpivotSql,
     "q_gap_fill"        -> qGapFillSql,
+    "q_interpolate"     -> qInterpolateSql,
     "q_argmax"          -> qArgmaxSql,
     "q_array_agg"       -> qArrayAggSql,
     "q_regex_fns"       -> qRegexFnsSql,

@@ -150,15 +150,62 @@ object Mutation {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Snapshot diff (table-level CDC): classify every key as added /
+    * removed / changed between two table versions, dropping the unchanged
+    * majority — the reconciliation audit run before replacing a published
+    * snapshot, and the input a downstream incremental consumer replays.
+    *
+    * Scale shape: ONE full-outer join on the primary key (the same
+    * exchange [[qMergeUpsert]] pays — both sides fact-sized, AQE splits
+    * skew) and the unchanged filter drops ~99% of rows BEFORE anything
+    * downstream, so the diff's output is O(churn), not O(table). */
+  def qTableDiff: Q = (s, dir) => {
+    val orders = Tables(s, dir).orders
+    val v1 = orders.filter(col("o_orderkey") % 5 =!= 4)
+      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"))
+    val v2 = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * lit(1.05))
+          .otherwise(col("o_totalprice")).as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .withColumn("change_type",
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        col("change_type"), col("p1").as("old_price"), col("p2").as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qTableDiffSql: String =
+    """WITH v1 AS (SELECT o_orderkey AS k1, o_totalprice AS p1
+      |            FROM orders WHERE o_orderkey % 5 <> 4),
+      |v2 AS (SELECT o_orderkey AS k2,
+      |         CASE WHEN o_orderkey % 7 = 0
+      |              THEN o_totalprice * CAST(1.05 AS DOUBLE)
+      |              ELSE o_totalprice END AS p2
+      |       FROM orders WHERE o_orderkey % 3 <> 0)
+      |SELECT COALESCE(k1, k2) AS o_orderkey,
+      |  CASE WHEN k1 IS NULL THEN 'added'
+      |       WHEN k2 IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type,
+      |  p1 AS old_price, p2 AS new_price
+      |FROM v1 FULL JOIN v2 ON k1 = k2
+      |WHERE k1 IS NULL OR k2 IS NULL OR p1 <> p2
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_history" -> qScd2History,
     "q_scd2_lookup"  -> qScd2Lookup,
+    "q_table_diff"   -> qTableDiff,
   )
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_scd2_lookup"  -> qScd2LookupSql,
+    "q_table_diff"   -> qTableDiffSql,
   )
 }

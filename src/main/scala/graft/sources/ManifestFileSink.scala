@@ -120,6 +120,12 @@ object ManifestFileSink {
   private[sources] def foldedNames(path: String): Set[String] =
     manifests(path).flatMap(readMeta(_).folded).toSet
 
+  /** The newest published manifest name — the snapshot handle an
+    * incremental consumer pins as `asOfManifest` for one maintenance
+    * cycle and then records as its `sinceManifest` resume point. */
+  def latestManifest(path: String): Option[String] =
+    orderedManifests(path).lastOption.map(_.getName)
+
   private def schemaLine(f: File): String = {
     val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
     try { r.readLine(); r.readLine() } finally r.close()

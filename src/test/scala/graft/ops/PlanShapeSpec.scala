@@ -74,6 +74,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Expand"), s"grouping-set Expand should survive the rewrite:\n$p")
   }
 
+  test("q_weighted_sample: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"priority sample should run per-partition heaps, not a global sort:\n$p")
+  }
+
+  test("q_ivm_join_delta: delta joins stay equi-joins (no cartesian), aggs partial") {
+    val p = plan("q_ivm_join_delta")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVM delta joins degraded to a cross product:\n$p")
+    assert(p.contains("partial_sum"),
+      s"partial-state folds should be map-side combined:\n$p")
+  }
+
   test("q_disjunctive_join: stays a hash join with residual, not a nested loop") {
     val p = plan("q_disjunctive_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -119,7 +133,7 @@ class PlanShapeSpec extends SparkTestBase {
   test("windows: every Window operator has a partition spec (no global window)") {
     for (name <- Seq("q_window_topk", "q_window_running", "q_window_analytic",
                      "q_window_range_frame", "q_asof_join", "q_sessionize",
-                     "q_gap_fill", "q_window_distribution")) {
+                     "q_gap_fill", "q_interpolate", "q_window_distribution")) {
       val p = plan(name)
       p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
         // Spark prints `Window [exprs], [partitionExprs], [orderExprs]`;

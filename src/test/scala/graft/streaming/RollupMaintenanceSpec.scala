@@ -58,6 +58,51 @@ class RollupMaintenanceSpec extends SparkTestBase {
     assert(after === before, "replay double-counted the batch")
   }
 
+  test("manifest change feed drives batch-mode incremental maintenance exactly-once") {
+    import spark.implicits._
+    // The composition: commits land in a manifest table, the maintenance
+    // job wakes up on a cadence, reads ONLY the commits after its resume
+    // point (`sinceManifest` change feed), folds them as a batch keyed by
+    // an increasing id, and advances the resume point — incremental view
+    // maintenance over a table feed instead of a stream, with the same
+    // replay idempotency.
+    val fmt = classOf[graft.sources.ManifestFileSink].getName
+    val tableDir = freshDir()
+    val root = freshDir()
+    def append(rows: (String, Double)*): String = {
+      rows.toDF("k", "v").coalesce(1)
+        .write.format(fmt).option("path", tableDir).mode("append").save()
+      graft.sources.ManifestFileSink.latestManifest(tableDir).get
+    }
+    def maintain(since: Option[String], upTo: String, batchId: Long): Unit = {
+      val reader = spark.read.format(fmt).option("path", tableDir)
+        .option("asOfManifest", upTo)
+      val delta = since.fold(reader)(m => reader.option("sinceManifest", m)).load()
+      assert(RollupMaintenance.applyBatch(delta, batchId, Seq("k"), Seq("v"), root))
+    }
+    val m1 = append(("a", 1.0), ("b", 2.0))
+    maintain(None, m1, 1L)
+    val m2 = append(("a", 3.0), ("c", 4.0))
+    append(("b", 5.0)) // lands AFTER the cycle's asOf pin — next cycle's work
+    maintain(Some(m1), m2, 2L)
+    val got = spark.read.parquet(RollupMaintenance.currentDir(root).get)
+      .select(col("k"), col("g_sum_v"), col("g_cnt")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Array(("a", 4.0, 2L), ("b", 2.0, 1L), ("c", 4.0, 1L)),
+      s"change-feed maintenance diverged: ${got.mkString(",")}")
+    // The late commit folds in the next cycle; a replayed cycle is a no-op.
+    val m3 = graft.sources.ManifestFileSink.latestManifest(tableDir).get
+    maintain(Some(m2), m3, 3L)
+    assert(!RollupMaintenance.applyBatch(
+      spark.read.format(fmt).option("path", tableDir)
+        .option("sinceManifest", m2).option("asOfManifest", m3).load(),
+      3L, Seq("k"), Seq("v"), root), "replayed maintenance cycle must no-op")
+    val fin = spark.read.parquet(RollupMaintenance.currentDir(root).get)
+      .select(col("k"), col("g_sum_v"), col("g_cnt")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(fin === Array(("a", 4.0, 2L), ("b", 7.0, 2L), ("c", 4.0, 1L)))
+  }
+
   test("stream-maintained summary serves the MV rewrite on the base table") {
     import spark.implicits._
     val root = freshDir()
