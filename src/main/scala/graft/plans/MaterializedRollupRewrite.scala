@@ -63,14 +63,40 @@ object MaterializedRollupRewrite {
       cnts: Map[String, String] = Map.empty,
       baseFp: Long = 0L)
 
-  /** Order-stable fingerprint of a table directory: file names + mtimes.
-    * One `listFiles` per rewrite attempt — metadata-cheap next to the scan
-    * the rewrite saves. */
+  /** Order-stable fingerprint of a table directory: file names + mtimes +
+    * lengths (length catches a same-name overwrite landing within one
+    * mtime tick). Resolved through the Hadoop FileSystem API so non-local
+    * bases (hdfs://, s3a://) fingerprint too — `java.io.File.listFiles`
+    * returns null for those, which would silently disable the staleness
+    * fence exactly where it can't be eyeballed. One metadata listing per
+    * rewrite attempt — cheap next to the scan the rewrite saves. A result
+    * of 0 means "no check"; [[register]]-time callers get a loud warning
+    * so a dark fence is a known trade, never a surprise. */
   private[plans] def fingerprint(path: String): Long = {
-    val d = new java.io.File(normalize(path))
-    val fs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-    fs.sortBy(_.getName).foldLeft(0L)((h, f) =>
-      h * 1000003L + f.getName.hashCode.toLong * 31L + f.lastModified())
+    import org.apache.hadoop.fs.{Path => HPath}
+    try {
+      val hp = new HPath(path)
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = hp.getFileSystem(conf)
+      if (!fs.exists(hp)) 0L
+      else fs.listStatus(hp).sortBy(_.getPath.getName).foldLeft(0L)((h, st) =>
+        ((h * 1000003L + st.getPath.getName.hashCode.toLong * 31L +
+          st.getModificationTime) * 1000003L + st.getLen))
+    } catch { case _: Exception => 0L }
+  }
+
+  /** Fingerprint for a registration: same hash, but a 0 result (missing
+    * dir, unreachable filesystem) warns that the staleness fence is OFF
+    * for this rollup — the registrant then owns freshness entirely. */
+  def fenceFingerprint(path: String): Long = {
+    val fp = fingerprint(path)
+    if (fp == 0L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"rollup base $path fingerprinted to 0 — staleness fence disabled; " +
+          "registrant owns freshness")
+    fp
   }
 
   private[plans] def isStale(d: RollupDef): Boolean =

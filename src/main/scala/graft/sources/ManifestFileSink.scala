@@ -66,6 +66,22 @@ class ManifestFileSink extends TableProvider {
 }
 
 object ManifestFileSink {
+
+  /** Per-table commit lock. [[nextSeq]] is a read-modify-write (list
+    * manifests, max+1): two concurrent publishes from different threads of
+    * the same driver — or an external maintenance thread running
+    * [[compact]] against a streaming commit — could otherwise mint
+    * duplicate seq values, and [[orderedManifests]] would fall back to the
+    * UUID-name tiebreak, making publication order (and with it time-travel
+    * snapshots and change-feed boundaries) arbitrary. Everything that
+    * allocates a seq serializes here, keyed by the table's absolute path.
+    * This covers the single-driver contract fully; a MULTI-driver writer
+    * would need a filesystem CAS (atomic CREATE_NEW of a seq-named marker),
+    * which local rename-based manifests deliberately don't attempt. */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(path: String): Object =
+    commitLocks.computeIfAbsent(new File(path).getAbsolutePath, _ => new Object)
+
   private[sources] def manifests(path: String): Seq[File] = {
     val d = new File(path)
     if (!d.isDirectory) Seq.empty
@@ -86,28 +102,41 @@ object ManifestFileSink {
     * with total folded commits, which a 100 TB table bounds by running
     * compaction on compounding intervals (each compact folds the previous
     * combined manifest, so the list is the commit history, not a blowup). */
-  private[sources] final case class ManifestMeta(seq: Long, folded: Seq[String])
+  private[sources] final case class ManifestMeta(
+      seq: Long, folded: Seq[String], headerLines: Int = 2)
 
+  /** Parse a manifest's metadata. Version-tolerant: a v2 manifest carries
+    * the `#graft` header; a v1 manifest (written before the header existed)
+    * has the schema DDL on line 0 and no header — it gets a SYNTHESIZED
+    * seq from its mtime, shifted negative so every v1 commit orders before
+    * every v2 commit (v2 seqs are ≥ 1) and v1 commits order among
+    * themselves by mtime, exactly the v1 reader's rule. A pre-existing
+    * table thus stays readable across the format change; the first
+    * [[compact]] rewrites it to v2 (a free migration path). */
   private[sources] def readMeta(f: File): ManifestMeta = {
     val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
     try {
       val h = r.readLine()
-      require(h != null && h.startsWith("#graft"), s"not a graft manifest: $f")
-      val kv = h.split("\t").drop(1).map { p =>
-        val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1)
-      }.toMap
-      ManifestMeta(kv("seq").toLong,
-        kv.get("folded").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+      require(h != null, s"empty manifest: $f")
+      if (h.startsWith("#graft")) {
+        val kv = h.split("\t").drop(1).map { p =>
+          val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1)
+        }.toMap
+        ManifestMeta(kv("seq").toLong,
+          kv.get("folded").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+      } else ManifestMeta(f.lastModified() - (1L << 62), Nil, headerLines = 1)
     } finally r.close()
   }
 
   private def renderHeader(m: ManifestMeta): String =
     s"#graft\tseq=${m.seq}\tfolded=${m.folded.mkString(",")}"
 
-  /** Next commit sequence: one past the max published. Single-driver
-    * commit protocol (the streaming engine's own contract), so no CAS. */
+  /** Next commit sequence: one past the max published v2 seq (synthesized
+    * v1 seqs are negative — clamped out, so the first v2 commit over a v1
+    * table is seq 1 and orders after every v1 manifest). Callers hold
+    * [[commitLock]]; this is the read half of its read-modify-write. */
   private[sources] def nextSeq(path: String): Long =
-    manifests(path).map(readMeta(_).seq).maxOption.getOrElse(0L) + 1L
+    math.max(0L, manifests(path).map(readMeta(_).seq).maxOption.getOrElse(0L)) + 1L
 
   /** Manifests in PUBLICATION order — the embedded commit sequence, with a
     * name tiebreak only for malformed hand-written duplicates. This order
@@ -127,8 +156,9 @@ object ManifestFileSink {
     orderedManifests(path).lastOption.map(_.getName)
 
   private def schemaLine(f: File): String = {
+    val skip = readMeta(f).headerLines - 1 // v2: skip the #graft header; v1: DDL is line 0
     val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
-    try { r.readLine(); r.readLine() } finally r.close()
+    try { (0 until skip).foreach(_ => r.readLine()); r.readLine() } finally r.close()
   }
 
   /** Schema as of a snapshot (default: the most recently published). */
@@ -165,7 +195,7 @@ object ManifestFileSink {
   private[sources] def visibleFiles(
       path: String, asOf: Option[String] = None): Seq[(String, Long)] =
     snapshot(path, asOf).flatMap { m =>
-      Files.readAllLines(m.toPath).asScala.drop(2).map { line =>
+      Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).map { line =>
         val Array(f, n) = line.split("\t")
         (f, n.toLong)
       }
@@ -186,7 +216,7 @@ object ManifestFileSink {
     * a retired-snapshot read errors explicitly. Mixed schemas REFUSE to
     * compact: merging entries under the newest DDL would silently reparse
     * older files with the wrong columns. */
-  def compact(path: String): Int = {
+  def compact(path: String): Int = commitLock(path).synchronized {
     val ms = orderedManifests(path)
     if (ms.size < 2) return 0
     val schemas = ms.map(schemaLine).distinct
@@ -194,7 +224,8 @@ object ManifestFileSink {
       throw new IllegalStateException(
         s"refusing to compact $path: ${schemas.size} distinct schemas across " +
           "manifests; older entries would reparse under the newest DDL")
-    val entries = ms.flatMap(m => Files.readAllLines(m.toPath).asScala.drop(2)).distinct
+    val entries = ms.flatMap(m =>
+      Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines)).distinct
     val folded = ms.flatMap(m => m.getName +: readMeta(m).folded).distinct
     val meta = ManifestMeta(nextSeq(path), folded)
     val name = s"manifest-${java.util.UUID.randomUUID().toString}"
@@ -241,7 +272,7 @@ object ManifestFileSink {
       path: String,
       name: String,
       schema: StructType,
-      messages: Array[WriterCommitMessage]): Boolean = {
+      messages: Array[WriterCommitMessage]): Boolean = commitLock(path).synchronized {
     if (Files.exists(Paths.get(path, name)) || foldedNames(path).contains(name))
       return false
     val lines = renderHeader(ManifestMeta(nextSeq(path), Nil)) +:

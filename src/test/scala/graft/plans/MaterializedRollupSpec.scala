@@ -243,4 +243,23 @@ class MaterializedRollupSpec extends SparkTestBase {
       assert(n === direct)
     } finally { PlanOps.queries("q_mv_rewrite")(spark, dir) }
   }
+
+  test("fingerprint resolves through Hadoop FS: file: scheme ≡ local path, length-sensitive") {
+    val d = java.nio.file.Files.createTempDirectory("graft-fp")
+    val f = d.resolve("part-0")
+    java.nio.file.Files.writeString(f, "aaaa")
+    val plain = MaterializedRollupRewrite.fingerprint(d.toString)
+    assert(plain !== 0L, "existing dir must fingerprint non-zero")
+    assert(MaterializedRollupRewrite.fingerprint(s"file:$d") === plain,
+      "file:-scheme path must fingerprint identically to the local path")
+    // Same name, same mtime tick, different length — the overwrite case a
+    // names+mtimes hash misses.
+    val mtime = f.toFile.lastModified()
+    java.nio.file.Files.writeString(f, "aaaaaaaa")
+    f.toFile.setLastModified(mtime)
+    assert(MaterializedRollupRewrite.fingerprint(d.toString) !== plain,
+      "a same-mtime overwrite with a new length must change the fingerprint")
+    assert(MaterializedRollupRewrite.fingerprint(d.resolve("absent").toString) === 0L,
+      "missing dir = no check (fence off, loudly at register time)")
+  }
 }

@@ -378,4 +378,61 @@ class ManifestSinkSpec extends SparkTestBase {
       .option("asOfManifest", ordered(1).getName).load()
       .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
   }
+
+  test("v1 headerless manifests stay readable; v2 commits order after; compact migrates") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    Thread.sleep(5)
+    Seq((2L, "b", 2.0)).toDF("id", "name", "score")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    // Strip the #graft headers to reconstruct the v1 on-disk format
+    // (schema DDL on line 0), preserving each file's relative mtime order.
+    ManifestFileSink.manifests(dir).foreach { m =>
+      val mtime = m.lastModified()
+      val lines = Files.readAllLines(m.toPath)
+      assert(lines.get(0).startsWith("#graft"))
+      Files.write(m.toPath, lines.subList(1, lines.size()))
+      m.setLastModified(mtime)
+    }
+    // A pre-existing v1 table reads completely — not "not a graft manifest".
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    // First v2 commit over a v1 table: seq 1, publication-ordered LAST.
+    Seq((3L, "c", 3.0)).toDF("id", "name", "score")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val ordered = ManifestFileSink.orderedManifests(dir)
+    assert(ManifestFileSink.readMeta(ordered.last).seq === 1L,
+      "first v2 seq over a v1 table must be 1 and order after every v1 commit")
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 3)
+    // compact folds the mixed v1+v2 history into a single v2 manifest: the
+    // free migration path.
+    assert(ManifestFileSink.compact(dir) === 3)
+    val merged = ManifestFileSink.orderedManifests(dir)
+    assert(merged.size === 1 && ManifestFileSink.readMeta(merged.head).seq === 2L)
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+  }
+
+  test("concurrent publishes mint distinct, dense seq values (commit lock)") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir, "data"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = ManifestFileSink.publish(
+            dir, f"manifest-race-$i%05d", schema,
+            Array.empty[org.apache.spark.sql.connector.write.WriterCommitMessage])
+        })
+      }
+      assert(futures.forall(_.get()), "every distinct-name publish must land")
+    } finally pool.shutdown()
+    val seqs = ManifestFileSink.manifests(dir).map(ManifestFileSink.readMeta(_).seq)
+    assert(seqs.sorted === (1L to n.toLong),
+      s"concurrent publishes must serialize to dense unique seqs, got $seqs")
+  }
 }
