@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, L
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Materialized-rollup (summary-table) query rewrite — the classic OLAP
   * engine feature (Oracle MV rewrite, Calcite lattices): when a query
@@ -25,9 +25,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *   - an optional Filter may sit between, touching rollup KEYS only
   *     (key predicates commute with the rollup's grouping);
   *   - every aggregate is non-distinct, unfiltered, and one of
-  *       SUM(col)   → SUM(partial_sum)   [int/long/double cols — decimal
-  *                                        widens per level, so re-summing
-  *                                        would change the result type]
+  *       SUM(col)   → CAST(SUM(partial_sum) AS query-sum-type)
+  *                    [partials are DECIMAL(28,4) sums — exact and
+  *                     merge-order-independent; the edge cast keeps the
+  *                     swap type-invisible]
+  *       SUM(CAST(col AS DECIMAL(28,4)))  — i.e. [[graft.functions.Exact]]
+  *                  .dsum's inner aggregate → SUM(partial_sum) directly
+  *                  (both sides widen 28,4 → 38,4, so types agree); the
+  *                  money-dashboard shape this rewrite mostly serves
   *       COUNT(*)   → SUM(partial_count) (counts add)
   *       COUNT(col) → SUM(partial_nn_count) (per-column null-aware counts)
   *       MIN(col)   → MIN(partial_min)
@@ -144,7 +149,18 @@ object MaterializedRollupRewrite {
 
   /** Build the summary parquet for `basePath` grouped by `keys` and
     * register it. Partial columns are namespaced `g_sum_*`/`g_min_*`/
-    * `g_max_*`/`g_cnt` so they can never shadow a key. */
+    * `g_max_*`/`g_cnt` so they can never shadow a key.
+    *
+    * Sum partials are stored as DECIMAL(28,4) sums ([[graft.functions
+    * .Exact.D]]), NOT in the source column's type: decimal addition is
+    * exact and associative, so re-folding partials gives the identical
+    * answer in any merge order — the same order-independence contract
+    * Exact.dsum enforces for direct queries. A double-typed partial would
+    * make the MV answer drift from the base answer by merge order at
+    * 100 TB. The rewrite casts back to the query's own result type at the
+    * edge, so the swap is type-invisible. (Values are assumed
+    * representable at scale 4 — the engine's money contract; integer
+    * columns are always exact.) */
   def create(
       spark: SparkSession,
       basePath: String,
@@ -160,7 +176,7 @@ object MaterializedRollupRewrite {
     // coincide). Suspend rewriting for the build instead of deregistering,
     // so OTHER rollups of this base (lattice levels) survive a refresh.
     val aggs =
-      sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) ++
+      sumCols.map(c => sum(col(c).cast(graft.functions.Exact.D)).as(s"g_sum_$c")) ++
       sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) ++
       minCols.map(c => min(col(c)).as(s"g_min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"g_max_$c")) :+
@@ -306,46 +322,75 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
     def subst(e: Expression): Expression = e.transform {
       case a: AttributeReference if ra.contains(a.name) => ra(a.name)
     }
-    def keyOnly(e: Expression): Boolean =
-      e.deterministic && e.references.forall(r => d.keys.contains(r.name)) &&
-        !e.exists(_.isInstanceOf[AggregateExpression])
+    // One aggregate function → its partial-re-fold over the summary. The
+    // summary's sum partials are DECIMAL(28,4) sums regardless of the base
+    // column type, so every sum derivation re-folds in decimal (exact,
+    // merge-order-independent) and casts back to the query's own result
+    // type at the edge — type-invisible to parents.
+    def derive(fn: AggregateFunction): Option[Expression] = fn match {
+      // The engine's canonical money shape, Exact.dsum:
+      // SUM(CAST(col AS DECIMAL(28,4))). Result types agree by
+      // construction (both widen 28,4 → 38,4), so the partial re-fold
+      // drops in directly.
+      case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+          if dt == graft.functions.Exact.D =>
+        rollupAttr(a.name, d.sums).map(pa => Sum(pa).toAggregateExpression())
+      case s @ Sum(a: AttributeReference, _) if summable(a) =>
+        rollupAttr(a.name, d.sums).map(pa =>
+          Cast(Sum(pa).toAggregateExpression(), s.dataType))
+      case Count(Seq(Literal(v, _))) if v != null =>
+        d.countCol.flatMap(ra.get).map(cnt =>
+          Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L))))
+      case Count(Seq(a: AttributeReference)) =>
+        rollupAttr(a.name, d.cnts).map(pc =>
+          Coalesce(Seq(Sum(pc).toAggregateExpression(), Literal(0L))))
+      case Average(a: AttributeReference, _) if summable(a) =>
+        // Averages don't add; (Σ, n) pairs do. Null semantics ride
+        // along: an all-null group has a null partial sum, so the
+        // division is null exactly where AVG is.
+        for {
+          ps <- rollupAttr(a.name, d.sums)
+          pc <- rollupAttr(a.name, d.cnts)
+        } yield Divide(
+          Cast(Sum(ps).toAggregateExpression(), DoubleType),
+          Cast(Sum(pc).toAggregateExpression(), DoubleType))
+      case Min(a: AttributeReference) =>
+        rollupAttr(a.name, d.mins).map(pa => Min(pa).toAggregateExpression())
+      case Max(a: AttributeReference) =>
+        rollupAttr(a.name, d.maxs).map(pa => Max(pa).toAggregateExpression())
+      case _ => None
+    }
+
+    // Attribute references NOT under an AggregateExpression — after
+    // aggregate derivation these are the grouping-output references, which
+    // must all be rollup keys for the alias to ride through.
+    def outsideAggRefs(e: Expression): Seq[AttributeReference] = e match {
+      case _: AggregateExpression => Nil
+      case a: AttributeReference  => Seq(a)
+      case other                  => other.children.flatMap(outsideAggRefs)
+    }
 
     // Every result column must be derivable; one miss cancels the rewrite.
+    // Aliases are handled as WHOLE EXPRESSIONS, not bare aggregates: the
+    // engine's own money shape `dsum` analyzes to Alias(Cast(AggExpr,
+    // double)) and `davg` to Alias(Divide(Cast(AggExpr), AggExpr)) — the
+    // aggregates sit arbitrarily deep, so each one is derived in place and
+    // the surrounding scalar expression (casts, arithmetic, key grains)
+    // rides through with key attributes substituted.
     val results: Option[Seq[NamedExpression]] =
       traverseOpt(agg.aggregateExpressions) {
         case a: AttributeReference if d.keys.contains(a.name) =>
           ra.get(a.name).map(na => Alias(na, a.name)(exprId = a.exprId))
-        case al @ Alias(ae @ AggregateExpression(fn, _, false, None, _), name) =>
-          val re: Option[Expression] = fn match {
-            case Sum(a: AttributeReference, _) if summable(a) =>
-              rollupAttr(a.name, d.sums).map(pa => Sum(pa).toAggregateExpression())
-            case Count(Seq(Literal(v, _))) if v != null =>
-              d.countCol.flatMap(ra.get).map(cnt =>
-                Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L))))
-            case Count(Seq(a: AttributeReference)) =>
-              rollupAttr(a.name, d.cnts).map(pc =>
-                Coalesce(Seq(Sum(pc).toAggregateExpression(), Literal(0L))))
-            case Average(a: AttributeReference, _) if summable(a) =>
-              // Averages don't add; (Σ, n) pairs do. Null semantics ride
-              // along: an all-null group has a null partial sum, so the
-              // division is null exactly where AVG is.
-              for {
-                ps <- rollupAttr(a.name, d.sums)
-                pc <- rollupAttr(a.name, d.cnts)
-              } yield Divide(
-                Cast(Sum(ps).toAggregateExpression(), DoubleType),
-                Cast(Sum(pc).toAggregateExpression(), DoubleType))
-            case Min(a: AttributeReference) =>
-              rollupAttr(a.name, d.mins).map(pa => Min(pa).toAggregateExpression())
-            case Max(a: AttributeReference) =>
-              rollupAttr(a.name, d.maxs).map(pa => Max(pa).toAggregateExpression())
-            case _ => None
+        case al @ Alias(e, name) if e.deterministic =>
+          var ok = true
+          val e2 = e.transformUp {
+            case AggregateExpression(fn, _, false, None, _) =>
+              derive(fn).getOrElse { ok = false; Literal(null) }
+            case ae: AggregateExpression => ok = false; ae
           }
-          re.map(e => Alias(e, name)(exprId = al.exprId))
-        // Grouping output under an alias — a key expression (date grain,
-        // concat) rides through with its attributes swapped.
-        case al @ Alias(e, name) if keyOnly(e) =>
-          Some(Alias(subst(e), name)(exprId = al.exprId))
+          if (ok && outsideAggRefs(e2).forall(r => d.keys.contains(r.name)))
+            Some(Alias(subst(e2), name)(exprId = al.exprId))
+          else None
         case _ => None
       }
 
@@ -442,10 +487,18 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
 
     var failed = false
     def derive(fn: AggregateFunction): Option[Expression] = fn match {
-      case Sum(a: AttributeReference, _)
-          if valueByOut.contains(a.exprId) && summable(a) =>
+      // Exact.dsum over an expanded value column: decimal partial re-folds
+      // directly (result types agree: 28,4 → 38,4 on both sides).
+      case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+          if dt == graft.functions.Exact.D && valueByOut.contains(a.exprId) =>
         d.sums.get(valueByOut(a.exprId)).filter(ra.contains)
           .map(p => Sum(partialAttr(p)).toAggregateExpression())
+      case s @ Sum(a: AttributeReference, _)
+          if valueByOut.contains(a.exprId) && summable(a) =>
+        // Partial is DECIMAL(28,4) (exact re-fold); cast back to the
+        // query's own sum type at the edge.
+        d.sums.get(valueByOut(a.exprId)).filter(ra.contains)
+          .map(p => Cast(Sum(partialAttr(p)).toAggregateExpression(), s.dataType))
       case Count(Seq(Literal(v, _))) if v != null =>
         d.countCol.filter(ra.contains).map(p =>
           Coalesce(Seq(Sum(partialAttr(p)).toAggregateExpression(), Literal(0L))))

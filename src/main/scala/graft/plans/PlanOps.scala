@@ -90,7 +90,7 @@ object PlanOps {
         MaterializedRollupRewrite.create(
           s, basePath,
           keys = Seq("l_returnflag", "l_linestatus"),
-          sumCols = Seq("l_quantity"),
+          sumCols = Seq("l_quantity", "l_extendedprice"),
           minCols = Seq("l_extendedprice"),
           maxCols = Seq("l_extendedprice"),
           rollupPath = rollupPath)
@@ -158,6 +158,34 @@ object PlanOps {
       |  SUM(l_quantity) AS qty, COUNT(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The decimal-exact face of the MV rewrite: the engine's canonical
+    * money aggregates ([[graft.functions.Exact]].dsum / davg — `SUM(CAST(x
+    * AS DECIMAL(28,4)))` shapes) answered from the same registered rollup.
+    * The summary's sum partials ARE decimal(28,4) sums, so the re-fold is
+    * exact and merge-order-independent — the partial states compose under
+    * the same order-independence contract the direct query relies on; no
+    * IEEE drift can distinguish the MV answer from the base answer at any
+    * scale. This is the highest-value MV shape (revenue dashboards over
+    * the fact table), and `davg` exercises the nested form: the aggregates
+    * sit under a Cast and a Divide, not at the alias root. */
+  def qMvRewriteExact: Q = (s, dir) => {
+    ensureFlagStatusRollup(s, dir)
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.Exact.dsum(col("l_extendedprice")).as("revenue"),
+        graft.functions.Exact.davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qMvRewriteExactSql: String =
+    s"""SELECT l_returnflag,
+       |  ${graft.functions.Exact.sqlSum("l_extendedprice")} AS revenue,
+       |  ${graft.functions.Exact.sqlAvg("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val qMvRewriteSql: String =
     """SELECT l_returnflag, SUM(l_quantity) AS qty, COUNT(*) AS n,
       |  AVG(l_quantity) AS aq,
@@ -170,6 +198,7 @@ object PlanOps {
     "q_mv_rewrite"          -> qMvRewrite,
     "q_mv_rewrite_grain"    -> qMvRewriteGrain,
     "q_mv_rewrite_rollup"   -> qMvRewriteRollup,
+    "q_mv_rewrite_exact"    -> qMvRewriteExact,
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +207,6 @@ object PlanOps {
     "q_mv_rewrite"          -> qMvRewriteSql,
     "q_mv_rewrite_grain"    -> qMvRewriteGrainSql,
     "q_mv_rewrite_rollup"   -> qMvRewriteRollupSql,
+    "q_mv_rewrite_exact"    -> qMvRewriteExactSql,
   )
 }

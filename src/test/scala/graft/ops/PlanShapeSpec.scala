@@ -74,6 +74,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Expand"), s"grouping-set Expand should survive the rewrite:\n$p")
   }
 
+  test("q_mv_rewrite_exact: dsum/davg money aggregates answered from the summary") {
+    val p = plan("q_mv_rewrite_exact")
+    assert(p.contains("graft-mv") && !p.contains("lineitem.parquet"),
+      s"expected the decimal-partial summary scan, not the base fact table:\n$p")
+  }
+
   test("q_weighted_sample: global top-k is TakeOrderedAndProject, not a full sort") {
     val p = plan("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -244,6 +244,27 @@ class MaterializedRollupSpec extends SparkTestBase {
     } finally { PlanOps.queries("q_mv_rewrite")(spark, dir) }
   }
 
+  test("dsum/davg derive decimal-exactly: MV answer is bit-identical to the base answer") {
+    rollupReady
+    import graft.functions.Exact
+    val q = base.groupBy(col("l_returnflag"))
+      .agg(Exact.dsum(col("l_extendedprice")).as("rev"),
+        Exact.davg(col("l_extendedprice")).as("ap"))
+      .orderBy(col("l_returnflag"))
+    assert(scans(q).contains("graft-mv"),
+      s"dsum shape (Sum under Cast) must derive from the rollup:\n${scans(q)}")
+    val viaRollup = q.collect()
+    MaterializedRollupRewrite.deregister(s"$dir/lineitem.parquet")
+    try {
+      val direct = base.groupBy(col("l_returnflag"))
+        .agg(Exact.dsum(col("l_extendedprice")).as("rev"),
+          Exact.davg(col("l_extendedprice")).as("ap"))
+        .orderBy(col("l_returnflag")).collect()
+      // Decimal partials re-fold exactly: not approximately equal — equal.
+      assert(viaRollup === direct)
+    } finally { PlanOps.queries("q_mv_rewrite")(spark, dir) }
+  }
+
   test("fingerprint resolves through Hadoop FS: file: scheme ≡ local path, length-sensitive") {
     val d = java.nio.file.Files.createTempDirectory("graft-fp")
     val f = d.resolve("part-0")
