@@ -448,7 +448,13 @@ object Extended {
     * yields a k-row sample with zero full shuffles. */
   def qWeightedSample: Q = (s, dir) => {
     val M = 2147483647L // 2^31 - 1
-    val u = ((col("o_orderkey") * 2654435761L) % M + 1L).cast("double") / M.toDouble
+    // Key is reduced mod M BEFORE the Knuth multiply: the products stay
+    // ≤ (M-1)·2654435761 ≈ 5.7e18 < 2^63, so the arithmetic is exact in
+    // both engines at ANY key magnitude. An unmasked multiply wraps
+    // silently in Spark (flipping priority signs) and raises on BIGINT
+    // overflow in DuckDB once keys pass ~3.5e9 — i.e. exactly at the
+    // large scale factors the bit-reproducibility contract targets.
+    val u = (((col("o_orderkey") % M) * 2654435761L) % M + 1L).cast("double") / M.toDouble
     Tables(s, dir).orders
       .select(col("o_orderkey"), col("o_totalprice"),
         (col("o_totalprice") / u).as("priority"))
@@ -460,14 +466,49 @@ object Extended {
   val qWeightedSampleSql: String =
     """SELECT o_orderkey, o_totalprice, priority FROM (
       |  SELECT o_orderkey, o_totalprice,
-      |    o_totalprice / (CAST((o_orderkey * 2654435761) % 2147483647 + 1 AS DOUBLE)
+      |    o_totalprice / (CAST(((o_orderkey % 2147483647) * 2654435761) % 2147483647 + 1 AS DOUBLE)
       |                    / 2147483647.0) AS priority
       |  FROM orders
       |  ORDER BY priority DESC, o_orderkey LIMIT 100) t
       |ORDER BY o_orderkey""".stripMargin
 
+  /** STRATIFIED weighted sampling without replacement: k rows per stratum,
+    * weight-proportional within each — the training-mixture primitive
+    * (sample 10k docs per source, heavier docs more likely) at 100 TB.
+    * Composition of two pieces the engine already has: the priority
+    * scoring of [[qWeightedSample]] (map-only, bit-reproducible — same
+    * masked Knuth hash) and the native bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator. Plan shape: one hash exchange
+    * on the stratum key, then a single O(n log k) heap pass with
+    * O(strata·k) memory — never a per-stratum Window sort, which is pinned
+    * in PlanShapeSpec. Per-stratum threshold estimators (ŵ = max(w, τ_g))
+    * follow exactly as in the global case, stratum by stratum. */
+  def qWeightedSampleGroup: Q = (s, dir) => {
+    val M = 2147483647L
+    val u = (((col("o_orderkey") % M) * 2654435761L) % M + 1L).cast("double") / M.toDouble
+    val scored = Tables(s, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") / u).as("priority"))
+    graft.plans.TopKPerGroup(scored, Seq("o_orderpriority"),
+      Seq(("priority", false), ("o_orderkey", true)), 20)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val qWeightedSampleGroupSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, priority FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    o_totalprice / (CAST(((o_orderkey % 2147483647) * 2654435761) % 2147483647 + 1 AS DOUBLE)
+      |                    / 2147483647.0) AS priority,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice / (CAST(((o_orderkey % 2147483647) * 2654435761) % 2147483647 + 1 AS DOUBLE)
+      |                    / 2147483647.0) DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 20
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_weighted_sample"      -> qWeightedSample,
+    "q_weighted_sample_group" -> qWeightedSampleGroup,
     "q_fuzzy_join"           -> qFuzzyJoin,
     "q_salted_join"          -> qSaltedJoin,
     "q_window_forward"       -> qWindowForward,
@@ -485,6 +526,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q_weighted_sample"      -> qWeightedSampleSql,
+    "q_weighted_sample_group" -> qWeightedSampleGroupSql,
     "q_fuzzy_join"           -> qFuzzyJoinSql,
     "q_salted_join"          -> qSaltedJoinSql,
     "q_window_forward"       -> qWindowForwardSql,

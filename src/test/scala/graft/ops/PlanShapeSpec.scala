@@ -80,6 +80,14 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the decimal-partial summary scan, not the base fact table:\n$p")
   }
 
+  test("q_weighted_sample_group: stratified sample runs on the native heap, not a Window sort") {
+    val p = plan("q_weighted_sample_group")
+    assert(p.contains("TopKPerGroup"),
+      s"per-stratum k-sample should be the bounded-heap operator:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-stratum Window sort expected:\n$p")
+  }
+
   test("q_weighted_sample: global top-k is TakeOrderedAndProject, not a full sort") {
     val p = plan("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
