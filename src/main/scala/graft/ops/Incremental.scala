@@ -74,8 +74,84 @@ object Incremental {
        |GROUP BY o_custkey
        |ORDER BY o_custkey""".stripMargin
 
+  /** IVM under RETRACTIONS — the delta algebra generalized from
+    * append-only to delete/update via SIGNED multiplicities (the
+    * DBSP/differential-dataflow z-set view): every delta row carries a
+    * weight (insert +1, delete −1; an update is a −1 for the old image
+    * plus a +1 for the new), a joined pair's weight is the product of its
+    * sides' weights, and aggregates fold weighted partials
+    * (`sum(w·x)`, `n = Σw`). The same two-delta-join identity applies —
+    *
+    *   (O+ΔO) ⋈ (L+ΔL)  =  O⋈L  +  ΔO⋈(L+ΔL)  +  O⋈ΔL
+    *
+    * — now over z-sets, so a deleted pair arrives with net weight 0
+    * (+1 old, −1 via ΔO, −1 via ΔL, +1 via ΔO⋈ΔL) and cancels exactly;
+    * groups whose Σw hits 0 are dropped (the group no longer exists).
+    * This is the mutation-surviving view maintenance the append-only
+    * contract (above) routes around: upsert/delete feeds from
+    * [[Mutation.qMergeUpsert]]-style merges emit exactly these ±1 pairs.
+    *
+    * Scale economics are unchanged — O(Δ) joins + O(summary) re-fold; a
+    * retraction costs the same as an insert. Weighted sums stay in the
+    * decimal fixed-point representation (±1 in decimal is negation —
+    * exact), so retraction merge order cannot drift a cent either.
+    *
+    * The scenario: delete every 10th order, re-key every (10k+1)th order
+    * to a new customer (update = retract old image + insert new), delete
+    * every 13th-part lineitem. The oracle recomputes the view from the
+    * FINAL table states, so the gate proves signed incremental
+    * maintenance lands exactly on the batch answer — including that
+    * fully-retracted groups vanish rather than linger as zero rows. */
+  def qIvmJoinRetract: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val D = graft.functions.Exact.D
+    val orders = t.orders.select("o_orderkey", "o_custkey")
+    val li = t.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+
+    val oldO = orders.withColumn("w_o", lit(1))
+    val updOld = orders.filter(col("o_orderkey") % 10 === 1)
+    val dO = orders.filter(col("o_orderkey") % 10 === 0).withColumn("w_o", lit(-1))
+      .unionByName(updOld.withColumn("w_o", lit(-1)))
+      .unionByName(updOld.withColumn("o_custkey", col("o_custkey") + 100000)
+        .withColumn("w_o", lit(1)))
+
+    val oldL = li.withColumn("w_l", lit(1))
+    val dL = li.filter(col("l_partkey") % 13 === 0).withColumn("w_l", lit(-1))
+    val newL = oldL.unionByName(dL)
+
+    def partials(o: DataFrame, l: DataFrame): DataFrame =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("w", col("w_o") * col("w_l"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_quantity").cast(D) * col("w")).as("qty_d"),
+             sum(col("w")).cast("long").as("n"))
+
+    val vOld   = partials(oldO, oldL) // the stored view's partials
+    val dFromO = partials(dO, newL)   // ΔO ⋈ (L + ΔL)
+    val dFromL = partials(oldO, dL)   // O_old ⋈ ΔL
+    vOld.unionByName(dFromO).unionByName(dFromL)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("qty_d")).cast("double").as("qty"), sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
+  val qIvmJoinRetractSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_orderkey % 10 = 1 THEN o_custkey + 100000
+       |              ELSE o_custkey END AS o_custkey
+       |  FROM orders WHERE o_orderkey % 10 <> 0),
+       |l AS (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_partkey % 13 <> 0)
+       |SELECT o_custkey, ${sqlSum("l_quantity")} AS qty, COUNT(*) AS n
+       |FROM o JOIN l ON o_orderkey = l_orderkey
+       |GROUP BY o_custkey
+       |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_ivm_join_delta" -> qIvmJoinDelta)
+    "q_ivm_join_delta"   -> qIvmJoinDelta,
+    "q_ivm_join_retract" -> qIvmJoinRetract)
   val oracles: Map[String, String] = Map(
-    "q_ivm_join_delta" -> qIvmJoinDeltaSql)
+    "q_ivm_join_delta"   -> qIvmJoinDeltaSql,
+    "q_ivm_join_retract" -> qIvmJoinRetractSql)
 }
