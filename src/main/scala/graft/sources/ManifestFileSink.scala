@@ -10,6 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -103,7 +104,8 @@ object ManifestFileSink {
     * compaction on compounding intervals (each compact folds the previous
     * combined manifest, so the list is the commit history, not a blowup). */
   private[sources] final case class ManifestMeta(
-      seq: Long, folded: Seq[String], headerLines: Int = 2)
+      seq: Long, folded: Seq[String], headerLines: Int = 2,
+      foldedMinSeq: Option[Long] = None, foldedMaxSeq: Option[Long] = None)
 
   /** Parse a manifest's metadata. Version-tolerant: a v2 manifest carries
     * the `#graft` header; a v1 manifest (written before the header existed)
@@ -123,13 +125,17 @@ object ManifestFileSink {
           val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1)
         }.toMap
         ManifestMeta(kv("seq").toLong,
-          kv.get("folded").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+          kv.get("folded").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
+          foldedMinSeq = kv.get("fseq").map(_.toLong),
+          foldedMaxSeq = kv.get("lseq").map(_.toLong))
       } else ManifestMeta(f.lastModified() - (1L << 62), Nil, headerLines = 1)
     } finally r.close()
   }
 
   private def renderHeader(m: ManifestMeta): String =
-    s"#graft\tseq=${m.seq}\tfolded=${m.folded.mkString(",")}"
+    s"#graft\tseq=${m.seq}\tfolded=${m.folded.mkString(",")}" +
+      m.foldedMinSeq.fold("")(s => s"\tfseq=$s") +
+      m.foldedMaxSeq.fold("")(s => s"\tlseq=$s")
 
   /** Next commit sequence: one past the max published v2 seq (synthesized
     * v1 seqs are negative — clamped out, so the first v2 commit over a v1
@@ -192,14 +198,16 @@ object ManifestFileSink {
     * (e.g. by a [[compact]] that crashed between publishing the combined
     * manifest and deleting its inputs) is the same data — deduping here
     * makes that crash window harmless instead of a double-read. */
+  /** (file, rows) entries listed by ONE manifest. */
+  private[sources] def entriesOf(m: File): Seq[(String, Long)] =
+    Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).map { line =>
+      val Array(f, n) = line.split("\t")
+      (f, n.toLong)
+    }.toSeq
+
   private[sources] def visibleFiles(
       path: String, asOf: Option[String] = None): Seq[(String, Long)] =
-    snapshot(path, asOf).flatMap { m =>
-      Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).map { line =>
-        val Array(f, n) = line.split("\t")
-        (f, n.toLong)
-      }
-    }.distinctBy(_._1)
+    snapshot(path, asOf).flatMap(entriesOf).distinctBy(_._1)
 
   /** Metadata maintenance: rewrite every published manifest into ONE
     * combined manifest, then delete the inputs — a long-lived append
@@ -216,8 +224,17 @@ object ManifestFileSink {
     * a retired-snapshot read errors explicitly. Mixed schemas REFUSE to
     * compact: merging entries under the newest DDL would silently reparse
     * older files with the wrong columns. */
-  def compact(path: String): Int = commitLock(path).synchronized {
-    val ms = orderedManifests(path)
+  def compact(path: String): Int = compact(path, Long.MinValue)
+
+  /** Compaction bounded to commits with seq strictly above `aboveSeq` —
+    * the operator's tool for compacting AROUND live streaming consumers:
+    * pass the slowest consumer's checkpointed offset and the fold stays
+    * wholly ahead of it (transparent to the stream; see
+    * [[ManifestMicroBatchStream]]'s fold window rules). The unbounded
+    * overload folds everything, which is fine for tables with no active
+    * streams or whose consumers are fully caught up. */
+  def compact(path: String, aboveSeq: Long): Int = commitLock(path).synchronized {
+    val ms = orderedManifests(path).filter(m => readMeta(m).seq > aboveSeq)
     if (ms.size < 2) return 0
     val schemas = ms.map(schemaLine).distinct
     if (schemas.size > 1)
@@ -226,8 +243,17 @@ object ManifestFileSink {
           "manifests; older entries would reparse under the newest DDL")
     val entries = ms.flatMap(m =>
       Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines)).distinct
-    val folded = ms.flatMap(m => m.getName +: readMeta(m).folded).distinct
-    val meta = ManifestMeta(nextSeq(path), folded)
+    val metas = ms.map(readMeta)
+    val folded = ms.map(_.getName).zip(metas).flatMap { case (n, m) => n +: m.folded }.distinct
+    // The oldest and newest commits this fold absorbed (transitively) —
+    // the streaming change feed compares them against a consumer's resume
+    // offset: a fold entirely at-or-behind the offset re-lists only
+    // consumed rows (skippable), one entirely ahead lists only pending
+    // rows (readable), one straddling the offset is unrecoverable.
+    val fseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMinSeq)).min
+    val lseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMaxSeq)).max
+    val meta = ManifestMeta(nextSeq(path), folded,
+      foldedMinSeq = Some(fseq), foldedMaxSeq = Some(lseq))
     val name = s"manifest-${java.util.UUID.randomUUID().toString}"
     val tmp = Paths.get(path, s".$name.tmp")
     Files.write(tmp, (renderHeader(meta) +: schemas.head +: entries).asJava,
@@ -312,6 +338,7 @@ private class ManifestTable(path: String, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -471,26 +498,177 @@ private class ManifestScan(
       .map(f => FileSplit(f._1): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val (p, s) = (path, schema)
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        // Streamed, not slurped: a compacted/large append target would
-        // otherwise buffer an entire data file per executor thread.
-        val reader = Files.newBufferedReader(
-          Paths.get(p, "data", partition.asInstanceOf[FileSplit].file),
-          StandardCharsets.UTF_8)
-        new PartitionReader[InternalRow] {
-          private var cur: InternalRow = _
-          override def next(): Boolean = {
-            val line = reader.readLine()
-            if (line != null) cur = ManifestFileSink.parse(line, s)
-            line != null
-          }
-          override def get(): InternalRow = cur
-          override def close(): Unit = reader.close()
-        }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(path, schema)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(path, schema)
+}
+
+/** Top-level (shipped to executors). Streamed, not slurped: a
+  * compacted/large append target would otherwise buffer an entire data
+  * file per executor thread. */
+private class ManifestReaderFactory(path: String, schema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val reader = Files.newBufferedReader(
+      Paths.get(path, "data", partition.asInstanceOf[FileSplit].file),
+      StandardCharsets.UTF_8)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        val line = reader.readLine()
+        if (line != null) cur = ManifestFileSink.parse(line, schema)
+        line != null
       }
+      override def get(): InternalRow = cur
+      override def close(): Unit = reader.close()
     }
   }
+}
+
+/** The commit feed as a STREAMING source — `sinceManifest`'s snapshot
+  * diff, promoted from a polled batch option to a first-class
+  * MicroBatchStream whose offsets are manifest `seq` numbers. Composition
+  * target: `readStream` over the table, `foreachBatch` into
+  * [[graft.streaming.RollupMaintenance]] — continuous, restart-safe view
+  * maintenance where the checkpoint (one long) replaces the hand-carried
+  * `sinceManifest` resume point.
+  *
+  * Contract:
+  *   - **A commit is the unit of admission.** Micro-batch boundaries fall
+  *     only on manifest boundaries, so each micro-batch is a whole number
+  *     of atomic commits — a consumer never observes half a job's files,
+  *     the same visibility rule the batch reader enforces. `maxRows`
+  *     admission (from the per-file row counts the manifests already
+  *     carry) therefore overshoots to the nearest commit edge, and always
+  *     admits at least one pending commit.
+  *   - **Offsets are durable and tiny.** The checkpointed offset is the
+  *     last consumed commit seq; a restart resumes from exactly the next
+  *     commit. Task files are immutable and manifests append-only, so
+  *     (seq₀, seq₁] names the same rows forever — replays are exact.
+  *   - **Compaction is fenced, not raced.** [[ManifestFileSink.compact]]
+  *     records the oldest and newest commits it absorbed (`fseq`/`lseq`
+  *     headers). A fold wholly behind the consumer's offset is SKIPPED
+  *     (its entries were all consumed — compaction behind a caught-up
+  *     consumer is invisible); a fold wholly ahead is READ (it re-lists
+  *     only pending files under its fresh seq); a fold straddling the
+  *     offset would force a double-read or a drop, so the stream fails
+  *     loudly — and `compact(path, aboveSeq)` lets operators fold around
+  *     live consumers so the straddle never arises.
+  *
+  * At 100 TB this is the Iceberg/Delta "streaming from a table" pattern
+  * in miniature: the driver's per-trigger work is an O(#manifests)
+  * listing (bounded by compaction cadence), never a data scan; executors
+  * read only the admitted commits' files. */
+private class ManifestMicroBatchStream(path: String, schema: StructType)
+  extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
+
+  private case class SeqOffset(seq: Long) extends streaming.Offset {
+    override def json(): String = seq.toString
+  }
+  private def pos(o: streaming.Offset): Long = o match {
+    case SeqOffset(s) => s
+    case other        => other.json().toLong
+  }
+
+  /** Nothing consumed: orders before every commit, including v1
+    * manifests' synthesized negative seqs. */
+  override def initialOffset(): streaming.Offset = SeqOffset(Long.MinValue)
+
+  private def pending(startSeq: Long): Seq[(File, ManifestFileSink.ManifestMeta)] = {
+    val all = ManifestFileSink.orderedManifests(path)
+      .map(f => (f, ManifestFileSink.readMeta(f)))
+      .filter(_._2.seq > startSeq)
+    // Trigger.AvailableNow: drain to the bound sealed at query start, in
+    // admission-limited micro-batches; commits landing mid-drain wait for
+    // the next query (they're after the bound).
+    availableNowBound.fold(all)(b => all.filter(_._2.seq <= b))
+  }
+
+  private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(pos(reportLatestOffset()))
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val s = pos(start)
+    val p = pending(s)
+    if (p.isEmpty) return SeqOffset(s)
+    // Whole-commit admission: walk commits in seq order accumulating their
+    // row counts (already in the manifest — no data IO) until the budget
+    // is reached; always admit at least one so the stream can't stall
+    // behind a single over-budget commit.
+    def admit(l: streaming.ReadLimit): Int = l match {
+      case _: streaming.ReadAllAvailable => p.size
+      case mr: streaming.ReadMaxRows =>
+        var acc = 0L; var n = 0
+        while (n < p.size && (n == 0 || acc < mr.maxRows())) {
+          acc += ManifestFileSink.entriesOf(p(n)._1).map(_._2).sum
+          n += 1
+        }
+        n
+      case c: streaming.CompositeReadLimit =>
+        // The tightest member bounds admission; min/hint members are
+        // satisfied by draining what's available.
+        c.getReadLimits.toSeq.map(admit).min
+      case _ => p.size
+    }
+    SeqOffset(p(math.max(1, admit(limit)) - 1)._2.seq)
+  }
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def reportLatestOffset(): streaming.Offset =
+    SeqOffset(ManifestFileSink.orderedManifests(path)
+      .map(ManifestFileSink.readMeta(_).seq).maxOption.getOrElse(Long.MinValue))
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val (s, e) = (pos(start), pos(end))
+    val window = pending(s).filter(_._2.seq <= e)
+    // Fold-window rule (the Iceberg skip-REPLACE idea, offset-exact): a
+    // combined manifest adds no rows of its own — its entries are the
+    // union of the commits it folded. Relative to the consumer's offset s:
+    //   - every folded commit ≤ s  → all entries already consumed → SKIP
+    //     (compaction behind a caught-up consumer is transparent);
+    //   - every folded commit > s  → all entries pending → READ (the fold
+    //     re-listed them under its fresh seq; originals are gone);
+    //   - straddling s             → reading double-consumes, skipping
+    //     drops data → FAIL loudly, same philosophy as the batch path's
+    //     retired-snapshot error. `compact(path, aboveSeq)` exists so
+    //     operators never create this case. A fold header predating the
+    //     fseq/lseq fence is treated as straddling (conservative).
+    val readable = window.filter { case (f, m) =>
+      if (m.folded.isEmpty) true
+      else if (s == Long.MinValue) true // fresh consumer: everything pending
+      else (m.foldedMinSeq, m.foldedMaxSeq) match {
+        case (Some(_), Some(l)) if l <= s => false // fully consumed: skip
+        case (Some(fm), Some(_)) if fm > s => true // fully ahead: read
+        case _ => throw new IllegalStateException(
+          s"compaction (${f.getName}) folded commits straddling the streaming " +
+            s"consumer's offset $s: resume window lost; restart the stream " +
+            "from scratch, or compact with compact(path, aboveSeq) to stay " +
+            "ahead of live consumers")
+      }
+    }
+    // distinct: the compact crash window (combined manifest published,
+    // inputs not yet deleted) lists a file twice — same immutable data.
+    readable.flatMap(w => ManifestFileSink.entriesOf(w._1)).distinctBy(_._1)
+      .map(f => FileSplit(f._1): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(path, schema)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }

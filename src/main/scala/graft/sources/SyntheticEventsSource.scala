@@ -236,7 +236,13 @@ private class SyntheticScan(
   * checkpointed id with no duplication and no gaps. */
 private class SyntheticMicroBatchStream(
     lo: Long, hi: Long, splits: Int, rate: Long, required: StructType)
-  extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+  extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
+
+  /** The id space is static (hi is fixed at table definition), so the
+    * drain bound Trigger.AvailableNow seals at query start is just `hi` —
+    * declaring the interface lets the engine drain in rate-limited
+    * micro-batches instead of falling back to one unbounded batch. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   private case class IdOffset(pos: Long) extends streaming.Offset {
     override def json(): String = pos.toString

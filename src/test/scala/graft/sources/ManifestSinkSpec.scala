@@ -435,4 +435,63 @@ class ManifestSinkSpec extends SparkTestBase {
     assert(seqs.sorted === (1L to n.toLong),
       s"concurrent publishes must serialize to dense unique seqs, got $seqs")
   }
+
+  test("streaming source: whole-commit admission; folds skip behind, read ahead, fail straddling") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = freshDir()
+    def append(rows: (Long, String, Double)*): Unit =
+      rows.toDF("id", "name", "score").coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    append((1L, "a", 1.0), (2L, "b", 2.0)) // seq 1: one file, 2 rows
+    append((3L, "c", 3.0))                 // seq 2: one file, 1 row
+    append((4L, "d", 4.0), (5L, "e", 5.0), (6L, "f", 6.0)) // seq 3: 3 rows
+
+    val stream = new ManifestMicroBatchStream(
+      dir, ManifestFileSink.storedSchema(dir).get)
+    val s0 = stream.initialOffset()
+    // maxRows(2): the first commit alone reaches the budget — admission
+    // lands exactly on its seq, never mid-commit.
+    val o1 = stream.latestOffset(s0, ReadLimit.maxRows(2))
+    assert(o1.json() === "1", s"expected commit edge 1, got ${o1.json()}")
+    assert(stream.planInputPartitions(s0, o1).length === 1)
+    // maxRows(3): commit 2 (1 row) leaves budget → commit 3 joins the
+    // batch (overshoot to the commit edge, whole commits only).
+    val o2 = stream.latestOffset(o1, ReadLimit.maxRows(3))
+    assert(o2.json() === "3", s"expected commit edge 3, got ${o2.json()}")
+    assert(stream.planInputPartitions(o1, o2).length === 2)
+
+    // Fold wholly BEHIND the consumer (everything consumed): the combined
+    // manifest advances the offset but plans zero partitions — compaction
+    // behind a caught-up consumer is invisible.
+    assert(ManifestFileSink.compact(dir) === 3)
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable())
+    assert(o3.json() === "4")
+    assert(stream.planInputPartitions(o2, o3).isEmpty,
+      "a fully-consumed fold must be skipped, not re-read")
+
+    append((7L, "g", 7.0)) // seq 5
+    val o4 = stream.latestOffset(o3, ReadLimit.allAvailable())
+    assert(o4.json() === "5")
+    assert(stream.planInputPartitions(o3, o4).length === 1)
+
+    // Fold wholly AHEAD of the consumer: bounded compact folds only the
+    // unconsumed commits; the stream reads their files from the combined
+    // manifest exactly once.
+    append((8L, "h", 8.0)) // seq 6
+    append((9L, "i", 9.0)) // seq 7
+    assert(ManifestFileSink.compact(dir, aboveSeq = 5L) === 2)
+    val o5 = stream.latestOffset(o4, ReadLimit.allAvailable())
+    assert(o5.json() === "8")
+    assert(stream.planInputPartitions(o4, o5).length === 2,
+      "an all-ahead fold re-lists exactly the pending files")
+
+    // Fold STRADDLING the consumer's offset (absorbs consumed commit ≤5
+    // and unconsumed 6–7): reading double-consumes, skipping drops — the
+    // stream must fail loudly.
+    assert(ManifestFileSink.compact(dir) === 3)
+    val o6 = stream.latestOffset(o4, ReadLimit.allAvailable())
+    val ex = intercept[IllegalStateException](stream.planInputPartitions(o4, o6))
+    assert(ex.getMessage.contains("straddling"), ex.getMessage)
+  }
 }
