@@ -132,36 +132,24 @@ object Profile {
     * (broadcast-able when the parent's key set is small; shuffled-on-key
     * otherwise — never a cartesian). Adding a check adds a column to a
     * pass, not a pass. */
+  /** The suite is DECLARED as [[Dq.Check]] specs and compiled by
+    * [[Dq.suite]] into the same plan the hand-written version had: one
+    * wide pass per table + one anti-join for RI. The spec list doubles as
+    * the in-flight `observe` config ([[Dq.observed]]). */
+  def dqCheckSpecs: Seq[Dq.Check] = Seq(
+    Dq.Unique("orders", "o_orderkey"),
+    Dq.NotNull("orders", "o_custkey"),
+    Dq.Satisfies("orders", "o_totalprice positive", col("o_totalprice") > 0),
+    Dq.InRange("orders", "o_orderdate",
+      to_date(lit("1992-01-01")), to_date(lit("1998-12-31"))),
+    Dq.InRange("lineitem", "l_quantity", lit(1), lit(50), label = "in_1_50"))
+
   def qDqChecks: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val orders = t.orders
-    val li = t.lineitem
-    val ordersWide = orders.agg(
-      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
-      (count(lit(1)) - count(col("o_custkey"))).as("null_cust"),
-      count(when(col("o_totalprice") <= 0, 1)).as("nonpos_price"),
-      count(when(col("o_orderdate") < to_date(lit("1992-01-01")) ||
-                 col("o_orderdate") > to_date(lit("1998-12-31")), 1)).as("stale_date"))
-    val liWide = li.agg(
-      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("qty_range"))
-    val orphans = li.join(orders.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("orphan_lines"))
-
-    val checks = ordersWide.select(expr(
-        "stack(4, " +
-          "'orders.o_orderkey unique', dup_keys, " +
-          "'orders.o_custkey not_null', null_cust, " +
-          "'orders.o_totalprice positive', nonpos_price, " +
-          "'orders.o_orderdate in_range', stale_date" +
-          ") AS (check_name, violations)"))
-      .unionByName(liWide.select(lit("lineitem.l_quantity in_1_50").as("check_name"),
-        col("qty_range").as("violations")))
-      .unionByName(orphans.select(lit("lineitem.l_orderkey ref_orders").as("check_name"),
-        col("orphan_lines").as("violations")))
-    checks.select(col("check_name"), col("violations"),
-        (col("violations") === 0L).as("pass"))
-      .orderBy(col("check_name"))
+    Dq.suite(
+      Map("orders" -> t.orders, "lineitem" -> t.lineitem),
+      dqCheckSpecs,
+      refs = Seq(Dq.RefIntegrity("lineitem", "l_orderkey", "orders", "o_orderkey")))
   }
 
   val qDqChecksSql: String =

@@ -34,6 +34,44 @@ class ObserveSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Range")) == 1, s"extra scan:\n$p")
   }
 
+  test("in-flight DQ: spec-driven expectations surface violations on a real write") {
+    import spark.implicits._
+    // The same Dq.Check specs that compile to the post-hoc suite compile
+    // to observe() accumulators riding the write's own pass — the
+    // violation is visible the moment the write finishes, no second scan.
+    val df = Seq((Some(1L), 10.0), (None, -5.0), (Some(1L), 20.0)).toDF("k", "v")
+    val checks = Seq(
+      Dq.NotNull("t", "k"),
+      Dq.Satisfies("t", "v positive", col("v") > 0),
+      Dq.Unique("t", "k"))
+    val observed = Dq.observed(df.toDF(), "dq_gate", checks)
+
+    val captured = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get("dq_gate").foreach(captured.set)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-dq-obs").toString
+      observed.write.mode("overwrite").parquet(s"$out/gated.parquet")
+      // The execution listener fires asynchronously.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (captured.get() == null && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = captured.get()
+      assert(m != null, "write finished but no observed metrics arrived")
+      assert(m.getAs[Long]("t.k not_null") === 1L)
+      assert(m.getAs[Long]("t.v positive") === 1L)
+      // Unique rides in-flight as an HLL estimate — exact at this scale.
+      assert(m.getAs[Long]("t.k unique") === 2L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming: observed metrics surface per micro-batch in the progress") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
