@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, count, hll_sketch_agg, lit, max, min, sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Materialized-rollup (summary-table) query rewrite — the classic OLAP
@@ -66,6 +66,8 @@ object MaterializedRollupRewrite {
       mins: Map[String, String],
       maxs: Map[String, String],
       cnts: Map[String, String] = Map.empty,
+      hlls: Map[String, String] = Map.empty,
+      hllLgK: Int = 12,
       baseFp: Long = 0L)
 
   /** Order-stable fingerprint of a table directory: file names + mtimes +
@@ -168,6 +170,7 @@ object MaterializedRollupRewrite {
       sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil,
       rollupPath: String): RollupDef = {
     // A refresh must read the BASE: with registrations still live, the
     // build aggregate below may itself be derivable and the rule would
@@ -175,11 +178,18 @@ object MaterializedRollupRewrite {
     // it was called to fix (or a self-overwrite error when paths
     // coincide). Suspend rewriting for the build instead of deregistering,
     // so OTHER rollups of this base (lattice levels) survive a refresh.
+    // Distinct-count partials are HLL SKETCHES (DataSketches binary blobs):
+    // register-max merge is exact, deterministic, and order-independent, so
+    // union-of-group-sketches ≡ sketch-of-group-union — the only partial
+    // state that lets a summary answer distinct-count questions (exact
+    // distinct doesn't decompose; that asymmetry is why COUNT(DISTINCT)
+    // stays non-derivable while hll_sketch_agg IS).
     val aggs =
       sumCols.map(c => sum(col(c).cast(graft.functions.Exact.D)).as(s"g_sum_$c")) ++
       sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) ++
       minCols.map(c => min(col(c)).as(s"g_min_$c")) ++
-      maxCols.map(c => max(col(c)).as(s"g_max_$c")) :+
+      maxCols.map(c => max(col(c)).as(s"g_max_$c")) ++
+      distinctCols.map(c => hll_sketch_agg(col(c)).as(s"g_hll_$c")) :+
       count(lit(1)).as("g_cnt")
     buildDepth.incrementAndGet()
     try {
@@ -195,6 +205,7 @@ object MaterializedRollupRewrite {
       mins = minCols.map(c => c -> s"g_min_$c").toMap,
       maxs = maxCols.map(c => c -> s"g_max_$c").toMap,
       cnts = sumCols.map(c => c -> s"g_cntn_$c").toMap,
+      hlls = distinctCols.map(c => c -> s"g_hll_$c").toMap,
       baseFp = fingerprint(basePath))
     register(d)
     d
@@ -358,6 +369,19 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
         rollupAttr(a.name, d.mins).map(pa => Min(pa).toAggregateExpression())
       case Max(a: AttributeReference) =>
         rollupAttr(a.name, d.maxs).map(pa => Max(pa).toAggregateExpression())
+      // hll_sketch_agg(col) → hll_union_agg(sketch partial): HLL register-
+      // max merge is exact and order-independent, so the union of the
+      // summary's per-group sketches IS the sketch of the base — any
+      // hll_sketch_estimate / hll_sketch_to_string around it rides through
+      // unchanged. Same-lgK only: a union at a different precision would
+      // silently answer with the partials' precision, not the query's.
+      case hs: HllSketchAgg if hs.lgConfigK == d.hllLgK =>
+        hs.left match {
+          case a: AttributeReference =>
+            rollupAttr(a.name, d.hlls).map(pa =>
+              new HllUnionAgg(pa).toAggregateExpression())
+          case _ => None
+        }
       case _ => None
     }
 
@@ -519,6 +543,13 @@ case class MaterializedRollupRewrite(spark: SparkSession) extends Rule[LogicalPl
       case Max(a: AttributeReference) if valueByOut.contains(a.exprId) =>
         d.maxs.get(valueByOut(a.exprId)).filter(ra.contains)
           .map(p => Max(partialAttr(p)).toAggregateExpression())
+      case hs: HllSketchAgg if hs.lgConfigK == d.hllLgK =>
+        hs.left match {
+          case a: AttributeReference if valueByOut.contains(a.exprId) =>
+            d.hlls.get(valueByOut(a.exprId)).filter(ra.contains)
+              .map(p => new HllUnionAgg(partialAttr(p)).toAggregateExpression())
+          case _ => None
+        }
       case _ => None
     }
     val newResults = agg.aggregateExpressions.map { ne =>

@@ -186,6 +186,48 @@ object PlanOps {
        |  COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Distinct counts from the summary: the rollup carries HLL SKETCH
+    * partials (`g_hll_*` — DataSketches blobs whose register-max union is
+    * exact and order-independent), so `hll_sketch_estimate(hll_sketch_agg
+    * (col))` over the BASE rewrites to `hll_sketch_estimate(hll_union_agg
+    * (partial))` over the summary — "distinct customers per segment"
+    * dashboards answered without touching the fact table. The exact
+    * distinct rides alongside FROM THE BASE (COUNT DISTINCT never
+    * derives — that asymmetry is the point), and the gate checks the
+    * sketch answer lands within 5% of it; the DuckDB oracle computes the
+    * exact side and TRUE. PlanShapeSpec pins that the estimate half scans
+    * the summary, not the base. */
+  def qMvRewriteHll: Q = (s, dir) => {
+    val basePath = s"$dir/orders.parquet"
+    MaterializedRollupRewrite.synchronized {
+      val tag = s"graft-mvhll-${mvTag(dir)}"
+      if (!MaterializedRollupRewrite.lookup(basePath)
+            .exists(_.rollupPath.contains(tag))) {
+        val rollupPath = java.nio.file.Files.createTempDirectory(tag).toString
+        MaterializedRollupRewrite.create(
+          s, basePath,
+          keys = Seq("o_orderstatus"),
+          distinctCols = Seq("o_custkey"),
+          rollupPath = rollupPath)
+      }
+    }
+    val orders = Tables(s, dir).orders
+    val est = orders.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+    val exact = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    est.join(exact, "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= lit(0.05) * col("n_exact"))
+          .as("within_5pct"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qMvRewriteHllSql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+      |  TRUE AS within_5pct
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val qMvRewriteSql: String =
     """SELECT l_returnflag, SUM(l_quantity) AS qty, COUNT(*) AS n,
       |  AVG(l_quantity) AS aq,
@@ -199,6 +241,7 @@ object PlanOps {
     "q_mv_rewrite_grain"    -> qMvRewriteGrain,
     "q_mv_rewrite_rollup"   -> qMvRewriteRollup,
     "q_mv_rewrite_exact"    -> qMvRewriteExact,
+    "q_mv_rewrite_hll"      -> qMvRewriteHll,
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +251,6 @@ object PlanOps {
     "q_mv_rewrite_grain"    -> qMvRewriteGrainSql,
     "q_mv_rewrite_rollup"   -> qMvRewriteRollupSql,
     "q_mv_rewrite_exact"    -> qMvRewriteExactSql,
+    "q_mv_rewrite_hll"      -> qMvRewriteHllSql,
   )
 }

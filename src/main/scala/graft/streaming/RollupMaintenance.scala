@@ -51,24 +51,32 @@ object RollupMaintenance {
       sumCols: Seq[String],
       root: String,
       minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): Boolean = {
+      maxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): Boolean = {
     val st = state(root)
     if (st.exists(_._1 >= batchId)) return false
 
+    // Distinct counts fold as HLL sketches: register-max union is exact
+    // and order-independent, so the maintained sketch after any number of
+    // micro-batches equals the sketch of the full history — the ONLY way
+    // "distinct users" survives incremental maintenance (exact distinct
+    // doesn't decompose into partials).
     val aggs = sumCols.map(c => sum(col(c)).as(s"g_sum_$c")) ++
       sumCols.map(c => count(col(c)).as(s"g_cntn_$c")) ++
       minCols.map(c => min(col(c)).as(s"g_min_$c")) ++
-      maxCols.map(c => max(col(c)).as(s"g_max_$c")) :+
+      maxCols.map(c => max(col(c)).as(s"g_max_$c")) ++
+      distinctCols.map(c => hll_sketch_agg(col(c)).as(s"g_hll_$c")) :+
       count(lit(1)).as("g_cnt")
     val partials = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val merged = st match {
       case Some((_, dir)) =>
         // The same partial-state algebra downward: sums and counts add,
-        // min-of-mins and max-of-maxes fold.
+        // min-of-mins and max-of-maxes fold, sketches union.
         val reAggs = sumCols.map(c => sum(col(s"g_sum_$c")).as(s"g_sum_$c")) ++
           sumCols.map(c => sum(col(s"g_cntn_$c")).as(s"g_cntn_$c")) ++
           minCols.map(c => min(col(s"g_min_$c")).as(s"g_min_$c")) ++
-          maxCols.map(c => max(col(s"g_max_$c")).as(s"g_max_$c")) :+
+          maxCols.map(c => max(col(s"g_max_$c")).as(s"g_max_$c")) ++
+          distinctCols.map(c => hll_union_agg(col(s"g_hll_$c")).as(s"g_hll_$c")) :+
           sum(col("g_cnt")).as("g_cnt")
         batch.sparkSession.read.parquet(dir)
           .unionByName(partials)
@@ -83,7 +91,8 @@ object RollupMaintenance {
       keys.map(col) ++ sumCols.map(c => col(s"g_sum_$c")) ++
         sumCols.map(c => coalesce(col(s"g_cntn_$c"), lit(0L)).as(s"g_cntn_$c")) ++
         minCols.map(c => col(s"g_min_$c")) ++
-        maxCols.map(c => col(s"g_max_$c")) :+
+        maxCols.map(c => col(s"g_max_$c")) ++
+        distinctCols.map(c => col(s"g_hll_$c")) :+
         coalesce(col("g_cnt"), lit(0L)).as("g_cnt"): _*)
 
     val newDir = s"$root/v$batchId"
@@ -122,9 +131,11 @@ object RollupMaintenance {
       sumCols: Seq[String],
       root: String,
       minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): DataStreamWriter[Row] =
+      maxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Row], id: Long) =>
-        applyBatch(b.toDF(), id, keys, sumCols, root, minCols, maxCols); ()
+        applyBatch(b.toDF(), id, keys, sumCols, root, minCols, maxCols,
+          distinctCols); ()
     }
 }

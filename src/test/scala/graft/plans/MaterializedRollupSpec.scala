@@ -38,6 +38,33 @@ class MaterializedRollupSpec extends SparkTestBase {
     } finally { PlanOps.queries("q_mv_rewrite")(spark, dir) } // re-register
   }
 
+  test("hll_sketch_agg derives from sketch partials; exact distinct never does") {
+    // The sketch-rollup entry registers an orders summary keyed by
+    // o_orderstatus with a g_hll_o_custkey partial.
+    PlanOps.queries("q_mv_rewrite_hll")(spark, dir)
+    val orders = graft.sources.Tables(spark, dir).orders
+    def estQ = orders.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+    val p = scans(estQ)
+    assert(p.contains("graft-mvhll"), s"sketch rollup scan missing:\n$p")
+    assert(!p.contains("orders.parquet"), s"base orders still scanned:\n$p")
+    // Register-max union is exact: the rewritten estimate must be
+    // IDENTICAL to the direct sketch build, not merely close.
+    val viaRollup = estQ.orderBy(col("o_orderstatus")).collect()
+    MaterializedRollupRewrite.deregister(s"$dir/orders.parquet")
+    val direct =
+      try estQ.orderBy(col("o_orderstatus")).collect()
+      finally { PlanOps.queries("q_mv_rewrite_hll")(spark, dir); () }
+    assert(viaRollup === direct,
+      "union of per-group sketches must equal the direct sketch build")
+    // COUNT(DISTINCT) must NOT derive from sketches (approx ≠ exact).
+    val cd = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+    assert(scans(cd).contains("orders.parquet"),
+      "exact distinct must fall back to the base table")
+    MaterializedRollupRewrite.deregister(s"$dir/orders.parquet")
+  }
+
   test("filter on a rollup key commutes onto the summary table") {
     rollupReady
     val q = base.filter(col("l_linestatus") === "F")

@@ -103,6 +103,73 @@ class RollupMaintenanceSpec extends SparkTestBase {
     assert(fin === Array(("a", 4.0, 2L), ("b", 7.0, 2L), ("c", 4.0, 1L)))
   }
 
+  test("maintained HLL sketch partials: estimate equals the full-history distinct") {
+    import spark.implicits._
+    val root = freshDir()
+    // Distinct users per key across batches WITH overlap — the case plain
+    // counters cannot maintain (u2 arrives in both batches for k=a).
+    assert(RollupMaintenance.applyBatch(
+      Seq(("a", "u1"), ("a", "u2"), ("b", "u1")).toDF("k", "u"),
+      0L, Seq("k"), sumCols = Nil, root, distinctCols = Seq("u")))
+    assert(RollupMaintenance.applyBatch(
+      Seq(("a", "u2"), ("a", "u3"), ("b", "u9")).toDF("k", "u"),
+      1L, Seq("k"), sumCols = Nil, root, distinctCols = Seq("u")))
+    val got = spark.read.parquet(RollupMaintenance.currentDir(root).get)
+      .select(col("k"), hll_sketch_estimate(col("g_hll_u")).as("nd"), col("g_cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Array(("a", 3L, 4L), ("b", 2L, 2L)),
+      s"sketch union diverged from full-history distinct: ${got.mkString(",")}")
+  }
+
+  test("manifest commit feed as a STREAMING source: view advances, restart resumes from the checkpointed seq, replay no-ops") {
+    import spark.implicits._
+    // The continuous version of the batch-cycle test above: the manifest
+    // table IS the stream (offsets = commit seqs), the checkpoint replaces
+    // the hand-carried sinceManifest resume point, and RollupMaintenance's
+    // batchId fence makes a re-delivered micro-batch a no-op.
+    val fmt = classOf[graft.sources.ManifestFileSink].getName
+    val tableDir = freshDir()
+    val root = freshDir()
+    val ckpt = freshDir()
+    def append(rows: (String, Double)*): Unit =
+      rows.toDF("k", "v").coalesce(1)
+        .write.format(fmt).option("path", tableDir).mode("append").save()
+    def drain(): Unit = {
+      val q = RollupMaintenance.sink(
+          spark.readStream.format(fmt).option("path", tableDir).load(),
+          Seq("k"), Seq("v"), root)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+    }
+    def summary(): Array[(String, Double, Long)] =
+      spark.read.parquet(RollupMaintenance.currentDir(root).get)
+        .select(col("k"), col("g_sum_v"), col("g_cnt")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+
+    append(("a", 1.0), ("b", 2.0))
+    append(("a", 3.0))
+    drain()
+    assert(summary() === Array(("a", 4.0, 2L), ("b", 2.0, 1L)),
+      s"first drain diverged: ${summary().mkString(",")}")
+
+    // Commits land while no stream is running; the restarted stream must
+    // resume from the checkpointed seq — folding ONLY the new commits
+    // (the old ones double-counted would show as a:8/b:4).
+    append(("c", 5.0), ("b", 1.0))
+    drain()
+    assert(summary() === Array(("a", 4.0, 2L), ("b", 3.0, 2L), ("c", 5.0, 1L)),
+      s"restart did not resume from the recorded offset: ${summary().mkString(",")}")
+
+    // Nothing new: the drain admits no batch and the summary version is
+    // untouched (replay no-op end-to-end).
+    val before = RollupMaintenance.state(root).get
+    drain()
+    assert(RollupMaintenance.state(root).get === before,
+      "empty drain must not advance the summary")
+  }
+
   test("stream-maintained summary serves the MV rewrite on the base table") {
     import spark.implicits._
     val root = freshDir()
