@@ -102,6 +102,14 @@ class PlanShapeSpec extends SparkTestBase {
       s"partial-state folds should be map-side combined:\n$p")
   }
 
+  test("q_ivm_join_retract: signed-delta joins stay equi-joins, aggs partial") {
+    val p = plan("q_ivm_join_retract")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"retraction delta joins degraded to a cross product:\n$p")
+    assert(p.contains("partial_sum"),
+      s"weighted partial folds should be map-side combined:\n$p")
+  }
+
   test("q_disjunctive_join: stays a hash join with residual, not a nested loop") {
     val p = plan("q_disjunctive_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
