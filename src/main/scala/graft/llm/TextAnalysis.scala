@@ -292,6 +292,77 @@ object TextAnalysis {
       |  FROM scored) t
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** BM25 ranked retrieval (Robertson–Walker, k1=1.2 b=0.75) for a fixed
+    * term query — the lexical-retrieval sibling of the dense kNN in
+    * [[Similarity]]. Scale shape: the exploded token stream is restricted
+    * to the query's terms BEFORE the first shuffle, so at 100 TB only the
+    * postings of the queried terms (|matching docs| × |terms| rows) ever
+    * leave the map stage — the classic inverted-index access pattern,
+    * expressed declaratively. df (|terms| rows) and the corpus stats
+    * (one row: N, Σdl) are broadcast; the final cut is a bounded top-k
+    * (TakeOrderedAndProject), never a global sort.
+    *
+    * Determinism: idf is the rational RSJ weight (N−df+0.5)/(df+0.5)
+    * without ln — same treatment as tfidfTopTerms (libm ulp variance
+    * across engines vs a +,*,/ tree that IEEE 754 rounds exactly), and
+    * the per-term scores are documented engine semantics, not an
+    * approximation of someone else's. The per-doc sum folds ≤|terms|
+    * doubles, so accumulation-order noise is ~1e-15 against the 1e-6
+    * round grain (the q_pagerank argument). Doc length rides the tf
+    * grouping key (dl is functionally dependent on doc_id) instead of
+    * re-joining the corpus — one less doc-keyed shuffle. */
+  def bm25: Q = (s, dir) => {
+    val terms = Seq("dup", "spark", "window")
+    val d = Tables(s, dir).documents
+    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val toks = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val dnorm = lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")
+    val sc = col("idf") * (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * col("dnorm"))
+    tf.join(broadcast(df), col("tok") === col("df_tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("idf", idf)
+      .withColumn("dnorm", dnorm)
+      .withColumn("sc", sc)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25Sql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         string_split(text, ' ') AS wl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |toks AS (SELECT doc_id, dl, UNNEST(wl) AS tok FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('dup', 'spark', 'window') GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+      |      * (tf.tf * CAST(2.2 AS DOUBLE))
+      |      / (tf.tf + CAST(1.2 AS DOUBLE) *
+      |         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+      |          CAST(0.75 AS DOUBLE) * tf.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS sc
+      |  FROM tf JOIN df USING (tok) CROSS JOIN stats s)
+      |SELECT doc_id, ROUND(SUM(sc), 6) AS bm25, COUNT(*) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   /** Repetition-based quality filter (the Gopher-style "repetitious
     * document" signals): per document, the max single-word frequency
     * fraction, the duplicate-word fraction, and the duplicate-bigram
@@ -533,6 +604,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "text_pii_scrub"         -> piiScrub,
+    "text_bm25"              -> bm25,
     "text_tfidf_cosine_pairs" -> tfidfCosinePairs,
     "text_tfidf_top_terms"   -> tfidfTopTerms,
     "text_prep_pipeline"     -> prepPipeline,
@@ -548,6 +620,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_pii_scrub"        -> piiScrubSql,
+    "text_bm25"             -> bm25Sql,
     "text_tfidf_cosine_pairs" -> tfidfCosinePairsSql,
     "text_tfidf_top_terms"  -> tfidfTopTermsSql,
     "text_prep_pipeline"    -> prepPipelineSql,
