@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import TextHash._
@@ -644,8 +645,93 @@ object Dedup {
       |SELECT change, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM cls GROUP BY change ORDER BY change""".stripMargin
 
+  /** Duplicated-SPAN detection — the token-level sibling of the doc-level
+    * dedup family (the "exact substring dedup" of Lee et al., Deduplicating
+    * Training Data Makes Language Models Better, approximated at fixed
+    * window W=8 tokens instead of a suffix array). A span is a maximal run
+    * of 8-gram starts, each of which occurs in ≥2 distinct documents;
+    * overlapping/adjacent matched starts (gap ≤ W) merge into one span, so
+    * a verbatim 30-token quotation reports as ONE span of length 30, not
+    * 23 overlapping grams. Output per affected doc: dup-gram count, span
+    * count, longest span, covered tokens, coverage ratio.
+    *
+    * Scale shape: the gram stream (one row per token, the big intermediate)
+    * aggregates by gram with map-side partials to find cross-doc grams;
+    * matched positions then shuffle ONCE by doc_id and both windows (lag
+    * for the gap flag, running sum for the island id) plus the span and
+    * per-doc folds all share that one exchange+sort — the plan is
+    * scan → agg → join → one sort, no second doc-keyed shuffle. At 100 TB
+    * swap the gram string for xxhash64(gram) before the first shuffle
+    * (8 bytes/row instead of ~50) — kept as the string here so the DuckDB
+    * oracle recomputes identical keys. Docs shorter than W are filtered
+    * before gram generation (Spark's `sequence` would otherwise run
+    * DESCENDING for a negative span — silent garbage, not an error). */
+  def dedupSubstringSpans: Q = (s, dir) => {
+    val W = 8
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .filter(size(col("wl")) >= W)
+    val grams = d.select(
+      col("doc_id"), size(col("wl")).as("n_tok"),
+      posexplode(transform(sequence(lit(0), size(col("wl")) - W),
+        i => array_join(slice(col("wl"), i + 1, lit(W)), " "))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val matched = grams.join(dup, Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = matched
+      .withColumn("gap", when(
+        col("p") - lag(col("p"), 1).over(byDoc) > W || lag(col("p"), 1).over(byDoc).isNull,
+        1L).otherwise(0L))
+      .withColumn("island", sum(col("gap")).over(byDoc))
+    val spans = islands.groupBy(col("doc_id"), col("n_tok"), col("island"))
+      .agg(count(lit(1)).as("g_in_span"),
+        (max(col("p")) - min(col("p")) + W).as("span_len"))
+    spans.groupBy(col("doc_id"), col("n_tok"))
+      .agg(sum(col("g_in_span")).as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("longest_span"),
+        sum(col("span_len")).as("dup_tokens"))
+      .withColumn("coverage",
+        round(col("dup_tokens").cast("double") / col("n_tok"), 6))
+      .select(col("doc_id"), col("n_dup_grams"), col("n_spans"),
+        col("longest_span").cast("long").as("longest_span"),
+        col("dup_tokens").cast("long").as("dup_tokens"), col("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSpansSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id, len(wl) AS n_tok, i AS p,
+      |         array_to_string(wl[i:i+7], ' ') AS gram
+      |  FROM dl, UNNEST(generate_series(1, len(wl) - 7)) AS t(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |m AS (SELECT g.* FROM g SEMI JOIN dup USING (gram)),
+      |isl AS (
+      |  SELECT doc_id, n_tok, p,
+      |         SUM(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+      |  FROM (SELECT doc_id, n_tok, p,
+      |          LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM m)),
+      |spans AS (
+      |  SELECT doc_id, n_tok, island, COUNT(*) AS g_in_span,
+      |         MAX(p) - MIN(p) + 8 AS span_len
+      |  FROM isl GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(SUM(g_in_span) AS BIGINT) AS n_dup_grams, COUNT(*) AS n_spans,
+      |       CAST(MAX(span_len) AS BIGINT) AS longest_span,
+      |       CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+      |       ROUND(CAST(SUM(span_len) AS DOUBLE) / n_tok, 6) AS coverage
+      |FROM spans GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"                -> dedupExact,
+    "dedup_substring_spans"      -> dedupSubstringSpans,
     "dedup_contamination"        -> contaminationCheck,
     "dedup_contamination_bloom"  -> contaminationBloom,
     "dedup_ngram_jaccard"        -> dedupNgramJaccard,
@@ -661,6 +747,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"                -> dedupExactSql,
+    "dedup_substring_spans"      -> dedupSubstringSpansSql,
     "dedup_contamination"        -> contaminationCheckSql,
     "dedup_contamination_bloom"  -> contaminationBloomSql,
     "dedup_ngram_jaccard"        -> dedupNgramJaccardSql,

@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** Semantic pins for the span-level dedup and phrase retrieval operators —
+  * properties the DuckDB oracle can't articulate (it would just recompute
+  * the same algebra): span MERGING (overlapping matched grams collapse to
+  * one maximal span), sub-W-document totality, and phrase ADJACENCY
+  * (scattered query words must not match). */
+class RetrievalSpec extends SparkTestBase {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-retr").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("substring spans: a shared 12-token run is ONE span, not 5 grams") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"a1 a2 a3 a4 $shared b1 b2 b3 b4"),
+      (2L, s"c1 c2 c3 c4 $shared d1 d2 d3 d4"),
+      (3L, "tiny doc") // < W tokens: filtered, must not throw
+    ))
+    val out = Dedup.dedupSubstringSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // doc 3 excluded, no crash
+    for (id <- Seq(1L, 2L)) {
+      val r = out(id)
+      // 12-token run ⇒ 12-8+1 = 5 duplicated 8-gram starts, merged to 1 span
+      assert(r.getLong(1) == 5L, s"doc $id n_dup_grams")
+      assert(r.getLong(2) == 1L, s"doc $id n_spans")
+      assert(r.getLong(3) == 12L, s"doc $id longest_span")
+      assert(r.getLong(4) == 12L, s"doc $id dup_tokens")
+      assert(math.abs(r.getDouble(5) - 12.0 / 20.0) < 1e-9, s"doc $id coverage")
+    }
+  }
+
+  test("substring spans: two separated shared runs stay two spans") {
+    val runA = (1 to 8).map(i => s"x$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"y$i").mkString(" ")
+    // gap of 9 unique tokens (> W) between the runs ⇒ islands split
+    val gap1 = (1 to 9).map(i => s"g$i").mkString(" ")
+    val gap2 = (1 to 9).map(i => s"h$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"$runA $gap1 $runB"),
+      (2L, s"$runB $gap2 $runA")))
+    val out = Dedup.dedupSubstringSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getLong(2) == 2L, s"doc $id n_spans")
+      assert(out(id).getLong(3) == 8L, s"doc $id longest_span")
+    }
+  }
+
+  test("phrase search: adjacency required, occurrences counted, 1-based pos") {
+    val dir = writeDocs(Seq(
+      (1L, "slow hash batch q r slow hash batch"), // 2 hits, first at 1
+      (2L, "slow x hash y batch"),                 // scattered: no hit
+      (3L, "slow hash x batch"),                   // broken adjacency: no hit
+      (4L, "pad slow hash batch")))                // 1 hit at pos 2
+    val out = TextAnalysis.phraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (4L, 1L, 2L)))
+  }
+}
