@@ -363,6 +363,51 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Exact phrase search over a positional inverted index — the other half
+    * of lexical retrieval next to [[bm25]] (which scores bags of words and
+    * cannot distinguish "slow hash batch" from those words scattered).
+    * Postings are (doc_id, position) lists per term; a phrase match is an
+    * equi-join of the terms' postings with positions shifted so all three
+    * land on the phrase start: w₀@p ∧ w₁@p+1 ∧ w₂@p+2.
+    *
+    * Scale shape: the token stream is restricted to the phrase's terms AT
+    * THE GENERATE (before any shuffle), so each join side carries df(term)
+    * postings of 12 bytes — the shuffle is bounded by the rarest-term df,
+    * never the corpus; the position shift keeps adjacency as a plain
+    * equi-join on (doc_id, p), no window, no inequality. A production
+    * engine materializes the postings table once and serves every phrase
+    * query from it; the in-flight build here is the same plan minus the
+    * write. Positions are reported 1-based to match the oracle's
+    * generate_series indexing. */
+  def phraseSearch: Q = (s, dir) => {
+    val phrase = Seq("slow", "hash", "batch")
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    def postings(i: Int): DataFrame =
+      toks.filter(col("tok") === phrase(i))
+        .select(col("doc_id"), (col("p") - i).as("p"))
+    postings(0).join(postings(1), Seq("doc_id", "p"))
+      .join(postings(2), Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("p")) + 1).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH dl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |t AS (
+      |  SELECT doc_id, i AS p, wl[i] AS tok
+      |  FROM dl, UNNEST(generate_series(1, len(wl))) AS s(i)
+      |  WHERE wl[i] IN ('slow', 'hash', 'batch')),
+      |t0 AS (SELECT doc_id, p FROM t WHERE tok = 'slow'),
+      |t1 AS (SELECT doc_id, p - 1 AS p FROM t WHERE tok = 'hash'),
+      |t2 AS (SELECT doc_id, p - 2 AS p FROM t WHERE tok = 'batch')
+      |SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(p) AS BIGINT) AS first_pos
+      |FROM t0 JOIN t1 USING (doc_id, p) JOIN t2 USING (doc_id, p)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Repetition-based quality filter (the Gopher-style "repetitious
     * document" signals): per document, the max single-word frequency
     * fraction, the duplicate-word fraction, and the duplicate-bigram
@@ -605,6 +650,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_pii_scrub"         -> piiScrub,
     "text_bm25"              -> bm25,
+    "text_phrase_search"     -> phraseSearch,
     "text_tfidf_cosine_pairs" -> tfidfCosinePairs,
     "text_tfidf_top_terms"   -> tfidfTopTerms,
     "text_prep_pipeline"     -> prepPipeline,
@@ -621,6 +667,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_pii_scrub"        -> piiScrubSql,
     "text_bm25"             -> bm25Sql,
+    "text_phrase_search"    -> phraseSearchSql,
     "text_tfidf_cosine_pairs" -> tfidfCosinePairsSql,
     "text_tfidf_top_terms"  -> tfidfTopTermsSql,
     "text_prep_pipeline"    -> prepPipelineSql,
