@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytic, Extended, Graph, Incremental, Layout, Mutation, Profile, Relational, Subqueries}
+import graft.ops.{Analytic, Extended, Graph, Incremental, Layout, Mutation, Profile, Relational, Subqueries, TpchBreadth}
 import graft.llm.{Dedup, Multimodal, ProductQuantization, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,7 @@ object SparkEntry {
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.functions.Udfs.queries ++ graft.plans.PlanOps.queries ++
       Layout.queries ++ Mutation.queries ++ Graph.queries ++ ProductQuantization.queries ++
-      Profile.queries ++ Incremental.queries
+      Profile.queries ++ Incremental.queries ++ TpchBreadth.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.functions.Udfs.oracles ++ graft.plans.PlanOps.oracles ++
       Layout.oracles ++ Mutation.oracles ++ Graph.oracles ++ ProductQuantization.oracles ++
-      Profile.oracles ++ Incremental.oracles
+      Profile.oracles ++ Incremental.oracles ++ TpchBreadth.oracles
 }

@@ -29,11 +29,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame    = table("orders")
   def lineitem: DataFrame  = table("lineitem")
 
-  /** The events table ships as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by [[graft.Verify]]/[[graft.Bench]] session builders). Under
-    * that flag `ts` arrives as nanos-since-epoch LongType; normalize to a
-    * microsecond timestamp here so downstream operators see one type.
+  /** The events table's `ts` physical type has shipped two ways across
+    * testdata generations: TIMESTAMP(NANOS) (readable only under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as LongType
+    * nanos) and TIMESTAMP(MICROS) without isAdjustedToUTC (arriving as
+    * TimestampNTZType). Normalize both to an instant TimestampType so
+    * downstream operators (unix_micros, window/session_window) see one
+    * type. The session timezone is pinned to UTC by [[graft.Verify]]/
+    * [[graft.Bench]], so the NTZ→instant cast preserves the wall-clock
+    * value exactly — same instants the nanos path produced.
     * Nanos→micros uses integer `div` (no double round-trip — 1.7e18 ns
     * exceeds the 2^53 exact-double range). */
   def events: DataFrame = {
@@ -41,6 +45,8 @@ final case class Tables(spark: SparkSession, dir: String) {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
       case _ => raw
     }
   }
