@@ -198,12 +198,120 @@ object ManifestFileSink {
     * (e.g. by a [[compact]] that crashed between publishing the combined
     * manifest and deleting its inputs) is the same data — deduping here
     * makes that crash window harmless instead of a double-read. */
-  /** (file, rows) entries listed by ONE manifest. */
+  /** (file, rows) entries listed by ONE manifest. Entry lines are
+    * `file\trows` (v2) or `file\trows\tzonemap` (v3) — both parse here. */
   private[sources] def entriesOf(m: File): Seq[(String, Long)] =
     Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).map { line =>
-      val Array(f, n) = line.split("\t")
-      (f, n.toLong)
+      val parts = line.split("\t")
+      (parts(0), parts(1).toLong)
     }.toSeq
+
+  /** (file, rows, zone map) — the v3 stats field decoded; None for v2
+    * entries written before zone maps existed (those files are never
+    * pruned: no stats means no claim). */
+  private[sources] def entriesWithStats(m: File): Seq[(String, Long, Option[Map[Int, ColStats]])] =
+    Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).map { line =>
+      val parts = line.split("\t")
+      (parts(0), parts(1).toLong,
+        if (parts.length > 2 && parts(2).nonEmpty) Some(decodeStats(parts(2))) else None)
+    }.toSeq
+
+  // ------------------------------------------------------------ zone maps
+
+  /** Per-column file statistics for data skipping: min/max over the
+    * column's NON-null values (as the same text the TSV data encoding
+    * uses — parse back under the column's type for exact comparison) plus
+    * a null-presence bit. `min`/`max` empty ⇔ the column had no non-null
+    * values in the file (then an equality/range predicate can never match
+    * it, but IS NULL can). */
+  private[sources] final case class ColStats(min: String, max: String, hasNull: Boolean)
+
+  /** Encoding: `idx=min,max,nullBit` joined by `|` — indices and numeric
+    * text only, so the field can never collide with the entry line's tab
+    * delimiters. Only long/int/double columns carry stats (strings can
+    * embed any delimiter; boolean ranges prune nothing useful). */
+  private[sources] def encodeStats(stats: Map[Int, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (i, s) =>
+      s"$i=${s.min},${s.max},${if (s.hasNull) 1 else 0}"
+    }.mkString("|")
+
+  private[sources] def decodeStats(s: String): Map[Int, ColStats] =
+    s.split("\\|").iterator.map { part =>
+      val eq = part.indexOf('=')
+      val Array(mn, mx, nl) = part.substring(eq + 1).split(",", -1)
+      part.substring(0, eq).toInt -> ColStats(mn, mx, nl == "1")
+    }.toMap
+
+  /** Conservative file-level predicate evaluation: may ANY row of a file
+    * with these stats satisfy `filter`? Unknown filter shapes, unknown
+    * columns, and stats-free files answer true (never wrongly prune).
+    * Numeric compares re-parse the recorded bounds under the column's own
+    * type — long compares stay in Long (no 2^53 double truncation),
+    * double compares round-trip exactly through Double.toString. */
+  private[sources] def mayMatch(
+      filter: org.apache.spark.sql.sources.Filter,
+      stats: Map[Int, ColStats],
+      schema: StructType): Boolean = {
+    import org.apache.spark.sql.sources._
+    def colStats(name: String): Option[(ColStats, DataType)] = {
+      val i = schema.fieldNames.indexOf(name)
+      if (i < 0) None else stats.get(i).map(s => (s, schema.fields(i).dataType))
+    }
+    // Compare a filter literal against recorded bounds in the column's type
+    // space: negative ⇒ value below min, 0 in-range, positive ⇒ above max,
+    // None ⇒ incomparable (empty bounds / unsupported type) — caller keeps.
+    def relate(v: Any, s: ColStats, dt: DataType): Option[(Int, Int)] =
+      if (s.min.isEmpty) None
+      else try dt match {
+        case LongType | IntegerType =>
+          val x = v match { case n: Number => n.longValue(); case _ => return None }
+          Some((java.lang.Long.compare(x, s.min.toLong), java.lang.Long.compare(x, s.max.toLong)))
+        case DoubleType =>
+          val x = v match { case n: Number => n.doubleValue(); case _ => return None }
+          if (x.isNaN) return None
+          Some((java.lang.Double.compare(x, s.min.toDouble), java.lang.Double.compare(x, s.max.toDouble)))
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+    filter match {
+      case EqualTo(c, v) => colStats(c) match {
+        case Some((s, _)) if s.min.isEmpty => false // no non-null values at all
+        case Some((s, dt)) => relate(v, s, dt).forall { case (lo, hi) => lo >= 0 && hi <= 0 }
+        case None => true
+      }
+      case GreaterThan(c, v) => colStats(c) match {
+        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, dt)) => relate(v, s, dt).forall(_._2 < 0) // v < max
+        case None => true
+      }
+      case GreaterThanOrEqual(c, v) => colStats(c) match {
+        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, dt)) => relate(v, s, dt).forall(_._2 <= 0)
+        case None => true
+      }
+      case LessThan(c, v) => colStats(c) match {
+        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, dt)) => relate(v, s, dt).forall(_._1 > 0) // v > min
+        case None => true
+      }
+      case LessThanOrEqual(c, v) => colStats(c) match {
+        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, dt)) => relate(v, s, dt).forall(_._1 >= 0)
+        case None => true
+      }
+      case In(c, vs) => vs.exists(v => mayMatch(EqualTo(c, v), stats, schema))
+      case IsNull(c) => colStats(c).forall(_._1.hasNull)
+      case IsNotNull(c) => colStats(c).forall(_._1.min.nonEmpty)
+      case And(l, r) => mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
+      case Or(l, r) => mayMatch(l, stats, schema) || mayMatch(r, stats, schema)
+      case Not(EqualTo(c, v)) => colStats(c) match {
+        // only prunable when the file is constant at exactly v
+        case Some((s, dt)) if s.min.nonEmpty && s.min == s.max && !s.hasNull =>
+          relate(v, s, dt).forall { case (lo, hi) => !(lo == 0 && hi == 0) }
+        case _ => true
+      }
+      case _ => true
+    }
+  }
 
   private[sources] def visibleFiles(
       path: String, asOf: Option[String] = None): Seq[(String, Long)] =
@@ -303,7 +411,7 @@ object ManifestFileSink {
       return false
     val lines = renderHeader(ManifestMeta(nextSeq(path), Nil)) +:
       schema.toDDL +: messages.collect {
-      case CommittedFile(f, n) => s"$f\t$n"
+      case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
     val tmp = Paths.get(path, s".$name.tmp")
     Files.deleteIfExists(tmp)
@@ -352,7 +460,7 @@ private class ManifestTable(path: String, schema: StructType)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       // Time travel: `asOfManifest` pins the scan to the snapshot sealed
       // by that manifest's commit — reads are repeatable against it no
       // matter how many appends land afterwards. `sinceManifest` turns the
@@ -362,13 +470,25 @@ private class ManifestTable(path: String, schema: StructType)
       // downstream maintenance job process each commit exactly once.
       private val asOf = Option(options.get("asOfManifest"))
       private val since = Option(options.get("sinceManifest"))
+      // Zone-map pushdown: accepted filters drive FILE skipping against the
+      // per-file min/max stats in the manifest (the Iceberg/Delta data-skip
+      // idea). Every filter is also returned for post-scan re-evaluation —
+      // stats prune whole files, they never filter rows.
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters
+        filters // Spark re-applies everything: skipping is best-effort
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan = new ManifestScan(path,
         ManifestFileSink.storedSchema(path, asOf).getOrElse(new StructType()),
-        asOf, since)
+        asOf, since, pushed)
     }
 }
 
-private case class CommittedFile(file: String, rows: Long) extends WriterCommitMessage
+private case class CommittedFile(
+    file: String, rows: Long, stats: String = "") extends WriterCommitMessage
 
 private class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
 
@@ -385,7 +505,7 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CommittedFile(f, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
 }
@@ -408,13 +528,64 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
     StandardOpenOption.CREATE_NEW)
   private var rows = 0L
 
+  // Zone-map accumulation: one pass, O(numeric columns) per row, done
+  // while the row is already in hand — statistics cost nothing extra at
+  // write time, and buy file skipping on every future read. NaN poisons
+  // its column (ordered min/max are meaningless; the column simply stops
+  // claiming stats — conservative, never wrong).
+  private val statIdx = schema.fields.indices.filter(i => schema.fields(i).dataType match {
+    case LongType | IntegerType | DoubleType => true
+    case _ => false
+  })
+  private val minL = Array.fill(schema.length)(Long.MaxValue)
+  private val maxL = Array.fill(schema.length)(Long.MinValue)
+  private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
+  private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
+  private val hasNull = Array.fill(schema.length)(false)
+  private val sawValue = Array.fill(schema.length)(false)
+  private val poisoned = Array.fill(schema.length)(false)
+
   override def write(record: InternalRow): Unit = {
     out.write(ManifestFileSink.render(record, schema)); out.write("\n")
+    statIdx.foreach { i =>
+      if (record.isNullAt(i)) hasNull(i) = true
+      else schema.fields(i).dataType match {
+        case LongType =>
+          val v = record.getLong(i)
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+          sawValue(i) = true
+        case IntegerType =>
+          val v = record.getInt(i).toLong
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+          sawValue(i) = true
+        case DoubleType =>
+          val v = record.getDouble(i)
+          if (v.isNaN) poisoned(i) = true
+          else {
+            if (v < minD(i)) minD(i) = v
+            if (v > maxD(i)) maxD(i) = v
+            sawValue(i) = true
+          }
+        case _ =>
+      }
+    }
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    CommittedFile(name, rows)
+    val stats = statIdx.filterNot(poisoned).map { i =>
+      val (mn, mx) =
+        if (!sawValue(i)) ("", "")
+        else schema.fields(i).dataType match {
+          case DoubleType => (minD(i).toString, maxD(i).toString)
+          case IntegerType => (minL(i).toInt.toString, maxL(i).toInt.toString)
+          case _ => (minL(i).toString, maxL(i).toString)
+        }
+      i -> ManifestFileSink.ColStats(mn, mx, hasNull(i))
+    }.toMap
+    CommittedFile(name, rows, ManifestFileSink.encodeStats(stats))
   }
   override def abort(): Unit = {
     out.close()
@@ -443,14 +614,14 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
     val published = ManifestFileSink.publish(
       path, f"manifest-e$epochId%012d", schema, messages)
     if (!published) messages.foreach {
-      case CommittedFile(f, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CommittedFile(f, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
 }
@@ -470,16 +641,29 @@ private case class FileSplit(file: String) extends InputPartition
 
 private class ManifestScan(
     path: String, schema: StructType, asOf: Option[String] = None,
-    since: Option[String] = None)
+    since: Option[String] = None,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"ManifestScan($path${asOf.fold("")(m => s", asOf=$m")}" +
-      s"${since.fold("")(m => s", since=$m")})"
+      s"${since.fold("")(m => s", since=$m")}" +
+      s"${if (filters.isEmpty) "" else filters.mkString(", PushedFilters: [", ", ", "]")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val visible = ManifestFileSink.visibleFiles(path, asOf)
+    // Zone-map file skipping: a file whose recorded min/max cannot satisfy
+    // EVERY pushed conjunct is dropped before an executor ever opens it.
+    // At 100 TB this is the difference between "scan the table" and "scan
+    // the 3 files the predicate admits" — the driver's cost is O(entries)
+    // over metadata already in hand from the manifest listing. Stats-free
+    // entries (v2 manifests, string-typed columns) are always kept.
+    val visible = ManifestFileSink.snapshot(path, asOf)
+      .flatMap(ManifestFileSink.entriesWithStats)
+      .distinctBy(_._1)
+    val admitted = visible.filter { case (_, _, st) =>
+      st.forall(s => filters.forall(f => ManifestFileSink.mayMatch(f, s, schema)))
+    }
     // Change feed: subtract the `since` snapshot's files. A retired
     // `since` raises through snapshot() — the consumer's resume point was
     // compacted away, which must fail loudly (skipping would double-read,
@@ -494,7 +678,7 @@ private class ManifestScan(
       // A retired (compacted-away) resume point raises inside snapshot().
       ManifestFileSink.visibleFiles(path, Some(m)).map(_._1).toSet
     }
-    visible.filterNot(f => baseline.contains(f._1))
+    admitted.filterNot(f => baseline.contains(f._1))
       .map(f => FileSplit(f._1): InputPartition).toArray
   }
 
