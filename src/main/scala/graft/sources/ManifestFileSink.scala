@@ -146,9 +146,23 @@ object ManifestFileSink {
 
   /** Manifests in PUBLICATION order — the embedded commit sequence, with a
     * name tiebreak only for malformed hand-written duplicates. This order
-    * is also the snapshot timeline for [[visibleFiles]]' time travel. */
-  private[sources] def orderedManifests(path: String): Seq[File] =
-    manifests(path).sortBy(f => (readMeta(f).seq, f.getName))
+    * is also the snapshot timeline for [[visibleFiles]]' time travel.
+    *
+    * A live manifest whose NAME appears in another live manifest's
+    * `folded` header is SUPERSEDED — a [[compact]]/[[applyDeletes]] that
+    * crashed after publishing its combined manifest but before deleting
+    * its inputs leaves both on disk. For [[compact]] the double listing
+    * was harmless (same entry lines, deduped by name); [[applyDeletes]]
+    * rewrites files under NEW names, where a by-name dedup cannot catch
+    * the duplicate rows — so the supersede rule is structural: a folded
+    * name never contributes entries again, whether or not its file still
+    * exists. */
+  private[sources] def orderedManifests(path: String): Seq[File] = {
+    val ms = manifests(path)
+    val folded = ms.flatMap(readMeta(_).folded).toSet
+    ms.filterNot(f => folded.contains(f.getName))
+      .sortBy(f => (readMeta(f).seq, f.getName))
+  }
 
   /** Every manifest name ever folded away by a [[compact]] — the
     * "already published, then compacted" set [[publish]] must honour. */
@@ -201,7 +215,8 @@ object ManifestFileSink {
   /** (file, rows) entries listed by ONE manifest. Entry lines are
     * `file\trows` (v2) or `file\trows\tzonemap` (v3) — both parse here. */
   private[sources] def entriesOf(m: File): Seq[(String, Long)] =
-    Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).map { line =>
+    Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines)
+      .filterNot(_.startsWith(DvPrefix)).map { line =>
       val parts = line.split("\t")
       (parts(0), parts(1).toLong)
     }.toSeq
@@ -210,11 +225,277 @@ object ManifestFileSink {
     * entries written before zone maps existed (those files are never
     * pruned: no stats means no claim). */
   private[sources] def entriesWithStats(m: File): Seq[(String, Long, Option[Map[Int, ColStats]])] =
-    Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).map { line =>
+    Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines)
+      .filterNot(_.startsWith(DvPrefix)).map { line =>
       val parts = line.split("\t")
       (parts(0), parts(1).toLong,
         if (parts.length > 2 && parts(2).nonEmpty) Some(decodeStats(parts(2))) else None)
     }.toSeq
+
+  // ----------------------------------------------- deletion vectors (v4)
+
+  /** Row-level deletes, merge-on-read. A DELETE commit publishes a normal
+    * manifest whose entry lines are DELETION VECTORS instead of data
+    * files: `~dv\t<file>\t<count>\t<p0,p1,...>` — the ROW POSITIONS
+    * (0-based line index, the sink's natural row id: task files are
+    * immutable) deleted from an already-committed file. Readers subtract
+    * the union of visible vectors while scanning (merge-on-read); the
+    * data files are never touched, so the delete commit is O(matching
+    * rows) metadata and time travel to a pre-delete snapshot still sees
+    * the rows. [[applyDeletes]] is the copy-on-write half: it folds the
+    * vectors into rewritten files when the operator chooses to pay the
+    * rewrite. Each DELETE commit carries only the positions it newly
+    * deleted (a delta, like every other manifest); the read-side union
+    * makes overlapping deltas idempotent. The `~` marker cannot collide
+    * with data-file names (task files are `part-*`/`purge-*`). */
+  private[sources] val DvMarker = "~dv"
+  private val DvPrefix = DvMarker + "\t"
+
+  /** Deletion vectors listed by ONE manifest: (data file, sorted positions). */
+  private[sources] def deleteVectorsOf(m: File): Seq[(String, Array[Long])] =
+    Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines)
+      .filter(_.startsWith(DvPrefix)).map { line =>
+        val parts = line.split("\t")
+        (parts(1),
+          if (parts.length > 3 && parts(3).nonEmpty) parts(3).split(",").map(_.toLong)
+          else Array.empty[Long])
+      }.toSeq
+
+  /** The union of all deletion vectors visible at a snapshot, per file —
+    * what a merge-on-read scan subtracts. */
+  private[sources] def deleteVectors(
+      path: String, asOf: Option[String] = None): Map[String, Array[Long]] =
+    snapshot(path, asOf).flatMap(deleteVectorsOf)
+      .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
+      .map { case (f, ps) => f -> ps.toArray.sorted }
+
+  /** Does this manifest carry any deletion vector? (Streamed — the change
+    * feed asks this per window manifest.) */
+  private[sources] def hasDeleteVectors(m: File): Boolean = {
+    val r = Files.newBufferedReader(m.toPath, StandardCharsets.UTF_8)
+    try {
+      var line = r.readLine()
+      while (line != null) {
+        if (line.startsWith(DvPrefix)) return true
+        line = r.readLine()
+      }
+      false
+    } finally r.close()
+  }
+
+  /** Exact three-valued evaluation of a DSv2 [[org.apache.spark.sql.sources.Filter]]
+    * against one row: Some(true)/Some(false)/None(=SQL NULL). DELETE keeps
+    * a row unless the predicate is definitively TRUE — the ANSI rule, so
+    * `score > 2.0` never deletes a NULL score and `NOT(x = 1)` never
+    * deletes a NULL x. Unsupported filter shapes throw (a delete must
+    * never silently mis-scope). */
+  private[sources] def evalFilter(
+      f: org.apache.spark.sql.sources.Filter,
+      row: InternalRow,
+      schema: StructType): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    def value(c: String): Any = {
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"unknown column $c in ${schema.fieldNames.mkString(",")}")
+      if (row.isNullAt(i)) null
+      else schema.fields(i).dataType match {
+        case LongType    => row.getLong(i)
+        case IntegerType => row.getInt(i)
+        case DoubleType  => row.getDouble(i)
+        case BooleanType => row.getBoolean(i)
+        case StringType  => row.getUTF8String(i).toString
+        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
+      }
+    }
+    // Compare column value to a filter literal in the column's own type
+    // space; None when the column is NULL (or either side is NaN).
+    def cmp(c: String, v: Any): Option[Int] = value(c) match {
+      case null => None
+      case x: Long => Some(java.lang.Long.compare(x, v.asInstanceOf[Number].longValue()))
+      case x: Int => Some(java.lang.Long.compare(x.toLong, v.asInstanceOf[Number].longValue()))
+      case x: Double =>
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (x.isNaN || d.isNaN) None else Some(java.lang.Double.compare(x, d))
+      case x: String => Some(x.compareTo(String.valueOf(v)))
+      case x: Boolean => Some(java.lang.Boolean.compare(x, v.asInstanceOf[Boolean]))
+      case other => throw new IllegalArgumentException(s"uncomparable $other")
+    }
+    def str(c: String): Option[String] = value(c) match {
+      case null => None
+      case s: String => Some(s)
+      case other => throw new IllegalArgumentException(s"non-string $c = $other")
+    }
+    f match {
+      case EqualTo(c, v)            => cmp(c, v).map(_ == 0)
+      case EqualNullSafe(c, v)      =>
+        Some(if (v == null) value(c) == null else cmp(c, v).contains(0))
+      case GreaterThan(c, v)        => cmp(c, v).map(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v).map(_ >= 0)
+      case LessThan(c, v)           => cmp(c, v).map(_ < 0)
+      case LessThanOrEqual(c, v)    => cmp(c, v).map(_ <= 0)
+      case In(c, vs) =>
+        if (value(c) == null) None
+        else if (vs.exists(v => cmp(c, v).contains(0))) Some(true)
+        else if (vs.exists(_ == null)) None // x IN (..., NULL): no match ⇒ NULL
+        else Some(false)
+      case IsNull(c)    => Some(value(c) == null)
+      case IsNotNull(c) => Some(value(c) != null)
+      case And(l, r) => (evalFilter(l, row, schema), evalFilter(r, row, schema)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (evalFilter(l, row, schema), evalFilter(r, row, schema)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case Not(x) => evalFilter(x, row, schema).map(!_)
+      case StringStartsWith(c, p) => str(c).map(_.startsWith(p))
+      case StringEndsWith(c, p)   => str(c).map(_.endsWith(p))
+      case StringContains(c, p)   => str(c).map(_.contains(p))
+      case AlwaysTrue()  => Some(true)
+      case AlwaysFalse() => Some(false)
+      case other => throw new IllegalArgumentException(
+        s"DELETE predicate shape not supported: $other")
+    }
+  }
+
+  /** DELETE FROM table WHERE filter — merge-on-read. Scans only the files
+    * the predicate can possibly touch (the same zone-map [[mayMatch]]
+    * pruning the read path uses: a file whose min/max refute the filter is
+    * never opened), streams each admitted file once, and publishes ONE
+    * manifest of deletion vectors for the newly matched positions.
+    * Already-deleted positions are skipped, so re-running the same delete
+    * is a no-op (returns 0, publishes nothing). Returns the number of rows
+    * newly deleted. Per-file work is independent — the distributed form is
+    * a task per file; the driver-side loop here matches the maintenance
+    * posture of [[compact]], and the published artifact is identical. */
+  def deleteWhere(
+      path: String,
+      filter: org.apache.spark.sql.sources.Filter): Long = commitLock(path).synchronized {
+    val snap = snapshot(path, None)
+    if (snap.isEmpty) return 0L
+    val schemaText = schemaLine(snap.last)
+    val schema = StructType.fromDDL(schemaText)
+    val existing = deleteVectors(path, None)
+    var total = 0L
+    val newDvs = snap.flatMap(entriesWithStats).distinctBy(_._1).flatMap {
+      case (file, _, st) =>
+        if (st.exists(s => !mayMatch(filter, s, schema))) None // zone-map skip
+        else {
+          val already = existing.getOrElse(file, Array.empty[Long])
+          val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val r = Files.newBufferedReader(
+            Paths.get(path, "data", file), StandardCharsets.UTF_8)
+          try {
+            var idx = 0L
+            var ai = 0
+            var line = r.readLine()
+            while (line != null) {
+              if (ai < already.length && already(ai) == idx) ai += 1 // dead row
+              else if (evalFilter(filter, parse(line, schema), schema).contains(true))
+                hits += idx
+              idx += 1
+              line = r.readLine()
+            }
+          } finally r.close()
+          if (hits.isEmpty) None
+          else { total += hits.length; Some(file -> hits) }
+        }
+    }
+    if (newDvs.isEmpty) return 0L
+    val meta = ManifestMeta(nextSeq(path), Nil)
+    val lines = renderHeader(meta) +: schemaText +: newDvs.map { case (f, ps) =>
+      s"$DvMarker\t$f\t${ps.length}\t${ps.mkString(",")}"
+    }
+    val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+    val tmp = Paths.get(path, s".$name.tmp")
+    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(path, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    total
+  }
+
+  /** Copy-on-write purge: fold every visible deletion vector into its data
+    * file — each touched file is streamed once into a `purge-*`
+    * replacement with the dead rows dropped, a fully-deleted file is
+    * dropped outright, and ONE combined manifest (data entries only, no
+    * vectors) supersedes the whole history via the same `folded` ledger
+    * [[compact]] uses. Zone-map stats carry over unchanged: bounds can
+    * only widen relative to the surviving rows, which is conservative —
+    * skipping stays sound, it just prunes a little less until the file is
+    * next rewritten. Crash-safe like compact: the combined manifest
+    * publishes atomically FIRST; if the input deletes never happen, the
+    * supersede rule in [[orderedManifests]] hides them (rewritten files
+    * must never double-read against their originals); orphaned originals
+    * are invisible because reads resolve through manifests only. Returns
+    * the number of files rewritten or dropped (0 = no vectors visible).
+    * The purge retires all prior snapshots (expire-snapshots), exactly as
+    * compact does. */
+  def applyDeletes(path: String): Int = commitLock(path).synchronized {
+    val ms = orderedManifests(path)
+    if (ms.isEmpty) return 0
+    val dvs = deleteVectors(path, None)
+    if (dvs.isEmpty) return 0
+    val schemas = ms.map(schemaLine).distinct
+    if (schemas.size > 1)
+      throw new IllegalStateException(
+        s"refusing to purge $path: ${schemas.size} distinct schemas across " +
+          "manifests; older entries would reparse under the newest DDL")
+    val entryLines = ms.flatMap(m =>
+        Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines))
+      .filterNot(_.startsWith(DvPrefix)).distinct
+      .distinctBy(_.split("\t")(0))
+    val replaced = scala.collection.mutable.ArrayBuffer.empty[String]
+    val outLines = entryLines.flatMap { line =>
+      val parts = line.split("\t")
+      val (file, rows) = (parts(0), parts(1).toLong)
+      dvs.get(file) match {
+        case None => Some(line)
+        case Some(del) =>
+          replaced += file
+          if (del.length >= rows) None // fully deleted: no replacement
+          else {
+            val newName = s"purge-${java.util.UUID.randomUUID().toString}"
+            val in = Files.newBufferedReader(
+              Paths.get(path, "data", file), StandardCharsets.UTF_8)
+            val out = Files.newBufferedWriter(
+              Paths.get(path, "data", newName), StandardCharsets.UTF_8,
+              StandardOpenOption.CREATE_NEW)
+            var kept = 0L
+            try {
+              var idx = 0L
+              var di = 0
+              var l = in.readLine()
+              while (l != null) {
+                if (di < del.length && del(di) == idx) di += 1
+                else { out.write(l); out.write("\n"); kept += 1 }
+                idx += 1
+                l = in.readLine()
+              }
+            } finally { in.close(); out.close() }
+            Some((Seq(newName, kept.toString) ++ parts.drop(2)).mkString("\t"))
+          }
+      }
+    }
+    val metas = ms.map(readMeta)
+    val folded = ms.map(_.getName).zip(metas)
+      .flatMap { case (n, m) => n +: m.folded }.distinct
+    val fseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMinSeq)).min
+    val lseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMaxSeq)).max
+    val meta = ManifestMeta(nextSeq(path), folded,
+      foldedMinSeq = Some(fseq), foldedMaxSeq = Some(lseq))
+    val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+    val tmp = Paths.get(path, s".$name.tmp")
+    Files.write(tmp, (renderHeader(meta) +: schemas.head +: outLines).asJava,
+      StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(path, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ms.foreach(m => Files.deleteIfExists(m.toPath))
+    replaced.foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+    replaced.size
+  }
 
   // ------------------------------------------------------------ zone maps
 
@@ -342,8 +623,17 @@ object ManifestFileSink {
     * overload folds everything, which is fine for tables with no active
     * streams or whose consumers are fully caught up. */
   def compact(path: String, aboveSeq: Long): Int = commitLock(path).synchronized {
+    // First, garbage-collect manifests SUPERSEDED by an interrupted
+    // compact/purge: their combined manifest already published (it names
+    // them in its `folded` header), so [[orderedManifests]] hides them —
+    // they contribute nothing and only cost listing time. Deleting them
+    // completes the crashed maintenance job.
+    val all = manifests(path)
+    val foldedSet = all.flatMap(readMeta(_).folded).toSet
+    val superseded = all.filter(f => foldedSet.contains(f.getName))
+    superseded.foreach(f => Files.deleteIfExists(f.toPath))
     val ms = orderedManifests(path).filter(m => readMeta(m).seq > aboveSeq)
-    if (ms.size < 2) return 0
+    if (ms.size < 2) return superseded.size
     val schemas = ms.map(schemaLine).distinct
     if (schemas.size > 1)
       throw new IllegalStateException(
@@ -369,7 +659,7 @@ object ManifestFileSink {
     Files.move(tmp, Paths.get(path, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ms.foreach(m => Files.deleteIfExists(m.toPath))
-    ms.size
+    ms.size + superseded.size
   }
 
   private[sources] def render(row: InternalRow, schema: StructType): String =
@@ -470,6 +760,12 @@ private class ManifestTable(path: String, schema: StructType)
       // downstream maintenance job process each commit exactly once.
       private val asOf = Option(options.get("asOfManifest"))
       private val since = Option(options.get("sinceManifest"))
+      // Row-level deletes break the change feed's append-only contract
+      // (the snapshot diff carries adds, never retractions). The fence
+      // fails the feed loudly when a DELETE commit is in the unread
+      // window; `ignoreDeletes` is the consumer's explicit opt-in to
+      // append-only semantics (the Delta streaming contract).
+      private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
       // Zone-map pushdown: accepted filters drive FILE skipping against the
       // per-file min/max stats in the manifest (the Iceberg/Delta data-skip
       // idea). Every filter is also returned for post-scan re-evaluation —
@@ -483,7 +779,7 @@ private class ManifestTable(path: String, schema: StructType)
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan = new ManifestScan(path,
         ManifestFileSink.storedSchema(path, asOf).getOrElse(new StructType()),
-        asOf, since, pushed)
+        asOf, since, pushed, ignoreDeletes)
     }
 }
 
@@ -637,12 +933,16 @@ private class ManifestStreamingWriterFactory(path: String, schema: StructType)
     new ManifestDataWriter(path, schema, f"part-e$epochId-$partitionId%05d-$taskId")
 }
 
-private case class FileSplit(file: String) extends InputPartition
+/** `deleted` — the sorted union of this file's visible deletion vectors;
+  * the reader subtracts them while streaming (merge-on-read). */
+private case class FileSplit(
+    file: String, deleted: Array[Long] = Array.empty) extends InputPartition
 
 private class ManifestScan(
     path: String, schema: StructType, asOf: Option[String] = None,
     since: Option[String] = None,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    ignoreDeletes: Boolean = false)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -675,18 +975,45 @@ private class ManifestScan(
           !ManifestFileSink.foldedNames(path).contains(m))
         throw new IllegalArgumentException(
           s"sinceManifest $m is not a published manifest of $path")
+      // Delete fence: a DELETE commit in the unread window means the diff
+      // would silently drop retractions — refuse unless the consumer
+      // opted into append-only semantics.
+      if (!ignoreDeletes) {
+        ManifestFileSink.orderedManifests(path).find(_.getName == m)
+          .map(f => ManifestFileSink.readMeta(f).seq).foreach { sinceSeq =>
+            val offending = ManifestFileSink.snapshot(path, asOf).filter(mf =>
+              ManifestFileSink.readMeta(mf).seq > sinceSeq &&
+                ManifestFileSink.hasDeleteVectors(mf))
+            if (offending.nonEmpty) throw new IllegalStateException(
+              s"change feed window of $path contains row-level DELETE commits " +
+                s"(${offending.map(_.getName).mkString(",")}): the snapshot diff " +
+                "carries appends only, so retractions would be silently dropped. " +
+                "Set option(\"ignoreDeletes\",\"true\") to accept append-only " +
+                "semantics, or diff full snapshots for true CDC.")
+          }
+      }
       // A retired (compacted-away) resume point raises inside snapshot().
       ManifestFileSink.visibleFiles(path, Some(m)).map(_._1).toSet
     }
+    // Merge-on-read: attach each file's visible deletion vectors; a fully
+    // deleted file is dropped without being opened. The change feed reads
+    // new files AS COMMITTED (no vector subtraction): its rows are the
+    // append deltas, and the delete fence above governs retractions.
+    val dvs = if (since.isEmpty) ManifestFileSink.deleteVectors(path, asOf)
+              else Map.empty[String, Array[Long]]
     admitted.filterNot(f => baseline.contains(f._1))
-      .map(f => FileSplit(f._1): InputPartition).toArray
+      .flatMap { case (f, rows, _) =>
+        val del = dvs.getOrElse(f, Array.empty[Long])
+        if (del.length >= rows) None
+        else Some(FileSplit(f, del): InputPartition)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(path, schema)
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new ManifestMicroBatchStream(path, schema)
+    new ManifestMicroBatchStream(path, schema, ignoreDeletes)
 }
 
 /** Top-level (shipped to executors). Streamed, not slurped: a
@@ -695,15 +1022,25 @@ private class ManifestScan(
 private class ManifestReaderFactory(path: String, schema: StructType)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[FileSplit]
     val reader = Files.newBufferedReader(
-      Paths.get(path, "data", partition.asInstanceOf[FileSplit].file),
-      StandardCharsets.UTF_8)
+      Paths.get(path, "data", split.file), StandardCharsets.UTF_8)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
+      // Merge-on-read: one pointer walks the sorted deletion vector in
+      // lockstep with the line index — O(1) per row, no lookups.
+      private val deleted = split.deleted
+      private var idx = -1L
+      private var di = 0
       override def next(): Boolean = {
-        val line = reader.readLine()
-        if (line != null) cur = ManifestFileSink.parse(line, schema)
-        line != null
+        while (true) {
+          val line = reader.readLine()
+          if (line == null) return false
+          idx += 1
+          if (di < deleted.length && deleted(di) == idx) di += 1 // dead row
+          else { cur = ManifestFileSink.parse(line, schema); return true }
+        }
+        false
       }
       override def get(): InternalRow = cur
       override def close(): Unit = reader.close()
@@ -745,7 +1082,8 @@ private class ManifestReaderFactory(path: String, schema: StructType)
   * in miniature: the driver's per-trigger work is an O(#manifests)
   * listing (bounded by compaction cadence), never a data scan; executors
   * read only the admitted commits' files. */
-private class ManifestMicroBatchStream(path: String, schema: StructType)
+private class ManifestMicroBatchStream(
+    path: String, schema: StructType, ignoreDeletes: Boolean = false)
   extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
 
   private case class SeqOffset(seq: Long) extends streaming.Offset {
@@ -843,6 +1181,17 @@ private class ManifestMicroBatchStream(path: String, schema: StructType)
             "from scratch, or compact with compact(path, aboveSeq) to stay " +
             "ahead of live consumers")
       }
+    }
+    // Delete fence (same contract as the batch change feed): a DELETE
+    // commit in this window carries retractions the append-only feed
+    // cannot express — fail loudly unless the consumer opted in.
+    if (!ignoreDeletes) {
+      val offending = readable.filter(w => ManifestFileSink.hasDeleteVectors(w._1))
+      if (offending.nonEmpty) throw new IllegalStateException(
+        s"streaming window of $path contains row-level DELETE commits " +
+          s"(${offending.map(_._1.getName).mkString(",")}): the commit feed " +
+          "carries appends only, so retractions would be silently dropped. " +
+          "Set option(\"ignoreDeletes\",\"true\") to accept append-only semantics.")
     }
     // distinct: the compact crash window (combined manifest published,
     // inputs not yet deleted) lists a file twice — same immutable data.
