@@ -175,16 +175,23 @@ object ManifestFileSink {
   def latestManifest(path: String): Option[String] =
     orderedManifests(path).lastOption.map(_.getName)
 
-  private def schemaLine(f: File): String = {
+  private[sources] def schemaLine(f: File): String = {
     val skip = readMeta(f).headerLines - 1 // v2: skip the #graft header; v1: DDL is line 0
     val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
     try { (0 until skip).foreach(_ => r.readLine()); r.readLine() } finally r.close()
   }
 
+  /** All-nullable view of a schema: the TSV encoding can carry `\N` in any
+    * column (and schema evolution backfills NULL for added columns), so
+    * nullable-ness recorded at write time is not a read-side guarantee —
+    * declaring it would make codegen read 0.0 where the data says NULL. */
+  private[sources] def asNullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
   /** Schema as of a snapshot (default: the most recently published). */
   private[sources] def storedSchema(
       path: String, asOf: Option[String] = None): Option[StructType] =
-    snapshot(path, asOf).lastOption.map(m => StructType.fromDDL(schemaLine(m)))
+    snapshot(path, asOf).lastOption.map(m => asNullable(StructType.fromDDL(schemaLine(m))))
 
   /** The manifest set visible at a snapshot: every manifest published at
     * or before `asOf` (a manifest file name), in publication order — each
@@ -380,9 +387,19 @@ object ManifestFileSink {
     val schema = StructType.fromDDL(schemaText)
     val existing = deleteVectors(path, None)
     var total = 0L
-    val newDvs = snap.flatMap(entriesWithStats).distinctBy(_._1).flatMap {
-      case (file, _, st) =>
-        if (st.exists(s => !mayMatch(filter, s, schema))) None // zone-map skip
+    // Per-file schemas (evolution): predicates resolve against the READ
+    // schema; a column a file predates evaluates as NULL in its rows.
+    val withDdl = snap.flatMap(m =>
+      entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m)))).distinctBy(_._1)
+    val newDvs = withDdl.flatMap {
+      case (file, _, st, ddl) =>
+        val fileSchema = asNullable(StructType.fromDDL(ddl))
+        validateEvolution(schema, fileSchema, s"data file $file")
+        val proj = evolutionProjection(schema, fileSchema)
+        val evolved = fileSchema != schema
+        // Zone-map skip under the FILE's schema (stats indices are its
+        // column positions).
+        if (st.exists(s => !mayMatch(filter, s, fileSchema))) None
         else {
           val already = existing.getOrElse(file, Array.empty[Long])
           val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -394,8 +411,15 @@ object ManifestFileSink {
             var line = r.readLine()
             while (line != null) {
               if (ai < already.length && already(ai) == idx) ai += 1 // dead row
-              else if (evalFilter(filter, parse(line, schema), schema).contains(true))
-                hits += idx
+              else {
+                val raw = parse(line, fileSchema)
+                val row = if (!evolved) raw else InternalRow.fromSeq(
+                  schema.fields.indices.map { i =>
+                    val fi = proj(i)
+                    if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
+                  })
+                if (evalFilter(filter, row, schema).contains(true)) hits += idx
+              }
               idx += 1
               line = r.readLine()
             }
@@ -442,7 +466,8 @@ object ManifestFileSink {
     if (schemas.size > 1)
       throw new IllegalStateException(
         s"refusing to purge $path: ${schemas.size} distinct schemas across " +
-          "manifests; older entries would reparse under the newest DDL")
+          "manifests; older entries would reparse under the newest DDL — " +
+          "run migrateSchema(path) first")
     val entryLines = ms.flatMap(m =>
         Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines))
       .filterNot(_.startsWith(DvPrefix)).distinct
@@ -638,7 +663,8 @@ object ManifestFileSink {
     if (schemas.size > 1)
       throw new IllegalStateException(
         s"refusing to compact $path: ${schemas.size} distinct schemas across " +
-          "manifests; older entries would reparse under the newest DDL")
+          "manifests; older entries would reparse under the newest DDL — " +
+          "run migrateSchema(path) first")
     val entries = ms.flatMap(m =>
       Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines)).distinct
     val metas = ms.map(readMeta)
@@ -710,6 +736,119 @@ object ManifestFileSink {
     Files.move(tmp, Paths.get(path, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     true
+  }
+
+  // ----------------------------------------------- schema evolution (v5)
+
+  /** Each manifest records the DDL its files were written under; the READ
+    * schema is the latest snapshot's DDL. Older files reconcile BY NAME:
+    * a column added since a file was written reads as NULL in its rows
+    * (null backfill); a column dropped from the latest schema is simply
+    * not read; column order is immaterial. A column whose TYPE changed
+    * refuses loudly at plan time — silent reparse under a new type is the
+    * classic evolution corruption ([[migrateSchema]] is the explicit
+    * rewrite path). The same name-reconciliation applies to zone maps
+    * (stats indices are positions in the FILE's schema, so pruning
+    * resolves filter columns against that schema, never the read
+    * schema's positions) and to DELETE predicates (a missing column
+    * evaluates as NULL — `IS NULL` deletes backfilled rows, comparisons
+    * never do). */
+  private[sources] def validateEvolution(
+      readSchema: StructType, fileSchema: StructType, context: String): Unit =
+    readSchema.fields.foreach { f =>
+      val i = fileSchema.fieldNames.indexOf(f.name)
+      if (i >= 0 && fileSchema.fields(i).dataType != f.dataType)
+        throw new IllegalStateException(
+          s"schema evolution cannot change a column's type: $context has " +
+            s"${f.name} ${fileSchema.fields(i).dataType.simpleString}, the table " +
+            s"now expects ${f.dataType.simpleString}; rewrite old files with " +
+            "migrateSchema(path) after auditing the cast")
+    }
+
+  /** Column mapping read-schema position → file-schema position (−1 =
+    * column absent in the file ⇒ NULL backfill). */
+  private[sources] def evolutionProjection(
+      readSchema: StructType, fileSchema: StructType): Array[Int] =
+    readSchema.fieldNames.map(n => fileSchema.fieldNames.indexOf(n))
+
+  /** Copy-on-write schema migration: rewrite every file committed under a
+    * non-latest schema into the LATEST schema (missing columns rendered
+    * as NULL, dropped columns discarded, order normalized), then publish
+    * ONE superseding manifest in which every entry carries the latest
+    * DDL — after which [[compact]] (which refuses mixed schemas) works
+    * again. Deletion vectors follow their file: positions are stable
+    * because migration copies every line. Zone-map stats are re-derived
+    * implicitly: migrated entries keep no stats (no claim — conservative)
+    * rather than carry indices from the old column order. Crash-safe via
+    * the same supersede ledger as [[applyDeletes]]. Returns the number of
+    * files rewritten. */
+  def migrateSchema(path: String): Int = commitLock(path).synchronized {
+    val ms = orderedManifests(path)
+    if (ms.isEmpty) return 0
+    val latestDdl = schemaLine(ms.last)
+    val latest = asNullable(StructType.fromDDL(latestDdl))
+    if (ms.forall(m => schemaLine(m) == latestDdl)) return 0
+    val renames = scala.collection.mutable.Map.empty[String, String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var rewritten = 0
+    val outLines = ms.flatMap { m =>
+      val ddl = schemaLine(m)
+      val fileSchema = asNullable(StructType.fromDDL(ddl))
+      validateEvolution(latest, fileSchema, s"manifest ${m.getName}")
+      val proj = evolutionProjection(latest, fileSchema)
+      Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines).flatMap { line =>
+        if (line.startsWith(DvPrefix) || ddl == latestDdl) Some(line)
+        else {
+          val parts = line.split("\t")
+          val (file, rows) = (parts(0), parts(1).toLong)
+          if (!seen.add(file)) None // duplicate listing: same immutable data
+          else Some {
+          val newName = s"migrate-${java.util.UUID.randomUUID().toString}"
+          val in = Files.newBufferedReader(
+            Paths.get(path, "data", file), StandardCharsets.UTF_8)
+          val out = Files.newBufferedWriter(
+            Paths.get(path, "data", newName), StandardCharsets.UTF_8,
+            StandardOpenOption.CREATE_NEW)
+          try {
+            var l = in.readLine()
+            while (l != null) {
+              val cols = l.split("\t", -1)
+              out.write(proj.map(i => if (i < 0) "\\N" else cols(i)).mkString("\t"))
+              out.write("\n")
+              l = in.readLine()
+            }
+          } finally { in.close(); out.close() }
+          renames += file -> newName
+          rewritten += 1
+          s"$newName\t$rows" // no stats claim: old indices don't transfer
+          }
+        }
+      }
+    }.distinct
+    // Deletion vectors follow their renamed file, positions unchanged.
+    val patched = outLines.map { line =>
+      if (!line.startsWith(DvPrefix)) line
+      else {
+        val parts = line.split("\t")
+        renames.get(parts(1)).fold(line)(nn => (parts(0) +: nn +: parts.drop(2)).mkString("\t"))
+      }
+    }
+    val metas = ms.map(readMeta)
+    val folded = ms.map(_.getName).zip(metas)
+      .flatMap { case (n, m) => n +: m.folded }.distinct
+    val fseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMinSeq)).min
+    val lseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMaxSeq)).max
+    val meta = ManifestMeta(nextSeq(path), folded,
+      foldedMinSeq = Some(fseq), foldedMaxSeq = Some(lseq))
+    val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+    val tmp = Paths.get(path, s".$name.tmp")
+    Files.write(tmp, (renderHeader(meta) +: latestDdl +: patched).asJava,
+      StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(path, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ms.foreach(m => Files.deleteIfExists(m.toPath))
+    renames.keys.foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+    rewritten
   }
 
   private[sources] def parse(line: String, schema: StructType): InternalRow = {
@@ -934,9 +1073,13 @@ private class ManifestStreamingWriterFactory(path: String, schema: StructType)
 }
 
 /** `deleted` — the sorted union of this file's visible deletion vectors;
-  * the reader subtracts them while streaming (merge-on-read). */
+  * the reader subtracts them while streaming (merge-on-read). `ddl` — the
+  * schema the file was WRITTEN under (empty = the read schema); the
+  * reader reconciles by name, backfilling NULL for columns the file
+  * predates. */
 private case class FileSplit(
-    file: String, deleted: Array[Long] = Array.empty) extends InputPartition
+    file: String, deleted: Array[Long] = Array.empty,
+    ddl: String = "") extends InputPartition
 
 private class ManifestScan(
     path: String, schema: StructType, asOf: Option[String] = None,
@@ -958,11 +1101,22 @@ private class ManifestScan(
     // the 3 files the predicate admits" — the driver's cost is O(entries)
     // over metadata already in hand from the manifest listing. Stats-free
     // entries (v2 manifests, string-typed columns) are always kept.
+    // Per-file schemas (evolution): each entry carries the DDL of the
+    // manifest that committed it; reconciliation is by name at read time.
+    val ddlCache = scala.collection.mutable.Map.empty[String, StructType]
+    def schemaOf(ddl: String): StructType =
+      ddlCache.getOrElseUpdate(ddl, ManifestFileSink.asNullable(StructType.fromDDL(ddl)))
     val visible = ManifestFileSink.snapshot(path, asOf)
-      .flatMap(ManifestFileSink.entriesWithStats)
+      .flatMap(m => ManifestFileSink.entriesWithStats(m)
+        .map(e => (e._1, e._2, e._3, ManifestFileSink.schemaLine(m))))
       .distinctBy(_._1)
-    val admitted = visible.filter { case (_, _, st) =>
-      st.forall(s => filters.forall(f => ManifestFileSink.mayMatch(f, s, schema)))
+    // Type changes refuse at PLAN time — one loud driver-side error, never
+    // a per-row parse failure on an executor.
+    visible.map(_._4).distinct.foreach(ddl =>
+      ManifestFileSink.validateEvolution(schema, schemaOf(ddl), s"files under '$ddl'"))
+    val admitted = visible.filter { case (_, _, st, ddl) =>
+      // Zone maps are keyed by the FILE's column positions.
+      st.forall(s => filters.forall(f => ManifestFileSink.mayMatch(f, s, schemaOf(ddl))))
     }
     // Change feed: subtract the `since` snapshot's files. A retired
     // `since` raises through snapshot() — the consumer's resume point was
@@ -1002,10 +1156,10 @@ private class ManifestScan(
     val dvs = if (since.isEmpty) ManifestFileSink.deleteVectors(path, asOf)
               else Map.empty[String, Array[Long]]
     admitted.filterNot(f => baseline.contains(f._1))
-      .flatMap { case (f, rows, _) =>
+      .flatMap { case (f, rows, _, ddl) =>
         val del = dvs.getOrElse(f, Array.empty[Long])
         if (del.length >= rows) None
-        else Some(FileSplit(f, del): InputPartition)
+        else Some(FileSplit(f, del, ddl): InputPartition)
       }.toArray
   }
 
@@ -1025,6 +1179,15 @@ private class ManifestReaderFactory(path: String, schema: StructType)
     val split = partition.asInstanceOf[FileSplit]
     val reader = Files.newBufferedReader(
       Paths.get(path, "data", split.file), StandardCharsets.UTF_8)
+    // Schema evolution: parse under the schema the file was WRITTEN with,
+    // then project to the read schema by NAME — added columns backfill
+    // NULL, dropped columns are discarded, order is immaterial. The
+    // projection is precomputed once per split; the fast path (identical
+    // schemas) adds zero per-row work.
+    val fileSchema = if (split.ddl.isEmpty) schema
+      else ManifestFileSink.asNullable(StructType.fromDDL(split.ddl))
+    val evolved = fileSchema != schema
+    val proj = ManifestFileSink.evolutionProjection(schema, fileSchema)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       // Merge-on-read: one pointer walks the sorted deletion vector in
@@ -1038,7 +1201,15 @@ private class ManifestReaderFactory(path: String, schema: StructType)
           if (line == null) return false
           idx += 1
           if (di < deleted.length && deleted(di) == idx) di += 1 // dead row
-          else { cur = ManifestFileSink.parse(line, schema); return true }
+          else {
+            val raw = ManifestFileSink.parse(line, fileSchema)
+            cur = if (!evolved) raw else InternalRow.fromSeq(
+              schema.fields.indices.map { i =>
+                val fi = proj(i)
+                if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
+              })
+            return true
+          }
         }
         false
       }
@@ -1195,8 +1366,16 @@ private class ManifestMicroBatchStream(
     }
     // distinct: the compact crash window (combined manifest published,
     // inputs not yet deleted) lists a file twice — same immutable data.
-    readable.flatMap(w => ManifestFileSink.entriesOf(w._1)).distinctBy(_._1)
-      .map(f => FileSplit(f._1): InputPartition).toArray
+    // Each file reads under the DDL of its committing manifest (schema
+    // evolution), reconciled by name to the stream's schema.
+    readable.flatMap { case (m, _) =>
+      val ddl = ManifestFileSink.schemaLine(m)
+      ManifestFileSink.validateEvolution(schema,
+        ManifestFileSink.asNullable(StructType.fromDDL(ddl)),
+        s"streamed manifest ${m.getName}")
+      ManifestFileSink.entriesOf(m).map(e => (e._1, ddl))
+    }.distinctBy(_._1)
+      .map { case (f, ddl) => FileSplit(f, Array.empty, ddl): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
