@@ -748,7 +748,65 @@ object Analytic {
       |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Rolling anomaly detection: each (user, day) aggregate is scored
+    * against its OWN trailing history — a 6-observation window ENDING AT
+    * THE PREVIOUS row (the current point must not dilute the baseline it
+    * is judged against), z = (x − mean)/stddev, flagged beyond 2.5σ with
+    * at least 4 observations of history (cold-start rows are emitted
+    * unflagged with NULL z, explicitly).
+    *
+    * Scale: one shuffle by user_id shared by the aggregation and both
+    * window frames (same partitioning+ordering ⇒ Catalyst plans one Sort
+    * +Exchange); per-user state is the 6-row frame — no global sort, no
+    * driver materialization. The z-score is rounded to 6 dp on both
+    * engines: stddev over a sliding frame folds in engine-specific order,
+    * the same IEEE-drift discipline as q_pagerank. */
+  def qAnomalyZscore: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val daily = t.events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"),
+        col("value"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(dsum(col("value")).as("day_sum"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(-6, -1)
+    daily
+      .withColumn("hist_n", count(col("day_sum")).over(w))
+      .withColumn("mu", avg(col("day_sum")).over(w))
+      .withColumn("sd", stddev_samp(col("day_sum")).over(w))
+      .withColumn("z",
+        when(col("hist_n") >= 4 && col("sd") > 0,
+          round((col("day_sum") - col("mu")) / col("sd"), 6)))
+      .select(col("user_id"), col("d"), col("day_sum"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > 2.5).as("is_anomaly"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  val qAnomalyZscoreSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS d,
+       |    ${sqlSum("value")} AS day_sum
+       |  FROM events GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT user_id, d, day_sum,
+       |    COUNT(day_sum) OVER w AS hist_n,
+       |    AVG(day_sum) OVER w AS mu,
+       |    STDDEV_SAMP(day_sum) OVER w AS sd
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY d
+       |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, d, day_sum,
+       |  CASE WHEN hist_n >= 4 AND sd > 0
+       |       THEN ROUND((day_sum - mu) / sd, 6) END AS z,
+       |  COALESCE(CASE WHEN hist_n >= 4 AND sd > 0
+       |       THEN ABS(ROUND((day_sum - mu) / sd, 6)) > 2.5 END, FALSE) AS is_anomaly
+       |FROM scored
+       |ORDER BY user_id, d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_anomaly_zscore"  -> qAnomalyZscore,
     "q_histogram"       -> qHistogram,
     "q_funnel"          -> qFunnel,
     "q_retention"       -> qRetention,
@@ -776,6 +834,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_zscore"  -> qAnomalyZscoreSql,
     "q_histogram"       -> qHistogramSql,
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,

@@ -506,7 +506,101 @@ object Extended {
       |WHERE rn <= 20
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** Set-operation sketch: KMV (bottom-k) theta sketch with membership
+    * summaries — the tuple-sketch idea. Estimates |A ∪ B| and |A ∩ B| for
+    * two large sets (customers ordering in 1996 vs 1997) from ONE bounded
+    * k=64 sample of the hash space, alongside the exact answers and
+    * relative-error gates.
+    *
+    * Why this shape at 100 TB: HLL unions but cannot intersect;
+    * exact distinct-intersection is a full shuffle of both sets. The KMV
+    * sketch is built with one map-side hash projection + one groupBy(h)
+    * (collision-merged flags, identical in both engines) + one BOUNDED
+    * top-k (`orderBy.limit` ⇒ TakeOrderedAndProject per-partition heaps —
+    * never a global sort), is mergeable (union of sketches re-sorted and
+    * re-cut at k = sketch of the union), and every estimator input (m,
+    * kth hash, flagged count) rides inside the k rows. The hash is the
+    * engine's bit-reproducible affine draw (exactly-rounded integer ops,
+    * in-range in 64-bit — the q_weighted_sample discipline), so sketch
+    * and estimates hash-match DuckDB exactly; the ±0.5 gates hold with
+    * huge margin (KMV standard error at k=64 ≈ 13%). */
+  def qThetaSketchOverlap: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val f = t.orders
+      .select(col("o_custkey").as("ck"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1996, 1997))
+      .groupBy(col("ck"))
+      .agg(max(when(col("y") === 1996, 1).otherwise(0)).as("ina"),
+           max(when(col("y") === 1997, 1).otherwise(0)).as("inb"))
+    val exact = f.agg(
+      count(lit(1)).as("exact_union"),
+      sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("exact_inter"))
+    val hashed = f
+      .select(((col("ck") % 2147483647L) * 2654435761L % 2147483647L).as("h"),
+        col("ina"), col("inb"))
+      .groupBy(col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val sketch = hashed.orderBy(col("h")).limit(64)
+    val kAgg = sketch.agg(
+      count(lit(1)).as("m"), max(col("h")).as("hk"),
+      sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("cnt_both"))
+    val estU = when(col("m") < 64, col("m").cast("double"))
+      .otherwise(lit(63.0) * lit(2147483647.0) / col("hk").cast("double"))
+    val estI = when(col("m") < 64, col("cnt_both").cast("double"))
+      .otherwise(col("cnt_both").cast("double") / lit(64.0) *
+        (lit(63.0) * lit(2147483647.0) / col("hk").cast("double")))
+    exact.crossJoin(kAgg)
+      .select(col("exact_union"), col("exact_inter"), col("m"),
+        round(estU, 4).as("est_union"), round(estI, 4).as("est_inter"),
+        (abs(estU - col("exact_union")) <= col("exact_union") * 0.5).as("union_ok"),
+        when(col("exact_inter") > 0,
+          abs(estI - col("exact_inter")) <= col("exact_inter") * 0.5)
+          .otherwise(estI === 0.0).as("inter_ok"))
+  }
+
+  val qThetaSketchOverlapSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey AS ck,
+      |    MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 ELSE 0 END) AS ina,
+      |    MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN 1 ELSE 0 END) AS inb
+      |  FROM orders
+      |  WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1),
+      |hashed AS (
+      |  SELECT ((ck % 2147483647) * 2654435761) % 2147483647 AS h,
+      |    MAX(ina) AS ina, MAX(inb) AS inb
+      |  FROM f GROUP BY 1),
+      |sketch AS (SELECT h, ina, inb FROM hashed ORDER BY h LIMIT 64),
+      |k AS (
+      |  SELECT COUNT(*) AS m, MAX(h) AS hk,
+      |    CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_both
+      |  FROM sketch),
+      |ex AS (
+      |  SELECT COUNT(*) AS exact_union,
+      |    CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+      |  FROM f)
+      |SELECT exact_union, exact_inter, m,
+      |  ROUND(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+      |        ELSE CAST(63.0 AS DOUBLE) * CAST(2147483647.0 AS DOUBLE) / CAST(hk AS DOUBLE) END, 4) AS est_union,
+      |  ROUND(CASE WHEN m < 64 THEN CAST(cnt_both AS DOUBLE)
+      |        ELSE CAST(cnt_both AS DOUBLE) / CAST(64.0 AS DOUBLE) *
+      |             (CAST(63.0 AS DOUBLE) * CAST(2147483647.0 AS DOUBLE) / CAST(hk AS DOUBLE)) END, 4) AS est_inter,
+      |  ABS(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+      |      ELSE CAST(63.0 AS DOUBLE) * CAST(2147483647.0 AS DOUBLE) / CAST(hk AS DOUBLE) END
+      |      - exact_union) <= exact_union * 0.5 AS union_ok,
+      |  CASE WHEN exact_inter > 0 THEN
+      |    ABS(CASE WHEN m < 64 THEN CAST(cnt_both AS DOUBLE)
+      |        ELSE CAST(cnt_both AS DOUBLE) / CAST(64.0 AS DOUBLE) *
+      |             (CAST(63.0 AS DOUBLE) * CAST(2147483647.0 AS DOUBLE) / CAST(hk AS DOUBLE)) END
+      |        - exact_inter) <= exact_inter * 0.5
+      |  ELSE (CASE WHEN m < 64 THEN CAST(cnt_both AS DOUBLE)
+      |        ELSE CAST(cnt_both AS DOUBLE) / CAST(64.0 AS DOUBLE) *
+      |             (CAST(63.0 AS DOUBLE) * CAST(2147483647.0 AS DOUBLE) / CAST(hk AS DOUBLE)) END) = 0.0
+      |  END AS inter_ok
+      |FROM ex CROSS JOIN k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_theta_sketch_overlap" -> qThetaSketchOverlap,
     "q_weighted_sample"      -> qWeightedSample,
     "q_weighted_sample_group" -> qWeightedSampleGroup,
     "q_fuzzy_join"           -> qFuzzyJoin,
@@ -525,6 +619,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_theta_sketch_overlap" -> qThetaSketchOverlapSql,
     "q_weighted_sample"      -> qWeightedSampleSql,
     "q_weighted_sample_group" -> qWeightedSampleGroupSql,
     "q_fuzzy_join"           -> qFuzzyJoinSql,
