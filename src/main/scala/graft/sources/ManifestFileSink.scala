@@ -53,11 +53,17 @@ class ManifestFileSink extends TableProvider {
 
   /** Reads resolve the schema from the newest visible manifest (or the
     * `asOfManifest` snapshot when time-traveling); an empty target has no
-    * schema (writes never consult it — ACCEPT_ANY_SCHEMA). */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestFileSink.storedSchema(
+    * schema (writes never consult it — ACCEPT_ANY_SCHEMA). With
+    * `changeFeedWeights`, a `_change_weight INT` column is appended: the
+    * feed is then a Z-SET of row deltas (+1 insert, −1 retraction). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = ManifestFileSink.storedSchema(
       options.get("path"), Option(options.get("asOfManifest")))
       .getOrElse(new StructType())
+    if (options.getBoolean("changeFeedWeights", false))
+      base.add(ManifestFileSink.WeightCol, IntegerType, nullable = false)
+    else base
+  }
 
   override def getTable(
       schema: StructType,
@@ -257,6 +263,18 @@ object ManifestFileSink {
     * with data-file names (task files are `part-*`/`purge-*`). */
   private[sources] val DvMarker = "~dv"
   private val DvPrefix = DvMarker + "\t"
+
+  /** Appended delta-weight column of the weighted change feed. */
+  private[sources] val WeightCol = "_change_weight"
+
+  /** DDL each data file was committed under, across the whole manifest
+    * history — the weighted change feed needs it to parse rows of OLD
+    * files referenced by a window's deletion vectors. */
+  private[sources] def fileDdlMap(path: String): Map[String, String] =
+    orderedManifests(path).flatMap { m =>
+      val ddl = schemaLine(m)
+      entriesOf(m).map(e => e._1 -> ddl)
+    }.toMap
 
   /** Deletion vectors listed by ONE manifest: (data file, sorted positions). */
   private[sources] def deleteVectorsOf(m: File): Seq[(String, Array[Long])] =
@@ -905,6 +923,11 @@ private class ManifestTable(path: String, schema: StructType)
       // window; `ignoreDeletes` is the consumer's explicit opt-in to
       // append-only semantics (the Delta streaming contract).
       private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
+      // `changeFeedWeights` upgrades the feed to full CDC: every row
+      // carries `_change_weight` (+1 insert, −1 retraction read back from
+      // the deletion vector's positions) — the z-set input the engine's
+      // retraction IVM (`Incremental.qIvmJoinRetract` algebra) consumes.
+      private val weighted = options.getBoolean("changeFeedWeights", false)
       // Zone-map pushdown: accepted filters drive FILE skipping against the
       // per-file min/max stats in the manifest (the Iceberg/Delta data-skip
       // idea). Every filter is also returned for post-scan re-evaluation —
@@ -916,9 +939,14 @@ private class ManifestTable(path: String, schema: StructType)
         filters // Spark re-applies everything: skipping is best-effort
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-      override def build(): Scan = new ManifestScan(path,
-        ManifestFileSink.storedSchema(path, asOf).getOrElse(new StructType()),
-        asOf, since, pushed, ignoreDeletes)
+      override def build(): Scan = {
+        val base = ManifestFileSink.storedSchema(path, asOf)
+          .getOrElse(new StructType())
+        val sch = if (weighted)
+          base.add(ManifestFileSink.WeightCol, IntegerType, nullable = false)
+        else base
+        new ManifestScan(path, sch, asOf, since, pushed, ignoreDeletes, weighted)
+      }
     }
 }
 
@@ -1076,16 +1104,19 @@ private class ManifestStreamingWriterFactory(path: String, schema: StructType)
   * the reader subtracts them while streaming (merge-on-read). `ddl` — the
   * schema the file was WRITTEN under (empty = the read schema); the
   * reader reconciles by name, backfilling NULL for columns the file
-  * predates. */
+  * predates. `weight` — 0: plain read (no weight column); +1: every live
+  * row emitted with `_change_weight` 1; −1: ONLY the positions in
+  * `deleted` are emitted (the retracted row images), with weight −1. */
 private case class FileSplit(
     file: String, deleted: Array[Long] = Array.empty,
-    ddl: String = "") extends InputPartition
+    ddl: String = "", weight: Int = 0) extends InputPartition
 
 private class ManifestScan(
     path: String, schema: StructType, asOf: Option[String] = None,
     since: Option[String] = None,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    weighted: Boolean = false)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -1131,8 +1162,9 @@ private class ManifestScan(
           s"sinceManifest $m is not a published manifest of $path")
       // Delete fence: a DELETE commit in the unread window means the diff
       // would silently drop retractions — refuse unless the consumer
-      // opted into append-only semantics.
-      if (!ignoreDeletes) {
+      // opted into append-only semantics, or asked for the weighted feed
+      // (which EXPRESSES retractions instead of dropping them).
+      if (!ignoreDeletes && !weighted) {
         ManifestFileSink.orderedManifests(path).find(_.getName == m)
           .map(f => ManifestFileSink.readMeta(f).seq).foreach { sinceSeq =>
             val offending = ManifestFileSink.snapshot(path, asOf).filter(mf =>
@@ -1155,19 +1187,52 @@ private class ManifestScan(
     // append deltas, and the delete fence above governs retractions.
     val dvs = if (since.isEmpty) ManifestFileSink.deleteVectors(path, asOf)
               else Map.empty[String, Array[Long]]
-    admitted.filterNot(f => baseline.contains(f._1))
+    val plus = admitted.filterNot(f => baseline.contains(f._1))
       .flatMap { case (f, rows, _, ddl) =>
         val del = dvs.getOrElse(f, Array.empty[Long])
         if (del.length >= rows) None
-        else Some(FileSplit(f, del, ddl): InputPartition)
-      }.toArray
+        else Some(FileSplit(f, del, ddl, if (weighted) 1 else 0): InputPartition)
+      }
+    // Weighted CDC: deletion vectors committed inside the window become
+    // −1 splits — the RETRACTED ROW IMAGES are read back from their
+    // file's dv positions, so downstream z-set algebra (retraction IVM)
+    // consumes inserts and deletes through one uniform feed. The file's
+    // zone-map stats still bound its rows, so refuted files prune here
+    // too. (NOTE: CDC across a purge/migrate boundary is lossy — those
+    // rewrites fold history; the STREAMING feed's fold-window fence
+    // detects that case. Batch consumers should diff around maintenance,
+    // exactly like compact(aboveSeq) for streams.)
+    val minus: Seq[InputPartition] =
+      if (!weighted || since.isEmpty) Nil
+      else ManifestFileSink.orderedManifests(path)
+        .find(_.getName == since.get)
+        .map(f => ManifestFileSink.readMeta(f).seq) match {
+        case None => Nil // unknown/retired since raised above
+        case Some(s0) =>
+          val visByFile = visible.map(v => v._1 -> v).toMap
+          lazy val ddlMap = ManifestFileSink.fileDdlMap(path)
+          ManifestFileSink.snapshot(path, asOf)
+            .filter(m => ManifestFileSink.readMeta(m).seq > s0)
+            .flatMap(ManifestFileSink.deleteVectorsOf)
+            .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
+            .toSeq.flatMap { case (f, ps) =>
+              val (st, ddl) = visByFile.get(f)
+                .map(v => (v._3, v._4))
+                .getOrElse((None, ddlMap.getOrElse(f, "")))
+              if (st.exists(s =>
+                  !filters.forall(flt => ManifestFileSink.mayMatch(flt, s, schemaOf(ddl)))))
+                None
+              else Some(FileSplit(f, ps.toArray.sorted, ddl, -1): InputPartition)
+            }
+      }
+    (plus ++ minus).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(path, schema)
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new ManifestMicroBatchStream(path, schema, ignoreDeletes)
+    new ManifestMicroBatchStream(path, schema, ignoreDeletes, weighted)
 }
 
 /** Top-level (shipped to executors). Streamed, not slurped: a
@@ -1179,36 +1244,53 @@ private class ManifestReaderFactory(path: String, schema: StructType)
     val split = partition.asInstanceOf[FileSplit]
     val reader = Files.newBufferedReader(
       Paths.get(path, "data", split.file), StandardCharsets.UTF_8)
+    // Weighted change feed: the last read-schema column is the appended
+    // `_change_weight`; the DATA columns are everything before it.
+    val weighted = split.weight != 0
+    val dataSchema =
+      if (weighted) StructType(schema.fields.dropRight(1)) else schema
     // Schema evolution: parse under the schema the file was WRITTEN with,
     // then project to the read schema by NAME — added columns backfill
     // NULL, dropped columns are discarded, order is immaterial. The
     // projection is precomputed once per split; the fast path (identical
     // schemas) adds zero per-row work.
-    val fileSchema = if (split.ddl.isEmpty) schema
+    val fileSchema = if (split.ddl.isEmpty) dataSchema
       else ManifestFileSink.asNullable(StructType.fromDDL(split.ddl))
-    val evolved = fileSchema != schema
-    val proj = ManifestFileSink.evolutionProjection(schema, fileSchema)
+    val evolved = fileSchema != dataSchema
+    val proj = ManifestFileSink.evolutionProjection(dataSchema, fileSchema)
+    def project(line: String): InternalRow = {
+      val raw = ManifestFileSink.parse(line, fileSchema)
+      val data = if (!evolved) raw else InternalRow.fromSeq(
+        dataSchema.fields.indices.map { i =>
+          val fi = proj(i)
+          if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
+        })
+      if (!weighted) data
+      else InternalRow.fromSeq(
+        dataSchema.fields.indices.map(i =>
+          if (data.isNullAt(i)) null
+          else data.get(i, dataSchema.fields(i).dataType)) :+ split.weight)
+    }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      // Merge-on-read: one pointer walks the sorted deletion vector in
-      // lockstep with the line index — O(1) per row, no lookups.
-      private val deleted = split.deleted
+      private val positions = split.deleted
       private var idx = -1L
-      private var di = 0
+      private var pi = 0
       override def next(): Boolean = {
         while (true) {
           val line = reader.readLine()
           if (line == null) return false
           idx += 1
-          if (di < deleted.length && deleted(di) == idx) di += 1 // dead row
-          else {
-            val raw = ManifestFileSink.parse(line, fileSchema)
-            cur = if (!evolved) raw else InternalRow.fromSeq(
-              schema.fields.indices.map { i =>
-                val fi = proj(i)
-                if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
-              })
-            return true
+          if (split.weight < 0) {
+            // Retraction split: EMIT exactly the vector's positions.
+            if (pi < positions.length && positions(pi) == idx) {
+              pi += 1; cur = project(line); return true
+            } else if (pi >= positions.length) return false // past last hit
+          } else {
+            // Merge-on-read: one pointer walks the sorted deletion vector
+            // in lockstep with the line index — O(1) per row, no lookups.
+            if (pi < positions.length && positions(pi) == idx) pi += 1 // dead
+            else { cur = project(line); return true }
           }
         }
         false
@@ -1254,7 +1336,8 @@ private class ManifestReaderFactory(path: String, schema: StructType)
   * listing (bounded by compaction cadence), never a data scan; executors
   * read only the admitted commits' files. */
 private class ManifestMicroBatchStream(
-    path: String, schema: StructType, ignoreDeletes: Boolean = false)
+    path: String, schema: StructType, ignoreDeletes: Boolean = false,
+    weighted: Boolean = false)
   extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
 
   private case class SeqOffset(seq: Long) extends streaming.Offset {
@@ -1355,8 +1438,9 @@ private class ManifestMicroBatchStream(
     }
     // Delete fence (same contract as the batch change feed): a DELETE
     // commit in this window carries retractions the append-only feed
-    // cannot express — fail loudly unless the consumer opted in.
-    if (!ignoreDeletes) {
+    // cannot express — fail loudly unless the consumer opted in, or the
+    // WEIGHTED feed is on (retractions become −1 rows below).
+    if (!ignoreDeletes && !weighted) {
       val offending = readable.filter(w => ManifestFileSink.hasDeleteVectors(w._1))
       if (offending.nonEmpty) throw new IllegalStateException(
         s"streaming window of $path contains row-level DELETE commits " +
@@ -1368,14 +1452,31 @@ private class ManifestMicroBatchStream(
     // inputs not yet deleted) lists a file twice — same immutable data.
     // Each file reads under the DDL of its committing manifest (schema
     // evolution), reconciled by name to the stream's schema.
-    readable.flatMap { case (m, _) =>
+    val dataCols = if (weighted) StructType(schema.fields.dropRight(1)) else schema
+    val plus = readable.flatMap { case (m, _) =>
       val ddl = ManifestFileSink.schemaLine(m)
-      ManifestFileSink.validateEvolution(schema,
+      ManifestFileSink.validateEvolution(dataCols,
         ManifestFileSink.asNullable(StructType.fromDDL(ddl)),
         s"streamed manifest ${m.getName}")
       ManifestFileSink.entriesOf(m).map(e => (e._1, ddl))
     }.distinctBy(_._1)
-      .map { case (f, ddl) => FileSplit(f, Array.empty, ddl): InputPartition }.toArray
+      .map { case (f, ddl) =>
+        FileSplit(f, Array.empty, ddl, if (weighted) 1 else 0): InputPartition }
+    // Weighted feed: each window DELETE commit's vectors become −1 splits
+    // reading back exactly the retracted row images — inserts and
+    // retractions arrive through one uniform z-set stream within the
+    // micro-batch's commit window.
+    val minus: Seq[InputPartition] =
+      if (!weighted) Nil
+      else {
+        lazy val ddlMap = ManifestFileSink.fileDdlMap(path)
+        readable.flatMap(w => ManifestFileSink.deleteVectorsOf(w._1))
+          .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
+          .toSeq.map { case (f, ps) =>
+            FileSplit(f, ps.toArray.sorted, ddlMap.getOrElse(f, ""), -1): InputPartition
+          }
+      }
+    (plus ++ minus).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
