@@ -459,6 +459,117 @@ object ManifestFileSink {
     total
   }
 
+  /** MERGE (upsert) by key, in ONE atomic commit: rows of `source` REPLACE
+    * current table rows sharing their key, and new-key rows append — the
+    * published manifest carries both the deletion vectors (retracting every
+    * matched live row) and the new data files, so a reader sees the whole
+    * upsert or none of it, and time travel to the pre-merge snapshot sees
+    * the old rows. Returns (rowsRetracted, rowsInserted).
+    *
+    * Mechanics: source rows are written DISTRIBUTED (one task file per
+    * partition, the sink's normal write mechanics, zone-map stats
+    * included) while still invisible; the key set — a broadcast-sized CDC
+    * batch, the same contract as RollupMaintenance — collects to the
+    * driver, matches existing rows through the deleteWhere scan (zone-map
+    * pruned, already-deleted positions skipped), and one manifest commits
+    * both halves under the commit lock. A crash before publish leaves only
+    * invisible task files (readers resolve through manifests). Duplicate
+    * keys WITHIN the source append as-is — dedup belongs to the caller;
+    * replay idempotency belongs to the epoch-named streaming path.
+    * Downstream, the weighted change feed emits the merge exactly as its
+    * z-set: −1 old images, +1 new rows, one commit window. */
+  def mergeUpsert(
+      path: String,
+      source: org.apache.spark.sql.DataFrame,
+      key: String): (Long, Long) = {
+    val stored = storedSchema(path, None)
+    val schema = stored.getOrElse(asNullable(source.schema))
+    require(schema.fieldNames.sorted.sameElements(source.schema.fieldNames.sorted),
+      s"merge source columns ${source.schema.fieldNames.mkString(",")} must match " +
+        s"table columns ${schema.fieldNames.mkString(",")}")
+    schema.fields.foreach { f =>
+      val sf = source.schema.fields(source.schema.fieldIndex(f.name))
+      require(sf.dataType == f.dataType,
+        s"merge source column ${f.name} is ${sf.dataType.simpleString}, table has ${f.dataType.simpleString}")
+    }
+    require(schema.fieldNames.contains(key), s"unknown merge key $key")
+    // Write the source rows distributed, still invisible (no manifest yet).
+    val ordered = source.select(schema.fieldNames.map(source.col).toIndexedSeq: _*)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val messages: Array[WriterCommitMessage] =
+      ordered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          // Attempt-unique name (the task-file discipline): a retried
+          // attempt can never clobber another attempt's file.
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+          val w = new ManifestDataWriter(path, schema, f"part-m$runId-$pid%05d-$attempt")
+          it.foreach(w.write)
+          Iterator(w.commit())
+        }
+      }.collect()
+    val inserted = messages.collect { case CommittedFile(_, n, _) => n }.sum
+    // Matched-key retraction + atomic publish, serialized with other commits.
+    val keys = ordered.select(key).distinct().collect().map(_.get(0)).filter(_ != null)
+    commitLock(path).synchronized {
+      val snap = snapshot(path, None)
+      val dvLines: Seq[(String, Seq[Long])] =
+        if (snap.isEmpty || keys.isEmpty) Nil
+        else {
+          val filter = org.apache.spark.sql.sources.In(key, keys)
+          val existing = deleteVectors(path, None)
+          snap.flatMap(m =>
+            entriesWithStats(m).map(e => (e._1, e._3, schemaLine(m)))).distinctBy(_._1)
+            .flatMap { case (file, st, ddl) =>
+              val fileSchema = asNullable(StructType.fromDDL(ddl))
+              validateEvolution(schema, fileSchema, s"data file $file")
+              val proj = evolutionProjection(schema, fileSchema)
+              val evolved = fileSchema != schema
+              if (st.exists(s => !mayMatch(filter, s, fileSchema))) None
+              else {
+                val already = existing.getOrElse(file, Array.empty[Long])
+                val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+                val r = Files.newBufferedReader(
+                  Paths.get(path, "data", file), StandardCharsets.UTF_8)
+                try {
+                  var idx = 0L; var ai = 0
+                  var line = r.readLine()
+                  while (line != null) {
+                    if (ai < already.length && already(ai) == idx) ai += 1
+                    else {
+                      val raw = parse(line, fileSchema)
+                      val row = if (!evolved) raw else InternalRow.fromSeq(
+                        schema.fields.indices.map { i =>
+                          val fi = proj(i)
+                          if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
+                        })
+                      if (evalFilter(filter, row, schema).contains(true)) hits += idx
+                    }
+                    idx += 1; line = r.readLine()
+                  }
+                } finally r.close()
+                if (hits.isEmpty) None else Some(file -> hits.toSeq)
+              }
+            }
+        }
+      val retracted = dvLines.map(_._2.size.toLong).sum
+      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      val meta = ManifestMeta(nextSeq(path), Nil)
+      val lines = renderHeader(meta) +: schemaText +:
+        (messages.collect {
+          case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
+        }.toSeq ++ dvLines.map { case (f, ps) =>
+          s"$DvMarker\t$f\t${ps.length}\t${ps.mkString(",")}"
+        })
+      val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+      val tmp = Paths.get(path, s".$name.tmp")
+      Files.write(tmp, lines.asJava, StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
+      Files.move(tmp, Paths.get(path, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      (retracted, inserted)
+    }
+  }
+
   /** Copy-on-write purge: fold every visible deletion vector into its data
     * file — each touched file is streamed once into a `purge-*`
     * replacement with the dead rows dropped, a fully-deleted file is
