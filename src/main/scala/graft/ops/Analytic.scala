@@ -805,7 +805,52 @@ object Analytic {
        |FROM scored
        |ORDER BY user_id, d""".stripMargin
 
+  /** Time-weighted average (TWAP): each observation holds its value until
+    * the next one, so the mean weights every value by its holding
+    * DURATION — the finance/telemetry aggregate a plain AVG gets wrong on
+    * irregular series. Per user: dt = microseconds to the next event (the last
+    * observation has no holding interval and contributes only its
+    * endpoint), twap = Σ(value·dt)/Σ(dt); single-observation users are
+    * emitted with NULL twap, explicitly.
+    *
+    * Scale + exactness: one shuffle by user_id (lead + both sums share
+    * the sort); each value·dt product is one exactly-rounded IEEE op and
+    * the sums quantize to integer cents before folding (qsum), so the
+    * fold is merge-order-independent — bit-identical across engines AND
+    * partitionings, the Exact.scala discipline. */
+  def qTwap: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dt",
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))).cast("double"))
+      .groupBy(col("user_id"))
+      .agg(
+        qsum(col("value") * col("dt")).as("weighted"),
+        sum(col("dt")).as("span"),
+        count(lit(1)).as("n_obs"))
+      .select(col("user_id"),
+        when(col("span") > 0, round(col("weighted") / col("span"), 6)).as("twap"),
+        col("n_obs"))
+      .orderBy(col("user_id"))
+  }
+
+  val qTwapSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, value,
+       |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      - epoch_us(ts) AS dt_us
+       |  FROM events)
+       |SELECT user_id,
+       |  CASE WHEN SUM(dt) > 0 THEN ROUND(${sqlQsum("value * dt")} / SUM(dt), 6) END AS twap,
+       |  COUNT(*) AS n_obs
+       |FROM (SELECT user_id, value, CAST(dt_us AS DOUBLE) AS dt FROM seq)
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
     "q_histogram"       -> qHistogram,
     "q_funnel"          -> qFunnel,
@@ -834,6 +879,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
     "q_histogram"       -> qHistogramSql,
     "q_funnel"          -> qFunnelSql,
