@@ -347,4 +347,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("xxhash64"),
       s"expected scan-side xxhash64 projections below the join in:\n$p")
   }
+
+  test("q_theta_sketch_overlap: bounded top-k sketch cut, never a global sort") {
+    // The KMV cut is the scale point: per-partition heaps merged on the
+    // driver (TakeOrderedAndProject), not an all-hashes global sort.
+    val p = plan("q_theta_sketch_overlap")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sketch cut lost its bounded top-k:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global")),
+      s"global sort crept into the sketch build:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row crossJoin must broadcast, not cartesian-shuffle:\n$p")
+  }
+
+  test("q_twap: lead window and aggregation share one user_id exchange") {
+    val p = plan("q_twap")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"TWAP should shuffle by user_id once (window + agg share it), got $exchanges:\n$p")
+    assert(p.contains("partial_"), s"aggregation lost its map-side combine:\n$p")
+  }
+
+  test("q_anomaly_zscore: both frames and the daily agg share the user shuffle") {
+    val p = plan("q_anomaly_zscore")
+    // groupBy(user,d) shuffles on (user,d); the window re-shuffles on user
+    // only — two exchanges total, never one per window frame.
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"anomaly scoring should need at most 2 exchanges, got $exchanges:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      s"the three frame columns must ride ONE Window operator:\n$p")
+  }
 }
