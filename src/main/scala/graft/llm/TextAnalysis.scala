@@ -647,7 +647,68 @@ object TextAnalysis {
       |WHERE ROUND(dot / (na.norm * nb.norm), 6) >= 0.5
       |ORDER BY a, b""".stripMargin
 
+  /** Bigram language-model fluency scoring — the statistical quality
+    * filter (kenlm-style) next to the heuristic ones: train bigram
+    * conditional probabilities ON the corpus, score each document by its
+    * mean next-word probability. Low scores mark disfluent/boilerplate
+    * text whose word transitions are atypical for the corpus.
+    *
+    * Exactness discipline: p(w2|w1) = c2/c1 is ONE exactly-rounded IEEE
+    * division (identical in both engines — no ln/exp, which are libm-
+    * specific); each p quantizes to DECIMAL(18,9) before the per-doc sum,
+    * so the fold is merge-order-independent, and only the final mean
+    * rounds for presentation.
+    *
+    * Scale shape: bigram extraction is per-row ARRAY arithmetic fused
+    * into the scan (no token explode before the model build's one
+    * shuffle on (w1,w2)); prefix counts DERIVE from the model
+    * (sum over w2 — no second corpus pass); scoring joins touch only
+    * corpus-attested bigrams. At 100 TB the model df-caps to the Zipf
+    * head and broadcasts — the tail backs off to a default probability;
+    * the full-join form here is the exact oracle of that path. */
+  def lmScore: Q = (s, dir) => {
+    val wl = Tables(s, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .filter(size(col("wl")) >= 2)
+    val bg = wl.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("wl")) - 2),
+          i => struct(element_at(col("wl"), i + 1).as("w1"),
+                      element_at(col("wl"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(
+          sum(round(col("p"), 9).cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double") / count(lit(1)), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, wl[i] AS w1, wl[i+1] AS w2
+      |  FROM dl, UNNEST(generate_series(1, len(wl) - 1)) AS s(i)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |scored AS (
+      |  SELECT b.doc_id, CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+      |  FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |            JOIN c1 ON b.w1 = c1.w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_lm_score"          -> lmScore,
     "text_pii_scrub"         -> piiScrub,
     "text_bm25"              -> bm25,
     "text_phrase_search"     -> phraseSearch,
@@ -665,6 +726,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score"         -> lmScoreSql,
     "text_pii_scrub"        -> piiScrubSql,
     "text_bm25"             -> bm25Sql,
     "text_phrase_search"    -> phraseSearchSql,
