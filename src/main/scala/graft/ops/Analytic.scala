@@ -849,7 +849,93 @@ object Analytic {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Multi-touch conversion attribution: every `purchase` credits the
+    * `view`/`click` touches of the SAME user in the preceding 7 days —
+    * last-touch identification plus the time-decay credit share of that
+    * touch, w = 1/(1+age_days) normalized over the conversion's touch
+    * set. Conversions with no touch window emit n_touches=0 with NULL
+    * attribution, explicitly.
+    *
+    * Exactness: the decay weight is division/addition only (exactly
+    * rounded IEEE, cross-engine identical — deliberately no pow/exp
+    * decay, whose libm rounding varies); ties on the last-touch
+    * timestamp break by MIN(event_id), never by engine arg-max
+    * arbitrariness; only the final share rounds.
+    *
+    * Scale: touches⋈conversions is an equi-join ON USER with the 7-day
+    * band as a residual — per-user event counts bound the fan-out (the
+    * q_interval_join_bucketed pattern is the upgrade path if a whale
+    * user's window explodes); one further shuffle by conversion for the
+    * credit normalization. */
+  def qAttribution: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("us").as("conv_us"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"), col("us").as("touch_us"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_us") <= col("conv_us") &&
+        col("touch_us") > col("conv_us") - lit(7L * 86400L * 1000000L))
+      .withColumn("w",
+        round(lit(1.0) / (lit(1.0) +
+          (col("conv_us") - col("touch_us")).cast("double") / lit(86400e6)), 9))
+    val agg = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(col("touch_us")).as("mt"),
+        // 9-dp-quantized weights fold in DECIMAL: the normalization
+        // denominator is merge-order-independent (Exact.scala discipline).
+        sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double").as("den"))
+    val last = pairs.join(agg, Seq("conv_id"))
+      .filter(col("touch_us") === col("mt"))
+      .groupBy(col("conv_id"))
+      .agg(min(col("touch_id")).as("last_touch_id"),
+        round(first(col("w")) / first(col("den")), 6).as("last_share"))
+    conv.join(agg, Seq("conv_id"), "left_outer")
+      .join(last, Seq("conv_id"), "left_outer")
+      .select(col("conv_id"), col("user_id"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("last_touch_id"), col("last_share"))
+      .orderBy(col("conv_id"))
+  }
+
+  val qAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |conv AS (
+      |  SELECT event_id AS conv_id, user_id, us AS conv_us FROM ev
+      |  WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, event_id AS touch_id, us AS touch_us FROM ev
+      |  WHERE event_type IN ('view', 'click')),
+      |pairs AS (
+      |  SELECT c.conv_id, c.user_id, t.touch_id, t.touch_us,
+      |    ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+      |      CAST(c.conv_us - t.touch_us AS DOUBLE) / 86400000000.0), 9) AS w
+      |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+      |  WHERE t.touch_us <= c.conv_us
+      |    AND t.touch_us > c.conv_us - CAST(604800000000 AS BIGINT)),
+      |agg AS (
+      |  SELECT conv_id, COUNT(*) AS n_touches, MAX(touch_us) AS mt,
+      |    CAST(SUM(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS den
+      |  FROM pairs GROUP BY 1),
+      |last AS (
+      |  SELECT p.conv_id, MIN(p.touch_id) AS last_touch_id,
+      |    ROUND(ANY_VALUE(p.w) / ANY_VALUE(a.den), 6) AS last_share
+      |  FROM pairs p JOIN agg a ON p.conv_id = a.conv_id AND p.touch_us = a.mt
+      |  GROUP BY 1)
+      |SELECT c.conv_id, c.user_id,
+      |  COALESCE(a.n_touches, 0) AS n_touches,
+      |  l.last_touch_id, l.last_share
+      |FROM conv c
+      |LEFT JOIN agg a ON c.conv_id = a.conv_id
+      |LEFT JOIN last l ON c.conv_id = l.conv_id
+      |ORDER BY c.conv_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
     "q_histogram"       -> qHistogram,
@@ -879,6 +965,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
     "q_histogram"       -> qHistogramSql,
