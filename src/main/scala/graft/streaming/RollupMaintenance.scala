@@ -124,6 +124,85 @@ object RollupMaintenance {
     true
   }
 
+  /** Fold one micro-batch of SIGNED deltas (a z-set: rows carrying a
+    * `_change_weight` of +1/−1, the weighted change feed's shape) into the
+    * summary — incremental maintenance UNDER RETRACTIONS. Sums fold as
+    * Σ(value·weight), counts as Σ(weight), so a delete subtracts exactly
+    * what its insert added and an update (−1 old, +1 new) nets the
+    * difference; groups whose maintained count reaches zero are DROPPED
+    * (fully-retracted groups vanish rather than linger as zero rows).
+    * MIN/MAX and HLL distinct deliberately have NO weighted form — a
+    * retraction cannot un-see an extreme or remove from a sketch; asking
+    * for them under retractions must fail loudly at the API, not drift
+    * silently (recompute those from the base when deletes are in play).
+    * Same exactly-once `_state` protocol as [[applyBatch]]; the two entry
+    * points share a root interchangeably only if their column sets match
+    * (the schema is checked by unionByName). */
+  def applyWeightedBatch(
+      batch: DataFrame,
+      batchId: Long,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      root: String,
+      weightCol: String = "_change_weight"): Boolean = {
+    val st = state(root)
+    if (st.exists(_._1 >= batchId)) return false
+    val w = col(weightCol).cast("long")
+    val aggs = sumCols.map(c =>
+        sum(col(c) * w.cast("double")).as(s"g_sum_$c")) ++
+      sumCols.map(c =>
+        sum(when(col(c).isNotNull, w).otherwise(lit(0L))).as(s"g_cntn_$c")) :+
+      sum(w).as("g_cnt")
+    val partials = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged = st match {
+      case Some((_, dir)) =>
+        val reAggs = sumCols.map(c => sum(col(s"g_sum_$c")).as(s"g_sum_$c")) ++
+          sumCols.map(c => sum(col(s"g_cntn_$c")).as(s"g_cntn_$c")) :+
+          sum(col("g_cnt")).as("g_cnt")
+        batch.sparkSession.read.parquet(dir)
+          .unionByName(partials)
+          .groupBy(keys.map(col): _*)
+          .agg(reAggs.head, reAggs.tail: _*)
+      case None => partials
+    }
+    val stable = merged
+      .filter(coalesce(col("g_cnt"), lit(0L)) > 0)
+      .select(
+        keys.map(col) ++ sumCols.map(c => col(s"g_sum_$c")) ++
+          sumCols.map(c => coalesce(col(s"g_cntn_$c"), lit(0L)).as(s"g_cntn_$c")) :+
+          coalesce(col("g_cnt"), lit(0L)).as("g_cnt"): _*)
+
+    val newDir = s"$root/v$batchId"
+    stable.write.mode("overwrite").parquet(newDir)
+    val tmp = Paths.get(root, "_state.tmp")
+    Files.write(tmp, s"$batchId\t$newDir".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, "_state"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    st.foreach { case (_, old) =>
+      graft.plans.MaterializedRollupRewrite.repointRollup(old, newDir)
+      val p = Paths.get(old)
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    true
+  }
+
+  /** foreachBatch sink maintaining the rollup at `root` from a WEIGHTED
+    * change-feed stream (`changeFeedWeights` on the manifest source). */
+  def weightedSink(
+      stream: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      root: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Row], id: Long) =>
+        applyWeightedBatch(b.toDF(), id, keys, sumCols, root); ()
+    }
+
   /** foreachBatch sink maintaining the rollup at `root`. */
   def sink(
       stream: DataFrame,

@@ -213,4 +213,56 @@ class RollupMaintenanceSpec extends SparkTestBase {
         === Array(("a", 4.0, 2L), ("b", 2.0, 1L), ("c", 10.0, 2L)))
     } finally MaterializedRollupRewrite.deregister(baseDir)
   }
+
+  test("weighted maintenance: the manifest feed's z-set deltas keep the rollup exact under deletes") {
+    import spark.implicits._
+    val fmt = classOf[graft.sources.ManifestFileSink].getName
+    val base = freshDir()
+    val root = freshDir()
+    val ck = freshDir()
+
+    def drain(): Unit = {
+      val q = RollupMaintenance.weightedSink(
+        spark.readStream.format(fmt).option("path", base)
+          .option("changeFeedWeights", "true").load(),
+        Seq("name"), Seq("score"), root)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def summary(): Map[String, (Double, Long)] =
+      spark.read.parquet(RollupMaintenance.currentDir(root).get)
+        .select(col("name"), col("g_sum_score"), col("g_cnt"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def recompute(): Map[String, (Double, Long)] =
+      spark.read.format(fmt).option("path", base).load()
+        .groupBy("name").agg(sum("score").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 30.0))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format(fmt).option("path", base).mode("append").save()
+    drain()
+    assert(summary() === recompute())
+
+    // Retraction: the delete subtracts exactly what its insert added.
+    graft.sources.ManifestFileSink.deleteWhere(base,
+      org.apache.spark.sql.sources.EqualTo("id", 2L))
+    drain()
+    assert(summary() === recompute())
+    assert(summary()("x") === ((10.0, 1L)))
+
+    // A group retracted to zero VANISHES from the summary.
+    graft.sources.ManifestFileSink.deleteWhere(base,
+      org.apache.spark.sql.sources.EqualTo("id", 3L))
+    Seq((4L, "z", 40.0)).toDF("id", "name", "score").coalesce(1)
+      .write.format(fmt).option("path", base).mode("append").save()
+    drain()
+    assert(summary() === recompute())
+    assert(!summary().contains("y"), "zero-count group must vanish")
+
+    // Replay: a re-run with the same checkpoint admits nothing, state stable.
+    drain()
+    assert(summary() === recompute())
+  }
 }
