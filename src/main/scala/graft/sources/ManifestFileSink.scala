@@ -661,21 +661,50 @@ object ManifestFileSink {
     * it, but IS NULL can). */
   private[sources] final case class ColStats(min: String, max: String, hasNull: Boolean)
 
-  /** Encoding: `idx=min,max,nullBit` joined by `|` — indices and numeric
-    * text only, so the field can never collide with the entry line's tab
-    * delimiters. Only long/int/double columns carry stats (strings can
-    * embed any delimiter; boolean ranges prune nothing useful). */
+  /** Encoding: `idx=min,max,nullBit` joined by `|`. Numeric bounds are
+    * plain text; STRING bounds are percent-escaped (the structural chars
+    * `%|,=\t\n\r` become %XX) so any recorded value survives the line
+    * format. String stats are recorded only when both bounds are ≤ 24
+    * bytes and the min is non-empty — long bounds would bloat the
+    * manifest for text columns that never prune, and an empty-string min
+    * is indistinguishable from the "no non-null values" sentinel (no
+    * claim is always safe). Booleans carry no stats (ranges prune
+    * nothing useful). */
   private[sources] def encodeStats(stats: Map[Int, ColStats]): String =
     stats.toSeq.sortBy(_._1).map { case (i, s) =>
-      s"$i=${s.min},${s.max},${if (s.hasNull) 1 else 0}"
+      s"$i=${escapeStat(s.min)},${escapeStat(s.max)},${if (s.hasNull) 1 else 0}"
     }.mkString("|")
 
   private[sources] def decodeStats(s: String): Map[Int, ColStats] =
     s.split("\\|").iterator.map { part =>
       val eq = part.indexOf('=')
       val Array(mn, mx, nl) = part.substring(eq + 1).split(",", -1)
-      part.substring(0, eq).toInt -> ColStats(mn, mx, nl == "1")
+      part.substring(0, eq).toInt -> ColStats(unescapeStat(mn), unescapeStat(mx), nl == "1")
     }.toMap
+
+  private[sources] def escapeStat(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length)
+    v.foreach {
+      case c @ ('%' | '|' | ',' | '=' | '\t' | '\n' | '\r') =>
+        sb.append('%').append(f"${c.toInt}%02X")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[sources] def unescapeStat(v: String): String = {
+    if (v.indexOf('%') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Conservative file-level predicate evaluation: may ANY row of a file
     * with these stats satisfy `filter`? Unknown filter shapes, unknown
@@ -705,6 +734,18 @@ object ManifestFileSink {
           val x = v match { case n: Number => n.doubleValue(); case _ => return None }
           if (x.isNaN) return None
           Some((java.lang.Double.compare(x, s.min.toDouble), java.lang.Double.compare(x, s.max.toDouble)))
+        case StringType =>
+          // Bounds were accumulated in UTF8String BINARY order — the same
+          // order Spark's own string comparisons use, so pruning decisions
+          // agree with row-level filter semantics (UTF-16 compareTo would
+          // disagree on supplementary characters).
+          val x = v match {
+            case str: String => UTF8String.fromString(str)
+            case u: UTF8String => u
+            case _ => return None
+          }
+          Some((x.compareTo(UTF8String.fromString(s.min)),
+                x.compareTo(UTF8String.fromString(s.max))))
         case _ => None
       } catch { case _: NumberFormatException => None }
     filter match {
@@ -742,6 +783,23 @@ object ManifestFileSink {
         // only prunable when the file is constant at exactly v
         case Some((s, dt)) if s.min.nonEmpty && s.min == s.max && !s.hasNull =>
           relate(v, s, dt).forall { case (lo, hi) => !(lo == 0 && hi == 0) }
+        case _ => true
+      }
+      case StringStartsWith(c, p) if p.nonEmpty => colStats(c) match {
+        case Some((s, StringType)) if s.min.isEmpty => false // no non-null values
+        case Some((s, StringType)) =>
+          // Every string with prefix p satisfies p ≤ s < next(p) in binary
+          // order, so the file may match only if [min,max] intersects that
+          // band. next(p) bumps the last char — computed only for pure
+          // ASCII prefixes, where char order IS byte order; otherwise only
+          // the lower bound prunes (conservative).
+          val pU = UTF8String.fromString(p)
+          if (UTF8String.fromString(s.max).compareTo(pU) < 0) false
+          else if (p.forall(_ < 0x80) && p.exists(_ < 0x7f)) {
+            val trimmed = p.reverse.dropWhile(_ == 0x7f).reverse
+            val np = trimmed.dropRight(1) + (trimmed.last + 1).toChar
+            UTF8String.fromString(s.min).compareTo(UTF8String.fromString(np)) < 0
+          } else true
         case _ => true
       }
       case _ => true
@@ -1108,13 +1166,17 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
   // its column (ordered min/max are meaningless; the column simply stops
   // claiming stats — conservative, never wrong).
   private val statIdx = schema.fields.indices.filter(i => schema.fields(i).dataType match {
-    case LongType | IntegerType | DoubleType => true
+    case LongType | IntegerType | DoubleType | StringType => true
     case _ => false
   })
   private val minL = Array.fill(schema.length)(Long.MaxValue)
   private val maxL = Array.fill(schema.length)(Long.MinValue)
   private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
   private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
+  // String bounds in UTF8String BINARY order (clone: the row's buffer is
+  // reused between records).
+  private val minS = Array.fill[UTF8String](schema.length)(null)
+  private val maxS = Array.fill[UTF8String](schema.length)(null)
   private val hasNull = Array.fill(schema.length)(false)
   private val sawValue = Array.fill(schema.length)(false)
   private val poisoned = Array.fill(schema.length)(false)
@@ -1142,6 +1204,11 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
             if (v > maxD(i)) maxD(i) = v
             sawValue(i) = true
           }
+        case StringType =>
+          val v = record.getUTF8String(i)
+          if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v.clone()
+          if (maxS(i) == null || v.compareTo(maxS(i)) > 0) maxS(i) = v.clone()
+          sawValue(i) = true
         case _ =>
       }
     }
@@ -1149,15 +1216,25 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    val stats = statIdx.filterNot(poisoned).map { i =>
-      val (mn, mx) =
-        if (!sawValue(i)) ("", "")
-        else schema.fields(i).dataType match {
-          case DoubleType => (minD(i).toString, maxD(i).toString)
-          case IntegerType => (minL(i).toInt.toString, maxL(i).toInt.toString)
-          case _ => (minL(i).toString, maxL(i).toString)
-        }
-      i -> ManifestFileSink.ColStats(mn, mx, hasNull(i))
+    val stats = statIdx.filterNot(poisoned).flatMap { i =>
+      if (!sawValue(i))
+        Some(i -> ManifestFileSink.ColStats("", "", hasNull(i)))
+      else schema.fields(i).dataType match {
+        case DoubleType =>
+          Some(i -> ManifestFileSink.ColStats(minD(i).toString, maxD(i).toString, hasNull(i)))
+        case IntegerType =>
+          Some(i -> ManifestFileSink.ColStats(minL(i).toInt.toString, maxL(i).toInt.toString, hasNull(i)))
+        case StringType =>
+          // Record only compact, unambiguous bounds: ≤ 24 bytes each (text
+          // columns never prune and would bloat the manifest) and a
+          // non-empty min (empty string collides with the no-values
+          // sentinel). No claim is always safe.
+          if (minS(i).numBytes > 0 && minS(i).numBytes <= 24 && maxS(i).numBytes <= 24)
+            Some(i -> ManifestFileSink.ColStats(minS(i).toString, maxS(i).toString, hasNull(i)))
+          else None
+        case _ =>
+          Some(i -> ManifestFileSink.ColStats(minL(i).toString, maxL(i).toString, hasNull(i)))
+      }
     }.toMap
     CommittedFile(name, rows, ManifestFileSink.encodeStats(stats))
   }

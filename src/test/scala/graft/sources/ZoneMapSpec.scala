@@ -72,10 +72,57 @@ class ZoneMapSpec extends SparkTestBase {
     val orQ = t.filter(col("id") === 5L || col("id") === 705L)
     assert(plannedFiles(orQ) === 2)
     assert(orQ.count() === 2)
-    // Strings carry no stats: filter still answers correctly via full scan.
+    // Strings carry stats too now — but LEXICOGRAPHIC ranges, so numeric
+    // suffixes overlap across the id-ranged files: "name_123" falls inside
+    // file 0's [name_0, name_99] band as well as file 1's. The point is
+    // soundness (right answer) plus SOME pruning, not single-file.
     val sQ = t.filter(col("name") === "name_123")
-    assert(plannedFiles(sQ) === 8)
+    assert(plannedFiles(sQ) <= 2, "lexicographic bands admit at most 2 of 8 files")
     assert(sQ.count() === 1)
+  }
+
+  test("string zone maps: equality, range, prefix, and impossible probes") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "apple"), (2L, "banana"), (3L, "cherry")).toDF("id", "w").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    Seq((4L, "mango"), (5L, "melon"), (6L, "peach")).toDF("id", "w").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(plannedFiles(t.filter(col("w") === "banana")) === 1)
+    assert(t.filter(col("w") === "banana").count() === 1)
+    assert(plannedFiles(t.filter(col("w") === "zebra")) === 0)
+    assert(plannedFiles(t.filter(col("w") > "d")) === 1)
+    assert(t.filter(col("w") > "d").count() === 3)
+    assert(plannedFiles(t.filter(col("w").startsWith("mel"))) === 1)
+    assert(t.filter(col("w").startsWith("mel")).count() === 1)
+    assert(plannedFiles(t.filter(col("w").startsWith("zz"))) === 0)
+    assert(plannedFiles(t.filter(col("w").isin("apple", "peach"))) === 2)
+  }
+
+  test("string stats escape structural characters and skip long/empty bounds") {
+    import spark.implicits._
+    val dir = freshDir()
+    // Bounds containing every delimiter of the stats/line format.
+    Seq((1L, "a|b=c,d%e"), (2L, "k|x=y")).toDF("id", "w").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.count() === 2, "escaped stats must not corrupt the manifest line")
+    assert(plannedFiles(t.filter(col("w") === "a|b=c,d%e")) === 1)
+    assert(t.filter(col("w") === "a|b=c,d%e").count() === 1)
+    assert(plannedFiles(t.filter(col("w") === "zzz")) === 0)
+
+    // Long (>24B) bounds and empty-string minimums claim nothing.
+    val dir2 = freshDir()
+    Seq((1L, "x" * 40), (2L, "y" * 40)).toDF("id", "w").coalesce(1)
+      .write.format(fmt).option("path", dir2).mode("append").save()
+    Seq((3L, ""), (4L, "short")).toDF("id", "w").coalesce(1)
+      .write.format(fmt).option("path", dir2).mode("append").save()
+    val t2 = spark.read.format(fmt).option("path", dir2).load()
+    assert(plannedFiles(t2.filter(col("w") === "absent")) === 2,
+      "no-claim files must never be pruned")
+    assert(t2.filter(col("w") === "").count() === 1)
+    assert(t2.filter(col("w") === "short").count() === 1)
   }
 
   test("IS NULL prunes files without nulls; all-null columns defeat equality") {
