@@ -386,37 +386,26 @@ object ManifestFileSink {
     }
   }
 
-  /** DELETE FROM table WHERE filter — merge-on-read. Scans only the files
-    * the predicate can possibly touch (the same zone-map [[mayMatch]]
-    * pruning the read path uses: a file whose min/max refute the filter is
-    * never opened), streams each admitted file once, and publishes ONE
-    * manifest of deletion vectors for the newly matched positions.
-    * Already-deleted positions are skipped, so re-running the same delete
-    * is a no-op (returns 0, publishes nothing). Returns the number of rows
-    * newly deleted. Per-file work is independent — the distributed form is
-    * a task per file; the driver-side loop here matches the maintenance
-    * posture of [[compact]], and the published artifact is identical. */
-  def deleteWhere(
+  /** LIVE row positions matching `filter` per data file — the shared match
+    * scan under [[deleteWhere]], [[mergeUpsert]] and [[replaceWhere]]:
+    * zone-map-pruned (a file whose min/max refute the filter is never
+    * opened), evolution-reconciled (a missing column evaluates as SQL
+    * NULL), already-deleted positions skipped. Callers hold the commit
+    * lock. */
+  private def matchPositions(
       path: String,
-      filter: org.apache.spark.sql.sources.Filter): Long = commitLock(path).synchronized {
+      filter: org.apache.spark.sql.sources.Filter,
+      schema: StructType): Seq[(String, Seq[Long])] = {
     val snap = snapshot(path, None)
-    if (snap.isEmpty) return 0L
-    val schemaText = schemaLine(snap.last)
-    val schema = StructType.fromDDL(schemaText)
     val existing = deleteVectors(path, None)
-    var total = 0L
-    // Per-file schemas (evolution): predicates resolve against the READ
-    // schema; a column a file predates evaluates as NULL in its rows.
     val withDdl = snap.flatMap(m =>
       entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m)))).distinctBy(_._1)
-    val newDvs = withDdl.flatMap {
+    withDdl.flatMap {
       case (file, _, st, ddl) =>
         val fileSchema = asNullable(StructType.fromDDL(ddl))
         validateEvolution(schema, fileSchema, s"data file $file")
         val proj = evolutionProjection(schema, fileSchema)
         val evolved = fileSchema != schema
-        // Zone-map skip under the FILE's schema (stats indices are its
-        // column positions).
         if (st.exists(s => !mayMatch(filter, s, fileSchema))) None
         else {
           val already = existing.getOrElse(file, Array.empty[Long])
@@ -442,21 +431,51 @@ object ManifestFileSink {
               line = r.readLine()
             }
           } finally r.close()
-          if (hits.isEmpty) None
-          else { total += hits.length; Some(file -> hits) }
+          if (hits.isEmpty) None else Some(file -> hits.toSeq)
         }
     }
-    if (newDvs.isEmpty) return 0L
+  }
+
+  /** Publish one manifest carrying `dataLines` (already-rendered entry
+    * lines) and deletion vectors. Callers hold the commit lock. */
+  private def publishCommit(
+      path: String,
+      schemaText: String,
+      dataLines: Seq[String],
+      dvs: Seq[(String, Seq[Long])]): Unit = {
     val meta = ManifestMeta(nextSeq(path), Nil)
-    val lines = renderHeader(meta) +: schemaText +: newDvs.map { case (f, ps) =>
-      s"$DvMarker\t$f\t${ps.length}\t${ps.mkString(",")}"
-    }
+    val lines = renderHeader(meta) +: schemaText +:
+      (dataLines ++ dvs.map { case (f, ps) =>
+        s"$DvMarker\t$f\t${ps.length}\t${ps.mkString(",")}"
+      })
     val name = s"manifest-${java.util.UUID.randomUUID().toString}"
     val tmp = Paths.get(path, s".$name.tmp")
     Files.write(tmp, lines.asJava, StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, Paths.get(path, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    total
+  }
+
+  /** DELETE FROM table WHERE filter — merge-on-read. Scans only the files
+    * the predicate can possibly touch (the same zone-map [[mayMatch]]
+    * pruning the read path uses: a file whose min/max refute the filter is
+    * never opened), streams each admitted file once, and publishes ONE
+    * manifest of deletion vectors for the newly matched positions.
+    * Already-deleted positions are skipped, so re-running the same delete
+    * is a no-op (returns 0, publishes nothing). Returns the number of rows
+    * newly deleted. Per-file work is independent — the distributed form is
+    * a task per file; the driver-side loop here matches the maintenance
+    * posture of [[compact]], and the published artifact is identical. */
+  def deleteWhere(
+      path: String,
+      filter: org.apache.spark.sql.sources.Filter): Long = commitLock(path).synchronized {
+    val snap = snapshot(path, None)
+    if (snap.isEmpty) return 0L
+    val schemaText = schemaLine(snap.last)
+    val schema = asNullable(StructType.fromDDL(schemaText))
+    val newDvs = matchPositions(path, filter, schema)
+    if (newDvs.isEmpty) return 0L
+    publishCommit(path, schemaText, Nil, newDvs)
+    newDvs.map(_._2.size.toLong).sum
   }
 
   /** MERGE (upsert) by key, in ONE atomic commit: rows of `source` REPLACE
@@ -509,64 +528,144 @@ object ManifestFileSink {
         }
       }.collect()
     val inserted = messages.collect { case CommittedFile(_, n, _) => n }.sum
+    val dataLines = messages.collect {
+      case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
+    }.toSeq
     // Matched-key retraction + atomic publish, serialized with other commits.
     val keys = ordered.select(key).distinct().collect().map(_.get(0)).filter(_ != null)
     commitLock(path).synchronized {
       val snap = snapshot(path, None)
       val dvLines: Seq[(String, Seq[Long])] =
         if (snap.isEmpty || keys.isEmpty) Nil
-        else {
-          val filter = org.apache.spark.sql.sources.In(key, keys)
-          val existing = deleteVectors(path, None)
-          snap.flatMap(m =>
-            entriesWithStats(m).map(e => (e._1, e._3, schemaLine(m)))).distinctBy(_._1)
-            .flatMap { case (file, st, ddl) =>
-              val fileSchema = asNullable(StructType.fromDDL(ddl))
-              validateEvolution(schema, fileSchema, s"data file $file")
-              val proj = evolutionProjection(schema, fileSchema)
-              val evolved = fileSchema != schema
-              if (st.exists(s => !mayMatch(filter, s, fileSchema))) None
-              else {
-                val already = existing.getOrElse(file, Array.empty[Long])
-                val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
-                val r = Files.newBufferedReader(
-                  Paths.get(path, "data", file), StandardCharsets.UTF_8)
-                try {
-                  var idx = 0L; var ai = 0
-                  var line = r.readLine()
-                  while (line != null) {
-                    if (ai < already.length && already(ai) == idx) ai += 1
-                    else {
-                      val raw = parse(line, fileSchema)
-                      val row = if (!evolved) raw else InternalRow.fromSeq(
-                        schema.fields.indices.map { i =>
-                          val fi = proj(i)
-                          if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
-                        })
-                      if (evalFilter(filter, row, schema).contains(true)) hits += idx
-                    }
-                    idx += 1; line = r.readLine()
-                  }
-                } finally r.close()
-                if (hits.isEmpty) None else Some(file -> hits.toSeq)
-              }
-            }
-        }
-      val retracted = dvLines.map(_._2.size.toLong).sum
+        else matchPositions(path, org.apache.spark.sql.sources.In(key, keys), schema)
       val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
-      val meta = ManifestMeta(nextSeq(path), Nil)
-      val lines = renderHeader(meta) +: schemaText +:
-        (messages.collect {
-          case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
-        }.toSeq ++ dvLines.map { case (f, ps) =>
-          s"$DvMarker\t$f\t${ps.length}\t${ps.mkString(",")}"
-        })
+      publishCommit(path, schemaText, dataLines, dvLines)
+      (dvLines.map(_._2.size.toLong).sum, inserted)
+    }
+  }
+
+  /** INSERT OVERWRITE WHERE (Delta's `replaceWhere`) — the atomic backfill
+    * primitive: every live row matching `filter` is retracted and
+    * `source`'s rows inserted, in ONE commit. The canonical use is
+    * partition recompute ("replace March", "replace source=web"): the
+    * filter scopes the retraction, so concurrent snapshots never observe
+    * half a backfill, and time travel keeps the pre-backfill state. The
+    * caller owns the contract that `source` rows actually satisfy
+    * `filter` — this is not validated (Delta validates lazily too; rows
+    * outside the scope would simply coexist with the originals).
+    * Returns (rowsRetracted, rowsInserted). */
+  def replaceWhere(
+      path: String,
+      filter: org.apache.spark.sql.sources.Filter,
+      source: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val stored = storedSchema(path, None)
+    val schema = stored.getOrElse(asNullable(source.schema))
+    require(schema.fieldNames.sorted.sameElements(source.schema.fieldNames.sorted),
+      s"replaceWhere source columns ${source.schema.fieldNames.mkString(",")} must " +
+        s"match table columns ${schema.fieldNames.mkString(",")}")
+    val ordered = source.select(schema.fieldNames.map(source.col).toIndexedSeq: _*)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val messages: Array[WriterCommitMessage] =
+      ordered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+          val w = new ManifestDataWriter(path, schema, f"part-r$runId-$pid%05d-$attempt")
+          it.foreach(w.write)
+          Iterator(w.commit())
+        }
+      }.collect()
+    val inserted = messages.collect { case CommittedFile(_, n, _) => n }.sum
+    val dataLines = messages.collect {
+      case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
+    }.toSeq
+    commitLock(path).synchronized {
+      val snap = snapshot(path, None)
+      val dvLines =
+        if (snap.isEmpty) Nil else matchPositions(path, filter, schema)
+      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      publishCommit(path, schemaText, dataLines, dvLines)
+      (dvLines.map(_._2.size.toLong).sum, inserted)
+    }
+  }
+
+  /** OPTIMIZE: rewrite the table's LIVE rows as `numFiles` range-clustered
+    * files on `clusterBy` — the small-file + stale-zone-map repair job.
+    * Many small commits leave many small files whose per-file min/max
+    * bands overlap (skipping decays); the clustered rewrite restores both
+    * dimensions at once: fewer files, disjoint cluster-key ranges, FRESH
+    * zone maps accumulated by the writers (including any deletes folded
+    * in — vectors vanish). Distributed: `repartitionByRange` sorts and
+    * splits on executors; the driver publishes one superseding manifest
+    * through the same `folded` ledger as [[compact]]/[[applyDeletes]]
+    * (crash-safe: rewritten files never double-read their originals, old
+    * snapshots are retired — expire-snapshots). Returns the number of
+    * files the rewrite produced. */
+  def optimize(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      clusterBy: String,
+      numFiles: Int = 8): Int =
+    // Pin the snapshot the rewrite reads: the distributed job runs outside
+    // the commit lock, so the fold below must cover EXACTLY these commits.
+    latestManifest(path).fold(0)(pin =>
+      optimizePinned(spark, path, clusterBy, numFiles, pin))
+
+  private[sources] def optimizePinned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      clusterBy: String,
+      numFiles: Int,
+      pin: String): Int = {
+    val fmtName = classOf[ManifestFileSink].getName
+    val current = spark.read.format(fmtName).option("path", path)
+      .option("asOfManifest", pin).load()
+    val schema = asNullable(current.schema)
+    if (schema.isEmpty) return 0
+    val clustered = current.repartitionByRange(numFiles, current.col(clusterBy))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val messages: Array[WriterCommitMessage] =
+      clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+          val w = new ManifestDataWriter(path, schema, f"part-o$runId-$pid%05d-$attempt")
+          it.foreach(w.write)
+          Iterator(w.commit())
+        }
+      }.collect()
+    val dataLines = messages.collect {
+      case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
+    }.toSeq
+    commitLock(path).synchronized {
+      // The rewrite read the pinned snapshot; a commit that landed since
+      // would be silently swallowed by the fold (an append's rows dropped,
+      // a delete resurrected). Refuse and let the caller retry — the
+      // maintenance job owns quiescence, the same contract as compacting
+      // around live streams. The rewrite's task files stay orphaned and
+      // invisible (readers resolve through manifests).
+      if (latestManifest(path).exists(_ != pin))
+        throw new IllegalStateException(
+          s"table $path advanced past snapshot $pin during optimize: " +
+            "rewrite discarded; quiesce writers (or retry) and run again")
+      val ms = orderedManifests(path)
+      val oldFiles = ms.flatMap(entriesOf).map(_._1).toSet
+      val metas = ms.map(readMeta)
+      val folded = ms.map(_.getName).zip(metas)
+        .flatMap { case (n, m) => n +: m.folded }.distinct
+      val fseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMinSeq)).min
+      val lseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMaxSeq)).max
+      val meta = ManifestMeta(nextSeq(path), folded,
+        foldedMinSeq = Some(fseq), foldedMaxSeq = Some(lseq))
       val name = s"manifest-${java.util.UUID.randomUUID().toString}"
       val tmp = Paths.get(path, s".$name.tmp")
-      Files.write(tmp, lines.asJava, StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
+      Files.write(tmp, (renderHeader(meta) +: schema.toDDL +: dataLines).asJava,
+        StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
       Files.move(tmp, Paths.get(path, name),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      (retracted, inserted)
+      ms.foreach(m => Files.deleteIfExists(m.toPath))
+      oldFiles.foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+      messages.length
     }
   }
 
