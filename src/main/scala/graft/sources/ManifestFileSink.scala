@@ -669,6 +669,27 @@ object ManifestFileSink {
     }
   }
 
+  /** VACUUM: delete data files no manifest references — the leftovers of
+    * aborted jobs, refused optimizes, and crash windows (all INVISIBLE to
+    * readers, which resolve through manifests only; this reclaims their
+    * bytes). The reference set is every entry of every manifest ON DISK —
+    * including superseded ones (a crashed compact's inputs still name
+    * live files). `olderThanMs` is the retention fence: a file younger
+    * than it is spared because it may belong to a RUNNING job whose
+    * commit message hasn't published yet — the same reason Delta's vacuum
+    * defaults to 7 days. Returns the number of files deleted. */
+  def vacuum(path: String, olderThanMs: Long = 7L * 24 * 3600 * 1000): Int =
+    commitLock(path).synchronized {
+      val dataDir = new File(path, "data")
+      if (!dataDir.isDirectory) return 0
+      val referenced = manifests(path).flatMap(entriesOf).map(_._1).toSet
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val orphans = dataDir.listFiles().filter(f =>
+        f.isFile && !referenced.contains(f.getName) && f.lastModified() < cutoff)
+      orphans.foreach(f => Files.deleteIfExists(f.toPath))
+      orphans.length
+    }
+
   /** Copy-on-write purge: fold every visible deletion vector into its data
     * file — each touched file is streamed once into a `purge-*`
     * replacement with the dead rows dropped, a fully-deleted file is
@@ -1404,9 +1425,33 @@ private class ManifestScan(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     ignoreDeletes: Boolean = false,
     weighted: Boolean = false)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Planner statistics from metadata already in hand: live row counts
+    * (manifest entries minus deletion vectors) and on-disk bytes of the
+    * visible files. This is what lets Catalyst/AQE make an informed
+    * broadcast-vs-shuffle decision when a manifest table sits on the
+    * build side of a join — without it a DSv2 source reports unknown
+    * size and the join conservatively shuffles. O(#entries) driver work,
+    * no data IO. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val dvs = ManifestFileSink.deleteVectors(path, asOf)
+    var rows = 0L
+    var bytes = 0L
+    ManifestFileSink.visibleFiles(path, asOf).foreach { case (f, n) =>
+      rows += math.max(0L, n - dvs.getOrElse(f, Array.empty[Long]).length)
+      val file = Paths.get(path, "data", f)
+      if (Files.exists(file)) bytes += Files.size(file)
+    }
+    val (r, b) = (rows, bytes)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)
+    }
+  }
   override def description(): String =
     s"ManifestScan($path${asOf.fold("")(m => s", asOf=$m")}" +
       s"${since.fold("")(m => s", since=$m")}" +

@@ -106,4 +106,36 @@ class ReplaceOptimizeSpec extends SparkTestBase {
     assert(ManifestFileSink.optimize(spark, dir, "id", numFiles = 2) >= 1)
     assert(state(dir) === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
   }
+
+  test("vacuum reclaims unreferenced files; retention spares young ones; commits survive") {
+    val dir = freshDir()
+    append(dir, Seq((1L, "a", 1.0)))
+    // Orphans: an aborted attempt's file and a refused optimize's output.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data", "part-orphan-1"), "9\tz\t9.9\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data", "part-o-orphan-2"), "8\ty\t8.8\n")
+    // Retention fence: everything is younger than 7 days — nothing deleted.
+    assert(ManifestFileSink.vacuum(dir) === 0)
+    // With the fence dropped, exactly the orphans go; committed data stays.
+    assert(ManifestFileSink.vacuum(dir, olderThanMs = 0L) === 2)
+    assert(state(dir) === Seq((1L, "a", 1.0)))
+    assert(new java.io.File(s"$dir/data").listFiles().length === 1)
+    // Idempotent.
+    assert(ManifestFileSink.vacuum(dir, olderThanMs = 0L) === 0)
+  }
+
+  test("scan reports statistics from metadata: live rows and bytes") {
+    val dir = freshDir()
+    append(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    ManifestFileSink.deleteWhere(dir, EqualTo("id", 2L))
+    val df = spark.read.format(fmt).option("path", dir).load()
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val stats = scan.computeStats()
+    assert(stats.rowCount.contains(BigInt(2)),
+      s"expected 2 live rows (3 written, 1 deleted), got ${stats.rowCount}")
+    assert(stats.sizeInBytes > 0, "size must come from the visible files")
+  }
 }
