@@ -369,6 +369,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"aggregation lost its map-side combine:\n$p")
   }
 
+  test("text_lm_score / q_attribution: equi-joins only, partial aggs, no cartesian") {
+    for (q <- Seq("text_lm_score", "q_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a non-equi join:\n$p")
+      assert(p.contains("partial_"), s"$q lost its map-side combine:\n$p")
+    }
+    // The attribution pair join must key on user_id (the band is residual,
+    // never the join condition driving a nested loop).
+    val pa = plan("q_attribution")
+    assert(pa.contains("user_id"), s"attribution join lost its user key:\n$pa")
+  }
+
   test("q_anomaly_zscore: both frames and the daily agg share the user shuffle") {
     val p = plan("q_anomaly_zscore")
     // groupBy(user,d) shuffles on (user,d); the window re-shuffles on user
