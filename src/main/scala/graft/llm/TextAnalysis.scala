@@ -670,11 +670,15 @@ object TextAnalysis {
     val wl = Tables(s, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("wl"))
       .filter(size(col("wl")) >= 2)
+    // Persisted: the bigram stream feeds the MODEL build and the SCORING
+    // join — without the persist the extraction subtree runs twice (the
+    // shared-kernel discipline of Dedup's shingle set).
     val bg = wl.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("wl")) - 2),
           i => struct(element_at(col("wl"), i + 1).as("w1"),
                       element_at(col("wl"), i + 2).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val scored = bg
