@@ -881,6 +881,10 @@ object Analytic {
       .withColumn("w",
         round(lit(1.0) / (lit(1.0) +
           (col("conv_us") - col("touch_us")).cast("double") / lit(86400e6)), 9))
+      // Persisted kernel: the pair relation feeds the per-conversion
+      // aggregate AND the last-touch probe join — one user-join, two
+      // consumers.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = pairs.groupBy(col("conv_id"))
       .agg(count(lit(1)).as("n_touches"),
         max(col("touch_us")).as("mt"),

@@ -532,6 +532,9 @@ object Extended {
       .groupBy(col("ck"))
       .agg(max(when(col("y") === 1996, 1).otherwise(0)).as("ina"),
            max(when(col("y") === 1997, 1).otherwise(0)).as("inb"))
+      // Persisted kernel: the flag relation feeds the EXACT aggregate and
+      // the sketch build — one shuffle, two consumers.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = f.agg(
       count(lit(1)).as("exact_union"),
       sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("exact_inter"))
