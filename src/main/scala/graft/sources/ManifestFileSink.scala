@@ -336,8 +336,8 @@ object ManifestFileSink {
     // space; None when the column is NULL (or either side is NaN).
     def cmp(c: String, v: Any): Option[Int] = value(c) match {
       case null => None
-      case x: Long => Some(java.lang.Long.compare(x, v.asInstanceOf[Number].longValue()))
-      case x: Int => Some(java.lang.Long.compare(x.toLong, v.asInstanceOf[Number].longValue()))
+      case x: Long => compareLongLiteral(x, v)
+      case x: Int => compareLongLiteral(x.toLong, v)
       case x: Double =>
         val d = v.asInstanceOf[Number].doubleValue()
         if (x.isNaN || d.isNaN) None else Some(java.lang.Double.compare(x, d))
@@ -386,54 +386,122 @@ object ManifestFileSink {
     }
   }
 
+  /** Compare a long/int column value to a filter literal EXACTLY. A
+    * fractional double literal never truncates: `n < 2.5` sees 2.5 sit
+    * strictly between 2 and 3 (decimal-space compare), where a
+    * `longValue()` cast would silently turn it into `n < 2` and mis-scope
+    * a DELETE. NaN compares as NULL; a non-numeric literal throws (a
+    * delete must never silently mis-scope). */
+  private[sources] def compareLongLiteral(x: Long, v: Any): Option[Int] = v match {
+    case d: java.lang.Double =>
+      if (d.isNaN) None
+      else Some(java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(d.doubleValue())))
+    case f: java.lang.Float =>
+      if (f.isNaN) None
+      else Some(java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(f.doubleValue())))
+    case b: java.math.BigDecimal => Some(java.math.BigDecimal.valueOf(x).compareTo(b))
+    case b: scala.math.BigDecimal => Some(scala.math.BigDecimal(x).compare(b))
+    case n: Number => Some(java.lang.Long.compare(x, n.longValue()))
+    case other => throw new IllegalArgumentException(s"uncomparable literal $other")
+  }
+
+  /** Data files opened by the mutation MATCH path while no task is
+    * running — i.e. on the driver. The match scan is a Spark job (a task
+    * per candidate file), so this stays 0: only candidate METADATA
+    * (manifest entries, zone maps, deletion vectors) is handled
+    * driver-side, and only the matched position summaries come back.
+    * Test-visible so specs can assert the contract. */
+  private[sources] val driverMatchFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The session that runs mutation match jobs. Mutations are table
+    * operations; a live session is a precondition (the same one that
+    * wrote the table). */
+  private def activeSession: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "mutation match scan requires a SparkSession (deleteWhere/mergeUpsert/" +
+          "replaceWhere run the match as a Spark job)"))
+
+  private def matchSlices(n: Int): Int =
+    math.max(1, math.min(n, activeSession.sparkContext.defaultParallelism))
+
+  /** Candidate files for a mutation match scan — METADATA ONLY (no data
+    * file is opened): the live snapshot's entries, zone-map-pruned by
+    * `prune` (a file whose min/max refute it is never scanned),
+    * evolution-validated, each paired with the DDL it was written under
+    * and its already-deleted positions. Callers hold the commit lock. */
+  private def matchCandidates(
+      path: String,
+      prune: Option[org.apache.spark.sql.sources.Filter],
+      schema: StructType): Seq[MatchCandidate] = {
+    val snap = snapshot(path, None)
+    val existing = deleteVectors(path, None)
+    snap.flatMap(m =>
+        entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m)))).distinctBy(_._1)
+      .flatMap { case (file, _, st, ddl) =>
+        val fileSchema = asNullable(StructType.fromDDL(ddl))
+        validateEvolution(schema, fileSchema, s"data file $file")
+        if (prune.exists(f => st.exists(s => !mayMatch(f, s, fileSchema)))) None
+        else Some(MatchCandidate(file, ddl, existing.getOrElse(file, Array.empty[Long])))
+      }
+  }
+
   /** LIVE row positions matching `filter` per data file — the shared match
-    * scan under [[deleteWhere]], [[mergeUpsert]] and [[replaceWhere]]:
-    * zone-map-pruned (a file whose min/max refute the filter is never
-    * opened), evolution-reconciled (a missing column evaluates as SQL
-    * NULL), already-deleted positions skipped. Callers hold the commit
-    * lock. */
+    * scan under [[deleteWhere]] and [[replaceWhere]], and the Delta/Iceberg
+    * shape: the DRIVER handles metadata only (zone-map pruning of the
+    * candidate list), a SPARK JOB scans the admitted files (one task per
+    * file, predicate evaluated executor-side, evolution-reconciled, dead
+    * positions skipped), and only the per-file matched position summaries
+    * return — O(matched) driver traffic instead of O(table bytes), so a
+    * DELETE over a hot key range at 100 TB engages the whole cluster
+    * rather than one driver thread. Callers hold the commit lock. */
   private def matchPositions(
       path: String,
       filter: org.apache.spark.sql.sources.Filter,
       schema: StructType): Seq[(String, Seq[Long])] = {
-    val snap = snapshot(path, None)
-    val existing = deleteVectors(path, None)
-    val withDdl = snap.flatMap(m =>
-      entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m)))).distinctBy(_._1)
-    withDdl.flatMap {
-      case (file, _, st, ddl) =>
-        val fileSchema = asNullable(StructType.fromDDL(ddl))
-        validateEvolution(schema, fileSchema, s"data file $file")
-        val proj = evolutionProjection(schema, fileSchema)
-        val evolved = fileSchema != schema
-        if (st.exists(s => !mayMatch(filter, s, fileSchema))) None
-        else {
-          val already = existing.getOrElse(file, Array.empty[Long])
-          val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val r = Files.newBufferedReader(
-            Paths.get(path, "data", file), StandardCharsets.UTF_8)
-          try {
-            var idx = 0L
-            var ai = 0
-            var line = r.readLine()
-            while (line != null) {
-              if (ai < already.length && already(ai) == idx) ai += 1 // dead row
-              else {
-                val raw = parse(line, fileSchema)
-                val row = if (!evolved) raw else InternalRow.fromSeq(
-                  schema.fields.indices.map { i =>
-                    val fi = proj(i)
-                    if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
-                  })
-                if (evalFilter(filter, row, schema).contains(true)) hits += idx
-              }
-              idx += 1
-              line = r.readLine()
-            }
-          } finally r.close()
-          if (hits.isEmpty) None else Some(file -> hits.toSeq)
-        }
-    }
+    val cands = matchCandidates(path, Some(filter), schema)
+    if (cands.isEmpty) return Nil
+    val abs = new File(path).getAbsolutePath
+    activeSession.sparkContext.parallelize(cands, matchSlices(cands.size))
+      .flatMap(c => MatchScan.filterPositions(abs, c, schema, filter))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** LIVE row positions whose `key` appears in the just-written (still
+    * invisible) task files — [[mergeUpsert]]'s matched-key retraction as a
+    * distributed SEMI-JOIN: one job reads the new files' keys, another
+    * scans the zone-map-pruned candidates emitting (key, (file, pos)),
+    * the join + per-file fold happen executor-side, and only the per-file
+    * position summaries collect. No source key ever rides the driver, so
+    * a 10⁷-key merge batch costs the driver nothing but the summaries.
+    * Deriving keys from the COMMITTED task files (not by re-running the
+    * source plan) also makes the retraction set exact for
+    * non-deterministic sources — the keys retracted are exactly the keys
+    * of the rows that were written. Candidate pruning uses the source
+    * key's min/max accumulated by the writers' own zone-map stats. */
+  private def matchPositionsByKey(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newFiles: Seq[String],
+      key: String,
+      schema: StructType,
+      prune: Option[org.apache.spark.sql.sources.Filter]): Seq[(String, Seq[Long])] = {
+    val cands = matchCandidates(path, prune, schema)
+    if (cands.isEmpty) return Nil
+    val sc = spark.sparkContext
+    val abs = new File(path).getAbsolutePath
+    val srcKeys = sc.parallelize(newFiles, matchSlices(newFiles.size))
+      .flatMap(f => MatchScan.fileKeys(abs, f, schema, key))
+      .distinct()
+      .map(k => (k, ()))
+    sc.parallelize(cands, matchSlices(cands.size))
+      .flatMap(c => MatchScan.liveKeyPositions(abs, c, schema, key))
+      .join(srcKeys)
+      .map { case (_, ((file, pos), _)) => (file, pos) }
+      .groupByKey()
+      .map { case (f, ps) => (f, ps.toSeq.sorted: Seq[Long]) }
+      .collect().toSeq.sortBy(_._1)
   }
 
   /** Publish one manifest carrying `dataLines` (already-rendered entry
@@ -462,9 +530,10 @@ object ManifestFileSink {
     * manifest of deletion vectors for the newly matched positions.
     * Already-deleted positions are skipped, so re-running the same delete
     * is a no-op (returns 0, publishes nothing). Returns the number of rows
-    * newly deleted. Per-file work is independent — the distributed form is
-    * a task per file; the driver-side loop here matches the maintenance
-    * posture of [[compact]], and the published artifact is identical. */
+    * newly deleted. The match scan is a SPARK JOB — one task per admitted
+    * file, predicate evaluated executor-side, only position summaries
+    * collected ([[matchPositions]]) — so the candidate byte volume never
+    * funnels through the driver. */
   def deleteWhere(
       path: String,
       filter: org.apache.spark.sql.sources.Filter): Long = commitLock(path).synchronized {
@@ -487,16 +556,23 @@ object ManifestFileSink {
     *
     * Mechanics: source rows are written DISTRIBUTED (one task file per
     * partition, the sink's normal write mechanics, zone-map stats
-    * included) while still invisible; the key set — a broadcast-sized CDC
-    * batch, the same contract as RollupMaintenance — collects to the
-    * driver, matches existing rows through the deleteWhere scan (zone-map
-    * pruned, already-deleted positions skipped), and one manifest commits
-    * both halves under the commit lock. A crash before publish leaves only
-    * invisible task files (readers resolve through manifests). Duplicate
-    * keys WITHIN the source append as-is — dedup belongs to the caller;
-    * replay idempotency belongs to the epoch-named streaming path.
-    * Downstream, the weighted change feed emits the merge exactly as its
-    * z-set: −1 old images, +1 new rows, one commit window. */
+    * included) while still invisible; the matched-row retraction is a
+    * distributed SEMI-JOIN ([[matchPositionsByKey]]) between the keys read
+    * back from those committed task files and the zone-map-pruned live
+    * candidates — the source plan is never re-executed (a
+    * non-deterministic source retracts exactly the keys it wrote) and no
+    * key set rides the driver; candidate pruning uses the key min/max the
+    * writers' own stats accumulated. One manifest commits both halves
+    * under the commit lock, which also re-checks the snapshot DDL: files
+    * were written under the schema read BEFORE the lock, so a concurrent
+    * schema-evolving commit in the window makes the merge REFUSE (the
+    * task files stay invisible; re-run) instead of publishing old-layout
+    * files under new DDL. A crash before publish leaves only invisible
+    * task files (readers resolve through manifests). Duplicate keys
+    * WITHIN the source append as-is — dedup belongs to the caller; replay
+    * idempotency belongs to the epoch-named streaming path. Downstream,
+    * the weighted change feed emits the merge exactly as its z-set: −1
+    * old images, +1 new rows, one commit window. */
   def mergeUpsert(
       path: String,
       source: org.apache.spark.sql.DataFrame,
@@ -531,17 +607,73 @@ object ManifestFileSink {
     val dataLines = messages.collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
+    val newFiles = messages.collect { case CommittedFile(f, n, _) if n > 0 => f }.toSeq
+    val prune = keyRangePrune(messages, key, schema)
     // Matched-key retraction + atomic publish, serialized with other commits.
-    val keys = ordered.select(key).distinct().collect().map(_.get(0)).filter(_ != null)
     commitLock(path).synchronized {
       val snap = snapshot(path, None)
-      val dvLines: Seq[(String, Seq[Long])] =
-        if (snap.isEmpty || keys.isEmpty) Nil
-        else matchPositions(path, org.apache.spark.sql.sources.In(key, keys), schema)
       val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      ensureSchemaUnchanged(path, "merge", schema, schemaText, snap.nonEmpty)
+      val dvLines: Seq[(String, Seq[Long])] =
+        if (snap.isEmpty || newFiles.isEmpty) Nil
+        else matchPositionsByKey(source.sparkSession, path, newFiles, key, schema, prune)
       publishCommit(path, schemaText, dataLines, dvLines)
       (dvLines.map(_._2.size.toLong).sum, inserted)
     }
+  }
+
+  /** The schema fence under [[mergeUpsert]]/[[replaceWhere]]: data files
+    * were written (outside the lock) under `written`; publishing them
+    * under a DIFFERENT snapshot DDL would register old-layout files that
+    * readers then misalign. Refuse and let the caller re-run — the task
+    * files stay invisible, exactly like [[optimizePinned]]'s
+    * advanced-past-pin refusal. */
+  private def ensureSchemaUnchanged(
+      path: String, op: String, written: StructType,
+      schemaText: String, tableExists: Boolean): Unit =
+    if (tableExists && asNullable(StructType.fromDDL(schemaText)) != asNullable(written))
+      throw new IllegalStateException(
+        s"table $path schema evolved during $op: files were written under " +
+          s"[${written.toDDL}] but the latest snapshot is [$schemaText]; " +
+          s"$op discarded (task files stay invisible) — re-run against the new schema")
+
+  /** Zone-map prune filter for the merge retraction scan: the source key's
+    * global [min, max] folded from the commit messages' own writer stats —
+    * a candidate file whose key range misses the band is never scanned.
+    * None (no pruning) when any non-empty task file lacks key stats
+    * (poisoned NaN column, long string bounds, pre-stats file). */
+  private def keyRangePrune(
+      messages: Array[WriterCommitMessage], key: String,
+      schema: StructType): Option[org.apache.spark.sql.sources.Filter] = {
+    val idx = schema.fieldIndex(key)
+    val dt = schema.fields(idx).dataType
+    val perFile = messages.collect { case CommittedFile(_, n, st) if n > 0 =>
+      if (st.isEmpty) return None
+      decodeStats(st).get(idx) match {
+        case Some(s) if s.min.nonEmpty => (s.min, s.max)
+        case Some(s) if s.hasNull => null // all-null keys: no live match possible
+        case _ => return None
+      }
+    }.filter(_ != null)
+    if (perFile.isEmpty) return None
+    def parseV(s: String): Option[Any] = dt match {
+      case LongType    => Some(s.toLong)
+      case IntegerType => Some(s.toInt)
+      case DoubleType  => Some(s.toDouble)
+      case StringType  => Some(s)
+      case _           => None
+    }
+    def lt(a: String, b: String): Boolean = dt match {
+      case LongType | IntegerType => a.toLong < b.toLong
+      case DoubleType             => a.toDouble < b.toDouble
+      case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    }
+    val lo = perFile.map(_._1).reduce((a, b) => if (lt(a, b)) a else b)
+    val hi = perFile.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)
+    for { l <- parseV(lo); h <- parseV(hi) } yield
+      org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual(key, l),
+        org.apache.spark.sql.sources.LessThanOrEqual(key, h))
   }
 
   /** INSERT OVERWRITE WHERE (Delta's `replaceWhere`) — the atomic backfill
@@ -581,9 +713,10 @@ object ManifestFileSink {
     }.toSeq
     commitLock(path).synchronized {
       val snap = snapshot(path, None)
+      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      ensureSchemaUnchanged(path, "replaceWhere", schema, schemaText, snap.nonEmpty)
       val dvLines =
         if (snap.isEmpty) Nil else matchPositions(path, filter, schema)
-      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
       publishCommit(path, schemaText, dataLines, dvLines)
       (dvLines.map(_._2.size.toLong).sum, inserted)
     }
@@ -649,7 +782,6 @@ object ManifestFileSink {
           s"table $path advanced past snapshot $pin during optimize: " +
             "rewrite discarded; quiesce writers (or retry) and run again")
       val ms = orderedManifests(path)
-      val oldFiles = ms.flatMap(entriesOf).map(_._1).toSet
       val metas = ms.map(readMeta)
       val folded = ms.map(_.getName).zip(metas)
         .flatMap { case (n, m) => n +: m.folded }.distinct
@@ -664,7 +796,10 @@ object ManifestFileSink {
       Files.move(tmp, Paths.get(path, name),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ms.foreach(m => Files.deleteIfExists(m.toPath))
-      oldFiles.foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+      // Superseded data files stay on disk for [[vacuum]] to reclaim
+      // after retention: an in-flight scan planned against the prior
+      // snapshot holds their names and must finish reading them — the
+      // Delta/Iceberg reason physical deletion is deferred.
       messages.length
     }
   }
@@ -767,7 +902,8 @@ object ManifestFileSink {
     Files.move(tmp, Paths.get(path, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ms.foreach(m => Files.deleteIfExists(m.toPath))
-    replaced.foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+    // Replaced originals stay for [[vacuum]] (in-flight scans may still
+    // hold their names); they are unreferenced by any manifest now.
     replaced.size
   }
 
@@ -848,8 +984,14 @@ object ManifestFileSink {
       if (s.min.isEmpty) None
       else try dt match {
         case LongType | IntegerType =>
-          val x = v match { case n: Number => n.longValue(); case _ => return None }
-          Some((java.lang.Long.compare(x, s.min.toLong), java.lang.Long.compare(x, s.max.toLong)))
+          // Exact decimal-space compare against the bounds — must agree
+          // with evalFilter's compareLongLiteral, or a fractional literal
+          // (`n < 2.5` over a file spanning [2,7]) would wrongly prune.
+          if (!v.isInstanceOf[Number]) return None
+          for {
+            lo <- compareLongLiteral(s.min.toLong, v).map(-_)
+            hi <- compareLongLiteral(s.max.toLong, v).map(-_)
+          } yield (lo, hi)
         case DoubleType =>
           val x = v match { case n: Number => n.doubleValue(); case _ => return None }
           if (x.isNaN) return None
@@ -1154,7 +1296,8 @@ object ManifestFileSink {
     Files.move(tmp, Paths.get(path, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ms.foreach(m => Files.deleteIfExists(m.toPath))
-    renames.keys.foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+    // Migrated originals stay for [[vacuum]] — deferred physical deletion
+    // keeps in-flight scans of the prior snapshot readable to completion.
     rewritten
   }
 
@@ -1241,6 +1384,112 @@ private class ManifestTable(path: String, schema: StructType)
 
 private case class CommittedFile(
     file: String, rows: Long, stats: String = "") extends WriterCommitMessage
+
+/** One mutation match-scan candidate: everything an executor task needs to
+  * scan one data file — its name, the DDL it was written under (evolution
+  * reconciliation happens in the task), and its already-deleted positions. */
+private[sources] final case class MatchCandidate(
+    file: String, ddl: String, deleted: Array[Long])
+
+/** EXECUTOR-side kernels of the mutation match scan — a stateless,
+  * serializable-by-construction holder so the RDD closures in
+  * [[ManifestFileSink.deleteWhere]]/[[ManifestFileSink.mergeUpsert]]/
+  * [[ManifestFileSink.replaceWhere]] capture nothing but plain values
+  * (path string, schema, filter). Each function opens exactly one data
+  * file inside a running task; an invocation with no TaskContext is a
+  * driver-side read and trips [[ManifestFileSink.driverMatchFileReads]]. */
+private[sources] object MatchScan extends Serializable {
+
+  /** Stream one candidate file's LIVE rows (already-deleted positions
+    * skipped), evolution-reconciled to `schema`. */
+  private def foreachLiveRow(
+      tablePath: String, c: MatchCandidate, schema: StructType)(
+      f: (Long, InternalRow) => Unit): Unit = {
+    if (org.apache.spark.TaskContext.get() == null)
+      ManifestFileSink.driverMatchFileReads.incrementAndGet()
+    val fileSchema = ManifestFileSink.asNullable(StructType.fromDDL(c.ddl))
+    val proj = ManifestFileSink.evolutionProjection(schema, fileSchema)
+    val evolved = fileSchema != schema
+    val r = Files.newBufferedReader(
+      Paths.get(tablePath, "data", c.file), StandardCharsets.UTF_8)
+    try {
+      var idx = 0L
+      var ai = 0
+      var line = r.readLine()
+      while (line != null) {
+        if (ai < c.deleted.length && c.deleted(ai) == idx) ai += 1 // dead row
+        else {
+          val raw = ManifestFileSink.parse(line, fileSchema)
+          val row = if (!evolved) raw else InternalRow.fromSeq(
+            schema.fields.indices.map { i =>
+              val fi = proj(i)
+              if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
+            })
+          f(idx, row)
+        }
+        idx += 1
+        line = r.readLine()
+      }
+    } finally r.close()
+  }
+
+  /** Positions of live rows satisfying `filter` (exact 3VL — only
+    * definitively-TRUE deletes), as one (file, positions) summary. */
+  def filterPositions(
+      tablePath: String, c: MatchCandidate, schema: StructType,
+      filter: org.apache.spark.sql.sources.Filter): Option[(String, Seq[Long])] = {
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    foreachLiveRow(tablePath, c, schema) { (idx, row) =>
+      if (ManifestFileSink.evalFilter(filter, row, schema).contains(true)) hits += idx
+    }
+    if (hits.isEmpty) None else Some(c.file -> (hits.toSeq: Seq[Long]))
+  }
+
+  /** A row's merge-key value as a plain JVM value with stable
+    * equals/hashCode across both sides of the semi-join. NULL keys match
+    * nothing (SQL equality), and a NaN key matches nothing either —
+    * the same behaviour the 3VL `In` comparison gives. */
+  private def keyValue(row: InternalRow, idx: Int, dt: DataType): Any =
+    if (row.isNullAt(idx)) null
+    else dt match {
+      case LongType    => row.getLong(idx)
+      case IntegerType => row.getInt(idx)
+      case DoubleType  => val d = row.getDouble(idx); if (d.isNaN) null else d
+      case BooleanType => row.getBoolean(idx)
+      case StringType  => row.getUTF8String(idx).toString
+      case other => throw new IllegalArgumentException(s"unsupported merge key type $other")
+    }
+
+  /** Distinct-able key stream of one JUST-WRITTEN task file (written under
+    * exactly `schema` — no evolution). */
+  def fileKeys(
+      tablePath: String, file: String, schema: StructType, key: String): Seq[Any] = {
+    val idx = schema.fieldIndex(key)
+    val dt = schema.fields(idx).dataType
+    val c = MatchCandidate(file, schema.toDDL, Array.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    foreachLiveRow(tablePath, c, schema) { (_, row) =>
+      val k = keyValue(row, idx, dt)
+      if (k != null) out += k
+    }
+    out.toSeq
+  }
+
+  /** (key, (file, pos)) stream of one candidate's live rows — the probe
+    * side of the merge retraction semi-join. */
+  def liveKeyPositions(
+      tablePath: String, c: MatchCandidate, schema: StructType,
+      key: String): Seq[(Any, (String, Long))] = {
+    val idx = schema.fieldIndex(key)
+    val dt = schema.fields(idx).dataType
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, (String, Long))]
+    foreachLiveRow(tablePath, c, schema) { (pos, row) =>
+      val k = keyValue(row, idx, dt)
+      if (k != null) out += ((k, (c.file, pos)))
+    }
+    out.toSeq
+  }
+}
 
 private class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, In, IsNull, Not}
+import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, In, IsNull, LessThan, Not}
 import graft.SparkTestBase
 
 /** Row-level deletes on the manifest table: merge-on-read deletion
@@ -44,6 +44,36 @@ class DeleteVectorSpec extends SparkTestBase {
     // Re-running the same delete is a no-op: no rows, no manifest.
     assert(ManifestFileSink.deleteWhere(dir, In("id", Array(2L, 4L))) === 0)
     assert(ManifestFileSink.manifests(dir).size === 3)
+  }
+
+  test("the match scan is a Spark job: the driver opens no data file") {
+    val dir = freshDir()
+    append(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val before = ManifestFileSink.driverMatchFileReads.get()
+    assert(ManifestFileSink.deleteWhere(dir, GreaterThan("id", 1L)) === 2)
+    assert(ManifestFileSink.driverMatchFileReads.get() === before,
+      "deleteWhere's match must run executor-side (zero driver data-file reads)")
+    // The counter is live, not vacuously zero: the same kernel invoked
+    // OUTSIDE a task (no TaskContext) trips it.
+    val file = new java.io.File(s"$dir/data").listFiles().head.getName
+    val schema = ManifestFileSink.asNullable(
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT,name STRING,score DOUBLE"))
+    MatchScan.fileKeys(dir, file, schema, "id")
+    assert(ManifestFileSink.driverMatchFileReads.get() === before + 1,
+      "a task-less invocation of the scan kernel must count as a driver read")
+  }
+
+  test("a fractional double literal against a long column compares exactly (no truncation)") {
+    val dir = freshDir()
+    append(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // longValue() truncation would turn id < 2.5 into id < 2 and spare id=2.
+    assert(ManifestFileSink.deleteWhere(dir, LessThan("id", 2.5)) === 2,
+      "ids 1 AND 2 are below 2.5")
+    assert(ids(dir) === Seq(3L))
+    // Zone-map side must agree: a file spanning [3,3] is prunable for
+    // id < 2.5 but NOT for id < 3.5 — the exact compare, both directions.
+    assert(ManifestFileSink.deleteWhere(dir, LessThan("id", 3.5)) === 1)
+    assert(ids(dir) === Seq())
   }
 
   test("time travel: a pre-delete snapshot still sees the deleted rows") {
@@ -105,6 +135,9 @@ class DeleteVectorSpec extends SparkTestBase {
     assert(ids(dir) === Seq(1L, 3L), "read unchanged by the purge")
     assert(ManifestFileSink.deleteVectors(dir).isEmpty, "vectors folded away")
     assert(ManifestFileSink.manifests(dir).size === 1, "one combined manifest")
+    // Originals stay for vacuum (deferred physical deletion protects
+    // in-flight scans of the prior snapshot); unreferenced now.
+    assert(ManifestFileSink.vacuum(dir, olderThanMs = 0L) === 2)
     val files = new java.io.File(s"$dir/data").listFiles().map(_.getName)
     assert(files.forall(_.startsWith("purge-")) && files.length === 1,
       s"file 2 was fully deleted, file 1 rewritten; got ${files.mkString(",")}")

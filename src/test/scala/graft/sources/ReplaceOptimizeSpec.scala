@@ -71,9 +71,16 @@ class ReplaceOptimizeSpec extends SparkTestBase {
     assert(state(dir) === before, "optimize must not change visible rows")
     assert(ManifestFileSink.manifests(dir).size === 1, "one superseding manifest")
     assert(ManifestFileSink.deleteVectors(dir).isEmpty, "vectors folded away")
+    // Physical deletion is DEFERRED: superseded originals stay on disk so
+    // an in-flight scan planned against the prior snapshot finishes its
+    // read; they are unreferenced now and vacuum reclaims them.
+    val all = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(all.count(_.startsWith("part-o")) === produced)
+    assert(all.length > produced, "originals deferred to vacuum, not deleted in-commit")
+    assert(ManifestFileSink.vacuum(dir, olderThanMs = 0L) === all.length - produced)
     val files = new java.io.File(s"$dir/data").listFiles().map(_.getName)
     assert(files.forall(_.startsWith("part-o")) && files.length === produced,
-      s"old files must be gone: ${files.mkString(",")}")
+      s"after vacuum only the rewrite remains: ${files.mkString(",")}")
 
     // Fresh zone maps are selective again: a narrow id probe opens 1 file.
     def planned(df: org.apache.spark.sql.DataFrame): Int =
