@@ -19,6 +19,21 @@ object Bench {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       l.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // Environment canary: the SAME fixed reference query, timed after the
+    // untimed warmup has absorbed JVM/codegen/parquet startup. Its value
+    // tracks the HOST, not the code — BENCH_NOTES.md records the clean
+    // trend, and a canary ≳2× that trend marks the whole run as contended
+    // (judged-r9 finding: a contended driver run produced per-query
+    // numbers ~1.8× a clean run on identical code; the canary lets such a
+    // run self-identify instead of triggering plan archaeology).
+    val canary = try {
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        l.groupBy("l_returnflag").count().count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } catch { case _: Throwable => -1.0 }
     // Three timed runs per query, report the min: wall times on a shared
     // host vary ±30% run-to-run (single queries up to ~6x — measured on an
     // identical binary across rounds 4/5), and min-of-3 is a far more
@@ -60,7 +75,7 @@ object Bench {
     val medTotal = if (results.nonEmpty) results.values.map { v =>
       (v((v.size - 1) / 2) + v(v.size / 2)) / 2.0
     }.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line
     // carrying the headline total: the driver tail-captures stdout, and a
     // total that only exists at the front of the long line gets truncated
@@ -71,7 +86,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"full":"bench_full.json"}""")
     spark.stop()
   }
 }
