@@ -729,9 +729,87 @@ object Dedup {
       |       ROUND(CAST(SUM(span_len) AS DOUBLE) / n_tok, 6) AS coverage
       |FROM spans GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
 
+  /** [[dedupSubstringSpans]] at HASH-GRAM width — the Scaladoc-promised
+    * 100 TB form: each 8-gram is folded to a 44-bit integer
+    * ([[TextHash.gramHashCol]]) BEFORE the first shuffle, so the gram
+    * aggregation exchanges 8 bytes per token instead of the ~50-byte gram
+    * string — the dominant shuffle of the operator drops ~6×. Everything
+    * downstream (cross-doc filter, one doc-keyed sort, islands, spans) is
+    * identical. The oracle recomputes the same fold in DuckDB, so the
+    * gate stays exact; a hash collision would merge two grams identically
+    * in both engines, and the spec additionally certifies hashed output ≡
+    * string output at test SF (collision check). Production swaps the
+    * portable fold for `xxhash64(gram)` — same plan, same width. */
+  def dedupSubstringSpansHashed: Q = (s, dir) => {
+    val W = 8
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .filter(size(col("wl")) >= W)
+    val grams = d.select(
+      col("doc_id"), size(col("wl")).as("n_tok"),
+      posexplode(transform(sequence(lit(0), size(col("wl")) - W),
+        i => TextHash.gramHashCol(
+          (0 until W).map(k => element_at(col("wl"), i + k + 1))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val matched = grams.join(dup, Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = matched
+      .withColumn("gap", when(
+        col("p") - lag(col("p"), 1).over(byDoc) > W || lag(col("p"), 1).over(byDoc).isNull,
+        1L).otherwise(0L))
+      .withColumn("island", sum(col("gap")).over(byDoc))
+    val spans = islands.groupBy(col("doc_id"), col("n_tok"), col("island"))
+      .agg(count(lit(1)).as("g_in_span"),
+        (max(col("p")) - min(col("p")) + W).as("span_len"))
+    spans.groupBy(col("doc_id"), col("n_tok"))
+      .agg(sum(col("g_in_span")).as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("longest_span"),
+        sum(col("span_len")).as("dup_tokens"))
+      .withColumn("coverage",
+        round(col("dup_tokens").cast("double") / col("n_tok"), 6))
+      .select(col("doc_id"), col("n_dup_grams"), col("n_spans"),
+        col("longest_span").cast("long").as("longest_span"),
+        col("dup_tokens").cast("long").as("dup_tokens"), col("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSpansHashedSql: String = {
+    val gram = TextHash.gramHashSql((0 until 8).map(k => s"wl[i+$k]"))
+    s"""WITH dl AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id, len(wl) AS n_tok, i AS p,
+      |         $gram AS gram
+      |  FROM dl, UNNEST(generate_series(1, len(wl) - 7)) AS t(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |m AS (SELECT g.* FROM g SEMI JOIN dup USING (gram)),
+      |isl AS (
+      |  SELECT doc_id, n_tok, p,
+      |         SUM(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+      |  FROM (SELECT doc_id, n_tok, p,
+      |          LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM m)),
+      |spans AS (
+      |  SELECT doc_id, n_tok, island, COUNT(*) AS g_in_span,
+      |         MAX(p) - MIN(p) + 8 AS span_len
+      |  FROM isl GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(SUM(g_in_span) AS BIGINT) AS n_dup_grams, COUNT(*) AS n_spans,
+      |       CAST(MAX(span_len) AS BIGINT) AS longest_span,
+      |       CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+      |       ROUND(CAST(SUM(span_len) AS DOUBLE) / n_tok, 6) AS coverage
+      |FROM spans GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"                -> dedupExact,
     "dedup_substring_spans"      -> dedupSubstringSpans,
+    "dedup_substring_spans_hashed" -> dedupSubstringSpansHashed,
     "dedup_contamination"        -> contaminationCheck,
     "dedup_contamination_bloom"  -> contaminationBloom,
     "dedup_ngram_jaccard"        -> dedupNgramJaccard,
@@ -748,6 +826,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact"                -> dedupExactSql,
     "dedup_substring_spans"      -> dedupSubstringSpansSql,
+    "dedup_substring_spans_hashed" -> dedupSubstringSpansHashedSql,
     "dedup_contamination"        -> contaminationCheckSql,
     "dedup_contamination_bloom"  -> contaminationBloomSql,
     "dedup_ngram_jaccard"        -> dedupNgramJaccardSql,

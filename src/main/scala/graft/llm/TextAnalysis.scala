@@ -694,6 +694,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The 100 TB path of [[lmScore]], promised in its Scaladoc and now an
+    * oracle-gated operator of its own: the model keeps only its Zipf HEAD
+    * — bigrams attested at least [[LmHeadMinCount]] times — and that head
+    * BROADCASTS into the scoring join (no model-side shuffle on the
+    * scoring pass; a real corpus's bigram head is Zipf-bounded while the
+    * full table is corpus-sized). Transitions outside the head back off
+    * to a fixed default probability. Head probabilities stay the TRUE
+    * conditionals (prefix counts derive from the full bigram counts
+    * before capping — not renormalized over the head), so head-only
+    * documents score identically to [[lmScore]] and tail-heavy documents
+    * degrade gracefully toward the default. Same exactness discipline:
+    * one rounded IEEE division, DECIMAL(18,9) quantization before the
+    * merge-order-independent per-doc sum. */
+  val LmHeadMinCount = 2
+  val LmBackoffP = 1e-6
+
+  def lmScoreCapped: Q = (s, dir) => {
+    val wl = Tables(s, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .filter(size(col("wl")) >= 2)
+    val bg = wl.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("wl")) - 2),
+          i => struct(element_at(col("wl"), i + 1).as("w1"),
+                      element_at(col("wl"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val head = c2.filter(col("c2") >= LmHeadMinCount)
+      .join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(col("c2").cast("double") / col("c1").cast("double"), 9).as("p"))
+    val scored = bg.join(broadcast(head), Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("p"), lit(LmBackoffP))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreCappedSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, wl[i] AS w1, wl[i+1] AS w2
+      |  FROM dl, UNNEST(generate_series(1, len(wl) - 1)) AS s(i)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |head AS (
+      |  SELECT c2.w1, c2.w2, ROUND(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 9) AS p
+      |  FROM c2 JOIN c1 ON c2.w1 = c1.w1 WHERE c2.c2 >= 2),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    CAST(COALESCE(h.p, CAST(0.000001 AS DOUBLE)) AS DECIMAL(18,9)) AS p
+      |  FROM bg b LEFT JOIN head h ON b.w1 = h.w1 AND b.w2 = h.w2)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS lm_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val lmScoreSql: String =
     """WITH dl AS (
       |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
@@ -713,6 +775,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "text_lm_score"          -> lmScore,
+    "text_lm_score_capped"   -> lmScoreCapped,
     "text_pii_scrub"         -> piiScrub,
     "text_bm25"              -> bm25,
     "text_phrase_search"     -> phraseSearch,
@@ -731,6 +794,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_lm_score"         -> lmScoreSql,
+    "text_lm_score_capped"  -> lmScoreCappedSql,
     "text_pii_scrub"        -> piiScrubSql,
     "text_bm25"             -> bm25Sql,
     "text_phrase_search"    -> phraseSearchSql,

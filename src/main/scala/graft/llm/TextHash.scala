@@ -85,4 +85,18 @@ object TextHash {
     (wh % lit(M)) * (((pos + 1) * lit(2654435761L)) % lit(M)) % lit(M)
   def fpTermSql(wh: String, pos: String): String =
     s"(((($wh) % $M) * ((($pos + 1) * 2654435761) % $M)) % $M)"
+
+  /** Horner-fold of W word hashes into one GRAM hash, mod 2^44 — the
+    * 8-bytes-for-50 swap the substring dedup's wide shuffle wants. The
+    * 44-bit space keeps the fold in int64 (h*31 + wh < 2^50) while
+    * pushing the birthday collision expectation for ~10⁶ distinct grams
+    * below 0.01; a collision merges two distinct grams IDENTICALLY in
+    * both engines (the oracle recomputes the same fold), and the
+    * collision-check spec compares hashed vs string-gram output. In
+    * production this is `xxhash64(gram)` — drop-in, same shuffle shape. */
+  val GramM: Long = 1L << 44
+  def gramHashCol(words: Seq[Column]): Column =
+    words.foldLeft(lit(0L): Column)((h, w) => (h * lit(31L) + wordHashCol(w)) % lit(GramM))
+  def gramHashSql(words: Seq[String]): String =
+    words.foldLeft("0")((h, w) => s"(($h * 31 + ${wordHashSql(w)}) % $GramM)")
 }

@@ -55,6 +55,19 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("hashed-gram spans: collision check — hashed output ≡ string-gram output") {
+    // The 44-bit gram fold may in principle collide (merging two distinct
+    // grams identically in BOTH engines — the oracle still matches); this
+    // pin certifies that on real test data no collision changes the
+    // answer: the hashed variant must reproduce the string variant
+    // row-for-row. Run on the sf0.001 corpus, not a toy fixture.
+    val dir = "/root/testdata/sf0.001"
+    val str = Dedup.dedupSubstringSpans(spark, dir).collect().toSeq
+    val hsh = Dedup.dedupSubstringSpansHashed(spark, dir).collect().toSeq
+    assert(str.nonEmpty, "corpus must produce duplicated spans")
+    assert(hsh == str, "a gram-hash collision changed the span answer")
+  }
+
   test("phrase search: adjacency required, occurrences counted, 1-based pos") {
     val dir = writeDocs(Seq(
       (1L, "slow hash batch q r slow hash batch"), // 2 hits, first at 1

@@ -382,6 +382,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pa.contains("user_id"), s"attribution join lost its user key:\n$pa")
   }
 
+  test("text_lm_score_capped: the head model BROADCASTS into the scoring join") {
+    val p = plan("text_lm_score_capped")
+    // The capped model is the Zipf head — broadcast-sized by construction.
+    // The scoring pass must be a broadcast left-outer join (the corpus
+    // side is never shuffled to meet the model).
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"scoring join must broadcast the head model:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"expected a broadcast exchange for the model side:\n$p")
+    assert(p.contains("partial_"), s"lost the map-side combine:\n$p")
+  }
+
   test("q_anomaly_zscore: both frames and the daily agg share the user shuffle") {
     val p = plan("q_anomaly_zscore")
     // groupBy(user,d) shuffles on (user,d); the window re-shuffles on user
