@@ -311,6 +311,122 @@ object Similarity {
       |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
       |    FROM e CROSS JOIN c WHERE e.vec_id < 10) t WHERE rn <= 2)""".stripMargin)
 
+  // ------------------------------------------------- k-means-trained IVF
+
+  /** One Lloyd ASSIGNMENT pass: nearest centroid by cosine (dot / |cv| —
+    * the update's mean centroids are not unit vectors), ties to the
+    * lowest cent_id. Same shuffle economics as [[ivfAssigned]]: the
+    * centroid table broadcasts, the max_by argmax reduces map-side, one
+    * row per vector crosses the exchange. */
+  private[llm] def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.join(broadcast(cents))
+      .select(col("vec_id"), col("vn"), col("cent_id"),
+        (dotp(col("vn"), col("cv")) / sqrt(dotp(col("cv"), col("cv")))).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+        first(col("vn")).as("vn"))
+      .select(col("vec_id"), col("vn"), col("cell"))
+
+  /** One Lloyd UPDATE pass: component-wise mean per cell. The vector
+    * unrolls to (cell, j, v) so the aggregation shuffles ONLY
+    * (cell, component) partial sums — map-side combined, k×64 rows through
+    * the exchange regardless of corpus size — then the tiny per-cell
+    * relation folds back into arrays. Means quantize to 6 dp (the
+    * q_pagerank treatment): accumulation-order noise is ~1e-15 against a
+    * 1e-6 grain, so both engines agree on every downstream argmax. */
+  private[llm] def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("vn")).as(Seq("j", "v")))
+      .groupBy(col("cell"), col("j"))
+      .agg(round(sum(col("v")) / count(lit(1)), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("cell").as("cent_id"),
+        transform(col("jm"), x => x.getField("m")).as("cv"))
+
+  /** k-means training: grid seed ([[ivfCentroids]]) + `iters` unrolled
+    * Lloyd iterations on the persisted-kernel pattern [[graft.ops.Graph]]'s
+    * PageRank uses — each iteration's centroid table persists (it is read
+    * by the next assignment AND keeps the lineage linear instead of
+    * exponential). A cell that loses all members drops out (k shrinks) —
+    * deterministically in both engines. */
+  private[llm] def kmeansCentroids(emb: DataFrame, iters: Int = 3): DataFrame = {
+    var c: DataFrame = ivfCentroids(emb)
+    (1 to iters).foreach { _ =>
+      c = kmeansUpdate(kmeansAssign(emb, c))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    c
+  }
+
+  /** The shared DuckDB replay of the 3 Lloyd iterations: c0 (grid seed),
+    * aᵗ/sᵗ/cᵗ per iteration, `af` = final assignment against c3. */
+  private val kmeansCtesSql: String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, vn, cell FROM (
+         |    SELECT e.vec_id, e.vn, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)"""
+    def step(t: Int): String =
+      s"""${assignCte(s"a$t", if (t == 1) "c0" else s"c${t - 1}")},
+         |s$t AS (
+         |  SELECT cell, i AS j, ROUND(SUM(vn[i]) / COUNT(*), 6) AS m
+         |  FROM a$t, UNNEST(generate_series(1, len(vn))) AS u(i)
+         |  GROUP BY cell, i),
+         |c$t AS (SELECT cell AS cent_id, list(m ORDER BY j) AS cv FROM s$t GROUP BY cell)"""
+    s"""c0 AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 25 = 0),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |${assignCte("af", "c3")}"""
+  }
+
+  /** Oracle-gated TRAINED cell assignments — the direct gate on the
+    * k-means algebra itself (the search entry gates it only through
+    * top-k survivorship). */
+  def knnKmeansAssign: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kmeansAssign(emb, kmeansCentroids(emb))
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnKmeansAssignSql: String =
+    s"""WITH $normalizedSql,
+       |$kmeansCtesSql
+       |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin
+
+  /** IVF search over TRAINED centroids (closes the verdict-r9 note that a
+    * deterministic grid is an oracle, not an index): k-means‖-style
+    * training on the corpus, then the standard nprobe=1 search against
+    * the trained cells — same broadcast-probe discipline as [[knnIvf]].
+    * Trained cells track the data distribution, so cell populations
+    * equalize and per-probe candidate counts stop depending on where the
+    * grid happened to fall. */
+  def knnIvfTrained: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = kmeansAssign(emb, kmeansCentroids(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")))
+    ivfSearch(probes, assigned)
+  }
+
+  val knnIvfTrainedSql: String =
+    s"""WITH $normalizedSql,
+       |$kmeansCtesSql,
+       |p AS (SELECT vec_id AS query_id, vn AS qv, cell FROM af WHERE vec_id < 10)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(p.qv, a.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_dot_product(p.qv, a.vn) DESC, a.vec_id) AS rank
+       |  FROM p JOIN af a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Scalar quantization (float32 → int8 per vector): the 4× memory
     * reduction real ANN systems apply before index build at scale. Per
     * vector: min/max → uniform 0..255 codes; emitted as per-vector code
@@ -387,6 +503,8 @@ object Similarity {
     "knn_brute_force"        -> knnBruteForce,
     "knn_ivf"                -> knnIvf,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobe,
+    "knn_ivf_trained"        -> knnIvfTrained,
+    "knn_kmeans_assign"      -> knnKmeansAssign,
     "embedding_near_dup"     -> embeddingNearDup,
     "embedding_near_dup_lsh" -> embeddingNearDupLsh,
   )
@@ -397,6 +515,8 @@ object Similarity {
     "knn_brute_force"        -> knnBruteForceSql,
     "knn_ivf"                -> knnIvfSql,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobeSql,
+    "knn_ivf_trained"        -> knnIvfTrainedSql,
+    "knn_kmeans_assign"      -> knnKmeansAssignSql,
     "embedding_near_dup"     -> embeddingNearDupSql,
     "embedding_near_dup_lsh" -> embeddingNearDupLshSql,
   )

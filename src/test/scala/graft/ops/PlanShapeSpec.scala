@@ -382,6 +382,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pa.contains("user_id"), s"attribution join lost its user key:\n$pa")
   }
 
+  test("knn_kmeans_assign: Lloyd updates shuffle (cell, component) partials only") {
+    val p = plan("knn_kmeans_assign")
+    // Each update's component-mean aggregation must combine map-side —
+    // k×64 rows through the exchange regardless of corpus size — and the
+    // cell search must never degrade to a sort-merge join on cell.
+    assert(p.contains("partial_"), s"update lost its map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"k-means iteration plan regressed to a shuffle join:\n$p")
+  }
+
   test("text_lm_score_capped: the head model BROADCASTS into the scoring join") {
     val p = plan("text_lm_score_capped")
     // The capped model is the Zipf head — broadcast-sized by construction.
