@@ -231,6 +231,102 @@ object H2Sink {
     } finally conn.close()
   }
 
+  /** Does `qName` (already-quoted) exist? Probed with a zero-row SELECT —
+    * works on real H2 and on the recording stack alike. */
+  private def tableExists(st: java.sql.Statement, qName: String): Boolean =
+    try { st.executeQuery(s"SELECT 1 FROM $qName WHERE 1=0").close(); true }
+    catch { case _: java.sql.SQLException => false }
+
+  /** SQL literal rendering for the keyed-MERGE statements. The sink's
+    * value vocabulary is the rollup schema: integral/floating numbers,
+    * booleans, strings (quoted, quotes doubled), NULL. */
+  private def sqlLiteral(v: Any): String = v match {
+    case null                => "NULL"
+    case s: String           => "'" + s.replace("'", "''") + "'"
+    case b: Boolean          => if (b) "TRUE" else "FALSE"
+    case d: Double           => if (d.isNaN || d.isInfinite) "NULL" else d.toString
+    case f: Float            => sqlLiteral(f.toDouble)
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
+    case other => throw new IllegalArgumentException(
+      s"unsupported merge literal ${other.getClass.getName}")
+  }
+
+  /** Continuous keyed UPSERT into H2 — the sink the reference never had
+    * (its single sink is full-overwrite CSVREAD CTAS, SURVEY §2.2): one
+    * micro-batch's TOUCHED groups land as H2 `MERGE INTO … KEY (…)`
+    * upserts plus keyed DELETEs for fully-retracted groups, exactly once.
+    *
+    * Exactly-once protocol, H2-side: a meta table `<table>__merge_meta`
+    * records every applied batchId; the sink reads MAX(last_batch) on the
+    * SAME connection before emitting anything, so a replayed micro-batch
+    * (foreachBatch is at-least-once) finds its id applied and emits
+    * NOTHING. All DML of a batch — deletes, merges, the meta row — runs
+    * in ONE transaction (autocommit off, single commit): a crash anywhere
+    * leaves either the pre-batch state (the replay re-applies cleanly) or
+    * the post-batch state (the replay no-ops); H2 auto-commits only the
+    * one-time CREATEs, which are existence-guarded. Returns true if the
+    * batch was applied, false if it was a recognized replay.
+    *
+    * `upserts` rows carry key values ++ value values (in `keyCols` ++
+    * `valCols` order); `deletes` rows carry key values. Statement count
+    * is O(touched groups) — the CDC-batch contract RollupMaintenance
+    * already imposes — over the one admin connection, which is the
+    * correct fan-in for a single-node H2 target. */
+  def mergeBatch(
+      table: String, batchId: Long, config: H2Config,
+      keyCols: Seq[(String, ColType)], valCols: Seq[(String, ColType)],
+      upserts: Seq[Seq[Any]], deletes: Seq[Seq[Any]]): Boolean = {
+    H2Dialect.register()
+    val name = validateTableName(table.split('/').toSeq.filter(_.nonEmpty))
+    val qName = H2Dialect.quoteIdentifier(name)
+    val meta = s"${name}__merge_meta"
+    val qMeta = H2Dialect.quoteIdentifier(meta)
+    val qBatchCol = H2Dialect.quoteIdentifier("last_batch")
+    val allCols = keyCols ++ valCols
+    val qCols = allCols.map(c => H2Dialect.quoteIdentifier(c._1))
+    val qKeys = keyCols.map(c => H2Dialect.quoteIdentifier(c._1))
+    val conn = connect(config)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (!tableExists(st, qMeta)) {
+          if (!tableExists(st, qName))
+            st.executeUpdate(s"CREATE TABLE $qName (${ddl(allCols)})")
+          st.executeUpdate(s"CREATE TABLE $qMeta ($qBatchCol BIGINT)")
+        }
+        val last: Long = {
+          val rs = st.executeQuery(s"SELECT $qBatchCol FROM $qMeta")
+          try {
+            var m = -1L
+            while (rs.next()) { val v = rs.getString(1); if (v != null) m = math.max(m, v.toLong) }
+            m
+          } finally rs.close()
+        }
+        if (last >= batchId) { conn.rollback(); return false }
+        deletes.foreach { key =>
+          val pred = qKeys.zip(key).map { case (q, v) =>
+            if (v == null) s"$q IS NULL" else s"$q = ${sqlLiteral(v)}"
+          }.mkString(" AND ")
+          st.executeUpdate(s"DELETE FROM $qName WHERE $pred")
+        }
+        upserts.foreach { row =>
+          st.executeUpdate(
+            s"MERGE INTO $qName (${qCols.mkString(", ")}) KEY (${qKeys.mkString(", ")}) " +
+              s"VALUES (${row.map(sqlLiteral).mkString(", ")})")
+        }
+        // Meta row through a prepared insert (the transactional DML half
+        // of the fence; MAX over the rows is the applied watermark).
+        val ps = conn.prepareStatement(s"INSERT INTO $qMeta ($qBatchCol) VALUES (?)")
+        try { ps.setLong(1, batchId); ps.addBatch(); ps.executeBatch() } finally ps.close()
+        conn.commit()
+        true
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Read a table back from H2 (the reference reads back only in tests;
     * for us it is a first-class source). */
   def read(spark: org.apache.spark.sql.SparkSession, table: String,

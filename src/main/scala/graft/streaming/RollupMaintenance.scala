@@ -203,6 +203,66 @@ object RollupMaintenance {
         applyWeightedBatch(b.toDF(), id, keys, sumCols, root); ()
     }
 
+  /** [[weightedSink]] + continuous H2 mirror: each micro-batch maintains
+    * the rollup at `root` AND lands its touched groups in H2 `table` as a
+    * keyed MERGE/DELETE transaction — the upsert destination the
+    * reference never had (its one sink is full-overwrite CSVREAD CTAS).
+    * A retraction in the feed that nets a group to zero becomes a keyed
+    * DELETE; every other touched group an upsert with its maintained
+    * values. Idempotency is LAYERED: the local fold replays through the
+    * `_state` fence, the H2 push through its own in-database
+    * `__merge_meta` watermark ([[graft.sinks.H2Sink.mergeBatch]]) — so a
+    * crash BETWEEN the two leaves the replayed batch a local no-op that
+    * still completes the H2 half. Touched-group traffic is
+    * O(CDC batch) — the same broadcast-sized contract the maintenance
+    * fold itself imposes. */
+  def weightedSinkToH2(
+      stream: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      root: String,
+      table: String,
+      config: graft.sinks.H2Config): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Row], id: Long) =>
+        val batch = b.toDF()
+        applyWeightedBatch(batch, id, keys, sumCols, root)
+        pushTouchedToH2(batch, id, keys, sumCols, root, table, config)
+        ()
+    }
+
+  /** The H2 half of [[weightedSinkToH2]]: join the batch's touched keys
+    * against the freshly-maintained summary (a group absent there was
+    * fully retracted), then hand the row images to the keyed-MERGE
+    * transaction. */
+  private def pushTouchedToH2(
+      batch: DataFrame,
+      batchId: Long,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      root: String,
+      table: String,
+      config: graft.sinks.H2Config): Unit = {
+    val dirOpt = currentDir(root)
+    if (dirOpt.isEmpty) return
+    val spark = batch.sparkSession
+    val valCols = sumCols.map(c => s"g_sum_$c") ++
+      sumCols.map(c => s"g_cntn_$c") :+ "g_cnt"
+    val touched = batch.select(keys.map(col): _*).distinct()
+    val cur = touched.join(spark.read.parquet(dirOpt.get), keys, "left")
+    val schema = cur.schema
+    val rows = cur.collect() // touched groups only: CDC-batch-sized
+    val cntIdx = schema.fieldIndex("g_cnt")
+    val (ups, dels) = rows.partition(r => !r.isNullAt(cntIdx))
+    import graft.sinks.ColType
+    graft.sinks.H2Sink.mergeBatch(table, batchId, config,
+      keyCols = keys.map(k => k -> ColType.fromSpark(schema(k).dataType)),
+      valCols = valCols.map(c => c -> ColType.fromSpark(schema(c).dataType)),
+      upserts = ups.toSeq.map(r => (keys ++ valCols).map(c => r.get(schema.fieldIndex(c)))),
+      deletes = dels.toSeq.map(r => keys.map(c => r.get(schema.fieldIndex(c)))))
+    ()
+  }
+
   /** foreachBatch sink maintaining the rollup at `root`. */
   def sink(
       stream: DataFrame,
