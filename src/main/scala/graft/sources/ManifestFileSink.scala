@@ -1318,15 +1318,55 @@ object ManifestFileSink {
   }
 }
 
-private class ManifestTable(path: String, schema: StructType)
-  extends Table with SupportsWrite with SupportsRead {
+/** `acceptAnySchema` selects the write-resolution contract: the PATH API
+  * keeps ACCEPT_ANY_SCHEMA (appends may evolve the schema by name — the
+  * sink reconciles at read), while CATALOG-loaded tables drop it so SQL
+  * `INSERT INTO` goes through Spark's TableOutputResolver — positional
+  * resolution against the table schema, automatic store-assignment casts
+  * (a bare 1.5 DECIMAL literal lands as the column's DOUBLE), and arity
+  * errors at analysis time. Same table on disk, two write doors. */
+private[sources] class ManifestTable(
+    path: String, schema: StructType, acceptAnySchema: Boolean = true)
+  extends Table with SupportsWrite with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM <catalog table> WHERE …` lands here (DSv2
+    * SupportsDelete). Accepts exactly the predicate vocabulary
+    * [[ManifestFileSink.evalFilter]] evaluates with ANSI 3VL —
+    * `canDeleteWhere` vets the shape so an unsupported predicate fails
+    * at ANALYSIS time (Spark raises a clean error) instead of mid-job.
+    * The delete itself is the distributed merge-on-read match scan. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def ok(f: Filter): Boolean = f match {
+      case EqualTo(_, _) | EqualNullSafe(_, _) | GreaterThan(_, _) |
+           GreaterThanOrEqual(_, _) | LessThan(_, _) | LessThanOrEqual(_, _) |
+           In(_, _) | IsNull(_) | IsNotNull(_) | StringStartsWith(_, _) |
+           StringEndsWith(_, _) | StringContains(_, _) |
+           AlwaysTrue() | AlwaysFalse() => true
+      case And(l, r) => ok(l) && ok(r)
+      case Or(l, r)  => ok(l) && ok(r)
+      case Not(x)    => ok(x)
+      case _         => false
+    }
+    filters.forall(ok)
+  }
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{AlwaysTrue, And, Filter}
+    val combined = filters.foldLeft(AlwaysTrue(): Filter)(And(_, _))
+    ManifestFileSink.deleteWhere(path, combined)
+    ()
+  }
 
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -1492,6 +1532,24 @@ private[sources] object MatchScan extends Serializable {
 }
 
 private class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+
+  // ACCEPT_ANY_SCHEMA is the evolution contract (appends may add/drop
+  // columns by name), so Spark skips its own output coercion — which
+  // means an unsupported value type (e.g. the DECIMAL a bare SQL literal
+  // like 1.5 parses to) would otherwise surface as a mid-task executor
+  // failure. Vet the schema up front, at job setup on the driver, with
+  // the fix spelled out.
+  {
+    val bad = schema.fields.filterNot(f => f.dataType match {
+      case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+      case _ => false
+    })
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"manifest sink columns must be BIGINT/INT/DOUBLE/BOOLEAN/STRING; got " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        " — CAST the inserted values (a bare SQL decimal literal like 1.5 " +
+        "parses as DECIMAL; write CAST(1.5 AS DOUBLE))")
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema)

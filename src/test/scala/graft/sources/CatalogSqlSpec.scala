@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** The named-SQL surface over manifest tables: a DSv2 TableCatalog plus
+  * SupportsDelete, so CREATE / INSERT / SELECT / DELETE flow through
+  * `spark.sql` while the path API sees the SAME table (one feature set,
+  * two addressings). */
+class CatalogSqlSpec extends SparkTestBase {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  test("CREATE / INSERT / SELECT / DELETE round-trip through SQL") {
+    root
+    spark.sql("CREATE TABLE graft.db.people (id BIGINT, name STRING, score DOUBLE)")
+    // Empty but real: the schema-only commit makes SELECT work immediately.
+    assert(spark.sql("SELECT * FROM graft.db.people").count() === 0)
+    // Catalog tables resolve inserts through TableOutputResolver: bare
+    // decimal literals store-assign to the DOUBLE column, names align
+    // positionally — the SQL contract, not ACCEPT_ANY_SCHEMA's.
+    spark.sql("INSERT INTO graft.db.people VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.people").head().getLong(0) === 3)
+
+    // SQL DELETE runs the distributed merge-on-read match scan (3VL).
+    spark.sql("DELETE FROM graft.db.people WHERE id = 2 OR name = 'c'")
+    assert(spark.sql("SELECT id FROM graft.db.people ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+    // The path API sees the same table: deletion vectors, not rewrites.
+    val path = s"$root/db/people"
+    assert(ManifestFileSink.deleteVectors(path).nonEmpty,
+      "SQL DELETE published deletion vectors on the same manifest table")
+    assert(spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", path).load().count() === 1)
+  }
+
+  test("catalog lifecycle: list, rename, drop; unsupported shapes refuse cleanly") {
+    root
+    spark.sql("CREATE TABLE graft.db.t1 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.t1 VALUES (7)")
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).toSet.contains("t1"))
+
+    // Rename target is CATALOG-RELATIVE (db.t2), per the v2 command.
+    spark.sql("ALTER TABLE graft.db.t1 RENAME TO db.t2")
+    assert(spark.sql("SELECT id FROM graft.db.t2").head().getLong(0) === 7)
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.t1").collect())
+
+    // Duplicate create refuses; partition transforms refuse.
+    intercept[Exception](spark.sql("CREATE TABLE graft.db.t2 (id BIGINT)"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.db.tp (id BIGINT) PARTITIONED BY (id)"))
+
+    spark.sql("DROP TABLE graft.db.t2")
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.t2").collect())
+  }
+
+  test("DELETE with a NULL-involving predicate keeps ANSI 3VL semantics") {
+    root
+    spark.sql("CREATE TABLE graft.db.n (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.n VALUES (1, 1.0), (2, NULL), (3, 3.0)")
+    // v > 2.0 is NULL for row 2 — ANSI DELETE must keep it.
+    spark.sql("DELETE FROM graft.db.n WHERE v > 2.0")
+    assert(spark.sql("SELECT id FROM graft.db.n ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+}
