@@ -1301,20 +1301,21 @@ object ManifestFileSink {
     rewritten
   }
 
+  private[sources] def parseField(v: String, dt: DataType): Any =
+    if (v == "\\N") null
+    else dt match {
+      case LongType    => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType  => v.toDouble
+      case BooleanType => v.toBoolean
+      case StringType  => UTF8String.fromString(v)
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+
   private[sources] def parse(line: String, schema: StructType): InternalRow = {
     val parts = line.split("\t", -1)
-    InternalRow.fromSeq(schema.fields.indices.map { i =>
-      val v = parts(i)
-      if (v == "\\N") null
-      else schema.fields(i).dataType match {
-        case LongType    => v.toLong
-        case IntegerType => v.toInt
-        case DoubleType  => v.toDouble
-        case BooleanType => v.toBoolean
-        case StringType  => UTF8String.fromString(v)
-        case dt => throw new IllegalArgumentException(s"unsupported type $dt")
-      }
-    })
+    InternalRow.fromSeq(schema.fields.indices.map(i =>
+      parseField(parts(i), schema.fields(i).dataType)))
   }
 }
 
@@ -1379,7 +1380,8 @@ private[sources] class ManifestTable(
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       // Time travel: `asOfManifest` pins the scan to the snapshot sealed
       // by that manifest's commit — reads are repeatable against it no
       // matter how many appends land afterwards. `sinceManifest` turns the
@@ -1411,13 +1413,24 @@ private[sources] class ManifestTable(
         filters // Spark re-applies everything: skipping is best-effort
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+      // Column pruning: Catalyst hands back the subset of the reported
+      // schema the query actually reads (filter columns included — every
+      // filter is also returned as residual). The reader then CONVERTS
+      // only those fields per row — for a 2-column projection over a
+      // wide table, the scan stops materializing the other columns'
+      // UTF8Strings entirely. The read schema in `.explain` shrinks to
+      // match, same as the parquet ReadSchema contract.
+      private var required: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
       override def build(): Scan = {
         val base = ManifestFileSink.storedSchema(path, asOf)
           .getOrElse(new StructType())
         val sch = if (weighted)
           base.add(ManifestFileSink.WeightCol, IntegerType, nullable = false)
         else base
-        new ManifestScan(path, sch, asOf, since, pushed, ignoreDeletes, weighted)
+        new ManifestScan(path, required.getOrElse(sch), asOf, since, pushed,
+          ignoreDeletes, weighted)
       }
     }
 }
@@ -1883,28 +1896,37 @@ private class ManifestReaderFactory(path: String, schema: StructType)
     val split = partition.asInstanceOf[FileSplit]
     val reader = Files.newBufferedReader(
       Paths.get(path, "data", split.file), StandardCharsets.UTF_8)
-    // Weighted change feed: the last read-schema column is the appended
-    // `_change_weight`; the DATA columns are everything before it.
-    val weighted = split.weight != 0
+    // Weighted change feed: the `_change_weight` column rides LAST in the
+    // read schema — unless the query pruned it away (the split's weight
+    // still governs emission semantics either way).
+    val hasWeightCol = split.weight != 0 &&
+      schema.fields.lastOption.exists(_.name == ManifestFileSink.WeightCol)
     val dataSchema =
-      if (weighted) StructType(schema.fields.dropRight(1)) else schema
-    // Schema evolution: parse under the schema the file was WRITTEN with,
-    // then project to the read schema by NAME — added columns backfill
-    // NULL, dropped columns are discarded, order is immaterial. The
-    // projection is precomputed once per split; the fast path (identical
-    // schemas) adds zero per-row work.
+      if (hasWeightCol) StructType(schema.fields.dropRight(1)) else schema
+    // Schema evolution + column pruning share one mechanism: parse under
+    // the schema the file was WRITTEN with, CONVERT only the fields the
+    // (possibly pruned) read schema asks for, by NAME — added columns
+    // backfill NULL, dropped/pruned columns are never materialized, order
+    // is immaterial. The projection is precomputed once per split; the
+    // fast path (identical schemas, no pruning) adds zero per-row work.
     val fileSchema = if (split.ddl.isEmpty) dataSchema
       else ManifestFileSink.asNullable(StructType.fromDDL(split.ddl))
     val evolved = fileSchema != dataSchema
     val proj = ManifestFileSink.evolutionProjection(dataSchema, fileSchema)
     def project(line: String): InternalRow = {
-      val raw = ManifestFileSink.parse(line, fileSchema)
-      val data = if (!evolved) raw else InternalRow.fromSeq(
-        dataSchema.fields.indices.map { i =>
-          val fi = proj(i)
-          if (fi < 0) null else raw.get(fi, fileSchema.fields(fi).dataType)
-        })
-      if (!weighted) data
+      val data =
+        if (!evolved) ManifestFileSink.parse(line, fileSchema)
+        else {
+          // Selective conversion: split once, convert ONLY projected
+          // fields (a pruned-away wide string column costs nothing).
+          val parts = line.split("\t", -1)
+          InternalRow.fromSeq(dataSchema.fields.indices.map { i =>
+            val fi = proj(i)
+            if (fi < 0) null
+            else ManifestFileSink.parseField(parts(fi), fileSchema.fields(fi).dataType)
+          })
+        }
+      if (!hasWeightCol) data
       else InternalRow.fromSeq(
         dataSchema.fields.indices.map(i =>
           if (data.isNullAt(i)) null

@@ -62,6 +62,27 @@ class CatalogSqlSpec extends SparkTestBase {
     intercept[Exception](spark.sql("SELECT * FROM graft.db.t2").collect())
   }
 
+  test("column pruning reaches the manifest scan (ReadSchema shrinks)") {
+    root
+    spark.sql("CREATE TABLE graft.db.wide (id BIGINT, a STRING, b STRING, c DOUBLE)")
+    spark.sql("INSERT INTO graft.db.wide VALUES (1, 'x', 'y', 1.0), (2, 'p', 'q', 2.0)")
+    val df = spark.sql("SELECT id, c FROM graft.db.wide WHERE c > 0.5")
+    val scanSchemas = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scanSchemas == Seq(Seq("id", "c")),
+      s"scan must read only the projected+filtered columns, got $scanSchemas")
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy(_._1) === Seq((1L, 1.0), (2L, 2.0)))
+
+    // Pruning composes with evolution AND deletion vectors: a pruned read
+    // over files written under different schemas, minus deleted rows.
+    spark.sql("DELETE FROM graft.db.wide WHERE id = 1")
+    assert(spark.sql("SELECT a FROM graft.db.wide").collect()
+      .map(_.getString(0)).toSeq === Seq("p"))
+  }
+
   test("DELETE with a NULL-involving predicate keeps ANSI 3VL semantics") {
     root
     spark.sql("CREATE TABLE graft.db.n (id BIGINT, v DOUBLE)")
