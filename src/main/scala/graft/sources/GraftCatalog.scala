@@ -75,6 +75,40 @@ class GraftCatalog extends TableCatalog {
     new ManifestTable(path, schema, acceptAnySchema = false)
   }
 
+  /** SQL time travel: `SELECT … FROM graft.db.t VERSION AS OF <v>` where
+    * `<v>` is a commit seq number or a manifest name. The returned table
+    * is a read-only pin of that snapshot — repeatable no matter how many
+    * commits land afterwards; writes and DELETE refuse. A seq retired by
+    * compaction fails with the manifest layer's explicit expire-snapshots
+    * error, never an empty answer. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val path = dir(ident).toString
+    val manifest =
+      if (version.forall(_.isDigit))
+        ManifestFileSink.orderedManifests(path)
+          .find(m => ManifestFileSink.readMeta(m).seq == version.toLong)
+          .map(_.getName)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no commit with seq $version in ${ident.name()} (retired by " +
+              "compaction, or never published)"))
+      else version
+    val schema = ManifestFileSink.storedSchema(path, Some(manifest))
+      .getOrElse(new StructType())
+    new ManifestTable(path, schema, acceptAnySchema = false,
+      pinnedAsOf = Some(manifest))
+  }
+
+  /** `TIMESTAMP AS OF` is deliberately unsupported: commit order is
+    * defined by manifest seq (coarse local-fs mtimes order same-tick
+    * commits arbitrarily — the reason the header exists), so a
+    * wall-clock pin could resolve to the WRONG snapshot. Use
+    * `VERSION AS OF <seq>`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported (local-fs mtimes don't order " +
+        "commits); use VERSION AS OF <seq|manifest>")
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

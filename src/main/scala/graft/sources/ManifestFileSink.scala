@@ -1325,11 +1325,20 @@ object ManifestFileSink {
   * `INSERT INTO` goes through Spark's TableOutputResolver — positional
   * resolution against the table schema, automatic store-assignment casts
   * (a bare 1.5 DECIMAL literal lands as the column's DOUBLE), and arity
-  * errors at analysis time. Same table on disk, two write doors. */
+  * errors at analysis time. Same table on disk, two write doors.
+  *
+  * `pinnedAsOf` is SQL time travel (`VERSION AS OF`): the catalog pins
+  * the scan to that snapshot, and every mutation door (write, DELETE)
+  * refuses — a snapshot is a value, not a target. */
 private[sources] class ManifestTable(
-    path: String, schema: StructType, acceptAnySchema: Boolean = true)
+    path: String, schema: StructType, acceptAnySchema: Boolean = true,
+    pinnedAsOf: Option[String] = None)
   extends Table with SupportsWrite with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private def refuseIfPinned(op: String): Unit =
+    if (pinnedAsOf.isDefined) throw new UnsupportedOperationException(
+      s"$op on a VERSION AS OF snapshot is not allowed (read-only view of ${pinnedAsOf.get})")
 
   /** SQL `DELETE FROM <catalog table> WHERE …` lands here (DSv2
     * SupportsDelete). Accepts exactly the predicate vocabulary
@@ -1355,6 +1364,7 @@ private[sources] class ManifestTable(
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{AlwaysTrue, And, Filter}
+    refuseIfPinned("DELETE")
     val combined = filters.foldLeft(AlwaysTrue(): Filter)(And(_, _))
     ManifestFileSink.deleteWhere(path, combined)
     ()
@@ -1369,7 +1379,8 @@ private[sources] class ManifestTable(
     caps
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseIfPinned("write")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
@@ -1378,6 +1389,7 @@ private[sources] class ManifestTable(
           new ManifestStreamingWrite(path, info.schema())
       }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -1389,7 +1401,7 @@ private[sources] class ManifestTable(
       // (task files are immutable and append-only, so the snapshot diff IS
       // the row diff) — the incremental-consumer contract that lets a
       // downstream maintenance job process each commit exactly once.
-      private val asOf = Option(options.get("asOfManifest"))
+      private val asOf = Option(options.get("asOfManifest")).orElse(pinnedAsOf)
       private val since = Option(options.get("sinceManifest"))
       // Row-level deletes break the change feed's append-only contract
       // (the snapshot diff carries adds, never retractions). The fence

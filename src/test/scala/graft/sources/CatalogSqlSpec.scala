@@ -83,6 +83,45 @@ class CatalogSqlSpec extends SparkTestBase {
       .map(_.getString(0)).toSeq === Seq("p"))
   }
 
+  test("VERSION AS OF pins a snapshot: repeatable, read-only, seq or name") {
+    root
+    spark.sql("CREATE TABLE graft.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1)")
+    val seqAfterFirstInsert = 2L // 1 = CREATE's schema-only commit
+    spark.sql("INSERT INTO graft.db.tt VALUES (2)")
+    spark.sql("DELETE FROM graft.db.tt WHERE id = 1")
+    assert(spark.sql("SELECT id FROM graft.db.tt ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // The pre-delete, pre-second-insert snapshot still answers [1].
+    assert(spark.sql(s"SELECT id FROM graft.db.tt VERSION AS OF $seqAfterFirstInsert")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // A pinned snapshot is a value: mutation refuses.
+    val err = intercept[Exception](
+      spark.sql(s"DELETE FROM graft.db.tt VERSION AS OF $seqAfterFirstInsert WHERE id = 1"))
+    assert(err.getMessage.toLowerCase.contains("version as of"))
+    // TIMESTAMP AS OF refuses with guidance (mtimes don't order commits).
+    val ts = intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.tt TIMESTAMP AS OF '2026-01-01'").collect())
+    assert(ts.getMessage.contains("VERSION AS OF"))
+  }
+
+  test("streaming reads work against catalog tables (readStream.table)") {
+    root
+    spark.sql("CREATE TABLE graft.db.s (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.s VALUES (1, 1.0), (2, 2.0)")
+    val ck = Files.createTempDirectory("graft-cat-ck").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.table("graft.db.s").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen ++= b.collect().map(_.getLong(0)); ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.sorted.toSeq === Seq(1L, 2L),
+      "the manifest micro-batch stream must serve catalog tables")
+  }
+
   test("DELETE with a NULL-involving predicate keeps ANSI 3VL semantics") {
     root
     spark.sql("CREATE TABLE graft.db.n (id BIGINT, v DOUBLE)")
