@@ -1301,6 +1301,46 @@ object ManifestFileSink {
     rewritten
   }
 
+  // ACCEPT_ANY_SCHEMA is the evolution contract (appends may add/drop
+  // columns by name), so Spark skips its own output coercion — which
+  // means an unsupported value type (e.g. the DECIMAL a bare SQL literal
+  // like 1.5 parses to) would otherwise surface as a mid-task executor
+  // failure. Vet the schema up front, at job setup on the driver, with
+  // the fix spelled out.
+  private[sources] def vetWritable(schema: StructType): Unit = {
+    val bad = schema.fields.filterNot(f => f.dataType match {
+      case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+      case _ => false
+    })
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"manifest sink columns must be BIGINT/INT/DOUBLE/BOOLEAN/STRING; got " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        " — CAST the inserted values (a bare SQL decimal literal like 1.5 " +
+        "parses as DECIMAL; write CAST(1.5 AS DOUBLE))")
+  }
+
+  /** The locked commit half of an INSERT OVERWRITE — identical mechanics
+    * to [[replaceWhere]] (schema fence, distributed match scan for the
+    * retraction, one atomic manifest), but fed by the DSv2 write
+    * protocol's task-commit messages instead of a DataFrame. */
+  private[sources] def commitOverwrite(
+      path: String,
+      schema: StructType,
+      filter: org.apache.spark.sql.sources.Filter,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dataLines = messages.collect {
+      case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
+    }.toSeq
+    commitLock(path).synchronized {
+      val snap = snapshot(path, None)
+      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      ensureSchemaUnchanged(path, "INSERT OVERWRITE", schema, schemaText, snap.nonEmpty)
+      val dvLines =
+        if (snap.isEmpty) Nil else matchPositions(path, filter, schema)
+      publishCommit(path, schemaText, dataLines, dvLines)
+    }
+  }
+
   private[sources] def parseField(v: String, dt: DataType): Any =
     if (v == "\\N") null
     else dt match {
@@ -1374,17 +1414,35 @@ private[sources] class ManifestTable(
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refuseIfPinned("write")
-    new WriteBuilder {
+    // SupportsOverwrite turns SQL `INSERT OVERWRITE` (and
+    // `df.writeTo(t).overwrite(cond)`) into the sink's atomic
+    // replaceWhere commit: the retraction (deletion vectors from the
+    // distributed match scan) and the new task files publish in ONE
+    // manifest — readers see the whole overwrite or none of it, and the
+    // pre-overwrite snapshot stays time-travelable. An unconditioned
+    // INSERT OVERWRITE arrives as AlwaysTrue (full logical overwrite,
+    // still one commit, history intact).
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var overwriteFilter: Option[org.apache.spark.sql.sources.Filter] = None
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        import org.apache.spark.sql.sources.{AlwaysTrue, And, Filter}
+        overwriteFilter = Some(filters.foldLeft(AlwaysTrue(): Filter)(And(_, _)))
+        this
+      }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new ManifestBatchWrite(path, info.schema())
+        override def toBatch: BatchWrite = overwriteFilter match {
+          case Some(f) => new ManifestOverwriteBatchWrite(path, info.schema(), f)
+          case None    => new ManifestBatchWrite(path, info.schema())
+        }
         override def toStreaming: StreamingWrite =
           new ManifestStreamingWrite(path, info.schema())
       }
@@ -1558,23 +1616,7 @@ private[sources] object MatchScan extends Serializable {
 
 private class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
 
-  // ACCEPT_ANY_SCHEMA is the evolution contract (appends may add/drop
-  // columns by name), so Spark skips its own output coercion — which
-  // means an unsupported value type (e.g. the DECIMAL a bare SQL literal
-  // like 1.5 parses to) would otherwise surface as a mid-task executor
-  // failure. Vet the schema up front, at job setup on the driver, with
-  // the fix spelled out.
-  {
-    val bad = schema.fields.filterNot(f => f.dataType match {
-      case LongType | IntegerType | DoubleType | BooleanType | StringType => true
-      case _ => false
-    })
-    if (bad.nonEmpty) throw new IllegalArgumentException(
-      s"manifest sink columns must be BIGINT/INT/DOUBLE/BOOLEAN/STRING; got " +
-        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
-        " — CAST the inserted values (a bare SQL decimal literal like 1.5 " +
-        "parses as DECIMAL; write CAST(1.5 AS DOUBLE))")
-  }
+  ManifestFileSink.vetWritable(schema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema)
@@ -1586,6 +1628,29 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestFileSink.publish(path,
       s"manifest-${java.util.UUID.randomUUID().toString}", schema, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case _ =>
+    }
+}
+
+/** INSERT OVERWRITE's BatchWrite: task mechanics identical to append
+  * (attempt-unique invisible files, stats accumulated), the COMMIT is the
+  * replaceWhere shape — filter-scoped retraction + new files, one atomic
+  * manifest ([[ManifestFileSink.commitOverwrite]]). */
+private class ManifestOverwriteBatchWrite(
+    path: String, schema: StructType,
+    filter: org.apache.spark.sql.sources.Filter) extends BatchWrite {
+
+  ManifestFileSink.vetWritable(schema)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ManifestFileSink.commitOverwrite(path, schema, filter, messages)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

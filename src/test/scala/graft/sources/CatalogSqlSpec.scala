@@ -122,6 +122,29 @@ class CatalogSqlSpec extends SparkTestBase {
       "the manifest micro-batch stream must serve catalog tables")
   }
 
+  test("INSERT OVERWRITE is one atomic commit; TRUNCATE deletes all as vectors") {
+    root
+    spark.sql("CREATE TABLE graft.db.ow (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.ow VALUES (1, 1.0), (2, 2.0)")
+    val preOverwrite = ManifestFileSink.latestManifest(s"$root/db/ow").get
+    val manifestsBefore = ManifestFileSink.manifests(s"$root/db/ow").size
+
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (7, 7.0)")
+    assert(spark.sql("SELECT id FROM graft.db.ow").collect()
+      .map(_.getLong(0)).toSeq === Seq(7L))
+    assert(ManifestFileSink.manifests(s"$root/db/ow").size === manifestsBefore + 1,
+      "the overwrite (retraction + insert) is ONE commit")
+    // History intact: the pre-overwrite snapshot still answers.
+    assert(spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", s"$root/db/ow").option("asOfManifest", preOverwrite)
+      .load().count() === 2)
+
+    spark.sql("TRUNCATE TABLE graft.db.ow")
+    assert(spark.sql("SELECT * FROM graft.db.ow").count() === 0)
+    assert(ManifestFileSink.deleteVectors(s"$root/db/ow").nonEmpty,
+      "truncate is merge-on-read: vectors, not file deletion — history intact")
+  }
+
   test("DELETE with a NULL-involving predicate keeps ANSI 3VL semantics") {
     root
     spark.sql("CREATE TABLE graft.db.n (id BIGINT, v DOUBLE)")
