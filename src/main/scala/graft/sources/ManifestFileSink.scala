@@ -267,6 +267,13 @@ object ManifestFileSink {
   /** Appended delta-weight column of the weighted change feed. */
   private[sources] val WeightCol = "_change_weight"
 
+  /** Metadata columns (SupportsMetadataColumns): the source file name and
+    * the 0-based row position within it — together the sink's natural ROW
+    * ID (task files are immutable), which is exactly what delta-based
+    * UPDATE/MERGE retract through deletion vectors. Reserved names. */
+  private[sources] val FileCol = "_file"
+  private[sources] val PosCol = "_pos"
+
   /** DDL each data file was committed under, across the whole manifest
     * history — the weighted change feed needs it to parse rows of OLD
     * files referenced by a window's deletion vectors. */
@@ -1341,6 +1348,34 @@ object ManifestFileSink {
     }
   }
 
+  /** The locked commit half of a delta row-level operation (SQL
+    * UPDATE/MERGE/DELETE): union the tasks' retraction vectors per file,
+    * publish them with the inserted task files as ONE manifest. The
+    * operation pinned its snapshot at build; a concurrent commit REFUSES
+    * the publish (the optimize fence) — the rewrite's task files stay
+    * invisible and the statement can simply be re-run. */
+  private[sources] def commitDelta(
+      path: String,
+      schema: StructType,
+      pin: Option[String],
+      messages: Array[WriterCommitMessage]): Unit = commitLock(path).synchronized {
+    if (latestManifest(path) != pin)
+      throw new IllegalStateException(
+        s"table $path advanced past snapshot ${pin.getOrElse("<empty>")} during a " +
+          "row-level operation: publish refused (task files stay invisible) — re-run")
+    val commits = messages.collect { case d: DeltaTaskCommit => d }
+    val dataLines = commits.flatMap(_.inserted).map {
+      case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
+    }.toSeq
+    val dvs = commits.flatMap(_.retractions.toSeq)
+      .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
+      .map { case (f, ps) => f -> (ps.toSeq.sorted: Seq[Long]) }
+      .toSeq.sortBy(_._1)
+    if (dataLines.isEmpty && dvs.isEmpty) return
+    val schemaText = snapshot(path, None).lastOption.map(schemaLine).getOrElse(schema.toDDL)
+    publishCommit(path, schemaText, dataLines, dvs)
+  }
+
   private[sources] def parseField(v: String, dt: DataType): Any =
     if (v == "\\N") null
     else dt match {
@@ -1374,11 +1409,44 @@ private[sources] class ManifestTable(
     path: String, schema: StructType, acceptAnySchema: Boolean = true,
     pinnedAsOf: Option[String] = None)
   extends Table with SupportsWrite with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def refuseIfPinned(op: String): Unit =
     if (pinnedAsOf.isDefined) throw new UnsupportedOperationException(
       s"$op on a VERSION AS OF snapshot is not allowed (read-only view of ${pinnedAsOf.get})")
+
+  /** `_file`/`_pos`: the row id ([[ManifestFileSink.FileCol]]). Exposed
+    * for queries too (`SELECT _file, _pos, * FROM t` — lineage debugging
+    * for free). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestFileSink.FileCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestFileSink.PosCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+      })
+
+  /** SQL `UPDATE`/`MERGE INTO` (and the delta path of DELETE): Catalyst
+    * rewrites the command into a scan producing row ids plus a DELTA
+    * write of per-row delete/update/insert actions; the sink lands them
+    * as deletion vectors + new task files in ONE manifest — the same
+    * artifact shape as [[ManifestFileSink.mergeUpsert]], driven entirely
+    * by the engine's own rewrite. The snapshot is pinned when the
+    * operation is built; a concurrent commit makes the publish REFUSE
+    * (serializable semantics, the optimize fence). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseIfPinned(info.command.toString)
+    () => new ManifestRowLevelOperation(path, info.command)
+  }
 
   /** SQL `DELETE FROM <catalog table> WHERE …` lands here (DSv2
     * SupportsDelete). Accepts exactly the predicate vocabulary
@@ -1657,6 +1725,119 @@ private class ManifestOverwriteBatchWrite(
       case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
+}
+
+/** Delta-based row-level operation (SQL UPDATE / MERGE INTO / DELETE):
+  * the scan serves rows + their (`_file`, `_pos`) row ids; Catalyst's
+  * rewrite feeds per-row actions to [[ManifestDeltaWriter]]s; the commit
+  * publishes retraction vectors + inserted files atomically. */
+private class ManifestRowLevelOperation(
+    path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  // Serializable-semantics pin: taken when the operation is BUILT (the
+  // scan reads this snapshot); the commit refuses if the table advanced.
+  private val pin = ManifestFileSink.latestManifest(path)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val schema = ManifestFileSink.storedSchema(path, None).getOrElse(new StructType())
+    new ManifestTable(path, schema, acceptAnySchema = false).newScanBuilder(options)
+  }
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(ManifestFileSink.FileCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(ManifestFileSink.PosCol))
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new ManifestDeltaBatchWrite(path, info.schema(), pin)
+        }
+    }
+}
+
+/** One task attempt's delta outcome: optionally a committed insert file,
+  * plus the (file → positions) retractions this task's delete/update
+  * actions produced. */
+private case class DeltaTaskCommit(
+    inserted: Option[CommittedFile],
+    retractions: Map[String, Seq[Long]]) extends WriterCommitMessage
+
+private class ManifestDeltaBatchWrite(
+    path: String, schema: StructType, pin: Option[String])
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  ManifestFileSink.vetWritable(schema)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new ManifestDeltaWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ManifestFileSink.commitDelta(path, schema, pin, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case DeltaTaskCommit(Some(CommittedFile(f, _, _)), _) =>
+        Files.deleteIfExists(Paths.get(path, "data", f))
+      case _ =>
+    }
+}
+
+/** Top-level (shipped to executors) — the anonymous-class form would drag
+  * the non-serializable batch write along as its outer instance. */
+private class ManifestDeltaWriterFactory(path: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new ManifestDeltaWriter(path, schema, f"part-d$partitionId%05d-$taskId")
+}
+
+/** Executor-side delta writer: inserts stream into an attempt-unique task
+  * file (zone-map stats included, invisible until publish — the sink's
+  * normal write mechanics), delete/update row ids accumulate as per-file
+  * position lists. An update is its retraction + its reinsert. */
+private class ManifestDeltaWriter(path: String, schema: StructType, name: String)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var out: ManifestDataWriter = null
+  private val dels = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  private def retract(id: InternalRow): Unit = {
+    // rowId order: (_file STRING, _pos BIGINT). Copy the string out of
+    // the reused buffer.
+    val f = id.getUTF8String(0).toString
+    dels.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) += id.getLong(1)
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = retract(id)
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    retract(id); insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (out == null) out = new ManifestDataWriter(path, schema, name)
+    out.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    DeltaTaskCommit(
+      Option(out).map(_.commit().asInstanceOf[CommittedFile]),
+      dels.view.mapValues(_.toSeq).toMap)
+
+  override def abort(): Unit =
+    if (out != null) Files.deleteIfExists(Paths.get(path, "data", name))
+
+  override def close(): Unit = ()
 }
 
 private class ManifestWriterFactory(path: String, schema: StructType)
@@ -1973,41 +2154,52 @@ private class ManifestReaderFactory(path: String, schema: StructType)
     val split = partition.asInstanceOf[FileSplit]
     val reader = Files.newBufferedReader(
       Paths.get(path, "data", split.file), StandardCharsets.UTF_8)
-    // Weighted change feed: the `_change_weight` column rides LAST in the
-    // read schema — unless the query pruned it away (the split's weight
-    // still governs emission semantics either way).
-    val hasWeightCol = split.weight != 0 &&
-      schema.fields.lastOption.exists(_.name == ManifestFileSink.WeightCol)
-    val dataSchema =
-      if (hasWeightCol) StructType(schema.fields.dropRight(1)) else schema
+    // The read schema interleaves three kinds of columns:
+    //   - DATA columns (parsed from the file, evolution-reconciled);
+    //   - the weighted feed's `_change_weight` (filled from the split);
+    //   - METADATA columns `_file`/`_pos` (SupportsMetadataColumns — the
+    //     row id of delta-based UPDATE/MERGE and a debugging affordance).
     // Schema evolution + column pruning share one mechanism: parse under
     // the schema the file was WRITTEN with, CONVERT only the fields the
     // (possibly pruned) read schema asks for, by NAME — added columns
     // backfill NULL, dropped/pruned columns are never materialized, order
-    // is immaterial. The projection is precomputed once per split; the
-    // fast path (identical schemas, no pruning) adds zero per-row work.
+    // is immaterial. Everything is precomputed once per split; the fast
+    // path (identical schemas, data-only) adds zero per-row work.
+    val names = schema.fields.map(_.name)
+    val isMeta = names.map(n =>
+      n == ManifestFileSink.FileCol || n == ManifestFileSink.PosCol)
+    val isWeight = names.map(n => split.weight != 0 && n == ManifestFileSink.WeightCol)
+    val dataSchema = StructType(schema.fields.zipWithIndex.collect {
+      case (f, i) if !isMeta(i) && !isWeight(i) => f
+    })
     val fileSchema = if (split.ddl.isEmpty) dataSchema
       else ManifestFileSink.asNullable(StructType.fromDDL(split.ddl))
-    val evolved = fileSchema != dataSchema
+    val plainData = fileSchema == dataSchema && dataSchema.length == schema.length
     val proj = ManifestFileSink.evolutionProjection(dataSchema, fileSchema)
-    def project(line: String): InternalRow = {
-      val data =
-        if (!evolved) ManifestFileSink.parse(line, fileSchema)
-        else {
-          // Selective conversion: split once, convert ONLY projected
-          // fields (a pruned-away wide string column costs nothing).
-          val parts = line.split("\t", -1)
-          InternalRow.fromSeq(dataSchema.fields.indices.map { i =>
-            val fi = proj(i)
+    // For each read-schema position: the file-schema index to parse, or
+    // -1 (NULL backfill / non-data column handled explicitly below).
+    val srcIdx: Array[Int] = {
+      var di = 0
+      schema.fields.indices.map { i =>
+        if (isMeta(i) || isWeight(i)) -1
+        else { val fi = proj(di); di += 1; fi }
+      }.toArray
+    }
+    val fileName = UTF8String.fromString(split.file)
+    def project(line: String, pos: Long): InternalRow = {
+      if (plainData) return ManifestFileSink.parse(line, fileSchema)
+      val parts = line.split("\t", -1)
+      InternalRow.fromSeq(schema.fields.indices.map { i =>
+        schema.fields(i).name match {
+          case ManifestFileSink.FileCol if isMeta(i) => fileName
+          case ManifestFileSink.PosCol if isMeta(i)  => pos
+          case _ if isWeight(i)                      => split.weight
+          case _ =>
+            val fi = srcIdx(i)
             if (fi < 0) null
             else ManifestFileSink.parseField(parts(fi), fileSchema.fields(fi).dataType)
-          })
         }
-      if (!hasWeightCol) data
-      else InternalRow.fromSeq(
-        dataSchema.fields.indices.map(i =>
-          if (data.isNullAt(i)) null
-          else data.get(i, dataSchema.fields(i).dataType)) :+ split.weight)
+      })
     }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
@@ -2022,13 +2214,13 @@ private class ManifestReaderFactory(path: String, schema: StructType)
           if (split.weight < 0) {
             // Retraction split: EMIT exactly the vector's positions.
             if (pi < positions.length && positions(pi) == idx) {
-              pi += 1; cur = project(line); return true
+              pi += 1; cur = project(line, idx); return true
             } else if (pi >= positions.length) return false // past last hit
           } else {
             // Merge-on-read: one pointer walks the sorted deletion vector
             // in lockstep with the line index — O(1) per row, no lookups.
             if (pi < positions.length && positions(pi) == idx) pi += 1 // dead
-            else { cur = project(line); return true }
+            else { cur = project(line, idx); return true }
           }
         }
         false

@@ -145,6 +145,57 @@ class CatalogSqlSpec extends SparkTestBase {
       "truncate is merge-on-read: vectors, not file deletion — history intact")
   }
 
+  test("SQL UPDATE: delta rewrite lands vectors + new file in one commit") {
+    root
+    spark.sql("CREATE TABLE graft.db.up (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql("INSERT INTO graft.db.up VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    val before = ManifestFileSink.manifests(s"$root/db/up").size
+
+    spark.sql("UPDATE graft.db.up SET score = score * 10, name = concat(name, '!') WHERE id >= 2")
+    assert(spark.sql("SELECT id, name, score FROM graft.db.up ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 1.0), (2L, "b!", 20.0), (3L, "c!", 30.0)))
+    assert(ManifestFileSink.manifests(s"$root/db/up").size === before + 1,
+      "the update (retractions + reinserts) is ONE commit")
+    assert(ManifestFileSink.deleteVectors(s"$root/db/up").values.map(_.length).sum === 2,
+      "updated rows retract through deletion vectors, untouched rows stay in place")
+    // No-match update publishes nothing.
+    spark.sql("UPDATE graft.db.up SET score = 0.0 WHERE id = 999")
+    assert(ManifestFileSink.manifests(s"$root/db/up").size === before + 1)
+  }
+
+  test("SQL MERGE INTO: matched update, matched delete, not-matched insert — atomic") {
+    root
+    spark.sql("CREATE TABLE graft.db.mt (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.mt VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("CREATE TABLE graft.db.ms (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.ms VALUES (2, 22.0), (3, -1.0), (4, 4.0)")
+    val before = ManifestFileSink.manifests(s"$root/db/mt").size
+
+    spark.sql("""MERGE INTO graft.db.mt t USING graft.db.ms s ON t.id = s.id
+                |WHEN MATCHED AND s.v < 0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.db.mt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.0), (2L, 22.0), (4L, 4.0)))
+    assert(ManifestFileSink.manifests(s"$root/db/mt").size === before + 1,
+      "the whole MERGE is ONE commit")
+  }
+
+  test("metadata columns _file/_pos are queryable (row lineage for free)") {
+    root
+    spark.sql("CREATE TABLE graft.db.md (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.md VALUES (10), (11)")
+    val rows = spark.sql("SELECT id, _file, _pos FROM graft.db.md ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 2)
+    assert(rows.forall(_._3 >= 0L), "positions are 0-based in-file")
+    assert(rows.map(r => (r._2, r._3)).distinct.length === 2,
+      "(_file, _pos) is a unique row id")
+    assert(rows.forall(_._2.startsWith("part-")), "file names are the task files")
+  }
+
   test("DELETE with a NULL-involving predicate keeps ANSI 3VL semantics") {
     root
     spark.sql("CREATE TABLE graft.db.n (id BIGINT, v DOUBLE)")
