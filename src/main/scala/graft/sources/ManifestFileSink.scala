@@ -2004,9 +2004,27 @@ private class ManifestScan(
     ignoreDeletes: Boolean = false,
     weighted: Boolean = false)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Runtime (dynamic) file pruning: Spark injects the build side's join
+    * keys as IN filters at execution start — the zone maps then skip
+    * files exactly as they do for static predicates, so a broadcast join
+    * probing a narrow key range opens only the files whose min/max admit
+    * it (DSv2's dynamic partition pruning, at file granularity). Every
+    * data column participates; stats-free files are always kept. */
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.fieldNames
+      .filterNot(n => n == ManifestFileSink.WeightCol ||
+        n == ManifestFileSink.FileCol || n == ManifestFileSink.PosCol)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = filters
 
   /** Planner statistics from metadata already in hand: live row counts
     * (manifest entries minus deletion vectors) and on-disk bytes of the
@@ -2055,9 +2073,12 @@ private class ManifestScan(
     // a per-row parse failure on an executor.
     visible.map(_._4).distinct.foreach(ddl =>
       ManifestFileSink.validateEvolution(schema, schemaOf(ddl), s"files under '$ddl'"))
+    // Static pushed filters + runtime (dynamic) join-key filters prune
+    // through the same zone maps.
+    val effFilters = filters ++ runtimeFilters
     val admitted = visible.filter { case (_, _, st, ddl) =>
       // Zone maps are keyed by the FILE's column positions.
-      st.forall(s => filters.forall(f => ManifestFileSink.mayMatch(f, s, schemaOf(ddl))))
+      st.forall(s => effFilters.forall(f => ManifestFileSink.mayMatch(f, s, schemaOf(ddl))))
     }
     // Change feed: subtract the `since` snapshot's files. A retired
     // `since` raises through snapshot() — the consumer's resume point was
@@ -2130,7 +2151,7 @@ private class ManifestScan(
                 .map(v => (v._3, v._4))
                 .getOrElse((None, ddlMap.getOrElse(f, "")))
               if (st.exists(s =>
-                  !filters.forall(flt => ManifestFileSink.mayMatch(flt, s, schemaOf(ddl)))))
+                  !effFilters.forall(flt => ManifestFileSink.mayMatch(flt, s, schemaOf(ddl)))))
                 None
               else Some(FileSplit(f, ps.toArray.sorted, ddl, -1): InputPartition)
             }
