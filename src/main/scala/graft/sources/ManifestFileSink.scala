@@ -340,14 +340,20 @@ object ManifestFileSink {
       }
     }
     // Compare column value to a filter literal in the column's own type
-    // space; None when the column is NULL (or either side is NaN).
+    // space; None when the column is NULL. NaN follows SPARK's total
+    // order (NaN greatest, NaN = NaN true — java.lang.Double.compare),
+    // so a SQL DELETE removes exactly the rows the same predicate
+    // SELECTs — the predicate now arrives from Spark's own DML rewrite.
     def cmp(c: String, v: Any): Option[Int] = value(c) match {
       case null => None
       case x: Long => compareLongLiteral(x, v)
       case x: Int => compareLongLiteral(x.toLong, v)
       case x: Double =>
+        // Normalize signed zero first: Spark's comparisons use primitive
+        // equality where -0.0 = 0.0, but Double.compare orders them.
         val d = v.asInstanceOf[Number].doubleValue()
-        if (x.isNaN || d.isNaN) None else Some(java.lang.Double.compare(x, d))
+        Some(java.lang.Double.compare(
+          if (x == 0.0) 0.0 else x, if (d == 0.0) 0.0 else d))
       case x: String => Some(x.compareTo(String.valueOf(v)))
       case x: Boolean => Some(java.lang.Boolean.compare(x, v.asInstanceOf[Boolean]))
       case other => throw new IllegalArgumentException(s"uncomparable $other")
@@ -397,14 +403,15 @@ object ManifestFileSink {
     * fractional double literal never truncates: `n < 2.5` sees 2.5 sit
     * strictly between 2 and 3 (decimal-space compare), where a
     * `longValue()` cast would silently turn it into `n < 2` and mis-scope
-    * a DELETE. NaN compares as NULL; a non-numeric literal throws (a
-    * delete must never silently mis-scope). */
+    * a DELETE. A NaN literal follows Spark's total order (greater than
+    * every long); a non-numeric literal throws (a delete must never
+    * silently mis-scope). */
   private[sources] def compareLongLiteral(x: Long, v: Any): Option[Int] = v match {
     case d: java.lang.Double =>
-      if (d.isNaN) None
+      if (d.isNaN) Some(-1)
       else Some(java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(d.doubleValue())))
     case f: java.lang.Float =>
-      if (f.isNaN) None
+      if (f.isNaN) Some(-1)
       else Some(java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(f.doubleValue())))
     case b: java.math.BigDecimal => Some(java.math.BigDecimal.valueOf(x).compareTo(b))
     case b: scala.math.BigDecimal => Some(scala.math.BigDecimal(x).compare(b))
@@ -1002,7 +1009,11 @@ object ManifestFileSink {
         case DoubleType =>
           val x = v match { case n: Number => n.doubleValue(); case _ => return None }
           if (x.isNaN) return None
-          Some((java.lang.Double.compare(x, s.min.toDouble), java.lang.Double.compare(x, s.max.toDouble)))
+          // Signed zero normalizes (Spark equality: -0.0 = 0.0) — a file
+          // whose only value is -0.0 must admit an = 0.0 probe.
+          def nz(d: Double): Double = if (d == 0.0) 0.0 else d
+          Some((java.lang.Double.compare(nz(x), nz(s.min.toDouble)),
+                java.lang.Double.compare(nz(x), nz(s.max.toDouble))))
         case StringType =>
           // Bounds were accumulated in UTF8String BINARY order — the same
           // order Spark's own string comparisons use, so pruning decisions
@@ -1638,14 +1649,15 @@ private[sources] object MatchScan extends Serializable {
 
   /** A row's merge-key value as a plain JVM value with stable
     * equals/hashCode across both sides of the semi-join. NULL keys match
-    * nothing (SQL equality), and a NaN key matches nothing either —
-    * the same behaviour the 3VL `In` comparison gives. */
+    * nothing (SQL equality); NaN keys match NaN, Spark's own join
+    * semantics (boxed Double equality is bitwise, which gives exactly
+    * that). */
   private def keyValue(row: InternalRow, idx: Int, dt: DataType): Any =
     if (row.isNullAt(idx)) null
     else dt match {
       case LongType    => row.getLong(idx)
       case IntegerType => row.getInt(idx)
-      case DoubleType  => val d = row.getDouble(idx); if (d.isNaN) null else d
+      case DoubleType  => row.getDouble(idx)
       case BooleanType => row.getBoolean(idx)
       case StringType  => row.getUTF8String(idx).toString
       case other => throw new IllegalArgumentException(s"unsupported merge key type $other")
