@@ -96,7 +96,14 @@ object TextHash {
     * production this is `xxhash64(gram)` — drop-in, same shuffle shape. */
   val GramM: Long = 1L << 44
   def gramHashCol(words: Seq[Column]): Column =
-    words.foldLeft(lit(0L): Column)((h, w) => (h * lit(31L) + wordHashCol(w)) % lit(GramM))
+    gramHashFoldCol(words.map(wordHashCol))
   def gramHashSql(words: Seq[String]): String =
-    words.foldLeft("0")((h, w) => s"(($h * 31 + ${wordHashSql(w)}) % $GramM)")
+    gramHashFoldSql(words.map(wordHashSql))
+
+  /** The fold over ALREADY-COMPUTED word hashes — callers that can hash
+    * each token once (a token rides up to W grams) use this directly. */
+  def gramHashFoldCol(hashes: Seq[Column]): Column =
+    hashes.foldLeft(lit(0L): Column)((h, wh) => (h * lit(31L) + wh) % lit(GramM))
+  def gramHashFoldSql(hashes: Seq[String]): String =
+    hashes.foldLeft("0")((h, wh) => s"(($h * 31 + $wh) % $GramM)")
 }
