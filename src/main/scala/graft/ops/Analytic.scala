@@ -938,7 +938,52 @@ object Analytic {
       |LEFT JOIN last l ON c.conv_id = l.conv_id
       |ORDER BY c.conv_id""".stripMargin
 
+  /** Exponentially-weighted moving average (final smoothed level) per
+    * user over the event series, α = 1/2 — the streaming-quality smoother
+    * every monitoring pipeline keeps per key.
+    *
+    * The recurrence ewma_i = α·x_i + (1−α)·ewma_{i−1} (seeded at x_1)
+    * unrolls to the closed form
+    *   ewma_n = x_1·(1−α)^{n−1} + Σ_{i≥2} x_i·α·(1−α)^{n−i},
+    * which is a WEIGHTED SUM — so the sequential per-key loop becomes one
+    * window pass (row_number + per-key count share the user_id sort) and
+    * one map-side-combinable fold. That is the 100 TB shape: no per-key
+    * driver iteration, no UDAF carrying order-dependent state; the window
+    * and the groupBy reuse a single user_id exchange.
+    *
+    * Exactness: α = 1/2 makes every decay weight an exact power of two
+    * (pow(0.5, k) is exact IEEE in both engines — scaling by it is exact),
+    * and the fold is [[graft.functions.Exact.qsum]]-quantized, so the gate
+    * is bit-stable under any partial-aggregation order. */
+  def qEwma: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("decay",
+        when(col("rn") === 1, pow(lit(0.5), col("n") - 1))
+          .otherwise(pow(lit(0.5), col("n") - col("rn") + 1)))
+      .groupBy(col("user_id"))
+      .agg(qsum(col("value") * col("decay")).as("ewma"), count(lit(1)).as("n_obs"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEwmaSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events)
+       |SELECT user_id,
+       |  ${sqlQsum("value * CASE WHEN rn = 1 THEN POWER(0.5, n - 1) ELSE POWER(0.5, n - rn + 1) END")} AS ewma,
+       |  COUNT(*) AS n_obs
+       |FROM seq GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ewma"            -> qEwma,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -969,6 +1014,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewma"            -> qEwmaSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,

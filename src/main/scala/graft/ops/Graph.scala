@@ -99,6 +99,79 @@ object Graph {
        |SELECT node, ROUND(rank, 6) AS rank FROM r$Iters ORDER BY node""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("q_pagerank" -> qPageRank)
-  val oracles: Map[String, String] = Map("q_pagerank" -> qPageRankSql)
+  /** Per-node triangle counts on the co-supply graph via degree-ordered
+    * edge orientation (Cohen's MapReduce triangle enumeration; same scheme
+    * as Suri & Vassilvitskii's wedge-bounded variant).
+    *
+    * Orienting every undirected edge from its (degree, id)-smaller endpoint
+    * to its larger one makes each triangle appear EXACTLY once as a wedge
+    * a→b, b→c closed by a→c, and — the scale point — bounds every node's
+    * out-degree by O(√m), so the wedge join's fanout is Σ outdeg² ≤ O(m^1.5)
+    * instead of the unoriented Σ deg² which a single celebrity node drives
+    * quadratic. Three shuffles total: the wedge equi-join on the mid node,
+    * the closing LEFT SEMI on (a,c) pairs, and the final per-node fold; the
+    * oriented edge list is the persisted kernel all three reuse. The
+    * (deg, id) total order is deterministic, so DuckDB replays it verbatim.
+    */
+  def qTriangleCount: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val sym = supp.as("a")
+      .join(supp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // u → v iff (deg(u), u) < (deg(v), v): a total order, so the oriented
+    // list is an acyclic tournament restriction of the symmetric graph.
+    val oriented = sym
+      .join(deg.select(col("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+      .where(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .persist()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tris = wedges
+      .join(oriented,
+        wedges("a") === oriented("src") && wedges("c") === oriented("dst"),
+        "left_semi")
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("tri_count"))
+      .orderBy(col("node"))
+  }
+
+  val qTriangleCountSql: String =
+    """WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |sym AS (
+      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM supp a JOIN supp b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+      |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+      |oriented AS (
+      |  SELECT s.u AS src, s.v AS dst
+      |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
+      |  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
+      |tris AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM oriented e1 JOIN oriented e2 ON e1.dst = e2.src
+      |  WHERE EXISTS (SELECT 1 FROM oriented e3
+      |                WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+      |nodes AS (
+      |  SELECT a AS node FROM tris
+      |  UNION ALL SELECT b FROM tris
+      |  UNION ALL SELECT c FROM tris)
+      |SELECT node, COUNT(*) AS tri_count FROM nodes GROUP BY node
+      |ORDER BY node""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pagerank" -> qPageRank,
+    "q_triangle_count" -> qTriangleCount)
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> qPageRankSql,
+    "q_triangle_count" -> qTriangleCountSql)
 }

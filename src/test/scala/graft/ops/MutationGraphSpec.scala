@@ -113,6 +113,58 @@ class MutationGraphSpec extends SparkTestBase {
     assert(row("o_orderstatus") >= 1 && row("o_orderkey") >= 1)
   }
 
+  test("triangle count: K3 plus a pendant edge yields exactly one triangle") {
+    // order 1 co-supplied by {10,20,30} → K3; order 2 by {30,40} → pendant
+    // edge 30–40. Exactly one triangle; node 40 is in none.
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 30L), (2L, 40L))
+      .toDF("l_orderkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.qTriangleCount(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L, 20L -> 1L, 30L -> 1L))
+  }
+
+  test("triangle count: degree orientation halves each edge exactly once") {
+    // On the real graph, 3 * n_triangles must equal the per-node sum, and
+    // every count must be non-negative (each triangle credits 3 nodes once).
+    val out = Graph.qTriangleCount(spark, sf).cache()
+    val perNode = out.agg(sum($"tri_count")).as[Long].head()
+    assert(perNode % 3 === 0, s"per-node credit sum $perNode not divisible by 3")
+    assert(out.filter($"tri_count" <= 0).count() === 0)
+    out.unpersist()
+  }
+
+  test("ewma: closed-form fold equals the sequential recurrence") {
+    val events = graft.sources.Tables(spark, sf).events
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    // Sequential per-key recurrence (the definition), then the SAME
+    // per-term cent quantization qsum applies to the closed form: the
+    // operator's weighted-sum reformulation must reproduce it exactly.
+    val expect = events.groupBy(_._1).map { case (u, rows) =>
+      val xs = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._4)
+      val n = xs.length
+      val contribs = xs.zipWithIndex.map { case (x, i0) =>
+        val i = i0 + 1
+        val w = if (i == 1) math.pow(0.5, n - 1) else math.pow(0.5, n - i + 1)
+        math.floor(x * w * 100 + 0.5).toLong
+      }
+      u -> contribs.sum.toDouble / 100.0
+    }
+    val got = Analytic.qEwma(spark, sf).select($"user_id", $"ewma")
+      .as[(Long, Double)].collect().toMap
+    expect.foreach { case (u, e) =>
+      assert(got(u) === e, s"user $u: got ${got(u)}, recurrence $e")
+    }
+  }
+
+  test("ewma plan: windows and the fold share ONE user_id exchange") {
+    val p = Analytic.qEwma(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"expected row_number/count windows + groupBy to reuse one user_id partitioning, got $exchanges:\n$p")
+  }
+
   test("pagerank plan: rank propagation joins are hash-based, not cartesian") {
     val p = Graph.qPageRank(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
