@@ -928,29 +928,163 @@ object ManifestFileSink {
     * uses — parse back under the column's type for exact comparison) plus
     * a null-presence bit. `min`/`max` empty ⇔ the column had no non-null
     * values in the file (then an equality/range predicate can never match
-    * it, but IS NULL can). */
-  private[sources] final case class ColStats(min: String, max: String, hasNull: Boolean)
+    * it, but IS NULL can) — UNLESS `rangeless` is set, which means "this
+    * entry makes no range claim at all" (it exists only to carry a Bloom
+    * filter for a column whose bounds were too long to record).
+    *
+    * `bloom` is an optional per-file BLOOM FILTER over the column's
+    * non-null values ([[BloomBits]] bits, [[BloomK]] double-hashed probes)
+    * — the point-lookup index zone maps cannot provide: a high-cardinality
+    * key scattered across the keyspace makes every file's [min,max] admit
+    * every probe, while its Bloom refutes all but the true file(s) plus an
+    * ~(k·n/m)^k false-positive sliver. Used for EqualTo/In only (including
+    * the runtime join-key IN filters), never ranges; absence = no claim. */
+  private[sources] final case class ColStats(
+      min: String, max: String, hasNull: Boolean,
+      bloom: Option[Array[Long]] = None, rangeless: Boolean = false)
 
-  /** Encoding: `idx=min,max,nullBit` joined by `|`. Numeric bounds are
-    * plain text; STRING bounds are percent-escaped (the structural chars
-    * `%|,=\t\n\r` become %XX) so any recorded value survives the line
-    * format. String stats are recorded only when both bounds are ≤ 24
-    * bytes and the min is non-empty — long bounds would bloat the
-    * manifest for text columns that never prune, and an empty-string min
-    * is indistinguishable from the "no non-null values" sentinel (no
-    * claim is always safe). Booleans carry no stats (ranges prune
-    * nothing useful). */
+  /** Encoding: `idx=min,max,nullBit[,bloomB64]` joined by `|`. Numeric
+    * bounds are plain text; STRING bounds are percent-escaped (the
+    * structural chars `%|,=\t\n\r` become %XX) so any recorded value
+    * survives the line format. String stats are recorded only when both
+    * bounds are ≤ 24 bytes and the min is non-empty — long bounds would
+    * bloat the manifest for text columns that never prune, and an
+    * empty-string min is indistinguishable from the "no non-null values"
+    * sentinel (no claim is always safe). Booleans carry no stats (ranges
+    * prune nothing useful). A rangeless entry renders its bounds as the
+    * bare marker `%` — unambiguous because a REAL `%` always escapes to
+    * `%25`. The Bloom bitset rides as URL-safe unpadded base64 (alphabet
+    * disjoint from every structural char). Entries decoded from pre-Bloom
+    * manifests simply have no 4th part — `bloom = None`, no claim. */
   private[sources] def encodeStats(stats: Map[Int, ColStats]): String =
     stats.toSeq.sortBy(_._1).map { case (i, s) =>
-      s"$i=${escapeStat(s.min)},${escapeStat(s.max)},${if (s.hasNull) 1 else 0}"
+      val mn = if (s.rangeless) "%" else escapeStat(s.min)
+      val mx = if (s.rangeless) "%" else escapeStat(s.max)
+      val base = s"$i=$mn,$mx,${if (s.hasNull) 1 else 0}"
+      s.bloom.fold(base)(b => base + "," + encodeBloom(b))
     }.mkString("|")
 
   private[sources] def decodeStats(s: String): Map[Int, ColStats] =
     s.split("\\|").iterator.map { part =>
       val eq = part.indexOf('=')
-      val Array(mn, mx, nl) = part.substring(eq + 1).split(",", -1)
-      part.substring(0, eq).toInt -> ColStats(unescapeStat(mn), unescapeStat(mx), nl == "1")
+      val ps = part.substring(eq + 1).split(",", -1)
+      val rangeless = ps(0) == "%"
+      part.substring(0, eq).toInt -> ColStats(
+        if (rangeless) "" else unescapeStat(ps(0)),
+        if (rangeless) "" else unescapeStat(ps(1)),
+        ps(2) == "1",
+        if (ps.length > 3 && ps(3).nonEmpty) Some(decodeBloom(ps(3))) else None,
+        rangeless)
     }.toMap
+
+  // ---------------------------------------------------- bloom file index
+
+  /** Bloom geometry: 1024 bits / 4 probes per column per file. At the
+    * sink's file sizes (10^4–10^5 rows, but n DISTINCT keys per file is
+    * what matters and clustered tables keep it far lower) this is a
+    * metadata cost of 171 base64 chars per indexed column per file —
+    * against which a single refuted file saves a full file scan. The
+    * geometry is a write-time choice embedded in each bitset's length, so
+    * tables can mix sizes across commits; [[bloomIndices]] derives the
+    * mask from the decoded array length. */
+  private[sources] val BloomBits = 1024
+  private[sources] val BloomK = 4
+
+  /** Columns of a table designated for Bloom indexing — persisted in a
+    * `_bloom` control file (comma-joined names) so the path API, the SQL
+    * catalog, and every maintenance writer agree without threading
+    * options. Missing file = no indexing (the default: blooms cost
+    * manifest bytes and only help point lookups on high-cardinality
+    * columns, which is a call the table owner makes, as with
+    * Delta's per-column bloom properties). */
+  def setBloomIndex(path: String, cols: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, "._bloom.tmp")
+    Files.write(tmp, java.util.Collections.singletonList(cols.mkString(",")),
+      StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(path, "_bloom"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def bloomColumns(path: String): Set[String] = {
+    val f = Paths.get(path, "_bloom")
+    if (!Files.exists(f)) Set.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+  }
+
+  /** SplitMix64 finalizer — the avalanche both hash paths share. */
+  private[sources] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[sources] def bloomHashLong(v: Long): Long = mix64(v)
+
+  /** FNV-1a 64 over the value's UTF-8 bytes, then avalanched. The writer
+    * hashes `UTF8String.getBytes`, the pruner `String.getBytes(UTF_8)` —
+    * identical byte sequences by construction. */
+  private[sources] def bloomHashBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Kirsch–Mitzenmacher double hashing: k probe positions from one
+    * 64-bit hash, mask derived from the bitset's own length. */
+  private[sources] def bloomIndices(h: Long, words: Int): Array[Int] = {
+    val mask = words * 64 - 1
+    val h2 = mix64(h) | 1L
+    Array.tabulate(BloomK)(i => ((h + i * h2) & mask).toInt)
+  }
+
+  private[sources] def bloomSet(bits: Array[Long], h: Long): Unit =
+    bloomIndices(h, bits.length).foreach(i => bits(i >>> 6) |= (1L << (i & 63)))
+
+  private[sources] def bloomMightContain(bits: Array[Long], h: Long): Boolean =
+    bloomIndices(h, bits.length).forall(i => (bits(i >>> 6) & (1L << (i & 63))) != 0)
+
+  private[sources] def encodeBloom(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bb.array())
+  }
+
+  private[sources] def decodeBloom(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getUrlDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  /** May the literal `v` be present per the column's Bloom filter? No
+    * bitset, or a literal shape the writer never hashed, answers true. */
+  private def bloomAdmits(v: Any, s: ColStats, dt: DataType): Boolean =
+    s.bloom match {
+      case None => true
+      case Some(bits) => dt match {
+        case LongType | IntegerType =>
+          v match {
+            case n @ (_: java.lang.Long | _: java.lang.Integer |
+                      _: java.lang.Short | _: java.lang.Byte) =>
+              bloomMightContain(bits, bloomHashLong(n.asInstanceOf[Number].longValue()))
+            case d: java.lang.Double if d.doubleValue().isWhole =>
+              bloomMightContain(bits, bloomHashLong(d.doubleValue().toLong))
+            case _ => true
+          }
+        case StringType =>
+          v match {
+            case str: String =>
+              bloomMightContain(bits, bloomHashBytes(str.getBytes(StandardCharsets.UTF_8)))
+            case u: UTF8String => bloomMightContain(bits, bloomHashBytes(u.getBytes))
+            case _ => true
+          }
+        case _ => true
+      }
+    }
 
   private[sources] def escapeStat(v: String): String = {
     val sb = new java.lang.StringBuilder(v.length)
@@ -1030,33 +1164,35 @@ object ManifestFileSink {
       } catch { case _: NumberFormatException => None }
     filter match {
       case EqualTo(c, v) => colStats(c) match {
-        case Some((s, _)) if s.min.isEmpty => false // no non-null values at all
-        case Some((s, dt)) => relate(v, s, dt).forall { case (lo, hi) => lo >= 0 && hi <= 0 }
+        case Some((s, _)) if s.min.isEmpty && !s.rangeless => false // no non-null values at all
+        case Some((s, dt)) =>
+          relate(v, s, dt).forall { case (lo, hi) => lo >= 0 && hi <= 0 } &&
+            bloomAdmits(v, s, dt) // point-lookup refinement inside the range
         case None => true
       }
       case GreaterThan(c, v) => colStats(c) match {
-        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, _)) if s.min.isEmpty && !s.rangeless => false
         case Some((s, dt)) => relate(v, s, dt).forall(_._2 < 0) // v < max
         case None => true
       }
       case GreaterThanOrEqual(c, v) => colStats(c) match {
-        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, _)) if s.min.isEmpty && !s.rangeless => false
         case Some((s, dt)) => relate(v, s, dt).forall(_._2 <= 0)
         case None => true
       }
       case LessThan(c, v) => colStats(c) match {
-        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, _)) if s.min.isEmpty && !s.rangeless => false
         case Some((s, dt)) => relate(v, s, dt).forall(_._1 > 0) // v > min
         case None => true
       }
       case LessThanOrEqual(c, v) => colStats(c) match {
-        case Some((s, _)) if s.min.isEmpty => false
+        case Some((s, _)) if s.min.isEmpty && !s.rangeless => false
         case Some((s, dt)) => relate(v, s, dt).forall(_._1 >= 0)
         case None => true
       }
       case In(c, vs) => vs.exists(v => mayMatch(EqualTo(c, v), stats, schema))
       case IsNull(c) => colStats(c).forall(_._1.hasNull)
-      case IsNotNull(c) => colStats(c).forall(_._1.min.nonEmpty)
+      case IsNotNull(c) => colStats(c).forall(s => s._1.min.nonEmpty || s._1.rangeless)
       case And(l, r) => mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
       case Or(l, r) => mayMatch(l, stats, schema) || mayMatch(r, stats, schema)
       case Not(EqualTo(c, v)) => colStats(c) match {
@@ -1066,6 +1202,7 @@ object ManifestFileSink {
         case _ => true
       }
       case StringStartsWith(c, p) if p.nonEmpty => colStats(c) match {
+        case Some((s, StringType)) if s.rangeless => true // bloom-only entry: no range claim
         case Some((s, StringType)) if s.min.isEmpty => false // no non-null values
         case Some((s, StringType)) =>
           // Every string with prefix p satisfies p ≤ s < next(p) in binary
@@ -1891,8 +2028,36 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
   private val sawValue = Array.fill(schema.length)(false)
   private val poisoned = Array.fill(schema.length)(false)
 
+  // Bloom accumulation for the table's designated index columns (the
+  // `_bloom` control file, read once per task): long/int hash the value
+  // directly, strings hash their UTF-8 bytes. Doubles are not bloomed
+  // (equality probes on floats are not a sane index workload).
+  private val bloomIdx: Seq[Int] = {
+    val cols = ManifestFileSink.bloomColumns(path)
+    if (cols.isEmpty) Seq.empty
+    else schema.fields.indices.filter { i =>
+      cols.contains(schema.fields(i).name) && (schema.fields(i).dataType match {
+        case LongType | IntegerType | StringType => true
+        case _ => false
+      })
+    }
+  }
+  private val bloomBits: Map[Int, Array[Long]] =
+    bloomIdx.map(i => i -> Array.fill(ManifestFileSink.BloomBits / 64)(0L)).toMap
+
   override def write(record: InternalRow): Unit = {
     out.write(ManifestFileSink.render(record, schema)); out.write("\n")
+    bloomIdx.foreach { i =>
+      if (!record.isNullAt(i)) {
+        val h = schema.fields(i).dataType match {
+          case LongType => ManifestFileSink.bloomHashLong(record.getLong(i))
+          case IntegerType => ManifestFileSink.bloomHashLong(record.getInt(i).toLong)
+          case StringType => ManifestFileSink.bloomHashBytes(record.getUTF8String(i).getBytes)
+          case _ => 0L
+        }
+        ManifestFileSink.bloomSet(bloomBits(i), h)
+      }
+    }
     statIdx.foreach { i =>
       if (record.isNullAt(i)) hasNull(i) = true
       else schema.fields(i).dataType match {
@@ -1946,7 +2111,17 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
           Some(i -> ManifestFileSink.ColStats(minL(i).toString, maxL(i).toString, hasNull(i)))
       }
     }.toMap
-    CommittedFile(name, rows, ManifestFileSink.encodeStats(stats))
+    // Attach Bloom bitsets to their columns' entries; a bloomed column
+    // whose bounds were unrecordable (long string bounds) gets a
+    // RANGELESS carrier entry — bloom claim without a range claim.
+    val bloomed = bloomIdx.filter(sawValue).map { i =>
+      val bl = Some(bloomBits(i))
+      stats.get(i) match {
+        case Some(cs) => i -> cs.copy(bloom = bl)
+        case None => i -> ManifestFileSink.ColStats("", "", hasNull(i), bl, rangeless = true)
+      }
+    }.toMap
+    CommittedFile(name, rows, ManifestFileSink.encodeStats(stats ++ bloomed))
   }
   override def abort(): Unit = {
     out.close()
