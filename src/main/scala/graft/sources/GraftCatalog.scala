@@ -6,9 +6,9 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 [[TableCatalog]] over manifest tables — the piece that turns the
@@ -35,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * layout belongs to `optimize`'s clustered rewrite, not to path
   * partitioning. Rename is a directory move (same-filesystem atomic);
   * drop recursively removes the table dir. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -127,10 +127,102 @@ class GraftCatalog extends TableCatalog {
       acceptAnySchema = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves by-name on append, " +
-        "and migrateSchema rewrites history")
+  /** `ALTER TABLE … ADD COLUMN` / `DROP COLUMN` through SQL — the same
+    * by-name evolution door the path API opens on append. Each is a
+    * SCHEMA-ONLY commit (no file touched): an added column back-fills
+    * NULL in every pre-existing file's rows at read time; a dropped
+    * column simply stops being read (and, like Delta's column drop, its
+    * bytes remain until `migrateSchema` rewrites history). Renames and
+    * type changes refuse loudly — a rename would silently NULL the
+    * column (by-name reconcile cannot know old data belongs to the new
+    * name) and a type change is the classic evolution corruption; both
+    * have `migrateSchema` as the explicit rewrite path. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val path = dir(ident).toString
+    val current = ManifestFileSink.storedSchema(path, None)
+      .getOrElse(new StructType())
+    val evolved = changes.foldLeft(current) { (sch, ch) => ch match {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft tables are flat; nested ADD COLUMN is not supported")
+        val name = add.fieldNames.head
+        require(!sch.fieldNames.contains(name), s"column $name already exists")
+        // Backfill is NULL-only, so the added column must be nullable.
+        require(add.isNullable,
+          s"ADD COLUMN $name must be nullable: pre-existing rows backfill NULL")
+        StructType(sch.fields :+ StructField(name, add.dataType, nullable = true))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft tables are flat; nested DROP COLUMN is not supported")
+        val name = del.fieldNames.head
+        if (!sch.fieldNames.contains(name)) {
+          if (del.ifExists) sch
+          else throw new IllegalArgumentException(s"no such column: $name")
+        } else {
+          require(sch.fields.length > 1, "cannot drop the last column")
+          StructType(sch.fields.filterNot(_.name == name))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported: " +
+          "renames and type changes would corrupt by-name evolution; " +
+          "use migrateSchema after an explicit rewrite")
+    }}
+    if (evolved != current)
+      ManifestFileSink.publish(path,
+        s"manifest-${java.util.UUID.randomUUID().toString}",
+        ManifestFileSink.asNullable(evolved), Array.empty)
+    loadTable(ident)
+  }
+
+  // ----------------------------------------------------- atomic CTAS/RTAS
+
+  /** `CREATE TABLE … AS SELECT`: the query's results stage invisibly
+    * (task files only — no manifest) and publish as the table's first
+    * commit only after the whole query succeeds. A failed CTAS leaves
+    * nothing: no table, no directory. */
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables do not take partition transforms; use optimize(clusterBy) for layout")
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    // Vet the schema BEFORE touching the filesystem: an unwritable CTAS
+    // schema (e.g. a void column) must fail at staging with no trace.
+    ManifestFileSink.vetWritable(schema)
+    val path = dir(ident)
+    val created = !Files.isDirectory(path)
+    Files.createDirectories(path)
+    new StagedManifestTable(path.toString, ManifestFileSink.asNullable(schema),
+      replace = false, createdDir = created)
+  }
+
+  /** `REPLACE TABLE … AS SELECT`: retract-everything + new results in ONE
+    * manifest commit — readers see the old table or the new, never a mix,
+    * pre-replace snapshots stay time-travelable, and a schema change
+    * (even a column type change) is legal because the old rows retract in
+    * the same commit. */
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables do not take partition transforms; use optimize(clusterBy) for layout")
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new StagedManifestTable(dir(ident).toString,
+      ManifestFileSink.asNullable(schema), replace = true, createdDir = false)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    if (exists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = dir(ident)

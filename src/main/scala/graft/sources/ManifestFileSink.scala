@@ -453,11 +453,18 @@ object ManifestFileSink {
     val existing = deleteVectors(path, None)
     snap.flatMap(m =>
         entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m)))).distinctBy(_._1)
-      .flatMap { case (file, _, st, ddl) =>
-        val fileSchema = asNullable(StructType.fromDDL(ddl))
-        validateEvolution(schema, fileSchema, s"data file $file")
-        if (prune.exists(f => st.exists(s => !mayMatch(f, s, fileSchema)))) None
-        else Some(MatchCandidate(file, ddl, existing.getOrElse(file, Array.empty[Long])))
+      .flatMap { case (file, rows, st, ddl) =>
+        val deleted = existing.getOrElse(file, Array.empty[Long])
+        // A fully-retracted file has no live rows to match — skip it
+        // BEFORE evolution validation, so a post-RTAS mutation doesn't
+        // trip over the replaced generation's incompatible legacy DDL.
+        if (deleted.length >= rows) None
+        else {
+          val fileSchema = asNullable(StructType.fromDDL(ddl))
+          validateEvolution(schema, fileSchema, s"data file $file")
+          if (prune.exists(f => st.exists(s => !mayMatch(f, s, fileSchema)))) None
+          else Some(MatchCandidate(file, ddl, deleted))
+        }
       }
   }
 
@@ -1474,6 +1481,37 @@ object ManifestFileSink {
         "parses as DECIMAL; write CAST(1.5 AS DOUBLE))")
   }
 
+  /** The locked commit half of an atomic RTAS (`REPLACE TABLE AS
+    * SELECT` via [[GraftCatalog.stageReplace]]): retract EVERY live row
+    * of the current snapshot (the distributed AlwaysTrue match scan,
+    * evaluated under the CURRENT schema — the predicate reads no
+    * columns, so old files need no reconciliation with the new shape)
+    * and publish the staged task files under the NEW schema, in ONE
+    * manifest. Readers see the old table or the new one, never a mix;
+    * pre-replace snapshots stay time-travelable; and unlike DROP+CREATE
+    * the commit history survives. A replace that CHANGES a column's
+    * type is legal — the old rows are fully retracted in the same
+    * commit, and the scan planner validates evolution only against
+    * files with live rows. */
+  private[sources] def commitReplaceTable(
+      path: String,
+      schema: StructType,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dataLines = messages.collect {
+      case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
+    }.toSeq
+    commitLock(path).synchronized {
+      val snap = snapshot(path, None)
+      val dvLines =
+        if (snap.isEmpty) Nil
+        else {
+          val current = asNullable(StructType.fromDDL(schemaLine(snap.last)))
+          matchPositions(path, org.apache.spark.sql.sources.AlwaysTrue(), current)
+        }
+      publishCommit(path, schema.toDDL, dataLines, dvLines)
+    }
+  }
+
   /** The locked commit half of an INSERT OVERWRITE — identical mechanics
     * to [[replaceWhere]] (schema fence, distributed match scan for the
     * retraction, one atomic manifest), but fed by the DSv2 write
@@ -1828,6 +1866,93 @@ private[sources] object MatchScan extends Serializable {
       if (k != null) out += ((k, (c.file, pos)))
     }
     out.toSeq
+  }
+}
+
+/** Atomic CTAS/RTAS staging ([[GraftCatalog.stageCreate]]/`stageReplace`):
+  * the write job runs with the sink's normal task mechanics (attempt-unique
+  * invisible files, zone-map + bloom stats accumulated), but the
+  * BatchWrite's `commit` only STASHES the task-commit messages — nothing
+  * publishes until Spark calls [[commitStagedChanges]], after the query
+  * has fully succeeded. Visibility IS manifest publication, so atomicity
+  * needs no temp-directory dance: a `CREATE TABLE … AS SELECT` whose
+  * query fails leaves a directory with no manifest (invisible to
+  * `exists`, reclaimed by abort), and a `REPLACE TABLE … AS SELECT`
+  * folds retract-everything + new files into ONE manifest
+  * ([[ManifestFileSink.commitReplaceTable]]) with history intact. */
+private[sources] class StagedManifestTable(
+    path: String, stagedSchema: StructType, replace: Boolean, createdDir: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
+
+  ManifestFileSink.vetWritable(stagedSchema)
+
+  private val staged =
+    new java.util.concurrent.atomic.AtomicReference[Array[WriterCommitMessage]](Array.empty)
+
+  override def name(): String = s"staged_manifest($path)"
+  override def schema(): StructType = stagedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // RTAS plans its write as overwrite-by-AlwaysTrue (truncate): accept
+    // and ignore it — commitStagedChanges' replace commit retracts every
+    // pre-existing row anyway, so the "overwrite" IS the staged publish.
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        val all = filters.forall {
+          case org.apache.spark.sql.sources.AlwaysTrue() => true
+          case _ => false
+        }
+        require(all, "a staged REPLACE TABLE write can only overwrite everything")
+        this
+      }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            new ManifestWriterFactory(path, stagedSchema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            staged.set(messages) // deferred to commitStagedChanges
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+              case _ =>
+            }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (replace)
+      ManifestFileSink.commitReplaceTable(path, stagedSchema, staged.get)
+    else {
+      // CREATE: refuse if a concurrent create published first — the
+      // staged files stay invisible and are cleaned like an abort.
+      if (ManifestFileSink.manifests(path).nonEmpty) {
+        abortStagedChanges()
+        throw new IllegalStateException(
+          s"CTAS lost a concurrent CREATE race on $path; staged results discarded")
+      }
+      ManifestFileSink.publish(path,
+        s"manifest-${java.util.UUID.randomUUID().toString}", stagedSchema, staged.get)
+    }
+
+  override def abortStagedChanges(): Unit = {
+    staged.get.foreach {
+      case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case _ =>
+    }
+    // A CTAS-created dir with nothing published disappears entirely.
+    if (createdDir && ManifestFileSink.manifests(path).isEmpty) {
+      val p = Paths.get(path)
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
   }
 }
 
@@ -2256,9 +2381,21 @@ private class ManifestScan(
       .flatMap(m => ManifestFileSink.entriesWithStats(m)
         .map(e => (e._1, e._2, e._3, ManifestFileSink.schemaLine(m))))
       .distinctBy(_._1)
+    // Merge-on-read vectors, fetched BEFORE validation: a fully-retracted
+    // file never contributes rows, so its (possibly type-incompatible)
+    // legacy schema must not refuse the scan — the RTAS contract, where
+    // a REPLACE commit retracts every old row and may change a column's
+    // type in the same manifest. (Change-feed reads keep validating
+    // everything: the weighted feed re-opens old files for retraction
+    // images.)
+    val dvs = if (since.isEmpty) ManifestFileSink.deleteVectors(path, asOf)
+              else Map.empty[String, Array[Long]]
     // Type changes refuse at PLAN time — one loud driver-side error, never
     // a per-row parse failure on an executor.
-    visible.map(_._4).distinct.foreach(ddl =>
+    visible
+      .filter { case (f, rows, _, _) =>
+        since.nonEmpty || dvs.getOrElse(f, Array.empty[Long]).length < rows }
+      .map(_._4).distinct.foreach(ddl =>
       ManifestFileSink.validateEvolution(schema, schemaOf(ddl), s"files under '$ddl'"))
     // Static pushed filters + runtime (dynamic) join-key filters prune
     // through the same zone maps.
@@ -2299,12 +2436,11 @@ private class ManifestScan(
       // A retired (compacted-away) resume point raises inside snapshot().
       ManifestFileSink.visibleFiles(path, Some(m)).map(_._1).toSet
     }
-    // Merge-on-read: attach each file's visible deletion vectors; a fully
-    // deleted file is dropped without being opened. The change feed reads
-    // new files AS COMMITTED (no vector subtraction): its rows are the
-    // append deltas, and the delete fence above governs retractions.
-    val dvs = if (since.isEmpty) ManifestFileSink.deleteVectors(path, asOf)
-              else Map.empty[String, Array[Long]]
+    // Merge-on-read: attach each file's visible deletion vectors (fetched
+    // above, before validation); a fully deleted file is dropped without
+    // being opened. The change feed reads new files AS COMMITTED (no
+    // vector subtraction): its rows are the append deltas, and the delete
+    // fence above governs retractions.
     val plus = admitted.filterNot(f => baseline.contains(f._1))
       .flatMap { case (f, rows, _, ddl) =>
         val del = dvs.getOrElse(f, Array.empty[Long])
