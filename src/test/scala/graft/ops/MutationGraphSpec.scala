@@ -114,9 +114,16 @@ class MutationGraphSpec extends SparkTestBase {
   }
 
   test("triangle count: K3 plus a pendant edge yields exactly one triangle") {
-    // order 1 co-supplied by {10,20,30} → K3; order 2 by {30,40} → pendant
-    // edge 30–40. Exactly one triangle; node 40 is in none.
-    val li = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 30L), (2L, 40L))
+    // A block of orders co-supplied by {10,20,30} → strong K3 (exactly
+    // the tie threshold of shared orders per pair); a second block by
+    // {30,40} → strong pendant edge 30–40; one extra order by {10,40} →
+    // a WEAK tie that must be filtered out (1 shared order < threshold),
+    // else a second triangle would appear. Exactly one triangle; node 40
+    // is in none.
+    val t = Graph.StrongTie.toLong
+    val li = ((1L to t).flatMap(o => Seq((o, 10L), (o, 20L), (o, 30L))) ++
+      ((t + 1) to 2 * t).flatMap(o => Seq((o, 30L), (o, 40L))) ++
+      Seq((2 * t + 1, 10L), (2 * t + 1, 40L)))
       .toDF("l_orderkey", "l_suppkey")
     val dir = java.nio.file.Files.createTempDirectory("tri").toString
     li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
