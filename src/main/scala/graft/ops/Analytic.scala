@@ -982,7 +982,80 @@ object Analytic {
        |  COUNT(*) AS n_obs
        |FROM seq GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Per-group ordinary-least-squares trend: slope and intercept of each
+    * supplier nation's monthly revenue against the month index — the
+    * regression every metric dashboard fits, as a closed-form two-level
+    * aggregation (no iterative solver): monthly cent-exact revenue, then
+    * the five OLS sufficient statistics (n, Σx, Σy, Σxy, Σx²) folded
+    * per nation, slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+    *
+    * Exactness: monthly revenue quantizes to integer CENTS inside the
+    * first fold, so every later sufficient statistic is pure int64
+    * arithmetic (x ≤ ~84 months, Σxy ≪ 2⁶³ — no FP accumulation at all);
+    * slope/intercept are then a fixed sequence of exactly-rounded double
+    * ops on identical integers, bit-equal cross-engine before the final
+    * display rounding.
+    *
+    * Scale: one fact shuffle to (nation, month) with map-side partials,
+    * then a tiny second fold (25 nations × ~84 months); the dimension
+    * joins broadcast. Degenerate single-month groups emit NULL slope
+    * explicitly rather than a division by zero. */
+  def qLinregTrend: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val x = ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+      .cast("long")
+    val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + lit(0.5))
+      .cast("long")
+    val monthly = t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), x.as("x"))
+      .agg(sum(cents).as("yc"))
+    val ols = monthly.groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc")).as("sy"),
+        sum(col("x") * col("yc")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_raw",
+        when(col("den") =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / col("den")))
+    ols.select(
+      col("n_name"),
+      col("n").as("n_months"),
+      round(col("slope_raw") / 100.0, 6).as("slope"),
+      round((col("sy") - col("slope_raw") * col("sx")) / col("n") / 100.0, 6).as("intercept"))
+      .orderBy(col("n_name"))
+  }
+
+  val qLinregTrendSql: String =
+    """WITH monthly AS (
+      |  SELECT n_name,
+      |    CAST((YEAR(l_shipdate) - 1992) * 12 + MONTH(l_shipdate) - 1 AS BIGINT) AS x,
+      |    SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS yc
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |ols AS (
+      |  SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(yc) AS sy,
+      |    SUM(x * yc) AS sxy, SUM(x * x) AS sxx
+      |  FROM monthly GROUP BY n_name),
+      |fit AS (
+      |  SELECT n_name, n,
+      |    CASE WHEN n * sxx - sx * sx <> 0
+      |      THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END AS slope_raw,
+      |    sx, sy
+      |  FROM ols)
+      |SELECT n_name, n AS n_months,
+      |  ROUND(slope_raw / 100.0, 6) AS slope,
+      |  ROUND((sy - slope_raw * sx) / n / 100.0, 6) AS intercept
+      |FROM fit ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_linreg_trend"    -> qLinregTrend,
     "q_ewma"            -> qEwma,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
@@ -1014,6 +1087,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_linreg_trend"    -> qLinregTrendSql,
     "q_ewma"            -> qEwmaSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,

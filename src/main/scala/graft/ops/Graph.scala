@@ -200,10 +200,87 @@ object Graph {
       |SELECT node, COUNT(*) AS tri_count FROM nodes GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al.) on the strong co-supply graph — 3 deterministic iterations.
+    *
+    * Classic LPA breaks frequency ties randomly and updates
+    * asynchronously; both are non-reproducible, so this is the
+    * deterministic variant every distributed implementation actually
+    * ships: synchronous updates (labels_{t+1} computed wholly from
+    * labels_t) and (count DESC, label ASC) tie-break. Each iteration is
+    * two shuffles — neighbor-label counting (edges ⋈ labels on src, then
+    * groupBy (dst, label)) and the per-node argmax (window over dst) —
+    * against the same persisted symmetric edge kernel; iteration count is
+    * fixed, so the whole fixpoint unrolls into one plan, the PageRank
+    * discipline. At 100 TB: label volume through each exchange is one row
+    * per edge, the mode-fold is map-side combinable, and deep fixpoints
+    * truncate lineage per generation with localCheckpoint exactly as
+    * connectedComponents does. */
+  private val LpaIters = 3
+
+  def qLabelProp: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(s, dir).lineitem
+    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = supp.as("a")
+      .join(supp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= StrongTie)
+      .select(col("u"), col("v"))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val byMode = Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to LpaIters) {
+      labels = edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byMode))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels.orderBy(col("node"))
+  }
+
+  val qLabelPropSql: String = {
+    def iterCte(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT e.dst, r.label, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |                         ORDER BY COUNT(*) DESC, r.label) AS rn
+         |    FROM edges e JOIN $prev r ON e.src = r.node
+         |    GROUP BY e.dst, r.label)
+         |  WHERE rn = 1)""".stripMargin
+    val iters = (1 to LpaIters)
+      .map(i => iterCte(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM supp a JOIN supp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $StrongTie),
+       |edges AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v, u FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$iters
+       |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> qPageRank,
-    "q_triangle_count" -> qTriangleCount)
+    "q_triangle_count" -> qTriangleCount,
+    "q_label_prop" -> qLabelProp)
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
-    "q_triangle_count" -> qTriangleCountSql)
+    "q_triangle_count" -> qTriangleCountSql,
+    "q_label_prop" -> qLabelPropSql)
 }

@@ -141,6 +141,21 @@ class MutationGraphSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("label propagation: synchronous min-tiebreak fixpoint on the fixture graph") {
+    // Strong graph: K3 {10,20,30} + pendant 30–40. Hand-rolled sync LPA
+    // with (count DESC, label ASC): iter1 → {10:20, 20:10, 30:10, 40:30};
+    // iter2 → all but 40's source already 10 → {10:10, 20:10, 30:10, 40:10};
+    // iter3 is stable. Every node lands in community 10.
+    val t = Graph.StrongTie.toLong
+    val li = ((1L to t).flatMap(o => Seq((o, 10L), (o, 20L), (o, 30L))) ++
+      ((t + 1) to 2 * t).flatMap(o => Seq((o, 30L), (o, 40L))))
+      .toDF("l_orderkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("lpa").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.qLabelProp(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
+  }
+
   test("ewma: closed-form fold equals the sequential recurrence") {
     val events = graft.sources.Tables(spark, sf).events
       .select($"user_id", $"ts", $"event_id", $"value")
