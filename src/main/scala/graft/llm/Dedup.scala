@@ -813,6 +813,94 @@ object Dedup {
       |FROM spans GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): per document, hash every k-gram, slide a window
+    * of w consecutive gram hashes, and select each window's minimum
+    * (ties → RIGHTMOST, the paper's robust-winnowing rule). The selected
+    * set is a position-spread fingerprint sketch with the paper's
+    * guarantee: any shared substring of ≥ w+k−1 tokens between two
+    * documents yields at least one SHARED selected fingerprint — so
+    * partial overlap is detectable from sketches ~2/(w+1) the gram count.
+    * Output: document pairs sharing ≥ 2 distinct fingerprint hashes, the
+    * plagiarism/near-dup candidate set.
+    *
+    * Determinism/portability: the (hash, rightmost-pos) argmin is encoded
+    * as ONE int64 key — gram hash (44-bit Horner fold both engines
+    * recompute) × 2¹⁹ + (2¹⁹−1−pos) — so the per-window selection is a
+    * plain MIN both engines evaluate identically; each token is hashed
+    * once and rides its ≤ k grams via lead() over the same (doc, pos)
+    * sort the gram fold uses.
+    *
+    * Scale: everything up to the pair join is one doc-partitioned window
+    * pass (shared exchange) + a distinct; the pair join keys on
+    * fingerprint hashes whose per-key frequency a df-cap bounds exactly
+    * like `dedup_ngram_jaccard_capped` (a boilerplate-phrase fingerprint
+    * shared by 10⁵ docs would otherwise square; the cap drops it — the
+    * documented 100 TB path, not applied here where the oracle certifies
+    * the exact form). */
+  private val WinnowK = 4 // tokens per gram
+  private val WinnowW = 5 // gram hashes per window
+  private val PosBits = 19L // pos < 2^19; key = gh * 2^19 + (2^19-1-pos)
+
+  def dedupWinnow: Q = (s, dir) => {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val frame = byPos.rowsBetween(0, WinnowW - 1)
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("wh", wordHashCol(col("w")))
+    val grams = toks
+      .withColumn("gh", gramHashFoldCol(
+        (0 until WinnowK).map(i => lead(col("wh"), i).over(byPos))))
+      .withColumn("gn", lead(col("wh"), WinnowK - 1).over(byPos))
+      .filter(col("gn").isNotNull) // drop tail positions with no full gram
+      .select(col("doc_id"), col("pos"),
+        (col("gh") * lit(1L << PosBits) +
+          (lit((1L << PosBits) - 1) - col("pos"))).as("key"))
+    val fps = grams
+      .withColumn("sel", min(col("key")).over(frame))
+      .withColumn("nw", count(lit(1)).over(frame))
+      .filter(col("nw") === WinnowW) // only full windows select
+      .select(col("doc_id"), shiftright(col("sel"), PosBits.toInt).as("fp"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupWinnowSql: String = {
+    val gh = gramHashFoldSql((0 until WinnowK).map(i => s"lead(wh, $i) OVER byp"))
+    s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+       |toks AS (
+       |  SELECT doc_id, x AS pos, ${wordHashSql("wl[x+1]")} AS wh
+       |  FROM wl, UNNEST(range(len(wl))) AS t(x)),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    $gh * ${1L << PosBits} + (${(1L << PosBits) - 1} - pos) AS key,
+       |    lead(wh, ${WinnowK - 1}) OVER byp AS gn
+       |  FROM toks
+       |  WINDOW byp AS (PARTITION BY doc_id ORDER BY pos)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(selkey // ${1L << PosBits} AS BIGINT) AS fp
+       |  FROM (
+       |    SELECT doc_id,
+       |      min(key) OVER frame AS selkey,
+       |      count(*) OVER frame AS nw
+       |    FROM (SELECT * FROM grams WHERE gn IS NOT NULL)
+       |    WINDOW frame AS (PARTITION BY doc_id ORDER BY pos
+       |                     ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING))
+       |  WHERE nw = $WinnowW)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+       |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"                -> dedupExact,
     "dedup_substring_spans"      -> dedupSubstringSpans,
@@ -828,6 +916,7 @@ object Dedup {
     "dedup_savings"              -> dedupSavings,
     "dedup_incremental"          -> incrementalDelta,
     "doc_fingerprint"            -> docFingerprint,
+    "dedup_winnow"               -> dedupWinnow,
   )
 
   val oracles: Map[String, String] = Map(
@@ -845,5 +934,7 @@ object Dedup {
     "dedup_savings"              -> dedupSavingsSql,
     "dedup_incremental"          -> incrementalDeltaSql,
     "doc_fingerprint"            -> docFingerprintSql,
+    "dedup_winnow"               -> dedupWinnowSql,
   )
+
 }

@@ -78,4 +78,23 @@ class RetrievalSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 1L), (4L, 1L, 2L)))
   }
+
+  test("winnowing: the w+k-1 shared-run guarantee holds; disjoint docs pair nothing") {
+    // Schleimer et al.'s guarantee: any shared substring of ≥ w+k−1 = 8
+    // tokens yields ≥ 1 shared selected fingerprint. Docs 1 and 2 share
+    // TWO separated 12-token runs (≥ 2 shared fps expected, clearing the
+    // pair threshold); docs 3 and 4 are token-disjoint from everything
+    // and must not pair with anything.
+    val runA = (1 to 12).map(i => s"s$i").mkString(" ")
+    val runB = (1 to 12).map(i => s"t$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"a1 a2 a3 a4 $runA m1 m2 m3 m4 m5 m6 $runB z1 z2"),
+      (2L, s"b1 b2 b3 b4 $runA n1 n2 n3 n4 n5 n6 $runB y1 y2"),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")),
+      (4L, (1 to 40).map(i => s"v$i").mkString(" "))))
+    val out = Dedup.dedupWinnow(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.keySet === Set((1L, 2L)), s"unexpected pairs: ${out.keySet}")
+    assert(out((1L, 2L)) >= 2, "two shared 12-token runs must share ≥2 fingerprints")
+  }
 }
