@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -602,7 +602,73 @@ object Extended {
       |  END AS inter_ok
       |FROM ex CROSS JOIN k""".stripMargin
 
+  // ------------------------------------------------------ count-min sketch
+  //
+  // Count-min (Cormode & Muthukrishnan): d=4 hash rows × w=256 counters.
+  // The sketch build is a map-side-combinable fold into d·w = 1024 cells
+  // REGARDLESS of key cardinality — the fixed-memory frequency summary a
+  // 100 TB stream keeps per window when exact per-key counts don't fit.
+  // Estimate(k) = min over rows of cell[r][h_r(k)], which can only
+  // OVER-count (collisions add, never subtract): est ≥ exact always, and
+  // P[est > exact + εN] ≤ δ with ε = e/w, δ = e^-d. Probing joins each
+  // candidate key's d cells against the BROADCAST 1024-row sketch — no
+  // sketch-side shuffle. Hashes are the portable affine family, so DuckDB
+  // rebuilds the identical sketch and the gate is exact, overestimate and
+  // all.
+  private val CmsD = 4
+  private val CmsW = 256
+  private val CmsA = Seq(1103515245L, 134775813L, 69069L, 1664525L)
+  private val CmsB = Seq(12345L, 987654321L, 55555L, 1013904223L)
+  private val CmsM = 2147483647L
+  private val CmsThresh = 40L
+
+  def qCmsHeavyHitters: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val keys = t.events.select(col("user_id").as("k"))
+    def bucket(r: Int, k: Column): Column =
+      ((k % lit(CmsM)) * lit(CmsA(r)) + lit(CmsB(r))) % lit(CmsM) % lit(CmsW)
+    // Sketch build: one pass, d cells incremented per row, folded
+    // map-side into ≤ d·w partials per task.
+    val cells = (0 until CmsD).map { r =>
+      keys.groupBy(bucket(r, col("k")).as("b")).agg(count(lit(1)).as("c"))
+        .select(lit(r).as("r"), col("b"), col("c"))
+    }.reduce(_ union _)
+    // Probe: every distinct key (stand-in for an external candidate set)
+    // looks up its d cells in the broadcast sketch; est = min.
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+    val probes = exact.select(col("k"), col("exact"),
+        explode(array((0 until CmsD).map(r =>
+          struct(lit(r).as("r"), bucket(r, col("k")).as("b"))): _*)).as("rb"))
+      .select(col("k"), col("exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("k"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .filter(col("est") >= CmsThresh)
+      .orderBy(col("k"))
+  }
+
+  val qCmsHeavyHittersSql: String = {
+    def bucketSql(r: Int, k: String): String =
+      s"(((($k % $CmsM) * ${CmsA(r)} + ${CmsB(r)}) % $CmsM) % $CmsW)"
+    val cellCtes = (0 until CmsD).map(r =>
+      s"SELECT $r AS r, ${bucketSql(r, "user_id")} AS b, COUNT(*) AS c FROM events GROUP BY 2")
+      .mkString("\nUNION ALL\n")
+    val probeCtes = (0 until CmsD).map(r =>
+      s"SELECT k, exact, $r AS r, ${bucketSql(r, "k")} AS b FROM exact")
+      .mkString("\nUNION ALL\n")
+    s"""WITH cells AS (
+       |$cellCtes),
+       |exact AS (SELECT user_id AS k, COUNT(*) AS exact FROM events GROUP BY 1),
+       |probes AS (
+       |$probeCtes)
+       |SELECT p.k, p.exact, MIN(c.c) AS est
+       |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+       |GROUP BY p.k, p.exact HAVING MIN(c.c) >= $CmsThresh
+       |ORDER BY p.k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cms_heavy_hitters"    -> qCmsHeavyHitters,
     "q_theta_sketch_overlap" -> qThetaSketchOverlap,
     "q_weighted_sample"      -> qWeightedSample,
     "q_weighted_sample_group" -> qWeightedSampleGroup,
@@ -622,6 +688,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cms_heavy_hitters"    -> qCmsHeavyHittersSql,
     "q_theta_sketch_overlap" -> qThetaSketchOverlapSql,
     "q_weighted_sample"      -> qWeightedSampleSql,
     "q_weighted_sample_group" -> qWeightedSampleGroupSql,
