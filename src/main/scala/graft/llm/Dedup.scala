@@ -176,6 +176,81 @@ object Dedup {
 
   val dedupNgramJaccardCappedSql: String = jaccardSql(0.5)
 
+  // ------------------------------------------- prefix-filtered (AllPairs)
+
+  /** EXACT Jaccard join via prefix filtering (Bayardo et al.'s AllPairs /
+    * Xiao et al.'s PPJoin candidate rule) — the deterministic 100 TB path
+    * next to the probabilistic MinHash-LSH: same output as
+    * [[dedupNgramJaccard]] (a theorem, asserted in DedupPrefixSpec), but
+    * the self-join runs over each document's PREFIX only.
+    *
+    * The rule: order every document's shingles by a global total order
+    * (df ASC, shingle ASC — rarest first, ties broken lexically so both
+    * engines replay it verbatim); with threshold t = 1/2, two documents
+    * with J ≥ t MUST share a shingle within each one's first
+    * ⌊n/2⌋+1 shingles (if all prefix shingles of A miss B, the ≥
+    * t/(1+t)·(|A|+|B|) shared shingles all sit in A's suffix — too short
+    * to hold them). So the inverted-index self-join runs over prefixes
+    * whose length is HALF the document, and — the real effect — the
+    * rarest-first order means the prefix holds exactly the LOW-df
+    * shingles: Σ df² over the joined index collapses because the
+    * boilerplate head never enters it. The size-compatibility filter
+    * (J ≥ 1/2 forces |A| ≤ 2|B| and |B| ≤ 2|A|) prunes candidates before
+    * the verify.
+    *
+    * Scale shape: df join + per-doc window rank (doc-partitioned — fully
+    * distributed), prefix self-join (the only quadratic-risk stage, now
+    * df-bounded by construction), then the shared candidate-verify kernel
+    * (broadcast candidates, streams the persisted shingle set). The
+    * ⌊n/2⌋+1 cut is the integer predicate 2·(pos−1) ≤ n — no FP ceil to
+    * disagree across engines. */
+  def dedupJaccardPrefix: Q = (s, dir) => {
+    val sh = shingleRows(Tables(s, dir).documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(df, "sh")
+      .select(col("doc_id"), col("sh"), col("df"))
+      .withColumn("pos", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val pref = ranked.filter(lit(2) * (col("pos") - 1) <= col("n"))
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cands = pref.as("a")
+      .join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    jaccardPairsFromShingles(sh, 0.5, Some(cands)).orderBy(col("d1"), col("d2"))
+  }
+
+  val dedupJaccardPrefixSql: String =
+    s"""WITH $shingleSql,
+       |df AS (SELECT sh AS t, COUNT(*) AS df FROM sh GROUP BY 1),
+       |rk AS (
+       |  SELECT s.doc_id, s.sh,
+       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS pos,
+       |    COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+       |  FROM sh s JOIN df d ON s.sh = d.t),
+       |pref AS (SELECT doc_id, sh, n FROM rk WHERE 2 * (pos - 1) <= n),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM pref a JOIN pref b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |   AND a.n <= 2 * b.n AND b.n <= 2 * a.n),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND a.sh = b.sh
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+       |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
   // --------------------------------------------------------- minhash lsh
 
   def dedupMinhashLsh: Q = (s, dir) => {
@@ -909,6 +984,7 @@ object Dedup {
     "dedup_contamination_bloom"  -> contaminationBloom,
     "dedup_ngram_jaccard"        -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
+    "dedup_jaccard_prefix"       -> dedupJaccardPrefix,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
     "dedup_simhash"              -> dedupSimhash,
     "dedup_clusters"             -> dedupClusters,
@@ -927,6 +1003,7 @@ object Dedup {
     "dedup_contamination_bloom"  -> contaminationBloomSql,
     "dedup_ngram_jaccard"        -> dedupNgramJaccardSql,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCappedSql,
+    "dedup_jaccard_prefix"       -> dedupJaccardPrefixSql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
     "dedup_simhash"              -> dedupSimhashSql,
     "dedup_clusters"             -> dedupClustersSql,

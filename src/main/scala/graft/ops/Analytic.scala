@@ -1030,6 +1030,82 @@ object Analytic {
       .orderBy(col("n_name"))
   }
 
+  /** Sample autocorrelation (ACF at lags 1–3) of each event type's DAILY
+    * total value — the seasonality/persistence diagnostic behind
+    * forecasting and anomaly pipelines: acf(k) ≈ 1 means today predicts
+    * k days ahead; ≈ 0 means white noise.
+    *
+    * Shape: one fact shuffle to (event_type, day) with map-side partials
+    * collapses the corpus to |types|×|days| rows; the three lag columns
+    * come from ONE window pass (all lags share the per-type sort), and
+    * Pearson-r over the lag-k pairs folds to five sufficient statistics —
+    * the [[qLinregTrend]] discipline: daily totals quantize to integer
+    * cents in the first fold, every later statistic is pure int64 (30-day
+    * series at ≤4e6 cents/day keep nΣxy ~1e16 ≪ 2⁶³; century-long series
+    * would lift the second-order sums to DECIMAL(38,0)/HUGEINT), and
+    * r = (nΣxy−ΣxΣy)/√((nΣx²−Σx²)(nΣy²−Σy²)) is a fixed exactly-rounded
+    * double sequence on identical integers. Zero-variance series emit
+    * NULL explicitly rather than 0/0. */
+  def qAcf: Q = (s, dir) => {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val daily = Tables(s, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(cents).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val lagged = daily
+      .withColumn("x1", lag(col("c"), 1).over(w))
+      .withColumn("x2", lag(col("c"), 2).over(w))
+      .withColumn("x3", lag(col("c"), 3).over(w))
+    val byLag = Seq(1, 2, 3).map { k =>
+      val xk = col(s"x$k")
+      lagged.filter(xk.isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(xk).as("sx"), sum(col("c")).as("sy"),
+          sum(xk * col("c")).as("sxy"),
+          sum(xk * xk).as("sxx"), sum(col("c") * col("c")).as("syy"))
+        .withColumn("lag", lit(k.toLong))
+    }
+    byLag.reduce(_ unionByName _)
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("dx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("dy", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round(col("num") / sqrt(col("dx") * col("dy")), 6)).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val qAcfSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, c,
+      |    LAG(c, 1) OVER w AS x1, LAG(c, 2) OVER w AS x2, LAG(c, 3) OVER w AS x3
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |stats AS (
+      |  SELECT event_type, CAST(1 AS BIGINT) AS lag, COUNT(*) AS n,
+      |    SUM(x1) AS sx, SUM(c) AS sy, SUM(x1 * c) AS sxy,
+      |    SUM(x1 * x1) AS sxx, SUM(c * c) AS syy
+      |  FROM lagged WHERE x1 IS NOT NULL GROUP BY 1
+      |  UNION ALL
+      |  SELECT event_type, 2, COUNT(*), SUM(x2), SUM(c), SUM(x2 * c),
+      |    SUM(x2 * x2), SUM(c * c)
+      |  FROM lagged WHERE x2 IS NOT NULL GROUP BY 1
+      |  UNION ALL
+      |  SELECT event_type, 3, COUNT(*), SUM(x3), SUM(c), SUM(x3 * c),
+      |    SUM(x3 * x3), SUM(c * c)
+      |  FROM lagged WHERE x3 IS NOT NULL GROUP BY 1)
+      |SELECT event_type, lag, n AS n_pairs,
+      |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+      |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+      |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+      |  END AS acf
+      |FROM stats ORDER BY event_type, lag""".stripMargin
+
   val qLinregTrendSql: String =
     """WITH monthly AS (
       |  SELECT n_name,
@@ -1057,6 +1133,7 @@ object Analytic {
   val queries: Map[String, Q] = Map(
     "q_linreg_trend"    -> qLinregTrend,
     "q_ewma"            -> qEwma,
+    "q_acf"             -> qAcf,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1089,6 +1166,7 @@ object Analytic {
   val oracles: Map[String, String] = Map(
     "q_linreg_trend"    -> qLinregTrendSql,
     "q_ewma"            -> qEwmaSql,
+    "q_acf"             -> qAcfSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,

@@ -275,12 +275,84 @@ object Graph {
        |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin
   }
 
+  /** Multi-source BFS hop distance on the strong co-supply graph: for
+    * every supplier reachable within [[BfsIters]] hops of a seed set
+    * (the suppliers of nation 0), the minimum hop count to any seed —
+    * the frontier-expansion primitive under "blast radius" / influence
+    * queries, and the min-plus sibling of the min-label fixpoint in
+    * `Dedup.connectedComponents`.
+    *
+    * Each unrolled iteration is one equi-join of the current distance
+    * relation against the persisted symmetric edge kernel plus a
+    * map-side-combinable MIN fold — the relaxation d_{i+1}(v) =
+    * min(d_i(v), min_{(u,v)∈E} d_i(u)+1). Distances are integers, min is
+    * exact, and the seed set is a deterministic predicate, so DuckDB
+    * replays the identical unrolled fixpoint. At 100 TB: the distance
+    * relation through each exchange is one row per REACHED node (bounded
+    * by the frontier, not the corpus); deep diameters truncate lineage
+    * per generation with localCheckpoint exactly as connectedComponents
+    * does. */
+  private val BfsIters = 4
+
+  def qBfsHops: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val supp = t.lineitem.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = supp.as("a")
+      .join(supp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= StrongTie)
+      .select(col("u"), col("v"))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var dist = t.supplier.filter(col("s_nationkey") === 0)
+      .select(col("s_suppkey").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to BfsIters) {
+      val relaxed = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.orderBy(col("node"))
+  }
+
+  val qBfsHopsSql: String = {
+    def iterCte(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + 1 FROM $prev d JOIN edges e ON d.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    val iters = (1 to BfsIters)
+      .map(i => iterCte(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM supp a JOIN supp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $StrongTie),
+       |edges AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v, u FROM pairs),
+       |d0 AS (
+       |  SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier WHERE s_nationkey = 0),
+       |$iters
+       |SELECT node, dist FROM d$BfsIters ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> qPageRank,
     "q_triangle_count" -> qTriangleCount,
-    "q_label_prop" -> qLabelProp)
+    "q_label_prop" -> qLabelProp,
+    "q_bfs_hops" -> qBfsHops)
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
     "q_triangle_count" -> qTriangleCountSql,
-    "q_label_prop" -> qLabelPropSql)
+    "q_label_prop" -> qLabelPropSql,
+    "q_bfs_hops" -> qBfsHopsSql)
 }
