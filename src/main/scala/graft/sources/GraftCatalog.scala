@@ -31,9 +31,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `CREATE TABLE` publishes a schema-only manifest (commit 0), so an
   * empty table has a real schema immediately (the reference's CREATE
   * path makes the same move: DDL before data,
-  * H2CsvCreateSink.scala:106–126). Partition transforms are refused —
-  * layout belongs to `optimize`'s clustered rewrite, not to path
-  * partitioning. Rename is a directory move (same-filesystem atomic);
+  * H2CsvCreateSink.scala:106–126). `PARTITIONED BY (col)` — a single
+  * IDENTITY transform on a long/int/string column — declares the
+  * storage-partitioned-join layout (writers demultiplex one file per
+  * value, scans report `KeyGroupedPartitioning`; see
+  * [[ManifestFileSink.setPartitionColumn]]); bucket/temporal transforms
+  * are refused, and clustering WITHIN files still belongs to `optimize`.
+  * Rename is a directory move (same-filesystem atomic);
   * drop recursively removes the table dir. */
 class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
@@ -109,16 +113,42 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       "TIMESTAMP AS OF is not supported (local-fs mtimes don't order " +
         "commits); use VERSION AS OF <seq|manifest>")
 
+  /** The one supported transform shape: `PARTITIONED BY (col)` — a single
+    * identity transform on a top-level long/int/string column. */
+  private def partitionColOf(
+      partitions: Array[Transform], schema: StructType): Option[String] =
+    partitions match {
+      case Array() => None
+      case Array(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val col = t.references()(0).fieldNames()(0)
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $col is not in the table schema"))
+        f.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.StringType => Some(col)
+          case dt => throw new IllegalArgumentException(
+            s"partition column $col: unsupported type ${dt.simpleString} " +
+              "(identity partitioning takes BIGINT/INT/STRING)")
+        }
+      case other => throw new IllegalArgumentException(
+        "graft tables take at most ONE identity partition transform " +
+          s"(got ${other.map(_.describe()).mkString(", ")}); " +
+          "use optimize(clusterBy) for within-file layout")
+    }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables do not take partition transforms; use optimize(clusterBy) for layout")
+    val pcol = partitionColOf(partitions, schema)
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
     val path = dir(ident)
     Files.createDirectories(path)
+    pcol.foreach(c => ManifestFileSink.setPartitionColumn(path.toString, c))
     // Schema-only commit 0: the table exists, empty, with a real schema.
     ManifestFileSink.publish(path.toString,
       s"manifest-${java.util.UUID.randomUUID().toString}",

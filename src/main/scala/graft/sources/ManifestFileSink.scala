@@ -1021,6 +1021,47 @@ object ManifestFileSink {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
   }
 
+  // ----------------------------------------- identity partitioning (SPJ)
+
+  /** Identity-partition column of a table — persisted in a `_partition`
+    * control file (the `_bloom` discipline) so the SQL catalog, the path
+    * API, and every writer agree without threading options. A partitioned
+    * table's batch writers demultiplex rows so each data file holds
+    * EXACTLY ONE value of this column; the scan then derives each file's
+    * partition value from the zone maps the manifest already records
+    * (min == max for a single-valued file — no new metadata format) and
+    * reports a DSv2 `KeyGroupedPartitioning`, which is what lets Spark
+    * plan a STORAGE-PARTITIONED JOIN: two tables partitioned on the join
+    * key join with NO exchange on either side. Restricted to
+    * long/int/string columns (the zone-map value types; identity
+    * partitioning on doubles is not a sane layout). */
+  def setPartitionColumn(path: String, col: String): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, "._partition.tmp")
+    Files.write(tmp, java.util.Collections.singletonList(col),
+      StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(path, "_partition"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def partitionColumn(path: String): Option[String] = {
+    val f = Paths.get(path, "_partition")
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.headOption
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** A partitioned write's task commit carries one [[CommittedFile]] per
+    * partition value the task saw; every job-level commit path flattens
+    * through here so the two message shapes stay interchangeable. */
+  private[sources] def flattenCommits(
+      messages: Array[WriterCommitMessage]): Array[WriterCommitMessage] =
+    messages.flatMap {
+      case CommittedFiles(fs) => fs
+      case m => Seq(m)
+    }
+
   /** SplitMix64 finalizer — the avalanche both hash paths share. */
   private[sources] def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -1337,7 +1378,7 @@ object ManifestFileSink {
     if (Files.exists(Paths.get(path, name)) || foldedNames(path).contains(name))
       return false
     val lines = renderHeader(ManifestMeta(nextSeq(path), Nil)) +:
-      schema.toDDL +: messages.collect {
+      schema.toDDL +: flattenCommits(messages).collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
     val tmp = Paths.get(path, s".$name.tmp")
@@ -1497,7 +1538,7 @@ object ManifestFileSink {
       path: String,
       schema: StructType,
       messages: Array[WriterCommitMessage]): Unit = {
-    val dataLines = messages.collect {
+    val dataLines = flattenCommits(messages).collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
     commitLock(path).synchronized {
@@ -1521,7 +1562,7 @@ object ManifestFileSink {
       schema: StructType,
       filter: org.apache.spark.sql.sources.Filter,
       messages: Array[WriterCommitMessage]): Unit = {
-    val dataLines = messages.collect {
+    val dataLines = flattenCommits(messages).collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
     commitLock(path).synchronized {
@@ -1602,6 +1643,13 @@ private[sources] class ManifestTable(
   private def refuseIfPinned(op: String): Unit =
     if (pinnedAsOf.isDefined) throw new UnsupportedOperationException(
       s"$op on a VERSION AS OF snapshot is not allowed (read-only view of ${pinnedAsOf.get})")
+
+  /** Declared identity partitioning (SHOW CREATE / DESCRIBE surface; the
+    * scan-side SPJ report lives in [[ManifestScan.outputPartitioning]]). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    ManifestFileSink.partitionColumn(path)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   /** `_file`/`_pos`: the row id ([[ManifestFileSink.FileCol]]). Exposed
     * for queries too (`SELECT _file, _pos, * FROM t` — lineage debugging
@@ -1692,7 +1740,26 @@ private[sources] class ManifestTable(
         overwriteFilter = Some(filters.foldLeft(AlwaysTrue(): Filter)(And(_, _)))
         this
       }
-      override def build(): Write = new Write {
+      // A partitioned table ASKS Spark to cluster incoming rows by the
+      // partition column (advisory, not strict): the pre-write shuffle
+      // sends each partition value to one task, so the demux writer
+      // emits one file per value instead of |tasks|×|values| shards.
+      // Unpartitioned tables report an unspecified distribution — no
+      // behavioral change.
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        private val pcol = ManifestFileSink.partitionColumn(path)
+          .filter(c => info.schema().fieldNames.contains(c))
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          pcol.map(c => org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector.expressions.Expression)))
+            .getOrElse(
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified())
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
         override def toBatch: BatchWrite = overwriteFilter match {
           case Some(f) => new ManifestOverwriteBatchWrite(path, info.schema(), f)
           case None    => new ManifestBatchWrite(path, info.schema())
@@ -1761,6 +1828,10 @@ private[sources] class ManifestTable(
 
 private case class CommittedFile(
     file: String, rows: Long, stats: String = "") extends WriterCommitMessage
+
+/** Task commit of a PARTITIONED batch write: one entry per partition value
+  * the task saw ([[ManifestPartitionedDataWriter]]). */
+private case class CommittedFiles(files: Seq[CommittedFile]) extends WriterCommitMessage
 
 /** One mutation match-scan candidate: everything an executor task needs to
   * scan one data file — its name, the DDL it was written under (evolution
@@ -1961,7 +2032,8 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
   ManifestFileSink.vetWritable(schema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema)
+    new ManifestWriterFactory(path, schema,
+      ManifestFileSink.partitionColumn(path))
 
   /** The atomic visibility point: only files that made it into a task
     * commit message are listed — an attempt that wrote bytes but never
@@ -1972,7 +2044,7 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
       s"manifest-${java.util.UUID.randomUUID().toString}", schema, messages)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
+    ManifestFileSink.flattenCommits(messages).foreach {
       case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
@@ -1989,13 +2061,14 @@ private class ManifestOverwriteBatchWrite(
   ManifestFileSink.vetWritable(schema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema)
+    new ManifestWriterFactory(path, schema,
+      ManifestFileSink.partitionColumn(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestFileSink.commitOverwrite(path, schema, filter, messages)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
+    ManifestFileSink.flattenCommits(messages).foreach {
       case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
@@ -2114,13 +2187,61 @@ private class ManifestDeltaWriter(path: String, schema: StructType, name: String
   override def close(): Unit = ()
 }
 
-private class ManifestWriterFactory(path: String, schema: StructType)
+private class ManifestWriterFactory(
+    path: String, schema: StructType, partitionCol: Option[String] = None)
   extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // taskId is unique per attempt, so a speculative/retried attempt
     // can never clobber another attempt's file.
-    new ManifestDataWriter(path, schema, f"part-$partitionId%05d-$taskId")
+    val base = f"part-$partitionId%05d-$taskId"
+    partitionCol.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0) match {
+      case Some(idx) => new ManifestPartitionedDataWriter(path, schema, base, idx)
+      case None      => new ManifestDataWriter(path, schema, base)
+    }
+  }
+}
+
+/** Executor-side demultiplexing writer for an identity-partitioned table:
+  * rows route to one underlying [[ManifestDataWriter]] per partition
+  * value this task sees, so every data file holds exactly one value and
+  * its zone map records min == max — the claim the scan turns into a
+  * `KeyGroupedPartitioning`. The write itself requests a clustered
+  * distribution on the partition column (RequiresDistributionAndOrdering
+  * in [[ManifestTable]]), so a task normally sees FEW values; the demux
+  * is the correctness backstop when the caller pre-shuffled differently.
+  * NULL partition values get their own file — they disable SPJ reporting
+  * at scan time (a null group has no zone-map claim) but never break the
+  * write. */
+private class ManifestPartitionedDataWriter(
+    path: String, schema: StructType, base: String, colIdx: Int)
+  extends DataWriter[InternalRow] {
+
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, ManifestDataWriter]
+
+  private def tokenOf(record: InternalRow): String =
+    if (record.isNullAt(colIdx)) " null"
+    else schema.fields(colIdx).dataType match {
+      case LongType    => record.getLong(colIdx).toString
+      case IntegerType => record.getInt(colIdx).toString
+      case StringType  => record.getUTF8String(colIdx).toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
+
+  override def write(record: InternalRow): Unit = {
+    val token = tokenOf(record)
+    writers.getOrElseUpdate(token,
+      new ManifestDataWriter(path, schema, s"$base-p${writers.size}"))
+      .write(record)
+  }
+
+  override def commit(): WriterCommitMessage =
+    CommittedFiles(writers.values.map(_.commit().asInstanceOf[CommittedFile]).toSeq)
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 private class ManifestDataWriter(path: String, schema: StructType, name: String)
@@ -2269,19 +2390,20 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(path, schema)
+    new ManifestStreamingWriterFactory(path, schema,
+      ManifestFileSink.partitionColumn(path))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val published = ManifestFileSink.publish(
       path, f"manifest-e$epochId%012d", schema, messages)
-    if (!published) messages.foreach {
+    if (!published) ManifestFileSink.flattenCommits(messages).foreach {
       case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
+    ManifestFileSink.flattenCommits(messages).foreach {
       case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }
@@ -2289,13 +2411,19 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
 
 /** Top-level (not an inner class of the non-serializable write) — it is
   * shipped to executors. */
-private class ManifestStreamingWriterFactory(path: String, schema: StructType)
+private class ManifestStreamingWriterFactory(
+    path: String, schema: StructType, partitionCol: Option[String] = None)
   extends StreamingDataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     // Epoch in the name is for operator forensics only; uniqueness
     // still rests on the attempt-unique taskId.
-    new ManifestDataWriter(path, schema, f"part-e$epochId-$partitionId%05d-$taskId")
+    val base = f"part-e$epochId-$partitionId%05d-$taskId"
+    partitionCol.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0) match {
+      case Some(idx) => new ManifestPartitionedDataWriter(path, schema, base, idx)
+      case None      => new ManifestDataWriter(path, schema, base)
+    }
+  }
 }
 
 /** `deleted` — the sorted union of this file's visible deletion vectors;
@@ -2309,6 +2437,18 @@ private case class FileSplit(
     file: String, deleted: Array[Long] = Array.empty,
     ddl: String = "", weight: Int = 0) extends InputPartition
 
+/** A [[FileSplit]] of an identity-partitioned table, claiming its single
+  * partition value (`key` is already in Catalyst form: Long / Int /
+  * UTF8String). Spark groups splits by [[partitionKey]] into one logical
+  * partition per value and — with both join sides reporting compatible
+  * `KeyGroupedPartitioning` — plans a storage-partitioned join with no
+  * exchange. */
+private case class KeyedFileSplit(split: FileSplit, key: Any)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(key))
+}
+
 private class ManifestScan(
     path: String, schema: StructType, asOf: Option[String] = None,
     since: Option[String] = None,
@@ -2317,9 +2457,19 @@ private class ManifestScan(
     weighted: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** The table's identity-partition column, when this scan can honor it:
+    * plain batch reads only (a change feed's −1 retraction splits have no
+    * single-value claim) and only while the column survives pruning (the
+    * reported clustering must resolve against the scan output). */
+  private lazy val partCol: Option[String] =
+    if (since.nonEmpty || weighted) None
+    else ManifestFileSink.partitionColumn(path)
+      .filter(c => schema.fieldNames.contains(c))
 
   /** Runtime (dynamic) file pruning: Spark injects the build side's join
     * keys as IN filters at execution start — the zone maps then skip
@@ -2365,7 +2515,39 @@ private class ManifestScan(
       s"${since.fold("")(m => s", since=$m")}" +
       s"${if (filters.isEmpty) "" else filters.mkString(", PushedFilters: [", ", ", "]")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Per-file partition value for SPJ, derived from metadata the manifest
+    * already records: a single-valued file's zone map has min == max on
+    * the partition column. Any file that cannot prove single-valuedness
+    * (nulls present, bounds unrecorded — long strings, stats-free v2
+    * entries, mixed values from a pre-partitioning append) returns None
+    * and the WHOLE scan degrades to unpartitioned — never wrong, just
+    * unco-located. Value parsed in the FILE schema's type (evolution). */
+  private def partitionKeyOf(
+      st: Option[Map[Int, ManifestFileSink.ColStats]],
+      fileSchema: StructType): Option[Any] =
+    partCol.flatMap { c =>
+      val i = fileSchema.fieldNames.indexOf(c)
+      if (i < 0) None
+      else st.flatMap(_.get(i)).flatMap { cs =>
+        if (cs.hasNull || cs.rangeless || cs.min.isEmpty || cs.min != cs.max) None
+        else fileSchema.fields(i).dataType match {
+          case LongType    => cs.min.toLongOption
+          case IntegerType => cs.min.toIntOption.map(v => v: Any)
+          case StringType  => Some(UTF8String.fromString(cs.min))
+          case _           => None
+        }
+      }
+    }
+
+  /** The split plan under `effFilters`, plus — when every admitted file
+    * proves its single partition value — the number of distinct values,
+    * i.e. the `KeyGroupedPartitioning` this scan may report. Both
+    * [[outputPartitioning]] and [[planInputPartitions]] read the shared
+    * [[staticPlan]] so the reported grouping and the served splits can
+    * never disagree. */
+  private def computeSplits(
+      effFilters: Array[org.apache.spark.sql.sources.Filter])
+      : (Array[InputPartition], Option[Int]) = {
     // Zone-map file skipping: a file whose recorded min/max cannot satisfy
     // EVERY pushed conjunct is dropped before an executor ever opens it.
     // At 100 TB this is the difference between "scan the table" and "scan
@@ -2397,9 +2579,8 @@ private class ManifestScan(
         since.nonEmpty || dvs.getOrElse(f, Array.empty[Long]).length < rows }
       .map(_._4).distinct.foreach(ddl =>
       ManifestFileSink.validateEvolution(schema, schemaOf(ddl), s"files under '$ddl'"))
-    // Static pushed filters + runtime (dynamic) join-key filters prune
-    // through the same zone maps.
-    val effFilters = filters ++ runtimeFilters
+    // Static pushed filters (and, on the runtime re-plan, dynamic
+    // join-key filters) prune through the same zone maps.
     val admitted = visible.filter { case (_, _, st, ddl) =>
       // Zone maps are keyed by the FILE's column positions.
       st.forall(s => effFilters.forall(f => ManifestFileSink.mayMatch(f, s, schemaOf(ddl))))
@@ -2442,10 +2623,11 @@ private class ManifestScan(
     // vector subtraction): its rows are the append deltas, and the delete
     // fence above governs retractions.
     val plus = admitted.filterNot(f => baseline.contains(f._1))
-      .flatMap { case (f, rows, _, ddl) =>
+      .flatMap { case (f, rows, st, ddl) =>
         val del = dvs.getOrElse(f, Array.empty[Long])
         if (del.length >= rows) None
-        else Some(FileSplit(f, del, ddl, if (weighted) 1 else 0): InputPartition)
+        else Some((FileSplit(f, del, ddl, if (weighted) 1 else 0),
+          partitionKeyOf(st, schemaOf(ddl))))
       }
     // Weighted CDC: deletion vectors committed inside the window become
     // −1 splits — the RETRACTED ROW IMAGES are read back from their
@@ -2479,8 +2661,44 @@ private class ManifestScan(
               else Some(FileSplit(f, ps.toArray.sorted, ddl, -1): InputPartition)
             }
       }
-    (plus ++ minus).toArray
+    // SPJ eligibility: a plain batch read of a partitioned table where
+    // EVERY live file proves its single value. One unprovable file (or
+    // any retraction split) degrades the whole scan to unpartitioned —
+    // Spark then inserts the usual exchanges; results never change.
+    if (partCol.isDefined && minus.isEmpty && plus.nonEmpty &&
+        plus.forall(_._2.isDefined)) {
+      val keyed = plus.map { case (s, k) => KeyedFileSplit(s, k.get): InputPartition }
+      (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
+    } else
+      ((plus.map(_._1: InputPartition) ++ minus).toArray, None)
   }
+
+  private lazy val staticPlan: (Array[InputPartition], Option[Int]) =
+    computeSplits(filters)
+
+  /** DSv2 partitioning report: with `spark.sql.sources.v2.bucketing
+    * .enabled`, two manifest tables identity-partitioned on their join
+    * key sort-merge join with ZERO exchanges — the storage-partitioned
+    * join, this sink's answer to the bucketed-table layout at 100 TB
+    * (the pre-shuffle is paid once at write, amortized over every join).
+    * When the scan is SPJ-eligible, runtime (dynamic) file pruning is
+    * skipped: dropping a whole partition-value group after planning
+    * would break the reported grouping, and a co-located join already
+    * reads only matching groups. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    staticPlan match {
+      case (_, Some(n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(partCol.get)), n)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (staticPlan._2.isDefined || runtimeFilters.isEmpty) staticPlan._1
+    else computeSplits(filters ++ runtimeFilters)._1
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(path, schema)
@@ -2495,7 +2713,10 @@ private class ManifestScan(
 private class ManifestReaderFactory(path: String, schema: StructType)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val split = partition.asInstanceOf[FileSplit]
+    val split = partition match {
+      case k: KeyedFileSplit => k.split
+      case f => f.asInstanceOf[FileSplit]
+    }
     val reader = Files.newBufferedReader(
       Paths.get(path, "data", split.file), StandardCharsets.UTF_8)
     // The read schema interleaves three kinds of columns:

@@ -53,10 +53,16 @@ class CatalogSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT id FROM graft.db.t2").head().getLong(0) === 7)
     intercept[Exception](spark.sql("SELECT * FROM graft.db.t1").collect())
 
-    // Duplicate create refuses; partition transforms refuse.
+    // Duplicate create refuses; non-identity / multi transforms refuse
+    // (a single identity transform is the SPJ layout —
+    // StoragePartitionedJoinSpec).
     intercept[Exception](spark.sql("CREATE TABLE graft.db.t2 (id BIGINT)"))
     intercept[Exception](
-      spark.sql("CREATE TABLE graft.db.tp (id BIGINT) PARTITIONED BY (id)"))
+      spark.sql("CREATE TABLE graft.db.tp (id BIGINT) PARTITIONED BY (bucket(8, id))"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.db.tp (id BIGINT, j BIGINT) PARTITIONED BY (id, j)"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.db.tp (id BIGINT, d DOUBLE) PARTITIONED BY (d)"))
 
     spark.sql("DROP TABLE graft.db.t2")
     intercept[Exception](spark.sql("SELECT * FROM graft.db.t2").collect())

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins over identity-partitioned manifest tables:
+  * `PARTITIONED BY (col)` makes writers demultiplex one data file per
+  * partition value, the scan derives each file's value from its zone map
+  * (min == max) and reports `KeyGroupedPartitioning`, and two tables
+  * partitioned on the join key sort-merge join with ZERO exchanges —
+  * the DSv2 answer to bucketed layout. Degradation is part of the
+  * contract: any file that cannot prove single-valuedness turns the
+  * report off while results stay identical. */
+class StoragePartitionedJoinSpec extends SparkTestBase {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-spj").toString
+    spark.conf.set("spark.sql.catalog.gspj", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj.root", r)
+    r
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withSpjConf[A](f: => A): A = {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
+
+  test("partitioned write splits one data file per partition value") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.cust (c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE) PARTITIONED BY (c_nationkey)")
+    spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .writeTo("gspj.spj.cust").append()
+    val path = s"$root/spj/cust"
+    val files = ManifestFileSink.visibleFiles(path).map(_._1)
+    assert(files.nonEmpty)
+    // every file holds exactly one c_nationkey value
+    val df = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", path).load()
+      .select(col("_file"), col("c_nationkey"))
+      .groupBy(col("_file"))
+      .agg(countDistinct(col("c_nationkey")).as("nv"))
+    assert(df.filter(col("nv") =!= 1).count() === 0,
+      "a partitioned table's data files must be single-valued")
+    // and the clustered write distribution produced one file per value
+    val nValues = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_nationkey").distinct().count()
+    assert(files.size === nValues,
+      s"clustered distribution should yield one file per value: ${files.size} vs $nValues")
+  }
+
+  test("co-partitioned tables join with zero exchanges; parity with plain join") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.supp (s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE) PARTITIONED BY (s_nationkey)")
+    spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+      .writeTo("gspj.spj.supp").append()
+
+    withSpjConf {
+      val joined = spark.table("gspj.spj.cust")
+        .join(spark.table("gspj.spj.supp"),
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal") + col("s_acctbal")).as("tot"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join in:\n$plan")
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"storage-partitioned join must not shuffle either side:\n$plan")
+
+      val plain = spark.read.parquet(s"$sf/customer.parquet")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(spark.read.parquet(s"$sf/supplier.parquet")
+            .select("s_suppkey", "s_nationkey", "s_acctbal"),
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal") + col("s_acctbal")).as("tot"))
+      // parquet stores c_nationkey as INT32; the catalog column is BIGINT —
+      // compare values, not boxed types
+      val got = joined.orderBy("c_nationkey").collect().toSeq
+      val want = plain.orderBy("c_nationkey").collect().toSeq
+      assert(got.map(r => (r.get(0).toString, r.getLong(1))) ===
+        want.map(r => (r.get(0).toString, r.getLong(1))))
+    }
+  }
+
+  test("row-level deletes keep SPJ and keep results exact") {
+    root
+    withSpjConf {
+      spark.sql("DELETE FROM gspj.spj.cust WHERE c_custkey % 3 = 0")
+      val joined = spark.table("gspj.spj.cust")
+        .join(spark.table("gspj.spj.supp"),
+          col("c_nationkey") === col("s_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange"),
+        s"deletion vectors must not break the partitioning claim:\n$plan")
+      val plain = spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .join(spark.read.parquet(s"$sf/supplier.parquet"),
+          col("c_nationkey") === col("s_nationkey"))
+        .count()
+      assert(joined.head().getLong(0) === plain)
+    }
+  }
+
+  test("a mixed-value file degrades the report, never the results") {
+    root
+    val path = s"$root/spj/mixed"
+    spark.sql("CREATE TABLE gspj.spj.mixed (k BIGINT, v STRING) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE gspj.spj.dim (k BIGINT, d STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gspj.spj.dim VALUES (1, 'x'), (2, 'y')")
+    // The PATH API writes without the catalog's distribution; a single
+    // coalesced task writing two values still demultiplexes (the writer
+    // is the correctness backstop), so SPJ survives.
+    spark.createDataFrame(Seq((1L, "a"), (2L, "b")))
+      .toDF("k", "v").coalesce(1)
+      .write.format(classOf[ManifestFileSink].getName)
+      .option("path", path).mode("append").save()
+    withSpjConf {
+      val j1 = spark.table("gspj.spj.mixed").join(spark.table("gspj.spj.dim"), "k")
+      val p1 = j1.queryExecution.executedPlan.toString
+      val i1 = p1.indexOf("SortMergeJoin")
+      assert(i1 >= 0 && !p1.substring(i1).contains("Exchange"),
+        s"demuxed path-API write keeps SPJ:\n$p1")
+      assert(j1.count() === 2)
+
+      // Now FORGE a genuinely mixed file by dropping the control file,
+      // appending, and restoring it — simulating data written before the
+      // table was declared partitioned.
+      Files.delete(java.nio.file.Paths.get(path, "_partition"))
+      spark.createDataFrame(Seq((1L, "c"), (2L, "d")))
+        .toDF("k", "v").coalesce(1)
+        .write.format(classOf[ManifestFileSink].getName)
+        .option("path", path).mode("append").save()
+      ManifestFileSink.setPartitionColumn(path, "k")
+      spark.catalog.clearCache()
+      val j2 = spark.table("gspj.spj.mixed").join(spark.table("gspj.spj.dim"), "k")
+      val p2 = j2.queryExecution.executedPlan.toString
+      val i2 = p2.indexOf("SortMergeJoin")
+      assert(i2 >= 0 && p2.substring(i2).contains("Exchange"),
+        s"a mixed file must degrade to a shuffled join:\n$p2")
+      assert(j2.count() === 4, "degraded plan still returns exact results")
+    }
+  }
+}
