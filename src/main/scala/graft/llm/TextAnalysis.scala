@@ -949,8 +949,66 @@ object TextAnalysis {
       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total
       |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Collocation extraction by pointwise mutual information over adjacent
+    * word pairs — the corpus-statistics pass that surfaces multi-word
+    * units ("new york", "machine learning") for tokenizer/vocab curation.
+    * PMI = log p(w1,w2)/(p(w1)p(w2)); the LOG IS MONOTONE, so ranking and
+    * thresholding work on the rational ratio itself and no libm call
+    * enters the gate (the tfidf idf argument): ratio = c12·N1²/(N2·c1·c2)
+    * computed as one fixed double expression over exact counts.
+    *
+    * Scale shape: bigram and unigram counts are two map-side-combinable
+    * folds over one tokenization pass (adjacent pairs via a length-(n−1)
+    * transform, no self-join); the c1/c2 attachments are joins of the
+    * count relations (shuffles bounded by vocabulary, not corpus); the
+    * final cut is bounded top-k. The min-count floor (c12 ≥ 5) is the
+    * standard PMI noise control — rare pairs otherwise dominate the
+    * ratio. */
+  def pmiBigrams: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.select(split(col("text"), " ").as("wl"))
+    val uni = d.select(explode(col("wl")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = d.filter(size(col("wl")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(wl)-2), i -> struct(wl[i] AS w1, wl[i+1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val n2 = bi.agg(sum(col("c12")).as("n2"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("c12").cast("double") * col("n1") * col("n1") /
+          (col("n2").cast("double") * col("c1") * col("c2")), 6).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val pmiBigramsSql: String =
+    """WITH wl AS (SELECT string_split(text, ' ') AS wl FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(wl) AS w FROM wl) GROUP BY w),
+      |bi AS (
+      |  SELECT wl[i] AS w1, wl[i+1] AS w2, COUNT(*) AS c12
+      |  FROM wl, UNNEST(generate_series(1, len(wl)-1)) AS t(i)
+      |  WHERE len(wl) >= 2 GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |n1 AS (SELECT SUM(c) AS n1 FROM uni),
+      |n2 AS (SELECT SUM(c12) AS n2 FROM bi)
+      |SELECT w1, w2, c12,
+      |  ROUND(CAST(c12 AS DOUBLE) * n1.n1 * n1.n1 /
+      |    (CAST(n2.n2 AS DOUBLE) * u1.c * u2.c), 6) AS pmi_ratio
+      |FROM bi
+      |JOIN uni u1 ON bi.w1 = u1.w
+      |JOIN uni u2 ON bi.w2 = u2.w
+      |CROSS JOIN n1 CROSS JOIN n2
+      |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
+    "text_pmi_bigrams"       -> pmiBigrams,
     "text_shard_stripe"      -> shardStripe,
     "text_lm_score"          -> lmScore,
     "text_lm_score_capped"   -> lmScoreCapped,
@@ -972,6 +1030,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_rrf_fusion"       -> rrfFusionSql,
+    "text_pmi_bigrams"      -> pmiBigramsSql,
     "text_shard_stripe"     -> shardStripeSql,
     "text_lm_score"         -> lmScoreSql,
     "text_lm_score_capped"  -> lmScoreCappedSql,

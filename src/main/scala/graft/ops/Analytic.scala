@@ -1106,6 +1106,47 @@ object Analytic {
       |  END AS acf
       |FROM stats ORDER BY event_type, lag""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the clickstream model behind next-action prediction and
+    * funnel diagnosis: for every (from, to) event-type pair, the count of
+    * adjacent occurrences and p(to|from) = c/Σc_from.
+    *
+    * Shape: ONE window pass (lead over the (ts, event_id)-ordered per-user
+    * sequence — the q_sessionize exchange) produces the adjacency stream;
+    * the (from, to) fold is map-side combinable and its output is
+    * |types|² rows regardless of corpus size; the row-total attachment is
+    * a broadcast of that tiny relation. p is a single exactly-rounded
+    * IEEE division of two exact counts — bit-equal cross-engine before
+    * the display rounding. */
+  def qEventTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("c")).as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("c"),
+        round(col("c").cast("double") / col("tot"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS c
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |totals AS (SELECT from_type, SUM(c) AS tot FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.c,
+      |  ROUND(CAST(p.c AS DOUBLE) / t.tot, 6) AS p
+      |FROM pairs p JOIN totals t ON p.from_type = t.from_type
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
   val qLinregTrendSql: String =
     """WITH monthly AS (
       |  SELECT n_name,
@@ -1134,6 +1175,7 @@ object Analytic {
     "q_linreg_trend"    -> qLinregTrend,
     "q_ewma"            -> qEwma,
     "q_acf"             -> qAcf,
+    "q_event_transitions" -> qEventTransitions,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1167,6 +1209,7 @@ object Analytic {
     "q_linreg_trend"    -> qLinregTrendSql,
     "q_ewma"            -> qEwmaSql,
     "q_acf"             -> qAcfSql,
+    "q_event_transitions" -> qEventTransitionsSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
