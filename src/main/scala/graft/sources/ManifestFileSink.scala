@@ -1833,6 +1833,26 @@ private case class CommittedFile(
   * the task saw ([[ManifestPartitionedDataWriter]]). */
 private case class CommittedFiles(files: Seq[CommittedFile]) extends WriterCommitMessage
 
+/** DSv2 scan observability (CustomMetric): these surface in the Spark UI's
+  * SQL tab on every BatchScan node over a manifest table, which is how an
+  * operator VERIFIES the economics this sink promises — `filesPruned`
+  * shows zone maps/blooms doing their job per query, `dvRowsSkipped`
+  * shows merge-on-read debt accumulating (the signal to schedule
+  * `optimize`/`applyDeletes`), `filesRead` × file size is the scan's real
+  * IO. Sum-aggregated across tasks; the planning-time numbers arrive via
+  * `reportDriverMetrics`. */
+private class GraftSumMetric(metricName: String, desc: String)
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+}
+
+private case class GraftTaskMetric(metricName: String, metricValue: Long)
+  extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
+}
+
 /** One mutation match-scan candidate: everything an executor task needs to
   * scan one data file — its name, the DDL it was written under (evolution
   * reconciliation happens in the task), and its already-deleted positions. */
@@ -2488,6 +2508,23 @@ private class ManifestScan(
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtimeFilters = filters
 
+  // Planning-time observability, published through reportDriverMetrics
+  // after the (last) computeSplits run — the one whose splits execute.
+  @volatile private var prunedFileCount = 0L
+  @volatile private var plannedSplitCount = 0L
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new GraftSumMetric("filesRead", "data files opened"),
+    new GraftSumMetric("dvRowsSkipped", "deletion-vector rows skipped (merge-on-read)"),
+    new GraftSumMetric("filesPruned", "files skipped by zone maps / blooms"),
+    new GraftSumMetric("splitsPlanned", "file splits planned"))
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    GraftTaskMetric("filesPruned", prunedFileCount),
+    GraftTaskMetric("splitsPlanned", plannedSplitCount))
+
   /** Planner statistics from metadata already in hand: live row counts
     * (manifest entries minus deletion vectors) and on-disk bytes of the
     * visible files. This is what lets Catalyst/AQE make an informed
@@ -2661,16 +2698,20 @@ private class ManifestScan(
               else Some(FileSplit(f, ps.toArray.sorted, ddl, -1): InputPartition)
             }
       }
+    prunedFileCount = visible.size - admitted.size
     // SPJ eligibility: a plain batch read of a partitioned table where
     // EVERY live file proves its single value. One unprovable file (or
     // any retraction split) degrades the whole scan to unpartitioned —
     // Spark then inserts the usual exchanges; results never change.
-    if (partCol.isDefined && minus.isEmpty && plus.nonEmpty &&
-        plus.forall(_._2.isDefined)) {
-      val keyed = plus.map { case (s, k) => KeyedFileSplit(s, k.get): InputPartition }
-      (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
-    } else
-      ((plus.map(_._1: InputPartition) ++ minus).toArray, None)
+    val out: (Array[InputPartition], Option[Int]) =
+      if (partCol.isDefined && minus.isEmpty && plus.nonEmpty &&
+          plus.forall(_._2.isDefined)) {
+        val keyed = plus.map { case (s, k) => KeyedFileSplit(s, k.get): InputPartition }
+        (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
+      } else
+        ((plus.map(_._1: InputPartition) ++ minus).toArray, None)
+    plannedSplitCount = out._1.length
+    out
   }
 
   private lazy val staticPlan: (Array[InputPartition], Option[Int]) =
@@ -2771,6 +2812,7 @@ private class ManifestReaderFactory(path: String, schema: StructType)
       private val positions = split.deleted
       private var idx = -1L
       private var pi = 0
+      private var dvSkipped = 0L
       override def next(): Boolean = {
         while (true) {
           val line = reader.readLine()
@@ -2784,7 +2826,9 @@ private class ManifestReaderFactory(path: String, schema: StructType)
           } else {
             // Merge-on-read: one pointer walks the sorted deletion vector
             // in lockstep with the line index — O(1) per row, no lookups.
-            if (pi < positions.length && positions(pi) == idx) pi += 1 // dead
+            if (pi < positions.length && positions(pi) == idx) {
+              pi += 1; dvSkipped += 1 // dead
+            }
             else { cur = project(line, idx); return true }
           }
         }
@@ -2792,6 +2836,10 @@ private class ManifestReaderFactory(path: String, schema: StructType)
       }
       override def get(): InternalRow = cur
       override def close(): Unit = reader.close()
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+        GraftTaskMetric("filesRead", 1L),
+        GraftTaskMetric("dvRowsSkipped", dvSkipped))
     }
   }
 }

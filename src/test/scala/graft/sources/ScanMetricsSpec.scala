@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DSv2 custom scan metrics: the Spark UI numbers that let an operator
+  * VERIFY the sink's economics per query — zone-map pruning working
+  * (`filesPruned`), merge-on-read debt (`dvRowsSkipped`), real IO
+  * (`filesRead`). Asserted through BatchScanExec's SQLMetrics after
+  * execution, i.e. exactly the values the UI renders. */
+class ScanMetricsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+
+  test("filesRead / filesPruned / dvRowsSkipped surface as SQL metrics") {
+    val path = Files.createTempDirectory("graft-metrics").toString
+    // 4 single-range files: appends land one file each (coalesce(1)).
+    (0 until 4).foreach { b =>
+      spark.range(b * 10, b * 10 + 10).select($"id", lit(s"b$b").as("tag"))
+        .coalesce(1)
+        .write.format(classOf[ManifestFileSink].getName)
+        .option("path", path).mode("append").save()
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def load() = spark.read.format(classOf[ManifestFileSink].getName)
+        .option("path", path).load()
+
+      // Selective point filter: zone maps admit exactly one file.
+      val sel = load().filter($"id" === 15L)
+      assert(sel.collect().length === 1)
+      val m1 = scanOf(sel).metrics
+      assert(m1("filesRead").value === 1, s"expected 1 file read, got ${m1("filesRead").value}")
+      assert(m1("filesPruned").value === 3, s"expected 3 files pruned, got ${m1("filesPruned").value}")
+      assert(m1("splitsPlanned").value === 1)
+      assert(m1("dvRowsSkipped").value === 0)
+
+      // Merge-on-read: deleted rows show up as skipped-row debt.
+      ManifestFileSink.deleteWhere(path,
+        org.apache.spark.sql.sources.In("id", Array(11L, 12L, 33L)))
+      val full = load()
+      assert(full.collect().length === 37)
+      val m2 = scanOf(full).metrics
+      assert(m2("filesRead").value === 4)
+      assert(m2("dvRowsSkipped").value === 3,
+        s"3 deletion-vector rows must be reported, got ${m2("dvRowsSkipped").value}")
+      assert(m2("filesPruned").value === 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}
