@@ -345,14 +345,84 @@ object Graph {
        |SELECT node, dist FROM d$BfsIters ORDER BY node""".stripMargin
   }
 
+  /** k-core peeling (k=3) on the strong co-supply graph — the standard
+    * density filter before community/robustness analysis: nodes whose
+    * degree cannot support membership in a 3-core peel away, their removal
+    * lowers neighbors' degrees, and the cascade repeats. This is the
+    * synchronous distributed peeling round every BSP k-core implementation
+    * runs; [[KcoreRounds]] rounds are unrolled (the PageRank discipline),
+    * so the output is "the subgraph surviving R peels" — already the
+    * 3-core when the cascade converges within R (asserted empirically in
+    * MutationGraphSpec for the fixture), and a deterministic
+    * over-approximation otherwise.
+    *
+    * Each round is one map-side-combinable degree fold plus two LEFT SEMI
+    * joins of the edge list against the tiny survivor set — at 100 TB the
+    * edge relation shuffles once per round on its own key, and deep
+    * cascades truncate lineage per generation with localCheckpoint, the
+    * connectedComponents discipline. */
+  private val KcoreK = 3
+  private val KcoreRounds = 3
+
+  def qKcore: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = supp.as("a")
+      .join(supp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= StrongTie)
+      .select(col("u"), col("v"))
+    var edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    for (_ <- 1 to KcoreRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK)
+        .select(col("src").as("node"))
+      edges = edges
+        .join(keep, edges("src") === keep("node"), "left_semi")
+        .join(keep, edges("dst") === keep("node"), "left_semi")
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  val qKcoreSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""k$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING COUNT(*) >= $KcoreK),
+         |e$i AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  WHERE EXISTS (SELECT 1 FROM k$i a WHERE a.node = e.src)
+         |    AND EXISTS (SELECT 1 FROM k$i b WHERE b.node = e.dst))""".stripMargin
+    val rounds = (1 to KcoreRounds).map(i => round(s"e${i - 1}", i)).mkString(",\n")
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM supp a JOIN supp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $StrongTie),
+       |e0 AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v, u FROM pairs),
+       |$rounds
+       |SELECT src AS node, COUNT(*) AS core_deg FROM e$KcoreRounds
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> qPageRank,
     "q_triangle_count" -> qTriangleCount,
     "q_label_prop" -> qLabelProp,
-    "q_bfs_hops" -> qBfsHops)
+    "q_bfs_hops" -> qBfsHops,
+    "q_kcore" -> qKcore)
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_label_prop" -> qLabelPropSql,
-    "q_bfs_hops" -> qBfsHopsSql)
+    "q_bfs_hops" -> qBfsHopsSql,
+    "q_kcore" -> qKcoreSql)
 }

@@ -36,6 +36,16 @@ class SeriesGraphFusionSpec extends SparkTestBase {
     dists.foreach { case (n, d) => if (!seeds.contains(n)) assert(d >= 1) }
   }
 
+  test("kcore: peel converged — every survivor keeps degree >= k in the core") {
+    // If after the unrolled rounds every surviving node still has degree
+    // >= k within the surviving subgraph, the cascade has terminated and
+    // the output IS the exact k-core (not just an over-approximation).
+    val out = Graph.qKcore(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._2).min >= 3, "a surviving node below k means an unfinished cascade")
+  }
+
   test("acf: bounded by [-1,1], pair counts shrink with lag, deterministic") {
     val rows = Analytic.qAcf(spark, sf)
       .select($"event_type", $"lag", $"n_pairs", $"acf")
