@@ -431,6 +431,54 @@ object Extended {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY n1, n2""".stripMargin
 
+  /** Edit-distance-1 join via DELETION NEIGHBORHOODS (the FastSS /
+    * SymSpell index): each name expands to {itself} ∪ {every one-char
+    * deletion}, and the candidate join is an EQUI-join on shared
+    * variants. Unlike [[qFuzzyJoin]]'s bigram blocking (a heuristic
+    * candidate generator), this one is a THEOREM at d=1:
+    * ed(a,b) ≤ 1 ⟺ V(a) ∩ V(b) ≠ ∅ — a substitution shares the deletion
+    * at its position, an insert/delete pair shares the shorter string
+    * itself — so recall is exactly 1 and the Levenshtein verify only
+    * certifies (shared-variant pairs can sit at distance 2). Index size
+    * is O(names · len) rows of ≤ len bytes — linear, the SymSpell trade:
+    * precompute deletions instead of enumerating the 26·len insertions/
+    * substitutions per query. At 100 TB the index is the thing you
+    * MATERIALIZE once (it is a table, not a state), and each lookup is a
+    * point join. Deeper distances repeat the deletion to depth d with
+    * O(lenᵈ) variants — the d=1 index here is the standard
+    * spell-correction working point. */
+  def qFuzzyJoinSymspell: Q = (s, dir) => {
+    val names = Tables(s, dir).part.select(col("p_name")).distinct()
+    val vars = names.select(col("p_name"), explode(expr(
+      """array_union(
+        |  array(p_name),
+        |  transform(sequence(1, length(p_name)),
+        |    i -> concat(substring(p_name, 1, i-1),
+        |                substring(p_name, i+1, length(p_name)))))""".stripMargin)).as("v"))
+    vars.as("x")
+      .join(vars.as("y"),
+        col("x.v") === col("y.v") && col("x.p_name") < col("y.p_name"))
+      .select(col("x.p_name").as("n1"), col("y.p_name").as("n2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("n1"), col("n2"))
+  }
+
+  val qFuzzyJoinSymspellSql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |vars AS (
+      |  SELECT p_name, substr(p_name, 1, i-1) || substr(p_name, i+1) AS v
+      |  FROM names, UNNEST(generate_series(1, len(p_name))) AS t(i)
+      |  UNION
+      |  SELECT p_name, p_name FROM names),
+      |cand AS (
+      |  SELECT DISTINCT a.p_name AS n1, b.p_name AS n2
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.p_name < b.p_name)
+      |SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(n1, n2) <= 1
+      |ORDER BY n1, n2""".stripMargin
+
   /** Weighted sampling without replacement via PRIORITY SAMPLING
     * (Duffield–Lund–Thorup, JACM 2007): each row draws a deterministic
     * uniform u ∈ (0,1] from an affine hash of its key and gets priority
@@ -673,6 +721,7 @@ object Extended {
     "q_weighted_sample"      -> qWeightedSample,
     "q_weighted_sample_group" -> qWeightedSampleGroup,
     "q_fuzzy_join"           -> qFuzzyJoin,
+    "q_fuzzy_join_symspell"  -> qFuzzyJoinSymspell,
     "q_salted_join"          -> qSaltedJoin,
     "q_window_forward"       -> qWindowForward,
     "q_null_safe_join"       -> qNullSafeJoin,
@@ -693,6 +742,7 @@ object Extended {
     "q_weighted_sample"      -> qWeightedSampleSql,
     "q_weighted_sample_group" -> qWeightedSampleGroupSql,
     "q_fuzzy_join"           -> qFuzzyJoinSql,
+    "q_fuzzy_join_symspell"  -> qFuzzyJoinSymspellSql,
     "q_salted_join"          -> qSaltedJoinSql,
     "q_window_forward"       -> qWindowForwardSql,
     "q_null_safe_join"       -> qNullSafeJoinSql,
