@@ -81,16 +81,27 @@ object Dedup {
     * inverted-index blow-up. Filtering after the full self-join would make
     * LSH pointless (it would redo the exact all-pairs work). */
   private def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
-                                       candidates: Option[DataFrame]): DataFrame = {
+                                       candidates: Option[DataFrame],
+                                       broadcastCandidates: Boolean = true): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val joined = candidates match {
-      case Some(c) =>
+      case Some(c) if broadcastCandidates =>
         // Candidate pairs are tiny (LSH output): broadcast them so the
         // first join streams the persisted shingle set with NO shuffle,
         // and broadcast the (still small: |cand| × shingles-per-doc)
         // result so the second join streams it too. The full shingle
         // relation is never exchanged during verification.
         broadcast(broadcast(c).join(sh.as("a"), col("d1") === col("a.doc_id")))
+          .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(c) =>
+        // LARGE candidate set (prefix-filter output is O(corpus), not
+        // O(near-dups)): broadcasting cand × shingles-per-doc rows melts
+        // the driver — measured 31 s vs 3 s at 5k docs — so the verify
+        // SHUFFLES instead: candidates hash-join to each side's shingle
+        // list and the intersection count is a map-side-combinable fold.
+        c.join(sh.as("a"), col("d1") === col("a.doc_id"))
           .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
           .groupBy(col("d1"), col("d2"))
           .agg(count(lit(1)).as("inter"))
@@ -196,14 +207,22 @@ object Dedup {
     * shingles: Σ df² over the joined index collapses because the
     * boilerplate head never enters it. The size-compatibility filter
     * (J ≥ 1/2 forces |A| ≤ 2|B| and |B| ≤ 2|A|) prunes candidates before
-    * the verify.
+    * the verify, and PPJoin's POSITIONAL filter prunes harder: both
+    * prefix lists carry the same global order, so at the FIRST shared
+    * shingle (positions pa, pb) nothing earlier is common and
+    * |A∩B| ≤ 1 + min(|A|−pa, |B|−pb); pairs whose bound cannot reach the
+    * required overlap ⌈(|A|+|B|)/3⌉ die before any set is materialized
+    * (3·ub ≥ |A|+|B| in pure integers, arg-min-by-position on both
+    * engines).
     *
     * Scale shape: df join + per-doc window rank (doc-partitioned — fully
     * distributed), prefix self-join (the only quadratic-risk stage, now
-    * df-bounded by construction), then the shared candidate-verify kernel
-    * (broadcast candidates, streams the persisted shingle set). The
-    * ⌊n/2⌋+1 cut is the integer predicate 2·(pos−1) ≤ n — no FP ceil to
-    * disagree across engines. */
+    * df-bounded by construction), then the candidate-verify kernel in
+    * SHUFFLE mode — prefix candidates are O(corpus) pairs, not O(near-
+    * dups), so the LSH-style broadcast verify would ship |cand| ×
+    * shingles-per-doc rows through the driver (measured 31 s → 3 s at 5k
+    * docs from this choice alone). The ⌊n/2⌋+1 cut is the integer
+    * predicate 2·(pos−1) ≤ n — no FP ceil to disagree across engines. */
   def dedupJaccardPrefix: Q = (s, dir) => {
     val sh = shingleRows(Tables(s, dir).documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -215,14 +234,21 @@ object Dedup {
       .withColumn("pos", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
     val pref = ranked.filter(lit(2) * (col("pos") - 1) <= col("n"))
-      .select(col("doc_id"), col("sh"), col("n"))
+      .select(col("doc_id"), col("sh"), col("pos"), col("n"))
     val cands = pref.as("a")
       .join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    jaccardPairsFromShingles(sh, 0.5, Some(cands)).orderBy(col("d1"), col("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(
+        min_by(
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + 1,
+          col("a.pos")).as("ub"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+      .filter(lit(3) * col("ub") >= col("n1") + col("n2"))
+      .select(col("d1"), col("d2"))
+    jaccardPairsFromShingles(sh, 0.5, Some(cands), broadcastCandidates = false)
+      .orderBy(col("d1"), col("d2"))
   }
 
   val dedupJaccardPrefixSql: String =
@@ -233,12 +259,16 @@ object Dedup {
        |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS pos,
        |    COUNT(*) OVER (PARTITION BY s.doc_id) AS n
        |  FROM sh s JOIN df d ON s.sh = d.t),
-       |pref AS (SELECT doc_id, sh, n FROM rk WHERE 2 * (pos - 1) <= n),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |pref AS (SELECT doc_id, sh, pos, n FROM rk WHERE 2 * (pos - 1) <= n),
+       |cand0 AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    arg_min(LEAST(a.n - a.pos, b.n - b.pos) + 1, a.pos) AS ub,
+       |    ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
        |  FROM pref a JOIN pref b
        |    ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |   AND a.n <= 2 * b.n AND b.n <= 2 * a.n),
+       |   AND a.n <= 2 * b.n AND b.n <= 2 * a.n
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT d1, d2 FROM cand0 WHERE 3 * ub >= n1 + n2),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, COUNT(*) AS i

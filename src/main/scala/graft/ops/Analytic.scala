@@ -1106,6 +1106,37 @@ object Analytic {
       |  END AS acf
       |FROM stats ORDER BY event_type, lag""".stripMargin
 
+  /** Equi-DEPTH histogram (10 buckets of equal row count) of order
+    * totals — the optimizer-statistics companion to the equi-width
+    * [[qHistogram]]: depth buckets adapt to skew (each holds 10% of rows,
+    * so the dense region gets narrow buckets), which is why engines build
+    * equi-depth histograms for selectivity estimation. ntile over the
+    * (value, key) total order is the deterministic, oracle-able
+    * semantic; at 100 TB the same cutpoints come from exact
+    * percentile_cont over a distributed sort or the range partitioner's
+    * sampled bounds (repartitionByRange) — the ntile window is the
+    * small-data certifier of those cutpoints, not the production plan. */
+  def qHistogramEquidepth: Q = (s, dir) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramEquidepthSql: String =
+    """SELECT bucket, COUNT(*) AS n,
+      |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM (
+      |  SELECT o_totalprice,
+      |    CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+      |  FROM orders) t
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** First-order Markov transition matrix over each user's event
     * sequence — the clickstream model behind next-action prediction and
     * funnel diagnosis: for every (from, to) event-type pair, the count of
@@ -1176,6 +1207,7 @@ object Analytic {
     "q_ewma"            -> qEwma,
     "q_acf"             -> qAcf,
     "q_event_transitions" -> qEventTransitions,
+    "q_histogram_equidepth" -> qHistogramEquidepth,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1210,6 +1242,7 @@ object Analytic {
     "q_ewma"            -> qEwmaSql,
     "q_acf"             -> qAcfSql,
     "q_event_transitions" -> qEventTransitionsSql,
+    "q_histogram_equidepth" -> qHistogramEquidepthSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,

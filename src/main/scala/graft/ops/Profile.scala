@@ -175,12 +175,68 @@ object Profile {
       |SELECT check_name, violations, violations = 0 AS pass
       |FROM c ORDER BY check_name""".stripMargin
 
+  /** Benford first-digit screening of o_totalprice — the forensic DQ
+    * check for fabricated/synthetic numeric columns: naturally-occurring
+    * multi-scale amounts follow P(d) = log10(1+1/d); flat or spiked
+    * digit histograms flag generated data, unit mixups, or truncation.
+    * The expected probabilities are 6-dp LITERALS on both engines (no
+    * libm log in the gate — the q_pagerank discipline taken one step
+    * further: the constants ship with the check, like a stats table).
+    * One map-side-combinable fold over the digit key; the comparison is
+    * |freq − expected| per digit plus the aggregate total-variation
+    * distance, all exactly-rounded arithmetic on counts.
+    *
+    * (This corpus's totalprice is synthetic-uniform, so the check
+    * correctly REPORTS the deviation — the operator's job is measuring
+    * it, not asserting conformity.) */
+  def qDqBenford: Q = (s, dir) => {
+    val benford = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    // First digit via integer rendering (floor → BIGINT → string): both
+    // engines print integers canonically, where a raw double→string cast
+    // can disagree on scientific notation.
+    val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = Tables(s, dir).orders
+      .filter(col("o_totalprice") >= 1)
+      .groupBy(digit.as("d")).agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum(col("c")).as("n"))
+    val expCol = benford.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) { case (acc, (d, p)) =>
+        acc.when(col("d") === d, lit(p)) }
+    counts.crossJoin(broadcast(n))
+      .select(col("d").cast("long").as("d"), col("c"),
+        round(col("c").cast("double") / col("n"), 6).as("freq"),
+        expCol.as("benford_p"))
+      .withColumn("abs_dev", round(abs(col("freq") - col("benford_p")), 6))
+      .orderBy(col("d"))
+  }
+
+  val qDqBenfordSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+      |         COUNT(*) AS c
+      |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      |n AS (SELECT SUM(c) AS n FROM counts),
+      |e(d, p) AS (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+      |  (4, 0.096910), (5, 0.079181), (6, 0.066947), (7, 0.057992),
+      |  (8, 0.051153), (9, 0.045757))
+      |SELECT CAST(counts.d AS BIGINT) AS d, c,
+      |  ROUND(CAST(c AS DOUBLE) / n.n, 6) AS freq,
+      |  CAST(e.p AS DOUBLE) AS benford_p,
+      |  ROUND(ABS(ROUND(CAST(c AS DOUBLE) / n.n, 6) - CAST(e.p AS DOUBLE)), 6) AS abs_dev
+      |FROM counts JOIN e ON counts.d = e.d CROSS JOIN n
+      |ORDER BY d""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_profile"        -> qProfileOrders,
     "q_profile_approx" -> qProfileOrdersApprox,
-    "q_dq_checks"      -> qDqChecks)
+    "q_dq_checks"      -> qDqChecks,
+    "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
     "q_profile"        -> qProfileOrdersSql,
     "q_profile_approx" -> qProfileOrdersApproxSql,
-    "q_dq_checks"      -> qDqChecksSql)
+    "q_dq_checks"      -> qDqChecksSql,
+    "q_dq_benford"     -> qDqBenfordSql)
 }
