@@ -313,8 +313,11 @@ object Graph {
     for (_ <- 1 to BfsIters) {
       val relaxed = dist.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      // Per-generation cache: d_r feeds both the next join and the next
+      // min-fold; uncached, round r re-executes rounds 1..r−1.
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     dist.orderBy(col("node"))
   }
@@ -382,9 +385,15 @@ object Graph {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KcoreK)
         .select(col("src").as("node"))
+      // Each generation persists: round r's degree fold and BOTH semi
+      // joins read e_{r-1} — without the cache the unrolled lineage
+      // re-executes every earlier round's joins per consumer (the
+      // localCheckpoint discipline, in cache form; Verify's clearCache
+      // releases them).
       edges = edges
         .join(keep, edges("src") === keep("node"), "left_semi")
         .join(keep, edges("dst") === keep("node"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
