@@ -216,8 +216,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft tables do not take partition transforms; use optimize(clusterBy) for layout")
+    val pcol = partitionColOf(partitions, schema)
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
     // Vet the schema BEFORE touching the filesystem: an unwritable CTAS
     // schema (e.g. a void column) must fail at staging with no trace.
@@ -226,7 +225,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val created = !Files.isDirectory(path)
     Files.createDirectories(path)
     new StagedManifestTable(path.toString, ManifestFileSink.asNullable(schema),
-      replace = false, createdDir = created)
+      replace = false, createdDir = created, partitionCol = pcol)
   }
 
   /** `REPLACE TABLE … AS SELECT`: retract-everything + new results in ONE
@@ -239,11 +238,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft tables do not take partition transforms; use optimize(clusterBy) for layout")
+    val pcol = partitionColOf(partitions, schema)
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new StagedManifestTable(dir(ident).toString,
-      ManifestFileSink.asNullable(schema), replace = true, createdDir = false)
+      ManifestFileSink.asNullable(schema), replace = true, createdDir = false,
+      partitionCol = pcol)
   }
 
   override def stageCreateOrReplace(

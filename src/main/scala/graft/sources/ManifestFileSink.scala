@@ -1972,7 +1972,8 @@ private[sources] object MatchScan extends Serializable {
   * folds retract-everything + new files into ONE manifest
   * ([[ManifestFileSink.commitReplaceTable]]) with history intact. */
 private[sources] class StagedManifestTable(
-    path: String, stagedSchema: StructType, replace: Boolean, createdDir: Boolean)
+    path: String, stagedSchema: StructType, replace: Boolean, createdDir: Boolean,
+    partitionCol: Option[String] = None)
   extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
 
   ManifestFileSink.vetWritable(stagedSchema)
@@ -1999,14 +2000,29 @@ private[sources] class StagedManifestTable(
         require(all, "a staged REPLACE TABLE write can only overwrite everything")
         this
       }
-      override def build(): Write = new Write {
+      // Partitioned CTAS/RTAS asks for the same clustered distribution as
+      // a partitioned INSERT (advisory) — the demux writer remains the
+      // correctness backstop either way.
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          partitionCol.filter(c => stagedSchema.fieldNames.contains(c))
+            .map(c => org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector.expressions.Expression)))
+            .getOrElse(
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified())
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-            new ManifestWriterFactory(path, stagedSchema)
+            new ManifestWriterFactory(path, stagedSchema, partitionCol)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             staged.set(messages) // deferred to commitStagedChanges
           override def abort(messages: Array[WriterCommitMessage]): Unit =
-            messages.foreach {
+            ManifestFileSink.flattenCommits(messages).foreach {
               case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
               case _ =>
             }
@@ -2014,7 +2030,18 @@ private[sources] class StagedManifestTable(
       }
     }
 
-  override def commitStagedChanges(): Unit =
+  override def commitStagedChanges(): Unit = {
+    // The partitioning declaration becomes durable only WITH the data:
+    // a failed CTAS leaves no control file behind, an RTAS that changes
+    // the partition column swaps it with the replace commit's retraction
+    // of every old-layout row, and an RTAS WITHOUT a PARTITIONED BY
+    // clause un-declares the layout (REPLACE defines the whole table).
+    partitionCol match {
+      case Some(c) => ManifestFileSink.setPartitionColumn(path, c)
+      case None if replace =>
+        Files.deleteIfExists(Paths.get(path, "_partition")); ()
+      case None =>
+    }
     if (replace)
       ManifestFileSink.commitReplaceTable(path, stagedSchema, staged.get)
     else {
@@ -2028,9 +2055,10 @@ private[sources] class StagedManifestTable(
       ManifestFileSink.publish(path,
         s"manifest-${java.util.UUID.randomUUID().toString}", stagedSchema, staged.get)
     }
+  }
 
   override def abortStagedChanges(): Unit = {
-    staged.get.foreach {
+    ManifestFileSink.flattenCommits(staged.get).foreach {
       case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>
     }

@@ -114,6 +114,30 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned CTAS joins shuffle-free; plain RTAS un-declares the layout") {
+    root
+    spark.sql(
+      """CREATE TABLE gspj.spj.nat PARTITIONED BY (k) AS
+        |SELECT CAST(id % 3 AS BIGINT) AS k, id AS payload FROM range(30)""".stripMargin)
+    spark.sql(
+      """CREATE TABLE gspj.spj.natdim PARTITIONED BY (k) AS
+        |SELECT CAST(id AS BIGINT) AS k, CAST(id * 100 AS BIGINT) AS w FROM range(3)""".stripMargin)
+    withSpjConf {
+      val j = spark.table("gspj.spj.nat").join(spark.table("gspj.spj.natdim"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"partitioned CTAS output must join shuffle-free:\n$p")
+      assert(j.count() === 30)
+    }
+    // REPLACE without PARTITIONED BY defines the whole table: the layout
+    // declaration goes away with the old rows.
+    spark.sql("REPLACE TABLE gspj.spj.nat AS SELECT CAST(id AS BIGINT) AS k FROM range(5)")
+    assert(ManifestFileSink.partitionColumn(s"$root/spj/nat").isEmpty,
+      "an unpartitioned RTAS must drop the _partition declaration")
+    assert(spark.table("gspj.spj.nat").count() === 5)
+  }
+
   test("a mixed-value file degrades the report, never the results") {
     root
     val path = s"$root/spj/mixed"
