@@ -229,12 +229,63 @@ object Profile {
       |FROM counts JOIN e ON counts.d = e.d CROSS JOIN n
       |ORDER BY d""".stripMargin
 
+  /** Join-key skew diagnostics for l_suppkey — the numbers an operator
+    * reads BEFORE choosing a skew strategy (salt? AQE skew join? broadcast
+    * the other side?): distinct-key count, max/mean frequency ratio, the
+    * hottest key's share, and the Gini coefficient of the frequency
+    * distribution (0 = uniform, →1 = one key owns the table).
+    *
+    * Shape: one map-side-combinable frequency fold collapses the fact
+    * table to |keys| rows; everything after (rank window + the Gini sums)
+    * runs on that collapsed relation — at 100 TB the diagnostic costs one
+    * fact shuffle. Gini = (2·Σᵢ i·cᵢ)/(k·Σc) − (k+1)/k over ascending
+    * counts: pure int64 sums, two exactly-rounded divisions, one
+    * subtraction. */
+  def qSkewStats: Q = (s, dir) => {
+    val freq = Tables(s, dir).lineitem
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"), col("l_suppkey"))).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("k"),
+        sum(col("c")).as("tot"),
+        max(col("c")).as("max_c"),
+        sum(col("i") * col("c")).as("ic"))
+      .select(
+        col("k"),
+        col("tot"),
+        round(col("max_c") * col("k").cast("double") / col("tot"), 6).as("max_over_mean"),
+        round(col("max_c").cast("double") / col("tot"), 6).as("top1_share"),
+        round(lit(2.0) * col("ic") / (col("k").cast("double") * col("tot")) -
+          (col("k") + 1).cast("double") / col("k"), 6).as("gini"))
+  }
+
+  val qSkewStatsSql: String =
+    """WITH freq AS (
+      |  SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, l_suppkey) AS BIGINT) AS i
+      |  FROM freq),
+      |agg AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(c) AS BIGINT) AS tot,
+      |    MAX(c) AS max_c, CAST(SUM(i * c) AS BIGINT) AS ic
+      |  FROM ranked)
+      |SELECT k, tot,
+      |  ROUND(max_c * CAST(k AS DOUBLE) / tot, 6) AS max_over_mean,
+      |  ROUND(CAST(max_c AS DOUBLE) / tot, 6) AS top1_share,
+      |  ROUND(CAST(2.0 AS DOUBLE) * ic / (CAST(k AS DOUBLE) * tot) -
+      |    CAST(k + 1 AS DOUBLE) / k, 6) AS gini
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_skew_stats"     -> qSkewStats,
     "q_profile"        -> qProfileOrders,
     "q_profile_approx" -> qProfileOrdersApprox,
     "q_dq_checks"      -> qDqChecks,
     "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
+    "q_skew_stats"     -> qSkewStatsSql,
     "q_profile"        -> qProfileOrdersSql,
     "q_profile_approx" -> qProfileOrdersApproxSql,
     "q_dq_checks"      -> qDqChecksSql,
