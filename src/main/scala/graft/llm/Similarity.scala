@@ -359,15 +359,26 @@ object Similarity {
   }
 
   /** The shared DuckDB replay of the 3 Lloyd iterations: c0 (grid seed),
-    * aᵗ/sᵗ/cᵗ per iteration, `af` = final assignment against c3. */
+    * aᵗ/sᵗ/cᵗ per iteration, `af` = final assignment against c3.
+    * The argmax windows run over SCALARS: scores collapse the two
+    * 64-double lists to one double before the per-vector sort, and the
+    * surviving assignment re-joins `e` for its vector — without this the
+    * |vectors|×|centroids| window input carries ~1 KB/row of list payload
+    * per unrolled stage and DuckDB exhausts its memory limit at 5k
+    * vectors (observed at sf0.1). */
   private val kmeansCtesSql: String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
-         |  SELECT vec_id, vn, cell FROM (
-         |    SELECT e.vec_id, e.vn, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_dot_product(e.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cent_id) AS rn
-         |    FROM e CROSS JOIN $cents c) t WHERE rn = 1)"""
+         |  SELECT s.vec_id, e.vn, s.cell FROM (
+         |    SELECT vec_id, cell FROM (
+         |      SELECT sc.vec_id, sc.cent_id AS cell,
+         |        ROW_NUMBER() OVER (PARTITION BY sc.vec_id
+         |          ORDER BY sc.score DESC, sc.cent_id) AS rn
+         |      FROM (
+         |        SELECT e.vec_id, c.cent_id,
+         |          list_dot_product(e.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
+         |        FROM e CROSS JOIN $cents c) sc) t WHERE rn = 1) s
+         |  JOIN e ON s.vec_id = e.vec_id)"""
     def step(t: Int): String =
       s"""${assignCte(s"a$t", if (t == 1) "c0" else s"c${t - 1}")},
          |s$t AS (
