@@ -1052,6 +1052,100 @@ object ManifestFileSink {
       .map(_.trim).filter(_.nonEmpty)
   }
 
+  // ------------------------------------- metadata-answered aggregates
+
+  /** Answer `SELECT count(*) / min(c) / max(c) FROM t` (no GROUP BY, no
+    * WHERE) from MANIFEST METADATA alone — the Iceberg/Delta
+    * metadata-query move: row counts come from the entries, extremes from
+    * the zone maps, and NO data file is opened (at 100 TB that is
+    * milliseconds vs a full scan). Strictly conservative: any deletion
+    * vector (a deleted row may have been the extreme and falsifies
+    * counts), any file without the needed stats claim, or any
+    * type/evolution ambiguity returns None and the query runs as a
+    * normal scan. A file that predates the column (or holds only NULLs
+    * in it) contributes nothing to MIN/MAX — exactly the aggregate's
+    * null semantics. Returns the output schema + the single result row
+    * in Catalyst form. */
+  private[sources] def deriveAggregate(
+      path: String,
+      asOf: Option[String],
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      schema: StructType): Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (deleteVectors(path, asOf).nonEmpty) return None
+    val entries = snapshot(path, asOf)
+      .flatMap(m => entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m))))
+      .distinctBy(_._1)
+    val ddlCache = scala.collection.mutable.Map.empty[String, StructType]
+    def schemaOf(ddl: String): StructType =
+      ddlCache.getOrElseUpdate(ddl, asNullable(StructType.fromDDL(ddl)))
+
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def parse(v: String, dt: DataType): Any = dt match {
+      case LongType    => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType  => v.toDouble
+      case StringType  => UTF8String.fromString(v)
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
+    def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+      case LongType    => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case StringType  => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    // One extreme over every file's recorded bound; None = cannot derive.
+    def extreme(name: String, wantMin: Boolean): Option[(DataType, Any)] = {
+      val i0 = schema.fieldNames.indexOf(name)
+      if (i0 < 0) return None
+      val dt = schema.fields(i0).dataType
+      if (!Seq(LongType, IntegerType, DoubleType, StringType).contains(dt)) return None
+      var acc: Any = null
+      entries.foreach { case (_, rows, st, ddl) =>
+        if (rows > 0) {
+          val fs = schemaOf(ddl)
+          val fi = fs.fieldNames.indexOf(name)
+          if (fi >= 0) {
+            if (fs.fields(fi).dataType != dt) return None
+            st.flatMap(_.get(fi)) match {
+              case None => return None // no claim recorded: must scan
+              case Some(cs) if cs.rangeless => return None
+              case Some(cs) if cs.min.isEmpty => () // all-NULL file: contributes nothing
+              case Some(cs) =>
+                val v = parse(if (wantMin) cs.min else cs.max, dt)
+                if (acc == null || (if (wantMin) cmp(v, acc, dt) < 0 else cmp(v, acc, dt) > 0))
+                  acc = v
+            }
+          } // column absent in this file: NULL backfill, contributes nothing
+        }
+      }
+      Some((dt, acc))
+    }
+    val total = entries.map(_._2).sum
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => (LongType: DataType, total: Any, false)
+      case m: Min =>
+        val (dt, v) = colName(m.column).flatMap(extreme(_, wantMin = true))
+          .getOrElse(return None)
+        (dt, v, true)
+      case m: Max =>
+        val (dt, v) = colName(m.column).flatMap(extreme(_, wantMin = false))
+          .getOrElse(return None)
+        (dt, v, true)
+      case _ => return None
+    }
+    val outSchema = StructType(out.zipWithIndex.map { case ((dt, _, nullable), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable) })
+    Some((outSchema, out.map(_._2)))
+  }
+
   /** A partitioned write's task commit carries one [[CommittedFile]] per
     * partition value the task saw; every job-level commit path flattens
     * through here so the two message shapes stay interchangeable. */
@@ -1772,7 +1866,8 @@ private[sources] class ManifestTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       // Time travel: `asOfManifest` pins the scan to the snapshot sealed
       // by that manifest's commit — reads are repeatable against it no
       // matter how many appends land afterwards. `sinceManifest` turns the
@@ -1814,14 +1909,43 @@ private[sources] class ManifestTable(
       private var required: Option[StructType] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = Some(requiredSchema)
-      override def build(): Scan = {
-        val base = ManifestFileSink.storedSchema(path, asOf)
-          .getOrElse(new StructType())
-        val sch = if (weighted)
-          base.add(ManifestFileSink.WeightCol, IntegerType, nullable = false)
-        else base
-        new ManifestScan(path, required.getOrElse(sch), asOf, since, pushed,
-          ignoreDeletes, weighted)
+      // Metadata-answered aggregates (SupportsPushDownAggregates):
+      // `SELECT count(*) / min(c) / max(c) FROM t` with no WHERE and no
+      // GROUP BY resolves entirely from the manifest (counts from
+      // entries, extremes from zone maps) — COMPLETE pushdown, one row,
+      // zero file IO. Catalyst only attempts this when every filter was
+      // fully consumed; this scan re-evaluates all filters post-scan
+      // (zone maps skip files, never rows), so `pushedFilters` non-empty
+      // means residuals exist and Spark keeps the aggregate — the
+      // correctness interplay is enforced by the engine's own gate, and
+      // `pushed.isEmpty` below is the belt to that suspender. Change
+      // feeds and weighted CDC never take this path.
+      private var aggResult: Option[(StructType, Seq[Any])] = None
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        tryAgg(agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        aggResult = tryAgg(agg)
+        aggResult.isDefined
+      }
+      private def tryAgg(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(StructType, Seq[Any])] =
+        if (since.nonEmpty || weighted || pushed.nonEmpty) None
+        else ManifestFileSink.deriveAggregate(path, asOf, agg,
+          ManifestFileSink.storedSchema(path, asOf).getOrElse(new StructType()))
+      override def build(): Scan = aggResult match {
+        case Some((aggSchema, values)) =>
+          new ManifestAggScan(path, aggSchema, values)
+        case None =>
+          val base = ManifestFileSink.storedSchema(path, asOf)
+            .getOrElse(new StructType())
+          val sch = if (weighted)
+            base.add(ManifestFileSink.WeightCol, IntegerType, nullable = false)
+          else base
+          new ManifestScan(path, required.getOrElse(sch), asOf, since, pushed,
+            ignoreDeletes, weighted)
       }
     }
 }
@@ -2484,6 +2608,35 @@ private class ManifestStreamingWriterFactory(
 private case class FileSplit(
     file: String, deleted: Array[Long] = Array.empty,
     ddl: String = "", weight: Int = 0) extends InputPartition
+
+/** The one-row result of a metadata-answered aggregate
+  * ([[ManifestFileSink.deriveAggregate]]): values ride the split in
+  * Catalyst form (Long / Int / Double / UTF8String / null). */
+private case class AggResultSplit(values: Seq[Any]) extends InputPartition
+
+/** Scan serving a COMPLETELY pushed-down aggregate from manifest
+  * metadata: one split, one row, zero data files opened. */
+private class ManifestAggScan(path: String, aggSchema: StructType, values: Seq[Any])
+  extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ManifestAggScan($path, metadata-answered: ${aggSchema.fieldNames.mkString(", ")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggResultSplit(values))
+  override def createReaderFactory(): PartitionReaderFactory = new AggReaderFactory
+}
+
+private class AggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[AggResultSplit].values
+      private var served = false
+      override def next(): Boolean = if (served) false else { served = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(vals)
+      override def close(): Unit = ()
+    }
+}
 
 /** A [[FileSplit]] of an identity-partitioned table, claiming its single
   * partition value (`key` is already in Catalyst form: Long / Int /

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Metadata-answered aggregates (SupportsPushDownAggregates):
+  * count(*)/min/max with no WHERE and no GROUP BY resolve from manifest
+  * entries + zone maps with ZERO data-file IO. The proof of zero IO is
+  * physical: the data files are DELETED from disk and the aggregates
+  * still answer. Conservative refusal (deletion vectors, missing stats)
+  * is pinned too — the same query silently reverts to a real scan and
+  * stays correct. */
+class AggPushdownSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def load(path: String) =
+    spark.read.format(classOf[ManifestFileSink].getName).option("path", path).load()
+
+  test("count/min/max answer from metadata even with data files gone") {
+    val path = Files.createTempDirectory("graft-aggpd").toString
+    (0 until 3).foreach { b =>
+      spark.range(b * 10, b * 10 + 10)
+        .select($"id", concat(lit("name-"), lpad($"id".cast("string"), 3, "0")).as("tag"),
+          ($"id" * 1.5).as("score"))
+        .coalesce(1)
+        .write.format(classOf[ManifestFileSink].getName)
+        .option("path", path).mode("append").save()
+    }
+    // Ground truth BEFORE removing the files.
+    val expect = load(path)
+      .agg(count(lit(1)), min($"id"), max($"id"), min($"tag"), max($"tag"),
+        min($"score"), max($"score")).head()
+
+    // Physically delete every data file: only metadata remains.
+    val dataDir = Paths.get(path, "data")
+    val walk = Files.list(dataDir)
+    try walk.forEach(f => { Files.delete(f); () }) finally walk.close()
+
+    val got = load(path)
+      .agg(count(lit(1)), min($"id"), max($"id"), min($"tag"), max($"tag"),
+        min($"score"), max($"score")).head()
+    assert(got === expect, "aggregates must be served from manifest metadata")
+
+    // And a full scan, honestly, now fails — the files really are gone.
+    intercept[Exception](load(path).collect())
+  }
+
+  test("plan shows the metadata scan; group-by and filters keep the real scan") {
+    val path = Files.createTempDirectory("graft-aggpd2").toString
+    spark.range(0, 100).select($"id", ($"id" % 7).as("g"))
+      .write.format(classOf[ManifestFileSink].getName)
+      .option("path", path).mode("append").save()
+
+    val pushed = load(path).agg(count(lit(1)).as("n"))
+    assert(pushed.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "no-filter global aggregate must push to metadata")
+    assert(pushed.head().getLong(0) === 100)
+
+    val grouped = load(path).groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    assert(grouped.agg(sum($"n")).head().getLong(0) === 100)
+
+    val filtered = load(path).filter($"id" < 50).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    assert(filtered.head().getLong(0) === 50)
+  }
+
+  test("deletion vectors refuse the shortcut; results stay exact") {
+    val path = Files.createTempDirectory("graft-aggpd3").toString
+    spark.range(0, 40).select($"id")
+      .write.format(classOf[ManifestFileSink].getName)
+      .option("path", path).mode("append").save()
+    ManifestFileSink.deleteWhere(path,
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 35L))
+    val agg = load(path).agg(count(lit(1)), min($"id"), max($"id"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "a deleted row may have been the extreme: metadata answer is unsound")
+    val r = agg.head()
+    assert(r.getLong(0) === 35 && r.getLong(1) === 0 && r.getLong(2) === 34)
+  }
+}
