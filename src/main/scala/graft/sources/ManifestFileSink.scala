@@ -1867,7 +1867,8 @@ private[sources] class ManifestTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       // Time travel: `asOfManifest` pins the scan to the snapshot sealed
       // by that manifest's commit — reads are repeatable against it no
       // matter how many appends land afterwards. `sinceManifest` turns the
@@ -1920,6 +1921,18 @@ private[sources] class ManifestTable(
       // correctness interplay is enforced by the engine's own gate, and
       // `pushed.isEmpty` below is the belt to that suspender. Change
       // feeds and weighted CDC never take this path.
+      // Limit pushdown: `SELECT … LIMIT n` (no residual filters — Spark
+      // only pushes a limit that sits directly on the scan) lets the
+      // planner open just enough files to cover n live rows instead of
+      // the whole table — at 100 TB, a LIMIT 10 peek opens one file.
+      // Declared partially-pushed (the default), so Spark keeps its own
+      // limit above the scan; the file-prefix cut is pure IO savings
+      // with zero correctness surface.
+      private var limit: Option[Int] = None
+      override def pushLimit(n: Int): Boolean = {
+        if (since.nonEmpty || weighted) false
+        else { limit = Some(n); true }
+      }
       private var aggResult: Option[(StructType, Seq[Any])] = None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -1945,7 +1958,8 @@ private[sources] class ManifestTable(
             base.add(ManifestFileSink.WeightCol, IntegerType, nullable = false)
           else base
           new ManifestScan(path, required.getOrElse(sch), asOf, since, pushed,
-            ignoreDeletes, weighted)
+            ignoreDeletes, weighted,
+            limit.filter(_ => pushed.isEmpty))
       }
     }
 }
@@ -2655,7 +2669,8 @@ private class ManifestScan(
     since: Option[String] = None,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     ignoreDeletes: Boolean = false,
-    weighted: Boolean = false)
+    weighted: Boolean = false,
+    limit: Option[Int] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2840,13 +2855,25 @@ private class ManifestScan(
     // being opened. The change feed reads new files AS COMMITTED (no
     // vector subtraction): its rows are the append deltas, and the delete
     // fence above governs retractions.
-    val plus = admitted.filterNot(f => baseline.contains(f._1))
+    val plusAll = admitted.filterNot(f => baseline.contains(f._1))
       .flatMap { case (f, rows, st, ddl) =>
         val del = dvs.getOrElse(f, Array.empty[Long])
         if (del.length >= rows) None
         else Some((FileSplit(f, del, ddl, if (weighted) 1 else 0),
-          partitionKeyOf(st, schemaOf(ddl))))
+          partitionKeyOf(st, schemaOf(ddl)), rows - del.length))
       }
+    // Pushed LIMIT n: the minimal file prefix whose cumulative live rows
+    // cover n. Rows are unordered (Spark applies its own limit above), so
+    // ANY n rows satisfy the query — pure file-IO pruning. The builder
+    // refuses the pushdown for change feeds/weighted reads, so the cut
+    // never interacts with retraction splits.
+    val plus = limit match {
+      case Some(n) =>
+        var acc = 0L
+        plusAll.takeWhile { case (_, _, live) =>
+          val need = acc < n; acc += live; need }
+      case _ => plusAll
+    }
     // Weighted CDC: deletion vectors committed inside the window become
     // −1 splits — the RETRACTED ROW IMAGES are read back from their
     // file's dv positions, so downstream z-set algebra (retraction IVM)
@@ -2885,9 +2912,9 @@ private class ManifestScan(
     // any retraction split) degrades the whole scan to unpartitioned —
     // Spark then inserts the usual exchanges; results never change.
     val out: (Array[InputPartition], Option[Int]) =
-      if (partCol.isDefined && minus.isEmpty && plus.nonEmpty &&
+      if (partCol.isDefined && minus.isEmpty && limit.isEmpty && plus.nonEmpty &&
           plus.forall(_._2.isDefined)) {
-        val keyed = plus.map { case (s, k) => KeyedFileSplit(s, k.get): InputPartition }
+        val keyed = plus.map { case (s, k, _) => KeyedFileSplit(s, k.get): InputPartition }
         (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
       } else
         ((plus.map(_._1: InputPartition) ++ minus).toArray, None)

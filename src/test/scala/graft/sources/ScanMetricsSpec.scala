@@ -52,6 +52,21 @@ class ScanMetricsSpec extends SparkTestBase {
       assert(m2("dvRowsSkipped").value === 3,
         s"3 deletion-vector rows must be reported, got ${m2("dvRowsSkipped").value}")
       assert(m2("filesPruned").value === 0)
+
+      // Pushed LIMIT: 10 rows need only the first file's 10 live rows...
+      val lim = load().limit(10)
+      assert(lim.collect().length === 10)
+      assert(scanOf(lim).metrics("filesRead").value === 1,
+        "LIMIT 10 over 10-row files must open exactly one file")
+      // ...and 25 rows need three files (10 + 7-after-deletes + 10 >= 25).
+      val lim2 = load().limit(25)
+      assert(lim2.collect().length === 25)
+      assert(scanOf(lim2).metrics("filesRead").value === 3)
+      // A filter keeps the full scan: residual row-filtering makes a
+      // file-prefix cut unsound, and Spark never pushes that limit.
+      val flim = load().filter($"id" >= 5L).limit(30)
+      assert(flim.collect().length === 30)
+      assert(scanOf(flim).metrics("filesRead").value === 4)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
