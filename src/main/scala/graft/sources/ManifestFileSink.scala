@@ -1868,7 +1868,8 @@ private[sources] class ManifestTable(
     new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       // Time travel: `asOfManifest` pins the scan to the snapshot sealed
       // by that manifest's commit — reads are repeatable against it no
       // matter how many appends land afterwards. `sinceManifest` turns the
@@ -1933,6 +1934,33 @@ private[sources] class ManifestTable(
         if (since.nonEmpty || weighted) false
         else { limit = Some(n); true }
       }
+      // Both cuts are IO pruning only — Spark always keeps its own
+      // limit/TakeOrdered above the scan.
+      override def isPartiallyPushed(): Boolean = true
+      // Top-N pushdown (ORDER BY col LIMIT n, single column): on a
+      // range-clustered layout (`optimize(clusterBy)`), the zone maps
+      // prove which files cannot hold any of the n extreme rows — a file
+      // is prunable iff the files wholly below (above, for DESC) it
+      // already hold n live rows. Partial pushdown: Spark keeps its own
+      // TakeOrdered; the cut is pure file IO. Declared here, applied in
+      // the scan only when every live file carries a null-free stats
+      // claim for the column (NULLS FIRST/LAST would otherwise smuggle
+      // unranked rows into the top-n).
+      private var topN: Option[(String, Boolean, Int)] = None
+      override def pushTopN(
+          orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          n: Int): Boolean = {
+        if (since.nonEmpty || weighted || orders.length != 1) return false
+        orders(0).expression() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 =>
+            val desc = orders(0).direction() ==
+              org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+            topN = Some((r.fieldNames()(0), desc, n))
+            true
+          case _ => false
+        }
+      }
       private var aggResult: Option[(StructType, Seq[Any])] = None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -1959,7 +1987,8 @@ private[sources] class ManifestTable(
           else base
           new ManifestScan(path, required.getOrElse(sch), asOf, since, pushed,
             ignoreDeletes, weighted,
-            limit.filter(_ => pushed.isEmpty))
+            limit.filter(_ => pushed.isEmpty),
+            topN.filter(_ => pushed.isEmpty))
       }
     }
 }
@@ -2670,7 +2699,8 @@ private class ManifestScan(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     ignoreDeletes: Boolean = false,
     weighted: Boolean = false,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2772,6 +2802,70 @@ private class ManifestScan(
       }
     }
 
+  /** Zone-map top-N pruning ([[topN]]): returns the kept files, or None
+    * when any live file lacks a null-free stats claim for the sort
+    * column (no cut is then taken). Soundness: file F is pruned only
+    * when the OTHER files whose entire range sits at-or-before F's
+    * range (max(G) ≤ min(F) ascending; mirrored for descending) hold at
+    * least n live rows — every one of those rows ranks no later than
+    * every row of F, so a complete top-n exists without opening F. Exact
+    * per-type compares (no double round-trip for longs); a file counts
+    * never toward its own pruning. */
+  private def topNPrune(
+      files: Seq[(FileSplit, Option[Any], Long,
+        Option[Map[Int, ManifestFileSink.ColStats]], StructType)],
+      colName: String, desc: Boolean, n: Int)
+      : Option[Seq[(FileSplit, Option[Any], Long,
+          Option[Map[Int, ManifestFileSink.ColStats]], StructType)]] = {
+    val i0 = schema.fieldNames.indexOf(colName)
+    if (i0 < 0) return None
+    val dt = schema.fields(i0).dataType
+    if (!Seq[DataType](LongType, IntegerType, DoubleType, StringType).contains(dt))
+      return None
+    def parse(v: String): Any = dt match {
+      case LongType    => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType  => v.toDouble
+      case StringType  => UTF8String.fromString(v)
+      case _           => throw new IllegalStateException("unreachable")
+    }
+    def rawCmp(a: Any, b: Any): Int = dt match {
+      case LongType    => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case StringType  => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case _           => throw new IllegalStateException("unreachable")
+    }
+    // Mirror DESC into the ASC algorithm: swap bounds, flip the compare.
+    def cmp(a: Any, b: Any): Int = if (desc) rawCmp(b, a) else rawCmp(a, b)
+    val bounds = files.map { case (_, _, live, st, fs) =>
+      val fi = fs.fieldNames.indexOf(colName)
+      if (fi < 0) return None // NULL-backfilled column: rows are unranked
+      if (fs.fields(fi).dataType != dt) return None
+      st.flatMap(_.get(fi)) match {
+        case Some(cs) if !cs.rangeless && !cs.hasNull && cs.min.nonEmpty =>
+          val (lo, hi) = (parse(cs.min), parse(cs.max))
+          if (desc) (hi, lo, live) else (lo, hi, live)
+        case _ => return None
+      }
+    }
+    val byHi = bounds.sortWith((x, y) => cmp(x._2, y._2) < 0)
+    val prefixLive = byHi.scanLeft(0L)(_ + _._3)
+    def below(lo: Any): Long = {
+      // live rows in files whose hi ≤ lo (binary search over byHi)
+      var l = 0; var r = byHi.length
+      while (l < r) {
+        val m = (l + r) / 2
+        if (cmp(byHi(m)._2, lo) <= 0) l = m + 1 else r = m
+      }
+      prefixLive(l)
+    }
+    Some(files.zip(bounds).collect {
+      case (f, (lo, hi, live))
+          if below(lo) - (if (cmp(hi, lo) <= 0) live else 0L) < n => f
+    })
+  }
+
   /** The split plan under `effFilters`, plus — when every admitted file
     * proves its single partition value — the number of distinct values,
     * i.e. the `KeyGroupedPartitioning` this scan may report. Both
@@ -2860,19 +2954,29 @@ private class ManifestScan(
         val del = dvs.getOrElse(f, Array.empty[Long])
         if (del.length >= rows) None
         else Some((FileSplit(f, del, ddl, if (weighted) 1 else 0),
-          partitionKeyOf(st, schemaOf(ddl)), rows - del.length))
+          partitionKeyOf(st, schemaOf(ddl)), rows - del.length, st, schemaOf(ddl)))
       }
+    // Pushed ORDER BY col LIMIT n: zone-map-SOUND file pruning — a file
+    // is prunable iff the OTHER files wholly on the extreme side of it
+    // already hold n live rows (every row of those files ranks at or
+    // before every row of the pruned file). Needs a null-free stats
+    // claim on every live file; one unprovable file cancels the whole
+    // cut (Spark's own TakeOrdered still runs — partial pushdown).
+    val plusTop = topN match {
+      case Some((c, desc, n)) => topNPrune(plusAll, c, desc, n).getOrElse(plusAll)
+      case None => plusAll
+    }
     // Pushed LIMIT n: the minimal file prefix whose cumulative live rows
     // cover n. Rows are unordered (Spark applies its own limit above), so
     // ANY n rows satisfy the query — pure file-IO pruning. The builder
     // refuses the pushdown for change feeds/weighted reads, so the cut
     // never interacts with retraction splits.
     val plus = limit match {
-      case Some(n) =>
+      case Some(n) if topN.isEmpty =>
         var acc = 0L
-        plusAll.takeWhile { case (_, _, live) =>
+        plusTop.takeWhile { case (_, _, live, _, _) =>
           val need = acc < n; acc += live; need }
-      case _ => plusAll
+      case _ => plusTop
     }
     // Weighted CDC: deletion vectors committed inside the window become
     // −1 splits — the RETRACTED ROW IMAGES are read back from their
@@ -2912,9 +3016,9 @@ private class ManifestScan(
     // any retraction split) degrades the whole scan to unpartitioned —
     // Spark then inserts the usual exchanges; results never change.
     val out: (Array[InputPartition], Option[Int]) =
-      if (partCol.isDefined && minus.isEmpty && limit.isEmpty && plus.nonEmpty &&
-          plus.forall(_._2.isDefined)) {
-        val keyed = plus.map { case (s, k, _) => KeyedFileSplit(s, k.get): InputPartition }
+      if (partCol.isDefined && minus.isEmpty && limit.isEmpty && topN.isEmpty &&
+          plus.nonEmpty && plus.forall(_._2.isDefined)) {
+        val keyed = plus.map { case (s, k, _, _, _) => KeyedFileSplit(s, k.get): InputPartition }
         (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
       } else
         ((plus.map(_._1: InputPartition) ++ minus).toArray, None)

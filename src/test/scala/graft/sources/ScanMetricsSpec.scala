@@ -67,6 +67,22 @@ class ScanMetricsSpec extends SparkTestBase {
       val flim = load().filter($"id" >= 5L).limit(30)
       assert(flim.collect().length === 30)
       assert(scanOf(flim).metrics("filesRead").value === 4)
+
+      // Pushed TOP-N: ORDER BY id LIMIT 5 on the range-disjoint layout
+      // proves via zone maps that only the lowest file can matter...
+      val top = load().orderBy($"id").limit(5)
+      assert(top.collect().map(_.getLong(0)).toSeq === (0L until 5L))
+      assert(scanOf(top).metrics("filesRead").value === 1,
+        "ascending top-5 must open only the lowest-range file")
+      // ...descending reads only the highest file (33 is deleted, stays out)...
+      val bot = load().orderBy($"id".desc).limit(5)
+      assert(bot.collect().map(_.getLong(0)).toSeq === Seq(39L, 38L, 37L, 36L, 35L))
+      assert(scanOf(bot).metrics("filesRead").value === 1)
+      // ...and top-15 needs two files (10 live + 8 live after deletes).
+      val top15 = load().orderBy($"id").limit(15)
+      assert(top15.collect().map(_.getLong(0)).toSeq ===
+        ((0L until 10L) ++ Seq(10L, 13L, 14L, 15L, 16L)))
+      assert(scanOf(top15).metrics("filesRead").value === 2)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
