@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * are refused, and clustering WITHIN files still belongs to `optimize`.
   * Rename is a directory move (same-filesystem atomic);
   * drop recursively removes the table dir. */
-class GraftCatalog extends TableCatalog with StagingTableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -77,6 +78,75 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val schema = ManifestFileSink.storedSchema(path, None)
       .getOrElse(new StructType())
     new ManifestTable(path, schema, acceptAnySchema = false)
+  }
+
+  // ---- namespaces (SupportsNamespaces): namespaces ARE directories ----
+  // `CREATE NAMESPACE` = mkdir, `DROP NAMESPACE` = rmdir (cascade walks),
+  // listing filters to dirs that aren't themselves tables. Flat file
+  // semantics, same as the identifier↔directory map the tables use.
+
+  private def nsPath(ns: Array[String]): java.nio.file.Path = Paths.get(root, ns: _*)
+
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    ManifestFileSink.manifests(p.toString).nonEmpty
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.nonEmpty && Files.isDirectory(nsPath(ns)) && !isTableDir(nsPath(ns))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return Array.empty
+    val out = Files.list(r)
+    try out.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally out.close()
+  }
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.isEmpty) return listNamespaces()
+    val ns = nsPath(parent)
+    if (!Files.isDirectory(ns) || isTableDir(ns)) throw new NoSuchNamespaceException(parent)
+    val out = Files.list(ns)
+    try out.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => parent :+ p.getFileName.toString).toArray
+    finally out.close()
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    java.util.Collections.singletonMap(
+      org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_LOCATION,
+      nsPath(ns).toString)
+  }
+
+  override def createNamespace(
+      ns: Array[String], properties: util.Map[String, String]): Unit = {
+    if (namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(ns)
+    Files.createDirectories(nsPath(ns))
+    ()
+  }
+
+  override def alterNamespace(
+      ns: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable properties (they are directories)")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(ns)
+    if (!namespaceExists(ns)) return false
+    val hasChildren = { val s = Files.list(p); try s.iterator().hasNext finally s.close() }
+    if (hasChildren && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        ns, "drop with CASCADE to remove contained tables")
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+    true
   }
 
   /** SQL time travel: `SELECT … FROM graft.db.t VERSION AS OF <v>` where

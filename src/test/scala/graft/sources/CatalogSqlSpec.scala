@@ -189,6 +189,40 @@ class CatalogSqlSpec extends SparkTestBase {
       "the whole MERGE is ONE commit")
   }
 
+  test("MERGE INTO with NOT MATCHED BY SOURCE: the full three-clause merge") {
+    root
+    spark.sql("CREATE TABLE graft.db.m3t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.m3t VALUES (1, 1.0), (2, 2.0), (3, 3.0), (9, 9.0)")
+    spark.sql("CREATE TABLE graft.db.m3s (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.m3s VALUES (2, 22.0), (4, 4.0)")
+    // Rows absent from the source either update (flagged) or delete —
+    // the SCD-style full-sync merge shape.
+    spark.sql("""MERGE INTO graft.db.m3t t USING graft.db.m3s s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+                |WHEN NOT MATCHED BY SOURCE AND t.id >= 9 THEN DELETE
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -t.v""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.db.m3t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, -1.0), (2L, 22.0), (3L, -3.0), (4L, 4.0)))
+  }
+
+  test("namespaces: CREATE / SHOW / metadata / DROP through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE graft.nsx")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("nsx"))
+    intercept[Exception](spark.sql("CREATE NAMESPACE graft.nsx"))
+    spark.sql("CREATE TABLE graft.nsx.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.nsx.t VALUES (5)")
+    // non-empty namespace refuses a bare drop, cascade removes all
+    intercept[Exception](spark.sql("DROP NAMESPACE graft.nsx"))
+    spark.sql("DROP NAMESPACE graft.nsx CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("nsx"))
+    intercept[Exception](spark.sql("SELECT * FROM graft.nsx.t").collect())
+  }
+
   test("metadata columns _file/_pos are queryable (row lineage for free)") {
     root
     spark.sql("CREATE TABLE graft.db.md (id BIGINT)")
