@@ -138,6 +138,40 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     assert(spark.table("gspj.spj.nat").count() === 5)
   }
 
+  test("streaming writes demultiplex too: SPJ survives a writeStream epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    root
+    spark.sql("CREATE TABLE gspj.spj.str (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    val path = s"$root/spj/str"
+    val in = MemoryStream[Long]
+    in.addData(0L until 20L: _*)
+    val q = in.toDF().select(($"value" % 2).as("k"), $"value".as("v"))
+      .coalesce(1) // one task carrying BOTH partition values
+      .writeStream.format(classOf[ManifestFileSink].getName)
+      .option("path", path)
+      .option("checkpointLocation", Files.createTempDirectory("gspj-ck").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val perFile = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", path).load()
+      .groupBy(col("_file")).agg(countDistinct(col("k")).as("nv"))
+    assert(perFile.count() === 2 && perFile.filter(col("nv") =!= 1).count() === 0,
+      "the streaming epoch must write one single-valued file per partition value")
+    spark.sql("CREATE TABLE gspj.spj.dim2 (k BIGINT, d STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gspj.spj.dim2 VALUES (0, 'even'), (1, 'odd')")
+    withSpjConf {
+      val j = spark.table("gspj.spj.str")
+        .join(spark.table("gspj.spj.dim2"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"stream-written partitioned table must keep SPJ:\n$p")
+      assert(j.count() === 20)
+    }
+  }
+
   test("a mixed-value file degrades the report, never the results") {
     root
     val path = s"$root/spj/mixed"
