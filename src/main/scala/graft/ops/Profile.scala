@@ -278,13 +278,63 @@ object Profile {
       |    CAST(k + 1 AS DOUBLE) / k, 6) AS gini
       |FROM agg""".stripMargin
 
+  /** Distribution-drift monitoring: per day, the total-variation distance
+    * between that day's event-type mix and the whole corpus's — the
+    * pipeline-health check that catches a collector outage (one type
+    * vanishes) or an instrumentation change (a new type floods in)
+    * BEFORE it poisons downstream training data. TVD is the drift
+    * metric with no log (KL's libm problem) and a direct reading: the
+    * fraction of events you'd have to relabel to match the reference.
+    *
+    * Shape: the corpus collapses to (day × type) counts in one
+    * map-side-combinable fold; the full grid (absent types MUST
+    * contribute |0 − p| — a vanished type IS the drift) comes from a
+    * cross join of two tiny relations; the per-day fold sums ≤|types|
+    * exactly-computed deviations (1e-16 order noise vs the 6-dp grain). */
+  def qTvdDrift: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+    val byDay = ev.groupBy(col("d"), col("event_type")).agg(count(lit(1)).as("c"))
+    val dayTot = byDay.groupBy(col("d")).agg(sum(col("c")).as("nd"))
+    val glob = byDay.groupBy(col("event_type")).agg(sum(col("c")).as("cg"))
+    val n = glob.agg(sum(col("cg")).as("n"))
+    dayTot.crossJoin(broadcast(glob))
+      .join(byDay, Seq("d", "event_type"), "left_outer")
+      .crossJoin(broadcast(n))
+      .select(col("d"), col("nd"),
+        abs(coalesce(col("c"), lit(0L)).cast("double") / col("nd") -
+          col("cg").cast("double") / col("n")).as("dev"))
+      .groupBy(col("d"), col("nd"))
+      .agg(round(sum(col("dev")) / 2.0, 6).as("tvd"))
+      .select(col("d"), col("nd").as("n_events"), col("tvd"))
+      .orderBy(col("d"))
+  }
+
+  val qTvdDriftSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |by_day AS (SELECT d, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      |day_tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS nd FROM by_day GROUP BY 1),
+      |gmix AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS cg FROM by_day GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM gmix),
+      |grid AS (
+      |  SELECT t.d, t.nd,
+      |    ABS(CAST(COALESCE(b.c, 0) AS DOUBLE) / t.nd -
+      |        CAST(g.cg AS DOUBLE) / n.n) AS dev
+      |  FROM day_tot t CROSS JOIN gmix g
+      |  LEFT JOIN by_day b ON b.d = t.d AND b.event_type = g.event_type
+      |  CROSS JOIN n)
+      |SELECT d, nd AS n_events, ROUND(SUM(dev) / 2.0, 6) AS tvd
+      |FROM grid GROUP BY d, nd ORDER BY d""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_tvd_drift"      -> qTvdDrift,
     "q_skew_stats"     -> qSkewStats,
     "q_profile"        -> qProfileOrders,
     "q_profile_approx" -> qProfileOrdersApprox,
     "q_dq_checks"      -> qDqChecks,
     "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
+    "q_tvd_drift"      -> qTvdDriftSql,
     "q_skew_stats"     -> qSkewStatsSql,
     "q_profile"        -> qProfileOrdersSql,
     "q_profile_approx" -> qProfileOrdersApproxSql,
