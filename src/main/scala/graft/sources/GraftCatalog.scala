@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Rename is a directory move (same-filesystem atomic);
   * drop recursively removes the table dir. */
 class GraftCatalog extends TableCatalog with StagingTableCatalog
-  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -323,6 +324,29 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (exists(ident)) stageReplace(ident, schema, partitions, properties)
     else stageCreate(ident, schema, partitions, properties)
 
+  // ---- maintenance procedures (ProcedureCatalog): CALL graft.system.* ----
+  // The Iceberg-style SQL surface for the sink's maintenance jobs:
+  //   CALL graft.system.compact(table => 'db.t')
+  //   CALL graft.system.optimize(table => 'db.t', cluster_by => 'id')
+  //   CALL graft.system.vacuum(table => 'db.t', older_than_hours => 0)
+  //   CALL graft.system.apply_deletes(table => 'db.t')
+  //   CALL graft.system.migrate_schema(table => 'db.t')
+  // Each returns one row with the affected-file count. The table argument
+  // is catalog-relative ('ns.table'), resolved through the same
+  // identifier↔directory map as every other statement.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedure.Names.map(Identifier.of(Array("system"), _)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val nm = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!GraftProcedure.Names.contains(nm))
+      throw new UnsupportedOperationException(
+        s"unknown procedure $nm; available: ${GraftProcedure.Names.mkString(", ")}")
+    new GraftProcedure(nm, root)
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val p = dir(ident)
     if (!exists(ident)) false
@@ -341,4 +365,70 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     Files.createDirectories(dir(to).getParent)
     Files.move(dir(from), dir(to))
   }
+}
+
+/** One maintenance procedure, unbound == bound (the parameter list is
+  * static per operation). `call` runs the sink's maintenance entrypoint
+  * on the driver (each is itself a distributed job where it matters —
+  * optimize's rewrite is a Spark job) and returns one row with the
+  * affected-file count through a [[org.apache.spark.sql.connector.read.LocalScan]]. */
+private[sources] class GraftProcedure(op: String, root: String)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def name(): String = op
+  override def description(): String = s"graft maintenance procedure: $op"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = op match {
+    case "optimize" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("cluster_by", StringType).build(),
+      ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build())
+    case "vacuum" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_hours", IntegerType).defaultValue("168").build())
+    case _ => Array(ProcedureParameter.in("table", StringType).build())
+  }
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val path = Paths.get(root, table.split("\\."): _*).toString
+    if (ManifestFileSink.manifests(path).isEmpty)
+      throw new IllegalArgumentException(s"no graft table at $table (resolved: $path)")
+    val affected: Int = op match {
+      case "optimize" =>
+        ManifestFileSink.optimize(
+          org.apache.spark.sql.SparkSession.active, path,
+          input.getUTF8String(1).toString,
+          if (input.isNullAt(2)) 8 else input.getInt(2))
+      case "vacuum" =>
+        val hours = if (input.isNullAt(1)) 168 else input.getInt(1)
+        ManifestFileSink.vacuum(path, hours.toLong * 3600L * 1000L)
+      case "compact"        => ManifestFileSink.compact(path)
+      case "apply_deletes"  => ManifestFileSink.applyDeletes(path)
+      case "migrate_schema" => ManifestFileSink.migrateSchema(path)
+    }
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("affected_files", IntegerType, nullable = false)))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(org.apache.spark.sql.catalyst.InternalRow(affected))
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft.$op result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+private[sources] object GraftProcedure {
+  val Names: Seq[String] =
+    Seq("optimize", "vacuum", "compact", "apply_deletes", "migrate_schema")
 }

@@ -633,7 +633,7 @@ object ManifestFileSink {
     // Matched-key retraction + atomic publish, serialized with other commits.
     commitLock(path).synchronized {
       val snap = snapshot(path, None)
-      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      val schemaText = snap.lastOption.map(schemaLine).getOrElse(asNullable(schema).toDDL)
       ensureSchemaUnchanged(path, "merge", schema, schemaText, snap.nonEmpty)
       val dvLines: Seq[(String, Seq[Long])] =
         if (snap.isEmpty || newFiles.isEmpty) Nil
@@ -734,7 +734,7 @@ object ManifestFileSink {
     }.toSeq
     commitLock(path).synchronized {
       val snap = snapshot(path, None)
-      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      val schemaText = snap.lastOption.map(schemaLine).getOrElse(asNullable(schema).toDDL)
       ensureSchemaUnchanged(path, "replaceWhere", schema, schemaText, snap.nonEmpty)
       val dvLines =
         if (snap.isEmpty) Nil else matchPositions(path, filter, schema)
@@ -1472,7 +1472,7 @@ object ManifestFileSink {
     if (Files.exists(Paths.get(path, name)) || foldedNames(path).contains(name))
       return false
     val lines = renderHeader(ManifestMeta(nextSeq(path), Nil)) +:
-      schema.toDDL +: flattenCommits(messages).collect {
+      asNullable(schema).toDDL +: flattenCommits(messages).collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
     val tmp = Paths.get(path, s".$name.tmp")
@@ -1643,7 +1643,7 @@ object ManifestFileSink {
           val current = asNullable(StructType.fromDDL(schemaLine(snap.last)))
           matchPositions(path, org.apache.spark.sql.sources.AlwaysTrue(), current)
         }
-      publishCommit(path, schema.toDDL, dataLines, dvLines)
+      publishCommit(path, asNullable(schema).toDDL, dataLines, dvLines)
     }
   }
 
@@ -1661,7 +1661,7 @@ object ManifestFileSink {
     }.toSeq
     commitLock(path).synchronized {
       val snap = snapshot(path, None)
-      val schemaText = snap.lastOption.map(schemaLine).getOrElse(schema.toDDL)
+      val schemaText = snap.lastOption.map(schemaLine).getOrElse(asNullable(schema).toDDL)
       ensureSchemaUnchanged(path, "INSERT OVERWRITE", schema, schemaText, snap.nonEmpty)
       val dvLines =
         if (snap.isEmpty) Nil else matchPositions(path, filter, schema)
@@ -1693,7 +1693,8 @@ object ManifestFileSink {
       .map { case (f, ps) => f -> (ps.toSeq.sorted: Seq[Long]) }
       .toSeq.sortBy(_._1)
     if (dataLines.isEmpty && dvs.isEmpty) return
-    val schemaText = snapshot(path, None).lastOption.map(schemaLine).getOrElse(schema.toDDL)
+    val schemaText = snapshot(path, None).lastOption.map(schemaLine)
+      .getOrElse(asNullable(schema).toDDL)
     publishCommit(path, schemaText, dataLines, dvs)
   }
 
@@ -2008,10 +2009,29 @@ private case class CommittedFiles(files: Seq[CommittedFile]) extends WriterCommi
   * `optimize`/`applyDeletes`), `filesRead` × file size is the scan's real
   * IO. Sum-aggregated across tasks; the planning-time numbers arrive via
   * `reportDriverMetrics`. */
-private class GraftSumMetric(metricName: String, desc: String)
+/** One top-level zero-arg class per metric: Spark re-instantiates the
+  * metric class REFLECTIVELY when aggregating task metrics for the UI
+  * (SQLAppStatusListener) — a parameterized class breaks that silently
+  * (the listener logs and drops the metric). */
+private[sources] class FilesReadMetric
   extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = metricName
-  override def description(): String = desc
+  override def name(): String = "filesRead"
+  override def description(): String = "data files opened"
+}
+private[sources] class DvRowsSkippedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dvRowsSkipped"
+  override def description(): String = "deletion-vector rows skipped (merge-on-read)"
+}
+private[sources] class FilesPrunedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesPruned"
+  override def description(): String = "files skipped by zone maps / blooms"
+}
+private[sources] class SplitsPlannedMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "splitsPlanned"
+  override def description(): String = "file splits planned"
 }
 
 private case class GraftTaskMetric(metricName: String, metricValue: Long)
@@ -2741,10 +2761,8 @@ private class ManifestScan(
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    new GraftSumMetric("filesRead", "data files opened"),
-    new GraftSumMetric("dvRowsSkipped", "deletion-vector rows skipped (merge-on-read)"),
-    new GraftSumMetric("filesPruned", "files skipped by zone maps / blooms"),
-    new GraftSumMetric("splitsPlanned", "file splits planned"))
+    new FilesReadMetric, new DvRowsSkippedMetric,
+    new FilesPrunedMetric, new SplitsPlannedMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** SQL maintenance procedures (DSv2 ProcedureCatalog): the Iceberg-style
+  * `CALL catalog.system.<op>(...)` surface over the sink's maintenance
+  * jobs — compact, optimize(clusterBy), vacuum, apply_deletes,
+  * migrate_schema — each returning its affected-file count. */
+class ProcedureSpec extends SparkTestBase {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-proc").toString
+    spark.conf.set("spark.sql.catalog.gproc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.root", r)
+    r
+  }
+
+  test("CALL compact / optimize / vacuum: full maintenance cycle through SQL") {
+    root
+    spark.sql("CREATE TABLE gproc.db.ct (id BIGINT, v DOUBLE)")
+    (0 until 6).foreach { b =>
+      spark.sql(s"INSERT INTO gproc.db.ct VALUES ($b, $b.5), (${b + 100}, ${b + 100}.5)")
+    }
+    val path = s"$root/db/ct"
+    val manifestsBefore = ManifestFileSink.manifests(path).size
+    assert(manifestsBefore >= 7) // commit 0 + 6 inserts
+    val expect = spark.table("gproc.db.ct").orderBy("id").collect().toSeq
+
+    // compact = MANIFEST folding (metadata compaction / expire-snapshots)
+    val compacted = spark.sql("CALL gproc.system.compact(table => 'db.ct')")
+      .head().getInt(0)
+    assert(compacted > 0)
+    assert(ManifestFileSink.manifests(path).size < manifestsBefore)
+    assert(spark.table("gproc.db.ct").orderBy("id").collect().toSeq === expect)
+
+    val optimized = spark.sql(
+      "CALL gproc.system.optimize(table => 'db.ct', cluster_by => 'id', num_files => 2)")
+      .head().getInt(0)
+    assert(optimized > 0)
+    assert(spark.table("gproc.db.ct").orderBy("id").collect().toSeq === expect)
+
+    // Deferred physical deletion: superseded files wait for vacuum.
+    val vacuumed = spark.sql(
+      "CALL gproc.system.vacuum(table => 'db.ct', older_than_hours => 0)")
+      .head().getInt(0)
+    assert(vacuumed > 0, "optimize's superseded originals are vacuum's to reclaim")
+    assert(spark.table("gproc.db.ct").orderBy("id").collect().toSeq === expect)
+  }
+
+  test("CALL apply_deletes purges deletion vectors; bad calls fail loudly") {
+    root
+    spark.sql("CREATE TABLE gproc.db.pt (id BIGINT)")
+    spark.sql("INSERT INTO gproc.db.pt VALUES (1), (2), (3), (4)")
+    spark.sql("DELETE FROM gproc.db.pt WHERE id >= 3")
+    val purged = spark.sql("CALL gproc.system.apply_deletes(table => 'db.pt')")
+      .head().getInt(0)
+    assert(purged > 0)
+    assert(ManifestFileSink.deleteVectors(s"$root/db/pt").isEmpty,
+      "copy-on-write purge folds the vectors away")
+    assert(spark.table("gproc.db.pt").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L))
+
+    intercept[Exception](spark.sql("CALL gproc.system.nope(table => 'db.pt')"))
+    intercept[Exception](
+      spark.sql("CALL gproc.system.compact(table => 'db.missing')").collect())
+  }
+}
