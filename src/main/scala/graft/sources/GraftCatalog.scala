@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * drop recursively removes the table dir. */
 class GraftCatalog extends TableCatalog with StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -346,6 +347,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         s"unknown procedure $nm; available: ${GraftProcedure.Names.mkString(", ")}")
     new GraftProcedure(nm, root)
   }
+
+  // ---- catalog functions (FunctionCatalog): SELECT graft.system.dot(a,b) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.Names.map(Identifier.of(Array("system"), _)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name().toLowerCase(java.util.Locale.ROOT))
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = dir(ident)

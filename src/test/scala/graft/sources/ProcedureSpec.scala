@@ -50,6 +50,27 @@ class ProcedureSpec extends SparkTestBase {
     assert(spark.table("gproc.db.ct").orderBy("id").collect().toSeq === expect)
   }
 
+  test("catalog functions: graft.system.dot / cosine from SQL, float arrays cast in") {
+    root
+    val r = spark.sql(
+      """SELECT gproc.system.dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       gproc.system.cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c0,
+        |       gproc.system.cosine(array(2.0D, 0.0D), array(5.0D, 0.0D)) AS c1,
+        |       gproc.system.cosine(array(1.0D, 0.0D), CAST(NULL AS ARRAY<DOUBLE>)) AS cn
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.isNullAt(3))
+    // float embeddings cast in at analysis: cosine of a vector with itself = 1
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_fn")
+    val selfCos = spark.sql(
+      "SELECT gproc.system.cosine(embedding, embedding) AS c FROM emb_fn LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
   test("CALL apply_deletes purges deletion vectors; bad calls fail loudly") {
     root
     spark.sql("CREATE TABLE gproc.db.pt (id BIGINT)")
