@@ -281,6 +281,44 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------------------- novelty
+
+  /** Per-document n-gram NOVELTY — the fraction of a document's distinct
+    * shingles whose FIRST corpus occurrence (min doc_id, the ingestion
+    * order) is this document. The training-data reading: low-novelty
+    * documents restate earlier material (dedup candidates, curriculum
+    * tail); high-novelty documents carry new content. This is the
+    * document-level complement of pairwise dedup — one score per doc
+    * instead of O(pairs), so it scales as a ranking signal where pair
+    * enumeration can't.
+    *
+    * Shape: the persisted shingle kernel feeds a map-side-combinable MIN
+    * fold (shingle → first owner) and one join back — two shuffles total,
+    * both on the shingle key. The ratio is one exactly-rounded division
+    * of two counts. */
+  def dedupNovelty: Q = (s, dir) => {
+    val sh = shingleRows(Tables(s, dir).documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstOwner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstOwner, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupNoveltySql: String =
+    s"""WITH $shingleSql,
+       |first_owner AS (SELECT sh AS g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS novelty
+       |FROM sh JOIN first_owner ON sh.sh = first_owner.g
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- minhash lsh
 
   def dedupMinhashLsh: Q = (s, dir) => {
@@ -1015,6 +1053,7 @@ object Dedup {
     "dedup_ngram_jaccard"        -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_jaccard_prefix"       -> dedupJaccardPrefix,
+    "dedup_novelty"              -> dedupNovelty,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
     "dedup_simhash"              -> dedupSimhash,
     "dedup_clusters"             -> dedupClusters,
@@ -1034,6 +1073,7 @@ object Dedup {
     "dedup_ngram_jaccard"        -> dedupNgramJaccardSql,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCappedSql,
     "dedup_jaccard_prefix"       -> dedupJaccardPrefixSql,
+    "dedup_novelty"              -> dedupNoveltySql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
     "dedup_simhash"              -> dedupSimhashSql,
     "dedup_clusters"             -> dedupClustersSql,

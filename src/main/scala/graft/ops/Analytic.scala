@@ -1137,6 +1137,91 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** CUSUM changepoint detection on the corpus's daily total value — the
+    * classic mean-shift locator (Page's cumulative-sum statistic): the
+    * day t maximizing |Σ_{i≤t}(c_i − mean)| splits the series at the
+    * most likely level change. Computed in SCALED integer space,
+    * S_t = n·(Σ_{i≤t} c_i) − t·(Σ c_i) (= n× the standard statistic, so
+    * the argmax is identical and the fold is pure int64 — zero FP until
+    * the reported deviation divides out at the end; 30-day cent series
+    * keep S ≤ ~3e9 ≪ 2⁶³).
+    *
+    * Scale shape: the corpus collapses to one row per DAY in the first
+    * map-side-combinable fold — the window that follows runs over the
+    * tiny collapsed series (per-key changepoints would partition it by
+    * key). Ties break to the earliest day. */
+  def qChangepoint: Q = (s, dir) => {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val daily = Tables(s, dir).events
+      .groupBy(to_date(col("ts")).as("d")).agg(sum(cents).as("c"))
+    val tot = daily.agg(sum(col("c")).as("tot"), count(lit(1)).as("n"))
+    val wOrd = Window.orderBy(col("d"))
+    daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("c")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s_abs", abs(col("n") * col("cum") - col("t") * col("tot")))
+      .orderBy(col("s_abs").desc, col("d"))
+      .limit(1)
+      .select(col("d").as("cp_day"), col("n").as("n_days"),
+        round(col("s_abs").cast("double") / col("n") / 100.0, 6).as("max_dev_dollars"))
+  }
+
+  val qChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n FROM daily),
+      |cs AS (
+      |  SELECT d, n,
+      |    ABS(n * SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      |        - (CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT)) * tot) AS s_abs
+      |  FROM daily CROSS JOIN tot)
+      |SELECT d AS cp_day, n AS n_days,
+      |  ROUND(CAST(s_abs AS DOUBLE) / n / 100.0, 6) AS max_dev_dollars
+      |FROM cs ORDER BY s_abs DESC, d LIMIT 1""".stripMargin
+
+  /** Conversion-time distribution: for every user whose first 'purchase'
+    * follows their first 'view', the minutes in between — the
+    * time-to-convert curve (p50/p90) a growth team reads next to
+    * [[qFunnel]]'s step counts. First-touch timestamps are two
+    * map-side-combinable MIN folds over one shuffle; the percentile runs
+    * over |converting users| doubles produced by one exact integer
+    * subtraction each (identical inputs ⇒ identical interpolation in
+    * both engines — the qPercentiles contract). */
+  def qConversionTime: Q = (s, dir) => {
+    val firsts = Tables(s, dir).events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p_us"))
+      .filter(col("v_us").isNotNull && col("p_us").isNotNull && col("p_us") > col("v_us"))
+      .select(((col("p_us") - col("v_us")).cast("double") / 60000000.0).as("mins"))
+    firsts.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(mins, 0.5)"), 6).as("p50_mins"),
+      round(expr("percentile(mins, 0.9)"), 6).as("p90_mins"),
+      round(max(col("mins")), 6).as("max_mins"))
+  }
+
+  val qConversionTimeSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY user_id),
+      |mins AS (
+      |  SELECT CAST(p_us - v_us AS DOUBLE) / 60000000.0 AS mins
+      |  FROM firsts
+      |  WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us)
+      |SELECT COUNT(*) AS n_converted,
+      |  ROUND(quantile_cont(mins, 0.5), 6) AS p50_mins,
+      |  ROUND(quantile_cont(mins, 0.9), 6) AS p90_mins,
+      |  ROUND(MAX(mins), 6) AS max_mins
+      |FROM mins""".stripMargin
+
   /** First-order Markov transition matrix over each user's event
     * sequence — the clickstream model behind next-action prediction and
     * funnel diagnosis: for every (from, to) event-type pair, the count of
@@ -1208,6 +1293,8 @@ object Analytic {
     "q_acf"             -> qAcf,
     "q_event_transitions" -> qEventTransitions,
     "q_histogram_equidepth" -> qHistogramEquidepth,
+    "q_changepoint"     -> qChangepoint,
+    "q_conversion_time" -> qConversionTime,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1243,6 +1330,8 @@ object Analytic {
     "q_acf"             -> qAcfSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_histogram_equidepth" -> qHistogramEquidepthSql,
+    "q_changepoint"     -> qChangepointSql,
+    "q_conversion_time" -> qConversionTimeSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
