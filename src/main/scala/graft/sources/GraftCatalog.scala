@@ -412,6 +412,7 @@ private[sources] class GraftProcedure(op: String, root: String)
     val path = Paths.get(root, table.split("\\."): _*).toString
     if (ManifestFileSink.manifests(path).isEmpty)
       throw new IllegalArgumentException(s"no graft table at $table (resolved: $path)")
+    if (op == "snapshots") return snapshotsScan(path)
     val affected: Int = op match {
       case "optimize" =>
         ManifestFileSink.optimize(
@@ -436,9 +437,45 @@ private[sources] class GraftProcedure(op: String, root: String)
       }
     java.util.Collections.singletonList(scan).iterator()
   }
+
+  /** `CALL graft.system.snapshots(table => …)` — the table's commit
+    * history as rows: (seq, manifest, n_files, n_rows, has_deletes) per
+    * published manifest, oldest first. The time-travel companion: pick a
+    * seq here, read it with `VERSION AS OF`. Metadata-only. */
+  private def snapshotsScan(path: String)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val hist = ManifestFileSink.orderedManifests(path).map { m =>
+      val meta = ManifestFileSink.readMeta(m)
+      val entries = ManifestFileSink.entriesWithStats(m)
+      org.apache.spark.sql.catalyst.InternalRow(
+        meta.seq,
+        UTF8String.fromString(m.getName),
+        entries.size.toLong,
+        entries.map(_._2).sum,
+        ManifestFileSink.hasDeleteVectors(m))
+    }.toArray
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("manifest", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("has_deletes",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = hist
+        override def readSchema(): StructType = outSchema
+        override def description(): String = "graft.snapshots result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
 }
 
 private[sources] object GraftProcedure {
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "compact", "apply_deletes", "migrate_schema")
+    Seq("optimize", "vacuum", "compact", "apply_deletes", "migrate_schema", "snapshots")
 }

@@ -88,4 +88,21 @@ class ProcedureSpec extends SparkTestBase {
     intercept[Exception](
       spark.sql("CALL gproc.system.compact(table => 'db.missing')").collect())
   }
+
+  test("CALL snapshots lists the commit history, oldest first") {
+    root
+    spark.sql("CREATE TABLE gproc.db.ht (id BIGINT)")
+    spark.sql("INSERT INTO gproc.db.ht VALUES (1)")
+    spark.sql("INSERT INTO gproc.db.ht VALUES (2), (3)")
+    spark.sql("DELETE FROM gproc.db.ht WHERE id = 1")
+    val h = spark.sql("CALL gproc.system.snapshots(table => 'db.ht')").collect()
+    assert(h.length === 4) // schema-only create + 2 inserts + delete
+    assert(h.map(_.getLong(0)).toSeq === h.map(_.getLong(0)).sorted.toSeq)
+    assert(h.last.getBoolean(4), "the DELETE commit carries deletion vectors")
+    assert(h.map(r => r.getLong(3)).max === 2, "per-commit row counts are as written")
+    // the reported seq round-trips through VERSION AS OF
+    val seq2 = h(2).getLong(0) // after both inserts, before the delete
+    assert(spark.sql(s"SELECT count(*) FROM gproc.db.ht VERSION AS OF $seq2")
+      .head().getLong(0) === 3)
+  }
 }
