@@ -97,6 +97,63 @@ object Similarity {
        |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Matryoshka-style two-stage retrieval (Kusupati et al.'s MRL serving
+    * pattern): candidates by the PREFIX 16 dimensions, exact rerank by
+    * the full 64 — the other sub-linear axis next to IVF's
+    * cell-restriction (IVF prunes WHICH vectors are scored; truncation
+    * prunes HOW MUCH of each vector the first pass reads — 4× less
+    * vector IO and heap payload here, and with MRL-trained embeddings
+    * the prefix is an intentionally faithful coarse score). The
+    * candidate cut is the [[graft.plans.TopKPerGroup]] bounded heap over
+    * (query, prefix-dot); the rerank stage carries only (query_id,
+    * neighbor_id) pairs and JOINS BACK to the corpus for full vectors —
+    * at scale the candidate exchange must never carry the vectors
+    * themselves. Both stages' scores are sequential dot folds on
+    * identical doubles, so DuckDB replays the exact candidate set and
+    * ranking. */
+  def knnMatryoshka: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val short = emb.select(col("vec_id"), slice(col("vn"), 1, 16).as("vp"))
+    val probes = broadcast(
+      emb.filter(col("vec_id") < 10)
+        .join(short.withColumnRenamed("vec_id", "qid"), col("vec_id") === col("qid"))
+        .select(col("vec_id").as("query_id"), col("vp").as("qp"), col("vn").as("qv")))
+    val candScored = probes.select(col("query_id"), col("qp"))
+      .join(short, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotp(col("qp"), col("vp")).as("cos"))
+    val cands = TopKPerGroup(candScored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val reranked = cands
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("vn")), "neighbor_id")
+      .join(broadcast(probes.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dotp(col("qv"), col("vn")).as("cos"))
+    topKRanked(reranked, 3)
+  }
+
+  val knnMatryoshkaSql: String =
+    s"""WITH $normalizedSql,
+       |sh AS (SELECT vec_id, vn, vn[1:16] AS vp FROM e),
+       |p AS (SELECT vec_id AS query_id, vp AS qp, vn AS qv FROM sh WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, s.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_dot_product(p.qp, s.vp) DESC, s.vec_id) AS rn
+       |    FROM p CROSS JOIN sh s WHERE s.vec_id <> p.query_id) t
+       |  WHERE rn <= 10),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ROUND(list_dot_product(p.qv, s.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_dot_product(p.qv, s.vn) DESC, c.neighbor_id) AS rank
+       |  FROM cand c JOIN sh s ON c.neighbor_id = s.vec_id
+       |  JOIN p ON c.query_id = p.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM rer WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Deterministic coarse quantizer (every 25th vector), broadcast. */
   private[llm] def ivfCentroids(emb: DataFrame): DataFrame =
     broadcast(emb.filter(col("vec_id") % 25 === 0)
@@ -515,6 +572,7 @@ object Similarity {
     "knn_ivf"                -> knnIvf,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobe,
     "knn_ivf_trained"        -> knnIvfTrained,
+    "knn_matryoshka"         -> knnMatryoshka,
     "knn_kmeans_assign"      -> knnKmeansAssign,
     "embedding_near_dup"     -> embeddingNearDup,
     "embedding_near_dup_lsh" -> embeddingNearDupLsh,
@@ -527,6 +585,7 @@ object Similarity {
     "knn_ivf"                -> knnIvfSql,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobeSql,
     "knn_ivf_trained"        -> knnIvfTrainedSql,
+    "knn_matryoshka"         -> knnMatryoshkaSql,
     "knn_kmeans_assign"      -> knnKmeansAssignSql,
     "embedding_near_dup"     -> embeddingNearDupSql,
     "embedding_near_dup_lsh" -> embeddingNearDupLshSql,
