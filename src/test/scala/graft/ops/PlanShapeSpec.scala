@@ -404,6 +404,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"lost the map-side combine:\n$p")
   }
 
+  test("dedup_jaccard_prefix: no stage ever HINTS a broadcast of the candidate set") {
+    // The round-10 regression this pins: prefix-filter candidates are
+    // O(corpus) pairs, and broadcasting cand × shingles-per-doc rows
+    // measured 31 s vs 3 s at 5k docs. With the auto-broadcast threshold
+    // off, any remaining BroadcastHashJoin can only come from an explicit
+    // broadcast() hint — the prefix path must carry none (size-based
+    // broadcasts at real scale remain the optimizer's call on real
+    // statistics, which is exactly the behavior we want to preserve).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("dedup_jaccard_prefix")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"prefix-Jaccard must not hint ANY broadcast (candidates are O(corpus)):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"candidate verify must be a shuffled join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("knn_matryoshka: bounded heap on the prefix pass, broadcast probes, no global window") {
+    val p = plan("knn_matryoshka")
+    assert(p.contains("TopKPerGroup"),
+      s"prefix-stage candidates must use the native bounded heap:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the probe set must broadcast into the corpus scan:\n$p")
+  }
+
+  test("q_event_transitions / q_acf: windows are partitioned, never single-task") {
+    Seq("q_event_transitions", "q_acf").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Exchange hashpartitioning"),
+        s"$q must partition its window, not sort globally:\n$p")
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$q must not funnel the corpus through one task:\n$p")
+    }
+  }
+
   test("q_anomaly_zscore: both frames and the daily agg share the user shuffle") {
     val p = plan("q_anomaly_zscore")
     // groupBy(user,d) shuffles on (user,d); the window re-shuffles on user
