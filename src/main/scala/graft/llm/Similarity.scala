@@ -97,6 +97,43 @@ object Similarity {
        |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining for retrieval training (the DPR/contrastive
+    * recipe): per query, the top vectors in the cosine BAND [0.25, 0.45] —
+    * clearly above this corpus's random-pair noise floor (p99 ≈ 0.29)
+    * so they are confusable (the negatives that actually teach the
+    * model), yet below the positive/near-dup region (a positive
+    * mislabeled as negative poisons the loss). The band is a
+    * per-corpus calibration — production recalibrates it from the
+    * score distribution, exactly as done here. Same broadcast-
+    * probe + bounded-heap shape as [[knnBruteForce]] with the band
+    * filter applied BEFORE the heap, so the per-(query, task) state
+    * stays ≤k; at corpus scale the probe side is the training batch and
+    * the scan parallelizes embarrassingly. Band bounds compare raw
+    * exact doubles — identical in both engines. */
+  def knnHardNegatives: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv")))
+    val scored = probes.join(emb, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotp(col("qv"), col("vn")).as("cos"))
+      .filter(col("cos") >= 0.25 && col("cos") <= 0.45)
+    topKRanked(scored, 5)
+  }
+
+  val knnHardNegativesSql: String =
+    s"""WITH $normalizedSql
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(a.vn, b.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_dot_product(a.vn, b.vn) DESC, b.vec_id) AS rank
+       |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+       |  WHERE list_dot_product(a.vn, b.vn) >= 0.25
+       |    AND list_dot_product(a.vn, b.vn) <= 0.45) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Matryoshka-style two-stage retrieval (Kusupati et al.'s MRL serving
     * pattern): candidates by the PREFIX 16 dimensions, exact rerank by
     * the full 64 — the other sub-linear axis next to IVF's
@@ -573,6 +610,7 @@ object Similarity {
     "knn_ivf_multiprobe"     -> knnIvfMultiprobe,
     "knn_ivf_trained"        -> knnIvfTrained,
     "knn_matryoshka"         -> knnMatryoshka,
+    "knn_hard_negatives"     -> knnHardNegatives,
     "knn_kmeans_assign"      -> knnKmeansAssign,
     "embedding_near_dup"     -> embeddingNearDup,
     "embedding_near_dup_lsh" -> embeddingNearDupLsh,
@@ -586,6 +624,7 @@ object Similarity {
     "knn_ivf_multiprobe"     -> knnIvfMultiprobeSql,
     "knn_ivf_trained"        -> knnIvfTrainedSql,
     "knn_matryoshka"         -> knnMatryoshkaSql,
+    "knn_hard_negatives"     -> knnHardNegativesSql,
     "knn_kmeans_assign"      -> knnKmeansAssignSql,
     "embedding_near_dup"     -> embeddingNearDupSql,
     "embedding_near_dup_lsh" -> embeddingNearDupLshSql,
