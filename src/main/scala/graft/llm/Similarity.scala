@@ -532,6 +532,57 @@ object Similarity {
        |  FROM p JOIN af a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Cluster-quality diagnostics over the TRAINED k-means cells — the
+    * silhouette-style read an embedding pipeline checks before trusting
+    * an IVF index or a semantic-dedup pass: per cell, member count,
+    * COHESION (mean member-to-own-centroid cosine) and SEPARATION (the
+    * centroid's max cosine to any other centroid). Cohesion far above
+    * separation = well-formed cell; the inverse = merge candidates /
+    * nprobe>1 territory.
+    *
+    * Scale shape: cohesion folds over the assignment relation (one row
+    * per vector, map-side-combinable AVG against the broadcast
+    * centroids); separation is a centroid×centroid pass — k² rows
+    * regardless of corpus size. Means round to 6 dp (the q_pagerank
+    * accumulation argument); every other term is an exact sequential
+    * fold both engines replay. */
+  def knnClusterQuality: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansCentroids(emb)
+    val assigned = kmeansAssign(emb, cents)
+    val coh = assigned
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("cell"),
+        (dotp(col("vn"), col("cv")) / sqrt(dotp(col("cv"), col("cv")))).as("cosc"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cosc")), 6).as("cohesion"))
+    val sep = cents.as("x")
+      .join(cents.as("y"), col("x.cent_id") =!= col("y.cent_id"))
+      .select(col("x.cent_id").as("cell"),
+        (dotp(col("x.cv"), col("y.cv")) /
+          (sqrt(dotp(col("x.cv"), col("x.cv"))) * sqrt(dotp(col("y.cv"), col("y.cv"))))).as("cc"))
+      .groupBy(col("cell"))
+      .agg(round(max(col("cc")), 6).as("nearest_other"))
+    coh.join(sep, "cell").orderBy(col("cell"))
+  }
+
+  val knnClusterQualitySql: String =
+    s"""WITH $normalizedSql,
+       |$kmeansCtesSql,
+       |coh AS (
+       |  SELECT a.cell, COUNT(*) AS n_members,
+       |    ROUND(AVG(list_dot_product(a.vn, c.cv)
+       |      / sqrt(list_dot_product(c.cv, c.cv))), 6) AS cohesion
+       |  FROM af a JOIN c3 c ON a.cell = c.cent_id GROUP BY a.cell),
+       |sep AS (
+       |  SELECT x.cent_id AS cell,
+       |    ROUND(MAX(list_dot_product(x.cv, y.cv)
+       |      / (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv)))), 6) AS nearest_other
+       |  FROM c3 x JOIN c3 y ON x.cent_id <> y.cent_id GROUP BY x.cent_id)
+       |SELECT coh.cell, n_members, cohesion, nearest_other
+       |FROM coh JOIN sep ON coh.cell = sep.cell ORDER BY coh.cell""".stripMargin
+
   /** Scalar quantization (float32 → int8 per vector): the 4× memory
     * reduction real ANN systems apply before index build at scale. Per
     * vector: min/max → uniform 0..255 codes; emitted as per-vector code
@@ -611,6 +662,7 @@ object Similarity {
     "knn_ivf_trained"        -> knnIvfTrained,
     "knn_matryoshka"         -> knnMatryoshka,
     "knn_hard_negatives"     -> knnHardNegatives,
+    "knn_cluster_quality"    -> knnClusterQuality,
     "knn_kmeans_assign"      -> knnKmeansAssign,
     "embedding_near_dup"     -> embeddingNearDup,
     "embedding_near_dup_lsh" -> embeddingNearDupLsh,
@@ -625,6 +677,7 @@ object Similarity {
     "knn_ivf_trained"        -> knnIvfTrainedSql,
     "knn_matryoshka"         -> knnMatryoshkaSql,
     "knn_hard_negatives"     -> knnHardNegativesSql,
+    "knn_cluster_quality"    -> knnClusterQualitySql,
     "knn_kmeans_assign"      -> knnKmeansAssignSql,
     "embedding_near_dup"     -> embeddingNearDupSql,
     "embedding_near_dup_lsh" -> embeddingNearDupLshSql,
