@@ -1137,6 +1137,97 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Full cohort-retention matrix: users grouped by FIRST-SEEN week, each
+    * cohort's distinct-active count at every week offset — the retention
+    * triangle every growth dashboard renders (the existing [[qRetention]]
+    * is one slice of it). Two shuffles: first-seen per user (map-side MIN
+    * fold), then the (cohort, offset) distinct-user count; week indexes
+    * are integer date arithmetic (days/7 — no timezone-sensitive
+    * truncation to disagree across engines). */
+  def qRetentionMatrix: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("1992-01-01")) / 7).cast("long").as("w"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("w")).as("cohort_w"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("offset_w"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_w"), col("offset_w"))
+  }
+
+  val qRetentionMatrixSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR((CAST(ts AS DATE) - DATE '1992-01-01') / 7) AS BIGINT) AS w
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(w) AS cohort_w FROM ev GROUP BY 1)
+      |SELECT f.cohort_w, e.w - f.cohort_w AS offset_w,
+      |  COUNT(DISTINCT e.user_id) AS n_active
+      |FROM ev e JOIN first f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_w, offset_w""".stripMargin
+
+  /** Two-proportion A/B z-score — the experimentation primitive: users
+    * hash-split into arms (user_id parity — the deterministic assignment
+    * any real platform derives from a salted hash), conversion = at least 14
+    * purchases in the window (a fixed threshold near the corpus median,
+    * so both proportions sit strictly inside (0,1) — "any purchase"
+    * saturates at p=1 on this corpus and the pooled variance, correctly,
+    * degenerates); z = (p₁−p₀)/√(p̂(1−p̂)(1/n₁+1/n₀)) from four exact
+    * counts through one fixed exactly-rounded double expression — no
+    * simulation, no libm beyond sqrt. The |z| ≥ 1.96 flag is the 95%
+    * two-sided read. */
+  def qAbTest: Q = (s, dir) => {
+    val perUser = Tables(s, dir).events
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14)
+        .cast("long").as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = arms.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("conv").as("c0"))
+      .crossJoin(arms.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("conv").as("c1")))
+    wide.select(
+        col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("c0").cast("double") / col("n0"), 6).as("p0"),
+        round(col("c1").cast("double") / col("n1"), 6).as("p1"),
+        round(
+          (col("c1").cast("double") / col("n1") - col("c0").cast("double") / col("n0")) /
+            sqrt(((col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
+              (lit(1.0) - (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+      .withColumn("significant_95", abs(col("z")) >= 1.96)
+  }
+
+  val qAbTestSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 AS INT) AS converted,
+      |    CAST(user_id % 2 AS INT) AS arm
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+      |  FROM per_user GROUP BY arm),
+      |wide AS (
+      |  SELECT a0.n AS n0, a0.conv AS c0, a1.n AS n1, a1.conv AS c1
+      |  FROM (SELECT n, conv FROM arms WHERE arm = 0) a0
+      |  CROSS JOIN (SELECT n, conv FROM arms WHERE arm = 1) a1)
+      |SELECT n0, c0, n1, c1,
+      |  ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+      |  ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+      |  ROUND(
+      |    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+      |      sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |        (CAST(1.0 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |        (CAST(1.0 AS DOUBLE) / n0 + CAST(1.0 AS DOUBLE) / n1)), 6) AS z,
+      |  ABS(ROUND(
+      |    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+      |      sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |        (CAST(1.0 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |        (CAST(1.0 AS DOUBLE) / n0 + CAST(1.0 AS DOUBLE) / n1)), 6)) >= 1.96 AS significant_95
+      |FROM wide""".stripMargin
+
   /** CUSUM changepoint detection on the corpus's daily total value — the
     * classic mean-shift locator (Page's cumulative-sum statistic): the
     * day t maximizing |Σ_{i≤t}(c_i − mean)| splits the series at the
@@ -1295,6 +1386,8 @@ object Analytic {
     "q_histogram_equidepth" -> qHistogramEquidepth,
     "q_changepoint"     -> qChangepoint,
     "q_conversion_time" -> qConversionTime,
+    "q_retention_matrix" -> qRetentionMatrix,
+    "q_ab_test"         -> qAbTest,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1332,6 +1425,8 @@ object Analytic {
     "q_histogram_equidepth" -> qHistogramEquidepthSql,
     "q_changepoint"     -> qChangepointSql,
     "q_conversion_time" -> qConversionTimeSql,
+    "q_retention_matrix" -> qRetentionMatrixSql,
+    "q_ab_test"         -> qAbTestSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
