@@ -583,6 +583,61 @@ object Similarity {
        |SELECT coh.cell, n_members, cohesion, nearest_other
        |FROM coh JOIN sep ON coh.cell = sep.cell ORDER BY coh.cell""".stripMargin
 
+  /** Binary-quantized retrieval (sign quantization — the 32× compression
+    * point of the quantization family next to int8 [[vecQuantize]] and
+    * PQ): candidates ranked by HAMMING distance between sign patterns,
+    * exact cosine rerank on the survivors. In production the 64 signs
+    * pack into ONE int64 and Hamming is `popcount(a XOR b)` — a single
+    * instruction per vector pair against 8 bytes of index; the per-dim
+    * fold here is the portable semantic spec of exactly that (both
+    * engines replay it bit-for-bit, which a packed-word layout's
+    * byte-order wouldn't guarantee cross-engine). Candidate cut through
+    * the bounded heap (hamming ASC, id) at k=20; rerank joins back to
+    * the corpus for full vectors, the [[knnMatryoshka]] discipline. */
+  def knnBinaryHamming: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv")))
+    val ham = aggregate(
+      zip_with(col("qv"), col("vn"),
+        (x, y) => when((x > 0) === (y > 0), 0L).otherwise(1L)),
+      lit(0L), (acc, v) => acc + v)
+    val candScored = probes.join(emb, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-ham).cast("double").as("cos")) // heap selects cos DESC = hamming ASC
+    val cands = TopKPerGroup(candScored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val reranked = cands
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("vn")), "neighbor_id")
+      .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dotp(col("qv"), col("vn")).as("cos"))
+    topKRanked(reranked, 3)
+  }
+
+  val knnBinaryHammingSql: String =
+    s"""WITH $normalizedSql,
+       |p AS (SELECT vec_id AS query_id, vn AS qv FROM e WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, 64),
+       |          i -> CASE WHEN (p.qv[i] > 0) = (b.vn[i] > 0) THEN 0 ELSE 1 END)) AS BIGINT) ASC,
+       |        b.vec_id ASC) AS rn
+       |    FROM p CROSS JOIN e b WHERE b.vec_id <> p.query_id) t
+       |  WHERE rn <= 20),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ROUND(list_dot_product(p.qv, b.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_dot_product(p.qv, b.vn) DESC, c.neighbor_id) AS rank
+       |  FROM cand c JOIN e b ON c.neighbor_id = b.vec_id
+       |  JOIN p ON c.query_id = p.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM rer WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Scalar quantization (float32 → int8 per vector): the 4× memory
     * reduction real ANN systems apply before index build at scale. Per
     * vector: min/max → uniform 0..255 codes; emitted as per-vector code
@@ -663,6 +718,7 @@ object Similarity {
     "knn_matryoshka"         -> knnMatryoshka,
     "knn_hard_negatives"     -> knnHardNegatives,
     "knn_cluster_quality"    -> knnClusterQuality,
+    "knn_binary_hamming"     -> knnBinaryHamming,
     "knn_kmeans_assign"      -> knnKmeansAssign,
     "embedding_near_dup"     -> embeddingNearDup,
     "embedding_near_dup_lsh" -> embeddingNearDupLsh,
@@ -678,6 +734,7 @@ object Similarity {
     "knn_matryoshka"         -> knnMatryoshkaSql,
     "knn_hard_negatives"     -> knnHardNegativesSql,
     "knn_cluster_quality"    -> knnClusterQualitySql,
+    "knn_binary_hamming"     -> knnBinaryHammingSql,
     "knn_kmeans_assign"      -> knnKmeansAssignSql,
     "embedding_near_dup"     -> embeddingNearDupSql,
     "embedding_near_dup_lsh" -> embeddingNearDupLshSql,
