@@ -172,6 +172,28 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("mismatched partition-value sets: joins stay exact, outer sides survive") {
+    // The correctness corner of group-based SPJ: one side missing values
+    // the other has. Spark either pads the missing groups
+    // (pushPartValues) or falls back to exchanges — both legal; RESULTS
+    // must be identical either way, including outer-join rows whose
+    // partition value exists on only one side.
+    root
+    spark.sql("CREATE TABLE gspj.spj.ml (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE gspj.spj.mr (k BIGINT, w BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gspj.spj.ml SELECT CAST(id % 6 AS BIGINT), id FROM range(60)")
+    // right side holds only the EVEN values
+    spark.sql("INSERT INTO gspj.spj.mr SELECT CAST(id * 2 AS BIGINT), id * 100 FROM range(3)")
+    withSpjConf {
+      val inner = spark.table("gspj.spj.ml").join(spark.table("gspj.spj.mr"), "k")
+      assert(inner.count() === 30, "10 left rows per matching even value × 3 values")
+      val left = spark.table("gspj.spj.ml")
+        .join(spark.table("gspj.spj.mr"), Seq("k"), "left_outer")
+      assert(left.count() === 60, "left rows with odd k must survive unmatched")
+      assert(left.filter(col("w").isNull).count() === 30)
+    }
+  }
+
   test("a mixed-value file degrades the report, never the results") {
     root
     val path = s"$root/spj/mixed"
