@@ -1137,6 +1137,57 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic CRM cut): per customer, days since last order, order count,
+    * and cent-exact lifetime spend, each scored into quartiles and
+    * combined into the 64-cell segment grid; output is the per-segment
+    * census with its average spend. One fact shuffle to the customer
+    * grain; the quartile scores are ntile windows over the collapsed
+    * customer relation with (value, key) total orders so both engines
+    * split ties identically. At 100 TB the customer relation is the
+    * small output of the fold — if even that is too large for a sort,
+    * quartile CUTPOINTS from percentile_cont replace the ntile rank
+    * (same segments, no global window). */
+  def qRfmSegments: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+    val maxD = o.agg(max(to_date(col("o_orderdate"))).as("ref_d"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("m_cents"))
+      .crossJoin(broadcast(maxD))
+      .select(col("o_custkey"),
+        datediff(col("ref_d"), col("last_d")).cast("long").as("r_days"),
+        col("f"), col("m_cents"))
+    val scored = cust
+      .withColumn("r_q", ntile(4).over(Window.orderBy(col("r_days"), col("o_custkey"))).cast("long"))
+      .withColumn("f_q", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey"))).cast("long"))
+      .withColumn("m_q", ntile(4).over(Window.orderBy(col("m_cents").desc, col("o_custkey"))).cast("long"))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("m_cents")).cast("double") / count(lit(1)) / 100.0, 6).as("avg_spend"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val qRfmSegmentsSql: String =
+    """WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+      |cust AS (
+      |  SELECT o_custkey,
+      |    CAST(ref.ref_d - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS r_days,
+      |    COUNT(*) AS f,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders CROSS JOIN ref GROUP BY o_custkey, ref.ref_d),
+      |scored AS (
+      |  SELECT o_custkey, m_cents,
+      |    CAST(NTILE(4) OVER (ORDER BY r_days, o_custkey) AS BIGINT) AS r_q,
+      |    CAST(NTILE(4) OVER (ORDER BY f DESC, o_custkey) AS BIGINT) AS f_q,
+      |    CAST(NTILE(4) OVER (ORDER BY m_cents DESC, o_custkey) AS BIGINT) AS m_q
+      |  FROM cust)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+      |  ROUND(CAST(SUM(m_cents) AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_spend
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+
   /** Full cohort-retention matrix: users grouped by FIRST-SEEN week, each
     * cohort's distinct-active count at every week offset — the retention
     * triangle every growth dashboard renders (the existing [[qRetention]]
@@ -1388,6 +1439,7 @@ object Analytic {
     "q_conversion_time" -> qConversionTime,
     "q_retention_matrix" -> qRetentionMatrix,
     "q_ab_test"         -> qAbTest,
+    "q_rfm_segments"    -> qRfmSegments,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1427,6 +1479,7 @@ object Analytic {
     "q_conversion_time" -> qConversionTimeSql,
     "q_retention_matrix" -> qRetentionMatrixSql,
     "q_ab_test"         -> qAbTestSql,
+    "q_rfm_segments"    -> qRfmSegmentsSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
