@@ -1137,6 +1137,68 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Floor-at-zero running inventory per supplier — the stock-ledger
+    * recurrence S_t = max(0, S_{t−1} + d_t) (returns drain stock, which
+    * can never go negative). The recurrence LOOKS sequential (the max
+    * re-couples every step), but it has an exact closed form:
+    *   S_t = P_t − min(0, min_{i≤t} P_i)   where P is the plain prefix sum
+    * — so the per-key loop becomes TWO stacked window passes (running
+    * sum, then running min) sharing one supplier exchange, the same
+    * unroll-the-recurrence discipline as [[qEwma]] but for a NONLINEAR
+    * fold. Deltas are ±l_quantity (returns negative) in exact int64;
+    * per-key order is the (shipdate, orderkey, linenumber) total order,
+    * replayed identically by the oracle. Emitted per supplier: final
+    * balance, peak balance, and stock-out count (steps clamped at 0). */
+  def qStockBalance: Q = (s, dir) => {
+    val d = when(col("l_returnflag") === "R", -col("l_quantity")).otherwise(col("l_quantity"))
+      .cast("long")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).lineitem
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), d.as("d"))
+      .withColumn("p", sum(col("d")).over(frame))
+      .withColumn("bal", col("p") - least(min(col("p")).over(frame), lit(0L)))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        // final balance = bal at the per-key LAST position of the same
+        // total order (max_by on the order struct — deterministic, unlike
+        // last() under partial aggregation)
+        max_by(col("bal"),
+          struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))).as("final_bal"),
+        max(col("bal")).as("peak"),
+        sum((col("bal") === 0).cast("long")).as("n_stockouts"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val qStockBalanceSql: String =
+    """WITH led AS (
+      |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |    CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END AS BIGINT) AS d
+      |  FROM lineitem),
+      |bal AS (
+      |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |    p - LEAST(MIN(p) OVER w2, 0) AS bal
+      |  FROM (
+      |    SELECT *, SUM(d) OVER w AS p FROM led
+      |    WINDOW w AS (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING)) t
+      |  WINDOW w2 AS (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING)),
+      |agg AS (
+      |  SELECT l_suppkey, CAST(MAX(bal) AS BIGINT) AS peak,
+      |    CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stockouts
+      |  FROM bal GROUP BY l_suppkey),
+      |lastrow AS (
+      |  SELECT l_suppkey, CAST(bal AS BIGINT) AS final_bal FROM (
+      |    SELECT l_suppkey, bal, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      |    FROM bal) t WHERE rn = 1)
+      |SELECT agg.l_suppkey, final_bal, peak, n_stockouts
+      |FROM agg JOIN lastrow ON agg.l_suppkey = lastrow.l_suppkey
+      |ORDER BY agg.l_suppkey""".stripMargin
+
   /** RFM customer segmentation (recency / frequency / monetary — the
     * classic CRM cut): per customer, days since last order, order count,
     * and cent-exact lifetime spend, each scored into quartiles and
@@ -1440,6 +1502,7 @@ object Analytic {
     "q_retention_matrix" -> qRetentionMatrix,
     "q_ab_test"         -> qAbTest,
     "q_rfm_segments"    -> qRfmSegments,
+    "q_stock_balance"   -> qStockBalance,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1480,6 +1543,7 @@ object Analytic {
     "q_retention_matrix" -> qRetentionMatrixSql,
     "q_ab_test"         -> qAbTestSql,
     "q_rfm_segments"    -> qRfmSegmentsSql,
+    "q_stock_balance"   -> qStockBalanceSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
