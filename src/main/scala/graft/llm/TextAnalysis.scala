@@ -1006,8 +1006,49 @@ object TextAnalysis {
       |CROSS JOIN n1 CROSS JOIN n2
       |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** CCNet-style quality bucketing: documents tercile-split by their
+    * corpus-LM fluency score ([[lmScore]]) into head/middle/tail — the
+    * partition CCNet uses to keep head+middle and drop (or re-weight)
+    * the tail of a crawl. Composes the persisted bigram kernel with one
+    * rank window (ntile over (score, doc_id) — deterministic ties) and a
+    * three-row census; at corpus scale the tercile CUTPOINTS come from
+    * percentile_cont instead of the global ntile sort, the
+    * q_rfm_segments note. */
+  def ccnetBuckets: Q = (s, dir) => {
+    val scored = lmScore(s, dir)
+    scored
+      .withColumn("bucket",
+        ntile(3).over(Window.orderBy(col("lm_score").desc, col("doc_id"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("lm_score")), 6).as("avg_score"),
+        sum(col("n_bigrams")).as("total_bigrams"))
+      .withColumn("label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .select(col("bucket"), col("label"), col("n_docs"), col("avg_score"),
+        col("total_bigrams"))
+      .orderBy(col("bucket"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH scored AS (
+       |${lmScoreSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |b AS (
+       |  SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_score DESC, doc_id) AS BIGINT) AS bucket
+       |  FROM scored)
+       |SELECT bucket,
+       |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+       |       ELSE 'tail' END AS label,
+       |  COUNT(*) AS n_docs,
+       |  ROUND(AVG(lm_score), 6) AS avg_score,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
+    "text_ccnet_buckets"     -> ccnetBuckets,
     "text_pmi_bigrams"       -> pmiBigrams,
     "text_shard_stripe"      -> shardStripe,
     "text_lm_score"          -> lmScore,
@@ -1030,6 +1071,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_rrf_fusion"       -> rrfFusionSql,
+    "text_ccnet_buckets"    -> ccnetBucketsSql,
     "text_pmi_bigrams"      -> pmiBigramsSql,
     "text_shard_stripe"     -> shardStripeSql,
     "text_lm_score"         -> lmScoreSql,
