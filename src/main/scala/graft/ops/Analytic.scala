@@ -1137,6 +1137,40 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Week-over-week growth per event type — the KPI delta every
+    * dashboard leads with: weekly cent-exact totals, previous week via
+    * one lag on the shared type exchange, growth = (cur − prev)/prev as
+    * a single exactly-rounded division of exact integers (NULL for the
+    * first week — no fabricated 0% baseline). */
+  def qWowGrowth: Q = (s, dir) => {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val weekly = Tables(s, dir).events
+      .groupBy(col("event_type"),
+        floor(datediff(to_date(col("ts")), lit("1992-01-01")) / 7).cast("long").as("w"))
+      .agg(sum(cents).as("c"))
+    val lagW = Window.partitionBy(col("event_type")).orderBy(col("w"))
+    weekly
+      .withColumn("prev", lag(col("c"), 1).over(lagW))
+      .select(col("event_type"), col("w"),
+        round(col("c").cast("double") / 100.0, 2).as("total"),
+        round((col("c") - col("prev")).cast("double") / col("prev") * 100.0, 6).as("wow_pct"))
+      .orderBy(col("event_type"), col("w"))
+  }
+
+  val qWowGrowthSql: String =
+    """WITH weekly AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR((CAST(ts AS DATE) - DATE '1992-01-01') / 7) AS BIGINT) AS w,
+      |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, w,
+      |  ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS total,
+      |  ROUND(CAST(c - prev AS DOUBLE) / prev * 100.0, 6) AS wow_pct
+      |FROM (
+      |  SELECT *, LAG(c, 1) OVER (PARTITION BY event_type ORDER BY w) AS prev
+      |  FROM weekly) t
+      |ORDER BY event_type, w""".stripMargin
+
   /** Floor-at-zero running inventory per supplier — the stock-ledger
     * recurrence S_t = max(0, S_{t−1} + d_t) (returns drain stock, which
     * can never go negative). The recurrence LOOKS sequential (the max
@@ -1503,6 +1537,7 @@ object Analytic {
     "q_ab_test"         -> qAbTest,
     "q_rfm_segments"    -> qRfmSegments,
     "q_stock_balance"   -> qStockBalance,
+    "q_wow_growth"      -> qWowGrowth,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1544,6 +1579,7 @@ object Analytic {
     "q_ab_test"         -> qAbTestSql,
     "q_rfm_segments"    -> qRfmSegmentsSql,
     "q_stock_balance"   -> qStockBalanceSql,
+    "q_wow_growth"      -> qWowGrowthSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
