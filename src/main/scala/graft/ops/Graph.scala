@@ -422,13 +422,55 @@ object Graph {
        |GROUP BY src ORDER BY node""".stripMargin
   }
 
+  /** Degree distribution of the strong co-supply graph in POWER-OF-TWO
+    * buckets — the first thing a graph practitioner plots (heavy-tailed
+    * or not decides every algorithm choice above). The bucket is
+    * length(bin(degree)) = ⌊log₂ d⌋+1 computed on the INTEGER's binary
+    * rendering, so no libm log enters the gate and both engines bucket
+    * identically. Two map-side-combinable folds over the persisted pair
+    * kernel. */
+  def qDegreeHist: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = supp.as("a")
+      .join(supp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= StrongTie)
+    pairs.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
+  }
+
+  val qDegreeHistSql: String =
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM supp a JOIN supp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $StrongTie),
+       |deg AS (
+       |  SELECT n, COUNT(*) AS deg FROM (
+       |    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+       |  GROUP BY n)
+       |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_degree_hist" -> qDegreeHist,
     "q_pagerank" -> qPageRank,
     "q_triangle_count" -> qTriangleCount,
     "q_label_prop" -> qLabelProp,
     "q_bfs_hops" -> qBfsHops,
     "q_kcore" -> qKcore)
   val oracles: Map[String, String] = Map(
+    "q_degree_hist" -> qDegreeHistSql,
     "q_pagerank" -> qPageRankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_label_prop" -> qLabelPropSql,

@@ -326,7 +326,37 @@ object Profile {
       |SELECT d, nd AS n_events, ROUND(SUM(dev) / 2.0, 6) AS tvd
       |FROM grid GROUP BY d, nd ORDER BY d""".stripMargin
 
+  /** Join-fanout audit for orders⋈lineitem — the pre-join diagnostic
+    * that predicts output cardinality and flags multiplicative blowups
+    * BEFORE a 100 TB join runs: the distribution of lineitems per order
+    * (min/p50/p90/max fanout, plus the expected join multiplier
+    * Σf²/Σf — what one probe-side row fans into on average, weighted by
+    * where the data actually sits). One map-side-combinable frequency
+    * fold; the percentile runs over the collapsed per-key relation.
+    * Σf² in int64 (≤ 7 lineitems/order: no overflow at any SF). */
+  def qJoinFanout: Q = (s, dir) => {
+    val f = Tables(s, dir).lineitem
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+    f.agg(
+      count(lit(1)).as("n_keys"),
+      min(col("f")).as("min_f"),
+      expr("percentile(f, 0.5)").as("p50_f"),
+      expr("percentile(f, 0.9)").as("p90_f"),
+      max(col("f")).as("max_f"),
+      round(sum(col("f") * col("f")).cast("double") / sum(col("f")), 6)
+        .as("expected_multiplier"))
+  }
+
+  val qJoinFanoutSql: String =
+    """WITH f AS (SELECT l_orderkey, COUNT(*) AS f FROM lineitem GROUP BY 1)
+      |SELECT COUNT(*) AS n_keys, MIN(f) AS min_f,
+      |  quantile_cont(f, 0.5) AS p50_f, quantile_cont(f, 0.9) AS p90_f,
+      |  MAX(f) AS max_f,
+      |  ROUND(CAST(SUM(f * f) AS DOUBLE) / SUM(f), 6) AS expected_multiplier
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_join_fanout"    -> qJoinFanout,
     "q_tvd_drift"      -> qTvdDrift,
     "q_skew_stats"     -> qSkewStats,
     "q_profile"        -> qProfileOrders,
@@ -334,6 +364,7 @@ object Profile {
     "q_dq_checks"      -> qDqChecks,
     "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
+    "q_join_fanout"    -> qJoinFanoutSql,
     "q_tvd_drift"      -> qTvdDriftSql,
     "q_skew_stats"     -> qSkewStatsSql,
     "q_profile"        -> qProfileOrdersSql,
