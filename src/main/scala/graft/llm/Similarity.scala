@@ -583,6 +583,52 @@ object Similarity {
        |SELECT coh.cell, n_members, cohesion, nearest_other
        |FROM coh JOIN sep ON coh.cell = sep.cell ORDER BY coh.cell""".stripMargin
 
+  /** Cluster-balanced DIVERSITY sampling — the anti-redundancy draw for
+    * training-data curation (the DeepMind/semantic-dedup playbook's
+    * selection half): each trained k-means cell contributes
+    * ⌈√|cell|⌉ members, so dense regions stop dominating the sample
+    * (uniform sampling returns near-duplicates in proportion to their
+    * redundancy; √-allocation flattens exactly that) while no region
+    * disappears. Within a cell the draw is a deterministic hash order
+    * (Knuth multiplicative mod the Mersenne prime — both engines replay
+    * it in exact int64), so the sample is reproducible corpus-wide.
+    * ⌈√n⌉ is exact for any int64 cell size (sqrt is correctly rounded
+    * and perfect squares are exact in double). One assignment pass +
+    * one cell-partitioned rank window. */
+  def knnDiversitySample: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = kmeansAssign(emb, kmeansCentroids(emb))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+      .withColumn("budget", ceil(sqrt(col("cell_size"))).cast("long"))
+    assigned.select(col("vec_id"), col("cell"))
+      .withColumn("h", pmod(col("vec_id") * lit(2654435761L), lit(2147483647L)))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))).cast("long"))
+      .join(sizes, "cell")
+      .filter(col("rk") <= col("budget"))
+      .select(col("cell"), col("rk"), col("vec_id"), col("cell_size"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  val knnDiversitySampleSql: String =
+    s"""WITH $normalizedSql,
+       |$kmeansCtesSql,
+       |sizes AS (
+       |  SELECT cell, COUNT(*) AS cell_size,
+       |    CAST(CEIL(sqrt(COUNT(*))) AS BIGINT) AS budget
+       |  FROM af GROUP BY cell),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS BIGINT) AS rk
+       |  FROM af)
+       |SELECT r.cell, r.rk, r.vec_id, s.cell_size
+       |FROM ranked r JOIN sizes s ON r.cell = s.cell
+       |WHERE r.rk <= s.budget
+       |ORDER BY r.cell, r.rk""".stripMargin
+
   /** Binary-quantized retrieval (sign quantization — the 32× compression
     * point of the quantization family next to int8 [[vecQuantize]] and
     * PQ): candidates ranked by HAMMING distance between sign patterns,
@@ -719,6 +765,7 @@ object Similarity {
     "knn_hard_negatives"     -> knnHardNegatives,
     "knn_cluster_quality"    -> knnClusterQuality,
     "knn_binary_hamming"     -> knnBinaryHamming,
+    "knn_diversity_sample"   -> knnDiversitySample,
     "knn_kmeans_assign"      -> knnKmeansAssign,
     "embedding_near_dup"     -> embeddingNearDup,
     "embedding_near_dup_lsh" -> embeddingNearDupLsh,
@@ -735,6 +782,7 @@ object Similarity {
     "knn_hard_negatives"     -> knnHardNegativesSql,
     "knn_cluster_quality"    -> knnClusterQualitySql,
     "knn_binary_hamming"     -> knnBinaryHammingSql,
+    "knn_diversity_sample"   -> knnDiversitySampleSql,
     "knn_kmeans_assign"      -> knnKmeansAssignSql,
     "embedding_near_dup"     -> embeddingNearDupSql,
     "embedding_near_dup_lsh" -> embeddingNearDupLshSql,
