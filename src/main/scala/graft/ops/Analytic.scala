@@ -1137,6 +1137,46 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Pareto concentration point — "how few customers drive 80% of
+    * revenue": customers sorted by cent-exact spend, the smallest prefix
+    * whose cumulative share reaches 80%. The threshold test is pure
+    * integer (5·cum ≥ 4·tot ⟺ share ≥ 0.8 — no FP share ever compared),
+    * so both engines pick the identical cut row. One fact fold to the
+    * customer grain; the window runs over the collapsed relation. */
+  def qParetoShare: Q = (s, dir) => {
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val cust = Tables(s, dir).orders
+      .groupBy(col("o_custkey")).agg(sum(cents).as("m"))
+    val w = Window.orderBy(col("m").desc, col("o_custkey"))
+    val tot = cust.agg(sum(col("m")).as("tot"), count(lit(1)).as("n_cust"))
+    cust.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("m")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(lit(5) * col("cum") >= lit(4) * col("tot"))
+      .orderBy(col("rk"))
+      .limit(1)
+      .select(col("n_cust"), col("rk").as("k_customers"),
+        round(col("rk").cast("double") / col("n_cust") * 100.0, 6).as("pct_customers"),
+        round(col("cum").cast("double") / col("tot") * 100.0, 6).as("share_pct"))
+  }
+
+  val qParetoShareSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS tot, COUNT(*) AS n_cust FROM cust),
+      |ranked AS (
+      |  SELECT n_cust, tot,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY m DESC, o_custkey) AS BIGINT) AS rk,
+      |    SUM(m) OVER (ORDER BY m DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM cust CROSS JOIN tot)
+      |SELECT n_cust, rk AS k_customers,
+      |  ROUND(CAST(rk AS DOUBLE) / n_cust * 100.0, 6) AS pct_customers,
+      |  ROUND(CAST(cum AS DOUBLE) / tot * 100.0, 6) AS share_pct
+      |FROM ranked WHERE 5 * cum >= 4 * tot
+      |ORDER BY rk LIMIT 1""".stripMargin
+
   /** Week-over-week growth per event type — the KPI delta every
     * dashboard leads with: weekly cent-exact totals, previous week via
     * one lag on the shared type exchange, growth = (cur − prev)/prev as
@@ -1538,6 +1578,7 @@ object Analytic {
     "q_rfm_segments"    -> qRfmSegments,
     "q_stock_balance"   -> qStockBalance,
     "q_wow_growth"      -> qWowGrowth,
+    "q_pareto_share"    -> qParetoShare,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1580,6 +1621,7 @@ object Analytic {
     "q_rfm_segments"    -> qRfmSegmentsSql,
     "q_stock_balance"   -> qStockBalanceSql,
     "q_wow_growth"      -> qWowGrowthSql,
+    "q_pareto_share"    -> qParetoShareSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
