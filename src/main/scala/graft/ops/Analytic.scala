@@ -1137,6 +1137,62 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Market-basket association rules (the Apriori/affinity primitive):
+    * for part pairs co-ordered ≥ 3 times, support, confidence and LIFT —
+    * lift = P(u,v)/(P(u)P(v)) = c_uv·N/(c_u·c_v), the measure that
+    * separates genuinely associated items from merely popular ones.
+    *
+    * Scale shape: the pair join is per-ORDER (u < v inside one basket),
+    * so fanout is C(basket,2) with basket size a small constant (≤ 7
+    * lineitems here) — linear in orders, never quadratic in parts; the
+    * co-count fold is map-side combinable; item counts broadcast onto
+    * the surviving (min-support-filtered) pairs; the final cut is a
+    * bounded top-k. All three measures are exactly-rounded rational
+    * arithmetic on counts. */
+  def qMarketBasket: Q = (s, dir) => {
+    val items = Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = items.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
+    val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("cuv"))
+      .filter(col("cuv") >= 3)
+    pairs
+      .join(itemCnt.select(col("l_partkey").as("u"), col("c").as("cu")), "u")
+      .join(itemCnt.select(col("l_partkey").as("v"), col("c").as("cv")), "v")
+      .crossJoin(broadcast(n))
+      .select(col("u"), col("v"), col("cuv"),
+        round(col("cuv").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("cuv").cast("double") / col("cu"), 6).as("confidence"),
+        round(col("cuv").cast("double") * col("n_orders") /
+          (col("cu").cast("double") * col("cv")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val qMarketBasketSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+      |ic AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cuv
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT u, v, cuv,
+      |  ROUND(CAST(cuv AS DOUBLE) / n.n_orders, 6) AS support,
+      |  ROUND(CAST(cuv AS DOUBLE) / cu.c, 6) AS confidence,
+      |  ROUND(CAST(cuv AS DOUBLE) * n.n_orders / (CAST(cu.c AS DOUBLE) * cv.c), 6) AS lift
+      |FROM pairs
+      |JOIN ic cu ON pairs.u = cu.l_partkey
+      |JOIN ic cv ON pairs.v = cv.l_partkey
+      |CROSS JOIN n
+      |ORDER BY lift DESC, u, v LIMIT 20""".stripMargin
+
   /** Pareto concentration point — "how few customers drive 80% of
     * revenue": customers sorted by cent-exact spend, the smallest prefix
     * whose cumulative share reaches 80%. The threshold test is pure
@@ -1579,6 +1635,7 @@ object Analytic {
     "q_stock_balance"   -> qStockBalance,
     "q_wow_growth"      -> qWowGrowth,
     "q_pareto_share"    -> qParetoShare,
+    "q_market_basket"   -> qMarketBasket,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1622,6 +1679,7 @@ object Analytic {
     "q_stock_balance"   -> qStockBalanceSql,
     "q_wow_growth"      -> qWowGrowthSql,
     "q_pareto_share"    -> qParetoShareSql,
+    "q_market_basket"   -> qMarketBasketSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
