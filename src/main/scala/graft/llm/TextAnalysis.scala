@@ -1046,9 +1046,51 @@ object TextAnalysis {
        |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Vocabulary-growth curve (Heaps' law): cumulative distinct TOKENS
+    * vs cumulative token volume in ingestion (doc_id) order — the curve
+    * whose flattening says "more of the same corpus" and whose slope
+    * break flags a domain shift mid-crawl. Each token charges its FIRST
+    * owner (min doc_id — the [[graft.llm.Dedup.dedupNovelty]] kernel
+    * shape), so the curve is two map-side-combinable folds plus one
+    * cumulative window over the 1-row-per-doc relation; exact integers
+    * end to end. */
+  def vocabGrowth: Q = (s, dir) => {
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val firstOwner = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .join(firstOwner, col("doc_id") === col("first_doc"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |per_doc AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+      |fo AS (
+      |  SELECT first_doc, COUNT(*) AS n_new FROM (
+      |    SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok) t
+      |  GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+      |FROM per_doc LEFT JOIN fo ON per_doc.doc_id = fo.first_doc
+      |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_ccnet_buckets"     -> ccnetBuckets,
+    "text_vocab_growth"      -> vocabGrowth,
     "text_pmi_bigrams"       -> pmiBigrams,
     "text_shard_stripe"      -> shardStripe,
     "text_lm_score"          -> lmScore,
@@ -1072,6 +1114,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_rrf_fusion"       -> rrfFusionSql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
+    "text_vocab_growth"     -> vocabGrowthSql,
     "text_pmi_bigrams"      -> pmiBigramsSql,
     "text_shard_stripe"     -> shardStripeSql,
     "text_lm_score"         -> lmScoreSql,
