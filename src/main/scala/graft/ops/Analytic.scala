@@ -1137,6 +1137,53 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Daily bounce rate — single-event sessions over total sessions, by
+    * the day the session started: the engagement-quality KPI on top of
+    * the [[qSessionize]] 30-minute-gap kernel (same gap rule, same
+    * (ts, event_id) total order). One user-partitioned window pass
+    * builds sessions; two map-side-combinable folds produce the daily
+    * census; the rate is one exactly-rounded division. */
+  def qBounceRate: Q = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gap = col("us") - lag(col("us"), 1).over(wOrd)
+    Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess", when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L))
+      .withColumn("sess_idx",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
+      .groupBy(to_date(timestamp_micros(col("start_us"))).as("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("d"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6).as("bounce_rate"))
+      .orderBy(col("d"))
+  }
+
+  val qBounceRateSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN LAG(us, 1) OVER w IS NULL
+      |           OR us - LAG(us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+      |  FROM flagged),
+      |per_sess AS (
+      |  SELECT user_id, sess_idx, COUNT(*) AS n_events, MIN(us) AS start_us
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT CAST(make_timestamp(start_us) AS DATE) AS d,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+      |  ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS bounce_rate
+      |FROM per_sess GROUP BY 1 ORDER BY d""".stripMargin
+
   /** Market-basket association rules (the Apriori/affinity primitive):
     * for part pairs co-ordered ≥ 3 times, support, confidence and LIFT —
     * lift = P(u,v)/(P(u)P(v)) = c_uv·N/(c_u·c_v), the measure that
@@ -1636,6 +1683,7 @@ object Analytic {
     "q_wow_growth"      -> qWowGrowth,
     "q_pareto_share"    -> qParetoShare,
     "q_market_basket"   -> qMarketBasket,
+    "q_bounce_rate"     -> qBounceRate,
     "q_attribution"     -> qAttribution,
     "q_twap"            -> qTwap,
     "q_anomaly_zscore"  -> qAnomalyZscore,
@@ -1680,6 +1728,7 @@ object Analytic {
     "q_wow_growth"      -> qWowGrowthSql,
     "q_pareto_share"    -> qParetoShareSql,
     "q_market_basket"   -> qMarketBasketSql,
+    "q_bounce_rate"     -> qBounceRateSql,
     "q_attribution"     -> qAttributionSql,
     "q_twap"            -> qTwapSql,
     "q_anomaly_zscore"  -> qAnomalyZscoreSql,
