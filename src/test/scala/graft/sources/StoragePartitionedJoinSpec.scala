@@ -194,6 +194,25 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("groupBy on the partition column aggregates without an exchange") {
+    // KeyGroupedPartitioning satisfies the aggregate's clustered
+    // distribution requirement too: a partitioned table's
+    // GROUP BY <partition col> runs with NO shuffle at all.
+    root
+    withSpjConf {
+      val agg = spark.table("gspj.spj.cust")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("tot"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"partition-keyed aggregate must reuse the storage partitioning:\n$p")
+      val expect = spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_custkey") % 3 =!= 0) // earlier delete test removed these
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(agg.count() === expect.count())
+    }
+  }
+
   test("a mixed-value file degrades the report, never the results") {
     root
     val path = s"$root/spj/mixed"
