@@ -1,0 +1,24 @@
+package graft
+
+/** The driver's own contract, smoke-tested in CI so a refactor can never
+  * break the harness entry points silently: the flagship query returns
+  * rows at sf0.001, every `queries` key has either an oracle or a
+  * documented rows-only gate, and no oracle names a query that does not
+  * exist. */
+class DriverContractSpec extends SparkTestBase {
+
+  test("entry() returns rows at sf0.001 (the driver's t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracles align: no orphan oracle, no empty names") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
+    assert(qs.forall(_.nonEmpty))
+    // the suite's scale: every operator family present
+    assert(qs.size >= 190, s"query surface shrank to ${qs.size}")
+    assert((qs -- os).isEmpty,
+      s"queries without oracles (driver falls back to rows-only): ${qs -- os}")
+  }
+}
