@@ -669,7 +669,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT p.query_id, b.vec_id AS neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-       |        CAST(list_sum(list_transform(generate_series(1, 64),
+       |        CAST(list_sum(list_transform(generate_series(1, len(b.vn)),
        |          i -> CASE WHEN (p.qv[i] > 0) = (b.vn[i] > 0) THEN 0 ELSE 1 END)) AS BIGINT) ASC,
        |        b.vec_id ASC) AS rn
        |    FROM p CROSS JOIN e b WHERE b.vec_id <> p.query_id) t

@@ -172,13 +172,15 @@ object TextAnalysis {
   def mixtureSample: Q = (s, dir) => {
     val d = Tables(s, dir).documents
     val total = d.agg(count(lit(1)).as("n_total"))
-    val rates = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val weighted = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       .join(broadcast(total))
       .withColumn("w", lit(1L) + substring(col("source"), 4, 10).cast("long") % 5L)
-      // ΣW derived from the same tiny relation (unbounded window over
-      // ~|sources| rows), NOT hardcoded — a fixture with a different
-      // source count must rescale targets, not silently mis-split.
-      .withColumn("sum_w", sum(col("w")).over(Window.partitionBy()))
+    // ΣW derived from the same tiny relation, NOT hardcoded — a fixture
+    // with a different source count must rescale targets, not silently
+    // mis-split. Folded as an aggregate + broadcast rejoin (no window at
+    // all, so the suite-wide global-window audit stays clean).
+    val rates = weighted
+      .join(broadcast(weighted.agg(sum(col("w")).as("sum_w"))))
       .withColumn("target", expr("((n_total div 2) * w) div sum_w"))
       .withColumn("thr", least(lit(1048576L), expr("(target * 1048576) div n_src")))
       .select(col("source"), col("thr"))
@@ -1046,28 +1048,87 @@ object TextAnalysis {
        |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The 100 TB path of [[ccnetBuckets]] — the cutpoint swap its Scaladoc
+    * promised: tercile CUTPOINTS of the LM score from ONE exact-percentile
+    * aggregate (approx_percentile at real scale, identical plan shape),
+    * broadcast onto the scored corpus, head/middle/tail assigned MAP-SIDE
+    * by two double comparisons — no global ntile sort of the corpus.
+    * quantile_disc returns an actual score value in both engines (no
+    * interpolation), and lm_score itself is cross-engine bit-exact (the
+    * [[lmScore]] hash gate), so the comparisons are exact. Value-threshold
+    * terciles group all ties of a cutpoint together; the ntile form stays
+    * as the equal-count certifier. The p literals are written identically
+    * on both sides (0.3333333333333333 / 0.6666666666666666), so both
+    * engines evaluate the same IEEE double. */
+  def ccnetBucketsCut: Q = (s, dir) => {
+    val scored = lmScore(s, dir)
+    scored.createOrReplaceTempView("graft_ccnet_scored")
+    val cuts = s.sql(
+      """SELECT
+        |  percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY lm_score) AS c1,
+        |  percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY lm_score) AS c2
+        |FROM graft_ccnet_scored""".stripMargin)
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        lit(3L) - (col("lm_score") > col("c1")).cast("long")
+                - (col("lm_score") > col("c2")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("lm_score")), 6).as("avg_score"),
+        sum(col("n_bigrams")).as("total_bigrams"))
+      .withColumn("label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .select(col("bucket"), col("label"), col("n_docs"), col("avg_score"),
+        col("total_bigrams"))
+      .orderBy(col("bucket"))
+  }
+
+  val ccnetBucketsCutSql: String =
+    s"""WITH scored AS (
+       |${lmScoreSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |cuts AS (
+       |  SELECT quantile_disc(lm_score, 0.3333333333333333) AS c1,
+       |         quantile_disc(lm_score, 0.6666666666666666) AS c2
+       |  FROM scored),
+       |b AS (
+       |  SELECT lm_score, n_bigrams,
+       |    3 - CAST(lm_score > c1 AS BIGINT) - CAST(lm_score > c2 AS BIGINT) AS bucket
+       |  FROM scored CROSS JOIN cuts)
+       |SELECT bucket,
+       |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+       |       ELSE 'tail' END AS label,
+       |  COUNT(*) AS n_docs,
+       |  ROUND(AVG(lm_score), 6) AS avg_score,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Vocabulary-growth curve (Heaps' law): cumulative distinct TOKENS
     * vs cumulative token volume in ingestion (doc_id) order — the curve
     * whose flattening says "more of the same corpus" and whose slope
     * break flags a domain shift mid-crawl. Each token charges its FIRST
     * owner (min doc_id — the [[graft.llm.Dedup.dedupNovelty]] kernel
-    * shape), so the curve is two map-side-combinable folds plus one
-    * cumulative window over the 1-row-per-doc relation; exact integers
-    * end to end. */
+    * shape), so the curve is two map-side-combinable folds plus a
+    * DISTRIBUTED two-level prefix sum over the 1-row-per-doc relation
+    * ([[graft.ops.DistributedCumulate.runningTotals]]: doc_id range
+    * buckets cumulate locally in parallel, per-bucket offsets broadcast
+    * back) — at 10⁹ documents no task ever sorts more than one bucket;
+    * exact integers end to end. */
   def vocabGrowth: Q = (s, dir) => {
     val toks = Tables(s, dir).documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
     val firstOwner = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDoc
+    val perDocNew = perDoc
       .join(firstOwner, col("doc_id") === col("first_doc"), "left_outer")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
-      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+    graft.ops.DistributedCumulate.runningTotals(
+        perDocNew, s.sessionState.conf.numShufflePartitions,
+        Seq(col("doc_id")),
+        Seq("n_tok" -> "cum_tokens", "n_new" -> "cum_vocab"), "__rk")
       .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
       .orderBy(col("doc_id"))
   }
@@ -1090,6 +1151,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_ccnet_buckets"     -> ccnetBuckets,
+    "text_ccnet_buckets_cut" -> ccnetBucketsCut,
     "text_vocab_growth"      -> vocabGrowth,
     "text_pmi_bigrams"       -> pmiBigrams,
     "text_shard_stripe"      -> shardStripe,
@@ -1114,6 +1176,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_rrf_fusion"       -> rrfFusionSql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
+    "text_ccnet_buckets_cut" -> ccnetBucketsCutSql,
     "text_vocab_growth"     -> vocabGrowthSql,
     "text_pmi_bigrams"      -> pmiBigramsSql,
     "text_shard_stripe"     -> shardStripeSql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -10,10 +10,16 @@ import graft.functions.Exact._
   * top-k per group, as-of join, pivot, explode, JSON extraction, exact
   * quantiles, grouping sets (via the SQL API).
   *
-  * Scale notes: every window here partitions by a high-cardinality key
+  * Scale notes: windows here partition by a high-cardinality key
   * (custkey/user_id) — the shuffle distributes across executors and no
-  * partition exceeds one customer/user's rows. There is deliberately no
-  * un-partitioned `Window.orderBy` (a single-task global sort) anywhere.
+  * partition exceeds one customer/user's rows. Unbounded-grain cumulatives
+  * (Pareto cut, vocab growth) run as DISTRIBUTED two-level prefix sums
+  * ([[DistributedCumulate]]) instead of a single-task global sort. The few
+  * remaining un-partitioned `Window.orderBy` uses are each bounded by
+  * construction (per-day calendar grain, top-60 candidate lists) or are
+  * documented small-data certifiers whose production cutpoint-broadcast
+  * twin ships alongside (`*_cut` queries); PlanShapeSpec's suite-wide
+  * global-window audit enforces exactly this allowlist in CI.
   * The as-of join uses the union + last(ignoreNulls) window pattern, which
   * scales as one shuffle by (user, time) instead of a quadratic range join.
   */
@@ -1137,6 +1143,47 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The 100 TB path of [[qHistogramEquidepth]] — the cutpoint swap its
+    * Scaladoc promised: nine exact-decile CUTPOINTS from ONE percentile
+    * aggregate (at real scale, approx_percentile in the same plan shape),
+    * broadcast, and every row buckets MAP-SIDE by value comparisons — no
+    * global ntile sort anywhere. Value-threshold buckets put all ties of
+    * a cutpoint together (the histogram real optimizers build); the ntile
+    * form stays as the equal-count certifier. quantile_disc returns an
+    * actual data value in both engines, so the double comparisons are
+    * exact — no interpolation arithmetic to diverge. */
+  def qHistogramEquidepthCut: Q = (s, dir) => {
+    val o = Tables(s, dir).orders.select(col("o_totalprice"))
+    o.createOrReplaceTempView("graft_eqd_orders")
+    val cutCols = (1 to 9).map(i =>
+      s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY o_totalprice) AS c$i").mkString(",\n  ")
+    val cuts = s.sql(s"SELECT\n  $cutCols\nFROM graft_eqd_orders")
+    val bucket = (1 to 9).foldLeft(lit(1L): Column) { (acc, i) =>
+      acc + (col("o_totalprice") > col(s"c$i")).cast("long")
+    }
+    o.crossJoin(broadcast(cuts))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramEquidepthCutSql: String = {
+    val cutCols = (1 to 9).map(i =>
+      s"quantile_disc(o_totalprice, 0.$i) AS c$i").mkString(", ")
+    val bucket = (1 to 9).map(i =>
+      s"CAST(o_totalprice > c$i AS BIGINT)").mkString(" + ")
+    s"""WITH cuts AS (SELECT $cutCols FROM orders),
+       |b AS (
+       |  SELECT o_totalprice, 1 + $bucket AS bucket
+       |  FROM orders CROSS JOIN cuts)
+       |SELECT bucket, COUNT(*) AS n,
+       |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** Daily bounce rate — single-event sessions over total sessions, by
     * the day the session started: the engagement-quality KPI on top of
     * the [[qSessionize]] 30-minute-gap kernel (same gap rule, same
@@ -1165,13 +1212,13 @@ object Analytic {
     """WITH ev AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
       |flagged AS (
-      |  SELECT user_id, us,
+      |  SELECT user_id, event_id, us,
       |    CASE WHEN LAG(us, 1) OVER w IS NULL
       |           OR us - LAG(us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |sess AS (
       |  SELECT user_id, us,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
       |      ROWS UNBOUNDED PRECEDING) AS sess_idx
       |  FROM flagged),
       |per_sess AS (
@@ -1245,17 +1292,22 @@ object Analytic {
     * whose cumulative share reaches 80%. The threshold test is pure
     * integer (5·cum ≥ 4·tot ⟺ share ≥ 0.8 — no FP share ever compared),
     * so both engines pick the identical cut row. One fact fold to the
-    * customer grain; the window runs over the collapsed relation. */
+    * customer grain; the cumulative runs as a DISTRIBUTED two-level
+    * prefix sum ([[DistributedCumulate.runningTotals]]) — range buckets
+    * compute local running sums in parallel, per-bucket offsets broadcast
+    * back — so no task ever sorts more than one bucket of customers. The
+    * oracle replays the logically identical global cumulative with one
+    * window (DuckDB is single-node; the values are the same by the
+    * kernel's exactness argument). */
   def qParetoShare: Q = (s, dir) => {
     val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
     val cust = Tables(s, dir).orders
       .groupBy(col("o_custkey")).agg(sum(cents).as("m"))
-    val w = Window.orderBy(col("m").desc, col("o_custkey"))
     val tot = cust.agg(sum(col("m")).as("tot"), count(lit(1)).as("n_cust"))
-    cust.crossJoin(broadcast(tot))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("m")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum = DistributedCumulate.runningTotals(
+      cust, s.sessionState.conf.numShufflePartitions,
+      Seq(col("m").desc, col("o_custkey")), Seq("m" -> "cum"), "rk")
+    cum.crossJoin(broadcast(tot))
       .filter(lit(5) * col("cum") >= lit(4) * col("tot"))
       .orderBy(col("rk"))
       .limit(1)
@@ -1387,10 +1439,12 @@ object Analytic {
     * small output of the fold — if even that is too large for a sort,
     * quartile CUTPOINTS from percentile_cont replace the ntile rank
     * (same segments, no global window). */
-  def qRfmSegments: Q = (s, dir) => {
+  /** The shared R/F/M customer fold: per customer, days since last order
+    * (vs the corpus max date), order count, cent-exact spend. */
+  private def rfmCustomer(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir).orders
     val maxD = o.agg(max(to_date(col("o_orderdate"))).as("ref_d"))
-    val cust = o.groupBy(col("o_custkey"))
+    o.groupBy(col("o_custkey"))
       .agg(
         max(to_date(col("o_orderdate"))).as("last_d"),
         count(lit(1)).as("f"),
@@ -1399,6 +1453,10 @@ object Analytic {
       .select(col("o_custkey"),
         datediff(col("ref_d"), col("last_d")).cast("long").as("r_days"),
         col("f"), col("m_cents"))
+  }
+
+  def qRfmSegments: Q = (s, dir) => {
+    val cust = rfmCustomer(s, dir)
     val scored = cust
       .withColumn("r_q", ntile(4).over(Window.orderBy(col("r_days"), col("o_custkey"))).cast("long"))
       .withColumn("f_q", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey"))).cast("long"))
@@ -1425,6 +1483,83 @@ object Analytic {
       |  FROM cust)
       |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
       |  ROUND(CAST(SUM(m_cents) AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_spend
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+
+  /** The 100 TB path of [[qRfmSegments]] — the cutpoint swap its Scaladoc
+    * promised, now an operator of its own (the `text_lm_score_capped`
+    * discipline): quartile CUTPOINTS come from one exact-percentile
+    * aggregate over the customer fold (9 scalar values — at real scale
+    * the same numbers come from approx_percentile in the identical plan
+    * shape), BROADCAST onto the relation, and each customer buckets
+    * MAP-SIDE by three integer comparisons per metric — no global window,
+    * no single-task sort, the corpus-sized side is never re-shuffled.
+    * Bucket semantics: value-threshold quartiles (all ties of a cutpoint
+    * land together), the production form; the ntile rank in
+    * [[qRfmSegments]] stays as the equal-count certifier. All three
+    * metrics are int64, so every comparison is exact in both engines. */
+  def qRfmSegmentsCut: Q = (s, dir) => {
+    val cust = rfmCustomer(s, dir)
+    cust.createOrReplaceTempView("graft_rfm_cust")
+    val cuts = s.sql(
+      """SELECT
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days) AS r25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY r_days) AS r50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days) AS r75,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY f) AS f25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY f) AS f50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY f) AS f75,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY m_cents) AS m25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY m_cents) AS m50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY m_cents) AS m75
+        |FROM graft_rfm_cust""".stripMargin)
+    def asc(v: Column, c1: Column, c2: Column, c3: Column): Column =
+      lit(1L) + (v > c1).cast("long") + (v > c2).cast("long") + (v > c3).cast("long")
+    def desc(v: Column, c1: Column, c2: Column, c3: Column): Column =
+      lit(4L) - (v > c1).cast("long") - (v > c2).cast("long") - (v > c3).cast("long")
+    cust.crossJoin(broadcast(cuts))
+      .withColumn("r_q", asc(col("r_days"), col("r25"), col("r50"), col("r75")))
+      .withColumn("f_q", desc(col("f"), col("f25"), col("f50"), col("f75")))
+      .withColumn("m_q", desc(col("m_cents"), col("m25"), col("m50"), col("m75")))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      // avg_spend as an exact integer division at 1e-6 resolution (cents
+      // × 10⁴ div n, then one exact double division by 10⁶): the grouped
+      // sums here can land a ROUND(x, 6) exactly on a half-way digit,
+      // where Spark's BigDecimal HALF_UP and DuckDB's double rounding
+      // disagree — integer div has no half-way case to disagree on.
+      .agg(count(lit(1)).as("n_customers"),
+        (expr("(sum(m_cents) * 10000) div count(1)").cast("double") / 1000000.0)
+          .as("avg_spend"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val qRfmSegmentsCutSql: String =
+    """WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+      |cust AS (
+      |  SELECT o_custkey,
+      |    CAST(ref.ref_d - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS r_days,
+      |    COUNT(*) AS f,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders CROSS JOIN ref GROUP BY o_custkey, ref.ref_d),
+      |cuts AS (
+      |  SELECT
+      |    quantile_disc(r_days, 0.25) AS r25, quantile_disc(r_days, 0.5) AS r50,
+      |    quantile_disc(r_days, 0.75) AS r75,
+      |    quantile_disc(f, 0.25) AS f25, quantile_disc(f, 0.5) AS f50,
+      |    quantile_disc(f, 0.75) AS f75,
+      |    quantile_disc(m_cents, 0.25) AS m25, quantile_disc(m_cents, 0.5) AS m50,
+      |    quantile_disc(m_cents, 0.75) AS m75
+      |  FROM cust),
+      |scored AS (
+      |  SELECT m_cents,
+      |    1 + CAST(r_days > r25 AS BIGINT) + CAST(r_days > r50 AS BIGINT)
+      |      + CAST(r_days > r75 AS BIGINT) AS r_q,
+      |    4 - CAST(f > f25 AS BIGINT) - CAST(f > f50 AS BIGINT)
+      |      - CAST(f > f75 AS BIGINT) AS f_q,
+      |    4 - CAST(m_cents > m25 AS BIGINT) - CAST(m_cents > m50 AS BIGINT)
+      |      - CAST(m_cents > m75 AS BIGINT) AS m_q
+      |  FROM cust CROSS JOIN cuts)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+      |  CAST((SUM(m_cents) * 10000) // COUNT(*) AS DOUBLE) / 1000000.0 AS avg_spend
       |FROM scored GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
 
   /** Full cohort-retention matrix: users grouped by FIRST-SEEN week, each
@@ -1674,11 +1809,13 @@ object Analytic {
     "q_acf"             -> qAcf,
     "q_event_transitions" -> qEventTransitions,
     "q_histogram_equidepth" -> qHistogramEquidepth,
+    "q_histogram_equidepth_cut" -> qHistogramEquidepthCut,
     "q_changepoint"     -> qChangepoint,
     "q_conversion_time" -> qConversionTime,
     "q_retention_matrix" -> qRetentionMatrix,
     "q_ab_test"         -> qAbTest,
     "q_rfm_segments"    -> qRfmSegments,
+    "q_rfm_segments_cut" -> qRfmSegmentsCut,
     "q_stock_balance"   -> qStockBalance,
     "q_wow_growth"      -> qWowGrowth,
     "q_pareto_share"    -> qParetoShare,
@@ -1719,11 +1856,13 @@ object Analytic {
     "q_acf"             -> qAcfSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_histogram_equidepth" -> qHistogramEquidepthSql,
+    "q_histogram_equidepth_cut" -> qHistogramEquidepthCutSql,
     "q_changepoint"     -> qChangepointSql,
     "q_conversion_time" -> qConversionTimeSql,
     "q_retention_matrix" -> qRetentionMatrixSql,
     "q_ab_test"         -> qAbTestSql,
     "q_rfm_segments"    -> qRfmSegmentsSql,
+    "q_rfm_segments_cut" -> qRfmSegmentsCutSql,
     "q_stock_balance"   -> qStockBalanceSql,
     "q_wow_growth"      -> qWowGrowthSql,
     "q_pareto_share"    -> qParetoShareSql,

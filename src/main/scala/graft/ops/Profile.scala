@@ -244,9 +244,12 @@ object Profile {
   def qSkewStats: Q = (s, dir) => {
     val freq = Tables(s, dir).lineitem
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
-    val ranked = freq.withColumn("i",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c"), col("l_suppkey"))).cast("long"))
+    // The Gini rank runs over the KEY grain (suppliers — unbounded at
+    // scale), so it ranks via the distributed two-level prefix kernel,
+    // never a single-task global sort.
+    val ranked = DistributedCumulate.runningTotals(
+      freq, s.sessionState.conf.numShufflePartitions,
+      Seq(col("c"), col("l_suppkey")), Nil, "i")
     ranked.agg(
         count(lit(1)).as("k"),
         sum(col("c")).as("tot"),

@@ -409,7 +409,19 @@ private[sources] class GraftProcedure(op: String, root: String)
   override def call(input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     val table = input.getUTF8String(0).toString
-    val path = Paths.get(root, table.split("\\."): _*).toString
+    // Each identifier segment must be a plain name: no path separators, no
+    // '..', no empty/absolute segments — CALL cannot escape the catalog
+    // root and vacuum/compact an arbitrary directory.
+    val segs = table.split("\\.", -1)
+    segs.foreach { seg =>
+      if (seg.isEmpty || seg == "." || seg == ".." ||
+          seg.contains('/') || seg.contains('\\'))
+        throw new IllegalArgumentException(
+          s"invalid table identifier segment '$seg' in '$table'")
+    }
+    val path = Paths.get(root, segs: _*).normalize().toString
+    if (!Paths.get(path).startsWith(Paths.get(root).normalize()))
+      throw new IllegalArgumentException(s"table '$table' escapes catalog root")
     if (ManifestFileSink.manifests(path).isEmpty)
       throw new IllegalArgumentException(s"no graft table at $table (resolved: $path)")
     if (op == "snapshots") return snapshotsScan(path)

@@ -2452,18 +2452,21 @@ private class ManifestPartitionedDataWriter(
     path: String, schema: StructType, base: String, colIdx: Int)
   extends DataWriter[InternalRow] {
 
+  // Keyed on Option[String]: None IS the NULL-partition key, so no string
+  // sentinel exists for a legal value to collide with (any string value,
+  // including ones starting with control bytes, demuxes to its own file).
   private val writers =
-    scala.collection.mutable.LinkedHashMap.empty[String, ManifestDataWriter]
+    scala.collection.mutable.LinkedHashMap.empty[Option[String], ManifestDataWriter]
 
-  private def tokenOf(record: InternalRow): String =
-    if (record.isNullAt(colIdx)) " null"
-    else schema.fields(colIdx).dataType match {
+  private def tokenOf(record: InternalRow): Option[String] =
+    if (record.isNullAt(colIdx)) None
+    else Some(schema.fields(colIdx).dataType match {
       case LongType    => record.getLong(colIdx).toString
       case IntegerType => record.getInt(colIdx).toString
       case StringType  => record.getUTF8String(colIdx).toString
       case other => throw new IllegalArgumentException(
         s"unsupported partition column type $other")
-    }
+    })
 
   override def write(record: InternalRow): Unit = {
     val token = tokenOf(record)

@@ -441,6 +441,65 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  // ---- Suite-wide global-window audit --------------------------------
+  // An unpartitioned Window.orderBy funnels its whole input through ONE
+  // task's sort — correct at any sf, a memory cliff at 100 TB. Every
+  // registered query's OPTIMIZED plan must be free of them, except the
+  // explicit allowlist below where the window's input is bounded by
+  // construction (calendar grain, top-k candidate lists) or the query is
+  // a documented small-data certifier whose production cutpoint-broadcast
+  // twin ships alongside. Adding a global window to any other query fails
+  // CI here, with the logical traversal (not string matching) as judge.
+  private val globalWindowAllowlist: Map[String, String] = Map(
+    "q_changepoint" -> "CUSUM over the per-DAY grain — bounded by the calendar, not the data",
+    "text_rrf_fusion" -> "rank fusion over two top-30 candidate lists (<=60 rows by construction)",
+    "q_rfm_segments" -> "global ntile certifier; production swap ships as q_rfm_segments_cut",
+    "text_ccnet_buckets" -> "global ntile certifier; production swap ships as text_ccnet_buckets_cut",
+    "q_histogram_equidepth" -> "global ntile certifier; production swap ships as q_histogram_equidepth_cut"
+  )
+
+  test("suite-wide: no query plans an unpartitioned Window outside the allowlist") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val globals = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty && !globalWindowAllowlist.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned global windows outside the allowlist: ${offenders.mkString(", ")} — " +
+        "distribute them (DistributedCumulate two-level prefix sum) or ship a cutpoint twin " +
+        "and extend the allowlist with the bounded/certifier rationale")
+    // The allowlist must not rot: every entry still names a live query
+    // that still HAS a global window (otherwise the exemption is stale).
+    globalWindowAllowlist.keys.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"allowlist names unknown query $name")
+      val globals = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(globals.nonEmpty,
+        s"$name no longer has a global window — drop its stale allowlist entry")
+    }
+  }
+
+  test("q_pareto_share / text_vocab_growth / q_skew_stats: cumulatives are two-level") {
+    Seq("q_pareto_share", "text_vocab_growth", "q_skew_stats").foreach { q =>
+      val p = plan(q)
+      // The range repartition that assigns buckets, then a PARTITIONED
+      // window per bucket — never a single-task global sort of the grain.
+      // (Scalar one-row aggregates like the Pareto total still use their
+      // own SinglePartition exchange — one row, not the grain.)
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$q lost its range bucketing:\n$p")
+      val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty && windows.forall(_.contains("__bkt")),
+        s"$q windows must all be bucket-partitioned:\n$p")
+    }
+  }
+
   test("q_anomaly_zscore: both frames and the daily agg share the user shuffle") {
     val p = plan("q_anomaly_zscore")
     // groupBy(user,d) shuffles on (user,d); the window re-shuffles on user
