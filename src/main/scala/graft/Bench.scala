@@ -75,7 +75,44 @@ object Bench {
     val medTotal = if (results.nonEmpty) results.values.map { v =>
       (v((v.size - 1) / 2) + v(v.size / 2)) / 2.0
     }.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    // Round-over-round regression gate: diff this run against the
+    // PREVIOUS bench_full.json (written by the last run in this repo —
+    // the driver runs Bench in the repo root every round), same sf dir
+    // only. A query is flagged only when BOTH its raw min-of-N grew >2×
+    // AND its canary-normalized time grew >2× (and it is ≥0.3 s now —
+    // sub-300 ms queries flap on scheduler noise): the normalization
+    // FORGIVES a slower host (raw jump, flat normalized) but must never
+    // MANUFACTURE flags when the previous run was the contended one (the
+    // tiny canary over-responds to contention, so dividing by it inflates
+    // flat raw times past the bar — measured: a clean run diffed against
+    // a contended one normalized 25 flat queries above 2×). This
+    // automates the per-round BENCH_NOTES archaeology: an empty list IS
+    // the no-regression claim.
+    val regressions: Seq[String] = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (java.nio.file.Files.exists(p)) {
+        val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prev).map(_.group(1))
+        val prevCanary = "\"canary\":([-0-9.eE]+)".r.findFirstMatchIn(prev)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+        if (prevSf.contains(sfDir) && prevCanary > 0 && canary > 0) {
+          val prevMins = "\"([A-Za-z0-9_]+)\":\\{\"min\":([-0-9.eE]+)".r
+            .findAllMatchIn(prev).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          results.toSeq.sortBy(_._1).flatMap { case (name, v) =>
+            val cur = v.head
+            prevMins.get(name).filter(_ > 0).flatMap { pm =>
+              val rawRatio = cur / pm
+              val normRatio = (cur / canary) / (pm / prevCanary)
+              if (cur >= 0.3 && rawRatio > 2.0 && normRatio > 2.0)
+                Some(s"""{"q":"$name","prev_min":$pm,"min":$cur,"raw_ratio":${math.rint(rawRatio * 100) / 100},"norm_ratio":${math.rint(normRatio * 100) / 100}}""")
+              else None
+            }
+          }
+        } else Seq.empty
+      } else Seq.empty
+    } catch { case _: Throwable => Seq.empty }
+    val regsJson = regressions.mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line
     // carrying the headline total: the driver tail-captures stdout, and a
     // total that only exists at the front of the long line gets truncated
@@ -86,7 +123,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"regressions_n":${regressions.size},"full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -237,20 +237,25 @@ object H2Sink {
     try { st.executeQuery(s"SELECT 1 FROM $qName WHERE 1=0").close(); true }
     catch { case _: java.sql.SQLException => false }
 
-  /** SQL literal rendering for the keyed-MERGE statements. The sink's
-    * value vocabulary is the rollup schema: integral/floating numbers,
-    * booleans, strings (quoted, quotes doubled), NULL. */
-  private def sqlLiteral(v: Any): String = v match {
-    case null                => "NULL"
-    case s: String           => "'" + s.replace("'", "''") + "'"
-    case b: Boolean          => if (b) "TRUE" else "FALSE"
-    case d: Double           => if (d.isNaN || d.isInfinite) "NULL" else d.toString
-    case f: Float            => sqlLiteral(f.toDouble)
-    case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
-    case bd: java.math.BigDecimal => bd.toPlainString
-    case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
+  /** Bind one merge/delete parameter. The sink's value vocabulary is the
+    * rollup schema: integral/floating numbers, booleans, strings, NULL.
+    * Non-finite doubles bind as NULL (same contract the old literal
+    * renderer had — H2 DOUBLE has no NaN). */
+  private def setParam(ps: java.sql.PreparedStatement, i: Int, v: Any): Unit = v match {
+    case null          => ps.setNull(i, java.sql.Types.NULL)
+    case s: String     => ps.setString(i, s)
+    case b: Boolean    => ps.setBoolean(i, b)
+    case d: Double     =>
+      if (d.isNaN || d.isInfinite) ps.setNull(i, java.sql.Types.DOUBLE) else ps.setDouble(i, d)
+    case f: Float      => setParam(ps, i, f.toDouble)
+    case l: Long       => ps.setLong(i, l)
+    case n: Int        => ps.setInt(i, n)
+    case n: Short      => ps.setShort(i, n)
+    case n: Byte       => ps.setByte(i, n)
+    case bd: java.math.BigDecimal  => ps.setBigDecimal(i, bd)
+    case bd: scala.math.BigDecimal => ps.setBigDecimal(i, bd.bigDecimal)
     case other => throw new IllegalArgumentException(
-      s"unsupported merge literal ${other.getClass.getName}")
+      s"unsupported merge parameter ${other.getClass.getName}")
   }
 
   /** Continuous keyed UPSERT into H2 — the sink the reference never had
@@ -270,10 +275,11 @@ object H2Sink {
     * batch was applied, false if it was a recognized replay.
     *
     * `upserts` rows carry key values ++ value values (in `keyCols` ++
-    * `valCols` order); `deletes` rows carry key values. Statement count
-    * is O(touched groups) — the CDC-batch contract RollupMaintenance
-    * already imposes — over the one admin connection, which is the
-    * correct fan-in for a single-node H2 target. */
+    * `valCols` order); `deletes` rows carry key values. The DML ships as
+    * ONE prepared MERGE and ONE prepared DELETE with addBatch/
+    * executeBatch — two driver round trips per micro-batch regardless of
+    * how many groups it touched — over the one admin connection, which
+    * is the correct fan-in for a single-node H2 target. */
   def mergeBatch(
       table: String, batchId: Long, config: H2Config,
       keyCols: Seq[(String, ColType)], valCols: Seq[(String, ColType)],
@@ -306,16 +312,39 @@ object H2Sink {
           } finally rs.close()
         }
         if (last >= batchId) { conn.rollback(); return false }
-        deletes.foreach { key =>
-          val pred = qKeys.zip(key).map { case (q, v) =>
-            if (v == null) s"$q IS NULL" else s"$q = ${sqlLiteral(v)}"
-          }.mkString(" AND ")
-          st.executeUpdate(s"DELETE FROM $qName WHERE $pred")
+        // ONE prepared DELETE and ONE prepared MERGE, addBatch-ed per
+        // touched group and flushed with a single executeBatch each: two
+        // driver round trips per micro-batch instead of one per group —
+        // the path that stays flat when a batch touches 10⁵ groups — and
+        // zero literal splicing. The delete predicate is null-safe
+        // ("k = ? OR (k IS NULL AND ? IS NULL)") because a rollup group
+        // key can legitimately be NULL; a plain "k = ?" would silently
+        // never match it.
+        if (deletes.nonEmpty) {
+          val pred = qKeys.map(q => s"($q = ? OR ($q IS NULL AND ? IS NULL))")
+            .mkString(" AND ")
+          val ps = conn.prepareStatement(s"DELETE FROM $qName WHERE $pred")
+          try {
+            deletes.foreach { key =>
+              key.zipWithIndex.foreach { case (v, i) =>
+                setParam(ps, 2 * i + 1, v); setParam(ps, 2 * i + 2, v)
+              }
+              ps.addBatch()
+            }
+            ps.executeBatch()
+          } finally ps.close()
         }
-        upserts.foreach { row =>
-          st.executeUpdate(
+        if (upserts.nonEmpty) {
+          val ps = conn.prepareStatement(
             s"MERGE INTO $qName (${qCols.mkString(", ")}) KEY (${qKeys.mkString(", ")}) " +
-              s"VALUES (${row.map(sqlLiteral).mkString(", ")})")
+              s"VALUES (${allCols.map(_ => "?").mkString(", ")})")
+          try {
+            upserts.foreach { row =>
+              row.zipWithIndex.foreach { case (v, i) => setParam(ps, i + 1, v) }
+              ps.addBatch()
+            }
+            ps.executeBatch()
+          } finally ps.close()
         }
         // Meta row through a prepared insert (the transactional DML half
         // of the fence; MAX over the rows is the applied watermark).

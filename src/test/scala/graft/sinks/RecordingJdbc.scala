@@ -230,31 +230,55 @@ object RecordingDb {
     }
   }
 
+  /** Literal rendering of a recorded parameter (mirrors what an H2 trace
+    * would show) so specs can assert the VALUES a prepared batch carried:
+    * strings quoted with '' doubling, NULL for null, toString otherwise. */
+  private def renderParam(v: AnyRef): String = v match {
+    case null                 => "NULL"
+    case s: String            => "'" + s.replace("'", "''") + "'"
+    case b: java.lang.Boolean => if (b) "TRUE" else "FALSE"
+    case other                => other.toString
+  }
+
   private def preparedStatement(sql: String): java.sql.PreparedStatement = {
     val isInsert = sql.trim.toUpperCase(java.util.Locale.ROOT).startsWith("INSERT")
     lazy val (targetTable, paramPos) = insertTarget(sql)
     lazy val width = tables.get(targetTable).size
-    val current = new java.util.concurrent.atomic.AtomicReference[Array[AnyRef]](null)
-    val batch = new java.util.ArrayList[Array[AnyRef]]()
-    def row(): Array[AnyRef] = {
+    // Params keyed by 1-based parameter index for EVERY statement kind
+    // (the keyed-MERGE sink prepares MERGE/DELETE, not just INSERT); the
+    // insert data path maps them to table positions at executeBatch time.
+    val current =
+      new java.util.concurrent.atomic.AtomicReference[java.util.TreeMap[Integer, AnyRef]](null)
+    val batch = new java.util.ArrayList[java.util.TreeMap[Integer, AnyRef]]()
+    def row(): java.util.TreeMap[Integer, AnyRef] = {
       var r = current.get
-      if (r == null) { r = new Array[AnyRef](width); current.set(r) }
+      if (r == null) { r = new java.util.TreeMap[Integer, AnyRef](); current.set(r) }
       r
     }
     proxy(classOf[java.sql.PreparedStatement]) {
-      case ("setNull", a) if isInsert && a.length >= 1 =>
-        row()(paramPos(a(0).asInstanceOf[Integer] - 1)) = null; null
-      case (setter, a) if isInsert && setter.startsWith("set") &&
+      case ("setNull", a) if a.length >= 1 && a(0).isInstanceOf[Integer] =>
+        row().put(a(0).asInstanceOf[Integer], null); null
+      case (setter, a) if setter.startsWith("set") &&
           setter != "setQueryTimeout" && setter != "setFetchSize" &&
           a != null && a.length >= 2 && a(0).isInstanceOf[Integer] =>
-        row()(paramPos(a(0).asInstanceOf[Integer] - 1)) = a(1); null
+        row().put(a(0).asInstanceOf[Integer], a(1)); null
       case ("addBatch", a) if a.isEmpty =>
         batch.add(row()); current.set(null); null
       case ("executeBatch", _) =>
         val n = batch.size
         recordBatch(sql, n)
+        batch.forEach { r =>
+          val vals = new java.util.ArrayList[String]()
+          r.values().forEach(v => vals.add(renderParam(v)))
+          record(s"ROW: (${String.join(", ", vals)})")
+        }
         if (isInsert && n > 0) {
-          val rs = Seq.newBuilder[Array[AnyRef]]; batch.forEach(r => rs += r)
+          val rs = Seq.newBuilder[Array[AnyRef]]
+          batch.forEach { r =>
+            val arr = new Array[AnyRef](width)
+            r.forEach((i, v) => arr(paramPos(i - 1)) = v)
+            rs += arr
+          }
           appendRows(targetTable, rs.result())
         }
         batch.clear()

@@ -52,12 +52,18 @@ class H2UpsertSinkSpec extends SparkTestBase {
     val s1 = RecordingDb.statements
     assert(s1.exists(_.startsWith("CREATE TABLE \"rollup\" ")), "first contact creates the target")
     assert(s1.exists(_.startsWith("CREATE TABLE \"rollup__merge_meta\"")), "and the meta table")
-    val merges1 = s1.filter(_.startsWith("MERGE INTO \"rollup\""))
-    assert(merges1.size === 2, s"one keyed MERGE per touched group, got:\n${s1.mkString("\n")}")
-    assert(merges1.forall(_.contains("KEY (\"name\")")), "upserts are KEYED merges")
-    assert(merges1.exists(m => m.contains("'x'") && m.contains("30.0") && m.contains(", 2")),
-      s"group x carries its maintained image (sum=30.0, cnt=2): $merges1")
-    assert(!s1.exists(_.startsWith("DELETE FROM \"rollup\" ")), "no retraction yet")
+    // The upserts arrive as ONE prepared, parameterized MERGE executed as
+    // a batch of 2 — never spliced literals, never one statement per group.
+    val mergeBatches1 = s1.filter(s =>
+      s.startsWith("BATCH[") && s.contains("MERGE INTO \"rollup\""))
+    assert(mergeBatches1.size === 1 && mergeBatches1.head.startsWith("BATCH[2]: ") &&
+        mergeBatches1.head.contains("KEY (\"name\")") &&
+        mergeBatches1.head.contains("VALUES (?") && !mergeBatches1.head.contains("'"),
+      s"expected one prepared MERGE batched over 2 groups, got:\n${s1.mkString("\n")}")
+    val rows1 = s1.filter(_.startsWith("ROW: "))
+    assert(rows1.exists(r => r.contains("'x'") && r.contains("30.0") && r.contains(", 2")),
+      s"group x carries its maintained image (sum=30.0, cnt=2): $rows1")
+    assert(!s1.exists(s => s.contains("DELETE FROM \"rollup\" ")), "no retraction yet")
     assert(s1.contains("COMMIT"), "the batch commits as one transaction")
 
     // Cycle 2: retract y entirely (group → zero ⇒ DELETE) and grow x.
@@ -65,11 +71,24 @@ class H2UpsertSinkSpec extends SparkTestBase {
     append(base, Seq((4L, "x", 5.0)))
     drain(base, root, "rollup", ck1)
     val s2 = RecordingDb.statements.drop(s1.size)
-    assert(s2.exists(_.startsWith("DELETE FROM \"rollup\" WHERE \"name\" = 'y'")),
-      s"fully-retracted group must DELETE, got:\n${s2.mkString("\n")}")
-    val merges2 = s2.filter(_.startsWith("MERGE INTO \"rollup\""))
-    assert(merges2.size === 1 && merges2.head.contains("'x'") && merges2.head.contains("35.0"),
-      s"surviving group re-merges its updated image: $merges2")
+    // The retraction is a prepared keyed DELETE (null-safe predicate),
+    // batched — and its ROW carries the retracted key.
+    val delBatches = s2.filter(s =>
+      s.startsWith("BATCH[") && s.contains("DELETE FROM \"rollup\""))
+    assert(delBatches === List(
+        "BATCH[1]: DELETE FROM \"rollup\" WHERE " +
+          "(\"name\" = ? OR (\"name\" IS NULL AND ? IS NULL))"),
+      s"fully-retracted group must batch a prepared DELETE, got:\n${s2.mkString("\n")}")
+    val delRowIdx = s2.indexOf(delBatches.head) + 1
+    assert(s2(delRowIdx) === "ROW: ('y', 'y')",
+      s"the DELETE batch must carry group y's key: ${s2(delRowIdx)}")
+    val mergeRows2 = s2.zipWithIndex.collect {
+      case (s, i) if s.startsWith("BATCH[") && s.contains("MERGE INTO \"rollup\"") =>
+        s2(i + 1)
+    }
+    assert(mergeRows2.size === 1 && mergeRows2.head.contains("'x'") &&
+        mergeRows2.head.contains("35.0"),
+      s"surviving group re-merges its updated image: $mergeRows2")
     assert(!s2.exists(_.startsWith("CREATE TABLE")), "tables exist; no re-create")
 
     // Replay: a FRESH checkpoint re-delivers the whole feed as batchId 0 —
@@ -79,8 +98,8 @@ class H2UpsertSinkSpec extends SparkTestBase {
     val ck2 = Files.createTempDirectory("graft-h2up-ck2").toString
     drain(base, root, "rollup", ck2)
     val s3 = RecordingDb.statements.drop(before)
-    assert(!s3.exists(s => s.startsWith("MERGE") || s.startsWith("DELETE FROM \"rollup\" ") ||
-        s.startsWith("BATCH")),
+    assert(!s3.exists(s => s.contains("MERGE INTO") || s.contains("DELETE FROM \"rollup\"") ||
+        s.startsWith("BATCH") || s.startsWith("ROW:")),
       s"replayed batch must emit no DML, got:\n${s3.mkString("\n")}")
     assert(!s3.contains("COMMIT"), "a recognized replay never commits")
   }
