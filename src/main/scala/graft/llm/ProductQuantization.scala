@@ -184,6 +184,155 @@ object ProductQuantization {
     Similarity.topKRanked(exact, 3)
   }
 
+  // ---- IVF-PQ over TRAINED cells + per-cell retrained codebooks ------
+
+  /** IVF-PQ with BOTH stages trained (the full FAISS recipe, closing the
+    * r10 note that PQ composed only with the deterministic grid cells):
+    * the coarse quantizer is the k-means-trained cell set
+    * ([[Similarity.kmeansCentroids]], 3 unrolled Lloyd iterations), and
+    * the PQ codebooks are RETRAINED PER CELL — one Lloyd refinement of
+    * the global literal codebook against each cell's own members (dim-
+    * wise member means per (cell, subspace, initial code); a code unused
+    * in a cell simply drops out of that cell's book). Residual-style
+    * per-cell books track the local distribution, which is why real
+    * IVFPQ trains per-list codebooks.
+    *
+    * Search keeps the [[knnIvfPq]] discipline: per-query inner-product
+    * LUTs over its own cell's retrained book (≤ queries×M×K rows,
+    * BROADCAST), candidates joined CODES-ONLY (cell, sub, code — never a
+    * vector) with the ADC sum folded in DECIMAL(18,9) so the 8-term
+    * accumulation is merge-order-independent and bit-equal cross-engine,
+    * bounded-heap shortlist, exact rerank over ≤100 broadcast rows.
+    *
+    * Scale shape: retraining is one aggregate over the codes relation
+    * (map-side combinable; output k·M·K·SubDim doubles — broadcast-sized
+    * at any corpus size); re-encoding joins members to their OWN cell's
+    * ≤K book rows per subspace (fan-out ≤K, argmax via max_by partial
+    * aggregation, no window); the per-candidate search cost stays 8
+    * integer lookups. The oracle replays the identical algebra. */
+  def knnIvfPqTrained: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Similarity.normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = Similarity.kmeansAssign(emb, Similarity.kmeansCentroids(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Long-form initial codes from the global literal codebook: one row
+    // per (member, subspace) carrying only the 8-dim subvector. ONE scan
+    // + ONE generator (an array of per-subspace structs exploded), not an
+    // 8-way union — the union form duplicated the 256-term code CASE
+    // trees into every branch and Catalyst spent ~10 s/run just
+    // optimizing the plan (measured at sf0.001).
+    val code0l = assigned.select(col("vec_id"), col("cell"),
+        explode(array((0 until M).map { sub =>
+          struct(lit(sub).as("sub"), codeCol(col("vn"), sub).as("code"),
+            slice(col("vn"), sub * SubDim + 1, SubDim).as("sv"))
+        }: _*)).as("x"))
+      .select(col("vec_id"), col("cell"), col("x.sub").as("sub"),
+        col("x.code").as("code"), col("x.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-(cell, subspace, code) retrained centroid: dim-wise member
+    // means, round-6 quantized (the kmeansUpdate discipline) so both
+    // engines hold the identical book.
+    val cb1 = code0l
+      .select(col("cell"), col("sub"), col("code"), posexplode(col("sv")).as(Seq("j", "v")))
+      .groupBy(col("cell"), col("sub"), col("code"), col("j"))
+      .agg(round(sum(col("v")) / count(lit(1)), 6).as("m"))
+      .groupBy(col("cell"), col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("cell"), col("sub"), col("code"),
+        transform(col("jm"), x => x.getField("m")).as("cv8"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Re-encode each member against ITS cell's retrained book: argmin of
+    // ||sv − cv8||² ≡ argmax of dot(sv, cv8) − ½·dot(cv8, cv8) — both
+    // dot products are the shared exact fold, and the argmax is a
+    // max_by partial aggregation (no window, fan-out ≤ K).
+    val code1 = code0l
+      .join(cb1.withColumnRenamed("code", "cand"), Seq("cell", "sub"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("cand"),
+        (dotp(col("sv"), col("cv8")) - lit(0.5) * dotp(col("cv8"), col("cv8"))).as("sc"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(max_by(col("cand"), struct(col("sc"), -col("cand"))).as("code"))
+    // Per-query LUT over its own cell's book (nprobe=1), broadcast.
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell"))
+    val lut = broadcast(queries.join(cb1, Seq("cell"))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        round(dotp(slice(col("qv"), col("sub") * lit(SubDim) + lit(1), lit(SubDim)),
+          col("cv8")), 9).as("l")))
+    val adc = lut.join(code1, Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("l").cast(DecimalType(18, 9))).as("adcq"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adcq").cast("double").as("adc_ip"))
+    val shortlist = TopKPerGroup(adc, Seq("query_id"),
+      Seq(("adc_ip", false), ("neighbor_id", true)), 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = emb
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dotp(col("qv"), col("vn")).as("cos"))
+    Similarity.topKRanked(exact, 3)
+  }
+
+  /** Oracle for [[knnIvfPqTrained]]: identical algebra in DuckDB — same
+    * trained cells (shared k-means CTEs), same per-cell book retrain
+    * (round-6 dim means), same argmax re-encode, same decimal-folded ADC,
+    * same shortlist and exact rerank. */
+  val knnIvfPqTrainedSql: String = {
+    val codeCols = (0 until M).map(s => s"${sqlCodeOn("vn", s)} AS code_$s").mkString(",\n")
+    val unions = (0 until M).map { sub =>
+      s"""SELECT vec_id, cell, $sub AS sub, code_$sub AS code,
+         |  list_slice(vn, ${sub * SubDim + 1}, ${(sub + 1) * SubDim}) AS sv FROM pqw""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${Similarity.normalizedSql},
+       |${Similarity.kmeansCtesSql},
+       |pqw AS (SELECT vec_id, cell, vn, $codeCols FROM af),
+       |pql AS (
+       |$unions),
+       |pqbd AS (
+       |  SELECT cell, sub, code, j, ROUND(SUM(sv[j]) / COUNT(*), 6) AS m
+       |  FROM pql, UNNEST(generate_series(1, $SubDim)) AS u(j)
+       |  GROUP BY cell, sub, code, j),
+       |pqb AS (
+       |  SELECT cell, sub, code, list(m ORDER BY j) AS cv8
+       |  FROM pqbd GROUP BY cell, sub, code),
+       |pqc AS (
+       |  SELECT vec_id, cell, sub, cand AS code FROM (
+       |    SELECT m.vec_id, m.cell, m.sub, b.code AS cand,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id, m.sub ORDER BY
+       |        list_dot_product(m.sv, b.cv8)
+       |          - 0.5 * list_dot_product(b.cv8, b.cv8) DESC, b.code) AS rn
+       |    FROM pql m JOIN pqb b ON m.cell = b.cell AND m.sub = b.sub) t
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, vn AS qv, cell FROM af WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT q.query_id, q.cell, b.sub, b.code,
+       |    ROUND(list_dot_product(
+       |      list_slice(q.qv, b.sub * $SubDim + 1, (b.sub + 1) * $SubDim), b.cv8), 9) AS l
+       |  FROM q JOIN pqb b ON q.cell = b.cell),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(l.l AS DECIMAL(18,9))) AS DOUBLE) AS adc_ip
+       |  FROM lut l JOIN pqc c ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_ip DESC, neighbor_id) AS rn
+       |    FROM adc) t WHERE rn <= 10)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ROUND(list_dot_product(q.qv, e.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_dot_product(q.qv, e.vn) DESC, s.neighbor_id) AS rank
+       |  FROM shortlist s JOIN e ON e.vec_id = s.neighbor_id
+       |  JOIN q ON s.query_id = q.query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- Oracle side (same literals, same operation order) -------------
 
   private def sqlSubDistOn(v: String, s: Int, c: Int): String =
@@ -285,6 +434,7 @@ object ProductQuantization {
     "vec_pq_adc_topk" -> vecPqAdcTopK,
     "vec_pq_rerank"   -> vecPqRerank,
     "knn_ivfpq"       -> knnIvfPq,
+    "knn_ivfpq_trained" -> knnIvfPqTrained,
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +442,6 @@ object ProductQuantization {
     "vec_pq_adc_topk" -> vecPqAdcTopKSql,
     "vec_pq_rerank"   -> vecPqRerankSql,
     "knn_ivfpq"       -> knnIvfPqSql,
+    "knn_ivfpq_trained" -> knnIvfPqTrainedSql,
   )
 }

@@ -460,7 +460,7 @@ object Similarity {
     * |vectors|×|centroids| window input carries ~1 KB/row of list payload
     * per unrolled stage and DuckDB exhausts its memory limit at 5k
     * vectors (observed at sf0.1). */
-  private val kmeansCtesSql: String = {
+  private[llm] val kmeansCtesSql: String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT s.vec_id, e.vn, s.cell FROM (

@@ -382,6 +382,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pa.contains("user_id"), s"attribution join lost its user key:\n$pa")
   }
 
+  test("knn_ivfpq_trained: codes-only candidate join, broadcast LUT, heap shortlist, no window") {
+    val p = plan("knn_ivfpq_trained")
+    // The per-query LUT and the rerank shortlist both BROADCAST; the
+    // candidate scoring join must carry (cell, sub, code) ints — never a
+    // 64-double vector — and top-k selection is the native bounded heap,
+    // not a per-query window sort.
+    assert(p.contains("BroadcastExchange"),
+      s"LUT/shortlist must broadcast into the codes join:\n$p")
+    assert(p.contains("TopKPerGroup"),
+      s"shortlist selection must use the native bounded heap:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no stage of trained IVF-PQ may sort a window partition:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay cell-bounded:\n$p")
+  }
+
   test("knn_kmeans_assign: Lloyd updates shuffle (cell, component) partials only") {
     val p = plan("knn_kmeans_assign")
     // Each update's component-mean aggregation must combine map-side —
