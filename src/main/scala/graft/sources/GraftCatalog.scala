@@ -185,13 +185,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       "TIMESTAMP AS OF is not supported (local-fs mtimes don't order " +
         "commits); use VERSION AS OF <seq|manifest>")
 
-  /** The one supported transform shape: `PARTITIONED BY (col)` — a single
-    * identity transform on a top-level long/int/string column. */
-  private def partitionColOf(
-      partitions: Array[Transform], schema: StructType): Option[String] =
-    partitions match {
-      case Array() => None
-      case Array(t) if t.name == "identity" && t.references.length == 1 &&
+  /** The supported transform shape: `PARTITIONED BY (col[, col2])` —
+    * identity transforms on distinct top-level long/int/string columns.
+    * Multi-column layouts demux one file per value TUPLE and report a
+    * composite KeyGroupedPartitioning at scan time. */
+  private def partitionColsOf(
+      partitions: Array[Transform], schema: StructType): Seq[String] = {
+    val cols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
         val col = t.references()(0).fieldNames()(0)
         val f = schema.fields.find(_.name == col).getOrElse(
@@ -200,27 +201,31 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         f.dataType match {
           case org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.StringType => Some(col)
+               org.apache.spark.sql.types.StringType => col
           case dt => throw new IllegalArgumentException(
             s"partition column $col: unsupported type ${dt.simpleString} " +
               "(identity partitioning takes BIGINT/INT/STRING)")
         }
       case other => throw new IllegalArgumentException(
-        "graft tables take at most ONE identity partition transform " +
-          s"(got ${other.map(_.describe()).mkString(", ")}); " +
-          "use optimize(clusterBy) for within-file layout")
+        "graft tables take identity partition transforms only " +
+          s"(got ${other.describe()}); use optimize(clusterBy) for " +
+          "within-file layout")
     }
+    if (cols.distinct.size != cols.size) throw new IllegalArgumentException(
+      s"duplicate partition columns: ${cols.mkString(", ")}")
+    cols
+  }
 
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val pcol = partitionColOf(partitions, schema)
+    val pcols = partitionColsOf(partitions, schema)
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
     val path = dir(ident)
     Files.createDirectories(path)
-    pcol.foreach(c => ManifestFileSink.setPartitionColumn(path.toString, c))
+    if (pcols.nonEmpty) ManifestFileSink.setPartitionColumns(path.toString, pcols)
     // Schema-only commit 0: the table exists, empty, with a real schema.
     ManifestFileSink.publish(path.toString,
       s"manifest-${java.util.UUID.randomUUID().toString}",
@@ -288,7 +293,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    val pcol = partitionColOf(partitions, schema)
+    val pcols = partitionColsOf(partitions, schema)
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
     // Vet the schema BEFORE touching the filesystem: an unwritable CTAS
     // schema (e.g. a void column) must fail at staging with no trace.
@@ -297,7 +302,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val created = !Files.isDirectory(path)
     Files.createDirectories(path)
     new StagedManifestTable(path.toString, ManifestFileSink.asNullable(schema),
-      replace = false, createdDir = created, partitionCol = pcol)
+      replace = false, createdDir = created, partitionCols = pcols)
   }
 
   /** `REPLACE TABLE … AS SELECT`: retract-everything + new results in ONE
@@ -310,11 +315,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    val pcol = partitionColOf(partitions, schema)
+    val pcols = partitionColsOf(partitions, schema)
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new StagedManifestTable(dir(ident).toString,
       ManifestFileSink.asNullable(schema), replace = true, createdDir = false,
-      partitionCol = pcol)
+      partitionCols = pcols)
   }
 
   override def stageCreateOrReplace(

@@ -419,6 +419,67 @@ object ManifestFileSink {
     case other => throw new IllegalArgumentException(s"uncomparable literal $other")
   }
 
+  /** Exact three-valued evaluation of a pushed filter against a file's
+    * PROVEN partition values (identity-partitioned files: min == max, no
+    * nulls ⇒ the value holds for EVERY row). Some(false) = prune the
+    * file; Some(true) = every row satisfies the filter (the zone maps
+    * need not re-check it); None = not decidable from partition values
+    * alone — fall through to conservative zone-map evaluation. Strictly
+    * sharper than range checks for set predicates: In/Not compare the
+    * VALUE, not the [min,max] band. Kleene combinators keep And/Or/Not
+    * sound under partial knowledge. */
+  private[sources] def partitionFilterDecide(
+      filter: org.apache.spark.sql.sources.Filter,
+      values: Map[String, Any]): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    def cmp(c: String, lit: Any): Option[Int] = values.get(c).flatMap {
+      case x: Long => lit match {
+        case n: Number => compareLongLiteral(x, n)
+        case _ => None
+      }
+      case x: Int => lit match {
+        case n: Number => compareLongLiteral(x.toLong, n)
+        case _ => None
+      }
+      case x: UTF8String => lit match {
+        case s2: String => Some(x.compareTo(UTF8String.fromString(s2)))
+        case u: UTF8String => Some(x.compareTo(u))
+        case _ => None
+      }
+      case _ => None
+    }
+    filter match {
+      case EqualTo(c, v)            => cmp(c, v).map(_ == 0)
+      case EqualNullSafe(c, null) if values.contains(c) => Some(false)
+      case EqualNullSafe(c, v)      => cmp(c, v).map(_ == 0)
+      case GreaterThan(c, v)        => cmp(c, v).map(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v).map(_ >= 0)
+      case LessThan(c, v)           => cmp(c, v).map(_ < 0)
+      case LessThanOrEqual(c, v)    => cmp(c, v).map(_ <= 0)
+      case In(c, vs) =>
+        val ds = vs.toSeq.map(v => cmp(c, v))
+        if (ds.exists(_.contains(0))) Some(true)
+        else if (ds.forall(d => d.isDefined)) Some(false)
+        else None
+      case IsNull(c) if values.contains(c)    => Some(false) // proven non-null
+      case IsNotNull(c) if values.contains(c) => Some(true)
+      case Not(f0) => partitionFilterDecide(f0, values).map(!_)
+      case And(l, r) =>
+        (partitionFilterDecide(l, values), partitionFilterDecide(r, values)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
+      case Or(l, r) =>
+        (partitionFilterDecide(l, values), partitionFilterDecide(r, values)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
+      case _ => None
+    }
+  }
+
   /** Data files opened by the mutation MATCH path while no task is
     * running — i.e. on the driver. The match scan is a Spark job (a task
     * per candidate file), so this stays 0: only candidate METADATA
@@ -1035,22 +1096,34 @@ object ManifestFileSink {
     * key join with NO exchange on either side. Restricted to
     * long/int/string columns (the zone-map value types; identity
     * partitioning on doubles is not a sane layout). */
-  def setPartitionColumn(path: String, col: String): Unit = {
+  def setPartitionColumns(path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"partition columns must be non-empty and distinct: $cols")
     Files.createDirectories(Paths.get(path))
     val tmp = Paths.get(path, "._partition.tmp")
-    Files.write(tmp, java.util.Collections.singletonList(col),
-      StandardCharsets.UTF_8)
+    Files.write(tmp, cols.asJava, StandardCharsets.UTF_8)
     Files.move(tmp, Paths.get(path, "_partition"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private[sources] def partitionColumn(path: String): Option[String] = {
+  def setPartitionColumn(path: String, col: String): Unit =
+    setPartitionColumns(path, Seq(col))
+
+  /** Declared identity-partition columns, one per `_partition` line —
+    * empty for an unpartitioned table. Multi-column layouts demux one
+    * file per VALUE TUPLE and report a composite
+    * `KeyGroupedPartitioning`, so joins on all keys (or, with Spark's
+    * allowJoinKeysSubsetOfPartitionKeys, a subset) stay exchange-free. */
+  private[sources] def partitionColumns(path: String): Seq[String] = {
     val f = Paths.get(path, "_partition")
-    if (!Files.exists(f)) None
-    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.headOption
+    if (!Files.exists(f)) Nil
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       .map(_.trim).filter(_.nonEmpty)
   }
+
+  private[sources] def partitionColumn(path: String): Option[String] =
+    partitionColumns(path).headOption
 
   // ------------------------------------- metadata-answered aggregates
 
@@ -1742,7 +1815,7 @@ private[sources] class ManifestTable(
   /** Declared identity partitioning (SHOW CREATE / DESCRIBE surface; the
     * scan-side SPJ report lives in [[ManifestScan.outputPartitioning]]). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    ManifestFileSink.partitionColumn(path)
+    ManifestFileSink.partitionColumns(path)
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
 
@@ -1843,15 +1916,17 @@ private[sources] class ManifestTable(
       // behavioral change.
       override def build(): Write = new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-        private val pcol = ManifestFileSink.partitionColumn(path)
+        private val pcols = ManifestFileSink.partitionColumns(path)
           .filter(c => info.schema().fieldNames.contains(c))
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          pcol.map(c => org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(Array(org.apache.spark.sql.connector.expressions.Expressions
-                .identity(c): org.apache.spark.sql.connector.expressions.Expression)))
-            .getOrElse(
-              org.apache.spark.sql.connector.distributions.Distributions.unspecified())
+          if (pcols.nonEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(pcols.map(c => org.apache.spark.sql.connector.expressions
+                .Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression).toArray)
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         override def distributionStrictlyRequired(): Boolean = false
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
@@ -2160,7 +2235,7 @@ private[sources] object MatchScan extends Serializable {
   * ([[ManifestFileSink.commitReplaceTable]]) with history intact. */
 private[sources] class StagedManifestTable(
     path: String, stagedSchema: StructType, replace: Boolean, createdDir: Boolean,
-    partitionCol: Option[String] = None)
+    partitionCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
 
   ManifestFileSink.vetWritable(stagedSchema)
@@ -2193,19 +2268,22 @@ private[sources] class StagedManifestTable(
       override def build(): Write = new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          partitionCol.filter(c => stagedSchema.fieldNames.contains(c))
-            .map(c => org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(Array(org.apache.spark.sql.connector.expressions.Expressions
-                .identity(c): org.apache.spark.sql.connector.expressions.Expression)))
-            .getOrElse(
-              org.apache.spark.sql.connector.distributions.Distributions.unspecified())
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          val pcols = partitionCols.filter(c => stagedSchema.fieldNames.contains(c))
+          if (pcols.nonEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(pcols.map(c => org.apache.spark.sql.connector.expressions
+                .Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression).toArray)
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        }
         override def distributionStrictlyRequired(): Boolean = false
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-            new ManifestWriterFactory(path, stagedSchema, partitionCol)
+            new ManifestWriterFactory(path, stagedSchema, partitionCols)
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             staged.set(messages) // deferred to commitStagedChanges
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2223,11 +2301,11 @@ private[sources] class StagedManifestTable(
     // the partition column swaps it with the replace commit's retraction
     // of every old-layout row, and an RTAS WITHOUT a PARTITIONED BY
     // clause un-declares the layout (REPLACE defines the whole table).
-    partitionCol match {
-      case Some(c) => ManifestFileSink.setPartitionColumn(path, c)
-      case None if replace =>
+    partitionCols match {
+      case cs if cs.nonEmpty => ManifestFileSink.setPartitionColumns(path, cs)
+      case _ if replace =>
         Files.deleteIfExists(Paths.get(path, "_partition")); ()
-      case None =>
+      case _ =>
     }
     if (replace)
       ManifestFileSink.commitReplaceTable(path, stagedSchema, staged.get)
@@ -2268,7 +2346,7 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema,
-      ManifestFileSink.partitionColumn(path))
+      ManifestFileSink.partitionColumns(path))
 
   /** The atomic visibility point: only files that made it into a task
     * commit message are listed — an attempt that wrote bytes but never
@@ -2297,7 +2375,7 @@ private class ManifestOverwriteBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema,
-      ManifestFileSink.partitionColumn(path))
+      ManifestFileSink.partitionColumns(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestFileSink.commitOverwrite(path, schema, filter, messages)
@@ -2423,50 +2501,54 @@ private class ManifestDeltaWriter(path: String, schema: StructType, name: String
 }
 
 private class ManifestWriterFactory(
-    path: String, schema: StructType, partitionCol: Option[String] = None)
+    path: String, schema: StructType, partitionCols: Seq[String] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // taskId is unique per attempt, so a speculative/retried attempt
     // can never clobber another attempt's file.
     val base = f"part-$partitionId%05d-$taskId"
-    partitionCol.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0) match {
-      case Some(idx) => new ManifestPartitionedDataWriter(path, schema, base, idx)
-      case None      => new ManifestDataWriter(path, schema, base)
-    }
+    val idxs = partitionCols.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0)
+    if (idxs.size == partitionCols.size && idxs.nonEmpty)
+      new ManifestPartitionedDataWriter(path, schema, base, idxs)
+    else new ManifestDataWriter(path, schema, base)
   }
 }
 
 /** Executor-side demultiplexing writer for an identity-partitioned table:
   * rows route to one underlying [[ManifestDataWriter]] per partition
-  * value this task sees, so every data file holds exactly one value and
-  * its zone map records min == max — the claim the scan turns into a
+  * value TUPLE this task sees, so every data file holds exactly one value
+  * of every partition column and its zone maps record min == max per
+  * column — the claim the scan turns into a (possibly composite)
   * `KeyGroupedPartitioning`. The write itself requests a clustered
-  * distribution on the partition column (RequiresDistributionAndOrdering
+  * distribution on the partition columns (RequiresDistributionAndOrdering
   * in [[ManifestTable]]), so a task normally sees FEW values; the demux
   * is the correctness backstop when the caller pre-shuffled differently.
   * NULL partition values get their own file — they disable SPJ reporting
   * at scan time (a null group has no zone-map claim) but never break the
   * write. */
 private class ManifestPartitionedDataWriter(
-    path: String, schema: StructType, base: String, colIdx: Int)
+    path: String, schema: StructType, base: String, colIdxs: Seq[Int])
   extends DataWriter[InternalRow] {
 
-  // Keyed on Option[String]: None IS the NULL-partition key, so no string
-  // sentinel exists for a legal value to collide with (any string value,
-  // including ones starting with control bytes, demuxes to its own file).
+  // Keyed on Seq[Option[String]] — one element per partition column, None
+  // IS the NULL key for that column, so no string sentinel exists for a
+  // legal value to collide with (any string value, including ones
+  // starting with control bytes, demuxes to its own file).
   private val writers =
-    scala.collection.mutable.LinkedHashMap.empty[Option[String], ManifestDataWriter]
+    scala.collection.mutable.LinkedHashMap.empty[Seq[Option[String]], ManifestDataWriter]
 
-  private def tokenOf(record: InternalRow): Option[String] =
-    if (record.isNullAt(colIdx)) None
-    else Some(schema.fields(colIdx).dataType match {
-      case LongType    => record.getLong(colIdx).toString
-      case IntegerType => record.getInt(colIdx).toString
-      case StringType  => record.getUTF8String(colIdx).toString
-      case other => throw new IllegalArgumentException(
-        s"unsupported partition column type $other")
-    })
+  private def tokenOf(record: InternalRow): Seq[Option[String]] =
+    colIdxs.map { colIdx =>
+      if (record.isNullAt(colIdx)) None
+      else Some(schema.fields(colIdx).dataType match {
+        case LongType    => record.getLong(colIdx).toString
+        case IntegerType => record.getInt(colIdx).toString
+        case StringType  => record.getUTF8String(colIdx).toString
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type $other")
+      })
+    }
 
   override def write(record: InternalRow): Unit = {
     val token = tokenOf(record)
@@ -2629,7 +2711,7 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(path, schema,
-      ManifestFileSink.partitionColumn(path))
+      ManifestFileSink.partitionColumns(path))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val published = ManifestFileSink.publish(
@@ -2650,17 +2732,17 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
 /** Top-level (not an inner class of the non-serializable write) — it is
   * shipped to executors. */
 private class ManifestStreamingWriterFactory(
-    path: String, schema: StructType, partitionCol: Option[String] = None)
+    path: String, schema: StructType, partitionCols: Seq[String] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     // Epoch in the name is for operator forensics only; uniqueness
     // still rests on the attempt-unique taskId.
     val base = f"part-e$epochId-$partitionId%05d-$taskId"
-    partitionCol.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0) match {
-      case Some(idx) => new ManifestPartitionedDataWriter(path, schema, base, idx)
-      case None      => new ManifestDataWriter(path, schema, base)
-    }
+    val idxs = partitionCols.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0)
+    if (idxs.size == partitionCols.size && idxs.nonEmpty)
+      new ManifestPartitionedDataWriter(path, schema, base, idxs)
+    else new ManifestDataWriter(path, schema, base)
   }
 }
 
@@ -2710,10 +2792,10 @@ private class AggReaderFactory extends PartitionReaderFactory {
   * partition per value and — with both join sides reporting compatible
   * `KeyGroupedPartitioning` — plans a storage-partitioned join with no
   * exchange. */
-private case class KeyedFileSplit(split: FileSplit, key: Any)
+private case class KeyedFileSplit(split: FileSplit, key: Seq[Any])
   extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(key))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key.toArray)
 }
 
 private class ManifestScan(
@@ -2731,13 +2813,16 @@ private class ManifestScan(
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
-  /** The table's identity-partition column, when this scan can honor it:
-    * plain batch reads only (a change feed's −1 retraction splits have no
-    * single-value claim) and only while the column survives pruning (the
-    * reported clustering must resolve against the scan output). */
-  private lazy val partCol: Option[String] =
-    if (since.nonEmpty || weighted) None
-    else ManifestFileSink.partitionColumn(path)
+  /** The table's identity-partition columns, when this scan can honor
+    * them: plain batch reads only (a change feed's −1 retraction splits
+    * have no single-value claim) and only the columns that survive
+    * pruning (the reported clustering must resolve against the scan
+    * output — a pruned-away trailing column drops out of the report,
+    * which stays valid: every file is still single-valued in the
+    * surviving columns). */
+  private lazy val partCols: Seq[String] =
+    if (since.nonEmpty || weighted) Nil
+    else ManifestFileSink.partitionColumns(path)
       .filter(c => schema.fieldNames.contains(c))
 
   /** Runtime (dynamic) file pruning: Spark injects the build side's join
@@ -2806,22 +2891,33 @@ private class ManifestScan(
     * entries, mixed values from a pre-partitioning append) returns None
     * and the WHOLE scan degrades to unpartitioned — never wrong, just
     * unco-located. Value parsed in the FILE schema's type (evolution). */
+  private def provenPartValues(
+      st: Option[Map[Int, ManifestFileSink.ColStats]],
+      fileSchema: StructType): Map[String, Any] =
+    partCols.flatMap { c =>
+      val i = fileSchema.fieldNames.indexOf(c)
+      val v =
+        if (i < 0) None
+        else st.flatMap(_.get(i)).flatMap { cs =>
+          if (cs.hasNull || cs.rangeless || cs.min.isEmpty || cs.min != cs.max) None
+          else fileSchema.fields(i).dataType match {
+            case LongType    => cs.min.toLongOption
+            case IntegerType => cs.min.toIntOption.map(v => v: Any)
+            case StringType  => Some(UTF8String.fromString(cs.min))
+            case _           => None
+          }
+        }
+      v.map(c -> _)
+    }.toMap
+
   private def partitionKeyOf(
       st: Option[Map[Int, ManifestFileSink.ColStats]],
-      fileSchema: StructType): Option[Any] =
-    partCol.flatMap { c =>
-      val i = fileSchema.fieldNames.indexOf(c)
-      if (i < 0) None
-      else st.flatMap(_.get(i)).flatMap { cs =>
-        if (cs.hasNull || cs.rangeless || cs.min.isEmpty || cs.min != cs.max) None
-        else fileSchema.fields(i).dataType match {
-          case LongType    => cs.min.toLongOption
-          case IntegerType => cs.min.toIntOption.map(v => v: Any)
-          case StringType  => Some(UTF8String.fromString(cs.min))
-          case _           => None
-        }
-      }
-    }
+      fileSchema: StructType): Option[Seq[Any]] = {
+    if (partCols.isEmpty) return None
+    val pv = provenPartValues(st, fileSchema)
+    val vals = partCols.map(pv.get)
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
 
   /** Zone-map top-N pruning ([[topN]]): returns the kept files, or None
     * when any live file lacks a null-free stats claim for the sort
@@ -2833,10 +2929,10 @@ private class ManifestScan(
     * per-type compares (no double round-trip for longs); a file counts
     * never toward its own pruning. */
   private def topNPrune(
-      files: Seq[(FileSplit, Option[Any], Long,
+      files: Seq[(FileSplit, Option[Seq[Any]], Long,
         Option[Map[Int, ManifestFileSink.ColStats]], StructType)],
       colName: String, desc: Boolean, n: Int)
-      : Option[Seq[(FileSplit, Option[Any], Long,
+      : Option[Seq[(FileSplit, Option[Seq[Any]], Long,
           Option[Map[Int, ManifestFileSink.ColStats]], StructType)]] = {
     val i0 = schema.fieldNames.indexOf(colName)
     if (i0 < 0) return None
@@ -2928,10 +3024,24 @@ private class ManifestScan(
       .map(_._4).distinct.foreach(ddl =>
       ManifestFileSink.validateEvolution(schema, schemaOf(ddl), s"files under '$ddl'"))
     // Static pushed filters (and, on the runtime re-plan, dynamic
-    // join-key filters) prune through the same zone maps.
+    // join-key filters) prune files at PLAN time, in two tiers: a filter
+    // over an identity-partitioned file's PROVEN value evaluates EXACTLY
+    // (set semantics — In/Not against the value, not the range band);
+    // anything the partition values cannot decide falls through to the
+    // conservative zone-map check. Partition-filter pruning therefore
+    // answers before a zone map is ever consulted, and both tiers land
+    // in the same filesPruned metric.
     val admitted = visible.filter { case (_, _, st, ddl) =>
-      // Zone maps are keyed by the FILE's column positions.
-      st.forall(s => effFilters.forall(f => ManifestFileSink.mayMatch(f, s, schemaOf(ddl))))
+      val fs = schemaOf(ddl)
+      lazy val pv = provenPartValues(st, fs)
+      effFilters.forall { f =>
+        (if (partCols.nonEmpty) ManifestFileSink.partitionFilterDecide(f, pv)
+         else None) match {
+          case Some(b) => b
+          // Zone maps are keyed by the FILE's column positions.
+          case None => st.forall(s => ManifestFileSink.mayMatch(f, s, fs))
+        }
+      }
     }
     // Change feed: subtract the `since` snapshot's files. A retired
     // `since` raises through snapshot() — the consumer's resume point was
@@ -3037,7 +3147,7 @@ private class ManifestScan(
     // any retraction split) degrades the whole scan to unpartitioned —
     // Spark then inserts the usual exchanges; results never change.
     val out: (Array[InputPartition], Option[Int]) =
-      if (partCol.isDefined && minus.isEmpty && limit.isEmpty && topN.isEmpty &&
+      if (partCols.nonEmpty && minus.isEmpty && limit.isEmpty && topN.isEmpty &&
           plus.nonEmpty && plus.forall(_._2.isDefined)) {
         val keyed = plus.map { case (s, k, _, _, _) => KeyedFileSplit(s, k.get): InputPartition }
         (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
@@ -3064,8 +3174,8 @@ private class ManifestScan(
     staticPlan match {
       case (_, Some(n)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(partCol.get)), n)
+          partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c): org.apache.spark.sql.connector.expressions.Transform).toArray, n)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }

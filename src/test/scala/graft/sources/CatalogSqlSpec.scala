@@ -53,16 +53,20 @@ class CatalogSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT id FROM graft.db.t2").head().getLong(0) === 7)
     intercept[Exception](spark.sql("SELECT * FROM graft.db.t1").collect())
 
-    // Duplicate create refuses; non-identity / multi transforms refuse
-    // (a single identity transform is the SPJ layout —
+    // Duplicate create refuses; non-identity transforms, duplicate
+    // partition columns, and non-integral/string types refuse (identity
+    // transforms — single or multi — are the SPJ layout,
     // StoragePartitionedJoinSpec).
     intercept[Exception](spark.sql("CREATE TABLE graft.db.t2 (id BIGINT)"))
     intercept[Exception](
       spark.sql("CREATE TABLE graft.db.tp (id BIGINT) PARTITIONED BY (bucket(8, id))"))
     intercept[Exception](
-      spark.sql("CREATE TABLE graft.db.tp (id BIGINT, j BIGINT) PARTITIONED BY (id, j)"))
+      spark.sql("CREATE TABLE graft.db.tp (id BIGINT, j BIGINT) PARTITIONED BY (id, id)"))
     intercept[Exception](
       spark.sql("CREATE TABLE graft.db.tp (id BIGINT, d DOUBLE) PARTITIONED BY (d)"))
+    // Two-column identity partitioning is a supported layout (round 11).
+    spark.sql("CREATE TABLE graft.db.tp2 (id BIGINT, j BIGINT) PARTITIONED BY (id, j)")
+    assert(ManifestFileSink.partitionColumns(s"$root/db/tp2") === Seq("id", "j"))
 
     spark.sql("DROP TABLE graft.db.t2")
     intercept[Exception](spark.sql("SELECT * FROM graft.db.t2").collect())

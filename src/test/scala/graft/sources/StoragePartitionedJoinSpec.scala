@@ -213,6 +213,113 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  // ---- round 11: multi-column identity partitioning ------------------
+
+  test("two-column PARTITIONED BY demultiplexes one file per value PAIR") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.mc (k BIGINT, sub STRING, v BIGINT) PARTITIONED BY (k, sub)")
+    spark.sql(
+      """INSERT INTO gspj.spj.mc
+        |SELECT CAST(id % 3 AS BIGINT) AS k,
+        |       CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS sub,
+        |       id AS v
+        |FROM range(60)""".stripMargin)
+    val path = s"$root/spj/mc"
+    val files = ManifestFileSink.visibleFiles(path).map(_._1)
+    assert(ManifestFileSink.partitionColumns(path) === Seq("k", "sub"))
+    val perFile = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", path).load()
+      .groupBy(col("_file"))
+      .agg(countDistinct(col("k"), col("sub")).as("nv"))
+    assert(perFile.filter(col("nv") =!= 1).count() === 0,
+      "every data file must hold exactly one (k, sub) pair")
+    assert(files.size === 6,
+      s"clustered write should yield one file per (k, sub) pair: ${files.size} vs 6")
+  }
+
+  test("two-column co-partitioned tables join on BOTH keys with zero exchanges") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.mcdim (k BIGINT, sub STRING, w BIGINT) PARTITIONED BY (k, sub)")
+    spark.sql(
+      """INSERT INTO gspj.spj.mcdim
+        |SELECT CAST(id % 3 AS BIGINT), CASE WHEN id < 3 THEN 'a' ELSE 'b' END,
+        |       id * 100 FROM range(6)""".stripMargin)
+    withSpjConf {
+      val j = spark.table("gspj.spj.mc")
+        .join(spark.table("gspj.spj.mcdim"), Seq("k", "sub"))
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"composite-key SPJ must not shuffle either side:\n$p")
+      assert(j.count() === 60, "every (k, sub) pair of the fact matches one dim row")
+    }
+  }
+
+  test("join on the LEADING key alone stays exchange-free (join keys ⊂ partition keys)") {
+    root
+    // A dim partitioned on k only; the fact is partitioned on (k, sub).
+    spark.sql("CREATE TABLE gspj.spj.mck (k BIGINT, d STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gspj.spj.mck VALUES (0, 'x'), (1, 'y'), (2, 'z')")
+    withSpjConf {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled", "true")
+      // Co-partition check must accept join keys ⊂ partition keys.
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val j = spark.table("gspj.spj.mc").join(spark.table("gspj.spj.mck"), "k")
+        val p = j.queryExecution.executedPlan.toString
+        val i = p.indexOf("SortMergeJoin")
+        assert(i >= 0 && !p.substring(i).contains("Exchange"),
+          s"leading-key join over a (k, sub)-partitioned table must stay SPJ:\n$p")
+        assert(j.count() === 60)
+      } finally {
+        spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled")
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+    }
+  }
+
+  test("partition-filter pruning answers at plan time; filesPruned reports it") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    root
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 6 single-pair files; a filter on the LEADING partition column must
+      // open only the matching value's files — the metric proves the prune.
+      val sel = spark.table("gspj.spj.mc").filter(col("k") === 1L)
+      assert(sel.collect().length === 20) // collect(): execute THIS queryExecution
+      val scan = sel.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head
+      assert(scan.metrics("filesPruned").value === 4,
+        s"k=1 must prune the 4 files of k∈{0,2}, got ${scan.metrics("filesPruned").value}")
+      assert(scan.metrics("filesRead").value === 2)
+      // Set semantics beyond the range band: IN (0, 2) straddles k=1's
+      // range, but the PROVEN partition value evaluates membership
+      // exactly, so k=1's files never open.
+      val in = spark.table("gspj.spj.mc")
+        .filter(col("k").isin(0L, 2L))
+      assert(in.collect().length === 40)
+      val scan2 = in.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head
+      assert(scan2.metrics("filesPruned").value === 2,
+        s"IN (0,2) must prune k=1's 2 files, got ${scan2.metrics("filesPruned").value}")
+      // Both partition columns participate: the pair filter opens ONE file.
+      val pair = spark.table("gspj.spj.mc")
+        .filter(col("k") === 2L && col("sub") === "b")
+      assert(pair.collect().length === 10)
+      val scan3 = pair.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head
+      assert(scan3.metrics("filesRead").value === 1 &&
+        scan3.metrics("filesPruned").value === 5,
+        s"(k,sub) point filter must open exactly one file, got " +
+          s"read=${scan3.metrics("filesRead").value} pruned=${scan3.metrics("filesPruned").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("a mixed-value file degrades the report, never the results") {
     root
     val path = s"$root/spj/mixed"
