@@ -754,9 +754,83 @@ object Similarity {
        |SELECT a AS vec_id, LEAST(MIN(b), a) AS component
        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
 
+  /** Recall@k EVALUATION of the IVF index against brute-force ground
+    * truth — the acceptance gate every ANN deployment runs before
+    * trusting an index: per query, how many of the exact top-5 cosine
+    * neighbors does the nprobe=1 cell search recover? Emits per-query
+    * hit counts and recall plus the ground-truth set size; an operator,
+    * not a test, because production re-evaluates recall ON A SAMPLE
+    * whenever the corpus or the quantizer shifts (index drift is data
+    * drift).
+    *
+    * Scale shape: ground truth scans the corpus once per probe against
+    * the BROADCAST query set through the bounded heap (the exact
+    * [[knnBruteForce]] plan — at 100 TB this is why recall runs on a
+    * query SAMPLE); the IVF side touches one cell per query; the overlap
+    * is a tiny (queries × k) self-join. recall = hits/5 is ONE exact IEEE
+    * division of small integers — identical in both engines. */
+  def knnRecallEval: Q = (s, dir) => {
+    val k = 5
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv")))
+    val exactScored = probes.join(emb, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotp(col("qv"), col("vn")).as("cos"))
+    val exact = TopKPerGroup(exactScored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val assigned = ivfAssigned(emb, ivfCentroids(emb))
+    val aprobes = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")))
+    val approxScored = aprobes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotp(col("qv"), col("vn")).as("cos"))
+    val approx = TopKPerGroup(approxScored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), k)
+      .select(col("query_id"), col("neighbor_id"))
+    exact
+      .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / k).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  val knnRecallEvalSql: String =
+    s"""WITH $normalizedSql,
+       |$assignedCtesSql,
+       |p AS (SELECT vec_id AS query_id, vn AS qv FROM e WHERE vec_id < 10),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_dot_product(p.qv, b.vn) DESC, b.vec_id) AS rn
+       |    FROM p JOIN e b ON b.vec_id <> p.query_id) t WHERE rn <= 5),
+       |ap AS (SELECT vec_id AS query_id, vn AS qv, cell FROM assigned WHERE vec_id < 10),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT ap.query_id, a.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY ap.query_id
+       |        ORDER BY list_dot_product(ap.qv, a.vn) DESC, a.vec_id) AS rn
+       |    FROM ap JOIN assigned a
+       |      ON ap.cell = a.cell AND a.vec_id <> ap.query_id) t WHERE rn <= 5)
+       |SELECT x.query_id, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5
+       |    AS recall_at_5
+       |FROM exact x LEFT JOIN approx a
+       |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "vec_quantize"           -> vecQuantize,
     "embedding_dedup_clusters" -> embeddingDedupClusters,
+    "knn_recall_eval"        -> knnRecallEval,
     "knn_brute_force"        -> knnBruteForce,
     "knn_ivf"                -> knnIvf,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobe,
@@ -775,6 +849,7 @@ object Similarity {
     "vec_quantize"           -> vecQuantizeSql,
     "embedding_dedup_clusters" -> embeddingDedupClustersSql,
     "knn_brute_force"        -> knnBruteForceSql,
+    "knn_recall_eval"        -> knnRecallEvalSql,
     "knn_ivf"                -> knnIvfSql,
     "knn_ivf_multiprobe"     -> knnIvfMultiprobeSql,
     "knn_ivf_trained"        -> knnIvfTrainedSql,

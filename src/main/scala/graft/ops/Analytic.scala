@@ -1332,6 +1332,49 @@ object Analytic {
       |FROM ranked WHERE 5 * cum >= 4 * tot
       |ORDER BY rk LIMIT 1""".stripMargin
 
+  /** DAU/WAU stickiness — the engagement ratio every growth dashboard
+    * tracks: per active day, distinct daily actives over distinct
+    * TRAILING-7-DAY actives, ratio as an exact integer division at 1e-6
+    * resolution (no FP rounding boundary to diverge on).
+    *
+    * Scale shape: the corpus collapses to the (user, day) grain first
+    * (map-side-combinable distinct); the trailing window then EXPLODES
+    * each user-day into its ≤7 target days — a bounded constant fanout of
+    * the collapsed grain, NOT of the raw events — and both censuses are
+    * plain distinct aggregates sharing the day hash exchange. This is the
+    * standard sliding-distinct-count shape: fanout-by-window-size beats a
+    * per-day range self-join (7× linear vs quadratic in active days). */
+  def qStickiness: Q = (s, dir) => {
+    val ud = Tables(s, dir).events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1992-01-01")).cast("long").as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("td"))
+      .groupBy(col("td")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("d") === col("td"))
+      .select(col("d"), col("dau"), col("wau"),
+        (expr("(dau * 1000000) div wau").cast("double") / 1000000.0)
+          .as("stickiness"))
+      .orderBy(col("d"))
+  }
+
+  val qStickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1992-01-01' AS BIGINT) AS d
+      |  FROM events),
+      |dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+      |wau AS (
+      |  SELECT td, COUNT(DISTINCT user_id) AS wau FROM (
+      |    SELECT user_id, UNNEST(generate_series(d, d + 6)) AS td FROM ud) t
+      |  GROUP BY td)
+      |SELECT d, dau, wau,
+      |  CAST((dau * 1000000) // wau AS DOUBLE) / 1000000.0 AS stickiness
+      |FROM dau JOIN wau ON d = td
+      |ORDER BY d""".stripMargin
+
   /** Week-over-week growth per event type — the KPI delta every
     * dashboard leads with: weekly cent-exact totals, previous week via
     * one lag on the shared type exchange, growth = (cur − prev)/prev as
@@ -1818,6 +1861,7 @@ object Analytic {
     "q_rfm_segments_cut" -> qRfmSegmentsCut,
     "q_stock_balance"   -> qStockBalance,
     "q_wow_growth"      -> qWowGrowth,
+    "q_stickiness"      -> qStickiness,
     "q_pareto_share"    -> qParetoShare,
     "q_market_basket"   -> qMarketBasket,
     "q_bounce_rate"     -> qBounceRate,
@@ -1865,6 +1909,7 @@ object Analytic {
     "q_rfm_segments_cut" -> qRfmSegmentsCutSql,
     "q_stock_balance"   -> qStockBalanceSql,
     "q_wow_growth"      -> qWowGrowthSql,
+    "q_stickiness"      -> qStickinessSql,
     "q_pareto_share"    -> qParetoShareSql,
     "q_market_basket"   -> qMarketBasketSql,
     "q_bounce_rate"     -> qBounceRateSql,

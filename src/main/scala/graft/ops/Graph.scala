@@ -462,12 +462,86 @@ object Graph {
        |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Link prediction by the RESOURCE-ALLOCATION index (Zhou–Lü–Zhang) —
+    * the common-neighbor measure that downweights promiscuous hubs
+    * WITHOUT libm: RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z) (Adamic–Adar's
+    * 1/log deg sibling, chosen because 1/deg is one exact IEEE division
+    * both engines replay bit-for-bit). Scores only NON-adjacent pairs —
+    * the candidate future edges — over the strong-tie co-supply graph,
+    * top-20 by (score, pair).
+    *
+    * Scale shape: candidate pairs come from WEDGES (two hops through a
+    * shared neighbor z, u < v orientation bounds each wedge to one row),
+    * so the pair space is Σ_z C(deg(z), 2) — degree-bounded, never the
+    * quadratic node cross product; existing edges drop via one LEFT ANTI
+    * join; per-pair contributions fold as DECIMAL(18,9)-quantized partial
+    * sums (merge-order-independent — the lmScore discipline), map-side
+    * combinable; the final cut is a bounded TakeOrderedAndProject. */
+  def qLinkPrediction: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = supp.as("a")
+      .join(supp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= StrongTie)
+      .select(col("u"), col("v"))
+      .persist()
+    val adj = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Wedge generation through the shared neighbor z, oriented u < v so
+    // each candidate pair appears once per common neighbor.
+    val viaZ = adj.select(col("dst").as("z"), col("src").as("n"))
+      .join(deg.select(col("src").as("z"), col("deg")), "z")
+    val cand = viaZ.as("l")
+      .join(viaZ.as("r"), col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("u"), col("r.n").as("v"),
+        round(lit(1.0) / col("l.deg"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("c"))
+    cand
+      .join(pairs, Seq("u", "v"), "left_anti") // only NOT-yet-linked pairs
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("c")).cast("double").as("ra_score"))
+      .orderBy(col("ra_score").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val qLinkPredictionSql: String =
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM supp a JOIN supp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $StrongTie),
+       |adj AS (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v AS src, u AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+       |viaz AS (
+       |  SELECT a.dst AS z, a.src AS n, d.deg
+       |  FROM adj a JOIN deg d ON a.dst = d.src),
+       |cand AS (
+       |  SELECT l.n AS u, r.n AS v,
+       |    CAST(ROUND(CAST(1.0 AS DOUBLE) / l.deg, 9) AS DECIMAL(18,9)) AS c
+       |  FROM viaz l JOIN viaz r ON l.z = r.z AND l.n < r.n)
+       |SELECT u, v, COUNT(*) AS n_common,
+       |  CAST(SUM(c) AS DOUBLE) AS ra_score
+       |FROM cand
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = cand.u AND p.v = cand.v)
+       |GROUP BY u, v
+       |ORDER BY ra_score DESC, u, v LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_degree_hist" -> qDegreeHist,
     "q_pagerank" -> qPageRank,
     "q_triangle_count" -> qTriangleCount,
     "q_label_prop" -> qLabelProp,
     "q_bfs_hops" -> qBfsHops,
+    "q_link_prediction" -> qLinkPrediction,
     "q_kcore" -> qKcore)
   val oracles: Map[String, String] = Map(
     "q_degree_hist" -> qDegreeHistSql,
@@ -475,5 +549,6 @@ object Graph {
     "q_triangle_count" -> qTriangleCountSql,
     "q_label_prop" -> qLabelPropSql,
     "q_bfs_hops" -> qBfsHopsSql,
+    "q_link_prediction" -> qLinkPredictionSql,
     "q_kcore" -> qKcoreSql)
 }
