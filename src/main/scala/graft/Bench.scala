@@ -42,7 +42,13 @@ object Bench {
     // noise from plan regressions without re-measuring. A query that
     // throws reports -1.
     val samplesPerQuery = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just
+    // those queries (the driver never sets it — full suite per round).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val benched = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+    val results = benched.map { case (name, fn) =>
       // One untimed warmup execution PER QUERY before its timed samples:
       // the generic warmup above absorbs JVM/parquet startup, but each
       // query's own first run still pays its codegen compile, broadcast
@@ -88,10 +94,9 @@ object Bench {
     // a contended one normalized 25 flat queries above 2×). This
     // automates the per-round BENCH_NOTES archaeology: an empty list IS
     // the no-regression claim.
-    val regressions: Seq[String] = try {
-      val p = java.nio.file.Paths.get("bench_full.json")
-      if (java.nio.file.Files.exists(p)) {
-        val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    def regressionsVs(path: java.nio.file.Path): Seq[String] = try {
+      if (java.nio.file.Files.exists(path)) {
+        val prev = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prev).map(_.group(1))
         val prevCanary = "\"canary\":([-0-9.eE]+)".r.findFirstMatchIn(prev)
           .map(_.group(1).toDouble).getOrElse(-1.0)
@@ -101,29 +106,64 @@ object Bench {
           results.toSeq.sortBy(_._1).flatMap { case (name, v) =>
             val cur = v.head
             prevMins.get(name).filter(_ > 0).flatMap { pm =>
-              val rawRatio = cur / pm
-              val normRatio = (cur / canary) / (pm / prevCanary)
-              if (cur >= 0.3 && rawRatio > 2.0 && normRatio > 2.0)
-                Some(s"""{"q":"$name","prev_min":$pm,"min":$cur,"raw_ratio":${math.rint(rawRatio * 100) / 100},"norm_ratio":${math.rint(normRatio * 100) / 100}}""")
-              else None
+              // A previously-working query that now THROWS is always a
+              // regression — it must not vanish behind the ≥0.3 s noise
+              // floor (its min reports -1, which the slowdown filter
+              // would silently drop).
+              if (cur < 0)
+                Some(s"""{"q":"$name","prev_min":$pm,"min":-1,"failed":true}""")
+              else {
+                val rawRatio = cur / pm
+                val normRatio = (cur / canary) / (pm / prevCanary)
+                if (cur >= 0.3 && rawRatio > 2.0 && normRatio > 2.0)
+                  Some(s"""{"q":"$name","prev_min":$pm,"min":$cur,"raw_ratio":${math.rint(rawRatio * 100) / 100},"norm_ratio":${math.rint(normRatio * 100) / 100}}""")
+                else None
+              }
             }
           }
         } else Seq.empty
       } else Seq.empty
     } catch { case _: Throwable => Seq.empty }
+    // Intra-round gate: diff against this round's previous run.
+    val regressions = regressionsVs(java.nio.file.Paths.get("bench_full.json"))
+    // Cross-round gate: diff against the PRIOR round's closing run —
+    // bench_full_r<N>.json, snapshotted at round start from the
+    // bench_full.json the driver's closing run left behind (BENCH_NOTES
+    // records the ritual). Without this anchor, a plan change early in a
+    // round rebaselines bench_full.json and the round-over-round move is
+    // never flagged (judge-r11 finding: text_vocab_growth's 2.2× rewire
+    // cost was invisible to the intra-round gate).
+    val anchor: Option[(String, java.nio.file.Path)] = try {
+      val dir = java.nio.file.Paths.get(".")
+      val rx = "bench_full_r(\\d+)\\.json".r
+      val snaps = java.nio.file.Files.list(dir).toArray.toSeq
+        .map(_.toString.stripPrefix("./"))
+        .collect { case s @ rx(n) => (n.toInt, s) }
+      snaps.sortBy(-_._1).headOption
+        .map { case (n, s) => (s"r$n", java.nio.file.Paths.get(s)) }
+    } catch { case _: Throwable => None }
+    val crossRegs = anchor.map { case (lbl, p) => lbl -> regressionsVs(p) }
     val regsJson = regressions.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson,"sf":"$sfDir"}"""
+    val crossJson = crossRegs.map { case (lbl, rs) =>
+      s""","regressions_vs_$lbl":${rs.mkString("[", ",", "]")}"""
+    }.getOrElse("")
+    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson$crossJson,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line
     // carrying the headline total: the driver tail-captures stdout, and a
     // total that only exists at the front of the long line gets truncated
     // away. The short line last is always inside any sane tail window.
     // The full JSON also lands in a file for post-hoc analysis.
     println(full)
-    try {
+    // A filtered (SPARK_GRAFT_BENCH_ONLY) run must never clobber the
+    // full-suite baseline the regression gates diff against.
+    if (only.isEmpty) try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"regressions_n":${regressions.size},"full":"bench_full.json"}""")
+    val crossN = crossRegs.map { case (lbl, rs) =>
+      s""","regressions_vs_${lbl}_n":${rs.size}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"regressions_n":${regressions.size}$crossN,"full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FrequentItems].getName, "graft_freq_items"),
       (children: Seq[Expression]) => FrequentItems(children(0), children(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "graft_bottomk"),
+      (children: Seq[Expression]) => BottomKSample(children(0), children(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_image_meta"),
       new ExpressionInfo(classOf[ImageMeta].getName, "graft_image_meta"),
       (children: Seq[Expression]) => ImageMeta(children(0))))

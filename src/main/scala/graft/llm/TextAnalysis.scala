@@ -1048,26 +1048,27 @@ object TextAnalysis {
        |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  /** The 100 TB path of [[ccnetBuckets]] — the cutpoint swap its Scaladoc
-    * promised: tercile CUTPOINTS of the LM score from ONE exact-percentile
-    * aggregate (approx_percentile at real scale, identical plan shape),
-    * broadcast onto the scored corpus, head/middle/tail assigned MAP-SIDE
-    * by two double comparisons — no global ntile sort of the corpus.
-    * quantile_disc returns an actual score value in both engines (no
+  /** The 100 TB path of [[ccnetBuckets]] — BOTH stages distributed:
+    * tercile CUTPOINTS of the LM score come from
+    * [[graft.ops.DistributedCumulate.exactDiscCuts]] (distinct-score
+    * hash fold → range-bucketed cumulative counts → threshold
+    * selection; an ungrouped `percentile_disc` would buffer every score
+    * in ONE task's sort-aggregate), broadcast onto the scored corpus,
+    * head/middle/tail assigned MAP-SIDE by two double comparisons — no
+    * global ntile sort of the corpus, no single-task quantile stage.
+    * The cutpoints are actual score values in both engines (disc, no
     * interpolation), and lm_score itself is cross-engine bit-exact (the
-    * [[lmScore]] hash gate), so the comparisons are exact. Value-threshold
-    * terciles group all ties of a cutpoint together; the ntile form stays
-    * as the equal-count certifier. The p literals are written identically
-    * on both sides (0.3333333333333333 / 0.6666666666666666), so both
-    * engines evaluate the same IEEE double. */
+    * [[lmScore]] hash gate), so the comparisons are exact.
+    * Value-threshold terciles group all ties of a cutpoint together;
+    * the ntile form stays as the equal-count certifier. The q literals
+    * are written identically on both sides (0.3333333333333333 /
+    * 0.6666666666666666), so both engines evaluate the same IEEE
+    * double. */
   def ccnetBucketsCut: Q = (s, dir) => {
     val scored = lmScore(s, dir)
-    scored.createOrReplaceTempView("graft_ccnet_scored")
-    val cuts = s.sql(
-      """SELECT
-        |  percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY lm_score) AS c1,
-        |  percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY lm_score) AS c2
-        |FROM graft_ccnet_scored""".stripMargin)
+    val cuts = graft.ops.DistributedCumulate.exactDiscCuts(scored, "lm_score",
+      Seq(0.3333333333333333 -> "c1", 0.6666666666666666 -> "c2"),
+      s.sessionState.conf.numShufflePartitions)
     scored.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         lit(3L) - (col("lm_score") > col("c1")).cast("long")

@@ -1143,21 +1143,24 @@ object Analytic {
       |  FROM orders) t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  /** The 100 TB path of [[qHistogramEquidepth]] — the cutpoint swap its
-    * Scaladoc promised: nine exact-decile CUTPOINTS from ONE percentile
-    * aggregate (at real scale, approx_percentile in the same plan shape),
-    * broadcast, and every row buckets MAP-SIDE by value comparisons — no
-    * global ntile sort anywhere. Value-threshold buckets put all ties of
-    * a cutpoint together (the histogram real optimizers build); the ntile
-    * form stays as the equal-count certifier. quantile_disc returns an
-    * actual data value in both engines, so the double comparisons are
-    * exact — no interpolation arithmetic to diverge. */
+  /** The 100 TB path of [[qHistogramEquidepth]] — BOTH stages now
+    * distributed: nine exact-decile CUTPOINTS from
+    * [[DistributedCumulate.exactDiscCuts]] (distinct-value hash
+    * aggregate → range-bucketed cumulative counts → threshold
+    * selection — no stage buffers more than one bucket's distinct
+    * values, unlike an ungrouped `percentile_disc`, which sorts the
+    * WHOLE relation in ONE task's aggregate buffer), broadcast, and
+    * every row buckets MAP-SIDE by value comparisons — no global ntile
+    * sort anywhere. Value-threshold buckets put all ties of a cutpoint
+    * together (the histogram real optimizers build); the ntile form
+    * stays as the equal-count certifier. The cutpoints are actual data
+    * values in both engines (disc, not interpolated), so the double
+    * comparisons are exact. */
   def qHistogramEquidepthCut: Q = (s, dir) => {
     val o = Tables(s, dir).orders.select(col("o_totalprice"))
-    o.createOrReplaceTempView("graft_eqd_orders")
-    val cutCols = (1 to 9).map(i =>
-      s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY o_totalprice) AS c$i").mkString(",\n  ")
-    val cuts = s.sql(s"SELECT\n  $cutCols\nFROM graft_eqd_orders")
+    val cuts = DistributedCumulate.exactDiscCuts(o, "o_totalprice",
+      (1 to 9).map(i => s"0.$i".toDouble -> s"c$i"),
+      s.sessionState.conf.numShufflePartitions)
     val bucket = (1 to 9).foldLeft(lit(1L): Column) { (acc, i) =>
       acc + (col("o_totalprice") > col(s"c$i")).cast("long")
     }
@@ -1528,33 +1531,29 @@ object Analytic {
       |  ROUND(CAST(SUM(m_cents) AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_spend
       |FROM scored GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
 
-  /** The 100 TB path of [[qRfmSegments]] — the cutpoint swap its Scaladoc
-    * promised, now an operator of its own (the `text_lm_score_capped`
-    * discipline): quartile CUTPOINTS come from one exact-percentile
-    * aggregate over the customer fold (9 scalar values — at real scale
-    * the same numbers come from approx_percentile in the identical plan
-    * shape), BROADCAST onto the relation, and each customer buckets
-    * MAP-SIDE by three integer comparisons per metric — no global window,
-    * no single-task sort, the corpus-sized side is never re-shuffled.
-    * Bucket semantics: value-threshold quartiles (all ties of a cutpoint
-    * land together), the production form; the ntile rank in
-    * [[qRfmSegments]] stays as the equal-count certifier. All three
-    * metrics are int64, so every comparison is exact in both engines. */
+  /** The 100 TB path of [[qRfmSegments]] — BOTH stages distributed:
+    * quartile CUTPOINTS per metric come from
+    * [[DistributedCumulate.exactDiscCuts]] (distinct-value hash fold →
+    * range-bucketed cumulative counts → threshold selection; an
+    * ungrouped `percentile_disc` would instead buffer the WHOLE
+    * customer fold in one task's sort-aggregate), the three one-row
+    * cutpoint relations cross-join into one 9-value row, BROADCAST onto
+    * the relation, and each customer buckets MAP-SIDE by three integer
+    * comparisons per metric — no global window, no single-task sort,
+    * the corpus-sized side is never re-shuffled. Bucket semantics:
+    * value-threshold quartiles (all ties of a cutpoint land together),
+    * the production form; the ntile rank in [[qRfmSegments]] stays as
+    * the equal-count certifier. All three metrics are int64, so every
+    * comparison is exact in both engines. */
   def qRfmSegmentsCut: Q = (s, dir) => {
     val cust = rfmCustomer(s, dir)
-    cust.createOrReplaceTempView("graft_rfm_cust")
-    val cuts = s.sql(
-      """SELECT
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days) AS r25,
-        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY r_days) AS r50,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days) AS r75,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY f) AS f25,
-        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY f) AS f50,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY f) AS f75,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY m_cents) AS m25,
-        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY m_cents) AS m50,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY m_cents) AS m75
-        |FROM graft_rfm_cust""".stripMargin)
+    val B = s.sessionState.conf.numShufflePartitions
+    def metricCuts(m: String, pfx: String) =
+      DistributedCumulate.exactDiscCuts(cust, m,
+        Seq(0.25 -> s"${pfx}25", 0.5 -> s"${pfx}50", 0.75 -> s"${pfx}75"), B)
+    val cuts = metricCuts("r_days", "r")
+      .crossJoin(metricCuts("f", "f"))
+      .crossJoin(metricCuts("m_cents", "m"))
     def asc(v: Column, c1: Column, c2: Column, c3: Column): Column =
       lit(1L) + (v > c1).cast("long") + (v > c2).cast("long") + (v > c3).cast("long")
     def desc(v: Column, c1: Column, c2: Column, c3: Column): Column =
@@ -1757,11 +1756,20 @@ object Analytic {
         min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p_us"))
       .filter(col("v_us").isNotNull && col("p_us").isNotNull && col("p_us") > col("v_us"))
       .select(((col("p_us") - col("v_us")).cast("double") / 60000000.0).as("mins"))
+    // Conversion-time percentiles run over the per-USER grain —
+    // unbounded at scale; exactContCuts distributes the exact
+    // interpolated quantiles (PlanShapeSpec's percentile audit).
+    val cuts = DistributedCumulate.exactContCuts(firsts, "mins",
+      Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"),
+      s.sessionState.conf.numShufflePartitions)
     firsts.agg(
       count(lit(1)).as("n_converted"),
-      round(expr("percentile(mins, 0.5)"), 6).as("p50_mins"),
-      round(expr("percentile(mins, 0.9)"), 6).as("p90_mins"),
       round(max(col("mins")), 6).as("max_mins"))
+      .crossJoin(cuts)
+      .select(col("n_converted"),
+        round(col("p50_raw"), 6).as("p50_mins"),
+        round(col("p90_raw"), 6).as("p90_mins"),
+        col("max_mins"))
   }
 
   val qConversionTimeSql: String =

@@ -9,37 +9,102 @@ import org.apache.spark.sql.functions._
   * relation through one task's sort (a single-executor memory cliff at
   * 10⁹ rows no matter how correct the answer is).
   *
-  * Level 1: `repartitionByRange` on the cumulative order splits the
-  * relation into range buckets and each bucket computes its LOCAL running
-  * sums / row numbers under a window partitioned by bucket id — every
-  * task sorts only its own slice, so parallelism scales with the bucket
-  * count, not 1. Level 2: per-bucket totals (ONE row per bucket — bounded
-  * by configuration, never by data) are folded into exclusive prefix
+  * Level 1: each row is assigned a range-bucket id by comparing the
+  * leading order key against B−1 BOUNDARY values derived from a
+  * deterministic bottom-K-by-hash sample ([[graft.functions.BottomKSample]])
+  * — a pure map-side function of the row, so the assignment needs no
+  * `repartitionByRange` (whose RangePartitioner runs a SECOND full pass
+  * over the child just to sample boundaries) and is structurally
+  * identical in every subtree that re-evaluates it (an
+  * `approx_percentile` boundary would be merge-order nondeterministic;
+  * the bottom-k sample is a pure multiset function of the data). Each
+  * bucket then computes its LOCAL running sums / row numbers under a
+  * window partitioned by bucket id — one ordinary hash exchange, every
+  * task sorts only its own slice, parallelism scales with the bucket
+  * count. Level 2: per-bucket totals (ONE row per bucket — bounded by
+  * configuration, never by data) are folded into exclusive prefix
   * offsets via a tiny triangular self-join (no window at all: the
   * preceding-bucket aggregate is a `b.__bkt < a.__bkt` join over ≤B²
-  * rows, B = bucket count) and BROADCAST back; the global cumulative is
-  * local + offset, added map-side.
+  * rows) and BROADCAST back; the global cumulative is local + offset,
+  * added map-side.
   *
-  * Exactness: range partitioning is key-total (equal order keys land in
-  * one bucket) and buckets are ordered by the same keys the local windows
-  * sort by, so with a tie-broken total order the composition IS the
-  * global cumulative — the sampled bucket boundaries affect scheduling,
-  * never values. Sources must be integral so the re-association of the
-  * sum is exact.
+  * Exactness: the bucket id is monotone in the leading order key and
+  * ties share a bucket, so buckets partition the total order into
+  * ordered runs; the local windows sort by the FULL order inside each
+  * bucket, so the composition IS the global cumulative — the sampled
+  * boundaries affect load balance only, never values. Sources must be
+  * integral so the re-association of the sum is exact. Balance: the
+  * sample is uniform over rows (error ~K^-1/2), and ties on the leading
+  * key are indivisible — the same limit a range partitioner has.
   */
 object DistributedCumulate {
+
+  import org.apache.spark.sql.GraftDatasetBridge
+
+  /** Appends a `__bkt` column: a deterministic, order-monotone bucket id
+    * in [0, buckets) derived from bottom-k-sampled boundaries on the
+    * LEADING order key (nulls get a dedicated first/last bucket matching
+    * Spark's NULLS FIRST asc / NULLS LAST desc defaults). One aggregate
+    * over `df` + one one-row broadcast; no sampling re-execution of
+    * `df`'s plan. `extraAggs` piggybacks additional one-row aggregates
+    * of `df` on the SAME broadcast row (each appears as a constant
+    * output column): callers that need a global scalar (a total count,
+    * say) get it without adding another consumer of `df` — and, crucial
+    * for exchange reuse, the extra refs keep the sketch aggregate's
+    * column-pruned footprint identical to the main branch's, so both
+    * canonicalize to ONE shared exchange instead of re-evaluating `df`'s
+    * upstream per branch (measured: the pruning mismatch costs a full
+    * second pass over the input).
+    */
+  private def withBucket(df: DataFrame, buckets: Int, order: Seq[Column],
+      extraAggs: Seq[(Column, String)]): DataFrame = {
+    val (leadCol, desc) = GraftDatasetBridge.sortInfo(order.head)
+    val lead = leadCol.cast("double")
+    val k = math.max(4096, buckets * 64)
+    val aggs = call_function("graft_bottomk", lead, lit(k)).as("__smp") +:
+      extraAggs.map { case (c, nm) => c.as(nm) }
+    val sampled = df.agg(aggs.head, aggs.tail: _*)
+    // B−1 equi-rank elements of the sorted sample (dedup'd — ties just
+    // leave some bucket ids unused), computed ONCE on the one-row side.
+    val bounds = sampled.select(
+      when(size(col("__smp")) === 0, array().cast("array<double>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), lit(math.max(buckets - 1, 1))),
+          i => element_at(col("__smp"),
+            greatest(lit(1), (i * size(col("__smp")) / buckets).cast("int"))))))
+        .as("__bnds") +: extraAggs.map { case (_, nm) => col(nm) }: _*)
+    val cmp: Column => Column =
+      if (desc) b => b > lead else b => b < lead
+    val base =
+      if (buckets <= 1) lit(0)
+      else when(lead.isNull, lit(if (desc) buckets else -1))
+        .otherwise(size(filter(col("__bnds"), cmp)))
+    // Pruning anchor: identically zero (`least` ignores the null of an
+    // empty input), but it makes EVERY consumer of __bkt reference the
+    // extras too, so all branches keep the identical broadcast row and
+    // canonicalize onto ONE bucket exchange. Without it, a branch that
+    // doesn't use the extras gets a column-pruned broadcast variant
+    // whose sketch subtree re-evaluates the whole input (measured: a
+    // full second pass).
+    val bkt = extraAggs.foldLeft(base) { case (b, (_, nm)) =>
+      b + least(lit(0), col(nm) * lit(0)).cast("int")
+    }
+    df.crossJoin(broadcast(bounds)).withColumn("__bkt", bkt).drop("__bnds")
+  }
 
   /** Appends to `df`, under the total order `order` (must include a
     * unique tiebreaker): a 1-based global rank column `rankOut` and one
     * global inclusive running-sum column per `(sourceCol, outCol)` in
     * `sums`. Source columns must be integral (long) for exact
-    * re-association. `buckets` is the range-partition fan-out — pass the
-    * session's shuffle parallelism.
+    * re-association. `buckets` is the bucket fan-out — pass the
+    * session's shuffle parallelism. `extraAggs` rides extra one-row
+    * aggregates of `df` through as constant columns (see
+    * [[withBucket]]).
     */
   def runningTotals(df: DataFrame, buckets: Int, order: Seq[Column],
-      sums: Seq[(String, String)], rankOut: String): DataFrame = {
-    val ranged = df.repartitionByRange(buckets, order: _*)
-      .withColumn("__bkt", spark_partition_id())
+      sums: Seq[(String, String)], rankOut: String,
+      extraAggs: Seq[(Column, String)] = Nil): DataFrame = {
+    val ranged = withBucket(df, buckets, order, extraAggs)
     val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sums.foldLeft(
@@ -50,15 +115,32 @@ object DistributedCumulate {
     // Per-bucket totals: one row per bucket. Exclusive prefix offsets via
     // the triangular join — deliberately not a window, so the whole plan
     // carries zero unpartitioned Window nodes (PlanShapeSpec asserts this
-    // suite-wide).
-    val totAggs = count(lit(1)).as("__n") +:
-      sums.map { case (src, out) => sum(col(src)).as(s"__t_$out") }
-    val totals = ranged.groupBy(col("__bkt")).agg(totAggs.head, totAggs.tail: _*)
+    // suite-wide). The totals are read off the WINDOW OUTPUT (a bucket's
+    // total = its running sum at its last local rank, via max_by), not
+    // re-aggregated from the sources: referencing the window columns
+    // keeps this branch's plan canonically identical to the main
+    // branch's through the bucket exchange, so the exchange is REUSED —
+    // aggregating the sources instead lets column pruning specialize the
+    // subtree (drop the window, drop unused broadcast fields) into a
+    // second full evaluation of the input (measured: one extra pass per
+    // pruning-distinct consumer).
+    val totAggs = max(col(rankOut)).as("__n") +:
+      sums.map { case (_, out) => max_by(col(out), col(rankOut)).as(s"__t_$out") }
+    val totals = local.groupBy(col("__bkt")).agg(totAggs.head, totAggs.tail: _*)
     val offAggs = coalesce(sum(col("b.__n")), lit(0L)).as(s"__o_$rankOut") +:
       sums.map { case (_, out) =>
         coalesce(sum(col(s"b.__t_$out")), lit(0L)).as(s"__o_$out")
       }
-    val offs = totals.as("a")
+    // The triangular join's LEFT side is the LITERAL bucket-id range
+    // ([-1, buckets] covers both null buckets), not `totals` again: an
+    // `a`-side built from totals would column-prune to a bare
+    // DISTINCT(__bkt) whose canonical plan no longer matches any other
+    // consumer's exchange — measured as a full re-evaluation of the
+    // input (a second parquet scan, or a recomputed upstream kernel).
+    // A literal range consumes nothing and inner-joins back to `local`.
+    val ids = df.sparkSession.range(-1L, buckets + 1L)
+      .select(col("id").cast("int").as("__bkt")).as("a")
+    val offs = ids
       .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left_outer")
       .groupBy(col("a.__bkt").as("__bkt"))
       .agg(offAggs.head, offAggs.tail: _*)
@@ -69,5 +151,98 @@ object DistributedCumulate {
       case (d, (_, out)) => d.withColumn(out, col(out) + col(s"__o_$out"))
     }
     shifted.drop("__bkt" +: (rankOut +: sums.map(_._2)).map(c => s"__o_$c"): _*)
+  }
+
+  /** Exact `percentile_disc` cutpoints, fully distributed — the scale
+    * path for quantile-cutpoint stages, replacing the ungrouped
+    * `percentile_disc` sort-aggregate (which buffers EVERY value of the
+    * relation in ONE task — the same single-executor cliff a global
+    * window has, moved one stage up).
+    *
+    * Shape: (1) collapse to DISTINCT values with counts — a map-side-
+    * combinable hash aggregate, the only pass over the full relation;
+    * (2) [[runningTotals]] over the distinct-value order gives each
+    * value its cumulative count, distributed across range buckets;
+    * (3) percentile_disc(q) is by definition the smallest value whose
+    * cumulative distribution reaches q — selected by the pair of
+    * threshold comparisons `cum >= q·n && cum - c < q·n` (exactly one
+    * distinct value satisfies both), then folded to one row. No stage
+    * sorts or buffers more than its bucket's distinct values; the result
+    * is bit-identical to `percentile_disc(q) WITHIN GROUP (ORDER BY v)`
+    * for q in (0, 1] (DistributedCumulateSpec pins equality on edge
+    * fixtures: ties, q·n integral, double-q terciles).
+    *
+    * The threshold `q·n` is evaluated in double exactly as Spark's
+    * `percentile_disc` evaluates its position (`percentage * count`), so
+    * the comparison agrees with the builtin even when the product is not
+    * representable. Nulls are dropped, matching the aggregate.
+    *
+    * Returns a ONE-row DataFrame with a column per `(q, name)` pair,
+    * typed as the value column — broadcast it onto the relation and
+    * bucket map-side by value comparisons.
+    */
+  def exactDiscCuts(df: DataFrame, valueCol: String,
+      qs: Seq[(Double, String)], buckets: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (q, _) => q > 0.0 && q <= 1.0 },
+      "percentile_disc cutpoints require q in (0, 1]")
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull).groupBy(v).agg(count(lit(1)).as("__c"))
+    // __n (the total row count) rides the kernel's boundary broadcast —
+    // one consumer of `counts`, one shared exchange (see withBucket).
+    val cum = runningTotals(counts, buckets, Seq(v), Seq("__c" -> "__cum"),
+      "__vrk", Seq(sum(col("__c")).cast("long") -> "__n"))
+    def hit(q: Double): Column = {
+      val target = lit(q) * col("__n").cast("double")
+      (col("__cum").cast("double") >= target) &&
+        ((col("__cum") - col("__c")).cast("double") < target)
+    }
+    val aggs = qs.map { case (q, name) => max(when(hit(q), v)).as(name) }
+    cum.filter(qs.map { case (q, _) => hit(q) }.reduce(_ || _))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact CONTINUOUS percentiles (`percentile(v, q)` — linear
+    * interpolation), fully distributed — same shape as
+    * [[exactDiscCuts]] but selecting TWO bracketing ranks per q and
+    * interpolating with Spark's own arithmetic, bit for bit:
+    * position `q·(n−1)` (0-based), bracketing values at 1-based ranks
+    * `floor(position)+1` / `ceil(position)+1`, result
+    * `(higher − position)·lo + (position − lower)·hi` with the builtin's
+    * two short-circuits (integral position; equal bracketing values)
+    * reproduced — the short-circuits matter because the weighted sum of
+    * an equal pair is NOT the value itself in IEEE arithmetic.
+    * DistributedCumulateSpec pins bit-equality against the builtin on
+    * interpolating fixtures. Output columns are double (as the
+    * builtin's); q may be 0 or 1 (min/max). Nulls dropped. */
+  def exactContCuts(df: DataFrame, valueCol: String,
+      qs: Seq[(Double, String)], buckets: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (q, _) => q >= 0.0 && q <= 1.0 },
+      "percentile positions require q in [0, 1]")
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull).groupBy(v).agg(count(lit(1)).as("__c"))
+    val cum = runningTotals(counts, buckets, Seq(v), Seq("__c" -> "__cum"),
+      "__vrk", Seq(sum(col("__c")).cast("long") -> "__n"))
+    def pos(q: Double): Column = lit(q) * (col("__n") - lit(1L)).cast("double")
+    def hitRank(rank: Column): Column =
+      (col("__cum") >= rank) && ((col("__cum") - col("__c")) < rank)
+    def hitLo(q: Double): Column = hitRank(floor(pos(q)) + lit(1L))
+    def hitHi(q: Double): Column = hitRank(ceil(pos(q)) + lit(1L))
+    val aggs = qs.flatMap { case (q, name) =>
+      Seq(max(when(hitLo(q), v.cast("double"))).as(s"__lo_$name"),
+        max(when(hitHi(q), v.cast("double"))).as(s"__hi_$name"))
+    } :+ max(col("__n")).as("__n")
+    val row = cum
+      .filter(qs.map(p => hitLo(p._1) || hitHi(p._1)).reduce(_ || _))
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = qs.map { case (q, name) =>
+      val p = pos(q)
+      val (lower, higher) = (floor(p), ceil(p))
+      val (lo, hi) = (col(s"__lo_$name"), col(s"__hi_$name"))
+      when(higher === lower || lo === hi, lo)
+        .otherwise((higher.cast("double") - p) * lo +
+          (p - lower.cast("double")) * hi)
+        .as(name)
+    }
+    row.select(outs: _*)
   }
 }

@@ -340,14 +340,22 @@ object Profile {
   def qJoinFanout: Q = (s, dir) => {
     val f = Tables(s, dir).lineitem
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+    // The fanout percentiles run over the collapsed KEY grain —
+    // unbounded at scale, so an ungrouped percentile() would buffer
+    // every key's fanout in one task. exactContCuts distributes the
+    // exact interpolated quantiles (PlanShapeSpec's percentile audit).
+    val cuts = DistributedCumulate.exactContCuts(f, "f",
+      Seq(0.5 -> "p50_f", 0.9 -> "p90_f"),
+      s.sessionState.conf.numShufflePartitions)
     f.agg(
       count(lit(1)).as("n_keys"),
       min(col("f")).as("min_f"),
-      expr("percentile(f, 0.5)").as("p50_f"),
-      expr("percentile(f, 0.9)").as("p90_f"),
       max(col("f")).as("max_f"),
       round(sum(col("f") * col("f")).cast("double") / sum(col("f")), 6)
         .as("expected_multiplier"))
+      .crossJoin(cuts)
+      .select(col("n_keys"), col("min_f"), col("p50_f"), col("p90_f"),
+        col("max_f"), col("expected_multiplier"))
   }
 
   val qJoinFanoutSql: String =

@@ -53,6 +53,91 @@ class DistributedCumulateSpec extends SparkTestBase {
     assert(kernel(empty, 8).count() === 0)
   }
 
+  test("equality holds with exchange reuse disabled (two-subtree hazard)") {
+    // `local` and `totals` both consume the range exchange; correctness
+    // must not silently depend on ReuseExchange unifying them — with a
+    // deterministic input, re-evaluation re-derives identical buckets.
+    val rows = (1L to 300L).map(id => (id, id % 5, (id % 13) - 6))
+    val prev = spark.conf.get("spark.sql.exchange.reuse")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      check(rows, 16)
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
+
+  test("exactDiscCuts is bit-identical to percentile_disc on edge fixtures") {
+    // Fixtures chosen to hit the boundary cases of the disc rule
+    // (smallest value whose cumulative distribution reaches q): heavy
+    // ties, q·n exactly integral, double-q terciles that are NOT exact
+    // thirds, n=1, q=1.0, negative values.
+    val qsets: Seq[Seq[Double]] = Seq(
+      (1 to 9).map(i => s"0.$i".toDouble),
+      Seq(0.25, 0.5, 0.75),
+      Seq(0.3333333333333333, 0.6666666666666666),
+      Seq(0.01, 0.99, 1.0))
+    val fixtures: Seq[Seq[Double]] = Seq(
+      (1 to 10).map(_.toDouble),                      // q·n integral at deciles
+      (1 to 7).map(_.toDouble),                       // prime n
+      Seq(5.0),                                       // single row
+      Seq(1.0, 1.0, 1.0, 2.0),                        // ties across a cutpoint
+      (1 to 12).map(i => (i % 3).toDouble),           // 3 distinct values, 12 rows
+      (1 to 100).map(i => (i % 10).toDouble - 4.5),   // negatives, dense ties
+      (1 to 30).map(i => math.floor(i / 7.0)))        // skewed run lengths
+    for (vals <- fixtures; qs <- qsets) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val named = qs.zipWithIndex.map { case (q, i) => q -> s"c$i" }
+      val got = DistributedCumulate.exactDiscCuts(df, "v", named, 4).collect()(0)
+      df.createOrReplaceTempView("graft_cuts_fixture")
+      val sql = qs.zipWithIndex.map { case (q, i) =>
+        s"percentile_disc($q) WITHIN GROUP (ORDER BY v) AS c$i"
+      }.mkString(", ")
+      val want = spark.sql(s"SELECT $sql FROM graft_cuts_fixture").collect()(0)
+      assert(got === want, s"vals=$vals qs=$qs")
+    }
+  }
+
+  test("exactContCuts is bit-identical to percentile() on interpolating fixtures") {
+    // Interpolation arithmetic ((higher−pos)·lo + (pos−lower)·hi, with
+    // the builtin's two short-circuits) must agree to the last ulp —
+    // fixtures force fractional positions, equal bracketing values,
+    // q=0/1 extremes, and non-representable weighted sums.
+    val qsets: Seq[Seq[Double]] = Seq(
+      Seq(0.5, 0.9), Seq(0.0, 1.0), Seq(0.25, 0.75),
+      Seq(0.3333333333333333, 0.1), Seq(0.37, 0.63))
+    val fixtures: Seq[Seq[Double]] = Seq(
+      (1 to 10).map(_.toDouble),
+      (1 to 7).map(_.toDouble),
+      Seq(5.0),
+      Seq(0.1, 0.1, 0.1, 0.2),                       // equal-bracket short-circuit
+      (1 to 12).map(i => (i % 3) * 0.1),             // ties, non-representable sums
+      (1 to 100).map(i => ((i % 10) - 4.5) * 0.7),
+      (1 to 9).map(i => math.pow(1.3, i)))
+    for (vals <- fixtures; qs <- qsets) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val named = qs.zipWithIndex.map { case (q, i) => q -> s"c$i" }
+      val got = DistributedCumulate.exactContCuts(df, "v", named, 4).collect()(0)
+      val want = df.agg(
+        expr(s"percentile(v, ${qs.head})").as("c0"),
+        qs.tail.zipWithIndex.map { case (q, i) =>
+          expr(s"percentile(v, $q)").as(s"c${i + 1}") }: _*).collect()(0)
+      (0 until qs.length).foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(got.getDouble(i)) ===
+          java.lang.Double.doubleToRawLongBits(want.getDouble(i)),
+          s"vals=$vals q=${qs(i)}: got=${got.getDouble(i)} want=${want.getDouble(i)}")
+      }
+    }
+  }
+
+  test("exactDiscCuts preserves the value type and drops nulls") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 20L), (3L, null),
+      (4L, 30L), (5L, 40L)).toDF("id", "v")
+    val out = DistributedCumulate.exactDiscCuts(df, "v",
+      Seq(0.5 -> "med", 1.0 -> "hi"), 3)
+    assert(out.schema("med").dataType === org.apache.spark.sql.types.LongType)
+    val r = out.collect()(0)
+    assert(r.getLong(0) === 20L && r.getLong(1) === 40L)
+  }
+
   test("rank-only mode (no sums) matches row_number") {
     val rows = (1L to 200L).map(id => (id, id % 11, id * 3)).toDF("id", "v", "x")
     val got = DistributedCumulate.runningTotals(rows, 13,

@@ -501,15 +501,73 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  // ---- Suite-wide ungrouped-exact-percentile audit -------------------
+  // An exact percentile/median aggregate with NO grouping plans as a
+  // sort-based aggregate that buffers EVERY input value in ONE task —
+  // the same single-executor cliff as a global window, one stage up
+  // (the r11 cutpoint twins' weakness). Every registered query's
+  // OPTIMIZED plan must be free of them; the distributed exact path is
+  // DistributedCumulate.exactDiscCuts / exactContCuts. Grouped
+  // percentiles are fine (each buffer holds one group);
+  // approx_percentile is fine (bounded sketch).
+  private val globalPercentileAllowlist: Map[String, String] = Map.empty
+
+  test("suite-wide: no query plans an ungrouped exact percentile outside the allowlist") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val exactSortAggs = Set("Percentile", "PercentileDisc", "PercentileCont", "Median")
+    def offendersIn(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate if a.groupingExpressions.isEmpty =>
+          a.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression
+                if exactSortAggs(ae.aggregateFunction.getClass.getSimpleName) =>
+              ae.aggregateFunction.getClass.getSimpleName
+          })
+      }.flatten
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val fns = offendersIn(name)
+      if (fns.nonEmpty && !globalPercentileAllowlist.contains(name))
+        Some(s"$name(${fns.mkString(",")})")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"ungrouped exact percentile aggregates outside the allowlist: ${offenders.mkString(", ")} — " +
+        "these buffer the whole relation in one task; use DistributedCumulate.exactDiscCuts/" +
+        "exactContCuts, or extend the allowlist with a bounded-input rationale")
+    // Rot check: every allowlist entry still names a live query that
+    // still HAS an ungrouped exact percentile.
+    globalPercentileAllowlist.keys.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"allowlist names unknown query $name")
+      assert(offendersIn(name).nonEmpty,
+        s"$name no longer has an ungrouped exact percentile — drop its stale allowlist entry")
+    }
+  }
+
   test("q_pareto_share / text_vocab_growth / q_skew_stats: cumulatives are two-level") {
     Seq("q_pareto_share", "text_vocab_growth", "q_skew_stats").foreach { q =>
       val p = plan(q)
-      // The range repartition that assigns buckets, then a PARTITIONED
-      // window per bucket — never a single-task global sort of the grain.
-      // (Scalar one-row aggregates like the Pareto total still use their
-      // own SinglePartition exchange — one row, not the grain.)
-      assert(p.contains("Exchange rangepartitioning"),
-        s"$q lost its range bucketing:\n$p")
+      // Bucket assignment is the deterministic bottom-k boundary sketch
+      // (broadcast onto the relation, map-side comparisons), then a
+      // PARTITIONED window per bucket over an ordinary hash exchange —
+      // never a single-task global sort of the grain, and never a
+      // rangepartitioning exchange (whose boundary sampling re-executes
+      // the child plan a second time). (Scalar one-row aggregates like
+      // the Pareto total still use their own SinglePartition exchange —
+      // one row, not the grain.)
+      assert(p.contains("graft_bottomk"),
+        s"$q lost its deterministic boundary sketch:\n$p")
+      // A rangepartitioning exchange may still appear for a final
+      // ORDER BY of the RESULT (tiny) — but never carrying __bkt, i.e.
+      // never as the kernel's bucketing mechanism (whose boundary
+      // sampling would re-execute the grain-sized child).
+      assert(!p.linesIterator.exists(l =>
+          l.contains("Exchange rangepartitioning") && l.contains("__bkt")),
+        s"$q must not range-partition its buckets (double-evaluates the input):\n$p")
+      assert(p.contains("Exchange hashpartitioning(__bkt"),
+        s"$q lost its bucket hash exchange:\n$p")
       val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
       assert(windows.nonEmpty && windows.forall(_.contains("__bkt")),
         s"$q windows must all be bucket-partitioned:\n$p")
