@@ -1066,17 +1066,33 @@ object TextAnalysis {
     * double. */
   def ccnetBucketsCut: Q = (s, dir) => {
     val scored = lmScore(s, dir)
-    val cuts = graft.ops.DistributedCumulate.exactDiscCuts(scored, "lm_score",
+    // Collapse to the distinct-score grain ONCE; the cutpoint kernel and
+    // the bucket census both read this fold, so the scored corpus is
+    // evaluated a single time for the whole query. The count carries a
+    // pruning anchor (identically zero) so the kernel's branches retain
+    // __bg too and all consumers canonicalize onto one exchange.
+    val counts = scored.groupBy(col("lm_score"))
+      .agg(count(lit(1)).as("__c0"), sum(col("n_bigrams")).as("__bg"))
+      .select(col("lm_score"),
+        (col("__c0") + least(lit(0L), col("__bg") * lit(0L))).as("__c"),
+        col("__bg"))
+    val cuts = graft.ops.DistributedCumulate.exactDiscCutsPre(counts,
+      "lm_score", "__c",
       Seq(0.3333333333333333 -> "c1", 0.6666666666666666 -> "c2"),
       s.sessionState.conf.numShufflePartitions)
-    scored.crossJoin(broadcast(cuts))
+    counts.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         lit(3L) - (col("lm_score") > col("c1")).cast("long")
                 - (col("lm_score") > col("c2")).cast("long"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("lm_score")), 6).as("avg_score"),
-        sum(col("n_bigrams")).as("total_bigrams"))
+      .agg(sum(col("__c")).as("n_docs"),
+        // avg over the collapsed grain: Σ(score·mult)/Σmult — mult is
+        // almost always 1 (scores are per-doc doubles), and the 6-dp
+        // round keeps the fold order-insensitive cross-engine exactly
+        // as the row-grain avg it replaces.
+        round(sum(col("lm_score") * col("__c").cast("double")) /
+          sum(col("__c")).cast("double"), 6).as("avg_score"),
+        sum(col("__bg")).as("total_bigrams"))
       .withColumn("label",
         when(col("bucket") === 1, "head")
           .when(col("bucket") === 2, "middle").otherwise("tail"))

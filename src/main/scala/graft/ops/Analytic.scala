@@ -1157,17 +1157,23 @@ object Analytic {
     * values in both engines (disc, not interpolated), so the double
     * comparisons are exact. */
   def qHistogramEquidepthCut: Q = (s, dir) => {
-    val o = Tables(s, dir).orders.select(col("o_totalprice"))
-    val cuts = DistributedCumulate.exactDiscCuts(o, "o_totalprice",
-      (1 to 9).map(i => s"0.$i".toDouble -> s"c$i"),
+    // The distinct-value fold feeds BOTH the cutpoint kernel and the
+    // histogram census (n = Σ multiplicities, lo/hi = min/max of the
+    // distinct values — identical results), so orders is scanned ONCE
+    // for the whole query and every branch shares the fold's exchange.
+    val counts = Tables(s, dir).orders
+      .select(col("o_totalprice")).filter(col("o_totalprice").isNotNull)
+      .groupBy(col("o_totalprice")).agg(count(lit(1)).as("__c"))
+    val cuts = DistributedCumulate.exactDiscCutsPre(counts, "o_totalprice",
+      "__c", (1 to 9).map(i => s"0.$i".toDouble -> s"c$i"),
       s.sessionState.conf.numShufflePartitions)
     val bucket = (1 to 9).foldLeft(lit(1L): Column) { (acc, i) =>
       acc + (col("o_totalprice") > col(s"c$i")).cast("long")
     }
-    o.crossJoin(broadcast(cuts))
+    counts.crossJoin(broadcast(cuts))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("__c")).as("n"),
         min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"))
       .orderBy(col("bucket"))
@@ -1548,12 +1554,24 @@ object Analytic {
   def qRfmSegmentsCut: Q = (s, dir) => {
     val cust = rfmCustomer(s, dir)
     val B = s.sessionState.conf.numShufflePartitions
-    def metricCuts(m: String, pfx: String) =
-      DistributedCumulate.exactDiscCuts(cust, m,
-        Seq(0.25 -> s"${pfx}25", 0.5 -> s"${pfx}50", 0.75 -> s"${pfx}75"), B)
-    val cuts = metricCuts("r_days", "r")
-      .crossJoin(metricCuts("f", "f"))
-      .crossJoin(metricCuts("m_cents", "m"))
+    // All nine quartile cutpoints from ONE grouped-kernel invocation:
+    // the three metrics unpivot to (metric ordinal, value) rows and
+    // exactDiscCutsGrouped bins them per group — one customer-fold pass
+    // instead of a kernel per metric (whose differing group keys could
+    // never share an exchange). The 3-row result pivots to the wide
+    // 9-cutpoint broadcast row.
+    val melted = cust.select(explode(array(
+        struct(lit(0).as("g"), col("r_days").as("v")),
+        struct(lit(1).as("g"), col("f").as("v")),
+        struct(lit(2).as("g"), col("m_cents").as("v")))).as("m"))
+      .select(col("m.g").as("g"), col("m.v").as("v"))
+    val gc = DistributedCumulate.exactDiscCutsGrouped(melted, "g", "v",
+      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"), B, 3)
+    val wide = Seq("r" -> 0, "f" -> 1, "m" -> 2).flatMap { case (pfx, gi) =>
+      Seq("25", "50", "75").map(p =>
+        max(when(col("g") === gi, col(s"q$p"))).as(s"$pfx$p"))
+    }
+    val cuts = gc.agg(wide.head, wide.tail: _*)
     def asc(v: Column, c1: Column, c2: Column, c3: Column): Column =
       lit(1L) + (v > c1).cast("long") + (v > c2).cast("long") + (v > c3).cast("long")
     def desc(v: Column, c1: Column, c2: Column, c3: Column): Column =

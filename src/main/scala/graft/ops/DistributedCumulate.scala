@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Two-level distributed prefix sums — the scale-safe replacement for an
   * unpartitioned cumulative `Window.orderBy`, which funnels the WHOLE
@@ -183,22 +184,129 @@ object DistributedCumulate {
     */
   def exactDiscCuts(df: DataFrame, valueCol: String,
       qs: Seq[(Double, String)], buckets: Int): DataFrame = {
+    val v = col(valueCol)
+    exactDiscCutsPre(
+      df.filter(v.isNotNull).groupBy(v).agg(count(lit(1)).as("__c")),
+      valueCol, "__c", qs, buckets)
+  }
+
+  /** [[exactDiscCuts]] over a PRE-AGGREGATED relation: `counts` must
+    * hold one row per distinct value with its exact multiplicity in
+    * `cntCol`. This is the sharing-friendly entry point — a query that
+    * also derives its own aggregates from the same distinct fold (an
+    * equi-depth histogram's per-bucket n/lo/hi, say) passes the fold
+    * here, and every consumer canonicalizes onto ONE exchange: the base
+    * relation is scanned exactly once for the whole query. */
+  def exactDiscCutsPre(counts0: DataFrame, valueCol: String, cntCol: String,
+      qs: Seq[(Double, String)], buckets: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (q, _) => q > 0.0 && q <= 1.0 },
       "percentile_disc cutpoints require q in (0, 1]")
-    val v = col(valueCol)
-    val counts = df.filter(v.isNotNull).groupBy(v).agg(count(lit(1)).as("__c"))
+    // Persisted: the distinct fold is the kernel's shared grain — the
+    // boundary sketch, the bucketed windows, and any caller-side census
+    // all read it (the lmScore bigram-kernel discipline). Without the
+    // persist, a consumer whose column pruning specializes the fold's
+    // plan re-evaluates the WHOLE upstream (measured on the CCNet
+    // pipeline: the scoring joins re-ran per branch). The cache is
+    // bounded by the distinct-value count — the already-collapsed
+    // grain, spilling to disk if large.
+    val counts = counts0.persist(StorageLevel.MEMORY_AND_DISK)
+    val (v, c) = (col(valueCol), col(cntCol))
     // __n (the total row count) rides the kernel's boundary broadcast —
     // one consumer of `counts`, one shared exchange (see withBucket).
-    val cum = runningTotals(counts, buckets, Seq(v), Seq("__c" -> "__cum"),
-      "__vrk", Seq(sum(col("__c")).cast("long") -> "__n"))
+    val cum = runningTotals(counts, buckets, Seq(v), Seq(cntCol -> "__cum"),
+      "__vrk", Seq(sum(c).cast("long") -> "__n"))
     def hit(q: Double): Column = {
       val target = lit(q) * col("__n").cast("double")
       (col("__cum").cast("double") >= target) &&
-        ((col("__cum") - col("__c")).cast("double") < target)
+        ((col("__cum") - c).cast("double") < target)
     }
     val aggs = qs.map { case (q, name) => max(when(hit(q), v)).as(name) }
     cum.filter(qs.map { case (q, _) => hit(q) }.reduce(_ || _))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** PER-GROUP exact `percentile_disc` cutpoints in ONE pass — the
+    * grouped companion of [[exactDiscCutsPre]], for queries that need
+    * quantile cutpoints of SEVERAL metrics (feature binning, RFM
+    * scoring): unpivot the metrics to `(group, value)` rows and one
+    * kernel invocation replaces a kernel per metric (each of which
+    * would re-evaluate the base relation — grouping keys differ, so
+    * their exchanges can never unify).
+    *
+    * Shape: one `(group, value)` distinct fold (the only pass over
+    * `df`); per-group boundary sketches in a single grouped bottom-k
+    * aggregate (one row per group, broadcast — the per-group total
+    * rides the same row); bucket id `group·buckets + local bucket`, so
+    * buckets never span groups and the per-bucket running sums ARE
+    * per-group cumulatives once the group-constrained triangular
+    * offsets (≤ (gMax·buckets)², config-bounded) are added back.
+    * Thresholds and tie handling match [[exactDiscCutsPre]] exactly —
+    * bit-identical to `percentile_disc(q) WITHIN GROUP (...)` per group
+    * (DistributedCumulateSpec pins it).
+    *
+    * Contract: `grpCol` is an int ordinal in `[0, gMax)` (the unpivot
+    * index), `gMax` small (it bounds the offset fold and the broadcast).
+    * Returns one row per group present in `df`.
+    */
+  def exactDiscCutsGrouped(df: DataFrame, grpCol: String, valueCol: String,
+      qs: Seq[(Double, String)], buckets: Int, gMax: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (q, _) => q > 0.0 && q <= 1.0 },
+      "percentile_disc cutpoints require q in (0, 1]")
+    require(gMax >= 1 && buckets >= 1)
+    val (g, v) = (col(grpCol), col(valueCol))
+    // Persisted for the same reason as exactDiscCutsPre's fold.
+    val counts = df.filter(v.isNotNull && g.isNotNull)
+      .groupBy(g, v).agg(count(lit(1)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val k = math.max(4096, buckets * 64)
+    val sk = counts.groupBy(g).agg(
+      call_function("graft_bottomk", v.cast("double"), lit(k)).as("__smp"),
+      sum(col("__c")).as("__ng"))
+    val gb = sk.select(g.as("__gk"),
+      when(size(col("__smp")) === 0, array().cast("array<double>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), lit(math.max(buckets - 1, 1))),
+          i => element_at(col("__smp"),
+            greatest(lit(1), (i * size(col("__smp")) / buckets).cast("int"))))))
+        .as("__bnds"),
+      col("__ng"))
+    // Bucket = group·B + in-group bucket; the __ng anchor (identically
+    // zero) keeps the broadcast row whole in every branch — one
+    // canonical exchange (see withBucket).
+    val vb = size(filter(col("__bnds"), b => b < v))
+    val bkt = (g.cast("int") * lit(buckets) + vb +
+      least(lit(0), col("__ng") * lit(0)).cast("int")).as("__bkt")
+    val bucketed = counts.join(broadcast(gb), g === col("__gk"))
+      .select(g, v, col("__c"), col("__ng"), bkt)
+    val w = Window.partitionBy(col("__bkt")).orderBy(v)
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__lcum", sum(col("__c")).over(frame))
+    // Per-bucket totals off the window output (max_by at the bucket's
+    // last value) — canonicalizes with the main branch (see
+    // runningTotals). Offsets accumulate only within the bucket's own
+    // group, so local + offset IS the per-group cumulative.
+    val totals = local.groupBy(col("__bkt"))
+      .agg(max_by(col("__lcum"), v).as("__t"))
+    val ids = df.sparkSession.range(0L, gMax.toLong * buckets)
+      .select(col("id").cast("int").as("__bkt")).as("a")
+    val offs = ids
+      .join(totals.as("b"),
+        col("b.__bkt") < col("a.__bkt") &&
+          (col("b.__bkt") / lit(buckets)).cast("int") ===
+          (col("a.__bkt") / lit(buckets)).cast("int"),
+        "left_outer")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__t")), lit(0L)).as("__off"))
+    val cum = local.join(broadcast(offs), "__bkt")
+      .withColumn("__gcum", col("__lcum") + col("__off"))
+    def hit(q: Double): Column = {
+      val target = lit(q) * col("__ng").cast("double")
+      (col("__gcum").cast("double") >= target) &&
+        ((col("__gcum") - col("__c")).cast("double") < target)
+    }
+    val aggs = qs.map { case (q, name) => max(when(hit(q), v)).as(name) }
+    cum.filter(qs.map { case (q, _) => hit(q) }.reduce(_ || _))
+      .groupBy(g).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact CONTINUOUS percentiles (`percentile(v, q)` — linear
@@ -219,7 +327,9 @@ object DistributedCumulate {
     require(qs.nonEmpty && qs.forall { case (q, _) => q >= 0.0 && q <= 1.0 },
       "percentile positions require q in [0, 1]")
     val v = col(valueCol)
+    // Persisted for the same reason as exactDiscCutsPre's fold.
     val counts = df.filter(v.isNotNull).groupBy(v).agg(count(lit(1)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cum = runningTotals(counts, buckets, Seq(v), Seq("__c" -> "__cum"),
       "__vrk", Seq(sum(col("__c")).cast("long") -> "__n"))
     def pos(q: Double): Column = lit(q) * (col("__n") - lit(1L)).cast("double")

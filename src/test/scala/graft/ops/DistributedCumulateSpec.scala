@@ -96,6 +96,30 @@ class DistributedCumulateSpec extends SparkTestBase {
     }
   }
 
+  test("exactDiscCutsGrouped matches per-group percentile_disc") {
+    // Groups of different sizes/shapes, incl. a single-row group and a
+    // heavy-tie group; every (group, q) cell must equal the builtin.
+    val rows =
+      (1 to 10).map(i => (0, i.toLong)) ++
+      Seq((1, 7L)) ++
+      (1 to 12).map(i => (2, (i % 3).toLong)) ++
+      (1 to 30).map(i => (3, (i % 7).toLong - 3))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")
+    val got = DistributedCumulate
+      .exactDiscCutsGrouped(df, "g", "v", qs, 4, 4)
+      .orderBy("g").collect().toSeq
+    df.createOrReplaceTempView("graft_gcuts_fixture")
+    val want = spark.sql(
+      """SELECT g,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS q25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS q50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS q75
+        |FROM graft_gcuts_fixture GROUP BY g ORDER BY g""".stripMargin)
+      .collect().toSeq
+    assert(got === want)
+  }
+
   test("exactContCuts is bit-identical to percentile() on interpolating fixtures") {
     // Interpolation arithmetic ((higher−pos)·lo + (pos−lower)·hi, with
     // the builtin's two short-circuits) must agree to the last ulp —
