@@ -185,35 +185,58 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       "TIMESTAMP AS OF is not supported (local-fs mtimes don't order " +
         "commits); use VERSION AS OF <seq|manifest>")
 
-  /** The supported transform shape: `PARTITIONED BY (col[, col2])` —
-    * identity transforms on distinct top-level long/int/string columns.
-    * Multi-column layouts demux one file per value TUPLE and report a
-    * composite KeyGroupedPartitioning at scan time. */
+  /** The supported transform shapes: `PARTITIONED BY (col[, col2])` —
+    * identity transforms on distinct top-level long/int/string columns —
+    * and `PARTITIONED BY (bucket(n, col))` — the hash-bucket layout for
+    * HIGH-cardinality join keys (one file per deterministic bucket
+    * instead of one per value). Mixed specs compose; each layout demuxes
+    * one file per key TUPLE and reports a composite
+    * KeyGroupedPartitioning at scan time. Returned entries are the
+    * `_partition` line encodings ([[ManifestFileSink.parsePartField]]). */
   private def partitionColsOf(
       partitions: Array[Transform], schema: StructType): Seq[String] = {
-    val cols = partitions.toSeq.map {
+    def vetCol(col: String, kind: String): String = {
+      val f = schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $col is not in the table schema"))
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType => col
+        case dt => throw new IllegalArgumentException(
+          s"partition column $col: unsupported type ${dt.simpleString} " +
+            s"($kind partitioning takes BIGINT/INT/STRING)")
+      }
+    }
+    val specs = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
+        vetCol(t.references()(0).fieldNames()(0), "identity")
+      case t if t.name == "bucket" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
         val col = t.references()(0).fieldNames()(0)
-        val f = schema.fields.find(_.name == col).getOrElse(
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs an int bucket count: ${t.describe()}"))
+        if (n <= 0) throw new IllegalArgumentException(
+          s"bucket count must be positive: ${t.describe()}")
+        if (col.exists(c => c == ':' || c == ',' || c == '=' ||
+            Character.isISOControl(c)))
           throw new IllegalArgumentException(
-            s"partition column $col is not in the table schema"))
-        f.dataType match {
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.StringType => col
-          case dt => throw new IllegalArgumentException(
-            s"partition column $col: unsupported type ${dt.simpleString} " +
-              "(identity partitioning takes BIGINT/INT/STRING)")
-        }
+            s"bucket partition column name contains reserved characters: $col")
+        s"bucket:$n:${vetCol(col, "bucket")}"
       case other => throw new IllegalArgumentException(
-        "graft tables take identity partition transforms only " +
-          s"(got ${other.describe()}); use optimize(clusterBy) for " +
-          "within-file layout")
+        "graft tables take identity and bucket(n, col) partition " +
+          s"transforms only (got ${other.describe()}); use " +
+          "optimize(clusterBy) for within-file layout")
     }
+    val cols = specs.map(ManifestFileSink.parsePartField(_).col)
     if (cols.distinct.size != cols.size) throw new IllegalArgumentException(
       s"duplicate partition columns: ${cols.mkString(", ")}")
-    cols
+    specs
   }
 
   override def createTable(

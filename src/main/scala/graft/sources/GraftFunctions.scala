@@ -26,13 +26,61 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructType}
   * SQL's strict-function convention. */
 private[sources] object GraftFunctions {
 
-  val Names: Seq[String] = Seq("dot", "cosine")
+  val Names: Seq[String] = Seq("dot", "cosine", "bucket")
 
   def load(name: String): UnboundFunction = name match {
     case "dot"    => new VectorBinaryFunction("dot", cosine = false)
     case "cosine" => new VectorBinaryFunction("cosine", cosine = true)
+    case "bucket" => GraftBucketFunction
     case other => throw new UnsupportedOperationException(
       s"unknown function $other; available: ${Names.mkString(", ")}")
+  }
+}
+
+/** The V2 `bucket` function — what lets Spark RESOLVE the catalog's
+  * `bucket(n, col)` partition transform ([[V2ScanPartitioning]] looks the
+  * transform's function up in the table's FunctionCatalog) and therefore
+  * plan storage-partitioned joins between co-bucketed tables: two scans
+  * whose `KeyGroupedPartitioning` carry transforms with the SAME bound
+  * function (`canonicalName` equality) and matching bucket ids join with
+  * zero exchanges on a HIGH-cardinality key, where an identity layout
+  * would demux one file per value. The id computation delegates to
+  * [[ManifestFileSink.bucketIdOf]] — the exact function the demux writer
+  * attested each file with, so the function, the layout, and the scan
+  * report can never disagree. */
+private[sources] object GraftBucketFunction extends UnboundFunction {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col) -> deterministic Murmur3 bucket id in [0, n)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2 && inputType.fields(0).dataType == IntegerType,
+      s"bucket takes (int numBuckets, value); got ${inputType.simpleString}")
+    val dt = inputType.fields(1).dataType
+    dt match {
+      case LongType | IntegerType | StringType =>
+      case other => throw new UnsupportedOperationException(
+        s"bucket: unsupported value type ${other.simpleString} (BIGINT/INT/STRING)")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v: Any = dt match {
+          case LongType    => input.getLong(1)
+          case IntegerType => input.getInt(1)
+          case StringType  => input.getUTF8String(1)
+          case _           => throw new IllegalStateException("unreachable")
+        }
+        ManifestFileSink.bucketIdOf(dt, v, n)
+      }
+    }
   }
 }
 

@@ -480,6 +480,59 @@ object ManifestFileSink {
     }
   }
 
+  /** Bucket-field file pruning: hash equality is NECESSARY for value
+    * equality, so a pushed equality REFUTES a file whose attested bucket
+    * id differs from the literal's bucket — and that is the only
+    * decision available (a matching bucket proves nothing; ranges hash
+    * nowhere). Kleene: Some(false) = prune, None = fall through to zone
+    * maps; never Some(true). `buckets` maps column → (declared n,
+    * attested id); `types` maps column → declared type. */
+  private[sources] def bucketFilterRefute(
+      filter: org.apache.spark.sql.sources.Filter,
+      buckets: Map[String, (Int, Int)],
+      types: Map[String, DataType]): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    def litBucket(c: String, lit: Any): Option[Int] =
+      buckets.get(c).flatMap { case (n, _) =>
+        types.get(c).flatMap { dt =>
+          val canon: Option[Any] = (dt, lit) match {
+            case (LongType, x: Number)    => Some(x.longValue())
+            case (IntegerType, x: Number) => Some(x.intValue())
+            case (StringType, s: String)  => Some(UTF8String.fromString(s))
+            case (StringType, u: UTF8String) => Some(u)
+            case _ => None
+          }
+          canon.map(v => bucketIdOf(dt, v, n))
+        }
+      }
+    def refuted(c: String, lit: Any): Option[Boolean] =
+      litBucket(c, lit).flatMap(b =>
+        if (b != buckets(c)._2) Some(false) else None)
+    filter match {
+      case EqualTo(c, v)       => refuted(c, v)
+      case EqualNullSafe(c, v) if v != null => refuted(c, v)
+      // An attested bucket file holds no nulls of the field (null keys
+      // are never attested), so IS NULL is refutable outright.
+      case IsNull(c) if buckets.contains(c) => Some(false)
+      case In(c, vs) if vs.nonEmpty =>
+        val ds = vs.toSeq.map(v => refuted(c, v))
+        if (ds.forall(_.contains(false))) Some(false) else None
+      case And(l, r) =>
+        (bucketFilterRefute(l, buckets, types),
+          bucketFilterRefute(r, buckets, types)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (bucketFilterRefute(l, buckets, types),
+          bucketFilterRefute(r, buckets, types)) match {
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Data files opened by the mutation MATCH path while no task is
     * running — i.e. on the driver. The match scan is a Spark job (a task
     * per candidate file), so this stays 0: only candidate METADATA
@@ -1096,8 +1149,71 @@ object ManifestFileSink {
     * key join with NO exchange on either side. Restricted to
     * long/int/string columns (the zone-map value types; identity
     * partitioning on doubles is not a sane layout). */
+  /** One declared partition field: `identity(col)` (one file per value,
+    * proven back from zone maps) or `bucket(n, col)` (one file per
+    * deterministic hash bucket, attested by the writer — the Iceberg
+    * bucket-transform layout, which keeps storage-partitioned joins
+    * exchange-free on HIGH-cardinality keys where identity demux would
+    * explode the file count). `_partition` line encoding: `col` for
+    * identity, `bucket:<n>:<col>` for bucket. */
+  sealed trait PartField {
+    def col: String
+    def spec: String
+  }
+  final case class IdentityPart(col: String) extends PartField {
+    def spec: String = col
+  }
+  final case class BucketPart(n: Int, col: String) extends PartField {
+    def spec: String = s"bucket:$n:$col"
+  }
+
+  private[sources] def parsePartField(line: String): PartField =
+    if (line.startsWith("bucket:")) {
+      val rest = line.stripPrefix("bucket:")
+      val i = rest.indexOf(':')
+      require(i > 0, s"malformed bucket partition spec: $line")
+      val n = rest.substring(0, i).toInt
+      require(n > 0, s"bucket count must be positive: $line")
+      BucketPart(n, rest.substring(i + 1))
+    } else IdentityPart(line)
+
+  private[sources] def partitionFields(path: String): Seq[PartField] =
+    partitionColumns(path).map(parsePartField)
+
+  /** Deterministic bucket id for the bucket transform — Spark's own
+    * Murmur3 (seed 42, the `hash()` function's) over the value's
+    * canonical bytes, pmod the bucket count. Writer demux and the V2
+    * `bucket` function ([[graft.sources.GraftBucketFunction]]) both call
+    * this, so the attested file buckets and the catalog's function
+    * semantics can never diverge. */
+  private[sources] def bucketIdOf(dt: DataType, value: Any, n: Int): Int = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val h = dt match {
+      case LongType    => Murmur3_x86_32.hashLong(value.asInstanceOf[Long], 42)
+      case IntegerType => Murmur3_x86_32.hashInt(value.asInstanceOf[Int], 42)
+      case StringType =>
+        val s = value.asInstanceOf[UTF8String]
+        Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+      case other => throw new IllegalArgumentException(
+        s"unsupported bucket column type $other")
+    }
+    ((h % n) + n) % n
+  }
+
+  /** Reserved pseudo-column index carrying the writer's PARTITION-KEY
+    * ATTESTATION inside the ordinary per-file stats map: bucket ids are
+    * not derivable from zone maps (hashes scatter), so the demux writer
+    * records `spec=id` tokens for its bucket fields as a stats entry at
+    * index −1 (min == max == the token string). Real column indices are
+    * ≥ 0, so every existing stats consumer is oblivious; a file without
+    * the attestation (pre-bucket layouts, compaction rewrites) simply
+    * proves nothing and the scan degrades to unpartitioned — never
+    * wrong. A spec token that no longer matches the CURRENT declared
+    * spec (bucket count changed) is likewise no proof. */
+  private[sources] val PartKeyStatsIdx: Int = -1
+
   def setPartitionColumns(path: String, cols: Seq[String]): Unit = {
-    require(cols.nonEmpty && cols.distinct.size == cols.size,
+    require(cols.nonEmpty && cols.map(parsePartField(_).col).distinct.size == cols.size,
       s"partition columns must be non-empty and distinct: $cols")
     Files.createDirectories(Paths.get(path))
     val tmp = Paths.get(path, "._partition.tmp")
@@ -1812,12 +1928,16 @@ private[sources] class ManifestTable(
     if (pinnedAsOf.isDefined) throw new UnsupportedOperationException(
       s"$op on a VERSION AS OF snapshot is not allowed (read-only view of ${pinnedAsOf.get})")
 
-  /** Declared identity partitioning (SHOW CREATE / DESCRIBE surface; the
+  /** Declared partitioning (SHOW CREATE / DESCRIBE surface; the
     * scan-side SPJ report lives in [[ManifestScan.outputPartitioning]]). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    ManifestFileSink.partitionColumns(path)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+    ManifestFileSink.partitionFields(path).map {
+      case ManifestFileSink.IdentityPart(c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case ManifestFileSink.BucketPart(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+          : org.apache.spark.sql.connector.expressions.Transform
+    }.toArray
 
   /** `_file`/`_pos`: the row id ([[ManifestFileSink.FileCol]]). Exposed
     * for queries too (`SELECT _file, _pos, * FROM t` — lineage debugging
@@ -1916,15 +2036,28 @@ private[sources] class ManifestTable(
       // behavioral change.
       override def build(): Write = new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-        private val pcols = ManifestFileSink.partitionColumns(path)
-          .filter(c => info.schema().fieldNames.contains(c))
+        // CATALOG-door writes (acceptAnySchema = false) cluster by the
+        // DECLARED transforms — a bucket field shuffles by its bucket
+        // id (the catalog's FunctionCatalog resolves the transform), so
+        // one task owns one bucket and writes ONE file. PATH-door
+        // writes have no FunctionCatalog to resolve a bucket transform,
+        // so they cluster by identity(col) — a refinement of
+        // bucket-clustering (equal keys still co-locate); the demux
+        // writer groups each task's values into its buckets.
+        private val pfields = ManifestFileSink.partitionFields(path)
+          .filter(f => info.schema().fieldNames.contains(f.col))
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
-          if (pcols.nonEmpty)
+          if (pfields.nonEmpty)
             org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(pcols.map(c => org.apache.spark.sql.connector.expressions
-                .Expressions.identity(c)
-                  : org.apache.spark.sql.connector.expressions.Expression).toArray)
+              .clustered(pfields.map {
+                case ManifestFileSink.BucketPart(n, c) if !acceptAnySchema =>
+                  org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+                    : org.apache.spark.sql.connector.expressions.Expression
+                case f =>
+                  org.apache.spark.sql.connector.expressions.Expressions.identity(f.col)
+                    : org.apache.spark.sql.connector.expressions.Expression
+              }.toArray)
           else
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         override def distributionStrictlyRequired(): Boolean = false
@@ -2269,12 +2402,20 @@ private[sources] class StagedManifestTable(
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution = {
-          val pcols = partitionCols.filter(c => stagedSchema.fieldNames.contains(c))
-          if (pcols.nonEmpty)
+          // Staged (CTAS/RTAS) writes are always catalog-door: bucket
+          // fields cluster by their transform (one task = one bucket).
+          val pfields = partitionCols.map(ManifestFileSink.parsePartField)
+            .filter(f => stagedSchema.fieldNames.contains(f.col))
+          if (pfields.nonEmpty)
             org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(pcols.map(c => org.apache.spark.sql.connector.expressions
-                .Expressions.identity(c)
-                  : org.apache.spark.sql.connector.expressions.Expression).toArray)
+              .clustered(pfields.map {
+                case ManifestFileSink.BucketPart(n, c) =>
+                  org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+                    : org.apache.spark.sql.connector.expressions.Expression
+                case f =>
+                  org.apache.spark.sql.connector.expressions.Expressions.identity(f.col)
+                    : org.apache.spark.sql.connector.expressions.Expression
+              }.toArray)
           else
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         }
@@ -2508,9 +2649,10 @@ private class ManifestWriterFactory(
     // taskId is unique per attempt, so a speculative/retried attempt
     // can never clobber another attempt's file.
     val base = f"part-$partitionId%05d-$taskId"
-    val idxs = partitionCols.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0)
-    if (idxs.size == partitionCols.size && idxs.nonEmpty)
-      new ManifestPartitionedDataWriter(path, schema, base, idxs)
+    val fields = partitionCols.map(ManifestFileSink.parsePartField)
+    val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
+    if (idxs.forall(_ >= 0) && idxs.nonEmpty)
+      new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
     else new ManifestDataWriter(path, schema, base)
   }
 }
@@ -2528,32 +2670,60 @@ private class ManifestWriterFactory(
   * at scan time (a null group has no zone-map claim) but never break the
   * write. */
 private class ManifestPartitionedDataWriter(
-    path: String, schema: StructType, base: String, colIdxs: Seq[Int])
+    path: String, schema: StructType, base: String,
+    fields: Seq[(ManifestFileSink.PartField, Int)])
   extends DataWriter[InternalRow] {
 
-  // Keyed on Seq[Option[String]] — one element per partition column, None
-  // IS the NULL key for that column, so no string sentinel exists for a
+  // Keyed on Seq[Option[String]] — one element per partition field, None
+  // IS the NULL key for that field, so no string sentinel exists for a
   // legal value to collide with (any string value, including ones
-  // starting with control bytes, demuxes to its own file).
+  // starting with control bytes, demuxes to its own file). A bucket
+  // field's token is its bucket id.
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[Seq[Option[String]], ManifestDataWriter]
 
   private def tokenOf(record: InternalRow): Seq[Option[String]] =
-    colIdxs.map { colIdx =>
+    fields.map { case (field, colIdx) =>
       if (record.isNullAt(colIdx)) None
-      else Some(schema.fields(colIdx).dataType match {
-        case LongType    => record.getLong(colIdx).toString
-        case IntegerType => record.getInt(colIdx).toString
-        case StringType  => record.getUTF8String(colIdx).toString
-        case other => throw new IllegalArgumentException(
-          s"unsupported partition column type $other")
-      })
+      else {
+        val dt = schema.fields(colIdx).dataType
+        val raw: Any = dt match {
+          case LongType    => record.getLong(colIdx)
+          case IntegerType => record.getInt(colIdx)
+          case StringType  => record.getUTF8String(colIdx)
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition column type $other")
+        }
+        Some(field match {
+          case ManifestFileSink.IdentityPart(_) => raw.toString
+          case ManifestFileSink.BucketPart(n, _) =>
+            ManifestFileSink.bucketIdOf(dt, raw, n).toString
+        })
+      }
     }
+
+  /** Bucket-field attestation riding the stats map (index −1): the scan
+    * cannot re-derive a file's bucket id from zone maps, so the writer
+    * that DID the demux records it — but only when every bucket field
+    * has a non-null token (a null key has no bucket; the file then
+    * proves nothing and SPJ degrades). */
+  private def attestation(token: Seq[Option[String]]): Map[Int, ManifestFileSink.ColStats] = {
+    val bk = fields.zip(token).collect {
+      case ((b: ManifestFileSink.BucketPart, _), t) => (b, t)
+    }
+    if (bk.isEmpty || bk.exists(_._2.isEmpty)) Map.empty
+    else {
+      val tok = bk.map { case (b, t) => s"${b.spec}=${t.get}" }.mkString(",")
+      Map(ManifestFileSink.PartKeyStatsIdx ->
+        ManifestFileSink.ColStats(tok, tok, hasNull = false))
+    }
+  }
 
   override def write(record: InternalRow): Unit = {
     val token = tokenOf(record)
     writers.getOrElseUpdate(token,
-      new ManifestDataWriter(path, schema, s"$base-p${writers.size}"))
+      new ManifestDataWriter(path, schema, s"$base-p${writers.size}",
+        attestation(token)))
       .write(record)
   }
 
@@ -2564,7 +2734,8 @@ private class ManifestPartitionedDataWriter(
   override def close(): Unit = writers.values.foreach(_.close())
 }
 
-private class ManifestDataWriter(path: String, schema: StructType, name: String)
+private class ManifestDataWriter(path: String, schema: StructType, name: String,
+    extraStats: Map[Int, ManifestFileSink.ColStats] = Map.empty)
   extends DataWriter[InternalRow] {
 
   private val file = Paths.get(path, "data", name)
@@ -2687,7 +2858,8 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String)
         case None => i -> ManifestFileSink.ColStats("", "", hasNull(i), bl, rangeless = true)
       }
     }.toMap
-    CommittedFile(name, rows, ManifestFileSink.encodeStats(stats ++ bloomed))
+    CommittedFile(name, rows,
+      ManifestFileSink.encodeStats(stats ++ bloomed ++ extraStats))
   }
   override def abort(): Unit = {
     out.close()
@@ -2739,9 +2911,10 @@ private class ManifestStreamingWriterFactory(
     // Epoch in the name is for operator forensics only; uniqueness
     // still rests on the attempt-unique taskId.
     val base = f"part-e$epochId-$partitionId%05d-$taskId"
-    val idxs = partitionCols.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0)
-    if (idxs.size == partitionCols.size && idxs.nonEmpty)
-      new ManifestPartitionedDataWriter(path, schema, base, idxs)
+    val fields = partitionCols.map(ManifestFileSink.parsePartField)
+    val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
+    if (idxs.forall(_ >= 0) && idxs.nonEmpty)
+      new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
     else new ManifestDataWriter(path, schema, base)
   }
 }
@@ -2820,10 +2993,14 @@ private class ManifestScan(
     * output — a pruned-away trailing column drops out of the report,
     * which stays valid: every file is still single-valued in the
     * surviving columns). */
-  private lazy val partCols: Seq[String] =
+  private lazy val partFields: Seq[ManifestFileSink.PartField] =
     if (since.nonEmpty || weighted) Nil
-    else ManifestFileSink.partitionColumns(path)
-      .filter(c => schema.fieldNames.contains(c))
+    else ManifestFileSink.partitionFields(path)
+      .filter(f => schema.fieldNames.contains(f.col))
+
+  private lazy val partCols: Seq[String] = partFields.collect {
+    case ManifestFileSink.IdentityPart(c) => c
+  }
 
   /** Runtime (dynamic) file pruning: Spark injects the build side's join
     * keys as IN filters at execution start — the zone maps then skip
@@ -2910,12 +3087,38 @@ private class ManifestScan(
       v.map(c -> _)
     }.toMap
 
+  /** Bucket ids the WRITER attested for this file (stats index −1,
+    * `spec=id` tokens) — kept only where the token's spec matches the
+    * CURRENTLY declared field (a re-declared bucket count or column
+    * invalidates old attestations: no proof, scan degrades). */
+  private def provenBucketIds(
+      st: Option[Map[Int, ManifestFileSink.ColStats]],
+      fields: Seq[ManifestFileSink.PartField]): Map[String, Int] = {
+    val toks = st.flatMap(_.get(ManifestFileSink.PartKeyStatsIdx)) match {
+      case Some(cs) if cs.min.nonEmpty && cs.min == cs.max =>
+        cs.min.split(",").iterator.flatMap { t =>
+          val eq = t.lastIndexOf('=')
+          if (eq <= 0) None
+          else t.substring(eq + 1).toIntOption.map(id => t.substring(0, eq) -> id)
+        }.toMap
+      case _ => Map.empty[String, Int]
+    }
+    fields.collect {
+      case b: ManifestFileSink.BucketPart if toks.contains(b.spec) =>
+        b.col -> toks(b.spec)
+    }.toMap
+  }
+
   private def partitionKeyOf(
       st: Option[Map[Int, ManifestFileSink.ColStats]],
       fileSchema: StructType): Option[Seq[Any]] = {
-    if (partCols.isEmpty) return None
+    if (partFields.isEmpty) return None
     val pv = provenPartValues(st, fileSchema)
-    val vals = partCols.map(pv.get)
+    lazy val bk = provenBucketIds(st, partFields)
+    val vals = partFields.map {
+      case ManifestFileSink.IdentityPart(c) => pv.get(c)
+      case b: ManifestFileSink.BucketPart   => bk.get(b.col).map(id => id: Any)
+    }
     if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
   }
 
@@ -3031,15 +3234,42 @@ private class ManifestScan(
     // conservative zone-map check. Partition-filter pruning therefore
     // answers before a zone map is ever consulted, and both tiers land
     // in the same filesPruned metric.
+    // The bucket REFUTE tier works off the full declared spec, not the
+    // column-pruned scan output (a COUNT(*) with a pushed point filter
+    // prunes every column yet still deserves the bucket skip).
+    val allBucketFields: Seq[ManifestFileSink.BucketPart] =
+      if (since.nonEmpty || weighted) Nil
+      else ManifestFileSink.partitionFields(path).collect {
+        case b: ManifestFileSink.BucketPart => b
+      }
+    val fullSchema: StructType =
+      ManifestFileSink.storedSchema(path, asOf).getOrElse(schema)
+    val bucketTypes: Map[String, DataType] = allBucketFields.flatMap { b =>
+      val i = fullSchema.fieldNames.indexOf(b.col)
+      if (i < 0) None else Some(b.col -> fullSchema.fields(i).dataType)
+    }.toMap
+    val bucketNs: Map[String, Int] =
+      allBucketFields.map(b => b.col -> b.n).toMap
     val admitted = visible.filter { case (_, _, st, ddl) =>
       val fs = schemaOf(ddl)
       lazy val pv = provenPartValues(st, fs)
+      // Bucket tier: the attested bucket id refutes equality filters
+      // whose literal hashes elsewhere (the point-lookup partition
+      // pruning a hash layout owes its reads).
+      lazy val bk: Map[String, (Int, Int)] = provenBucketIds(st, allBucketFields)
+        .flatMap { case (c, id) => bucketNs.get(c).map(n => c -> (n, id)) }
       effFilters.forall { f =>
         (if (partCols.nonEmpty) ManifestFileSink.partitionFilterDecide(f, pv)
          else None) match {
           case Some(b) => b
-          // Zone maps are keyed by the FILE's column positions.
-          case None => st.forall(s => ManifestFileSink.mayMatch(f, s, fs))
+          case None =>
+            (if (bucketNs.nonEmpty && bk.nonEmpty)
+              ManifestFileSink.bucketFilterRefute(f, bk, bucketTypes)
+            else None) match {
+              case Some(b) => b
+              // Zone maps are keyed by the FILE's column positions.
+              case None => st.forall(s => ManifestFileSink.mayMatch(f, s, fs))
+            }
         }
       }
     }
@@ -3147,7 +3377,7 @@ private class ManifestScan(
     // any retraction split) degrades the whole scan to unpartitioned —
     // Spark then inserts the usual exchanges; results never change.
     val out: (Array[InputPartition], Option[Int]) =
-      if (partCols.nonEmpty && minus.isEmpty && limit.isEmpty && topN.isEmpty &&
+      if (partFields.nonEmpty && minus.isEmpty && limit.isEmpty && topN.isEmpty &&
           plus.nonEmpty && plus.forall(_._2.isDefined)) {
         val keyed = plus.map { case (s, k, _, _, _) => KeyedFileSplit(s, k.get): InputPartition }
         (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
@@ -3174,8 +3404,14 @@ private class ManifestScan(
     staticPlan match {
       case (_, Some(n)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
-            .identity(c): org.apache.spark.sql.connector.expressions.Transform).toArray, n)
+          partFields.map {
+            case ManifestFileSink.IdentityPart(c) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector.expressions.Transform
+            case ManifestFileSink.BucketPart(bn, c) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(bn, c): org.apache.spark.sql.connector.expressions.Transform
+          }.toArray, n)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }

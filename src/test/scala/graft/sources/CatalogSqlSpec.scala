@@ -53,20 +53,31 @@ class CatalogSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT id FROM graft.db.t2").head().getLong(0) === 7)
     intercept[Exception](spark.sql("SELECT * FROM graft.db.t1").collect())
 
-    // Duplicate create refuses; non-identity transforms, duplicate
+    // Duplicate create refuses; unsupported transforms, duplicate
     // partition columns, and non-integral/string types refuse (identity
-    // transforms — single or multi — are the SPJ layout,
+    // and bucket transforms are the SPJ layouts,
     // StoragePartitionedJoinSpec).
     intercept[Exception](spark.sql("CREATE TABLE graft.db.t2 (id BIGINT)"))
     intercept[Exception](
-      spark.sql("CREATE TABLE graft.db.tp (id BIGINT) PARTITIONED BY (bucket(8, id))"))
+      spark.sql("CREATE TABLE graft.db.tp (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
     intercept[Exception](
       spark.sql("CREATE TABLE graft.db.tp (id BIGINT, j BIGINT) PARTITIONED BY (id, id)"))
     intercept[Exception](
       spark.sql("CREATE TABLE graft.db.tp (id BIGINT, d DOUBLE) PARTITIONED BY (d)"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.db.tp (id BIGINT, d DOUBLE) PARTITIONED BY (bucket(8, d))"))
     // Two-column identity partitioning is a supported layout (round 11).
     spark.sql("CREATE TABLE graft.db.tp2 (id BIGINT, j BIGINT) PARTITIONED BY (id, j)")
     assert(ManifestFileSink.partitionColumns(s"$root/db/tp2") === Seq("id", "j"))
+    // bucket(n, col) round-trips through the DDL and the DESCRIBE surface
+    // (round 12; the join/demux behavior is StoragePartitionedJoinSpec's).
+    spark.sql("CREATE TABLE graft.db.tpb (id BIGINT, j BIGINT) PARTITIONED BY (bucket(8, id), j)")
+    assert(ManifestFileSink.partitionColumns(s"$root/db/tpb") === Seq("bucket:8:id", "j"))
+    val parts = spark.sql("DESCRIBE TABLE EXTENDED graft.db.tpb")
+      .filter(org.apache.spark.sql.functions.col("col_name").startsWith("Part "))
+      .select("data_type")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts === Seq("bucket(8, id)", "j"), s"DESCRIBE partition surface: $parts")
 
     spark.sql("DROP TABLE graft.db.t2")
     intercept[Exception](spark.sql("SELECT * FROM graft.db.t2").collect())

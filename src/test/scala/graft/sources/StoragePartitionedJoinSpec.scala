@@ -359,4 +359,122 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       assert(j2.count() === 4, "degraded plan still returns exact results")
     }
   }
+
+  // ---- round 12: bucket-transform partitioning -----------------------
+
+  test("bucket(n, col): catalog write demuxes one file per bucket, ids match graft.bucket") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.bf (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gspj.spj.bf SELECT CAST(id AS BIGINT), id * 10 FROM range(200)")
+    val path = s"$root/spj/bf"
+    assert(ManifestFileSink.partitionColumns(path) === Seq("bucket:4:k"))
+    // every file holds exactly one bucket of k, by the catalog's own
+    // V2 bucket function — layout and function semantics agree
+    val perFile = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", path).load()
+      .select(col("_file"), expr("gspj.system.bucket(4, k)").as("b"))
+      .groupBy(col("_file")).agg(countDistinct(col("b")).as("nb"))
+    assert(perFile.filter(col("nb") =!= 1).count() === 0,
+      "every data file must hold exactly one bucket")
+    // the bucket-clustered write distribution produced ONE file per
+    // bucket — the whole point of the layout on a high-cardinality key
+    // (identity demux would have written 200 files)
+    val files = ManifestFileSink.visibleFiles(path).map(_._1)
+    assert(files.size === 4,
+      s"bucket-clustered write should yield one file per bucket: ${files.size} vs 4")
+    assert(spark.table("gspj.spj.bf").count() === 200)
+  }
+
+  test("co-bucketed tables join with zero exchanges on a HIGH-cardinality key") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.bfd (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gspj.spj.bfd SELECT CAST(id AS BIGINT), id * 7 FROM range(200)")
+    withSpjConf {
+      val j = spark.table("gspj.spj.bf").join(spark.table("gspj.spj.bfd"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"co-bucketed SPJ must not shuffle either side:\n$p")
+      assert(j.count() === 200)
+      // value parity with a plain shuffled join
+      val got = j.select(col("k"), col("v"), col("w"))
+        .orderBy("k").collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got === (0L until 200L).map(i => (i, i * 10, i * 7)))
+    }
+  }
+
+  test("bucket equality pruning: a point lookup opens only the matching bucket's file") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    root
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.read.format(classOf[ManifestFileSink].getName)
+        .option("path", s"$root/spj/bf").load()
+        .filter(col("k") === 123L)
+      assert(q.collect().length === 1) // collect(): execute THIS queryExecution
+      val scan = q.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head
+      assert(scan.metrics("filesPruned").value === 3,
+        s"k=123 must prune the 3 other buckets' files, got ${scan.metrics("filesPruned").value}")
+      assert(scan.metrics("filesRead").value === 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("files written before the bucket declaration degrade SPJ; results stay exact") {
+    root
+    val path = s"$root/spj/bfm"
+    spark.sql("CREATE TABLE gspj.spj.bfm (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gspj.spj.bfm SELECT CAST(id AS BIGINT), id FROM range(40)")
+    // Forge an unattested file: drop the declaration, append, restore —
+    // data written before the layout existed carries no bucket
+    // attestation and must turn the partitioning report off.
+    Files.delete(java.nio.file.Paths.get(path, "_partition"))
+    spark.createDataFrame(Seq((1000L, 1L), (1001L, 2L))).toDF("k", "v").coalesce(1)
+      .write.format(classOf[ManifestFileSink].getName)
+      .option("path", path).mode("append").save()
+    ManifestFileSink.setPartitionColumns(path, Seq("bucket:4:k"))
+    spark.catalog.clearCache()
+    withSpjConf {
+      val j = spark.table("gspj.spj.bfm").join(spark.table("gspj.spj.bfd"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && p.substring(i).contains("Exchange"),
+        s"an unattested file must degrade to a shuffled join:\n$p")
+      assert(j.count() === 40, "degraded plan still returns exact results")
+    }
+    // A RE-declared bucket count invalidates old attestations too.
+    ManifestFileSink.setPartitionColumns(s"$root/spj/bf", Seq("bucket:8:k"))
+    spark.catalog.clearCache()
+    withSpjConf {
+      val j2 = spark.table("gspj.spj.bf").join(spark.table("gspj.spj.bfd"), "k")
+      val p2 = j2.queryExecution.executedPlan.toString
+      val i2 = p2.indexOf("SortMergeJoin")
+      assert(i2 >= 0 && p2.substring(i2).contains("Exchange"),
+        s"a changed bucket count must not trust stale attestations:\n$p2")
+      assert(j2.count() === 200)
+    }
+    ManifestFileSink.setPartitionColumns(s"$root/spj/bf", Seq("bucket:4:k"))
+    spark.catalog.clearCache()
+  }
+
+  test("mixed identity + bucket spec demuxes per (value, bucket) pair and reports both") {
+    root
+    spark.sql(
+      """CREATE TABLE gspj.spj.bmix (g BIGINT, k BIGINT, v BIGINT)
+        |PARTITIONED BY (g, bucket(2, k))""".stripMargin)
+    spark.sql(
+      """INSERT INTO gspj.spj.bmix
+        |SELECT CAST(id % 3 AS BIGINT), CAST(id AS BIGINT), id FROM range(60)""".stripMargin)
+    val path = s"$root/spj/bmix"
+    assert(ManifestFileSink.partitionColumns(path) === Seq("g", "bucket:2:k"))
+    val perFile = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", path).load()
+      .select(col("_file"), col("g"), expr("gspj.system.bucket(2, k)").as("b"))
+      .groupBy(col("_file"))
+      .agg(countDistinct(col("g"), col("b")).as("nv"))
+    assert(perFile.filter(col("nv") =!= 1).count() === 0,
+      "every data file must hold exactly one (g, bucket) pair")
+    assert(spark.table("gspj.spj.bmix").count() === 60)
+  }
 }
