@@ -63,6 +63,12 @@ object Bench {
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // Release the query's persisted kernels before the next query:
+      // every query is self-contained, and without this the bench loop
+      // accumulates one cache set per kernel query (advice-r11) — LRU
+      // eviction under pressure, but bounded-by-construction is better.
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
       name -> (if (times.contains(-1.0)) Seq(-1.0) else times.sorted)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.head }

@@ -126,6 +126,11 @@ object Graph {
     */
   private[ops] val StrongTie = 6
 
+  /** Link prediction's co-bought-parts tie threshold. Parts, not
+    * suppliers, and ≥2 repeats: sparse-but-connected at every tested
+    * scale — see [[qLinkPrediction]]'s graph-choice note. */
+  private[ops] val LinkTie = 2
+
   def qTriangleCount: Q = (s, dir) => {
     val li = Tables(s, dir).lineitem
     val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
@@ -476,17 +481,25 @@ object Graph {
     * quadratic node cross product; existing edges drop via one LEFT ANTI
     * join; per-pair contributions fold as DECIMAL(18,9)-quantized partial
     * sums (merge-order-independent — the lmScore discipline), map-side
-    * combinable; the final cut is a bounded TakeOrderedAndProject. */
+    * combinable; the final cut is a bounded TakeOrderedAndProject.
+    *
+    * Graph choice: PART co-bought pairs (repeat co-occurrence,
+    * [[LinkTie]]) — the supplier co-supply graph the other operators use
+    * is COMPLETE at every tested scale (few suppliers × many orders ties
+    * every pair), which left link prediction with an empty candidate set
+    * and its exactness machinery unverified (advice-r11); the part graph
+    * is sparse at every scale, so the oracle actually exercises the RA
+    * fold (MutationGraphSpec pins a full top-20 of positive scores). */
   def qLinkPrediction: Q = (s, dir) => {
     val li = Tables(s, dir).lineitem
-    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val supp = li.select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = supp.as("a")
       .join(supp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= StrongTie)
+      .filter(col("w") >= LinkTie)
       .select(col("u"), col("v"))
       .persist()
     val adj = pairs.select(col("u").as("src"), col("v").as("dst"))
@@ -511,12 +524,12 @@ object Graph {
   }
 
   val qLinkPredictionSql: String =
-    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    s"""WITH supp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |pairs AS (
-       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
        |  FROM supp a JOIN supp b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $StrongTie),
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $LinkTie),
        |adj AS (
        |  SELECT u AS src, v AS dst FROM pairs
        |  UNION ALL SELECT v AS src, u AS dst FROM pairs),

@@ -222,27 +222,39 @@ object RollupMaintenance {
       sumCols: Seq[String],
       root: String,
       table: String,
-      config: graft.sinks.H2Config): DataStreamWriter[Row] =
+      config: graft.sinks.H2Config,
+      maxTouchedGroups: Int = DefaultMaxTouchedGroups): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Row], id: Long) =>
         val batch = b.toDF()
         applyWeightedBatch(batch, id, keys, sumCols, root)
-        pushTouchedToH2(batch, id, keys, sumCols, root, table, config)
+        pushTouchedToH2(batch, id, keys, sumCols, root, table, config,
+          maxTouchedGroups)
         ()
     }
+
+  /** Hard cap on the per-micro-batch driver materialization in
+    * [[pushTouchedToH2]]. The JDBC push is inherently driver-side (one
+    * connection, batched prepared statements), so the touched-group row
+    * images land on the driver — this bound turns the "CDC batches are
+    * small" ASSUMPTION into a refusal CONTRACT: a batch that touches
+    * more groups fails loudly instead of silently materializing an
+    * unbounded collect. */
+  val DefaultMaxTouchedGroups: Int = 100000
 
   /** The H2 half of [[weightedSinkToH2]]: join the batch's touched keys
     * against the freshly-maintained summary (a group absent there was
     * fully retracted), then hand the row images to the keyed-MERGE
     * transaction. */
-  private def pushTouchedToH2(
+  private[streaming] def pushTouchedToH2(
       batch: DataFrame,
       batchId: Long,
       keys: Seq[String],
       sumCols: Seq[String],
       root: String,
       table: String,
-      config: graft.sinks.H2Config): Unit = {
+      config: graft.sinks.H2Config,
+      maxTouchedGroups: Int = DefaultMaxTouchedGroups): Unit = {
     val dirOpt = currentDir(root)
     if (dirOpt.isEmpty) return
     val spark = batch.sparkSession
@@ -251,7 +263,16 @@ object RollupMaintenance {
     val touched = batch.select(keys.map(col): _*).distinct()
     val cur = touched.join(spark.read.parquet(dirOpt.get), keys, "left")
     val schema = cur.schema
-    val rows = cur.collect() // touched groups only: CDC-batch-sized
+    // Touched groups only — CDC-batch-sized BY CONTRACT: the limit+1
+    // probe refuses past the cap without ever materializing more than
+    // cap+1 rows on the driver.
+    val rows = cur.limit(maxTouchedGroups + 1).collect()
+    if (rows.length > maxTouchedGroups) throw new IllegalStateException(
+      s"micro-batch $batchId touches more than $maxTouchedGroups groups; " +
+        "the keyed JDBC upsert is a driver-side push sized for CDC " +
+        "batches — bulk-load the rollup instead (H2Sink overwrite, or " +
+        "ManifestFileSink.mergeUpsert for the distributed merge) or " +
+        "raise maxTouchedGroups deliberately")
     val cntIdx = schema.fieldIndex("g_cnt")
     val (ups, dels) = rows.partition(r => !r.isNullAt(cntIdx))
     import graft.sinks.ColType

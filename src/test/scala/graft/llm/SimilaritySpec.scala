@@ -40,4 +40,22 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("query_id") === 1 && col("rank") === 1).collect().head
     assert(nanRow.getDouble(nanRow.fieldIndex("cos_sim")).isNaN)
   }
+
+  test("trained multiprobe recall DOMINATES nprobe=1 on the eval fixture") {
+    // The point of knn_ivf_trained_multiprobe: the second probed cell can
+    // only ADD candidates, so per-query recall must never drop — and on
+    // this fixture it must strictly improve somewhere, or the operator
+    // buys nothing (knn_recall_eval_trained is the oracle-gated scorer;
+    // this pins the dominance claim its Scaladoc makes).
+    val rows = Similarity.knnRecallEvalTrained(spark, "/root/testdata/sf0.001")
+      .select(col("query_id"), col("hits_p1"), col("hits_p2"))
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"query ${r.getLong(0)}: nprobe=2 recall dropped below nprobe=1")
+    }
+    assert(rows.map(_.getLong(2)).sum > rows.map(_.getLong(1)).sum,
+      "nprobe=2 must strictly improve aggregate recall on this fixture")
+  }
 }

@@ -193,4 +193,18 @@ class MutationGraphSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"expected hash joins in:\n$p")
   }
+
+  test("link prediction is NON-vacuous: the candidate set is non-empty at test scale") {
+    // advice-r11: a 0-row hash match verifies none of the query's
+    // exactness machinery. The part co-occurrence graph must yield real
+    // unlinked wedge pairs, and the RA fold must produce positive,
+    // hub-downweighted scores.
+    val rows = Graph.qLinkPrediction(spark, sf).collect()
+    assert(rows.length === 20,
+      s"the candidate set must fill the top-20 cut, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_common")) >= 1)
+      assert(r.getDouble(r.fieldIndex("ra_score")) > 0.0)
+    }
+  }
 }

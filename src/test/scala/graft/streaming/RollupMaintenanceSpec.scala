@@ -265,4 +265,29 @@ class RollupMaintenanceSpec extends SparkTestBase {
     drain()
     assert(summary() === recompute())
   }
+
+  test("pushTouchedToH2 refuses a batch above maxTouchedGroups — the collect is capped") {
+    import spark.implicits._
+    val root = freshDir()
+    // Seed a maintained summary so the push path has a state dir to join.
+    val b0 = Seq(("a", 1.0, 1), ("b", 2.0, 1), ("c", 3.0, 1))
+      .toDF("k", "v", "_change_weight")
+    assert(RollupMaintenance.applyWeightedBatch(b0, 0L, Seq("k"), Seq("v"), root))
+    val cfg = graft.sinks.H2Config("h2:mem:cap",
+      driverClass = classOf[graft.sinks.RecordingDriver].getName)
+    // 3 touched groups > cap of 2: the push must REFUSE, never collect.
+    val e = intercept[IllegalStateException] {
+      RollupMaintenance.pushTouchedToH2(b0, 0L, Seq("k"), Seq("v"), root,
+        "rollup_cap", cfg, maxTouchedGroups = 2)
+    }
+    assert(e.getMessage.contains("touches more than 2 groups") &&
+      e.getMessage.contains("mergeUpsert"),
+      s"refusal must carry the bound and the distributed alternative: ${e.getMessage}")
+    // Under the cap the same batch pushes fine.
+    graft.sinks.RecordingDb.reset()
+    RollupMaintenance.pushTouchedToH2(b0, 0L, Seq("k"), Seq("v"), root,
+      "rollup_cap", cfg, maxTouchedGroups = 3)
+    assert(graft.sinks.RecordingDb.statements
+      .exists(s => s.contains("MERGE INTO \"rollup_cap\"")))
+  }
 }
