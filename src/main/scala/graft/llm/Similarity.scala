@@ -988,6 +988,7 @@ object Similarity {
     "knn_ivf_trained"        -> knnIvfTrained,
     "knn_ivf_trained_multiprobe" -> knnIvfTrainedMultiprobe,
     "knn_recall_eval_trained" -> knnRecallEvalTrained,
+    "knn_index_serve"        -> ((s, dir) => VectorIndex.knnIndexServe(s, dir)),
     "knn_matryoshka"         -> knnMatryoshka,
     "knn_hard_negatives"     -> knnHardNegatives,
     "knn_cluster_quality"    -> knnClusterQuality,
@@ -1008,6 +1009,9 @@ object Similarity {
     "knn_ivf_trained"        -> knnIvfTrainedSql,
     "knn_ivf_trained_multiprobe" -> knnIvfTrainedMultiprobeSql,
     "knn_recall_eval_trained" -> knnRecallEvalTrainedSql,
+    // Same training, same metric, exact string roundtrip ⇒ the serve
+    // path's results replay through the trained-IVF oracle verbatim.
+    "knn_index_serve"        -> knnIvfTrainedSql,
     "knn_matryoshka"         -> knnMatryoshkaSql,
     "knn_hard_negatives"     -> knnHardNegativesSql,
     "knn_cluster_quality"    -> knnClusterQualitySql,

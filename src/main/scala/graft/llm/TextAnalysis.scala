@@ -169,6 +169,45 @@ object TextAnalysis {
     * broadcast of ~|sources| rows; the corpus itself is scanned ONCE,
     * map-only, through a codegen'd integer filter — no shuffle of the
     * big table, same plan at 500 docs or 100 TB. */
+  /** WEIGHTED reservoir sample, k=5 per source stratum, by the
+    * Efraimidis–Spirakis A-Res scheme: each document draws
+    * u = deterministic-hash-uniform(0,1] and ranks by u^(1/w) — here as
+    * the equivalent ln(u)/w — so selection probability is proportional
+    * to weight (n_chars: the long-document-favoring subsample a
+    * token-budgeted corpus cut wants) while the sample stays a PURE
+    * FUNCTION of the data: the hash is the integer multiplicative mix
+    * both engines compute exactly, and the one libm term (ln) is
+    * 9-dp-quantized with a doc_id tiebreak before ranking (the repo's
+    * standard cross-engine float discipline).
+    *
+    * Scale shape: map-only key computation (codegen'd), then the native
+    * bounded heap per stratum — k rows per source cross the exchange,
+    * never the corpus; the same A-Res keys make the sample MERGEABLE
+    * (union of per-shard top-k = global top-k, the q_quantile_sketch
+    * property), which is what lets a 100 TB cut run shard-local first. */
+  def weightedSample: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) + lit(1L))
+      .cast("double") / lit(1000000008.0)
+    val keyed = d.select(col("source"), col("doc_id"), col("n_chars"),
+      round(log(u) / col("n_chars"), 9).as("sample_key"))
+    graft.plans.TopKPerGroup(keyed, Seq("source"),
+      Seq(("sample_key", false), ("doc_id", true)), 5)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("sample_key"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH k AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROUND(ln(CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE)
+      |      / 1000000008.0) / n_chars, 9) AS sample_key
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars, sample_key FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY sample_key DESC, doc_id) AS rn FROM k) t
+      |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+
   def mixtureSample: Q = (s, dir) => {
     val d = Tables(s, dir).documents
     val total = d.agg(count(lit(1)).as("n_total"))
@@ -1182,6 +1221,7 @@ object TextAnalysis {
     "text_prep_pipeline"     -> prepPipeline,
     "text_stratified_split"  -> stratifiedSplit,
     "text_mixture_sample"    -> mixtureSample,
+    "text_weighted_sample"   -> weightedSample,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
@@ -1207,6 +1247,7 @@ object TextAnalysis {
     "text_prep_pipeline"    -> prepPipelineSql,
     "text_stratified_split" -> stratifiedSplitSql,
     "text_mixture_sample"   -> mixtureSampleSql,
+    "text_weighted_sample"  -> weightedSampleSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,

@@ -1,0 +1,125 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dotp
+import graft.plans.TopKPerGroup
+import graft.sources.{ManifestFileSink, Tables}
+
+/** PERSISTED IVF vector index, served by partition-pruned scans — the
+  * composition the in-query ANN certifiers point at: every `knn_ivf*`
+  * entry trains its index inside the query (the right shape for a
+  * self-contained oracle), but a production index is built ONCE and
+  * then every query pays only its probed cells. This module makes that
+  * real with the engine's own table format:
+  *
+  * BUILD ([[build]]): train k-means ([[Similarity.kmeansCentroids]]),
+  * assign the corpus, and write TWO manifest tables — the assignment
+  * relation `(vec_id, vnenc, cell)` declared `PARTITIONED BY (cell)`
+  * (the identity storage-partitioned layout: the clustered write demuxes
+  * ONE data file per cell, each file's cell proven by its zone map), and
+  * the tiny centroid relation `(cent_id, cvenc)`. Vectors ride as
+  * comma-joined `Double.toString` strings — Java's shortest-roundtrip
+  * rendering parses back bit-exact, so the served scores are IDENTICAL
+  * to the in-query index's.
+  *
+  * SERVE ([[serve]]): load the centroids (broadcast-sized), pick each
+  * query's nprobe nearest cells with the bounded heap, then read the
+  * assignment TABLE with a static `cell IN (probed)` filter — the sink's
+  * exact partition-filter pruning opens ONLY the probed cells' files
+  * (VectorIndexSpec pins filesRead == probed cells). The probed cell
+  * ids are collected to the driver first: a (queries × nprobe) set of
+  * ints — bounded by the query sample, never by the corpus — exactly
+  * the two-phase probe-then-fetch shape every vector store serves with.
+  * At 100 TB the index table is the big artifact; a query touches
+  * nprobe files of it and the centroid table, nothing else.
+  *
+  * Reference anchor: engine capability beyond the reference's sink
+  * (SURVEY.md §2 north-star extensions); the layout is SURVEY §2.6's
+  * storage-partitioned join machinery applied to ANN serving.
+  */
+object VectorIndex {
+
+  private def enc(col0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(col0, x => x.cast("string")), ",")
+
+  private def dec(col0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(split(col0, ","), x => x.cast("double"))
+
+  private def fmt = classOf[ManifestFileSink].getName
+
+  /** Deterministic per-corpus index location (test/bench runs reuse it;
+    * the build is idempotent-by-existence). */
+  def indexPath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_vecindex", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** Train + write the index tables. No-op if already built (the
+    * harness corpus is immutable; production rebuilds on drift —
+    * [[Similarity.knnRecallEval]]'s re-evaluation discipline). */
+  def build(s: SparkSession, dir: String, path: String): Unit = synchronized {
+    val assignedPath = s"$path/assigned"
+    val centsPath = s"$path/cents"
+    val built = Files.isDirectory(Paths.get(assignedPath)) && {
+      val l = Files.list(Paths.get(assignedPath))
+      try l.iterator().hasNext finally l.close()
+    }
+    if (built) return
+    val emb = Similarity.normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Similarity.kmeansCentroids(emb)
+    val assigned = Similarity.kmeansAssign(emb, cents)
+    Files.createDirectories(Paths.get(assignedPath))
+    ManifestFileSink.setPartitionColumn(assignedPath, "cell")
+    assigned.select(col("vec_id"), enc(col("vn")).as("vnenc"), col("cell"))
+      .write.format(fmt).option("path", assignedPath).mode("append").save()
+    cents.select(col("cent_id"), enc(col("cv")).as("cvenc"))
+      .coalesce(1)
+      .write.format(fmt).option("path", centsPath).mode("append").save()
+  }
+
+  /** Top-3 neighbors for the standard query sample (vec_id < 10) from
+    * the PERSISTED index at `path`, probing `nprobe` cells per query. */
+  def serve(s: SparkSession, path: String, nprobe: Int): DataFrame = {
+    val cents = s.read.format(fmt).option("path", s"$path/cents").load()
+      .select(col("cent_id"), dec(col("cvenc")).as("cv"))
+    val index = s.read.format(fmt).option("path", s"$path/assigned").load()
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), dec(col("vnenc")).as("qv"))
+    val probeScores = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        (dotp(col("qv"), col("cv")) /
+          sqrt(dotp(col("cv"), col("cv")))).as("cs"))
+    val probes =
+      TopKPerGroup(probeScores, Seq("query_id"), Seq(("cs", false), ("cent_id", true)), nprobe)
+        .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase 1 → 2 boundary: the probed cell ids come to the driver —
+    // (queries × nprobe) ints, bounded by the query sample — and return
+    // as a STATIC IN filter, which the sink's partition-filter pruning
+    // answers at plan time (only the probed cells' files are opened).
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = index.filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), dec(col("vnenc")).as("vn"), col("cell"))
+    val scored = broadcast(probes).join(cand, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotp(col("qv"), col("vn")).as("cos"))
+    Similarity.topKRanked(scored, 3)
+  }
+
+  /** Oracle-gated entry: build-once then serve nprobe=1 — the results
+    * are bit-identical to [[Similarity.knnIvfTrained]] (same training,
+    * same metric; the string roundtrip is exact), so the same DuckDB
+    * oracle replays it while the PLAN reads the persisted table with
+    * partition pruning instead of re-training. */
+  def knnIndexServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    val path = indexPath(dir)
+    build(s, dir, path)
+    serve(s, path, nprobe = 1)
+  }
+}

@@ -879,18 +879,91 @@ object ManifestFileSink {
     latestManifest(path).fold(0)(pin =>
       optimizePinned(spark, path, clusterBy, numFiles, pin))
 
+  /** Z-ORDER rewrite — the multi-dimensional sibling of [[optimize]]:
+    * range clustering on ONE column gives that column tight per-file
+    * zone maps and leaves every other filter column scattered; Z-order
+    * interleaves the BITS of each column's quantile-bucket rank, so
+    * files occupy small hyper-rectangles of the key space and zone maps
+    * prune on EVERY clustered column (the Delta/Iceberg OPTIMIZE ZORDER
+    * move). Per column, the rank buckets come from the deterministic
+    * bottom-k boundary sample ([[graft.functions.BottomKSample]] — a
+    * pure function of the data, 2^bits boundaries broadcast, bucket id
+    * by map-side comparisons), so the layout is reproducible; the
+    * interleave is unrolled shift/or arithmetic (codegen'd); ONE range
+    * shuffle on the z-value + an in-partition sort land the rows.
+    * ZOrderSpec proves the claim: after z-ordering on (a, b), point
+    * filters on a AND on b BOTH prune files; range clustering on a
+    * alone prunes only a. */
+  def optimizeZOrder(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cols: Seq[String],
+      numFiles: Int = 8,
+      bits: Int = 8): Int = {
+    require(cols.size >= 2 && cols.size <= 3, "Z-order takes 2 or 3 columns")
+    require(bits >= 2 && bits <= 16, "bits per dimension in [2, 16]")
+    latestManifest(path).fold(0)(pin =>
+      optimizePinned(spark, path, cols.head, numFiles, pin,
+        cluster = Some(df => zCluster(df, cols, bits, numFiles))))
+  }
+
+  /** Cluster `df` by the interleaved z-value of per-column
+    * quantile-bucket ranks; returns the original columns in order (the
+    * rewrite writer renders rows positionally). */
+  private def zCluster(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String], bits: Int,
+      numFiles: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val buckets = 1 << bits
+    val outCols = df.schema.fieldNames.toSeq
+    val withBounds = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val lead = col(c).cast("double")
+      val sk = df.agg(org.apache.spark.sql.functions
+        .call_function("graft_bottomk", lead, lit(4096)).as("__smp"))
+      val bounds = sk.select(
+        when(size(col("__smp")) === 0, array().cast("array<double>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), lit(buckets - 1)),
+            j => element_at(col("__smp"),
+              greatest(lit(1), (j * size(col("__smp")) / buckets).cast("int"))))))
+          .as(s"__bnds_$i"))
+      d.crossJoin(broadcast(bounds))
+    }
+    // Rank of column i = count of its boundaries below the value
+    // (boundary collisions just leave rank values unused); bit j of rank
+    // i interleaves to z-bit j*ncols + i.
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      coalesce(size(filter(col(s"__bnds_$i"),
+        b => b < col(c).cast("double"))), lit(0))
+    }
+    val z = (0 until bits).flatMap { j =>
+      ranks.zipWithIndex.map { case (r, i) =>
+        shiftleft(shiftright(r, j).bitwiseAND(lit(1)).cast("long"),
+          j * cols.size + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    withBounds.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .select(outCols.map(col): _*)
+  }
+
   private[sources] def optimizePinned(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       clusterBy: String,
       numFiles: Int,
-      pin: String): Int = {
+      pin: String,
+      cluster: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] = None): Int = {
     val fmtName = classOf[ManifestFileSink].getName
     val current = spark.read.format(fmtName).option("path", path)
       .option("asOfManifest", pin).load()
     val schema = asNullable(current.schema)
     if (schema.isEmpty) return 0
-    val clustered = current.repartitionByRange(numFiles, current.col(clusterBy))
+    val clustered = cluster.fold(
+      current.repartitionByRange(numFiles, current.col(clusterBy)))(f =>
+      f(current))
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val messages: Array[WriterCommitMessage] =
       clustered.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>

@@ -1,0 +1,68 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.ManifestFileSink
+import org.apache.spark.sql.functions._
+
+/** The persisted-IVF contract: build once into the storage-partitioned
+  * layout, serve by opening ONLY the probed cells' files, return exactly
+  * the in-query trained index's answers. */
+class VectorIndexSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val path: String = {
+    val p = Files.createTempDirectory("graft-vecindex").toString
+    VectorIndex.build(spark, sf, p)
+    p
+  }
+
+  test("build writes one data file per cell; every file is single-celled") {
+    val files = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", s"$path/assigned").load()
+      .groupBy(col("_file"))
+      .agg(countDistinct(col("cell")).as("nc"), first(col("cell")).as("cell"))
+      .collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_.getLong(1) === 1L), "a cell file must hold one cell")
+    assert(files.map(_.getLong(2)).distinct.length === files.length,
+      "one file per cell (the clustered demux)")
+  }
+
+  test("serve opens ONLY the probed cells' files (partition-pruned fetch)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = VectorIndex.serve(spark, path, nprobe = 1)
+      val rows = served.collect()
+      assert(rows.length > 0)
+      // The candidate-fetch scan (the one with the pushed cell IN filter)
+      // reads exactly the probed cells' files and prunes the rest.
+      val scans = served.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }
+        .filter(_.scan.description.contains("PushedFilters: [In(cell"))
+      assert(scans.nonEmpty, "expected the probed-cell IN filter pushed to the index scan")
+      val nCells = spark.read.format(classOf[ManifestFileSink].getName)
+        .option("path", s"$path/assigned").load()
+        .select(col("cell")).distinct().count()
+      val fetch = scans.head
+      val read = fetch.metrics("filesRead").value
+      val pruned = fetch.metrics("filesPruned").value
+      assert(read + pruned === nCells,
+        s"read($read) + pruned($pruned) must cover all $nCells cell files")
+      assert(read < nCells,
+        s"the fetch must not open every cell (read=$read of $nCells)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("served answers are bit-identical to the in-query trained index") {
+    val got = VectorIndex.serve(spark, path, nprobe = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Similarity.knnIvfTrained(spark, sf)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === want)
+  }
+}
