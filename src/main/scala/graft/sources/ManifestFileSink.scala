@@ -1208,6 +1208,54 @@ object ManifestFileSink {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
   }
 
+  // ------------------------------------------- trigram text index (_trgm)
+
+  /** TEXT columns designated for per-file TRIGRAM Bloom indexing (the
+    * pg_trgm move, per file instead of per row): the writer folds every
+    * 3-BYTE window of each value into a [[TrgmBloomBits]]-bit Bloom, and
+    * a pushed `contains`/`startsWith`/`endsWith` probe prunes any file
+    * whose bloom misses ANY trigram of the needle — SOUND because a
+    * substring match implies every one of the needle's byte-trigrams
+    * occurs in the value. Byte-level (UTF-8) windows make writer and
+    * pruner trivially consistent and keep multi-byte characters sound
+    * (their bytes just form more windows). Needles shorter than 3 bytes
+    * answer true (no claim). The bitset is sized for TEXT (a document's
+    * distinct-trigram count runs to thousands — the 1 KiB equality
+    * geometry would saturate); it rides the ordinary stats map under the
+    * reserved pseudo-index `-(colIdx+2)` as a rangeless bloom carrier,
+    * so every manifest path (encode/decode/compact/optimize rewrite)
+    * handles it with zero new format. */
+  def setTrigramIndex(path: String, cols: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, "._trgm.tmp")
+    Files.write(tmp, java.util.Collections.singletonList(cols.mkString(",")),
+      StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(path, "_trgm"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def trigramColumns(path: String): Set[String] = {
+    val f = Paths.get(path, "_trgm")
+    if (!Files.exists(f)) Set.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+  }
+
+  // Sized for TEXT: a file's corpus easily holds ~10k distinct byte
+  // trigrams; 64 Kibit keeps the false-positive rate a few percent there
+  // (the 1 KiB equality geometry would saturate to all-ones). 1.4 KB of
+  // base64 per file per indexed column — the price of a text index.
+  private[sources] val TrgmBloomBits = 65536
+
+  /** Stats-map key carrying column i's trigram bloom (−1 is the
+    * partition attestation; real columns are ≥ 0). */
+  private[sources] def trgmStatsIdx(colIdx: Int): Int = -(colIdx + 2)
+
+  private[sources] def trgmHash(b: Array[Byte], off: Int): Long =
+    bloomHashLong(((b(off) & 0xffL) << 16) | ((b(off + 1) & 0xffL) << 8) |
+      (b(off + 2) & 0xffL))
+
   // ----------------------------------------- identity partitioning (SPJ)
 
   /** Identity-partition column of a table — persisted in a `_partition`
@@ -1529,6 +1577,7 @@ object ManifestFileSink {
       val i = schema.fieldNames.indexOf(name)
       if (i < 0) None else stats.get(i).map(s => (s, schema.fields(i).dataType))
     }
+    def trgmAdmits(c: String, v: String): Boolean = trgmAdmits0(stats, schema, c, v)
     // Compare a filter literal against recorded bounds in the column's type
     // space: negative ⇒ value below min, 0 in-range, positive ⇒ above max,
     // None ⇒ incomparable (empty bounds / unsupported type) — caller keeps.
@@ -1605,25 +1654,47 @@ object ManifestFileSink {
           relate(v, s, dt).forall { case (lo, hi) => !(lo == 0 && hi == 0) }
         case _ => true
       }
-      case StringStartsWith(c, p) if p.nonEmpty => colStats(c) match {
-        case Some((s, StringType)) if s.rangeless => true // bloom-only entry: no range claim
-        case Some((s, StringType)) if s.min.isEmpty => false // no non-null values
-        case Some((s, StringType)) =>
-          // Every string with prefix p satisfies p ≤ s < next(p) in binary
-          // order, so the file may match only if [min,max] intersects that
-          // band. next(p) bumps the last char — computed only for pure
-          // ASCII prefixes, where char order IS byte order; otherwise only
-          // the lower bound prunes (conservative).
-          val pU = UTF8String.fromString(p)
-          if (UTF8String.fromString(s.max).compareTo(pU) < 0) false
-          else if (p.forall(_ < 0x80) && p.exists(_ < 0x7f)) {
-            val trimmed = p.reverse.dropWhile(_ == 0x7f).reverse
-            val np = trimmed.dropRight(1) + (trimmed.last + 1).toChar
-            UTF8String.fromString(s.min).compareTo(UTF8String.fromString(np)) < 0
-          } else true
-        case _ => true
-      }
+      case StringStartsWith(c, p) if p.nonEmpty =>
+        trgmAdmits(c, p) && (colStats(c) match {
+          case Some((s, StringType)) if s.rangeless => true // bloom-only entry: no range claim
+          case Some((s, StringType)) if s.min.isEmpty => false // no non-null values
+          case Some((s, StringType)) =>
+            // Every string with prefix p satisfies p ≤ s < next(p) in binary
+            // order, so the file may match only if [min,max] intersects that
+            // band. next(p) bumps the last char — computed only for pure
+            // ASCII prefixes, where char order IS byte order; otherwise only
+            // the lower bound prunes (conservative).
+            val pU = UTF8String.fromString(p)
+            if (UTF8String.fromString(s.max).compareTo(pU) < 0) false
+            else if (p.forall(_ < 0x80) && p.exists(_ < 0x7f)) {
+              val trimmed = p.reverse.dropWhile(_ == 0x7f).reverse
+              val np = trimmed.dropRight(1) + (trimmed.last + 1).toChar
+              UTF8String.fromString(s.min).compareTo(UTF8String.fromString(np)) < 0
+            } else true
+          case _ => true
+        })
+      // Substring probes answer through the trigram text index: a match
+      // inside a value implies EVERY 3-byte window of the needle occurs
+      // there, so a file whose trigram bloom misses any window cannot
+      // match — sound for contains/starts/ends alike.
+      case StringContains(c, v) => trgmAdmits(c, v)
+      case StringEndsWith(c, v) => trgmAdmits(c, v)
       case _ => true
+    }
+  }
+
+  /** Trigram-bloom admission for a substring needle against column `c` —
+    * true when no index claim exists (absent bloom, short needle). */
+  private def trgmAdmits0(
+      stats: Map[Int, ColStats], schema: StructType, c: String, v: String): Boolean = {
+    val i = schema.fieldNames.indexOf(c)
+    if (i < 0) return true
+    stats.get(trgmStatsIdx(i)).flatMap(_.bloom) match {
+      case Some(bits) =>
+        val b = v.getBytes(StandardCharsets.UTF_8)
+        if (b.length < 3) true
+        else (0 to b.length - 3).forall(j => bloomMightContain(bits, trgmHash(b, j)))
+      case None => true
     }
   }
 
@@ -2855,6 +2926,19 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String,
   private val bloomBits: Map[Int, Array[Long]] =
     bloomIdx.map(i => i -> Array.fill(ManifestFileSink.BloomBits / 64)(0L)).toMap
 
+  // Trigram text index (the `_trgm` control file): every 3-byte window
+  // of a designated STRING column folds into a large per-file Bloom —
+  // the substring-pruning index (see ManifestFileSink.setTrigramIndex).
+  private val trgmIdx: Seq[Int] = {
+    val cols = ManifestFileSink.trigramColumns(path)
+    if (cols.isEmpty) Seq.empty
+    else schema.fields.indices.filter(i =>
+      cols.contains(schema.fields(i).name) &&
+        schema.fields(i).dataType == StringType)
+  }
+  private val trgmBits: Map[Int, Array[Long]] =
+    trgmIdx.map(i => i -> Array.fill(ManifestFileSink.TrgmBloomBits / 64)(0L)).toMap
+
   override def write(record: InternalRow): Unit = {
     out.write(ManifestFileSink.render(record, schema)); out.write("\n")
     bloomIdx.foreach { i =>
@@ -2866,6 +2950,17 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String,
           case _ => 0L
         }
         ManifestFileSink.bloomSet(bloomBits(i), h)
+      }
+    }
+    trgmIdx.foreach { i =>
+      if (!record.isNullAt(i)) {
+        val b = record.getUTF8String(i).getBytes
+        val bits = trgmBits(i)
+        var j = 0
+        while (j + 3 <= b.length) {
+          ManifestFileSink.bloomSet(bits, ManifestFileSink.trgmHash(b, j))
+          j += 1
+        }
       }
     }
     statIdx.foreach { i =>
@@ -2931,8 +3026,14 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String,
         case None => i -> ManifestFileSink.ColStats("", "", hasNull(i), bl, rangeless = true)
       }
     }.toMap
+    // Trigram blooms ride reserved NEGATIVE pseudo-indices (−(col+2)) as
+    // rangeless bloom carriers — invisible to every ≥0 stats consumer.
+    val trgmStats = trgmIdx.filter(sawValue).map { i =>
+      ManifestFileSink.trgmStatsIdx(i) ->
+        ManifestFileSink.ColStats("", "", hasNull(i), Some(trgmBits(i)), rangeless = true)
+    }.toMap
     CommittedFile(name, rows,
-      ManifestFileSink.encodeStats(stats ++ bloomed ++ extraStats))
+      ManifestFileSink.encodeStats(stats ++ bloomed ++ trgmStats ++ extraStats))
   }
   override def abort(): Unit = {
     out.close()
