@@ -989,6 +989,8 @@ object Similarity {
     "knn_ivf_trained_multiprobe" -> knnIvfTrainedMultiprobe,
     "knn_recall_eval_trained" -> knnRecallEvalTrained,
     "knn_index_serve"        -> ((s, dir) => VectorIndex.knnIndexServe(s, dir)),
+    "knn_index_serve_multiprobe" ->
+      ((s, dir) => VectorIndex.knnIndexServeMultiprobe(s, dir)),
     "knn_matryoshka"         -> knnMatryoshka,
     "knn_hard_negatives"     -> knnHardNegatives,
     "knn_cluster_quality"    -> knnClusterQuality,
@@ -1010,8 +1012,9 @@ object Similarity {
     "knn_ivf_trained_multiprobe" -> knnIvfTrainedMultiprobeSql,
     "knn_recall_eval_trained" -> knnRecallEvalTrainedSql,
     // Same training, same metric, exact string roundtrip ⇒ the serve
-    // path's results replay through the trained-IVF oracle verbatim.
+    // paths' results replay through the trained-IVF oracles verbatim.
     "knn_index_serve"        -> knnIvfTrainedSql,
+    "knn_index_serve_multiprobe" -> knnIvfTrainedMultiprobeSql,
     "knn_matryoshka"         -> knnMatryoshkaSql,
     "knn_hard_negatives"     -> knnHardNegativesSql,
     "knn_cluster_quality"    -> knnClusterQualitySql,

@@ -122,4 +122,14 @@ object VectorIndex {
     build(s, dir, path)
     serve(s, path, nprobe = 1)
   }
+
+  /** nprobe=2 over the same persisted index — the candidate fetch opens
+    * TWO cells' files per query instead of one (same partition-pruned
+    * scan, same [[Similarity.knnIvfTrainedMultiprobe]] results and
+    * oracle). */
+  def knnIndexServeMultiprobe: (SparkSession, String) => DataFrame = (s, dir) => {
+    val path = indexPath(dir)
+    build(s, dir, path)
+    serve(s, path, nprobe = 2)
+  }
 }

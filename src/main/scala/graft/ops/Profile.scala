@@ -366,7 +366,36 @@ object Profile {
       |  ROUND(CAST(SUM(f * f) AS DOUBLE) / SUM(f), 6) AS expected_multiplier
       |FROM f""".stripMargin
 
+  /** Per-group exact quartiles of order value — the standalone face of
+    * [[DistributedCumulate.exactDiscCutsGrouped]] (RFM uses it through
+    * an unpivot; this is the direct per-segment profiling read: value
+    * quartiles per order priority). The priority's digit prefix is the
+    * group ordinal, so ALL five groups' cutpoints come from ONE kernel
+    * pass — five ungrouped `percentile_disc` buffers (or one grouped
+    * sort-aggregate buffering per group in one task each) never run. */
+  def qGroupQuantiles: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").minus(1).as("g"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+    val cuts = DistributedCumulate.exactDiscCutsGrouped(
+      o, "g", "o_totalprice",
+      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"),
+      s.sessionState.conf.numShufflePartitions, gMax = 5)
+    val labels = o.select(col("g"), col("priority")).distinct()
+    cuts.join(labels, "g")
+      .select(col("priority"), col("q25"), col("q50"), col("q75"))
+      .orderBy(col("priority"))
+  }
+
+  val qGroupQuantilesSql: String =
+    """SELECT o_orderpriority AS priority,
+      |  quantile_disc(o_totalprice, 0.25) AS q25,
+      |  quantile_disc(o_totalprice, 0.5)  AS q50,
+      |  quantile_disc(o_totalprice, 0.75) AS q75
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_group_quantiles" -> qGroupQuantiles,
     "q_join_fanout"    -> qJoinFanout,
     "q_tvd_drift"      -> qTvdDrift,
     "q_skew_stats"     -> qSkewStats,
@@ -375,6 +404,7 @@ object Profile {
     "q_dq_checks"      -> qDqChecks,
     "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
+    "q_group_quantiles" -> qGroupQuantilesSql,
     "q_join_fanout"    -> qJoinFanoutSql,
     "q_tvd_drift"      -> qTvdDriftSql,
     "q_skew_stats"     -> qSkewStatsSql,

@@ -239,6 +239,42 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     specs
   }
 
+  /** Index declarations through TBLPROPERTIES — the SQL door to the
+    * `_bloom` / `_trgm` control files the path API sets directly:
+    *
+    * {{{
+    *   CREATE TABLE graft.db.docs (id BIGINT, text STRING)
+    *   TBLPROPERTIES ('bloom.columns' = 'id', 'trgm.columns' = 'text')
+    * }}}
+    *
+    * `bloom.columns` = per-file equality Blooms (point lookups on
+    * high-cardinality keys); `trgm.columns` = per-file trigram Blooms
+    * (substring pruning for contains/starts/ends on STRING columns).
+    * Columns are validated against the schema; trigram columns must be
+    * STRING. */
+  private def applyIndexProperties(
+      path: String, schema: StructType,
+      properties: util.Map[String, String]): Unit = {
+    def colsOf(key: String): Seq[String] =
+      Option(properties.get(key)).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val bloom = colsOf("bloom.columns")
+    val trgm = colsOf("trgm.columns")
+    (bloom ++ trgm).foreach { c =>
+      if (!schema.fieldNames.contains(c)) throw new IllegalArgumentException(
+        s"index column $c is not in the table schema")
+    }
+    trgm.foreach { c =>
+      if (schema.fields(schema.fieldNames.indexOf(c)).dataType !=
+          org.apache.spark.sql.types.StringType)
+        throw new IllegalArgumentException(
+          s"trgm.columns takes STRING columns; $c is " +
+            schema.fields(schema.fieldNames.indexOf(c)).dataType.simpleString)
+    }
+    if (bloom.nonEmpty) ManifestFileSink.setBloomIndex(path, bloom)
+    if (trgm.nonEmpty) ManifestFileSink.setTrigramIndex(path, trgm)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -248,6 +284,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
     val path = dir(ident)
     Files.createDirectories(path)
+    applyIndexProperties(path.toString, schema, properties)
     if (pcols.nonEmpty) ManifestFileSink.setPartitionColumns(path.toString, pcols)
     // Schema-only commit 0: the table exists, empty, with a real schema.
     ManifestFileSink.publish(path.toString,
@@ -324,6 +361,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val path = dir(ident)
     val created = !Files.isDirectory(path)
     Files.createDirectories(path)
+    // Index declarations must exist BEFORE the staged write's task files
+    // are produced — their writers read the control files. A failed CTAS
+    // removes the created dir (control files included).
+    applyIndexProperties(path.toString, schema, properties)
     new StagedManifestTable(path.toString, ManifestFileSink.asNullable(schema),
       replace = false, createdDir = created, partitionCols = pcols)
   }

@@ -76,4 +76,32 @@ class TrigramIndexSpec extends SparkTestBase {
       assert(ids2 === Seq.empty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("TBLPROPERTIES ('trgm.columns', 'bloom.columns') declare the indexes via SQL") {
+    val root = Files.createTempDirectory("graft-trgmsql").toString
+    spark.conf.set("spark.sql.catalog.gtg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtg.root", root)
+    spark.sql(
+      """CREATE TABLE gtg.db.docs (doc_id BIGINT, text STRING)
+        |TBLPROPERTIES ('trgm.columns' = 'text', 'bloom.columns' = 'doc_id')""".stripMargin)
+    assert(ManifestFileSink.trigramColumns(s"$root/db/docs") === Set("text"))
+    assert(ManifestFileSink.bloomColumns(s"$root/db/docs") === Set("doc_id"))
+    spark.sql("INSERT INTO gtg.db.docs VALUES (1, 'quetzal ostrich')")
+    spark.sql("INSERT INTO gtg.db.docs VALUES (2, 'walrus pangolin')")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.table("gtg.db.docs").filter(col("text").contains("pangolin"))
+      assert(q.collect().map(_.getLong(0)).toSeq === Seq(2L))
+      val scan = q.queryExecution.executedPlan
+        .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }.head
+      assert(scan.metrics("filesPruned").value === 1,
+        "the SQL-declared trigram index must prune the other file")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // Unknown column / wrong type refuse at CREATE.
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gtg.db.bad (id BIGINT) TBLPROPERTIES ('trgm.columns' = 'nope')"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gtg.db.bad2 (id BIGINT) TBLPROPERTIES ('trgm.columns' = 'id')"))
+  }
 }
