@@ -546,6 +546,29 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("_cut twins + cont-cut rewires: distributed cutpoints, no single-task percentile") {
+    // The r11 scale-killer class, pinned closed: every query that moved
+    // off an ungrouped exact percentile must plan the kernel shape —
+    // deterministic boundary sketch + bucket-partitioned windows — and
+    // must NOT plan any sort-based aggregate (the physical form of the
+    // single-task percentile buffer, which hash aggregation never uses
+    // for these max/sum folds).
+    Seq("q_histogram_equidepth_cut", "q_rfm_segments_cut",
+        "text_ccnet_buckets_cut", "q_join_fanout", "q_conversion_time")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("graft_bottomk"),
+          s"$q lost the kernel's deterministic boundary sketch:\n$p")
+        assert(p.contains("Exchange hashpartitioning(__bkt"),
+          s"$q lost the kernel's bucket exchange:\n$p")
+        assert(!p.contains("SortAggregate"),
+          s"$q must not plan a sort-based aggregate (the percentile-buffer shape):\n$p")
+        val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+        assert(windows.forall(_.contains("__bkt")),
+          s"$q windows must all be bucket-partitioned:\n$p")
+      }
+  }
+
   test("q_pareto_share / text_vocab_growth / q_skew_stats: cumulatives are two-level") {
     Seq("q_pareto_share", "text_vocab_growth", "q_skew_stats").foreach { q =>
       val p = plan(q)

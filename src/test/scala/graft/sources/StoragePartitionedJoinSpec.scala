@@ -458,6 +458,38 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("streaming writes into a BUCKET-partitioned table attest their files; SPJ holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    root
+    spark.sql("CREATE TABLE gspj.spj.bstr (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    val path = s"$root/spj/bstr"
+    val in = MemoryStream[Long]
+    in.addData(0L until 200L: _*)
+    val q = in.toDF().select($"value".as("k"), ($"value" * 3).as("v"))
+      .coalesce(1) // one task carrying every bucket — the demux backstop
+      .writeStream.format(classOf[ManifestFileSink].getName)
+      .option("path", path)
+      .option("checkpointLocation", Files.createTempDirectory("gspj-bck").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val perFile = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", path).load()
+      .select(col("_file"), expr("gspj.system.bucket(4, k)").as("b"))
+      .groupBy(col("_file")).agg(countDistinct(col("b")).as("nb"))
+    assert(perFile.count() === 4 && perFile.filter(col("nb") =!= 1).count() === 0,
+      "the streaming epoch must demux one attested file per bucket")
+    withSpjConf {
+      val j = spark.table("gspj.spj.bstr").join(spark.table("gspj.spj.bfd"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"stream-written bucket table must keep SPJ:\n$p")
+      assert(j.count() === 200)
+    }
+  }
+
   test("mixed identity + bucket spec demuxes per (value, bucket) pair and reports both") {
     root
     spark.sql(
