@@ -473,6 +473,10 @@ private[sources] class GraftProcedure(op: String, root: String)
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("cluster_by", StringType).build(), // comma-separated 2..3 cols
       ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build())
+    case "repartition_table" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType).build(), // comma-joined _partition lines
+      ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build())
     case "vacuum" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("older_than_hours", IntegerType).defaultValue("168").build())
@@ -508,6 +512,12 @@ private[sources] class GraftProcedure(op: String, root: String)
         ManifestFileSink.optimizeZOrder(
           org.apache.spark.sql.SparkSession.active, path,
           input.getUTF8String(1).toString.split(",").map(_.trim).toSeq,
+          if (input.isNullAt(2)) 8 else input.getInt(2))
+      case "repartition_table" =>
+        ManifestFileSink.repartitionTable(
+          org.apache.spark.sql.SparkSession.active, path,
+          input.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
           if (input.isNullAt(2)) 8 else input.getInt(2))
       case "vacuum" =>
         val hours = if (input.isNullAt(1)) 168 else input.getInt(1)
@@ -567,6 +577,6 @@ private[sources] class GraftProcedure(op: String, root: String)
 
 private[sources] object GraftProcedure {
   val Names: Seq[String] =
-    Seq("optimize", "zorder", "vacuum", "compact", "apply_deletes",
-      "migrate_schema", "snapshots")
+    Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
+      "apply_deletes", "migrate_schema", "snapshots")
 }

@@ -733,17 +733,18 @@ object ManifestFileSink {
           // Attempt-unique name (the task-file discipline): a retried
           // attempt can never clobber another attempt's file.
           val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-          val w = new ManifestDataWriter(path, schema, f"part-m$runId-$pid%05d-$attempt")
+          val w = ManifestFileSink.taskWriter(path, schema, f"part-m$runId-$pid%05d-$attempt")
           it.foreach(w.write)
           Iterator(w.commit())
         }
       }.collect()
-    val inserted = messages.collect { case CommittedFile(_, n, _) => n }.sum
-    val dataLines = messages.collect {
+    val flat = flattenCommits(messages).toArray[WriterCommitMessage]
+    val inserted = flat.collect { case CommittedFile(_, n, _) => n }.sum
+    val dataLines = flat.collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
-    val newFiles = messages.collect { case CommittedFile(f, n, _) if n > 0 => f }.toSeq
-    val prune = keyRangePrune(messages, key, schema)
+    val newFiles = flat.collect { case CommittedFile(f, n, _) if n > 0 => f }.toSeq
+    val prune = keyRangePrune(flat, key, schema)
     // Matched-key retraction + atomic publish, serialized with other commits.
     commitLock(path).synchronized {
       val snap = snapshot(path, None)
@@ -837,13 +838,14 @@ object ManifestFileSink {
         if (it.isEmpty) Iterator.empty
         else {
           val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-          val w = new ManifestDataWriter(path, schema, f"part-r$runId-$pid%05d-$attempt")
+          val w = ManifestFileSink.taskWriter(path, schema, f"part-r$runId-$pid%05d-$attempt")
           it.foreach(w.write)
           Iterator(w.commit())
         }
       }.collect()
-    val inserted = messages.collect { case CommittedFile(_, n, _) => n }.sum
-    val dataLines = messages.collect {
+    val flat = flattenCommits(messages).toArray[WriterCommitMessage]
+    val inserted = flat.collect { case CommittedFile(_, n, _) => n }.sum
+    val dataLines = flat.collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
     commitLock(path).synchronized {
@@ -905,6 +907,39 @@ object ManifestFileSink {
     latestManifest(path).fold(0)(pin =>
       optimizePinned(spark, path, cols.head, numFiles, pin,
         cluster = Some(df => zCluster(df, cols, bits, numFiles))))
+  }
+
+  /** LAYOUT MIGRATION: re-declare the partition spec and rewrite every
+    * live row under it in one maintenance pass — the lifecycle door a
+    * declared layout needs (a bare `setPartitionColumns` re-declare
+    * leaves the old files unprovable: correct, but SPJ degrades until
+    * something rewrites them). The new spec is declared FIRST so the
+    * rewrite's [[taskWriter]] demuxes and attests under it; a crash
+    * between declare and commit leaves the table correct-but-degraded
+    * and the call is idempotent (retry rewrites the same snapshot).
+    * Rows cluster by the new layout's key columns before the demux, so
+    * the file count tracks the key-tuple count (identity) or the task ×
+    * bucket grid (bucket fields — the demux backstop splits). Returns
+    * the rewritten file count; same quiescence contract as
+    * [[optimize]]. */
+  def repartitionTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      specs: Seq[String],
+      numFiles: Int = 8): Int = {
+    require(specs.nonEmpty, "repartitionTable needs at least one partition field")
+    val fields = specs.map(parsePartField)
+    latestManifest(path) match {
+      case None =>
+        setPartitionColumns(path, specs); 0
+      case Some(pin) =>
+        setPartitionColumns(path, specs)
+        optimizePinned(spark, path, fields.head.col, numFiles, pin,
+          cluster = Some { df =>
+            val keys = fields.map(f => df.col(f.col))
+            df.repartition(numFiles, keys: _*)
+          })
+    }
   }
 
   /** Cluster `df` by the interleaved z-value of per-column
@@ -970,12 +1005,12 @@ object ManifestFileSink {
         if (it.isEmpty) Iterator.empty
         else {
           val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-          val w = new ManifestDataWriter(path, schema, f"part-o$runId-$pid%05d-$attempt")
+          val w = ManifestFileSink.taskWriter(path, schema, f"part-o$runId-$pid%05d-$attempt")
           it.foreach(w.write)
           Iterator(w.commit())
         }
       }.collect()
-    val dataLines = messages.collect {
+    val dataLines = flattenCommits(messages).collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
     commitLock(path).synchronized {
@@ -1008,7 +1043,7 @@ object ManifestFileSink {
       // after retention: an in-flight scan planned against the prior
       // snapshot holds their names and must finish reading them — the
       // Delta/Iceberg reason physical deletion is deferred.
-      messages.length
+      dataLines.length
     }
   }
 
@@ -1332,6 +1367,21 @@ object ManifestFileSink {
     * wrong. A spec token that no longer matches the CURRENT declared
     * spec (bucket count changed) is likewise no proof. */
   private[sources] val PartKeyStatsIdx: Int = -1
+
+  /** Writer for REWRITE task files (optimize / mergeUpsert /
+    * replaceWhere): honors the table's declared partition layout —
+    * demux one file per key tuple, bucket attestation included —
+    * exactly like the append writers. Without this, maintenance would
+    * silently write mixed-key files and permanently degrade the SPJ
+    * proofs the layout was declared for. */
+  private[sources] def taskWriter(
+      path: String, schema: StructType, base: String): DataWriter[InternalRow] = {
+    val fields = partitionFields(path)
+    val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
+    if (fields.nonEmpty && idxs.nonEmpty && idxs.forall(_ >= 0))
+      new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
+    else new ManifestDataWriter(path, schema, base)
+  }
 
   def setPartitionColumns(path: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.map(parsePartField(_).col).distinct.size == cols.size,

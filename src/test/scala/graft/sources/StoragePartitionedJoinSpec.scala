@@ -490,6 +490,46 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("optimize PRESERVES the declared layout: SPJ still zero-exchange after the rewrite") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.opt (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gspj.spj.opt SELECT CAST(id % 3 AS BIGINT), id FROM range(60)")
+    spark.sql("CREATE TABLE gspj.spj.optdim (k BIGINT, w BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gspj.spj.optdim VALUES (0, 10), (1, 11), (2, 12)")
+    // Maintenance must not write mixed-key files: the rewrite demuxes
+    // under the declared layout, so the join stays exchange-free.
+    assert(ManifestFileSink.optimize(spark, s"$root/spj/opt", "v", numFiles = 2) > 0)
+    spark.catalog.clearCache()
+    withSpjConf {
+      val j = spark.table("gspj.spj.opt").join(spark.table("gspj.spj.optdim"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"optimize must preserve the SPJ layout:\n$p")
+      assert(j.count() === 60)
+    }
+  }
+
+  test("CALL repartition_table migrates identity(k) to bucket(4, k); SPJ follows the new layout") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.mig (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO gspj.spj.mig SELECT CAST(id AS BIGINT), id * 5 FROM range(200)")
+    val affected = spark.sql(
+      "CALL gspj.system.repartition_table('spj.mig', 'bucket:4:k', 8)").head().getInt(0)
+    assert(affected > 0)
+    assert(ManifestFileSink.partitionColumns(s"$root/spj/mig") === Seq("bucket:4:k"))
+    spark.catalog.clearCache()
+    withSpjConf {
+      // bfd is bucket(4, k)-partitioned with the same 200 keys.
+      val j = spark.table("gspj.spj.mig").join(spark.table("gspj.spj.bfd"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"migrated layout must join co-bucketed with zero exchanges:\n$p")
+      assert(j.count() === 200)
+    }
+  }
+
   test("mixed identity + bucket spec demuxes per (value, bucket) pair and reports both") {
     root
     spark.sql(
