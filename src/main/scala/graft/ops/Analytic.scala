@@ -422,6 +422,63 @@ object Analytic {
     * user_id, so the whole query is ONE shuffle on user_id followed by
     * map-side work. Timestamps flow as epoch microseconds (bigint) to keep
     * the compare engine-neutral (DuckDB holds ns, Spark µs). */
+  /** Top user JOURNEYS: the 10 most common session paths — each
+    * session's first five event types in time order, joined `a>b>c` —
+    * the path-analysis read product teams run on top of sessionization
+    * (which funnel to promote, where errors interleave). Same 30-min-gap
+    * session kernel and (us, event_id) total order as [[qSessionize]];
+    * the path string builds from a per-session `sort_array(collect_list)`
+    * fold whose buffer is bounded by the rn ≤ 5 prefix cut (a session's
+    * whole event list never aggregates), and the final cut is the
+    * bounded top-10 under the exact (count DESC, path) order. */
+  def qTopPaths: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gap = col("us") - lag(col("us"), 1).over(wOrd)
+    val sess = t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess", when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L))
+      .withColumn("sess_idx",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sess_idx"))
+      .orderBy(col("us"), col("event_id"))
+    val paths = sess
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  val qTopPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+      |                   OR us - LAG(us) OVER w > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+      |  FROM g),
+      |pfx AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_idx
+      |    ORDER BY us, event_id) AS rn FROM sess),
+      |paths AS (
+      |  SELECT user_id, sess_idx,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM pfx WHERE rn <= 5 GROUP BY user_id, sess_idx)
+      |SELECT path, COUNT(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
   def qSessionize: Q = (s, dir) => {
     val t = Tables(s, dir)
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
@@ -1904,6 +1961,7 @@ object Analytic {
     "q_array_agg"       -> qArrayAgg,
     "q_regex_fns"       -> qRegexFns,
     "q_sessionize"      -> qSessionize,
+    "q_top_paths"       -> qTopPaths,
     "q_interval_join_bucketed" -> qIntervalJoinBucketed,
     "q_session_window_native"  -> qSessionWindowNative,
     "q_asof_join_tolerance"    -> qAsofJoinTolerance,
@@ -1952,6 +2010,7 @@ object Analytic {
     "q_array_agg"       -> qArrayAggSql,
     "q_regex_fns"       -> qRegexFnsSql,
     "q_sessionize"      -> qSessionizeSql,
+    "q_top_paths"       -> qTopPathsSql,
     "q_interval_join_bucketed" -> qIntervalJoinBucketedSql,
     "q_session_window_native"  -> qSessionWindowNativeSql,
     "q_asof_join_tolerance"    -> qAsofJoinToleranceSql,
