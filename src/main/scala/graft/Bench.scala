@@ -48,7 +48,31 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val benched = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
-    val results = benched.map { case (name, fn) =>
+    // Interleaved canary timeline (round-12 adjudication, see BenchNorm):
+    // the single start-of-run canary cannot see a contention window that
+    // opens mid-run — the driver's r12 run inflated a CONTIGUOUS 7-query
+    // segment 3-9x while the canary, long finished, read clean. Re-probe
+    // every `canaryEvery` queries and normalize each query by the canary
+    // in effect when it ran.
+    val runT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - runT0) / 1e9
+    def canaryProbe(): Double = try {
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val t0 = System.nanoTime()
+      l.groupBy("l_returnflag").count().count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+    val timeline = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    if (canary > 0) timeline += ((elapsed, canary))
+    val canaryEvery =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "20").toInt)
+    var qIdx = 0
+    val measured = benched.toSeq.map { case (name, fn) =>
+      if (qIdx > 0 && qIdx % canaryEvery == 0) {
+        val v = canaryProbe(); if (v > 0) timeline += ((elapsed, v))
+      }
+      qIdx += 1
+      val tStart = elapsed
       // One untimed warmup execution PER QUERY before its timed samples:
       // the generic warmup above absorbs JVM/parquet startup, but each
       // query's own first run still pays its codegen compile, broadcast
@@ -69,22 +93,33 @@ object Bench {
       // eviction under pressure, but bounded-by-construction is better.
       try spark.sharedState.cacheManager.clearCache()
       catch { case _: Throwable => () }
-      name -> (if (times.contains(-1.0)) Seq(-1.0) else times.sorted)
+      val sorted = if (times.contains(-1.0)) Seq(-1.0) else times.sorted
+      (name, sorted, (tStart + elapsed) / 2.0)
     }
+    val endProbe = canaryProbe()
+    if (endProbe > 0) timeline += ((elapsed, endProbe))
+    val lcByName: Map[String, Double] = measured.map { case (name, _, t) =>
+      name -> BenchNorm.localAt(timeline.toSeq, t)
+    }.toMap
+    val results: Seq[(String, Seq[Double])] =
+      measured.map { case (name, v, _) => (name, v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.head }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, v) =>
+    val spread = measured.map { case (k, v, t) =>
       // True median for even n too (v is sorted) — with n=2 the naive
-      // v(n/2) would report the MAX labeled as the median.
+      // v(n/2) would report the MAX labeled as the median. "t" is the
+      // query's midpoint offset into the run; "lc" the time-local canary
+      // (BenchNorm.localAt) the regression gate normalizes by.
       val med = (v((v.size - 1) / 2) + v(v.size / 2)) / 2.0
-      s"\"" + k + s"""":{"min":${v.head},"med":$med,"max":${v.last},"n":${v.size}}"""
+      val lc = lcByName(k)
+      s"\"" + k + s"""":{"min":${v.head},"med":$med,"max":${v.last},"n":${v.size},"t":${math.rint(t * 1000) / 1000},"lc":${math.rint(lc * 1e6) / 1e6}}"""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.head).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.head).sum else 0.0
     // Med-of-3 total alongside min-of-3: run-wide environmental modes (GC,
     // host contention) shift the median while barely moving the min, so a
     // round-over-round med jump with a flat min says "noisy run", not
     // "plan regression" — no archaeology needed.
-    val medTotal = if (results.nonEmpty) results.values.map { v =>
+    val medTotal = if (results.nonEmpty) results.map { case (_, v) =>
       (v((v.size - 1) / 2) + v(v.size / 2)) / 2.0
     }.sum else 0.0
     // Round-over-round regression gate: diff this run against the
@@ -109,7 +144,14 @@ object Bench {
         if (prevSf.contains(sfDir) && prevCanary > 0 && canary > 0) {
           val prevMins = "\"([A-Za-z0-9_]+)\":\\{\"min\":([-0-9.eE]+)".r
             .findAllMatchIn(prev).map(m => m.group(1) -> m.group(2).toDouble).toMap
-          results.toSeq.sortBy(_._1).flatMap { case (name, v) =>
+          // Per-query local canaries on BOTH sides when available: the
+          // current side always has them (this run's timeline); the
+          // previous side falls back to its single global canary for
+          // pre-round-13 files. This is what closes the r12 false-flag
+          // mode: a query measured inside a contention window divides by
+          // the inflated local probe and normalizes flat.
+          val prevLcs = BenchNorm.parseLc(prev)
+          results.sortBy(_._1).flatMap { case (name, v) =>
             val cur = v.head
             prevMins.get(name).filter(_ > 0).flatMap { pm =>
               // A previously-working query that now THROWS is always a
@@ -119,8 +161,10 @@ object Bench {
               if (cur < 0)
                 Some(s"""{"q":"$name","prev_min":$pm,"min":-1,"failed":true}""")
               else {
+                val curLc = lcByName.get(name).filter(_ > 0).getOrElse(canary)
+                val prevLc = prevLcs.get(name).filter(_ > 0).getOrElse(prevCanary)
                 val rawRatio = cur / pm
-                val normRatio = (cur / canary) / (pm / prevCanary)
+                val normRatio = (cur / curLc) / (pm / prevLc)
                 if (cur >= 0.3 && rawRatio > 2.0 && normRatio > 2.0)
                   Some(s"""{"q":"$name","prev_min":$pm,"min":$cur,"raw_ratio":${math.rint(rawRatio * 100) / 100},"norm_ratio":${math.rint(normRatio * 100) / 100}}""")
                 else None
@@ -153,7 +197,10 @@ object Bench {
     val crossJson = crossRegs.map { case (lbl, rs) =>
       s""","regressions_vs_$lbl":${rs.mkString("[", ",", "]")}"""
     }.getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson$crossJson,"sf":"$sfDir"}"""
+    val tlJson = timeline.map { case (t, v) =>
+      s"[${math.rint(t * 1000) / 1000},${math.rint(v * 1e6) / 1e6}]"
+    }.mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"canary_timeline":$tlJson,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson$crossJson,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line
     // carrying the headline total: the driver tail-captures stdout, and a
     // total that only exists at the front of the long line gets truncated
