@@ -208,10 +208,21 @@ object Bench {
     // The full JSON also lands in a file for post-hoc analysis.
     println(full)
     // A filtered (SPARK_GRAFT_BENCH_ONLY) run must never clobber the
-    // full-suite baseline the regression gates diff against.
+    // full-suite baseline the regression gates diff against — and neither
+    // must a run at a DIFFERENT sf (the verify recipe drives Bench at
+    // sf0.001; overwriting the sf0.1 baseline with it silences the
+    // intra-round gate, which skips on sf mismatch). To intentionally
+    // move the baseline to a new sf, delete bench_full.json first.
     if (only.isEmpty) try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        (full + "\n").getBytes("UTF-8"))
+      val p = java.nio.file.Paths.get("bench_full.json")
+      val existingSf =
+        if (java.nio.file.Files.exists(p))
+          "\"sf\":\"([^\"]+)\"".r
+            .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+            .map(_.group(1))
+        else None
+      if (existingSf.forall(_ == sfDir))
+        java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val crossN = crossRegs.map { case (lbl, rs) =>
       s""","regressions_vs_${lbl}_n":${rs.size}"""
