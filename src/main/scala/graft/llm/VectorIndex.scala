@@ -57,9 +57,42 @@ object VectorIndex {
     Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_vecindex", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
-  /** Train + write the index tables. No-op if already built (the
-    * harness corpus is immutable; production rebuilds on drift —
-    * [[Similarity.knnRecallEval]]'s re-evaluation discipline). */
+  /** The corpus relation the index is built over — the staleness fence
+    * fingerprints exactly this path. */
+  private def corpusPath(dir: String): String = s"$dir/embeddings.parquet"
+
+  private def fenceFile(path: String) = Paths.get(path, "corpus.fp")
+
+  /** Fingerprint recorded at build: `corpusPath|fp` via the MV-rewrite
+    * fence discipline ([[graft.plans.MaterializedRollupRewrite
+    * .fenceFingerprint]] — file names + mtimes + lengths, one metadata
+    * listing, no data read). A recorded 0 means the fence was dark at
+    * build time (unreachable corpus) and staleness is the caller's. */
+  private def readFence(path: String): Option[(String, Long)] = {
+    val f = fenceFile(path)
+    if (!Files.isRegularFile(f)) None
+    else {
+      val line = new String(Files.readAllBytes(f), "UTF-8").trim
+      val cut = line.lastIndexOf('|')
+      if (cut < 0) None else Some((line.substring(0, cut), line.substring(cut + 1).toLong))
+    }
+  }
+
+  /** Is the persisted index at `path` stale for the corpus it recorded?
+    * None = no index or a pre-fence index (can't prove freshness);
+    * Some(false) = provably fresh or fence dark-by-record;
+    * Some(true) = corpus drifted since build. Metadata-only — zero data
+    * IO on the fresh path. */
+  def staleness(path: String): Option[Boolean] = readFence(path).map {
+    case (corpus, fp) =>
+      fp != 0L && graft.plans.MaterializedRollupRewrite.fenceFingerprint(corpus) != fp
+  }
+
+  /** Train + write the index tables. No-op if already built AND the
+    * recorded corpus fingerprint still matches ([[staleness]]); a
+    * drifted or pre-fence index is REBUILT in place — the same failure
+    * class the MV rewrite fences (serving stale cells silently), closed
+    * the same way. */
   def build(s: SparkSession, dir: String, path: String): Unit = synchronized {
     val assignedPath = s"$path/assigned"
     val centsPath = s"$path/cents"
@@ -67,7 +100,29 @@ object VectorIndex {
       val l = Files.list(Paths.get(assignedPath))
       try l.iterator().hasNext finally l.close()
     }
-    if (built) return
+    if (built && staleness(path).contains(false)) return
+    if (built) { // drifted or pre-fence: rebuild from scratch
+      // Invalidate cached plans whose lineage reads the corpus before
+      // retraining. Plain `spark.read.parquet` gets a fresh FileIndex
+      // per read, so V1-path rebuilds happen to retrain clean anyway —
+      // but the training kernels persist Lloyd-iteration centroids for
+      // cross-query reuse (Similarity.kmeansCentroids), and any caller
+      // that reaches the corpus through a catalog table or a reused
+      // DataFrame WOULD be handed the old corpus's cached centroids
+      // here. One metadata call buys immunity to that plan-identity
+      // subtlety.
+      s.catalog.refreshByPath(corpusPath(dir))
+      def rm(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          val st = Files.walk(p)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.delete(q))
+          finally st.close()
+        }
+      rm(Paths.get(assignedPath)); rm(Paths.get(centsPath))
+      Files.deleteIfExists(fenceFile(path))
+    }
+    val fp = graft.plans.MaterializedRollupRewrite.fenceFingerprint(corpusPath(dir))
     val emb = Similarity.normalized(Tables(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = Similarity.kmeansCentroids(emb)
@@ -79,11 +134,38 @@ object VectorIndex {
     cents.select(col("cent_id"), enc(col("cv")).as("cvenc"))
       .coalesce(1)
       .write.format(fmt).option("path", centsPath).mode("append").save()
+    // The build's own working set does not outlive the build: unlike
+    // the in-query certifiers (whose session-long persists are a
+    // deliberate cross-query reuse over immutable testdata), a leaked
+    // build-side cache entry is storage held for a table that now
+    // exists on disk.
+    emb.unpersist(blocking = true)
+    // Fence LAST: a crash mid-build leaves no fence file, so the next
+    // build sees "pre-fence" and rebuilds rather than trusting a torn
+    // index.
+    Files.write(fenceFile(path),
+      s"${corpusPath(dir)}|$fp".getBytes("UTF-8"))
   }
 
   /** Top-3 neighbors for the standard query sample (vec_id < 10) from
-    * the PERSISTED index at `path`, probing `nprobe` cells per query. */
+    * the PERSISTED index at `path`, probing `nprobe` cells per query.
+    *
+    * REFUSES (IllegalStateException) if the recorded corpus fingerprint
+    * no longer matches the corpus — a stale index silently returns
+    * neighbors from a world that no longer exists, the wrong-answer
+    * class the fence exists for. The check is one metadata listing of
+    * the corpus dir; the data-read path is unchanged (still exactly the
+    * probed cells' files). */
   def serve(s: SparkSession, path: String, nprobe: Int): DataFrame = {
+    staleness(path) match {
+      case Some(true) =>
+        val corpus = readFence(path).map(_._1).getOrElse("<unknown>")
+        throw new IllegalStateException(
+          s"vector index at $path is STALE: corpus $corpus changed since " +
+            "build. Rebuild via VectorIndex.build(spark, dir, path) — " +
+            "build detects the drift and reconstructs in place.")
+      case _ => // fresh, fence-dark-by-record, or pre-fence legacy: serve
+    }
     val cents = s.read.format(fmt).option("path", s"$path/cents").load()
       .select(col("cent_id"), dec(col("cvenc")).as("cv"))
     val index = s.read.format(fmt).option("path", s"$path/assigned").load()

@@ -65,4 +65,49 @@ class VectorIndexSpec extends SparkTestBase {
       .orderBy("query_id", "rank").collect().toSeq
     assert(got === want)
   }
+
+  test("staleness fence: drifted corpus → serve REFUSES, build rebuilds") {
+    // A mutable corpus copy (the driver's testdata is read-only).
+    val dir = Files.createTempDirectory("graft-vecindex-corpus").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val p = Files.createTempDirectory("graft-vecindex-fence").toString
+    VectorIndex.build(spark, dir, p)
+    assert(VectorIndex.staleness(p) === Some(false), "fresh right after build")
+    assert(VectorIndex.serve(spark, p, nprobe = 1).collect().nonEmpty)
+
+    // Drift: a REAL corpus change (half the vectors vanish).
+    val v2 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0).cache()
+    v2.count()
+    v2.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    v2.unpersist()
+
+    assert(VectorIndex.staleness(p) === Some(true), "fence sees the drift")
+    val ex = intercept[IllegalStateException](VectorIndex.serve(spark, p, nprobe = 1))
+    assert(ex.getMessage.contains("STALE"))
+
+    // build() detects the same drift and reconstructs in place.
+    VectorIndex.build(spark, dir, p)
+    assert(VectorIndex.staleness(p) === Some(false), "rebuild re-fences")
+    val served = VectorIndex.serve(spark, p, nprobe = 1).collect()
+    assert(served.nonEmpty)
+    assert(served.forall(r => r.getAs[Long]("neighbor_id") % 2 === 0),
+      "post-rebuild neighbors come from the NEW corpus (even vec_ids only)")
+  }
+
+  test("staleness fence: pre-fence legacy index is rebuilt, not trusted") {
+    val dir = Files.createTempDirectory("graft-vecindex-corpus2").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val p = Files.createTempDirectory("graft-vecindex-legacy").toString
+    VectorIndex.build(spark, dir, p)
+    // Simulate a pre-fence index: drop the fence file.
+    Files.delete(java.nio.file.Paths.get(p, "corpus.fp"))
+    assert(VectorIndex.staleness(p) === None, "legacy: freshness unprovable")
+    VectorIndex.build(spark, dir, p) // must NOT no-op
+    assert(Files.isRegularFile(java.nio.file.Paths.get(p, "corpus.fp")),
+      "rebuild restores the fence")
+    assert(VectorIndex.staleness(p) === Some(false))
+  }
 }
