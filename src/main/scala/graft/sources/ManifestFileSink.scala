@@ -936,8 +936,21 @@ object ManifestFileSink {
         setPartitionColumns(path, specs)
         optimizePinned(spark, path, fields.head.col, numFiles, pin,
           cluster = Some { df =>
-            val keys = fields.map(f => df.col(f.col))
-            df.repartition(numFiles, keys: _*)
+            import org.apache.spark.sql.functions.{hash, lit, pmod}
+            // Cluster by the LAYOUT key (bucket id for bucket fields —
+            // pmod(hash, n) IS bucketIdOf, both are Spark's Murmur3 seed
+            // 42 — raw value for identity), so one task owns each key
+            // tuple and the demux yields ONE file per group; then sort
+            // within tasks on the source columns so every rewritten file
+            // re-earns its sort attestation — migration RESTORES the
+            // zero-sort SPJ property instead of silently degrading it.
+            val clusterKeys = fields.map {
+              case ManifestFileSink.BucketPart(n, c) => pmod(hash(df.col(c)), lit(n))
+              case f => df.col(f.col)
+            }
+            val srcCols = fields.map(f => df.col(f.col))
+            df.repartition(numFiles, clusterKeys: _*)
+              .sortWithinPartitions(srcCols: _*)
           })
     }
   }
@@ -1368,6 +1381,21 @@ object ManifestFileSink {
     * spec (bucket count changed) is likewise no proof. */
   private[sources] val PartKeyStatsIdx: Int = -1
 
+  /** Reserved pseudo-column index carrying the writer's SORT ATTESTATION:
+    * min == max == the comma-joined partition SOURCE column names the
+    * file's rows were verified (row by row, at write time) to be
+    * non-decreasing on, nulls first — Spark's default ascending order.
+    * The scan turns a fully-attested SPJ-eligible layout into a
+    * `SupportsReportOrdering` report, which is what lets a co-partitioned
+    * sort-merge join drop its SortExec nodes (zero-exchange AND
+    * zero-sort). The attestation is EARNED, not assumed: the writer
+    * verifies the order it sees, so a caller that bypassed the V2 write's
+    * requested ordering simply produces unattested files and the join
+    * falls back to sorting — never to wrong answers. Trigram entries own
+    * −(col+2), so this rides Int.MinValue — collision-free for any real
+    * schema width. */
+  private[sources] val SortKeyStatsIdx: Int = Int.MinValue
+
   /** Writer for REWRITE task files (optimize / mergeUpsert /
     * replaceWhere): honors the table's declared partition layout —
     * demux one file per key tuple, bucket attestation included —
@@ -1381,6 +1409,38 @@ object ManifestFileSink {
     if (fields.nonEmpty && idxs.nonEmpty && idxs.forall(_ >= 0))
       new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
     else new ManifestDataWriter(path, schema, base)
+  }
+
+  /** Live-row count per identity-partition value tuple, answered from
+    * MANIFEST METADATA only (entry row counts − visible deletion
+    * vectors, partition values proven by each file's min==max zone-map
+    * claim) — no data file is opened. The maintenance-side balance
+    * probe: an index/layout owner asks "how skewed did my partitions
+    * get" for the cost of one manifest listing. Files that cannot prove
+    * a single value for every identity column land under key None —
+    * callers treating None as "unprovable residue" stay conservative. */
+  def partitionRowCounts(path: String): Map[Option[Seq[String]], Long] = {
+    val idCols = partitionFields(path).collect { case IdentityPart(c) => c }
+    val colIdx: Seq[Option[Int]] = storedSchema(path, None) match {
+      case Some(sch) => idCols.map(c => Some(sch.fieldNames.indexOf(c)).filter(_ >= 0))
+      case None      => idCols.map(_ => None)
+    }
+    val dvs = deleteVectors(path, None)
+    snapshot(path, None)
+      .flatMap(entriesWithStats)
+      .distinctBy(_._1)
+      .map { case (f, rows, st) =>
+        val live = math.max(0L, rows - dvs.getOrElse(f, Array.empty[Long]).length)
+        val key = st.flatMap { stats =>
+          val vs = colIdx.map(_.flatMap(i => stats.get(i).collect {
+            case cs if !cs.hasNull && !cs.rangeless &&
+                cs.min.nonEmpty && cs.min == cs.max => cs.min
+          }))
+          if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+        }
+        (key, live)
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
   }
 
   def setPartitionColumns(path: String, cols: Seq[String]): Unit = {
@@ -2255,8 +2315,18 @@ private[sources] class ManifestTable(
           else
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         override def distributionStrictlyRequired(): Boolean = false
+        // Task-local sort on the partition SOURCE columns: each demuxed
+        // file then receives its rows in non-decreasing key order, the
+        // writer's row-by-row verification attests it, and the scan can
+        // report a per-partition ordering — co-partitioned sort-merge
+        // joins drop BOTH their exchanges and their sorts. One in-memory
+        // sort per write task buys every future join's sort back.
         override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          pfields.map(f =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.identity(f.col),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = overwriteFilter match {
           case Some(f) => new ManifestOverwriteBatchWrite(path, info.schema(), f)
           case None    => new ManifestBatchWrite(path, info.schema())
@@ -2614,8 +2684,17 @@ private[sources] class StagedManifestTable(
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         }
         override def distributionStrictlyRequired(): Boolean = false
+        // Same task-local sort request as the path-door write: CTAS/RTAS
+        // files land sorted and attested from birth.
         override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+          val pfields = partitionCols.map(ManifestFileSink.parsePartField)
+            .filter(f => stagedSchema.fieldNames.contains(f.col))
+          pfields.map(f =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.identity(f.col),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+        }
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
             new ManifestWriterFactory(path, stagedSchema, partitionCols)
@@ -2913,11 +2992,17 @@ private class ManifestPartitionedDataWriter(
     }
   }
 
+  // Every row routed to one file is a subsequence of the task's row
+  // stream, and a subsequence of a sorted stream is sorted — so when the
+  // V2 write's requested ordering (partition source columns) was
+  // honored, EVERY demuxed file self-verifies and attests.
+  private val sortIdx: Seq[Int] = fields.map(_._2)
+
   override def write(record: InternalRow): Unit = {
     val token = tokenOf(record)
     writers.getOrElseUpdate(token,
       new ManifestDataWriter(path, schema, s"$base-p${writers.size}",
-        attestation(token)))
+        attestation(token), sortIdx))
       .write(record)
   }
 
@@ -2929,8 +3014,57 @@ private class ManifestPartitionedDataWriter(
 }
 
 private class ManifestDataWriter(path: String, schema: StructType, name: String,
-    extraStats: Map[Int, ManifestFileSink.ColStats] = Map.empty)
+    extraStats: Map[Int, ManifestFileSink.ColStats] = Map.empty,
+    sortIdx: Seq[Int] = Nil)
   extends DataWriter[InternalRow] {
+
+  // Sort-attestation state: verify, row by row, that this file's rows
+  // arrive non-decreasing on `sortIdx` (nulls first — Spark's default
+  // ascending order), and attest it at commit. Partition source columns
+  // are Long/Int/String by demux contract; anything else disables the
+  // check rather than mis-attesting.
+  private val sortEnabled = sortIdx.nonEmpty && sortIdx.forall(i =>
+    i >= 0 && i < schema.length && (schema.fields(i).dataType match {
+      case LongType | IntegerType | StringType => true
+      case _ => false
+    }))
+  private var sortOk = sortEnabled
+  private var prevSortKey: Array[Any] = null
+
+  private def sortKeyOf(record: InternalRow): Array[Any] = {
+    val k = new Array[Any](sortIdx.length)
+    var j = 0
+    while (j < sortIdx.length) {
+      val i = sortIdx(j)
+      k(j) =
+        if (record.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case LongType    => java.lang.Long.valueOf(record.getLong(i))
+          case IntegerType => java.lang.Long.valueOf(record.getInt(i).toLong)
+          // clone: the row's UTF8String buffer is reused between records
+          case _           => record.getUTF8String(i).clone()
+        }
+      j += 1
+    }
+    k
+  }
+
+  private def cmpSortKey(a: Array[Any], b: Array[Any]): Int = {
+    var j = 0
+    while (j < a.length) {
+      val c = (a(j), b(j)) match {
+        case (null, null)                           => 0
+        case (null, _)                              => -1
+        case (_, null)                              => 1
+        case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+        case (x: UTF8String, y: UTF8String)         => x.compareTo(y)
+        case _                                      => 0
+      }
+      if (c != 0) return c
+      j += 1
+    }
+    0
+  }
 
   private val file = Paths.get(path, "data", name)
   Files.createDirectories(file.getParent)
@@ -2991,6 +3125,11 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String,
 
   override def write(record: InternalRow): Unit = {
     out.write(ManifestFileSink.render(record, schema)); out.write("\n")
+    if (sortOk) {
+      val k = sortKeyOf(record)
+      if (prevSortKey != null && cmpSortKey(prevSortKey, k) > 0) sortOk = false
+      prevSortKey = k
+    }
     bloomIdx.foreach { i =>
       if (!record.isNullAt(i)) {
         val h = schema.fields(i).dataType match {
@@ -3082,8 +3221,14 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String,
       ManifestFileSink.trgmStatsIdx(i) ->
         ManifestFileSink.ColStats("", "", hasNull(i), Some(trgmBits(i)), rangeless = true)
     }.toMap
+    val sortStats =
+      if (sortOk && rows > 0) {
+        val tok = sortIdx.map(schema.fields(_).name).mkString(",")
+        Map(ManifestFileSink.SortKeyStatsIdx ->
+          ManifestFileSink.ColStats(tok, tok, hasNull = false))
+      } else Map.empty[Int, ManifestFileSink.ColStats]
     CommittedFile(name, rows,
-      ManifestFileSink.encodeStats(stats ++ bloomed ++ trgmStats ++ extraStats))
+      ManifestFileSink.encodeStats(stats ++ bloomed ++ trgmStats ++ sortStats ++ extraStats))
   }
   override def abort(): Unit = {
     out.close()
@@ -3206,7 +3351,8 @@ private class ManifestScan(
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
@@ -3418,7 +3564,7 @@ private class ManifestScan(
     * never disagree. */
   private def computeSplits(
       effFilters: Array[org.apache.spark.sql.sources.Filter])
-      : (Array[InputPartition], Option[Int]) = {
+      : (Array[InputPartition], Option[Int], Boolean) = {
     // Zone-map file skipping: a file whose recorded min/max cannot satisfy
     // EVERY pushed conjunct is dropped before an executor ever opens it.
     // At 100 TB this is the difference between "scan the table" and "scan
@@ -3600,18 +3746,36 @@ private class ManifestScan(
     // EVERY live file proves its single value. One unprovable file (or
     // any retraction split) degrades the whole scan to unpartitioned —
     // Spark then inserts the usual exchanges; results never change.
-    val out: (Array[InputPartition], Option[Int]) =
+    val out: (Array[InputPartition], Option[Int], Boolean) =
       if (partFields.nonEmpty && minus.isEmpty && limit.isEmpty && topN.isEmpty &&
           plus.nonEmpty && plus.forall(_._2.isDefined)) {
         val keyed = plus.map { case (s, k, _, _, _) => KeyedFileSplit(s, k.get): InputPartition }
-        (keyed.toArray, Some(plus.map(_._2.get).distinct.size))
+        val nGroups = plus.map(_._2.get).distinct.size
+        // Zero-sort eligibility: per-partition ordering on the source
+        // columns is reportable iff (a) every live file ATTESTS it was
+        // written non-decreasing on exactly the current declared source
+        // columns, and (b) each partition-value group is ONE file — a
+        // group concatenating two sorted files is not itself sorted
+        // (identity groups would be, all rows equal on the key, but the
+        // uniform rule stays conservative and a maintenance
+        // repartitionTable restores one file per group anyway).
+        // Deletion vectors are order-preserving filters — no effect.
+        // A file sorted by (a, b) is sorted by (a): the surviving
+        // (possibly column-pruned) source list must be a PREFIX of the
+        // attested one.
+        val sortCols = partFields.map(_.col)
+        val ordered = plus.size == nGroups && plus.forall(_._4.exists(st =>
+          st.get(ManifestFileSink.SortKeyStatsIdx).exists(cs =>
+            !cs.rangeless &&
+              cs.min.split(",").toSeq.take(sortCols.length) == sortCols)))
+        (keyed.toArray, Some(nGroups), ordered)
       } else
-        ((plus.map(_._1: InputPartition) ++ minus).toArray, None)
+        ((plus.map(_._1: InputPartition) ++ minus).toArray, None, false)
     plannedSplitCount = out._1.length
     out
   }
 
-  private lazy val staticPlan: (Array[InputPartition], Option[Int]) =
+  private lazy val staticPlan: (Array[InputPartition], Option[Int], Boolean) =
     computeSplits(filters)
 
   /** DSv2 partitioning report: with `spark.sql.sources.v2.bucketing
@@ -3626,7 +3790,7 @@ private class ManifestScan(
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     staticPlan match {
-      case (_, Some(n)) =>
+      case (_, Some(n), _) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           partFields.map {
             case ManifestFileSink.IdentityPart(c) =>
@@ -3638,6 +3802,28 @@ private class ManifestScan(
           }.toArray, n)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** DSv2 ordering report — the second half of the zero-exchange story:
+    * when every served file attests write-time sortedness on the
+    * partition SOURCE columns (one file per group, [[computeSplits]]'s
+    * eligibility), each scan partition is genuinely ordered on the join
+    * key and EnsureRequirements drops the SortExec pair under a
+    * co-partitioned sort-merge join. Ascending nulls-first — Spark's
+    * default required ordering for SMJ keys. A legacy/unsorted/multi-file
+    * layout reports nothing and the join falls back to sorting. Only
+    * reported when the pruned read schema still carries the columns the
+    * ordering names. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    staticPlan match {
+      case (_, Some(_), true)
+          if partFields.forall(f => schema.fieldNames.contains(f.col)) =>
+        partFields.map(f =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.identity(f.col),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      case _ => Array.empty
     }
 
   override def planInputPartitions(): Array[InputPartition] =

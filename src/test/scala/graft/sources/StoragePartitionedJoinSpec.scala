@@ -530,6 +530,66 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  /** SortExec nodes in the (possibly AQE-wrapped, so string-printed)
+    * physical plan. `Sort [` never collides with `SortMergeJoin [`. */
+  private def sortExecs(df: org.apache.spark.sql.DataFrame): Int =
+    "\\bSort \\[".r.findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("zero-sort SPJ: sorted attested bucket files drop the Sort nodes too") {
+    root
+    spark.sql("CREATE TABLE gspj.spj.zs1 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gspj.spj.zs2 (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+    // Deliberately ARRIVE unsorted (id DESC): the V2 write's requested
+    // ordering must be what sorts the rows, not input luck.
+    spark.sql("INSERT INTO gspj.spj.zs1 SELECT CAST(id AS BIGINT), id * 10 FROM range(200) ORDER BY id DESC")
+    spark.sql("INSERT INTO gspj.spj.zs2 SELECT CAST(id AS BIGINT), id * 7 FROM range(200) ORDER BY id DESC")
+    withSpjConf {
+      val j = spark.table("gspj.spj.zs1").join(spark.table("gspj.spj.zs2"), "k")
+        .groupBy().agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("tot"))
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"co-bucketed SPJ must not shuffle:\n$p")
+      assert(sortExecs(spark.table("gspj.spj.zs1").join(spark.table("gspj.spj.zs2"), "k")
+          .groupBy().agg(count(lit(1)))) === 0,
+        s"attested sorted files must drop BOTH SortExec nodes:\n$p")
+      val r = j.head()
+      assert(r.getLong(0) === 200)
+      assert(r.getLong(1) === (0L until 200L).map(i => i * 10 + i * 7).sum)
+    }
+  }
+
+  test("zero-sort degrades on a second append (two files per bucket): Sort returns, Exchange stays gone, results exact") {
+    root
+    spark.sql("INSERT INTO gspj.spj.zs2 SELECT CAST(id AS BIGINT), id * 7 FROM range(200, 250)")
+    spark.catalog.clearCache()
+    withSpjConf {
+      val j = spark.table("gspj.spj.zs1").join(spark.table("gspj.spj.zs2"), "k")
+        .groupBy().agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0 && !p.substring(i).contains("Exchange"),
+        s"SPJ itself must survive multi-file groups:\n$p")
+      assert(sortExecs(spark.table("gspj.spj.zs1").join(spark.table("gspj.spj.zs2"), "k")
+          .groupBy().agg(count(lit(1)))) > 0,
+        "a group concatenating two sorted files is not sorted — the scan " +
+          s"must stop reporting ordering and the join must sort again:\n$p")
+      assert(j.head().getLong(0) === 200, "degraded plan, exact results")
+    }
+    // repartition_table is the restoration door: one file per bucket
+    // again, written sorted — the zero-sort report comes back.
+    spark.sql("CALL gspj.system.repartition_table('spj.zs2', 'bucket:4:k', 8)")
+    spark.catalog.clearCache()
+    withSpjConf {
+      val j2 = spark.table("gspj.spj.zs1").join(spark.table("gspj.spj.zs2"), "k")
+        .groupBy().agg(count(lit(1)).as("n"))
+      assert(sortExecs(spark.table("gspj.spj.zs1").join(spark.table("gspj.spj.zs2"), "k")
+          .groupBy().agg(count(lit(1)))) === 0,
+        "maintenance must RESTORE the zero-sort property")
+      assert(j2.head().getLong(0) === 200)
+    }
+  }
+
   test("mixed identity + bucket spec demuxes per (value, bucket) pair and reports both") {
     root
     spark.sql(
