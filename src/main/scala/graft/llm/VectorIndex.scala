@@ -194,6 +194,104 @@ object VectorIndex {
     Similarity.topKRanked(scored, 3)
   }
 
+  // ------------------------------------------------- incremental ingest
+
+  /** Streaming-safe cell assignment for NEW vectors against the
+    * persisted (FROZEN) centroids: the centroid table is collected
+    * driver-side (broadcast-sized by construction — it IS the thing
+    * serve() broadcasts) into a literal array, and the argmin is a
+    * per-row `aggregate` fold over it — a pure MAP with no shuffle and
+    * no stream-side aggregation, so the same expression runs over a
+    * batch DataFrame or a `readStream` in append mode, and at 100 TB
+    * ingestion parallelizes embarrassingly. The scoring expression is
+    * [[Similarity.kmeansAssign]]'s verbatim (dot / ‖cv‖, ties to the
+    * lowest cent_id), so a vector lands in the same cell either way.
+    * Input: (vec_id, embedding); output: the assignment-table row shape
+    * (vec_id, vnenc, cell) ready for
+    * `writeStream.format(manifest).option("path", s"$path/assigned")` —
+    * the epoch-fenced streaming write demuxes one ATTESTED file per
+    * touched cell per epoch (the round-12 machinery), and serve() picks
+    * the new vectors up on its next plan with NO rebuild. */
+  def assignNew(s: SparkSession, path: String, vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => ffold}
+    val cents: Seq[(Long, Seq[Double])] =
+      s.read.format(fmt).option("path", s"$path/cents").load()
+        .select(col("cent_id"), dec(col("cvenc")).as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    require(cents.nonEmpty, s"no centroid table at $path/cents — build first")
+    val centsLit = typedlit(cents)
+    val v = transform(col("embedding"), _.cast("double"))
+    val vn = vectors
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(dotp(col("v"), col("v"))))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+    val best = ffold(
+      centsLit,
+      struct(lit(Double.NegativeInfinity).as("cs"), lit(Long.MaxValue).as("cell")),
+      (acc, c) => {
+        val cs = dotp(col("vn"), c.getField("_2")) /
+          sqrt(dotp(c.getField("_2"), c.getField("_2")))
+        when(cs > acc.getField("cs") ||
+            (cs === acc.getField("cs") && c.getField("_1") < acc.getField("cell")),
+          struct(cs.as("cs"), c.getField("_1").as("cell")))
+          .otherwise(acc)
+      })
+    vn.select(col("vec_id"), enc(col("vn")).as("vnenc"),
+      best.getField("cell").as("cell"))
+  }
+
+  /** Re-record the corpus fingerprint after an ingestion pipeline has
+    * advanced corpus and index IN LOCKSTEP — the streaming-append
+    * contract: the pipeline that writes both is the only party that can
+    * assert they agree, exactly as build() is for the initial load. */
+  def refreshFence(path: String, dir: String): Unit = {
+    require(Files.isDirectory(Paths.get(s"$path/assigned")),
+      s"no index at $path — nothing to re-fence")
+    val fp = graft.plans.MaterializedRollupRewrite.fenceFingerprint(corpusPath(dir))
+    Files.write(fenceFile(path), s"${corpusPath(dir)}|$fp".getBytes("UTF-8"))
+  }
+
+  /** Max/mean live-row imbalance across cells, answered from manifest
+    * METADATA only ([[ManifestFileSink.partitionRowCounts]] — no data
+    * file opened). 1.0 = perfectly balanced. PositiveInfinity when any
+    * file cannot prove its cell (unprovable residue reads as maximal
+    * drift — conservative). Ingestion against frozen centroids is what
+    * makes this grow: the distribution drifts away from the training
+    * sample and piles into few cells, degrading both recall and the
+    * probe cost model. */
+  def assignmentImbalance(path: String): Double = {
+    val loads = ManifestFileSink.partitionRowCounts(s"$path/assigned")
+    if (loads.isEmpty) 0.0
+    else if (loads.contains(None)) Double.PositiveInfinity
+    else {
+      val vs = loads.values.map(_.toDouble)
+      val mean = vs.sum / vs.size
+      if (mean == 0.0) 0.0 else vs.max / mean
+    }
+  }
+
+  /** Force a from-scratch rebuild (retrain + rewrite + re-fence),
+    * regardless of the current fence. */
+  def rebuild(s: SparkSession, dir: String, path: String): Unit = synchronized {
+    Files.deleteIfExists(fenceFile(path)) // pre-fence ⇒ build rebuilds
+    build(s, dir, path)
+  }
+
+  /** The maintenance door that closes the incremental-ingest loop:
+    * rebuild when the fence says the corpus drifted OUTSIDE the
+    * ingestion pipeline, or when ingestion itself skewed the assignment
+    * past `maxImbalance` (frozen centroids no longer fit the data —
+    * re-fencing would be a lie, the index needs RETRAINING). Returns
+    * true iff a rebuild ran. */
+  def maintain(s: SparkSession, dir: String, path: String,
+      maxImbalance: Double = 4.0): Boolean = {
+    val stale = staleness(path).getOrElse(true)
+    if (!stale && assignmentImbalance(path) <= maxImbalance) false
+    else { rebuild(s, dir, path); true }
+  }
+
   /** Oracle-gated entry: build-once then serve nprobe=1 — the results
     * are bit-identical to [[Similarity.knnIvfTrained]] (same training,
     * same metric; the string roundtrip is exact), so the same DuckDB

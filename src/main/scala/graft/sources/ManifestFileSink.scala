@@ -3840,6 +3840,36 @@ private class ManifestScan(
 /** Top-level (shipped to executors). Streamed, not slurped: a
   * compacted/large append target would otherwise buffer an entire data
   * file per executor thread. */
+/** Per-TASK cumulative reader metrics. Spark's DataSourceRDD metric
+  * plumbing SETS the task's metric to the reader's reported value and
+  * sums across tasks — so when a storage-partitioned group hands one
+  * task SEVERAL splits (readers run sequentially), each reader's "1"
+  * would overwrite its siblings' and `filesRead` would undercount
+  * exactly the multi-file groups. Readers therefore bump a per-task
+  * counter here and report the CUMULATIVE value; a completion listener
+  * reclaims the slot. */
+private object ManifestReaderTaskMetrics {
+  private val files =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicLong]()
+  private val dvRows =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicLong]()
+
+  def forCurrentTask(): (java.util.concurrent.atomic.AtomicLong,
+      java.util.concurrent.atomic.AtomicLong) = {
+    val tc = org.apache.spark.TaskContext.get()
+    val id = if (tc == null) -1L else tc.taskAttemptId()
+    val f = files.computeIfAbsent(id, _ => {
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        files.remove(id); dvRows.remove(id); ()
+      }
+      new java.util.concurrent.atomic.AtomicLong()
+    })
+    val d = dvRows.computeIfAbsent(id,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+    (f, d)
+  }
+}
+
 private class ManifestReaderFactory(path: String, schema: StructType)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -3901,7 +3931,8 @@ private class ManifestReaderFactory(path: String, schema: StructType)
       private val positions = split.deleted
       private var idx = -1L
       private var pi = 0
-      private var dvSkipped = 0L
+      private val (taskFiles, taskDv) = ManifestReaderTaskMetrics.forCurrentTask()
+      taskFiles.incrementAndGet()
       override def next(): Boolean = {
         while (true) {
           val line = reader.readLine()
@@ -3916,7 +3947,7 @@ private class ManifestReaderFactory(path: String, schema: StructType)
             // Merge-on-read: one pointer walks the sorted deletion vector
             // in lockstep with the line index — O(1) per row, no lookups.
             if (pi < positions.length && positions(pi) == idx) {
-              pi += 1; dvSkipped += 1 // dead
+              pi += 1; taskDv.incrementAndGet() // dead
             }
             else { cur = project(line, idx); return true }
           }
@@ -3927,8 +3958,8 @@ private class ManifestReaderFactory(path: String, schema: StructType)
       override def close(): Unit = reader.close()
       override def currentMetricsValues()
           : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
-        GraftTaskMetric("filesRead", 1L),
-        GraftTaskMetric("dvRowsSkipped", dvSkipped))
+        GraftTaskMetric("filesRead", taskFiles.get()),
+        GraftTaskMetric("dvRowsSkipped", taskDv.get()))
     }
   }
 }
