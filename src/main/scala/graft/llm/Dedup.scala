@@ -321,7 +321,7 @@ object Dedup {
 
   // --------------------------------------------------------- minhash lsh
 
-  def dedupMinhashLsh: Q = (s, dir) => {
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     // One persisted shingle pass feeds signature generation AND exact
     // verification — the explode+distinct is the expensive part.
@@ -354,8 +354,54 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     // Exact verification of LSH candidates — output is exact-Jaccard pairs.
-    jaccardPairsFromShingles(shAll, 0.8, Some(cand)).orderBy(col("d1"), col("d2"))
+    jaccardPairsFromShingles(shAll, 0.8, Some(cand))
   }
+
+  def dedupMinhashLsh: Q = (s, dir) =>
+    minhashVerifiedPairs(s, dir).orderBy(col("d1"), col("d2"))
+
+  // --------------------------------------------------- cross-modal audit
+
+  /** Cross-modal duplicate AUDIT: every textual near-duplicate pair (the
+    * minhash-LSH → exact-Jaccard pipeline, J ≥ 0.8) annotated with its
+    * EMBEDDING-space agreement — the dedup-pipeline triage view that
+    * separates "same text, same meaning" (safe to drop either copy) from
+    * "same text, unrelated embeddings" (a template/boilerplate artifact:
+    * dropping one may lose a semantically distinct document, and the
+    * disagreement itself is an embedding-quality signal worth surfacing).
+    * Deliberately an ANNOTATION, not a filter: on this corpus the text
+    * duplicates are embedding-independent (cosine ≈ 0 for every pair —
+    * measured before this entry was shaped, to avoid a vacuous
+    * threshold), and a production corpus is the opposite — either way
+    * the audit reports, humans set policy.
+    *
+    * Scale shape: the pair relation is LSH-bounded (never all-pairs);
+    * both vector fetches broadcast the SMALL side so the embedding
+    * relation streams once per side with no shuffle; the cosine is the
+    * shared exact dot fold, round-9 quantized cross-engine. */
+  def dedupCrossmodalAudit: Q = (s, dir) => {
+    val pairs = minhashVerifiedPairs(s, dir)
+    val emb = Similarity.normalized(Tables(s, dir))
+    val cos = round(graft.functions.VectorFunctions.dotp(col("v1"), col("v2")), 9)
+    broadcast(broadcast(pairs)
+        .join(emb.select(col("vec_id").as("d1"), col("vn").as("v1")), Seq("d1")))
+      .join(emb.select(col("vec_id").as("d2"), col("vn").as("v2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("jaccard"),
+        cos.as("cos_sim"),
+        when(cos >= 0.5, 1).otherwise(0).cast("int").as("semantic_agree"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val dedupCrossmodalAuditSql: String =
+    s"""WITH ${Similarity.normalizedSql}
+       |SELECT p.d1, p.d2, p.jaccard,
+       |  ROUND(list_dot_product(a.vn, b.vn), 9) AS cos_sim,
+       |  CAST(CASE WHEN ROUND(list_dot_product(a.vn, b.vn), 9) >= 0.5
+       |    THEN 1 ELSE 0 END AS INTEGER) AS semantic_agree
+       |FROM (${jaccardSql(0.8)}) p
+       |JOIN e a ON a.vec_id = p.d1
+       |JOIN e b ON b.vec_id = p.d2
+       |ORDER BY d1, d2""".stripMargin
 
   /** LSH recall at the J≥0.96 duplicates present is 1 - (1-J²)^8 ≈ 1-1e-9,
     * and no pairs exist in (0.5, 0.96), so the exact-Jaccard oracle is the
@@ -1055,6 +1101,7 @@ object Dedup {
     "dedup_jaccard_prefix"       -> dedupJaccardPrefix,
     "dedup_novelty"              -> dedupNovelty,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
+    "dedup_crossmodal_audit"     -> dedupCrossmodalAudit,
     "dedup_simhash"              -> dedupSimhash,
     "dedup_clusters"             -> dedupClusters,
     "dedup_clusters_star"        -> dedupClustersStar,
@@ -1075,6 +1122,7 @@ object Dedup {
     "dedup_jaccard_prefix"       -> dedupJaccardPrefixSql,
     "dedup_novelty"              -> dedupNoveltySql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
+    "dedup_crossmodal_audit"     -> dedupCrossmodalAuditSql,
     "dedup_simhash"              -> dedupSimhashSql,
     "dedup_clusters"             -> dedupClustersSql,
     "dedup_clusters_star"        -> dedupClustersStarSql,

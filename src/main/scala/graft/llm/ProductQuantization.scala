@@ -184,6 +184,116 @@ object ProductQuantization {
     Similarity.topKRanked(exact, 3)
   }
 
+  // ---- IVF-PQ with RESIDUAL encoding + multiprobe base term ----------
+
+  /** IVF-PQ over RESIDUALS — the missing half of the FAISS IVFPQ recipe
+    * ([[knnIvfPqTrained]] trains the books per cell; this entry encodes
+    * what FAISS actually hands the books: the residual r = vn − cv(cell)
+    * after the coarse quantizer). Residuals concentrate near the origin
+    * regardless of where the cell sits in the embedding space, so a
+    * single shared codebook quantizes them far better than raw vectors —
+    * the reason every production IVFPQ index stores residual codes.
+    *
+    * Search is the true multiprobe ADC: dot(q, x) = dot(q, cv) +
+    * dot(q, r), so each candidate scores as its cell's BASE term (exact,
+    * per probed cell — this is what makes candidates comparable ACROSS
+    * the nprobe=2 probed cells; at nprobe=1 it would cancel in ranking)
+    * plus the 8-lookup LUT sum over its residual codes. Codes-only join,
+    * bounded-heap shortlist, exact rerank over the broadcast-sized
+    * shortlist — the knnIvfPq scale shape with strictly better
+    * quantization. Every arithmetic step (elementwise residual, dot
+    * folds, CASE chains, left-to-right ADC sum) replays identically in
+    * the oracle, so the entry is hash-gated. */
+  def knnIvfPqResidual: Q = (s, dir) => {
+    val emb = Similarity.normalized(Tables(s, dir))
+    val cents = Similarity.ivfCentroids(emb)
+    val assigned = Similarity.ivfAssigned(emb, cents)
+    // Residual per member, quantized by the SHARED literal codebook.
+    val codes = assigned
+      .join(cents, col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("vn"), col("cv"), (a, b) => a - b).as("rv"))
+      .select(Seq(col("vec_id"), col("cell")) ++
+        (0 until M).map(sub => codeCol(col("rv"), sub).as(s"code_$sub")): _*)
+    // nprobe=2 probes; each carries its cell's exact base term and the
+    // query's 32 LUT entries (all broadcast-sized).
+    val probeScores = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+      .join(cents)
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        dotp(col("qv"), col("cv")).as("cs"))
+    val luts = for { sub <- 0 until M; c <- 0 until K }
+      yield lutIpCol(col("qv"), sub, c).as(s"lut_${sub}_$c")
+    val probes = broadcast(
+      TopKPerGroup(probeScores, Seq("query_id"), Seq(("cs", false), ("cent_id", true)), 2)
+        .select(Seq(col("query_id"), col("qv"), col("cent_id").as("cell"),
+          col("cs").as("base")) ++ luts: _*))
+    val adcIp = (0 until M).map { sub =>
+      val c = col(s"code_$sub")
+      when(c === 0, col(s"lut_${sub}_0"))
+        .when(c === 1, col(s"lut_${sub}_1"))
+        .when(c === 2, col(s"lut_${sub}_2"))
+        .otherwise(col(s"lut_${sub}_3"))
+    }.foldLeft(col("base"))(_ + _)
+    val cands = probes.join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        adcIp.as("adc_ip"))
+    val shortlist = TopKPerGroup(cands, Seq("query_id"),
+      Seq(("adc_ip", false), ("neighbor_id", true)), 10)
+    val exact = emb.join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dotp(col("qv"), col("vn")).as("cos"))
+    Similarity.topKRanked(exact, 3)
+  }
+
+  /** Oracle for [[knnIvfPqResidual]] — identical residuals (elementwise
+    * vn − cv), identical codes, identical base + LUT ADC fold. */
+  val knnIvfPqResidualSql: String = {
+    val codeCols = (0 until M).map(s => s"${sqlCodeOn("rv", s)} AS code_$s").mkString(",\n")
+    def lutIpSql(s: Int, c: Int): String =
+      (0 until SubDim).map { d =>
+        val i = s * SubDim + d + 1
+        s"p.qv[$i] * (${cb(s, c, d)})"
+      }.mkString(" + ")
+    val adc = (0 until M).map { s =>
+      s"""CASE WHEN a.code_$s = 0 THEN (${lutIpSql(s, 0)})
+         |     WHEN a.code_$s = 1 THEN (${lutIpSql(s, 1)})
+         |     WHEN a.code_$s = 2 THEN (${lutIpSql(s, 2)})
+         |     ELSE (${lutIpSql(s, 3)}) END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH ${Similarity.normalizedSql},
+       |${Similarity.assignedCtesSql},
+       |res AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, ${M * SubDim + 1}), j -> a.vn[j] - c.cv[j]) AS rv
+       |  FROM assigned a JOIN c ON a.cell = c.cent_id),
+       |codes AS (SELECT vec_id, cell, $codeCols FROM res),
+       |p AS (
+       |  SELECT query_id, qv, cell, base FROM (
+       |    SELECT e.vec_id AS query_id, e.vn AS qv, c.cent_id AS cell,
+       |      list_dot_product(e.vn, c.cv) AS base,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.vn, c.cv) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN c WHERE e.vec_id < 10) t WHERE rn <= 2),
+       |cands AS (
+       |  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id,
+       |    p.base + $adc AS adc_ip
+       |  FROM p JOIN codes a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |shortlist AS (
+       |  SELECT query_id, qv, neighbor_id FROM (
+       |    SELECT query_id, qv, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_ip DESC, neighbor_id) AS rn
+       |    FROM cands) t WHERE rn <= 10)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ROUND(list_dot_product(s.qv, e.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_dot_product(s.qv, e.vn) DESC, s.neighbor_id) AS rank
+       |  FROM shortlist s JOIN e ON e.vec_id = s.neighbor_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- IVF-PQ over TRAINED cells + per-cell retrained codebooks ------
 
   /** IVF-PQ with BOTH stages trained (the full FAISS recipe, closing the
@@ -435,6 +545,7 @@ object ProductQuantization {
     "vec_pq_rerank"   -> vecPqRerank,
     "knn_ivfpq"       -> knnIvfPq,
     "knn_ivfpq_trained" -> knnIvfPqTrained,
+    "knn_ivfpq_residual" -> knnIvfPqResidual,
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,5 +554,6 @@ object ProductQuantization {
     "vec_pq_rerank"   -> vecPqRerankSql,
     "knn_ivfpq"       -> knnIvfPqSql,
     "knn_ivfpq_trained" -> knnIvfPqTrainedSql,
+    "knn_ivfpq_residual" -> knnIvfPqResidualSql,
   )
 }

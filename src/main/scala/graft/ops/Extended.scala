@@ -715,7 +715,67 @@ object Extended {
        |ORDER BY p.k""".stripMargin
   }
 
+  // -------------------------------------------------------------- skyline
+
+  /** SKYLINE (Pareto-optimal front) over parts: the set no other part
+    * dominates on (price↓, size↑) — the preference-query operator
+    * (Börzsönyi et al., ICDE'01) the suite lacked. Distributed as the
+    * classic TWO-PHASE plan:
+    *
+    * Phase 1 — LOCAL skyline per deterministic hash group. Sound for ANY
+    * grouping (a point dominated within its group is dominated globally,
+    * so the union of group skylines is a superset of the true skyline);
+    * within a group, dominance splits exactly into (A) a strictly
+    * cheaper row with ≥ size — the per-(group, price) max-size relation
+    * cumulated over the GROUP-partitioned price order — and (B) an
+    * equal-price row with > size — the same relation's own max. Both
+    * windows are group-partitioned (the r11 audit's contract); the
+    * cumulate runs over the distinct-price grain, not the rows.
+    *
+    * Phase 2 — exact dominance LEFT ANTI over the survivor union. The
+    * survivors are at most 32 group-fronts (5-ish rows each here; fronts
+    * of real data are small — for adversarial all-on-the-front data this
+    * join degrades to the honest O(front²), which no algorithm beats
+    * without losing exactness), so the non-equi anti-join broadcasts.
+    * Output is partition-invariant: phase 2 is exact, so phase 1's
+    * grouping only affects intermediate sizes, never results. */
+  def qSkyline: Q = (s, dir) => {
+    val p = Tables(s, dir).part
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val g = p.withColumn("__g", pmod(hash(col("p_partkey")), lit(32)))
+    val priceMax = g.groupBy(col("__g"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("__mx"))
+    val wPrev = Window.partitionBy(col("__g")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = priceMax.withColumn("__amax", max(col("__mx")).over(wPrev))
+    val u = g.join(cum, Seq("__g", "p_retailprice"))
+      .filter((col("__amax").isNull || col("__amax") < col("p_size")) &&
+        col("__mx") === col("p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    u.as("a").join(broadcast(u.as("b")),
+        col("b.p_retailprice") <= col("a.p_retailprice") &&
+          col("b.p_size") >= col("a.p_size") &&
+          (col("b.p_retailprice") < col("a.p_retailprice") ||
+            col("b.p_size") > col("a.p_size")),
+        "left_anti")
+      .select(col("a.p_partkey").as("p_partkey"),
+        col("a.p_retailprice").as("p_retailprice"),
+        col("a.p_size").as("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Oracle: textbook NOT EXISTS dominance — exact at oracle scale; the
+    * Spark plan must reproduce it through the two-phase reduction. */
+  val qSkylineSql: String =
+    """SELECT p_partkey, p_retailprice, p_size FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_skyline"              -> qSkyline,
     "q_cms_heavy_hitters"    -> qCmsHeavyHitters,
     "q_theta_sketch_overlap" -> qThetaSketchOverlap,
     "q_weighted_sample"      -> qWeightedSample,
@@ -737,6 +797,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skyline"              -> qSkylineSql,
     "q_cms_heavy_hitters"    -> qCmsHeavyHittersSql,
     "q_theta_sketch_overlap" -> qThetaSketchOverlapSql,
     "q_weighted_sample"      -> qWeightedSampleSql,
