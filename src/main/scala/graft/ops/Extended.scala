@@ -774,8 +774,82 @@ object Extended {
       |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
       |ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------- bootstrap CI
+
+  /** Poissonized BOOTSTRAP 95% confidence interval for the mean order
+    * value — resampling statistics in ONE pass over the data, the way
+    * bootstrap runs at scale (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams"; the BLB literature): instead of drawing
+    * R resamples (R full shuffles), every row carries a deterministic
+    * Poisson(1) WEIGHT per replicate — multinomial resampling converges
+    * to independent Poisson counts — so all 100 replicate means fall out
+    * of one map-side-combinable aggregation. The weight is an inverse-CDF
+    * CASE over a portable multiplicative hash of (orderkey, replicate),
+    * so both engines draw the identical "randomness"; replicate sums use
+    * the integer-cent quantized fold (order-independent, cross-engine
+    * exact). The CI bounds are the 3rd/98th ranked replicate means,
+    * ranked via a 100×100 broadcast self-join count (total order with
+    * replicate-id tiebreak) — no unpartitioned window, no ungrouped
+    * percentile, both CI-audit classes stay clean. */
+  def qBootstrapCi: Q = (s, dir) => {
+    val R = 100
+    val u = pmod((col("o_orderkey") + col("rep").cast("long") * lit(1000003L)) *
+      lit(2654435761L), lit(1000000L))
+    val w = when(u < 367879, 0).when(u < 735758, 1).when(u < 919698, 2)
+      .when(u < 981011, 3).when(u < 996340, 4).otherwise(5).cast("long")
+    val orders = Tables(s, dir).orders
+    val repMeans = orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(0), lit(R - 1))).as("rep"))
+      .withColumn("w", w)
+      .groupBy(col("rep"))
+      .agg(qsum(col("w").cast("double") * col("o_totalprice")).as("ws"),
+        sum(col("w")).as("wn"))
+      .select(col("rep"), (col("ws") / col("wn").cast("double")).as("m"))
+    val ranked = repMeans.as("a").join(broadcast(repMeans.as("b")),
+        col("b.m") < col("a.m") ||
+          (col("b.m") === col("a.m") && col("b.rep") <= col("a.rep")))
+      .groupBy(col("a.rep"), col("a.m"))
+      .agg(count(lit(1)).as("rk"))
+      .select(col("a.m").as("m"), col("rk"))
+    val overall = orders.agg(count(lit(1)).as("n_orders"),
+      round(davg(col("o_totalprice")), 6).as("mean_price"))
+    overall
+      .crossJoin(broadcast(ranked.filter(col("rk") === 3)
+        .select(round(col("m"), 6).as("ci_lo"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === 98)
+        .select(round(col("m"), 6).as("ci_hi"))))
+      .select(col("n_orders"), col("mean_price"), col("ci_lo"), col("ci_hi"))
+  }
+
+  val qBootstrapCiSql: String =
+    s"""WITH reps AS (
+       |  SELECT o_orderkey, o_totalprice, u.rep,
+       |    ((o_orderkey + u.rep * 1000003) * 2654435761) % 1000000 AS uu
+       |  FROM orders, UNNEST(generate_series(0, 99)) AS u(rep)),
+       |wtd AS (
+       |  SELECT rep, o_totalprice,
+       |    CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1
+       |         WHEN uu < 919698 THEN 2 WHEN uu < 981011 THEN 3
+       |         WHEN uu < 996340 THEN 4 ELSE 5 END AS w
+       |  FROM reps),
+       |means AS (
+       |  SELECT rep, ${sqlQsum("CAST(w AS DOUBLE) * o_totalprice")}
+       |    / CAST(SUM(w) AS DOUBLE) AS m
+       |  FROM wtd GROUP BY rep),
+       |rk AS (
+       |  SELECT a.rep, a.m, COUNT(*) AS rk
+       |  FROM means a JOIN means b
+       |    ON b.m < a.m OR (b.m = a.m AND b.rep <= a.rep)
+       |  GROUP BY a.rep, a.m)
+       |SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+       |  ROUND((SELECT ${sqlAvg("o_totalprice")} FROM orders), 6) AS mean_price,
+       |  ROUND((SELECT m FROM rk WHERE rk = 3), 6) AS ci_lo,
+       |  ROUND((SELECT m FROM rk WHERE rk = 98), 6) AS ci_hi""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_skyline"              -> qSkyline,
+    "q_bootstrap_ci"         -> qBootstrapCi,
     "q_cms_heavy_hitters"    -> qCmsHeavyHitters,
     "q_theta_sketch_overlap" -> qThetaSketchOverlap,
     "q_weighted_sample"      -> qWeightedSample,
@@ -798,6 +872,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q_skyline"              -> qSkylineSql,
+    "q_bootstrap_ci"         -> qBootstrapCiSql,
     "q_cms_heavy_hitters"    -> qCmsHeavyHittersSql,
     "q_theta_sketch_overlap" -> qThetaSketchOverlapSql,
     "q_weighted_sample"      -> qWeightedSampleSql,
