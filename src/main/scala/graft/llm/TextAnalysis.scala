@@ -208,6 +208,60 @@ object TextAnalysis {
       |    ORDER BY sample_key DESC, doc_id) AS rn FROM k) t
       |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
 
+  /** Token-BUDGET corpus selection: rank documents by quality density
+    * (content words per character — the "value per token" a curated
+    * pretraining cut maximizes) and keep the greedy prefix whose
+    * cumulative token cost stays inside a budget (here: half the
+    * corpus's estimated tokens, derived from the data — a config value
+    * in production). The greedy-prefix rule is the fractional-knapsack
+    * optimum restricted to whole documents: a doc is selected iff the
+    * tokens of every strictly-better doc leave room for it to START.
+    *
+    * ALL ranking arithmetic is 64-bit integer (priority = 1e6 ·
+    * content_words div n_chars, tokens = the est_tokens formula), so
+    * membership is bit-reproducible across engines and re-shards. The
+    * global running sum is [[graft.ops.DistributedCumulate
+    * .runningTotals]] — bucket-partitioned windows + triangular offsets,
+    * NO unpartitioned window (the suite-wide audit stays clean), and the
+    * budget rides the kernel's own one-row broadcast as an extra
+    * aggregate, costing zero additional passes. At 100 TB: one scan to
+    * score, one bucket exchange to rank — no sort of the corpus, no
+    * driver state. */
+  def budgetSelect: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.withColumn("wl", split(col("text"), " "))
+    val stops = cnt(col("wl"), "the") + cnt(col("wl"), "a")
+    val scored = d
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (size(col("wl")) - stops).cast("long").as("cw"))
+      .select(col("doc_id"), col("source"),
+        expr("(n_chars + 3) div 4").as("est_tokens"),
+        expr("(1000000L * cw) div n_chars").as("priority"))
+    graft.ops.DistributedCumulate.runningTotals(
+        scored, 32, Seq(col("priority").desc, col("doc_id")),
+        Seq(("est_tokens", "cum_tokens")), "sel_rank",
+        extraAggs = Seq((expr("sum(est_tokens) div 2"), "__budget")))
+      .filter(col("cum_tokens") - col("est_tokens") < col("__budget"))
+      .select(col("doc_id"), col("source"), col("est_tokens"),
+        col("priority"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val budgetSelectSql: String = {
+    val stops = s"(${cntSql("the")} + ${cntSql("a")})"
+    s"""WITH t AS (
+       |  SELECT doc_id, source, (n_chars + 3) // 4 AS est_tokens,
+       |    (1000000 * (len(wl) - $stops)) // n_chars AS priority
+       |  FROM (SELECT doc_id, source, n_chars,
+       |          string_split(text, ' ') AS wl FROM documents)),
+       |b AS (SELECT SUM(est_tokens) // 2 AS budget FROM t),
+       |c AS (SELECT t.*, CAST(SUM(est_tokens) OVER (
+       |  ORDER BY priority DESC, doc_id ROWS UNBOUNDED PRECEDING)
+       |  AS BIGINT) AS cum_tokens FROM t)
+       |SELECT doc_id, source, est_tokens, priority, cum_tokens
+       |FROM c, b WHERE cum_tokens - est_tokens < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def mixtureSample: Q = (s, dir) => {
     val d = Tables(s, dir).documents
     val total = d.agg(count(lit(1)).as("n_total"))
@@ -1222,6 +1276,7 @@ object TextAnalysis {
     "text_stratified_split"  -> stratifiedSplit,
     "text_mixture_sample"    -> mixtureSample,
     "text_weighted_sample"   -> weightedSample,
+    "text_budget_select"     -> budgetSelect,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
@@ -1248,6 +1303,7 @@ object TextAnalysis {
     "text_stratified_split" -> stratifiedSplitSql,
     "text_mixture_sample"   -> mixtureSampleSql,
     "text_weighted_sample"  -> weightedSampleSql,
+    "text_budget_select"    -> budgetSelectSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,

@@ -260,7 +260,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val bloom = colsOf("bloom.columns")
     val trgm = colsOf("trgm.columns")
-    (bloom ++ trgm).foreach { c =>
+    val sort = colsOf("sort.columns")
+    (bloom ++ trgm ++ sort).foreach { c =>
       if (!schema.fieldNames.contains(c)) throw new IllegalArgumentException(
         s"index column $c is not in the table schema")
     }
@@ -273,6 +274,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
     if (bloom.nonEmpty) ManifestFileSink.setBloomIndex(path, bloom)
     if (trgm.nonEmpty) ManifestFileSink.setTrigramIndex(path, trgm)
+    if (sort.nonEmpty) ManifestFileSink.setSortColumns(path, sort)
   }
 
   override def createTable(

@@ -948,7 +948,8 @@ object ManifestFileSink {
               case ManifestFileSink.BucketPart(n, c) => pmod(hash(df.col(c)), lit(n))
               case f => df.col(f.col)
             }
-            val srcCols = fields.map(f => df.col(f.col))
+            val srcCols = (fields.map(_.col) ++ sortColumns(path)).distinct
+              .filter(df.schema.fieldNames.contains).map(df.col)
             df.repartition(numFiles, clusterKeys: _*)
               .sortWithinPartitions(srcCols: _*)
           })
@@ -1256,6 +1257,47 @@ object ManifestFileSink {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
   }
 
+  // --------------------------------------------- declared sort (_sort)
+
+  /** Declare the table's WITHIN-FILE sort order (an ORDERED list — the
+    * Iceberg `write.sort-order` idea): writes request a task-local sort
+    * on (partition source columns ++ these), every demuxed file verifies
+    * and attests the full list, and the scan's `SupportsReportOrdering`
+    * then covers the secondary columns too — a window PARTITION BY the
+    * partition key ORDER BY a sort column runs with NO exchange and NO
+    * sort on a fresh layout. Declared via this path API or
+    * `TBLPROPERTIES ('sort.columns' = 'ts')`. */
+  def setSortColumns(path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"sort columns must be non-empty and distinct: $cols")
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, "._sort.tmp")
+    Files.write(tmp, java.util.Collections.singletonList(cols.mkString(",")),
+      StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(path, "_sort"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def sortColumns(path: String): Seq[String] = {
+    val f = Paths.get(path, "_sort")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Schema indexes the writer verifies monotonicity on: partition
+    * source columns first (the SPJ join keys), then the declared sort
+    * columns — restricted to columns present in the write schema and to
+    * the verifiable types. */
+  private[sources] def writeSortIdx(path: String, schema: StructType): Seq[Int] =
+    (partitionFields(path).map(_.col) ++ sortColumns(path)).distinct
+      .flatMap(c => Some(schema.fieldNames.indexOf(c)).filter(_ >= 0))
+      .filter(i => schema.fields(i).dataType match {
+        case LongType | IntegerType | StringType => true
+        case _ => false
+      })
+
   // ------------------------------------------- trigram text index (_trgm)
 
   /** TEXT columns designated for per-file TRIGRAM Bloom indexing (the
@@ -1408,7 +1450,8 @@ object ManifestFileSink {
     val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
     if (fields.nonEmpty && idxs.nonEmpty && idxs.forall(_ >= 0))
       new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
-    else new ManifestDataWriter(path, schema, base)
+    else new ManifestDataWriter(path, schema, base,
+      sortIdx = ManifestFileSink.writeSortIdx(path, schema))
   }
 
   /** Live-row count per identity-partition value tuple, answered from
@@ -1490,9 +1533,8 @@ object ManifestFileSink {
       path: String,
       asOf: Option[String],
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-      schema: StructType): Option[(StructType, Seq[Any])] = {
+      schema: StructType): Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (agg.groupByExpressions.nonEmpty) return None
     if (deleteVectors(path, asOf).nonEmpty) return None
     val entries = snapshot(path, asOf)
       .flatMap(m => entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m))))
@@ -1507,6 +1549,8 @@ object ManifestFileSink {
             if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
         case _ => None
       }
+    if (agg.groupByExpressions.nonEmpty)
+      return deriveGroupedAggregate(path, agg, schema, entries, schemaOf, colName)
     def parse(v: String, dt: DataType): Any = dt match {
       case LongType    => v.toLong
       case IntegerType => v.toInt
@@ -1563,7 +1607,133 @@ object ManifestFileSink {
     }
     val outSchema = StructType(out.zipWithIndex.map { case ((dt, _, nullable), i) =>
       org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable) })
-    Some((outSchema, out.map(_._2)))
+    Some((outSchema, Seq(out.map(_._2))))
+  }
+
+  /** GROUP BY pushdown over IDENTITY partition columns, answered from
+    * manifest metadata — the scan returns one row per partition value
+    * with counts/extremes read off the entries, and `SELECT cell,
+    * count(*) FROM t GROUP BY cell` at 100 TB opens ZERO data files
+    * (the Iceberg partition-stats answer). Eligibility is strict:
+    * every group-by expression names an identity partition column,
+    * every live file PROVES a single value for each of them (the same
+    * min==max zone-map claim SPJ trusts), aggregates are count(*) /
+    * min / max with per-file claims, no deletion vectors, no residual
+    * filters (the caller checks). One unprovable file refuses the whole
+    * derivation — the ordinary scan then answers, never a wrong group.
+    * Output schema order is the V2 contract: group columns first, then
+    * aggregate columns. */
+  private def deriveGroupedAggregate(
+      path: String,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      schema: StructType,
+      entries: Seq[(String, Long, Option[Map[Int, ColStats]], String)],
+      schemaOf: String => StructType,
+      colName: org.apache.spark.sql.connector.expressions.Expression => Option[String])
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    val idCols = partitionFields(path).collect { case IdentityPart(c) => c }
+    val grpCols = agg.groupByExpressions.toSeq.map(e => colName(e).getOrElse(return None))
+    if (!grpCols.forall(idCols.contains)) return None
+    val grpTypes = grpCols.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      if (i < 0) return None
+      schema.fields(i).dataType match {
+        case dt @ (LongType | IntegerType | StringType) => dt
+        case _ => return None
+      }
+    }
+    def parse(v: String, dt: DataType): Any = dt match {
+      case LongType    => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType  => v.toDouble
+      case StringType  => UTF8String.fromString(v)
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
+    def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+      case LongType    => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case StringType  => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    // Aggregate spec: None = count(*), Some((col, wantMin)) = min/max.
+    val aggSpecs: Seq[Option[(String, Boolean)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => None
+      case m: Min => Some((colName(m.column).getOrElse(return None), true))
+      case m: Max => Some((colName(m.column).getOrElse(return None), false))
+      case _ => return None
+    }
+    val aggTypes: Seq[DataType] = aggSpecs.map {
+      case None => LongType
+      case Some((c, _)) =>
+        val i = schema.fieldNames.indexOf(c)
+        if (i < 0) return None
+        schema.fields(i).dataType match {
+          case dt @ (LongType | IntegerType | DoubleType | StringType) => dt
+          case _ => return None
+        }
+    }
+    // Fold every live file into its (proven) group.
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], (Long, Array[Any])] // key -> (rows, extremes)
+    entries.foreach { case (_, rows, st, ddl) =>
+      if (rows > 0) {
+        val fs = schemaOf(ddl)
+        val stats = st.getOrElse(return None)
+        val key = grpCols.zip(grpTypes).map { case (c, dt) =>
+          val fi = fs.fieldNames.indexOf(c)
+          if (fi < 0) return None
+          if (fs.fields(fi).dataType != dt) return None
+          stats.get(fi) match {
+            case Some(cs) if !cs.hasNull && !cs.rangeless &&
+                cs.min.nonEmpty && cs.min == cs.max => parse(cs.min, dt)
+            case _ => return None // unprovable group: the scan answers
+          }
+        }
+        val exts: Seq[Option[Any]] = aggSpecs.zip(aggTypes).map {
+          case (None, _) => Some(null)
+          case (Some((c, wantMin)), dt) =>
+            val fi = fs.fieldNames.indexOf(c)
+            if (fi < 0) Some(null) // column absent: NULL backfill, no contribution
+            else if (fs.fields(fi).dataType != dt) return None
+            else stats.get(fi) match {
+              case None => return None
+              case Some(cs) if cs.rangeless => return None
+              case Some(cs) if cs.min.isEmpty => Some(null) // all-NULL file
+              case Some(cs) => Some(parse(if (wantMin) cs.min else cs.max, dt))
+            }
+        }
+        val (accRows, accExt) = groups.getOrElseUpdate(key,
+          (0L, Array.fill[Any](aggSpecs.length)(null)))
+        var i = 0
+        while (i < aggSpecs.length) {
+          (aggSpecs(i), exts(i)) match {
+            case (Some((_, wantMin)), Some(v)) if v != null =>
+              if (accExt(i) == null ||
+                  (if (wantMin) cmp(v, accExt(i), aggTypes(i)) < 0
+                   else cmp(v, accExt(i), aggTypes(i)) > 0))
+                accExt(i) = v
+            case _ =>
+          }
+          i += 1
+        }
+        groups.update(key, (accRows + rows, accExt))
+      }
+    }
+    val outSchema = StructType(
+      grpCols.zip(grpTypes).map { case (c, dt) =>
+        org.apache.spark.sql.types.StructField(c, dt, nullable = false)
+      } ++ aggSpecs.zip(aggTypes).zipWithIndex.map { case ((spec, dt), i) =>
+        org.apache.spark.sql.types.StructField(s"agg_$i", dt, spec.isDefined)
+      })
+    val rows = groups.toSeq.map { case (key, (n, exts)) =>
+      key ++ aggSpecs.zipWithIndex.map {
+        case (None, _)    => n: Any
+        case (Some(_), i) => exts(i)
+      }
+    }
+    Some((outSchema, rows))
   }
 
   /** A partitioned write's task commit carries one [[CommittedFile]] per
@@ -2315,17 +2485,20 @@ private[sources] class ManifestTable(
           else
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         override def distributionStrictlyRequired(): Boolean = false
-        // Task-local sort on the partition SOURCE columns: each demuxed
-        // file then receives its rows in non-decreasing key order, the
-        // writer's row-by-row verification attests it, and the scan can
-        // report a per-partition ordering — co-partitioned sort-merge
-        // joins drop BOTH their exchanges and their sorts. One in-memory
-        // sort per write task buys every future join's sort back.
+        // Task-local sort on the partition SOURCE columns (then any
+        // declared sort columns): each demuxed file then receives its
+        // rows in non-decreasing key order, the writer's row-by-row
+        // verification attests it, and the scan can report a
+        // per-partition ordering — co-partitioned sort-merge joins drop
+        // BOTH their exchanges and their sorts, and per-key windows over
+        // a declared sort column drop theirs too. One in-memory sort per
+        // write task buys every future join's/window's sort back.
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          pfields.map(f =>
+          (pfields.map(_.col) ++ ManifestFileSink.sortColumns(path)
+            .filter(info.schema().fieldNames.contains)).distinct.map(c =>
             org.apache.spark.sql.connector.expressions.Expressions.sort(
-              org.apache.spark.sql.connector.expressions.Expressions.identity(f.col),
+              org.apache.spark.sql.connector.expressions.Expressions.identity(c),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = overwriteFilter match {
           case Some(f) => new ManifestOverwriteBatchWrite(path, info.schema(), f)
@@ -2434,7 +2607,7 @@ private[sources] class ManifestTable(
           case _ => false
         }
       }
-      private var aggResult: Option[(StructType, Seq[Any])] = None
+      private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         tryAgg(agg).isDefined
@@ -2445,7 +2618,7 @@ private[sources] class ManifestTable(
       }
       private def tryAgg(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Option[(StructType, Seq[Any])] =
+          : Option[(StructType, Seq[Seq[Any]])] =
         if (since.nonEmpty || weighted || pushed.nonEmpty) None
         else ManifestFileSink.deriveAggregate(path, asOf, agg,
           ManifestFileSink.storedSchema(path, asOf).getOrElse(new StructType()))
@@ -2690,9 +2863,10 @@ private[sources] class StagedManifestTable(
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
           val pfields = partitionCols.map(ManifestFileSink.parsePartField)
             .filter(f => stagedSchema.fieldNames.contains(f.col))
-          pfields.map(f =>
+          (pfields.map(_.col) ++ ManifestFileSink.sortColumns(path)
+            .filter(stagedSchema.fieldNames.contains)).distinct.map(c =>
             org.apache.spark.sql.connector.expressions.Expressions.sort(
-              org.apache.spark.sql.connector.expressions.Expressions.identity(f.col),
+              org.apache.spark.sql.connector.expressions.Expressions.identity(c),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         }
         override def toBatch: BatchWrite = new BatchWrite {
@@ -2926,7 +3100,8 @@ private class ManifestWriterFactory(
     val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
     if (idxs.forall(_ >= 0) && idxs.nonEmpty)
       new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
-    else new ManifestDataWriter(path, schema, base)
+    else new ManifestDataWriter(path, schema, base,
+      sortIdx = ManifestFileSink.writeSortIdx(path, schema))
   }
 }
 
@@ -2994,9 +3169,10 @@ private class ManifestPartitionedDataWriter(
 
   // Every row routed to one file is a subsequence of the task's row
   // stream, and a subsequence of a sorted stream is sorted — so when the
-  // V2 write's requested ordering (partition source columns) was
-  // honored, EVERY demuxed file self-verifies and attests.
-  private val sortIdx: Seq[Int] = fields.map(_._2)
+  // V2 write's requested ordering (partition source columns, then any
+  // declared sort columns) was honored, EVERY demuxed file self-verifies
+  // and attests the full list.
+  private val sortIdx: Seq[Int] = ManifestFileSink.writeSortIdx(path, schema)
 
   override def write(record: InternalRow): Unit = {
     val token = tokenOf(record)
@@ -3284,7 +3460,8 @@ private class ManifestStreamingWriterFactory(
     val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
     if (idxs.forall(_ >= 0) && idxs.nonEmpty)
       new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
-    else new ManifestDataWriter(path, schema, base)
+    else new ManifestDataWriter(path, schema, base,
+      sortIdx = ManifestFileSink.writeSortIdx(path, schema))
   }
 }
 
@@ -3299,31 +3476,33 @@ private case class FileSplit(
     file: String, deleted: Array[Long] = Array.empty,
     ddl: String = "", weight: Int = 0) extends InputPartition
 
-/** The one-row result of a metadata-answered aggregate
-  * ([[ManifestFileSink.deriveAggregate]]): values ride the split in
-  * Catalyst form (Long / Int / Double / UTF8String / null). */
-private case class AggResultSplit(values: Seq[Any]) extends InputPartition
+/** The result rows of a metadata-answered aggregate
+  * ([[ManifestFileSink.deriveAggregate]]): one row for a global
+  * aggregate, one row per group for a pushed GROUP BY over identity
+  * partition columns. Values ride the split in Catalyst form
+  * (Long / Int / Double / UTF8String / null). */
+private case class AggResultSplit(rows: Seq[Seq[Any]]) extends InputPartition
 
 /** Scan serving a COMPLETELY pushed-down aggregate from manifest
   * metadata: one split, one row, zero data files opened. */
-private class ManifestAggScan(path: String, aggSchema: StructType, values: Seq[Any])
+private class ManifestAggScan(path: String, aggSchema: StructType, rows: Seq[Seq[Any]])
   extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"ManifestAggScan($path, metadata-answered: ${aggSchema.fieldNames.mkString(", ")})"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(AggResultSplit(values))
+    Array(AggResultSplit(rows))
   override def createReaderFactory(): PartitionReaderFactory = new AggReaderFactory
 }
 
 private class AggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vals = partition.asInstanceOf[AggResultSplit].values
-      private var served = false
-      override def next(): Boolean = if (served) false else { served = true; true }
-      override def get(): InternalRow = InternalRow.fromSeq(vals)
+      private val rows = partition.asInstanceOf[AggResultSplit].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i))
       override def close(): Unit = ()
     }
 }
@@ -3564,7 +3743,7 @@ private class ManifestScan(
     * never disagree. */
   private def computeSplits(
       effFilters: Array[org.apache.spark.sql.sources.Filter])
-      : (Array[InputPartition], Option[Int], Boolean) = {
+      : (Array[InputPartition], Option[Int], Seq[String]) = {
     // Zone-map file skipping: a file whose recorded min/max cannot satisfy
     // EVERY pushed conjunct is dropped before an executor ever opens it.
     // At 100 TB this is the difference between "scan the table" and "scan
@@ -3746,36 +3925,45 @@ private class ManifestScan(
     // EVERY live file proves its single value. One unprovable file (or
     // any retraction split) degrades the whole scan to unpartitioned —
     // Spark then inserts the usual exchanges; results never change.
-    val out: (Array[InputPartition], Option[Int], Boolean) =
+    val out: (Array[InputPartition], Option[Int], Seq[String]) =
       if (partFields.nonEmpty && minus.isEmpty && limit.isEmpty && topN.isEmpty &&
           plus.nonEmpty && plus.forall(_._2.isDefined)) {
         val keyed = plus.map { case (s, k, _, _, _) => KeyedFileSplit(s, k.get): InputPartition }
         val nGroups = plus.map(_._2.get).distinct.size
-        // Zero-sort eligibility: per-partition ordering on the source
-        // columns is reportable iff (a) every live file ATTESTS it was
-        // written non-decreasing on exactly the current declared source
-        // columns, and (b) each partition-value group is ONE file — a
-        // group concatenating two sorted files is not itself sorted
-        // (identity groups would be, all rows equal on the key, but the
-        // uniform rule stays conservative and a maintenance
-        // repartitionTable restores one file per group anyway).
-        // Deletion vectors are order-preserving filters — no effect.
-        // A file sorted by (a, b) is sorted by (a): the surviving
-        // (possibly column-pruned) source list must be a PREFIX of the
-        // attested one.
-        val sortCols = partFields.map(_.col)
-        val ordered = plus.size == nGroups && plus.forall(_._4.exists(st =>
-          st.get(ManifestFileSink.SortKeyStatsIdx).exists(cs =>
-            !cs.rangeless &&
-              cs.min.split(",").toSeq.take(sortCols.length) == sortCols)))
-        (keyed.toArray, Some(nGroups), ordered)
+        // Zero-sort eligibility: per-partition ordering is reportable
+        // iff (a) every live file ATTESTS a written sort order whose
+        // prefix covers the current source columns, and (b) each
+        // partition-value group is ONE file — a group concatenating two
+        // sorted files is not itself sorted (identity groups would be,
+        // all rows equal on the key, but the uniform rule stays
+        // conservative and a maintenance repartitionTable restores one
+        // file per group anyway). Deletion vectors are order-preserving
+        // filters — no effect. The REPORTED list is the longest common
+        // prefix of every file's attestation (a file sorted by (a, b)
+        // is sorted by (a)), cut at the first column the pruned read
+        // schema no longer carries — so a declared secondary sort
+        // column (`_sort`) rides along and per-key windows drop their
+        // sorts too.
+        val srcCols = partFields.map(_.col)
+        val attested: Seq[Seq[String]] = plus.map(_._4.flatMap(
+          _.get(ManifestFileSink.SortKeyStatsIdx).collect {
+            case cs if !cs.rangeless => cs.min.split(",").toSeq
+          }).getOrElse(Seq.empty))
+        val common: Seq[String] =
+          if (attested.exists(_.isEmpty)) Seq.empty
+          else attested.reduce((a, b) => a.zip(b).takeWhile(t => t._1 == t._2).map(_._1))
+        val orderedCols: Seq[String] =
+          if (plus.size == nGroups && common.take(srcCols.length) == srcCols)
+            common.takeWhile(schema.fieldNames.contains)
+          else Seq.empty
+        (keyed.toArray, Some(nGroups), orderedCols)
       } else
-        ((plus.map(_._1: InputPartition) ++ minus).toArray, None, false)
+        ((plus.map(_._1: InputPartition) ++ minus).toArray, None, Seq.empty[String])
     plannedSplitCount = out._1.length
     out
   }
 
-  private lazy val staticPlan: (Array[InputPartition], Option[Int], Boolean) =
+  private lazy val staticPlan: (Array[InputPartition], Option[Int], Seq[String]) =
     computeSplits(filters)
 
   /** DSv2 partitioning report: with `spark.sql.sources.v2.bucketing
@@ -3817,11 +4005,10 @@ private class ManifestScan(
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     staticPlan match {
-      case (_, Some(_), true)
-          if partFields.forall(f => schema.fieldNames.contains(f.col)) =>
-        partFields.map(f =>
+      case (_, Some(_), cols) if cols.nonEmpty =>
+        cols.map(c =>
           org.apache.spark.sql.connector.expressions.Expressions.sort(
-            org.apache.spark.sql.connector.expressions.Expressions.identity(f.col),
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       case _ => Array.empty
     }

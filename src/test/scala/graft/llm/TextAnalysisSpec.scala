@@ -44,6 +44,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r4.getDouble(3) == 0.0 && r4.getDouble(4) == 0.0 && r4.getBoolean(5))
   }
 
+  test("budgetSelect equals the driver-computed greedy knapsack prefix") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.budgetSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+    // Independent recomputation on the driver: same integer arithmetic,
+    // sequential instead of bucket-partitioned — any partitioning bug in
+    // the running-sum kernel (lost offset, double-counted bucket) breaks
+    // this equality.
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map { r =>
+        val wl = r.getString(3).split(" ", -1)
+        val stops = wl.count(_ == "the") + wl.count(_ == "a")
+        (r.getLong(0), r.getString(1), (r.getLong(2) + 3) / 4,
+          (1000000L * (wl.length - stops)) / r.getLong(2))
+      }.sortBy(s => (-s._4, s._1))
+    val budget = scored.map(_._3).sum / 2
+    var cum = 0L
+    val expected = scored.flatMap { case (id, src, est, pr) =>
+      val before = cum; cum += est
+      if (before < budget) Some((id, src, est, pr, before + est)) else None
+    }.sortBy(_._1).toSeq
+
+    assert(expected.nonEmpty && expected.size < scored.length,
+      "fixture must make the budget an actual cut")
+    assert(out === expected)
+    // The greedy property itself: selected tokens reach the budget, and
+    // no selected doc started past it.
+    assert(expected.map(_._3).sum >= budget)
+    assert(expected.forall { case (_, _, est, _, c) => c - est < budget })
+  }
+
   test("chunkPack handles documents shorter than one chunk") {
     val out = TextAnalysis.chunkPack(spark, shortDocsDir).collect()
     // Every doc yields at least its first (possibly partial) chunk.

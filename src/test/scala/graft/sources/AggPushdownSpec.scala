@@ -68,6 +68,48 @@ class AggPushdownSpec extends SparkTestBase {
     assert(filtered.head().getLong(0) === 50)
   }
 
+  test("GROUP BY identity partition column answers from metadata — zero data files opened") {
+    val path = Files.createTempDirectory("graft-aggpd4").toString
+    ManifestFileSink.setPartitionColumns(path, Seq("g"))
+    spark.range(0, 100).select(($"id" % 5).as("g"), $"id", ($"id" * 2.0).as("v"))
+      .write.format(classOf[ManifestFileSink].getName)
+      .option("path", path).mode("append").save()
+    val expect = load(path).groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"v").as("mx"))
+      .orderBy($"g").collect().toSeq
+
+    // The proof of zero IO is physical: delete every data file.
+    val dataDir = Paths.get(path, "data")
+    val walk = Files.list(dataDir)
+    try walk.forEach(f => { Files.delete(f); () }) finally walk.close()
+
+    val grouped = load(path).groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"v").as("mx"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "partition-column GROUP BY must push to metadata:\n" +
+        grouped.queryExecution.executedPlan.toString)
+    assert(grouped.orderBy($"g").collect().toSeq === expect,
+      "per-group metadata answers must equal the real aggregation")
+
+    // Grouping by a NON-partition column still refuses (files are gone,
+    // so the honest scan fails loudly rather than answering wrong).
+    val byOther = load(path).groupBy($"id").agg(count(lit(1)))
+    assert(!byOther.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+  }
+
+  test("an unprovable file refuses the grouped shortcut; results stay exact") {
+    val path = Files.createTempDirectory("graft-aggpd5").toString
+    // Write WITHOUT the layout declared: mixed-value files, no proofs.
+    spark.range(0, 30).select(($"id" % 3).as("g"), $"id").coalesce(1)
+      .write.format(classOf[ManifestFileSink].getName)
+      .option("path", path).mode("append").save()
+    ManifestFileSink.setPartitionColumns(path, Seq("g"))
+    val grouped = load(path).groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "a file that cannot prove its group must keep the real scan")
+    assert(grouped.orderBy($"g").collect().map(_.getLong(1)).toSeq === Seq(10L, 10L, 10L))
+  }
+
   test("deletion vectors refuse the shortcut; results stay exact") {
     val path = Files.createTempDirectory("graft-aggpd3").toString
     spark.range(0, 40).select($"id")

@@ -590,6 +590,40 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("declared sort.columns: per-key windows run with zero exchange AND zero sort") {
+    root
+    spark.sql(
+      """CREATE TABLE gspj.spj.zw (k BIGINT, ts BIGINT, v BIGINT)
+        |PARTITIONED BY (k) TBLPROPERTIES ('sort.columns' = 'ts')""".stripMargin)
+    // Arrive shuffled in ts: the write's requested ordering must sort.
+    spark.sql(
+      """INSERT INTO gspj.spj.zw
+        |SELECT CAST(id % 5 AS BIGINT), CAST((id * 37) % 100 AS BIGINT), id
+        |FROM range(100) ORDER BY id DESC""".stripMargin)
+    withSpjConf {
+      // ts is unique by construction (37 is invertible mod 100), so
+      // ORDER BY ts alone is deterministic — and matches the scan's
+      // reported (k, ts) ordering exactly.
+      val w = spark.sql(
+        """SELECT k, ts, v,
+          |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn
+          |FROM gspj.spj.zw""".stripMargin)
+      val p = w.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"identity-partitioned scan must satisfy the window's distribution:\n$p")
+      assert(sortExecs(w) === 0,
+        s"attested (k, ts) files must satisfy the window's (k, ts) ordering:\n$p")
+      // Parity with the same window over the raw values.
+      val plain = spark.createDataFrame(
+          (0 until 100).map(i => (i.toLong % 5, (i.toLong * 37) % 100, i.toLong)))
+        .toDF("k", "ts", "v")
+        .selectExpr("k", "ts", "v",
+          "ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn")
+      assert(w.orderBy("k", "ts", "v").collect().toSeq ===
+        plain.orderBy("k", "ts", "v").collect().toSeq)
+    }
+  }
+
   test("mixed identity + bucket spec demuxes per (value, bucket) pair and reports both") {
     root
     spark.sql(
