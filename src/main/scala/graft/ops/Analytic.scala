@@ -1929,7 +1929,81 @@ object Analytic {
       |  ROUND((sy - slope_raw * sx) / n / 100.0, 6) AS intercept
       |FROM fit ORDER BY n_name""".stripMargin
 
+  /** Classical SEASONAL DECOMPOSITION of the daily revenue series
+    * (trend = centered 7-day moving average, seasonal = day-of-week
+    * subseries means of the detrended values, remainder = the rest) —
+    * the time-series class the suite lacked: q_linreg_trend fits trend,
+    * q_ewma smooths, q_acf measures self-similarity, but nothing
+    * SEPARATED the components.
+    *
+    * Exactness discipline: the day series folds to integer CENTS
+    * (floor-quantized per row — the [[graft.functions.Exact.qsum]]
+    * contract), every intermediate (7× trend `t7`, 7× detrended
+    * `detr7`) stays a 64-bit integer, and each output is ONE chain of
+    * IEEE-exact double operations on those integers — no libm, no
+    * accumulation-order-sensitive double sums, so both engines agree
+    * bit-for-bit. Trend is NULL outside full CONTIGUOUS 7-day frames
+    * (count=7 AND idx-span=6 — a gapped series never fakes a frame).
+    *
+    * Scale shape: the corpus-sized pass is the one day-grain partial
+    * aggregation (map-side combine, then |days| rows). Everything after
+    * runs at CALENDAR grain — the 7-day neighborhood is a broadcast
+    * self-join, NOT an unpartitioned window (the suite-wide audit stays
+    * clean by construction), and the seasonal table is ≤7 rows,
+    * broadcast back. 100 TB of events is still ~3650 day rows. */
+  def qSeasonalDecompose: Q = (s, dir) => {
+    val days = Tables(s, dir).events
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg(sum(floor(col("value") * lit(100) + lit(0.5)).cast("long")).as("st"))
+      .withColumn("day_idx",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+      .withColumn("dow", col("day_idx") % 7)
+    val n = days.select(col("day_idx").as("n_idx"), col("st").as("n_st"))
+    val trend = days.join(broadcast(n),
+        col("n_idx") >= col("day_idx") - 3 && col("n_idx") <= col("day_idx") + 3)
+      .groupBy(col("day"), col("day_idx"), col("dow"), col("st"))
+      .agg(sum(col("n_st")).as("t7raw"), count(lit(1)).as("nf"),
+        (max(col("n_idx")) - min(col("n_idx"))).as("span"))
+      .withColumn("t7", when(col("nf") === 7 && col("span") === 6, col("t7raw")))
+      .withColumn("detr7", lit(7) * col("st") - col("t7"))
+    val seas = trend.filter(col("t7").isNotNull)
+      .groupBy(col("dow"))
+      .agg((sum(col("detr7")).cast("double") / (lit(7.0) * count(lit(1))) / lit(100.0))
+        .as("seasonal"))
+    trend.join(broadcast(seas), Seq("dow"), "left")
+      .select(col("day"), col("dow"),
+        (col("st").cast("double") / lit(100.0)).as("revenue"),
+        (col("t7").cast("double") / lit(700.0)).as("trend"),
+        col("seasonal"),
+        (col("st").cast("double") / lit(100.0)
+          - col("t7").cast("double") / lit(700.0) - col("seasonal")).as("remainder"))
+      .orderBy(col("day"))
+  }
+
+  val qSeasonalDecomposeSql: String =
+    """WITH days AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS st
+      |  FROM events GROUP BY 1),
+      |d2 AS (SELECT day, st, datediff('day', DATE '1970-01-01', day) AS day_idx,
+      |       datediff('day', DATE '1970-01-01', day) % 7 AS dow FROM days),
+      |tr AS (
+      |  SELECT d.day, d.day_idx, d.dow, d.st,
+      |    CASE WHEN COUNT(*) = 7 AND MAX(n.day_idx) - MIN(n.day_idx) = 6
+      |         THEN CAST(SUM(n.st) AS BIGINT) END AS t7
+      |  FROM d2 d JOIN d2 n ON n.day_idx BETWEEN d.day_idx - 3 AND d.day_idx + 3
+      |  GROUP BY 1,2,3,4),
+      |tr2 AS (SELECT *, 7*st - t7 AS detr7 FROM tr),
+      |se AS (SELECT dow, CAST(SUM(detr7) AS DOUBLE) / (7e0 * COUNT(*)) / 100e0 AS seasonal
+      |       FROM tr2 WHERE t7 IS NOT NULL GROUP BY 1)
+      |SELECT t.day, t.dow, CAST(t.st AS DOUBLE)/100e0 AS revenue,
+      |  CAST(t.t7 AS DOUBLE)/700e0 AS trend, se.seasonal,
+      |  CAST(t.st AS DOUBLE)/100e0 - CAST(t.t7 AS DOUBLE)/700e0 - se.seasonal AS remainder
+      |FROM tr2 t LEFT JOIN se ON t.dow = se.dow ORDER BY t.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_seasonal_decompose" -> qSeasonalDecompose,
     "q_linreg_trend"    -> qLinregTrend,
     "q_ewma"            -> qEwma,
     "q_acf"             -> qAcf,
@@ -1979,6 +2053,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_linreg_trend"    -> qLinregTrendSql,
     "q_ewma"            -> qEwmaSql,
     "q_acf"             -> qAcfSql,

@@ -81,6 +81,37 @@ class SeriesGraphFusionSpec extends SparkTestBase {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("seasonal decomposition: additive identity, edge nulls, dow-constant seasonal") {
+    val out = Analytic.qSeasonalDecompose(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getInt(1),
+        r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.nonEmpty)
+    // Trend is NULL exactly where a full contiguous 7-day frame is
+    // impossible: the first three and last three days of the series.
+    val defined = out.map(_._4.isDefined)
+    assert(defined.take(3).forall(!_) && defined.takeRight(3).forall(!_))
+    assert(defined.drop(3).dropRight(3).forall(identity),
+      "contiguous fixture series: every interior day must have a trend")
+    // The additive identity holds bit-for-bit where trend is defined —
+    // remainder was CONSTRUCTED as revenue - trend - seasonal in one
+    // IEEE chain, so == is exact, not approximate.
+    out.foreach { case (_, _, rev, tr, se, rem) =>
+      (tr, rem) match {
+        case (Some(t), Some(r)) => assert(r == rev - t - se)
+        case (None, None)       => ()
+        case other              => fail(s"trend/remainder null mismatch: $other")
+      }
+    }
+    // Seasonal is a pure function of day-of-week.
+    val byDow = out.groupBy(_._2).values
+    assert(byDow.forall(g => g.map(_._5).distinct.length == 1))
+    assert(out.map(_._2).distinct.sorted.toSeq == (0 to 6),
+      "30-day fixture covers all seven weekday indexes")
+  }
+
   test("shard stripe: 8 shards, doc-count conservation, bounded token imbalance") {
     val out = TextAnalysis.shardStripe(spark, sf)
       .as[(Long, Long, Long)].collect()
