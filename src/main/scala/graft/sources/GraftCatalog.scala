@@ -275,6 +275,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (bloom.nonEmpty) ManifestFileSink.setBloomIndex(path, bloom)
     if (trgm.nonEmpty) ManifestFileSink.setTrigramIndex(path, trgm)
     if (sort.nonEmpty) ManifestFileSink.setSortColumns(path, sort)
+    // CHECK constraints: TBLPROPERTIES('check.<name>' = '<predicate>').
+    // Each predicate must resolve against the declared schema NOW — a
+    // typo'd column fails the DDL, not the first write.
+    val checks = properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith("check.") && k.length > 6 =>
+        (k.substring(6), v)
+    }.sortBy(_._1)
+    checks.foreach { case (n, sqlText) =>
+      ManifestFileSink.resolveCheck(Some(schema), schema, n, sqlText)
+    }
+    if (checks.nonEmpty) ManifestFileSink.setCheckConstraints(path, checks)
   }
 
   override def createTable(
@@ -311,7 +322,39 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val path = dir(ident).toString
     val current = ManifestFileSink.storedSchema(path, None)
       .getOrElse(new StructType())
-    val evolved = changes.foldLeft(current) { (sch, ch) => ch match {
+    // CHECK constraints arrive as SET/UNSET TBLPROPERTIES('check.<name>').
+    // ADDING one follows the Delta contract: the predicate must hold on
+    // every EXISTING row — a distributed violation count over the live
+    // table decides, so a constraint is an invariant from the moment it
+    // exists, never a promise about future writes only.
+    val (checkChanges, rest) = changes.partition {
+      case sp: TableChange.SetProperty    => sp.property.startsWith("check.")
+      case rp: TableChange.RemoveProperty => rp.property.startsWith("check.")
+      case _ => false
+    }
+    checkChanges.foreach {
+      case sp: TableChange.SetProperty =>
+        val name = sp.property.substring(6)
+        require(name.nonEmpty, "constraint name must be non-empty")
+        ManifestFileSink.resolveCheck(Some(current), current, name, sp.value)
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.{expr, lit}
+        val violations = spark.read.format(classOf[ManifestFileSink].getName)
+          .option("path", path).load()
+          .filter(expr(sp.value) <=> lit(false)).count()
+        if (violations > 0) throw new IllegalStateException(
+          s"cannot add CHECK constraint '$name' (${sp.value}): " +
+            s"$violations existing row(s) violate it")
+        ManifestFileSink.setCheckConstraints(path,
+          ManifestFileSink.checkConstraints(path).filterNot(_._1 == name) :+
+            (name, sp.value))
+      case rp: TableChange.RemoveProperty =>
+        val name = rp.property.substring(6)
+        ManifestFileSink.setCheckConstraints(path,
+          ManifestFileSink.checkConstraints(path).filterNot(_._1 == name))
+      case _ => ()
+    }
+    val evolved = rest.foldLeft(current) { (sch, ch) => ch match {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft tables are flat; nested ADD COLUMN is not supported")

@@ -1298,6 +1298,95 @@ object ManifestFileSink {
         case _ => false
       })
 
+  // --------------------------------------------- CHECK constraints (_check)
+
+  /** A write-time CHECK constraint, resolved and bound on the DRIVER at
+    * write planning: `violation` is the schema-bound Catalyst predicate
+    * that is TRUE exactly when a row fails the constraint
+    * (`check <=> false` — SQL CHECK semantics pass on NULL/UNKNOWN).
+    * Executors compile it once per task ([[CheckEval]]) and evaluate it
+    * per row inside the existing write loop — codegen'd, no extra pass,
+    * no shuffle, and a violating row fails the TASK, so the atomic
+    * manifest commit never publishes a partial batch. */
+  private[sources] case class CheckSpec(name: String, sql: String,
+      violation: org.apache.spark.sql.catalyst.expressions.Expression)
+
+  /** Declare the table's CHECK constraints (name → SQL predicate) —
+    * the Delta `ALTER TABLE … ADD CONSTRAINT` idea, stored like every
+    * other table-level declaration as a control file. */
+  def setCheckConstraints(path: String, cs: Seq[(String, String)]): Unit = {
+    require(cs.forall { case (n, s) =>
+      n.nonEmpty && !n.exists(c => c == '\t' || c == '\n') && s.nonEmpty &&
+        !s.exists(_ == '\n') },
+      s"constraint names must be tab/newline-free, predicates newline-free: $cs")
+    require(cs.map(_._1).distinct.size == cs.size, s"duplicate constraint name: $cs")
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, "._check.tmp")
+    Files.write(tmp, cs.map { case (n, s) => s"$n\t$s" }.asJava, StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(path, "_check"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def checkConstraints(path: String): Seq[(String, String)] = {
+    val f = Paths.get(path, "_check")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.contains('\t'))
+      .map { l => val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1)) }
+  }
+
+  /** Resolve one CHECK predicate against a WRITE schema and return the
+    * bound violation expression. Columns the TABLE knows but this write
+    * omits (by-name evolution append) substitute as typed NULL — that IS
+    * the stored value, and SQL CHECK passes on UNKNOWN, so an evolved
+    * append is neither refused nor mis-enforced. Refuses non-boolean,
+    * non-deterministic, subquery-bearing, or unresolvable predicates. */
+  private[sources] def resolveCheck(
+      tableSchema: Option[StructType],
+      writeSchema: StructType,
+      name: String,
+      sqlText: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+    val subst = parsed.transform {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 1 &&
+            !writeSchema.fieldNames.exists(_.equalsIgnoreCase(ua.nameParts.head)) =>
+        tableSchema.flatMap(_.fields.find(_.name.equalsIgnoreCase(ua.nameParts.head)))
+          .map(f => Literal(null, f.dataType))
+          .getOrElse(ua)
+    }
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(writeSchema)
+    val analyzed = spark.sessionState.analyzer.execute(LFilter(subst, LocalRelation(attrs)))
+    val cond = analyzed match {
+      case LFilter(c, _) if c.resolved => c
+      case _ => throw new IllegalArgumentException(
+        s"CHECK constraint '$name' does not resolve against the write schema " +
+          s"${writeSchema.fieldNames.mkString("(", ", ", ")")}: $sqlText")
+    }
+    require(cond.dataType == BooleanType,
+      s"CHECK constraint '$name' must be BOOLEAN, got ${cond.dataType.simpleString}: $sqlText")
+    require(cond.deterministic,
+      s"CHECK constraint '$name' must be deterministic: $sqlText")
+    require(!cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"CHECK constraint '$name' must not contain subqueries: $sqlText")
+    EqualNullSafe(BindReferences.bindReference(cond, AttributeSeq(attrs)), Literal(false))
+  }
+
+  /** Driver-side: every declared constraint, resolved and bound against
+    * this write's schema. Called once per write planning, never per row. */
+  private[sources] def boundChecks(path: String, writeSchema: StructType): Seq[CheckSpec] = {
+    val cs = checkConstraints(path)
+    if (cs.isEmpty) Nil
+    else {
+      val ts = storedSchema(path, None)
+      cs.map { case (n, s) => CheckSpec(n, s, resolveCheck(ts, writeSchema, n, s)) }
+    }
+  }
+
   // ------------------------------------------- trigram text index (_trgm)
 
   /** TEXT columns designated for per-file TRIGRAM Bloom indexing (the
@@ -2871,7 +2960,8 @@ private[sources] class StagedManifestTable(
         }
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-            new ManifestWriterFactory(path, stagedSchema, partitionCols)
+            new ManifestWriterFactory(path, stagedSchema, partitionCols,
+              ManifestFileSink.boundChecks(path, stagedSchema))
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             staged.set(messages) // deferred to commitStagedChanges
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2934,7 +3024,8 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema,
-      ManifestFileSink.partitionColumns(path))
+      ManifestFileSink.partitionColumns(path),
+      ManifestFileSink.boundChecks(path, schema))
 
   /** The atomic visibility point: only files that made it into a task
     * commit message are listed — an attempt that wrote bytes but never
@@ -2963,7 +3054,8 @@ private class ManifestOverwriteBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema,
-      ManifestFileSink.partitionColumns(path))
+      ManifestFileSink.partitionColumns(path),
+      ManifestFileSink.boundChecks(path, schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestFileSink.commitOverwrite(path, schema, filter, messages)
@@ -3027,7 +3119,8 @@ private class ManifestDeltaBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new ManifestDeltaWriterFactory(path, schema)
+    new ManifestDeltaWriterFactory(path, schema,
+      ManifestFileSink.boundChecks(path, schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestFileSink.commitDelta(path, schema, pin, messages)
@@ -3042,19 +3135,27 @@ private class ManifestDeltaBatchWrite(
 
 /** Top-level (shipped to executors) — the anonymous-class form would drag
   * the non-serializable batch write along as its outer instance. */
-private class ManifestDeltaWriterFactory(path: String, schema: StructType)
+private class ManifestDeltaWriterFactory(path: String, schema: StructType,
+    checks: Seq[ManifestFileSink.CheckSpec] = Nil)
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new ManifestDeltaWriter(path, schema, f"part-d$partitionId%05d-$taskId")
+    new ManifestDeltaWriter(path, schema, f"part-d$partitionId%05d-$taskId", checks)
 }
 
 /** Executor-side delta writer: inserts stream into an attempt-unique task
   * file (zone-map stats included, invisible until publish — the sink's
   * normal write mechanics), delete/update row ids accumulate as per-file
   * position lists. An update is its retraction + its reinsert. */
-private class ManifestDeltaWriter(path: String, schema: StructType, name: String)
+private class ManifestDeltaWriter(path: String, schema: StructType, name: String,
+    checks: Seq[ManifestFileSink.CheckSpec] = Nil)
   extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  // UPDATE reinserts and MERGE inserts flow through insert(), so CHECK
+  // constraints guard row-level mutations with the same predicate the
+  // append path compiles.
+  private val checkEval =
+    if (checks.isEmpty) null else new CheckEval(checks, schema)
 
   private var out: ManifestDataWriter = null
   private val dels = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
@@ -3073,6 +3174,7 @@ private class ManifestDeltaWriter(path: String, schema: StructType, name: String
   }
 
   override def insert(row: InternalRow): Unit = {
+    if (checkEval != null) checkEval.verify(row)
     if (out == null) out = new ManifestDataWriter(path, schema, name)
     out.write(row)
   }
@@ -3089,7 +3191,8 @@ private class ManifestDeltaWriter(path: String, schema: StructType, name: String
 }
 
 private class ManifestWriterFactory(
-    path: String, schema: StructType, partitionCols: Seq[String] = Nil)
+    path: String, schema: StructType, partitionCols: Seq[String] = Nil,
+    checks: Seq[ManifestFileSink.CheckSpec] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -3098,11 +3201,50 @@ private class ManifestWriterFactory(
     val base = f"part-$partitionId%05d-$taskId"
     val fields = partitionCols.map(ManifestFileSink.parsePartField)
     val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
-    if (idxs.forall(_ >= 0) && idxs.nonEmpty)
-      new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
-    else new ManifestDataWriter(path, schema, base,
-      sortIdx = ManifestFileSink.writeSortIdx(path, schema))
+    val inner: DataWriter[InternalRow] =
+      if (idxs.forall(_ >= 0) && idxs.nonEmpty)
+        new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
+      else new ManifestDataWriter(path, schema, base,
+        sortIdx = ManifestFileSink.writeSortIdx(path, schema))
+    if (checks.isEmpty) inner else new CheckingDataWriter(inner, checks, schema)
   }
+}
+
+/** Executor-side CHECK evaluation: the driver-bound violation predicates
+  * compile ONCE per task (codegen) and evaluate inline per row. */
+private class CheckEval(checks: Seq[ManifestFileSink.CheckSpec], schema: StructType)
+  extends Serializable {
+  private val preds = checks.map(c =>
+    org.apache.spark.sql.catalyst.expressions.Predicate.create(c.violation)).toArray
+  preds.foreach(_.initialize(0))
+  def verify(record: InternalRow): Unit = {
+    var i = 0
+    while (i < preds.length) {
+      if (preds(i).eval(record)) {
+        val render = record.toSeq(schema).mkString("[", ", ", "]")
+        throw new IllegalStateException(
+          s"CHECK constraint '${checks(i).name}' (${checks(i).sql}) violated by row " +
+            (if (render.length > 300) render.take(300) + "…" else render))
+      }
+      i += 1
+    }
+  }
+}
+
+/** Wraps any data writer with per-row CHECK enforcement: a violation
+  * fails the task before a byte lands, and the atomic manifest commit
+  * therefore never publishes a partial batch. */
+private class CheckingDataWriter(
+    inner: DataWriter[InternalRow],
+    checks: Seq[ManifestFileSink.CheckSpec],
+    schema: StructType) extends DataWriter[InternalRow] {
+  private val eval = new CheckEval(checks, schema)
+  override def write(record: InternalRow): Unit = {
+    eval.verify(record); inner.write(record)
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Executor-side demultiplexing writer for an identity-partitioned table:
@@ -3428,7 +3570,8 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(path, schema,
-      ManifestFileSink.partitionColumns(path))
+      ManifestFileSink.partitionColumns(path),
+      ManifestFileSink.boundChecks(path, schema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val published = ManifestFileSink.publish(
@@ -3449,7 +3592,8 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
 /** Top-level (not an inner class of the non-serializable write) — it is
   * shipped to executors. */
 private class ManifestStreamingWriterFactory(
-    path: String, schema: StructType, partitionCols: Seq[String] = Nil)
+    path: String, schema: StructType, partitionCols: Seq[String] = Nil,
+    checks: Seq[ManifestFileSink.CheckSpec] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
@@ -3458,10 +3602,12 @@ private class ManifestStreamingWriterFactory(
     val base = f"part-e$epochId-$partitionId%05d-$taskId"
     val fields = partitionCols.map(ManifestFileSink.parsePartField)
     val idxs = fields.map(f => schema.fieldNames.indexOf(f.col))
-    if (idxs.forall(_ >= 0) && idxs.nonEmpty)
-      new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
-    else new ManifestDataWriter(path, schema, base,
-      sortIdx = ManifestFileSink.writeSortIdx(path, schema))
+    val inner: DataWriter[InternalRow] =
+      if (idxs.forall(_ >= 0) && idxs.nonEmpty)
+        new ManifestPartitionedDataWriter(path, schema, base, fields.zip(idxs))
+      else new ManifestDataWriter(path, schema, base,
+        sortIdx = ManifestFileSink.writeSortIdx(path, schema))
+    if (checks.isEmpty) inner else new CheckingDataWriter(inner, checks, schema)
   }
 }
 

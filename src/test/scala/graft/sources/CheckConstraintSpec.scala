@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Write-time CHECK constraints (the Delta `ADD CONSTRAINT` contract):
+  * declared as `TBLPROPERTIES('check.<name>' = '<predicate>')`, resolved
+  * and bound on the driver at write planning, compiled once per task,
+  * evaluated per row inside the write loop. A violation fails the task
+  * before the manifest commit, so the atomic batch never half-publishes.
+  * SQL CHECK semantics: NULL/UNKNOWN passes. */
+class CheckConstraintSpec extends SparkTestBase {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-check").toString
+    spark.conf.set("spark.sql.catalog.gck", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gck.root", r)
+    r
+  }
+
+  test("CREATE with constraint: good rows pass, bad rows fail the whole batch") {
+    root
+    spark.sql("""CREATE TABLE gck.ck.t1 (id BIGINT, qty BIGINT, name STRING)
+      TBLPROPERTIES('check.pos_qty' = 'qty > 0')""")
+    spark.sql("INSERT INTO gck.ck.t1 VALUES (1, 5, 'a'), (2, 1, 'b')")
+    assert(spark.sql("SELECT count(*) FROM gck.ck.t1").head().getLong(0) === 2)
+
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gck.ck.t1 VALUES (3, 7, 'c'), (4, -1, 'd')"))
+    val msg = Option(e.getMessage).getOrElse("") +
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" ")
+    assert(msg.contains("pos_qty"), s"violation must name the constraint: $msg")
+    // Atomicity: the good row (3, 7) of the failed batch is NOT visible.
+    assert(spark.sql("SELECT count(*) FROM gck.ck.t1").head().getLong(0) === 2)
+  }
+
+  test("NULL predicate passes (SQL CHECK three-valued semantics)") {
+    root
+    spark.sql("""CREATE TABLE gck.ck.t2 (id BIGINT, qty BIGINT)
+      TBLPROPERTIES('check.pos_qty' = 'qty > 0')""")
+    spark.sql("INSERT INTO gck.ck.t2 VALUES (1, NULL), (2, 3)")
+    assert(spark.sql("SELECT count(*) FROM gck.ck.t2").head().getLong(0) === 2)
+  }
+
+  test("typo'd column fails the DDL, not the first write") {
+    root
+    val e = intercept[Exception](
+      spark.sql("""CREATE TABLE gck.ck.t3 (id BIGINT)
+        TBLPROPERTIES('check.bad' = 'no_such_col > 0')"""))
+    assert(e.getMessage.contains("bad") || e.getMessage.contains("no_such_col"))
+    // The failed DDL must not leave a half-created table behind the name.
+    spark.sql("CREATE TABLE gck.ck.t3b (id BIGINT)")
+  }
+
+  test("ALTER TABLE ADD: validates existing rows distributed, then enforces") {
+    root
+    spark.sql("CREATE TABLE gck.ck.t4 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gck.ck.t4 VALUES (1, 0.5), (2, -3.0)")
+    // Existing violation → refuse, with the count.
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gck.ck.t4 SET TBLPROPERTIES('check.nonneg' = 'v >= 0')"))
+    assert(e.getMessage.contains("1 existing row"))
+    // Clean the data, retry: now it takes, and enforces on the next write.
+    spark.sql("DELETE FROM gck.ck.t4 WHERE v < 0")
+    spark.sql("ALTER TABLE gck.ck.t4 SET TBLPROPERTIES('check.nonneg' = 'v >= 0')")
+    intercept[Exception](spark.sql("INSERT INTO gck.ck.t4 VALUES (3, -1.0)"))
+    // UNSET drops the constraint; the same row then lands.
+    spark.sql("ALTER TABLE gck.ck.t4 UNSET TBLPROPERTIES('check.nonneg')")
+    spark.sql("INSERT INTO gck.ck.t4 VALUES (3, -1.0)")
+    assert(spark.sql("SELECT count(*) FROM gck.ck.t4").head().getLong(0) === 2)
+  }
+
+  test("UPDATE through the row-level path is constrained too") {
+    root
+    spark.sql("""CREATE TABLE gck.ck.t5 (id BIGINT, qty BIGINT)
+      TBLPROPERTIES('check.pos_qty' = 'qty > 0')""")
+    spark.sql("INSERT INTO gck.ck.t5 VALUES (1, 5), (2, 2)")
+    // An UPDATE whose reinserted image violates the constraint fails…
+    intercept[Exception](
+      spark.sql("UPDATE gck.ck.t5 SET qty = qty - 10 WHERE id = 1"))
+    // …and leaves the table untouched (retraction + reinsert are one
+    // atomic delta commit).
+    assert(spark.sql("SELECT qty FROM gck.ck.t5 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(5L, 2L))
+    spark.sql("UPDATE gck.ck.t5 SET qty = qty + 10 WHERE id = 1")
+    assert(spark.sql("SELECT qty FROM gck.ck.t5 WHERE id = 1")
+      .head().getLong(0) === 15L)
+  }
+
+  test("evolution append omitting a constrained column passes as NULL (UNKNOWN)") {
+    root
+    val path = s"$root/ck/t6"
+    spark.sql("""CREATE TABLE gck.ck.t6 (id BIGINT, qty BIGINT)
+      TBLPROPERTIES('check.pos_qty' = 'qty > 0')""")
+    spark.sql("INSERT INTO gck.ck.t6 VALUES (1, 5)")
+    // Path-API append WITHOUT the qty column: by-name evolution backfills
+    // NULL, and CHECK on NULL is UNKNOWN → passes, not refused.
+    import spark.implicits._
+    Seq(2L).toDF("id").write.format(classOf[ManifestFileSink].getName)
+      .option("path", path).mode("append").save()
+    // The append landed (2 rows): CHECK on the absent column evaluated
+    // UNKNOWN, not refused-at-resolution and not false. (The sink's
+    // by-name evolution makes the LATEST write's schema the visible one,
+    // so qty itself is hidden until a wider write re-surfaces it.)
+    assert(spark.sql("SELECT count(*) FROM gck.ck.t6").head().getLong(0) === 2)
+    // But a PRESENT violating value still fails through the path API.
+    intercept[Exception] {
+      Seq((3L, -1L)).toDF("id", "qty").write
+        .format(classOf[ManifestFileSink].getName)
+        .option("path", path).mode("append").save()
+    }
+  }
+
+  test("non-deterministic and subquery predicates are refused at declaration") {
+    root
+    intercept[Exception](
+      spark.sql("""CREATE TABLE gck.ck.t7 (id BIGINT)
+        TBLPROPERTIES('check.r' = 'rand() > 0.5')"""))
+    spark.sql("CREATE TABLE gck.ck.t8 (id BIGINT)")
+    intercept[Exception](
+      spark.sql("ALTER TABLE gck.ck.t8 SET TBLPROPERTIES" +
+        "('check.sq' = 'id IN (SELECT 1)')"))
+  }
+}
