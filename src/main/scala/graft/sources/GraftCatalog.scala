@@ -168,7 +168,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           .getOrElse(throw new IllegalArgumentException(
             s"no commit with seq $version in ${ident.name()} (retired by " +
               "compaction, or never published)"))
-      else version
+      else ManifestFileSink.tags(path).toMap.get(version) match {
+        // A TAG resolves to its pinned manifest ('VERSION AS OF "v1"').
+        case Some(m) => m
+        // A raw manifest name is accepted only if the table knows it —
+        // live (readable) or folded (snapshot() then raises the explicit
+        // expire-snapshots error). A typo must fail loudly, never
+        // resolve to an empty table.
+        case None =>
+          if (ManifestFileSink.orderedManifests(path).exists(_.getName == version) ||
+              ManifestFileSink.foldedNames(path).contains(version)) version
+          else throw new IllegalArgumentException(
+            s"'$version' is neither a tag nor a manifest of ${ident.name()}; " +
+              s"tags: ${ManifestFileSink.tags(path).map(_._1).mkString(", ")}")
+      }
     val schema = ManifestFileSink.storedSchema(path, Some(manifest))
       .getOrElse(new StructType())
     new ManifestTable(path, schema, acceptAnySchema = false,
@@ -525,6 +538,14 @@ private[sources] class GraftProcedure(op: String, root: String)
     case "vacuum" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("older_than_hours", IntegerType).defaultValue("168").build())
+    case "tag" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      // empty = tag the CURRENT snapshot; digits = tag that seq
+      ProcedureParameter.in("version", StringType).defaultValue("''").build())
+    case "untag" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
     case _ => Array(ProcedureParameter.in("table", StringType).build())
   }
 
@@ -547,6 +568,17 @@ private[sources] class GraftProcedure(op: String, root: String)
     if (ManifestFileSink.manifests(path).isEmpty)
       throw new IllegalArgumentException(s"no graft table at $table (resolved: $path)")
     if (op == "snapshots") return snapshotsScan(path)
+    if (op == "files") return filesScan(path)
+    if (op == "constraints") return constraintsScan(path)
+    if (op == "tag") return tagScan(path, input)
+    if (op == "untag") {
+      val name = input.getUTF8String(1).toString
+      val removed = ManifestFileSink.removeTag(path, name)
+      return oneRowScan("untag",
+        StructType(Seq(org.apache.spark.sql.types.StructField("removed",
+          org.apache.spark.sql.types.BooleanType, nullable = false))),
+        org.apache.spark.sql.catalyst.InternalRow(removed))
+    }
     val affected: Int = op match {
       case "optimize" =>
         ManifestFileSink.optimize(
@@ -579,6 +611,111 @@ private[sources] class GraftProcedure(op: String, root: String)
           Array(org.apache.spark.sql.catalyst.InternalRow(affected))
         override def readSchema(): StructType = outSchema
         override def description(): String = s"graft.$op result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private def oneRowScan(opName: String, outSchema: StructType,
+      row: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft.$opName result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** `CALL graft.system.tag(table => …, name => …[, version => '<seq>'])`
+    * — pin the current (or a specific-seq) snapshot under a name;
+    * `VERSION AS OF '<name>'` then reads it forever. Returns the pinned
+    * manifest. Metadata-only: one control-file line, no data touched. */
+  private def tagScan(path: String, input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val name = input.getUTF8String(1).toString
+    val version =
+      if (input.numFields < 3 || input.isNullAt(2)) "" else input.getUTF8String(2).toString
+    val manifest = version match {
+      case "" =>
+        ManifestFileSink.orderedManifests(path).lastOption.map(_.getName)
+          .getOrElse(throw new IllegalStateException(s"table at $path has no commits"))
+      case v if v.forall(_.isDigit) =>
+        ManifestFileSink.orderedManifests(path)
+          .find(m => ManifestFileSink.readMeta(m).seq == v.toLong).map(_.getName)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no commit with seq $v (retired by compaction, or never published)"))
+      case v => throw new IllegalArgumentException(
+        s"version must be empty (current) or a seq number, got '$v'")
+    }
+    ManifestFileSink.setTag(path, name, manifest)
+    oneRowScan("tag",
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("manifest", StringType, nullable = false))),
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(name), UTF8String.fromString(manifest)))
+  }
+
+  /** `CALL graft.system.files(table => …)` — per-file metadata of the
+    * CURRENT snapshot: rows, retracted-position count, and whether the
+    * file carries zone-map stats / a sort attestation. The operability
+    * companion to `snapshots`: what would a scan of this table touch. */
+  private def filesScan(path: String)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dvs = ManifestFileSink.deleteVectors(path)
+    // NB: must not be named `rows` — inside the anonymous LocalScan below,
+    // `rows` resolves to the override itself and the tail-self-call
+    // compiles into an infinite loop.
+    val fileRows = ManifestFileSink.snapshot(path, None)
+      .flatMap(m => ManifestFileSink.entriesWithStats(m))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (f, es) =>
+        val (_, n, st) = es.last
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(f), n,
+          dvs.get(f).map(_.length.toLong).getOrElse(0L),
+          st.isDefined,
+          st.exists(_.contains(ManifestFileSink.SortKeyStatsIdx)))
+      }.toArray
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("file", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_deleted",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("has_stats",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("sort_attested",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = fileRows
+        override def readSchema(): StructType = outSchema
+        override def description(): String = "graft.files result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** `CALL graft.system.constraints(table => …)` — the table's declared
+    * CHECK constraints as (name, predicate) rows. */
+  private def constraintsScan(path: String)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val checkRows = ManifestFileSink.checkConstraints(path).map { case (n, s) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(n), UTF8String.fromString(s))
+    }.toArray
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("name", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("predicate", StringType, nullable = false)))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = checkRows
+        override def readSchema(): StructType = outSchema
+        override def description(): String = "graft.constraints result"
       }
     java.util.Collections.singletonList(scan).iterator()
   }
@@ -623,5 +760,6 @@ private[sources] class GraftProcedure(op: String, root: String)
 private[sources] object GraftProcedure {
   val Names: Seq[String] =
     Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
-      "apply_deletes", "migrate_schema", "snapshots")
+      "apply_deletes", "migrate_schema", "snapshots", "files",
+      "constraints", "tag", "untag")
 }

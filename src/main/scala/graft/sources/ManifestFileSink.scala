@@ -1387,6 +1387,49 @@ object ManifestFileSink {
     }
   }
 
+  // ------------------------------------------------- snapshot tags (_tags)
+
+  /** Named snapshots (the Iceberg TAG idea): a tag pins a manifest name
+    * under a human name, and `VERSION AS OF '<tag>'` reads that snapshot
+    * forever — release cuts, audit pins, the "the model trained on THIS"
+    * reference. Tags are metadata-only (one control-file line); they do
+    * not block maintenance — compaction may retire a tagged snapshot's
+    * manifest, and reading the tag then fails with the manifest layer's
+    * explicit expire-snapshots error, never an empty or wrong answer.
+    * Tag names must not be all-digits (that space belongs to seq
+    * numbers) and must be tab/newline-free. */
+  def setTag(path: String, name: String, manifest: String): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit) &&
+      !name.exists(c => c == '\t' || c == '\n'),
+      s"tag name must be non-numeric and tab/newline-free: '$name'")
+    writeTags(path, tags(path).filterNot(_._1 == name) :+ (name, manifest))
+  }
+
+  /** Removes the tag; true if it existed. The pinned snapshot itself is
+    * untouched. */
+  def removeTag(path: String, name: String): Boolean = {
+    val cur = tags(path)
+    val kept = cur.filterNot(_._1 == name)
+    if (kept.size != cur.size) { writeTags(path, kept); true } else false
+  }
+
+  def tags(path: String): Seq[(String, String)] = {
+    val f = Paths.get(path, "_tags")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.contains('\t'))
+      .map { l => val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1)) }
+  }
+
+  private def writeTags(path: String, ts: Seq[(String, String)]): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, "._tags.tmp")
+    Files.write(tmp, ts.map { case (n, m) => s"$n\t$m" }.asJava, StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(path, "_tags"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ------------------------------------------- trigram text index (_trgm)
 
   /** TEXT columns designated for per-file TRIGRAM Bloom indexing (the

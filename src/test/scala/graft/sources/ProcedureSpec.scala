@@ -105,4 +105,55 @@ class ProcedureSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM gproc.db.ht VERSION AS OF $seq2")
       .head().getLong(0) === 3)
   }
+
+  test("tags: named snapshots survive later writes; untag removes; typos fail loudly") {
+    root
+    spark.sql("CREATE TABLE gproc.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO gproc.db.tt VALUES (1), (2)")
+    // Tag the current snapshot under a release name.
+    val tagged = spark.sql(
+      "CALL gproc.system.tag(table => 'db.tt', name => 'v1')").head()
+    assert(tagged.getString(0) === "v1" && tagged.getString(1).startsWith("manifest-"))
+    // The table moves on; the tag does not.
+    spark.sql("INSERT INTO gproc.db.tt VALUES (3)")
+    spark.sql("DELETE FROM gproc.db.tt WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM gproc.db.tt").head().getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM gproc.db.tt VERSION AS OF 'v1'")
+      .head().getLong(0) === 2)
+    assert(spark.sql("SELECT id FROM gproc.db.tt VERSION AS OF 'v1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // Tagging a specific historical seq works too.
+    val h = spark.sql("CALL gproc.system.snapshots(table => 'db.tt')").collect()
+    val firstInsertSeq = h(1).getLong(0)
+    spark.sql(s"CALL gproc.system.tag(table => 'db.tt', name => 'audit', " +
+      s"version => '$firstInsertSeq')")
+    assert(spark.sql("SELECT count(*) FROM gproc.db.tt VERSION AS OF 'audit'")
+      .head().getLong(0) === 2)
+    // A typo'd version is an explicit error, never an empty table.
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gproc.db.tt VERSION AS OF 'v2'").collect())
+    assert(e.getMessage.contains("neither a tag nor a manifest"))
+    // untag removes the name; the data is untouched.
+    assert(spark.sql("CALL gproc.system.untag(table => 'db.tt', name => 'v1')")
+      .head().getBoolean(0))
+    intercept[Exception](
+      spark.sql("SELECT * FROM gproc.db.tt VERSION AS OF 'v1'").collect())
+    assert(spark.sql("SELECT count(*) FROM gproc.db.tt").head().getLong(0) === 2)
+  }
+
+  test("files + constraints procedures report live per-file and table metadata") {
+    root
+    spark.sql("""CREATE TABLE gproc.db.ft (id BIGINT, v DOUBLE)
+      TBLPROPERTIES('check.nonneg' = 'v >= 0')""")
+    spark.sql("INSERT INTO gproc.db.ft VALUES (1, 0.5), (2, 1.5), (3, 2.5)")
+    spark.sql("DELETE FROM gproc.db.ft WHERE id = 2")
+    val fs = spark.sql("CALL gproc.system.files(table => 'db.ft')").collect()
+    assert(fs.nonEmpty)
+    assert(fs.map(_.getLong(1)).sum === 3, "total written rows")
+    assert(fs.map(_.getLong(2)).sum === 1, "one retracted position")
+    assert(fs.forall(_.getBoolean(3)), "zone-map stats present on data files")
+    val cs = spark.sql("CALL gproc.system.constraints(table => 'db.ft')").collect()
+    assert(cs.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("nonneg", "v >= 0")))
+  }
 }
