@@ -369,6 +369,100 @@ object TextAnalysis {
       |       THEN 1 ELSE 0 END AS y_pred
       |FROM sc CROSS JOIN pr GROUP BY doc_id, y ORDER BY doc_id""".stripMargin
 
+  /** Distributed BPE MERGE LEARNING — the first 3 merge rules of the
+    * byte-pair-encoding tokenizer-training loop (Sennrich et al.), the
+    * algorithm behind every modern LLM tokenizer: count adjacent symbol
+    * pairs weighted by word frequency, merge the argmax pair everywhere,
+    * repeat. Iterations are UNROLLED (the [[Similarity]] Lloyd-step
+    * discipline): each round is one vocabulary-grain aggregation plus a
+    * one-row broadcast of the winning pair.
+    *
+    * Symbol sequences ride as delimiter-wrapped strings
+    * (`␟s␟␟y␟␟m␟…` — each symbol wrapped in chr(31), a character
+    * outside any tokenizer alphabet), so "merge pair (a,b) everywhere,
+    * leftmost first, non-overlapping" is EXACTLY one `replace` of
+    * `␟a␟␟b␟` with `␟ab␟` — both engines' plain string replace has
+    * precisely BPE's greedy left-to-right semantics, and the double
+    * delimiter makes a symbol-boundary match unambiguous (no
+    * prefix-collision with longer symbols). Ties break deterministically
+    * by (count, s1, s2) struct-max.
+    *
+    * Scale shape: the corpus is scanned ONCE into the Zipf-bounded
+    * word-frequency table; every iteration after that is vocab-grain —
+    * pair counting shuffles |vocab| rows, the argmax is a one-row
+    * aggregate broadcast back, the merge application is map-only. This
+    * is how BPE training actually scales to a 100 TB corpus: the corpus
+    * leaves the picture after pass one. */
+  private val BpeD = "\u001f"
+
+  def bpeMerges: Q = (s, dir) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = Tables(s, dir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", BpeD + "$1" + BpeD).as("s"), col("freq"))
+      .persist(lvl)
+    def pairs(df: DataFrame): DataFrame = df
+      .select(filter(split(col("s"), BpeD), x => x =!= "").as("sy"), col("freq"))
+      .filter(size(col("sy")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("sy")) - 2), i =>
+          struct(element_at(col("sy"), i + 1).as("s1"),
+                 element_at(col("sy"), i + 2).as("s2")))).as("p"), col("freq"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("freq"))
+      .groupBy(col("s1"), col("s2")).agg(sum(col("freq")).as("cnt"))
+    def best(p: DataFrame): DataFrame = p
+      .agg(max(struct(col("cnt"), col("s1"), col("s2"))).as("m"))
+      .select(col("m.s1").as("s1"), col("m.s2").as("s2"), col("m.cnt").as("cnt"))
+    def applyMerge(df: DataFrame, m: DataFrame): DataFrame = df
+      .crossJoin(broadcast(m))
+      .select(replace(col("s"),
+          concat(lit(BpeD), col("s1"), lit(BpeD), lit(BpeD), col("s2"), lit(BpeD)),
+          concat(lit(BpeD), col("s1"), col("s2"), lit(BpeD))).as("s"), col("freq"))
+    val m1 = best(pairs(w))
+    val st1 = applyMerge(w, m1).persist(lvl)
+    val m2 = best(pairs(st1))
+    val st2 = applyMerge(st1, m2).persist(lvl)
+    val m3 = best(pairs(st2))
+    def row(r: Int, m: DataFrame): DataFrame = m.select(
+      lit(r).as("merge_rank"), col("s1"), col("s2"),
+      concat(col("s1"), col("s2")).as("merged"), col("cnt"))
+    row(1, m1).unionAll(row(2, m2)).unionAll(row(3, m3)).orderBy(col("merge_rank"))
+  }
+
+  val bpeMergesSql: String =
+    """WITH w AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w != '' GROUP BY w),
+      |s0 AS (SELECT regexp_replace(w, '(.)', chr(31)||'\1'||chr(31), 'g') AS s, freq FROM w),
+      |p1 AS (
+      |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '') AS sy, freq FROM s0),
+      |       UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |m1 AS (SELECT s1, s2, cnt FROM p1 ORDER BY cnt DESC, s1 DESC, s2 DESC LIMIT 1),
+      |s1t AS (SELECT replace(s0.s, chr(31)||m1.s1||chr(31)||chr(31)||m1.s2||chr(31),
+      |                       chr(31)||m1.s1||m1.s2||chr(31)) AS s, freq FROM s0, m1),
+      |p2 AS (
+      |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '') AS sy, freq FROM s1t),
+      |       UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |m2 AS (SELECT s1, s2, cnt FROM p2 ORDER BY cnt DESC, s1 DESC, s2 DESC LIMIT 1),
+      |s2t AS (SELECT replace(s1t.s, chr(31)||m2.s1||chr(31)||chr(31)||m2.s2||chr(31),
+      |                       chr(31)||m2.s1||m2.s2||chr(31)) AS s, freq FROM s1t, m2),
+      |p3 AS (
+      |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '') AS sy, freq FROM s2t),
+      |       UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |m3 AS (SELECT s1, s2, cnt FROM p3 ORDER BY cnt DESC, s1 DESC, s2 DESC LIMIT 1)
+      |SELECT 1 AS merge_rank, s1, s2, s1||s2 AS merged, cnt FROM m1
+      |UNION ALL SELECT 2, s1, s2, s1||s2, cnt FROM m2
+      |UNION ALL SELECT 3, s1, s2, s1||s2, cnt FROM m3
+      |ORDER BY merge_rank""".stripMargin
+
   def mixtureSample: Q = (s, dir) => {
     val d = Tables(s, dir).documents
     val total = d.agg(count(lit(1)).as("n_total"))
@@ -1385,6 +1479,7 @@ object TextAnalysis {
     "text_weighted_sample"   -> weightedSample,
     "text_budget_select"     -> budgetSelect,
     "text_quality_classifier" -> qualityClassifier,
+    "text_bpe_merges"        -> bpeMerges,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
@@ -1413,6 +1508,7 @@ object TextAnalysis {
     "text_weighted_sample"  -> weightedSampleSql,
     "text_budget_select"    -> budgetSelectSql,
     "text_quality_classifier" -> qualityClassifierSql,
+    "text_bpe_merges"       -> bpeMergesSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,

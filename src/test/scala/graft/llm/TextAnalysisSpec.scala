@@ -97,6 +97,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(acc >= base + 0.1, s"accuracy $acc does not beat base rate $base")
   }
 
+  test("bpeMerges round 1 equals a driver-side BPE pair count; counts non-increasing") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    // Merged symbol is the concatenation, by construction on both sides.
+    assert(out.forall { case (_, s1, s2, m, _) => m == s1 + s2 })
+    // Argmax counts cannot increase: a post-merge pair's count is bounded
+    // by the merged pair's occurrence count, and untouched pairs already
+    // lost the earlier round.
+    assert(out.map(_._5).toSeq == out.map(_._5).toSeq.sorted.reverse)
+    // Independent driver recomputation of round 1 (the exact BPE
+    // definition: adjacent character pairs weighted by word frequency).
+    val freq = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1) }
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    freq.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1))
+        pairCnt(k) = pairCnt.getOrElse(k, 0L) + f
+      }
+    }
+    val expect = pairCnt.toSeq.maxBy { case ((a, b), c) => (c, a, b) }
+    assert((out(0)._2, out(0)._3) == expect._1 && out(0)._5 == expect._2)
+  }
+
   test("chunkPack handles documents shorter than one chunk") {
     val out = TextAnalysis.chunkPack(spark, shortDocsDir).collect()
     // Every doc yields at least its first (possibly partial) chunk.
