@@ -341,11 +341,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // table decides, so a constraint is an invariant from the moment it
     // exists, never a promise about future writes only.
     val (checkChanges, rest) = changes.partition {
-      case sp: TableChange.SetProperty    => sp.property.startsWith("check.")
+      case sp: TableChange.SetProperty =>
+        sp.property.startsWith("check.") || sp.property == "sort.columns"
       case rp: TableChange.RemoveProperty => rp.property.startsWith("check.")
       case _ => false
     }
     checkChanges.foreach {
+      // Declared sort order can evolve like the partition spec: the
+      // declaration changes, the data does not — future writes sort and
+      // attest, legacy files simply stop matching the report prefix.
+      case sp: TableChange.SetProperty if sp.property == "sort.columns" =>
+        val cols = sp.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach { c =>
+          if (!current.fieldNames.contains(c)) throw new IllegalArgumentException(
+            s"sort column $c is not in the table schema")
+        }
+        ManifestFileSink.setSortColumns(path, cols)
       case sp: TableChange.SetProperty =>
         val name = sp.property.substring(6)
         require(name.nonEmpty, "constraint name must be non-empty")
@@ -546,6 +557,9 @@ private[sources] class GraftProcedure(op: String, root: String)
     case "untag" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
+    case "set_partition_spec" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType).build()) // comma-joined _partition lines
     case _ => Array(ProcedureParameter.in("table", StringType).build())
   }
 
@@ -571,6 +585,7 @@ private[sources] class GraftProcedure(op: String, root: String)
     if (op == "files") return filesScan(path)
     if (op == "constraints") return constraintsScan(path)
     if (op == "tag") return tagScan(path, input)
+    if (op == "set_partition_spec") return setSpecScan(path, input)
     if (op == "untag") {
       val name = input.getUTF8String(1).toString
       val removed = ManifestFileSink.removeTag(path, name)
@@ -625,6 +640,40 @@ private[sources] class GraftProcedure(op: String, root: String)
         override def description(): String = s"graft.$opName result"
       }
     java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** `CALL graft.system.set_partition_spec(table => …, spec => 'cell' |
+    * 'bucket(8,id)' | 'a,b')` — PARTITION-SPEC EVOLUTION without rewrite
+    * (the Iceberg evolution contract): the declaration changes, the data
+    * does not. Files written under the OLD spec stay exactly where they
+    * are; NEW writes demux under the new spec; scans stay correct in the
+    * mixed state because the partitioning report derives from per-FILE
+    * proven claims, never from the declaration alone — one old-layout
+    * file degrades the KeyGroupedPartitioning (Spark inserts the usual
+    * exchanges) and refuses the metadata GROUP BY derivation, but
+    * results never change. `repartition_table` is the paid rewrite that
+    * restores the exchange-free properties; this call is the free
+    * declaration step that makes new data land right immediately.
+    * Validates every spec column against the stored schema. */
+  private def setSpecScan(path: String, input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spec = input.getUTF8String(1).toString.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(spec.nonEmpty, "spec must name at least one partition field")
+    val schema = ManifestFileSink.storedSchema(path, None)
+      .getOrElse(throw new IllegalStateException(s"no schema at $path"))
+    spec.foreach { s =>
+      val f = ManifestFileSink.parsePartField(s) // validates syntax
+      if (!schema.fieldNames.contains(f.col)) throw new IllegalArgumentException(
+        s"partition source column ${f.col} is not in the table schema")
+    }
+    ManifestFileSink.setPartitionColumns(path, spec)
+    oneRowScan("set_partition_spec",
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("spec", StringType, nullable = false))),
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(spec.mkString(","))))
   }
 
   /** `CALL graft.system.tag(table => …, name => …[, version => '<seq>'])`
@@ -761,5 +810,5 @@ private[sources] object GraftProcedure {
   val Names: Seq[String] =
     Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
       "apply_deletes", "migrate_schema", "snapshots", "files",
-      "constraints", "tag", "untag")
+      "constraints", "tag", "untag", "set_partition_spec")
 }

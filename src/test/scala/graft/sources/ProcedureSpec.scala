@@ -141,6 +141,51 @@ class ProcedureSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gproc.db.tt").head().getLong(0) === 2)
   }
 
+  test("partition-spec evolution: declaration changes, data does not, results never do") {
+    root
+    import spark.implicits._
+    spark.sql("CREATE TABLE gproc.db.pe (id BIGINT, grp BIGINT, v DOUBLE)")
+    // ONE file holding both groups — the genuinely pre-evolution layout
+    // (a multi-row VALUES insert would demux one file per task and every
+    // file would prove its value even before the spec exists).
+    Seq((1L, 0L, 0.5), (2L, 1L, 1.5), (3L, 0L, 2.5)).toDF("id", "grp", "v")
+      .coalesce(1).write.format(classOf[ManifestFileSink].getName)
+      .option("path", s"$root/db/pe").mode("append").save()
+    val expectPre = spark.table("gproc.db.pe").orderBy("id").collect().toSeq
+
+    // Evolve the spec — metadata-only, the old multi-group file stays.
+    assert(spark.sql(
+      "CALL gproc.system.set_partition_spec(table => 'db.pe', spec => 'grp')")
+      .head().getString(0) === "grp")
+    // Mixed state: results identical, and the metadata GROUP BY refuses
+    // (the old file proves no single grp value) — answered by a real scan.
+    assert(spark.table("gproc.db.pe").orderBy("id").collect().toSeq === expectPre)
+    val g = spark.sql("SELECT grp, count(*) AS n FROM gproc.db.pe GROUP BY grp")
+    assert(!g.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "one unprovable (pre-evolution) file must refuse the metadata GROUP BY")
+    assert(g.orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((0L, 2L), (1L, 1L)))
+
+    // New writes demux under the new spec immediately.
+    spark.sql("INSERT INTO gproc.db.pe VALUES (4, 1, 3.5)")
+    assert(spark.sql("SELECT count(*) FROM gproc.db.pe").head().getLong(0) === 4)
+
+    // The paid rewrite restores the exchange-free properties: after
+    // repartition_table, every live file proves one grp value and the
+    // metadata GROUP BY derivation turns back on.
+    spark.sql(
+      "CALL gproc.system.repartition_table(table => 'db.pe', spec => 'grp', num_files => 2)")
+    val g2 = spark.sql("SELECT grp, count(*) AS n FROM gproc.db.pe GROUP BY grp")
+    assert(g2.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "post-rewrite, the metadata GROUP BY must answer with zero data IO:\n" +
+        g2.queryExecution.executedPlan.toString)
+    assert(g2.orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((0L, 2L), (1L, 2L)))
+    // Typo'd spec column refuses.
+    intercept[Exception](spark.sql(
+      "CALL gproc.system.set_partition_spec(table => 'db.pe', spec => 'nope')"))
+  }
+
   test("files + constraints procedures report live per-file and table metadata") {
     root
     spark.sql("""CREATE TABLE gproc.db.ft (id BIGINT, v DOUBLE)
