@@ -58,4 +58,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum > rows.map(_.getLong(1)).sum,
       "nprobe=2 must strictly improve aggregate recall on this fixture")
   }
+
+  test("pcaPower: unit norm, and the Rayleigh quotient beats a random direction") {
+    val sf = "/root/testdata/sf0.001"
+    val v = Similarity.pcaPower(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(v.length == 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4, "loadings are unit-norm")
+    // Driver-side recomputation of the quantized second-moment matrix.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(f =>
+        math.floor(f.toDouble * 1e6 + 0.5)))
+    val d = 64
+    val S = Array.ofDim[Double](d, d)
+    emb.foreach { q =>
+      var i = 0
+      while (i < d) { var j = 0; while (j < d) { S(i)(j) += q(i) * q(j) / 1e12; j += 1 }; i += 1 }
+    }
+    def rayleigh(x: Array[Double]): Double = {
+      val sx = Array.tabulate(d)(i => (0 until d).map(j => S(i)(j) * x(j)).sum)
+      (0 until d).map(i => x(i) * sx(i)).sum
+    }
+    // The power method's guarantee: each step's Rayleigh quotient is
+    // non-decreasing; six steps must strictly beat the isotropic start
+    // (trace/d — what a random direction scores in expectation).
+    val traceOverD = (0 until d).map(i => S(i)(i)).sum / d
+    val r6 = rayleigh(v)
+    assert(r6 > traceOverD * 1.5,
+      s"power iteration made no progress: rayleigh $r6 vs trace/d $traceOverD")
+    var x = Array.fill(d)(0.125)
+    var prev = rayleigh(x)
+    (1 to 6).foreach { _ =>
+      val sx = Array.tabulate(d)(i => (0 until d).map(j => S(i)(j) * x(j)).sum)
+      val nm = math.sqrt(sx.map(t => t * t).sum)
+      x = sx.map(_ / nm)
+      val r = rayleigh(x)
+      assert(r >= prev - 1e-9, "Rayleigh quotient must be monotone under power steps")
+      prev = r
+    }
+    // The distributed vector IS the driver-side power-iteration result.
+    assert(v.zip(x).forall { case (a, b) => math.abs(a - b) < 1e-4 })
+  }
 }
