@@ -1051,8 +1051,52 @@ object Similarity {
        |SELECT j AS dim, ROUND(vj, 6) AS loading FROM v6 ORDER BY dim""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication the way it
+    * actually scales: k-means clusters bound the quadratic term, and the
+    * near-duplicate search runs ONLY within each cluster (the paper's
+    * core trick — cross-cluster near-dups are the algorithm's accepted
+    * miss, honestly mirrored by the oracle). Within a cluster, a vector
+    * is PRUNED iff a same-cluster neighbor with a smaller vec_id sits
+    * within cosine ≥ 0.45 (the keep-first rule every dedup entry here
+    * uses), so the kept set is deterministic and partition-invariant.
+    *
+    * Scale shape: trained-centroid assignment is the [[knnKmeansAssign]]
+    * broadcast argmin (map-side); the pair join is cell-cobounded — at
+    * 100 TB the cells ARE the blocking scheme, the all-pairs explosion
+    * never materializes, and the per-cell work is (n/k)² instead of n².
+    * Same exactness discipline as [[embeddingNearDup]]: codegen'd dot
+    * product, 9-dp-quantized threshold comparison on both engines. */
+  def semDedup: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = kmeansAssign(emb, kmeansCentroids(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(dotp(col("a.vn"), col("b.vn")) >= 0.45)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("pr", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("pr"), lit(false)).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH $normalizedSql,
+       |$kmeansCtesSql,
+       |dup AS (
+       |  SELECT DISTINCT a.vec_id FROM af a JOIN af b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE list_dot_product(a.vn, b.vn) >= 0.45)
+       |SELECT af.vec_id, af.cell, dup.vec_id IS NOT NULL AS pruned
+       |FROM af LEFT JOIN dup ON af.vec_id = dup.vec_id
+       |ORDER BY af.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embedding_pca_power"    -> pcaPower,
+    "embedding_semdedup"     -> semDedup,
     "vec_quantize"           -> vecQuantize,
     "embedding_dedup_clusters" -> embeddingDedupClusters,
     "knn_recall_eval"        -> knnRecallEval,
@@ -1077,6 +1121,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embedding_pca_power"    -> pcaPowerSql,
+    "embedding_semdedup"     -> semDedupSql,
     "vec_quantize"           -> vecQuantizeSql,
     "embedding_dedup_clusters" -> embeddingDedupClustersSql,
     "knn_brute_force"        -> knnBruteForceSql,

@@ -59,6 +59,21 @@ class SimilaritySpec extends SparkTestBase {
       "nprobe=2 must strictly improve aggregate recall on this fixture")
   }
 
+  test("semDedup: keep-first invariant, non-vacuous, cluster-bounded pruning") {
+    val out = Similarity.semDedup(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    // Non-vacuity: the corpus plants near-duplicates, some must prune.
+    assert(out.exists(_._3), "no vector pruned — threshold or clustering is vacuous")
+    assert(out.count(_._3) < out.length / 2, "pruning most of the corpus is a bug")
+    // Keep-first: the smallest vec_id of every cluster can never be
+    // pruned (its only candidates have larger ids by construction).
+    out.groupBy(_._2).values.foreach { cell =>
+      val first = cell.minBy(_._1)
+      assert(!first._3, s"cluster-min vec ${first._1} must survive")
+    }
+  }
+
   test("pcaPower: unit norm, and the Rayleigh quotient beats a random direction") {
     val sf = "/root/testdata/sf0.001"
     val v = Similarity.pcaPower(spark, sf).collect()
