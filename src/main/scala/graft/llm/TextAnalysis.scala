@@ -636,6 +636,108 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Retrieval-quality EVALUATION of the BM25 ranker — nDCG@10 and MRR
+    * per query, the metrics every search/RAG pipeline reports (recall@k
+    * covers the ANN family; this is its text-retrieval sibling). Graded
+    * relevance is the term frequency (an exact integer derived from the
+    * data — no human labels on a synthetic corpus), "relevant" for MRR
+    * means tf ≥ 2, and the ideal ranking reorders the SAME candidate set
+    * by grade. nDCG < 1 here is the honest signal: BM25's length
+    * normalization genuinely reorders against raw tf.
+    *
+    * Float discipline: each DCG term is one 9-dp-quantized libm ratio
+    * (rel·ln2/ln(rank+1)) folded in DECIMAL(18,9); the final nDCG is one
+    * IEEE division rounded to 6 dp. Scale shape: one corpus scan feeds
+    * term-restricted postings; windows partition BY QUERY (thousands of
+    * partitions in production, three here) — no unpartitioned window, no
+    * corpus-sized shuffle beyond the postings themselves. */
+  def retrievalEval: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = Seq("dup", "spark", "window")
+    val d = Tables(s, dir).documents
+    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val scored = tf.join(broadcast(df), col("tok") === col("df_tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+            + lit(0.75) * col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+      .select(col("doc_id"), col("tok"), col("tf"), col("sc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wR = Window.partitionBy(col("tok")).orderBy(col("sc").desc, col("doc_id"))
+    val wI = Window.partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id"))
+    val ranked = scored.withColumn("rnk", row_number().over(wR))
+    val ideal = scored.withColumn("irnk", row_number().over(wI))
+    def fold(in: DataFrame, rc: String, out: String): DataFrame = in
+      .filter(col(rc) <= 10)
+      .select(col("tok"),
+        round(col("tf") * log(lit(2.0)) / log((col(rc) + 1).cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("t"))
+      .groupBy(col("tok")).agg(sum(col("t")).cast("double").as(out))
+    val dcg = fold(ranked, "rnk", "dcg")
+    val idcg = fold(ideal, "irnk", "idcg")
+    val mrr = ranked.filter(col("tf") >= 2).groupBy(col("tok"))
+      .agg(min(col("rnk")).cast("long").as("first_rel"))
+    dcg.join(idcg, Seq("tok")).join(mrr, Seq("tok"), "left")
+      .select(col("tok").as("query_term"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg_10"),
+        coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr"))
+      .orderBy(col("query_term"))
+  }
+
+  val retrievalEvalSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         string_split(text, ' ') AS wl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |toks AS (SELECT doc_id, dl, UNNEST(wl) AS tok FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE tok IN ('dup', 'spark', 'window') GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf,
+      |    ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+      |      * (tf.tf * CAST(2.2 AS DOUBLE))
+      |      / (tf.tf + CAST(1.2 AS DOUBLE) *
+      |         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |          + CAST(0.75 AS DOUBLE) * tf.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS sc
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats s),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY sc DESC, doc_id) AS rnk
+      |  FROM scored),
+      |ideal AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS irnk
+      |  FROM scored),
+      |dcg AS (
+      |  SELECT tok, CAST(SUM(CAST(ROUND(tf * ln(CAST(2 AS DOUBLE)) / ln(CAST(rnk + 1 AS DOUBLE)), 9)
+      |    AS DECIMAL(18,9))) AS DOUBLE) AS dcg
+      |  FROM ranked WHERE rnk <= 10 GROUP BY tok),
+      |idcg AS (
+      |  SELECT tok, CAST(SUM(CAST(ROUND(tf * ln(CAST(2 AS DOUBLE)) / ln(CAST(irnk + 1 AS DOUBLE)), 9)
+      |    AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+      |  FROM ideal WHERE irnk <= 10 GROUP BY tok),
+      |mrr AS (
+      |  SELECT tok, CAST(MIN(rnk) AS BIGINT) AS first_rel
+      |  FROM ranked WHERE tf >= 2 GROUP BY tok)
+      |SELECT d.tok AS query_term,
+      |  ROUND(d.dcg / i.idcg, 6) AS ndcg_10,
+      |  COALESCE(ROUND(CAST(1 AS DOUBLE) / m.first_rel, 6), CAST(0 AS DOUBLE)) AS mrr
+      |FROM dcg d JOIN idcg i ON d.tok = i.tok
+      |LEFT JOIN mrr m ON d.tok = m.tok
+      |ORDER BY query_term""".stripMargin
+
   val bm25Sql: String =
     """WITH dl AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
@@ -1470,6 +1572,7 @@ object TextAnalysis {
     "text_lm_score_capped"   -> lmScoreCapped,
     "text_pii_scrub"         -> piiScrub,
     "text_bm25"              -> bm25,
+    "text_retrieval_eval"    -> retrievalEval,
     "text_phrase_search"     -> phraseSearch,
     "text_tfidf_cosine_pairs" -> tfidfCosinePairs,
     "text_tfidf_top_terms"   -> tfidfTopTerms,
@@ -1499,6 +1602,7 @@ object TextAnalysis {
     "text_lm_score_capped"  -> lmScoreCappedSql,
     "text_pii_scrub"        -> piiScrubSql,
     "text_bm25"             -> bm25Sql,
+    "text_retrieval_eval"   -> retrievalEvalSql,
     "text_phrase_search"    -> phraseSearchSql,
     "text_tfidf_cosine_pairs" -> tfidfCosinePairsSql,
     "text_tfidf_top_terms"  -> tfidfTopTermsSql,
