@@ -114,6 +114,40 @@ class CheckConstraintSpec extends SparkTestBase {
     }
   }
 
+  test("streaming epochs enforce CHECK: violating batch fails, table stays clean") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    root
+    spark.sql("""CREATE TABLE gck.ck.st (id BIGINT, qty BIGINT)
+      TBLPROPERTIES('check.pos_qty' = 'qty > 0')""")
+    val path = s"$root/ck/st"
+    val ckpt = Files.createTempDirectory("gck-ck").toString
+    val in = MemoryStream[Long]
+    in.addData(1L, 2L, 3L)
+    val q = in.toDF().select($"value".as("id"), ($"value" * 10).as("qty"))
+      .writeStream.format(classOf[ManifestFileSink].getName)
+      .option("path", path).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT count(*) FROM gck.ck.st").head().getLong(0) === 3)
+    // A later epoch carrying a violation fails its batch; the good epoch
+    // stays, nothing from the bad one publishes.
+    val in2 = MemoryStream[Long]
+    in2.addData(4L, -5L)
+    val q2 = in2.toDF().select($"value".as("id"), ($"value" * 10).as("qty"))
+      .writeStream.format(classOf[ManifestFileSink].getName)
+      .option("path", path)
+      .option("checkpointLocation", Files.createTempDirectory("gck-ck2").toString)
+      .start()
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    val msg = Option(e.getMessage).getOrElse("") +
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("pos_qty"), s"violation must name the constraint: $msg")
+    assert(spark.sql("SELECT count(*) FROM gck.ck.st").head().getLong(0) === 3)
+  }
+
   test("non-deterministic and subquery predicates are refused at declaration") {
     root
     intercept[Exception](
