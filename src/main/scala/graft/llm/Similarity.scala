@@ -1015,18 +1015,28 @@ object Similarity {
       .groupBy(col("i"), col("j")).agg(sum(col("t")).as("sv"))
       .select(col("i"), col("j"), (col("sv").cast("double") / lit(1e12)).as("sd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val v0 = s.range(d).select(col("id").cast("int").as("j"),
-      lit(0.125).as("vj")) // 1/√64, exactly representable
-    val vFinal = (1 to 6).foldLeft(v0) { (v, _) =>
-      val w = sMat.join(broadcast(v), Seq("j"))
+    // The vector is materialized to the DRIVER between steps (64 doubles
+    // — bounded metadata, the VectorIndex-collect class): leaving six
+    // iterations as one lazily-chained plan doubles the plan tree per
+    // step and the optimizer/codegen pass on the 2^6-deep result costs
+    // ~40 s against a 0.3 s cached execute. Arithmetic is UNCHANGED —
+    // each step runs the same Spark operators on the same values, the
+    // driver only ferries the 64 results into the next step's literal.
+    import s.implicits._
+    var v: Seq[(Long, Double)] = (0L until d.toLong).map(i => (i, 0.125))
+    (1 to 6).foreach { _ =>
+      val vDf = v.toDF("j", "vj")
+      val w = sMat.join(broadcast(vDf), Seq("j"))
         .select(col("i"), (col("sd") * col("vj")).cast(DecimalType(28, 14)).as("t"))
         .groupBy(col("i")).agg(sum(col("t")).cast("double").as("wi"))
       val nrm = w.agg(sqrt(sum((col("wi") * col("wi")).cast(DecimalType(28, 14)))
         .cast("double")).as("nm"))
-      w.crossJoin(broadcast(nrm))
+      v = w.crossJoin(broadcast(nrm))
         .select(col("i").as("j"), (col("wi") / col("nm")).as("vj"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }
-    vFinal.select(col("j").as("dim"), round(col("vj"), 6).as("loading"))
+    v.toDF("dim", "loading")
+      .select(col("dim"), round(col("loading"), 6).as("loading"))
       .orderBy(col("dim"))
   }
 
