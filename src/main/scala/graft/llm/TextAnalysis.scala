@@ -463,6 +463,95 @@ object TextAnalysis {
       |UNION ALL SELECT 3, s1, s2, s1||s2, cnt FROM m3
       |ORDER BY merge_rank""".stripMargin
 
+  /** The ENCODE side of [[bpeMerges]] — apply the learned merge rules to
+    * the corpus and report per-source FERTILITY (symbols per word), the
+    * metric every tokenizer evaluation leads with (a tokenizer is judged
+    * by how few tokens it spends per word on each domain). Merges apply
+    * in training order — BPE's encode contract — via the same
+    * double-delimiter `replace` the trainer used, so train and encode
+    * can never disagree on boundary semantics.
+    *
+    * Scale shape: merge rules re-derive in vocab-grain (amortized across
+    * the shared plan; a production pipeline would load them from the
+    * trainer's output), then ONE corpus pass applies three broadcast
+    * replaces map-side and folds per-source sums — no corpus shuffle
+    * beyond the source-grain aggregate. */
+  def bpeTokenize: Q = (s, dir) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = Tables(s, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("source"), col("freq"),
+        regexp_replace(col("w"), "(.)", BpeD + "$1" + BpeD).as("s"),
+        length(col("w")).cast("long").as("n_chars"))
+      .persist(lvl)
+    // Re-derive the 3 training merges from the corpus-wide counts (the
+    // trainer ignores source splits).
+    def pairs(df: DataFrame): DataFrame = df
+      .select(filter(split(col("s"), BpeD), x => x =!= "").as("sy"), col("freq"))
+      .filter(size(col("sy")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("sy")) - 2), i =>
+          struct(element_at(col("sy"), i + 1).as("s1"),
+                 element_at(col("sy"), i + 2).as("s2")))).as("p"), col("freq"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("freq"))
+      .groupBy(col("s1"), col("s2")).agg(sum(col("freq")).as("cnt"))
+    def best(p: DataFrame): DataFrame = p
+      .agg(max(struct(col("cnt"), col("s1"), col("s2"))).as("m"))
+      .select(col("m.s1").as("s1"), col("m.s2").as("s2"))
+    def applyMerge(df: DataFrame, m: DataFrame): DataFrame = df
+      .crossJoin(broadcast(m))
+      .select(col("source"), col("freq"), col("n_chars"),
+        replace(col("s"),
+          concat(lit(BpeD), col("s1"), lit(BpeD), lit(BpeD), col("s2"), lit(BpeD)),
+          concat(lit(BpeD), col("s1"), col("s2"), lit(BpeD))).as("s"))
+    val corpus = w.select(col("source"), col("freq"), col("n_chars"), col("s"))
+    val st1 = applyMerge(corpus, best(pairs(corpus))).persist(lvl)
+    val st2 = applyMerge(st1, best(pairs(st1))).persist(lvl)
+    val st3 = applyMerge(st2, best(pairs(st2)))
+    st3
+      .select(col("source"), col("freq"), col("n_chars"),
+        size(filter(split(col("s"), BpeD), x => x =!= "")).cast("long").as("n_sym"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_chars")).as("n_chars"),
+        sum(col("freq") * col("n_sym")).as("n_tokens"),
+        round(sum(col("freq") * col("n_sym")).cast("double")
+          / sum(col("freq")).cast("double"), 6).as("fertility"))
+      .orderBy(col("source"))
+  }
+
+  val bpeTokenizeSql: String = {
+    def pairCtes(src: String, k: Int): String =
+      s"""p$k AS (
+         |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '') AS sy, freq FROM $src),
+         |       UNNEST(generate_series(1, len(sy) - 1)) AS t$k(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT s1, s2 FROM p$k ORDER BY cnt DESC, s1 DESC, s2 DESC LIMIT 1),
+         |st$k AS (SELECT source, freq, n_chars,
+         |  replace($src.s, chr(31)||m$k.s1||chr(31)||chr(31)||m$k.s2||chr(31),
+         |          chr(31)||m$k.s1||m$k.s2||chr(31)) AS s FROM $src, m$k)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT source, w, COUNT(*) AS freq FROM (
+       |    SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY source, w),
+       |s0 AS (SELECT source, freq,
+       |  regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS s,
+       |  CAST(len(w) AS BIGINT) AS n_chars FROM w),
+       |${pairCtes("s0", 1)},
+       |${pairCtes("st1", 2)},
+       |${pairCtes("st2", 3)}
+       |SELECT source, CAST(SUM(freq) AS BIGINT) AS n_words,
+       |  CAST(SUM(freq * n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(freq * n_sym) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(freq * n_sym) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE), 6) AS fertility
+       |FROM (SELECT source, freq, n_chars,
+       |        CAST(len(list_filter(string_split(s, chr(31)), x -> x != '')) AS BIGINT) AS n_sym
+       |      FROM st3)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def mixtureSample: Q = (s, dir) => {
     val d = Tables(s, dir).documents
     val total = d.agg(count(lit(1)).as("n_total"))
@@ -1583,6 +1672,7 @@ object TextAnalysis {
     "text_budget_select"     -> budgetSelect,
     "text_quality_classifier" -> qualityClassifier,
     "text_bpe_merges"        -> bpeMerges,
+    "text_bpe_tokenize"      -> bpeTokenize,
     "text_lang_id"     -> langId,
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
@@ -1613,6 +1703,7 @@ object TextAnalysis {
     "text_budget_select"    -> budgetSelectSql,
     "text_quality_classifier" -> qualityClassifierSql,
     "text_bpe_merges"       -> bpeMergesSql,
+    "text_bpe_tokenize"     -> bpeTokenizeSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
