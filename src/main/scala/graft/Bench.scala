@@ -65,7 +65,13 @@ object Bench {
     val timeline = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     if (canary > 0) timeline += ((elapsed, canary))
     val canaryEvery =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "20").toInt)
+      // 10, not 20: the r13 closing run caught a contention window
+      // SHORTER than a 20-query probe gap (3 queries inflated 2.1-2.2x
+      // at t=205-325s while the probes at t=203/t=239 read 0.245/0.122
+      // — the mode opened and closed between samples). Halving the gap
+      // costs ~11 extra 0.25s probes per full run; time-local
+      // normalization then sees what it is normalizing by.
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "10").toInt)
     var qIdx = 0
     val measured = benched.toSeq.map { case (name, fn) =>
       if (qIdx > 0 && qIdx % canaryEvery == 0) {
