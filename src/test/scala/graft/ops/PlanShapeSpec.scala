@@ -597,6 +597,49 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("text_quality_classifier: model and totals broadcast, corpus never shuffled whole") {
+    val p = plan("text_quality_classifier")
+    // The scoring join (test tokens x vocab LLRs) must be a broadcast
+    // hash join — a sort-merge join here shuffles the corpus's token
+    // stream by token, which is the 100 TB bottleneck the design avoids.
+    assert(p.contains("BroadcastHashJoin"),
+      s"model scoring must broadcast the vocab:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join in the classifier:\n$p")
+  }
+
+  test("embedding_semdedup: the pair join is keyed by cell, never a cross product") {
+    val p = plan("embedding_semdedup")
+    // The candidate join must be an equi-join ON CELL with the cosine as
+    // a residual — the cluster-blocking contract. (One-row
+    // BroadcastNestedLoopJoins from the kmeans totals crossJoins are
+    // fine; an unkeyed pair join would surface as CartesianProduct or a
+    // vn-on-vn nested loop.)
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup candidates must be cell-cobounded, not all-pairs:\n$p")
+    val cellJoin = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("[cell") && l.contains("dotproduct"))
+    assert(cellJoin, s"the pair join must key on cell with cosine residual:\n$p")
+  }
+
+  test("q_seasonal_decompose: no Window operator at all (calendar-grain joins instead)") {
+    val p = plan("q_seasonal_decompose")
+    assert(!p.linesIterator.exists(_.trim.startsWith("Window")),
+      s"decomposition must use the broadcast neighborhood join, not a window:\n$p")
+    // The only corpus-sized operation is the day aggregation — partial
+    // (map-side combine) before its exchange.
+    assert(p.contains("HashAggregate"), s"day series must hash-aggregate:\n$p")
+  }
+
+  test("text_retrieval_eval: every window partitions by the query term") {
+    val p = plan("text_retrieval_eval")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("tok")),
+      s"ranking windows must partition by query:\n$p")
+  }
+
   test("q_anomaly_zscore: both frames and the daily agg share the user shuffle") {
     val p = plan("q_anomaly_zscore")
     // groupBy(user,d) shuffles on (user,d); the window re-shuffles on user
