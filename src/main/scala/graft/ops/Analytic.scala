@@ -2002,7 +2002,59 @@ object Analytic {
       |  CAST(t.st AS DOUBLE)/100e0 - CAST(t.t7 AS DOUBLE)/700e0 - se.seasonal AS remainder
       |FROM tr2 t LEFT JOIN se ON t.dow = se.dow ORDER BY t.day""".stripMargin
 
+  /** GINI coefficient of order value per nation — the inequality
+    * statistic concentration analyses report next to the Pareto cut
+    * ([[qParetoShare]] answers "what share do the top k% hold", this
+    * answers "how unequal is the whole distribution" in one number).
+    * Computed from the rank formulation G = (2·Σi·vᵢ − (n+1)·Σv)/(n·Σv)
+    * over integer CENTS with a deterministic (value, orderkey) rank, so
+    * every term is an exact int64 and the single closing division is
+    * IEEE-deterministic — no float folds anywhere. (At 1e9+ rows per
+    * group the int64 Σi·v headroom runs out around n·maxv ≈ 9e18;
+    * the DECIMAL(38,0) fold is the drop-in at that grain.)
+    *
+    * Scale shape: one fact shuffle to rank within nation (the window
+    * partitions by group — thousands of independent partitions at
+    * scale), dims broadcast, one partial-aggregated group fold. */
+  def qGini: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val o = t.orders.select(col("o_custkey"), col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val joined = o
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("v"), col("o_orderkey"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("v"), col("o_orderkey"))
+    joined.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("i") * col("v")).as("siv"))
+      .select(col("n_name"), col("n").as("n_orders"),
+        round((lit(2) * col("siv") - (col("n") + 1) * col("sv")).cast("double")
+          / (col("n") * col("sv")).cast("double"), 6).as("gini"))
+      .orderBy(col("n_name"))
+  }
+
+  val qGiniSql: String =
+    """WITH o AS (
+      |  SELECT n.n_name, CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS v,
+      |         o.o_orderkey
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |r AS (SELECT n_name, v,
+      |        ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY v, o_orderkey) AS i
+      |      FROM o),
+      |g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(i*v) AS BIGINT) AS siv
+      |      FROM r GROUP BY n_name)
+      |SELECT n_name, n AS n_orders,
+      |  ROUND(CAST(2*siv - (n+1)*sv AS DOUBLE) / CAST(n*sv AS DOUBLE), 6) AS gini
+      |FROM g ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_gini"               -> qGini,
     "q_seasonal_decompose" -> qSeasonalDecompose,
     "q_linreg_trend"    -> qLinregTrend,
     "q_ewma"            -> qEwma,
@@ -2053,6 +2105,7 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gini"               -> qGiniSql,
     "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_linreg_trend"    -> qLinregTrendSql,
     "q_ewma"            -> qEwmaSql,
