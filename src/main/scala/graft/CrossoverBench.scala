@@ -66,9 +66,25 @@ object CrossoverBench {
     val reps = spark.range(factor).select(col("id").as("__rep"))
     // A prior run's replicas are deterministic (same sfDir, same
     // factor, same shift arithmetic) — reuse them instead of spending
-    // minutes rewriting 10s of millions of rows per repeat run.
+    // minutes rewriting 10s of millions of rows per repeat run. The
+    // reuse is gated on a MARKER recording (sfDir, factor, source file
+    // sizes+mtimes): directory existence alone would silently benchmark
+    // stale replicas after a corpus switch or refresh (advice-r13).
+    val markerPath = Paths.get(s"$big/_replica_marker")
+    def corpusFingerprint: String = {
+      val srcs = Seq("orders.parquet", "events.parquet").map { t =>
+        val p = Paths.get(s"$sfDir/$t")
+        val (sz, mt) =
+          if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+          else (-1L, -1L)
+        s"$t:$sz:$mt"
+      }
+      s"sfDir=$sfDir factor=$factor ${srcs.mkString(" ")}"
+    }
     val haveBig = Files.isDirectory(Paths.get(s"$big/orders.parquet")) &&
-      Files.isDirectory(Paths.get(s"$big/events.parquet"))
+      Files.isDirectory(Paths.get(s"$big/events.parquet")) &&
+      Files.exists(markerPath) &&
+      new String(Files.readAllBytes(markerPath), "UTF-8") == corpusFingerprint
 
     if (!haveBig) {
       // orders: shift o_orderkey to keep uniqueness; perturb o_totalprice
@@ -87,6 +103,7 @@ object CrossoverBench {
         .withColumn("event_id", col("event_id") * factor + col("__rep"))
         .drop("__rep")
         .write.mode("overwrite").parquet(s"$big/events.parquet")
+      Files.write(markerPath, corpusFingerprint.getBytes("UTF-8"))
     }
 
     val nBig = spark.read.parquet(s"$big/orders.parquet").count()

@@ -1074,8 +1074,13 @@ object Similarity {
     * broadcast argmin (map-side); the pair join is cell-cobounded — at
     * 100 TB the cells ARE the blocking scheme, the all-pairs explosion
     * never materializes, and the per-cell work is (n/k)² instead of n².
-    * Same exactness discipline as [[embeddingNearDup]]: codegen'd dot
-    * product, 9-dp-quantized threshold comparison on both engines. */
+    * Same exactness discipline as [[embeddingNearDup]]: the codegen'd
+    * dot product folds left-to-right over the array on BOTH engines
+    * (Spark `aggregate`, DuckDB `list_` fold) so the raw double is
+    * bit-identical and the unrounded `>= 0.45` comparison agrees —
+    * near-threshold agreement rests on that shared fold order, not on
+    * any quantization (advice-r13: the comment previously claimed a
+    * 9-dp rounding that the code, deliberately, does not do). */
   def semDedup: Q = (s, dir) => {
     val emb = normalized(Tables(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

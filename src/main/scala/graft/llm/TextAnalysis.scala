@@ -414,6 +414,14 @@ object TextAnalysis {
     def best(p: DataFrame): DataFrame = p
       .agg(max(struct(col("cnt"), col("s1"), col("s2"))).as("m"))
       .select(col("m.s1").as("s1"), col("m.s2").as("s2"), col("m.cnt").as("cnt"))
+      // Empty-round guard (advice-r13): max over an EMPTY pair table is
+      // one all-NULL row, whose NULL pattern would null every symbol in
+      // applyMerge's replace — while the oracle's ORDER BY … LIMIT 1
+      // yields ZERO rows. Dropping the null row makes the empty round an
+      // empty RELATION, so the broadcast cross join cascades emptiness
+      // exactly as the oracle's `FROM s_prev, m_empty` does — the two
+      // engines agree even on a corpus with <3 distinct adjacent pairs.
+      .filter(col("s1").isNotNull)
     def applyMerge(df: DataFrame, m: DataFrame): DataFrame = df
       .crossJoin(broadcast(m))
       .select(replace(col("s"),
@@ -499,6 +507,8 @@ object TextAnalysis {
     def best(p: DataFrame): DataFrame = p
       .agg(max(struct(col("cnt"), col("s1"), col("s2"))).as("m"))
       .select(col("m.s1").as("s1"), col("m.s2").as("s2"))
+      // Same empty-round guard as the trainer's best() above.
+      .filter(col("s1").isNotNull)
     def applyMerge(df: DataFrame, m: DataFrame): DataFrame = df
       .crossJoin(broadcast(m))
       .select(col("source"), col("freq"), col("n_chars"),

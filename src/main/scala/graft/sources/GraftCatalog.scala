@@ -718,11 +718,10 @@ private[sources] class GraftProcedure(op: String, root: String)
     // NB: must not be named `rows` — inside the anonymous LocalScan below,
     // `rows` resolves to the override itself and the tail-self-call
     // compiles into an infinite loop.
-    val fileRows = ManifestFileSink.snapshot(path, None)
-      .flatMap(m => ManifestFileSink.entriesWithStats(m))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (f, es) =>
-        val (_, n, st) = es.last
+    // Shared latest-listing-per-file policy (advice-r13) — this view and
+    // partitionRowCounts must never disagree on a re-listed entry.
+    val fileRows = ManifestFileSink.latestEntriesWithSchema(path, None)
+      .map { case (f, n, st, _) =>
         org.apache.spark.sql.catalyst.InternalRow(
           UTF8String.fromString(f), n,
           dvs.get(f).map(_.length.toLong).getOrElse(0L),

@@ -1596,27 +1596,56 @@ object ManifestFileSink {
     * callers treating None as "unprovable residue" stay conservative. */
   def partitionRowCounts(path: String): Map[Option[Seq[String]], Long] = {
     val idCols = partitionFields(path).collect { case IdentityPart(c) => c }
-    val colIdx: Seq[Option[Int]] = storedSchema(path, None) match {
-      case Some(sch) => idCols.map(c => Some(sch.fieldNames.indexOf(c)).filter(_ >= 0))
-      case None      => idCols.map(_ => None)
-    }
+    val curTypes: Map[String, DataType] = storedSchema(path, None)
+      .map(_.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
     val dvs = deleteVectors(path, None)
-    snapshot(path, None)
-      .flatMap(entriesWithStats)
-      .distinctBy(_._1)
-      .map { case (f, rows, st) =>
+    val ddlCache = scala.collection.mutable.Map.empty[String, StructType]
+    def schemaOf(ddl: String): StructType =
+      ddlCache.getOrElseUpdate(ddl, asNullable(StructType.fromDDL(ddl)))
+    latestEntriesWithSchema(path, None)
+      .map { case (f, rows, st, ddl) =>
         val live = math.max(0L, rows - dvs.getOrElse(f, Array.empty[Long]).length)
+        // Stat indexes resolve against EACH FILE'S OWN write schema
+        // (advice-r13: per-file zone maps are keyed by the writing
+        // manifest's column order — each manifest carries its own DDL —
+        // so resolving against the CURRENT stored schema misreads a
+        // different column's min==max as the partition value after
+        // position-shifting evolution; deriveGroupedAggregate always
+        // resolved per entry, this now does too), and the field's type
+        // must still match the current column's before the claim is
+        // trusted (a type-evolved column's old-type literal is not a
+        // value of the current domain).
+        val fs = schemaOf(ddl)
         val key = st.flatMap { stats =>
-          val vs = colIdx.map(_.flatMap(i => stats.get(i).collect {
-            case cs if !cs.hasNull && !cs.rangeless &&
-                cs.min.nonEmpty && cs.min == cs.max => cs.min
-          }))
+          val vs = idCols.map { c =>
+            val fi = fs.fieldNames.indexOf(c)
+            if (fi < 0 || !curTypes.get(c).forall(_ == fs.fields(fi).dataType)) None
+            else stats.get(fi).collect {
+              case cs if !cs.hasNull && !cs.rangeless &&
+                  cs.min.nonEmpty && cs.min == cs.max => cs.min
+            }
+          }
           if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
         }
         (key, live)
       }
       .groupMapReduce(_._1)(_._2)(_ + _)
   }
+
+  /** Latest stats listing per live file of the snapshot, paired with
+    * the DDL of the manifest that listed it — the ONE duplicate-entry
+    * policy every manifest-metadata view shares (advice-r13:
+    * [[partitionRowCounts]] kept the FIRST listing while the `files`
+    * procedure kept the LAST; task files are immutable so divergence
+    * needs a re-listed entry, but two views of one snapshot must never
+    * be able to disagree). "Latest" = last in manifest order — the most
+    * recent manifest to claim the file owns its stats. */
+  private[sources] def latestEntriesWithSchema(path: String, asOf: Option[String])
+      : Seq[(String, Long, Option[Map[Int, ColStats]], String)] =
+    snapshot(path, asOf)
+      .flatMap(m => entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.last)
 
   def setPartitionColumns(path: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.map(parsePartField(_).col).distinct.size == cols.size,
@@ -1668,9 +1697,8 @@ object ManifestFileSink {
       schema: StructType): Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (deleteVectors(path, asOf).nonEmpty) return None
-    val entries = snapshot(path, asOf)
-      .flatMap(m => entriesWithStats(m).map(e => (e._1, e._2, e._3, schemaLine(m))))
-      .distinctBy(_._1)
+    // Shared latest-listing-per-file policy (advice-r13).
+    val entries = latestEntriesWithSchema(path, asOf)
     val ddlCache = scala.collection.mutable.Map.empty[String, StructType]
     def schemaOf(ddl: String): StructType =
       ddlCache.getOrElseUpdate(ddl, asNullable(StructType.fromDDL(ddl)))
