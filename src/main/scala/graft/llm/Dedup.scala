@@ -38,7 +38,7 @@ object Dedup {
     * shingle string crosses the distinct's shuffle: the three words are
     * recoverable by splitting (words contain no spaces), so carrying them
     * as separate columns would triple the shuffle payload for nothing. */
-  private def shingleRows(docs: DataFrame): DataFrame =
+  private[llm] def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("wl"))
       .filter(size(col("wl")) >= 3)
       .select(col("doc_id"),
@@ -46,7 +46,7 @@ object Dedup {
       .distinct()
 
   /** SQL for the same distinct shingle set (DuckDB). */
-  private val shingleSql: String =
+  private[llm] val shingleSql: String =
     """wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(wl[x+1:x+3], ' ') AS sh
       |       FROM wl, UNNEST(range(len(wl)-2)) AS t(x))""".stripMargin
@@ -80,7 +80,7 @@ object Dedup {
     * cost is O(|candidates| · shingles-per-doc) — independent of the full
     * inverted-index blow-up. Filtering after the full self-join would make
     * LSH pointless (it would redo the exact all-pairs work). */
-  private def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+  private[llm] def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
                                        candidates: Option[DataFrame],
                                        broadcastCandidates: Boolean = true): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

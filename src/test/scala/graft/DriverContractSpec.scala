@@ -22,20 +22,20 @@ class DriverContractSpec extends SparkTestBase {
       s"queries without oracles (driver falls back to rows-only): ${qs -- os}")
   }
 
-  test("inventory is mechanically auditable: every registry key is named in SURVEY §2.10") {
+  test("inventory is mechanically auditable: every registry key is named in SURVEY §2.11") {
     // The round-12 verdict's greppability finding: a name-level audit of
     // the operator inventory must pass with ZERO special cases. SURVEY
-    // §2.10 is the canonical index; registering a query without indexing
-    // it there fails here, so the index cannot rot. Scoped to the §2.10
+    // §2.11 is the canonical index; registering a query without indexing
+    // it there fails here, so the index cannot rot. Scoped to the §2.11
     // SECTION BODY (judge-r13 #4): a whole-file grep stayed green when
     // two keys were missing from the index but named in §2.9 prose —
     // the audit must see only the table it audits.
     val survey = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
       "UTF-8")
-    val heading = "### 2.10 Mechanical registry index"
+    val heading = "### 2.11 Mechanical registry index"
     assert(survey.contains(heading),
-      "SURVEY.md must carry the §2.10 mechanical registry index")
+      "SURVEY.md must carry the §2.11 mechanical registry index")
     // Section body = from the heading to the next horizontal rule /
     // top-level section, whichever comes first.
     val body0 = survey.substring(survey.indexOf(heading) + heading.length)
@@ -44,6 +44,6 @@ class DriverContractSpec extends SparkTestBase {
     val body = body0.substring(0, end)
     val missing = SparkEntry.queries.keySet.filterNot(k => body.contains(s"`$k`"))
     assert(missing.isEmpty,
-      s"registry keys absent from SURVEY §2.10's index table: $missing")
+      s"registry keys absent from SURVEY §2.11's index table: $missing")
   }
 }
