@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** sf1-scale bench by deterministic replication (verdict-r13 #5: the 2×
+  * gate at sf0.1 cannot see superlinear shapes; CrossoverBench proved
+  * the box holds 36M-row relations). Builds a key-shifted ×F replica of
+  * EVERY sf0.1 table and times the most expensive registry entries plus
+  * the round's scale-risk rewires against it, reporting each query's
+  * scale ratio t(×F)/t(×1) next to the suite median — a ratio far above
+  * the median (× the data growth) is a superlinear shape to fix or
+  * document in SCALE.md.
+  *
+  * Replication preserves the GRAIN STRUCTURE real growth has — more
+  * entities, not fatter entities (the per-key grain every partitioned
+  * window/join depends on stays constant):
+  *  - entity keys shift `k·F + rep` consistently across fact/dim pairs
+  *    (orders+lineitem share the orderkey shift; customer/part/supplier
+  *    shift and their FKs follow), so join fanouts are invariant;
+  *  - nation/region stay fixed (25/5 — dimension-bounded by nature);
+  *  - money/price columns perturb by `rep·1e-5` so distinct-value
+  *    grains scale with the factor;
+  *  - document TEXT gets a per-replica token suffix on every word:
+  *    replica shingle/token spaces are DISJOINT, so duplicate clusters
+  *    keep their real size and just multiply in count — replicating
+  *    the text verbatim would instead grow every dup cluster ×F and
+  *    blow the pair grain quadratically, which is NOT what a bigger
+  *    corpus looks like;
+  *  - embeddings replicate with shifted vec_id (cells grow ×F at fixed
+  *    k — the honest IVF stress).
+  *
+  * Usage: `runMain graft.ScaleBench [sfDir] [factor] [q1,q2,…]` —
+  * defaults sf0.1, ×10, the built-in top-cost list. Replicas cache in
+  * /tmp keyed by a corpus-fingerprint marker (the CrossoverBench
+  * discipline). */
+object ScaleBench {
+
+  private val DefaultQueries = Seq(
+    // top-cost entries from the r13 driver bench
+    "dedup_winnow", "dedup_jaccard_prefix", "dedup_substring_spans_hashed",
+    "embedding_pca_power", "knn_ivfpq_residual", "knn_ivfpq_trained",
+    "q_heavy_hitters", "dedup_crossmodal_audit", "q_pagerank",
+    "q_profile_approx", "q02_min_cost_supplier", "q_degree_hist",
+    "q_salted_join", "q_histogram_equidepth_cut", "text_ccnet_buckets",
+    // the round's scale-risk rewires + the new composition entry
+    "q_gini", "q_skyline", "text_curation_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val queries =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSeq else DefaultQueries
+    val outDir = "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = s"$outDir/x$factor"
+    buildReplica(spark, sfDir, big, factor)
+
+    def timeQ(name: String, dir: String, samples: Int): Double = {
+      val fn = SparkEntry.queries(name)
+      try fn(spark, dir).count() catch { case _: Throwable => return -1.0 } // warm
+      val ts = (1 to samples).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => () }
+      if (ts.contains(-1.0)) -1.0 else ts.min
+    }
+
+    val rows = queries.flatMap { q =>
+      if (!SparkEntry.queries.contains(q)) None
+      else {
+        val base = timeQ(q, sfDir, 2)
+        val scaled = timeQ(q, big, 2)
+        val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
+        println(f"""{"q":"$q","base":$base%.3f,"x$factor":$scaled%.3f,"ratio":$ratio%.2f}""")
+        Some((q, base, scaled, ratio))
+      }
+    }
+    val ratios = rows.map(_._4).filter(_ > 0).sorted
+    val med = if (ratios.nonEmpty) ratios(ratios.size / 2) else -1.0
+    val flagged = rows.filter { case (_, _, _, r) => med > 0 && r > 2 * med }
+    val qs = rows.map { case (q, b, s2, r) =>
+      s""""$q":{"base":${math.rint(b * 1000) / 1000},"scaled":${math.rint(s2 * 1000) / 1000},"ratio":${math.rint(r * 100) / 100}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_ratio_median","value":${math.rint(med * 100) / 100},"factor":$factor,"queries":$qs,"flagged":[${flagged.map(f => "\"" + f._1 + "\"").mkString(",")}],"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  private def buildReplica(spark: SparkSession, sfDir: String, big: String,
+      factor: Int): Unit = {
+    val marker = Paths.get(s"$big/_replica_marker")
+    def fingerprint: String = {
+      val srcs = Seq("orders", "lineitem", "events", "documents", "embeddings")
+        .map { t =>
+          val p = Paths.get(s"$sfDir/$t.parquet")
+          val (sz, mt) =
+            if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+            else (-1L, -1L)
+          s"$t:$sz:$mt"
+        }
+      s"sfDir=$sfDir factor=$factor ${srcs.mkString(" ")}"
+    }
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fingerprint) return
+
+    val reps = spark.range(factor).select(col("id").as("__rep"))
+    def rep(t: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$t.parquet").crossJoin(reps)
+    def shift(c: String) = col(c) * factor + col("__rep")
+    def write(df: DataFrame, t: String): Unit =
+      df.drop("__rep").write.mode("overwrite").parquet(s"$big/$t.parquet")
+
+    // dims fixed: nation/region copy through
+    Seq("nation", "region").foreach(t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$big/$t.parquet"))
+    write(rep("customer").withColumn("c_custkey", shift("c_custkey")), "customer")
+    write(rep("supplier").withColumn("s_suppkey", shift("s_suppkey")), "supplier")
+    write(rep("part")
+      .withColumn("p_partkey", shift("p_partkey"))
+      .withColumn("p_retailprice",
+        col("p_retailprice") + col("__rep").cast("double") * 1e-5), "part")
+    write(rep("orders")
+      .withColumn("o_orderkey", shift("o_orderkey"))
+      .withColumn("o_custkey", shift("o_custkey"))
+      .withColumn("o_totalprice",
+        col("o_totalprice") + col("__rep").cast("double") * 1e-5), "orders")
+    write(rep("lineitem")
+      .withColumn("l_orderkey", shift("l_orderkey"))
+      .withColumn("l_partkey", shift("l_partkey"))
+      .withColumn("l_suppkey", shift("l_suppkey")), "lineitem")
+    write(rep("events")
+      .withColumn("event_id", shift("event_id"))
+      .withColumn("user_id", shift("user_id")), "events")
+    // Disjoint replica token spaces: suffix every word with the replica
+    // id (rep 0 keeps the original text so the ×1 corpus embeds
+    // verbatim). Shingles, vocab, and near-dup clusters replicate in
+    // COUNT, not in size.
+    write(rep("documents")
+      .withColumn("doc_id", shift("doc_id"))
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("__rep"))))), "documents")
+    write(rep("embeddings").withColumn("vec_id", shift("vec_id")), "embeddings")
+    Files.write(marker, fingerprint.getBytes("UTF-8"))
+  }
+}

@@ -394,8 +394,107 @@ object Profile {
       |  quantile_disc(o_totalprice, 0.75) AS q75
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** Median Absolute Deviation per group — THE robust dispersion
+    * statistic (outlier-immune where stddev is not; the profiling
+    * companion of [[qGroupQuantiles]]): per priority group, the median
+    * of |v − median(v)| over integer order-value cents. TWO chained
+    * grouped-kernel passes ([[DistributedCumulate.exactDiscCutsGrouped]]
+    * — group-local buckets, no per-group sort-aggregate buffer), the
+    * inner medians broadcast back onto the fact for the deviation fold.
+    * Everything stays exact int64; output is cents. */
+  def qMadGroup: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val o = Tables(s, dir).orders
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").minus(1).as("g"),
+        col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val med = DistributedCumulate.exactDiscCutsGrouped(
+      o, "g", "v", Seq(0.5 -> "med_cents"), B, gMax = 5)
+    val dev = o.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med_cents")).as("d"))
+    val mad = DistributedCumulate.exactDiscCutsGrouped(
+      dev, "g", "d", Seq(0.5 -> "mad_cents"), B, gMax = 5)
+    val labels = o.select(col("g"), col("priority")).distinct()
+    labels.join(broadcast(med), "g").join(broadcast(mad), "g")
+      .select(col("priority"), col("med_cents"), col("mad_cents"))
+      .orderBy(col("priority"))
+  }
+
+  val qMadGroupSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |med AS (SELECT priority,
+      |    CAST(quantile_disc(v, 0.5) AS BIGINT) AS med_cents
+      |  FROM o GROUP BY 1),
+      |dev AS (SELECT o.priority, ABS(o.v - m.med_cents) AS d
+      |  FROM o JOIN med m ON o.priority = m.priority),
+      |mad AS (SELECT priority,
+      |    CAST(quantile_disc(d, 0.5) AS BIGINT) AS mad_cents
+      |  FROM dev GROUP BY 1)
+      |SELECT m.priority, m.med_cents, a.mad_cents
+      |FROM med m JOIN mad a ON m.priority = a.priority
+      |ORDER BY m.priority""".stripMargin
+
+  /** WEIGHTED median per group — the quantity-weighted price midpoint
+    * (half the shipped QUANTITY lies at or below it), the statistic
+    * behind volume-weighted pricing cuts. The direct consumer of
+    * [[DistributedCumulate.groupedRunningSum]]: weights pre-aggregate
+    * to the (group, value) grain (SUM(weight), not COUNT — the
+    * generalization the kernel's cntCol makes free), the per-group
+    * cumulative weight comes from group-local bucket windows, and the
+    * hit rule is percentile_disc's with weight mass in place of row
+    * count: the smallest value whose cumulative weight reaches half the
+    * group total. Thresholds evaluate in double exactly like the
+    * kernel's (q·n), mirrored in the oracle. */
+  def qWeightedMedianGroup: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val l = Tables(s, dir).lineitem
+      .select(
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1).otherwise(2).as("g"),
+        col("l_returnflag").as("returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+    val wsum = l.groupBy(col("g"), col("returnflag"), col("v"))
+      .agg(sum(col("wt")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = DistributedCumulate.groupedRunningSum(
+      wsum, "g", "v", "c", B, gMax = 3, "cum", "tot")
+    val target = lit(0.5) * col("tot").cast("double")
+    val hit = (col("cum").cast("double") >= target) &&
+      ((col("cum") - col("c")).cast("double") < target)
+    cum.groupBy(col("returnflag"))
+      .agg(max(when(hit, col("v"))).as("wmedian_cents"),
+        max(col("tot")).as("total_qty"))
+      .orderBy(col("returnflag"))
+  }
+
+  val qWeightedMedianGroupSql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag AS returnflag,
+      |    CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS wt
+      |  FROM lineitem),
+      |w AS (SELECT returnflag, v, CAST(SUM(wt) AS BIGINT) AS c
+      |      FROM l GROUP BY 1, 2),
+      |c AS (SELECT returnflag, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY returnflag ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY returnflag) AS BIGINT) AS tot
+      |  FROM w)
+      |SELECT returnflag,
+      |  MAX(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+      |        AND CAST(cum - c AS DOUBLE) < 0.5 * CAST(tot AS DOUBLE)
+      |      THEN v END) AS wmedian_cents,
+      |  MAX(tot) AS total_qty
+      |FROM c GROUP BY returnflag ORDER BY returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_group_quantiles" -> qGroupQuantiles,
+    "q_mad_group"      -> qMadGroup,
+    "q_weighted_median_group" -> qWeightedMedianGroup,
     "q_join_fanout"    -> qJoinFanout,
     "q_tvd_drift"      -> qTvdDrift,
     "q_skew_stats"     -> qSkewStats,
@@ -405,6 +504,8 @@ object Profile {
     "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
     "q_group_quantiles" -> qGroupQuantilesSql,
+    "q_mad_group"      -> qMadGroupSql,
+    "q_weighted_median_group" -> qWeightedMedianGroupSql,
     "q_join_fanout"    -> qJoinFanoutSql,
     "q_tvd_drift"      -> qTvdDriftSql,
     "q_skew_stats"     -> qSkewStatsSql,

@@ -160,6 +160,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val path = dir(ident).toString
+    // WAP AUDIT view: `VERSION AS OF 'wap:<id>'` reads the current main
+    // line plus the id's staged commits — the table as it WILL be if
+    // `wap_publish` runs. Read-only like every pinned view; a typo'd id
+    // fails in the snapshot resolution, listing the staged ids.
+    if (version.startsWith("wap:")) {
+      val schema = ManifestFileSink.storedSchema(path, Some(version))
+        .getOrElse(new StructType())
+      return new ManifestTable(path, schema, acceptAnySchema = false,
+        pinnedAsOf = Some(version))
+    }
     val manifest =
       if (version.forall(_.isDigit))
         ManifestFileSink.orderedManifests(path)
@@ -557,6 +567,9 @@ private[sources] class GraftProcedure(op: String, root: String)
     case "untag" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
+    case "wap_publish" | "wap_discard" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("id", StringType).build())
     case "set_partition_spec" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("spec", StringType).build()) // comma-joined _partition lines
@@ -617,6 +630,10 @@ private[sources] class GraftProcedure(op: String, root: String)
       case "compact"        => ManifestFileSink.compact(path)
       case "apply_deletes"  => ManifestFileSink.applyDeletes(path)
       case "migrate_schema" => ManifestFileSink.migrateSchema(path)
+      case "wap_publish" =>
+        ManifestFileSink.wapPublish(path, input.getUTF8String(1).toString)
+      case "wap_discard" =>
+        ManifestFileSink.wapDiscard(path, input.getUTF8String(1).toString)
     }
     val outSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("affected_files", IntegerType, nullable = false)))
@@ -809,5 +826,6 @@ private[sources] object GraftProcedure {
   val Names: Seq[String] =
     Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
       "apply_deletes", "migrate_schema", "snapshots", "files",
-      "constraints", "tag", "untag", "set_partition_spec")
+      "constraints", "tag", "untag", "set_partition_spec",
+      "wap_publish", "wap_discard")
 }

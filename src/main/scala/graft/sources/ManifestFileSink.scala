@@ -111,7 +111,8 @@ object ManifestFileSink {
     * combined manifest, so the list is the commit history, not a blowup). */
   private[sources] final case class ManifestMeta(
       seq: Long, folded: Seq[String], headerLines: Int = 2,
-      foldedMinSeq: Option[Long] = None, foldedMaxSeq: Option[Long] = None)
+      foldedMinSeq: Option[Long] = None, foldedMaxSeq: Option[Long] = None,
+      staged: Option[String] = None)
 
   /** Parse a manifest's metadata. Version-tolerant: a v2 manifest carries
     * the `#graft` header; a v1 manifest (written before the header existed)
@@ -133,7 +134,8 @@ object ManifestFileSink {
         ManifestMeta(kv("seq").toLong,
           kv.get("folded").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
           foldedMinSeq = kv.get("fseq").map(_.toLong),
-          foldedMaxSeq = kv.get("lseq").map(_.toLong))
+          foldedMaxSeq = kv.get("lseq").map(_.toLong),
+          staged = kv.get("staged").filter(_.nonEmpty))
       } else ManifestMeta(f.lastModified() - (1L << 62), Nil, headerLines = 1)
     } finally r.close()
   }
@@ -141,7 +143,8 @@ object ManifestFileSink {
   private def renderHeader(m: ManifestMeta): String =
     s"#graft\tseq=${m.seq}\tfolded=${m.folded.mkString(",")}" +
       m.foldedMinSeq.fold("")(s => s"\tfseq=$s") +
-      m.foldedMaxSeq.fold("")(s => s"\tlseq=$s")
+      m.foldedMaxSeq.fold("")(s => s"\tlseq=$s") +
+      m.staged.fold("")(id => s"\tstaged=$id")
 
   /** Next commit sequence: one past the max published v2 seq (synthesized
     * v1 seqs are negative — clamped out, so the first v2 commit over a v1
@@ -166,9 +169,20 @@ object ManifestFileSink {
   private[sources] def orderedManifests(path: String): Seq[File] = {
     val ms = manifests(path)
     val folded = ms.flatMap(readMeta(_).folded).toSet
-    ms.filterNot(f => folded.contains(f.getName))
+    // STAGED manifests (write-audit-publish, `staged=<id>` header) are
+    // invisible to the main line — and to every maintenance pass built
+    // on this listing — until wapPublish cherry-picks them in.
+    ms.filterNot(f => folded.contains(f.getName) || readMeta(f).staged.isDefined)
       .sortBy(f => (readMeta(f).seq, f.getName))
   }
+
+  /** Staged (unpublished) manifests of one WAP id, in commit order. */
+  private[sources] def stagedManifests(path: String, id: String): Seq[File] =
+    manifests(path).filter(f => readMeta(f).staged.contains(id))
+      .sortBy(f => (readMeta(f).seq, f.getName))
+
+  private[sources] def stagedIds(path: String): Seq[String] =
+    manifests(path).flatMap(readMeta(_).staged).distinct.sorted
 
   /** Every manifest name ever folded away by a [[compact]] — the
     * "already published, then compacted" set [[publish]] must honour. */
@@ -210,6 +224,18 @@ object ManifestFileSink {
     val ordered = orderedManifests(path)
     asOf match {
       case None => ordered
+      // The WAP AUDIT view (`VERSION AS OF 'wap:<id>'`): the current
+      // main line PLUS the id's staged commits — what the table will be
+      // if the stage is published. Every read path funnels through this
+      // one resolution, so schema, files, and deletion vectors all see
+      // the staged state consistently. A typo'd id fails loudly.
+      case Some(v) if v.startsWith("wap:") =>
+        val id = v.substring(4)
+        val st = stagedManifests(path, id)
+        if (st.isEmpty) throw new IllegalArgumentException(
+          s"no staged commits under WAP id '$id'; staged ids: " +
+            s"${stagedIds(path).mkString(", ")}")
+        ordered ++ st
       case Some(name) =>
         val i = ordered.indexWhere(_.getName == name)
         if (i < 0 && foldedNames(path).contains(name))
@@ -1059,6 +1085,62 @@ object ManifestFileSink {
       // Delta/Iceberg reason physical deletion is deferred.
       dataLines.length
     }
+  }
+
+  // ------------------------------------ write-audit-publish (staged commits)
+
+  /** PUBLISH a WAP stage (the Iceberg `wap.id` → cherrypick flow): every
+    * staged manifest of `id` is rewritten onto the main line with a
+    * fresh commit seq and the staged marker removed, in stage order.
+    * Sound regardless of how far main has advanced since staging: only
+    * the APPEND write path can stage (the write builder refuses the
+    * option elsewhere), so a staged commit is pure new files — no
+    * deletion vectors, no overwrites — and cherry-picking appends
+    * commutes with every intervening commit (schema drift reconciles by
+    * the normal evolution rules). Idempotent across crash windows: each
+    * published manifest records its staged source in the `folded`
+    * ledger, so a retry that finds the source already folded just
+    * removes the leftover instead of double-publishing its entries.
+    * Returns the number of commits published. */
+  def wapPublish(path: String, id: String): Int = commitLock(path).synchronized {
+    val st = stagedManifests(path, id)
+    if (st.isEmpty) throw new IllegalArgumentException(
+      s"no staged commits under WAP id '$id'; staged ids: ${stagedIds(path).mkString(", ")}")
+    st.foreach { m =>
+      if (!foldedNames(path).contains(m.getName)) {
+        val lines = Files.readAllLines(m.toPath, StandardCharsets.UTF_8).asScala
+        val meta = readMeta(m)
+        val out = renderHeader(ManifestMeta(nextSeq(path), Seq(m.getName))) +:
+          lines.drop(meta.headerLines - 1)
+        val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+        val tmp = Paths.get(path, s".$name.tmp")
+        Files.deleteIfExists(tmp)
+        Files.write(tmp, out.asJava, StandardCharsets.UTF_8,
+          StandardOpenOption.CREATE_NEW)
+        Files.move(tmp, Paths.get(path, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.deleteIfExists(m.toPath)
+    }
+    st.size
+  }
+
+  /** DISCARD a WAP stage: delete its staged manifests and any data file
+    * they alone reference (a file also named by another manifest —
+    * impossible for append task files, but checked — is spared). The
+    * audit said no; nothing of the stage survives. */
+  def wapDiscard(path: String, id: String): Int = commitLock(path).synchronized {
+    val st = stagedManifests(path, id)
+    if (st.isEmpty) throw new IllegalArgumentException(
+      s"no staged commits under WAP id '$id'; staged ids: ${stagedIds(path).mkString(", ")}")
+    val stNames = st.map(_.getName).toSet
+    val others = manifests(path).filterNot(f => stNames.contains(f.getName))
+      .flatMap(entriesOf).map(_._1).toSet
+    st.flatMap(entriesOf).map(_._1).distinct
+      .filterNot(others.contains)
+      .foreach(f => Files.deleteIfExists(Paths.get(path, "data", f)))
+    st.foreach(m => Files.deleteIfExists(m.toPath))
+    st.size
   }
 
   /** VACUUM: delete data files no manifest references — the leftovers of
@@ -2241,10 +2323,11 @@ object ManifestFileSink {
       path: String,
       name: String,
       schema: StructType,
-      messages: Array[WriterCommitMessage]): Boolean = commitLock(path).synchronized {
+      messages: Array[WriterCommitMessage],
+      staged: Option[String] = None): Boolean = commitLock(path).synchronized {
     if (Files.exists(Paths.get(path, name)) || foldedNames(path).contains(name))
       return false
-    val lines = renderHeader(ManifestMeta(nextSeq(path), Nil)) +:
+    val lines = renderHeader(ManifestMeta(nextSeq(path), Nil, staged = staged)) +:
       asNullable(schema).toDDL +: flattenCommits(messages).collect {
       case CommittedFile(f, n, st) => if (st.isEmpty) s"$f\t$n" else s"$f\t$n\t$st"
     }.toSeq
@@ -2596,6 +2679,14 @@ private[sources] class ManifestTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refuseIfPinned("write")
+    // Write-audit-publish: `.option("wap-id", "x")` STAGES the append —
+    // the commit's manifest carries a `staged=x` marker, invisible to
+    // every main-line reader until `CALL graft.system.wap_publish`
+    // cherry-picks it (audit the stage via VERSION AS OF 'wap:x').
+    // Appends only: an overwrite or streaming write under a WAP id
+    // refuses loudly below — staging a retraction would make the
+    // publish-time cherry-pick unsound once main advances.
+    val wapId = Option(info.options.get("wap-id")).filter(_.nonEmpty)
     // SupportsOverwrite turns SQL `INSERT OVERWRITE` (and
     // `df.writeTo(t).overwrite(cond)`) into the sink's atomic
     // replaceWhere commit: the retraction (deletion vectors from the
@@ -2661,11 +2752,19 @@ private[sources] class ManifestTable(
               org.apache.spark.sql.connector.expressions.Expressions.identity(c),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = overwriteFilter match {
-          case Some(f) => new ManifestOverwriteBatchWrite(path, info.schema(), f)
-          case None    => new ManifestBatchWrite(path, info.schema())
+          case Some(f) =>
+            if (wapId.isDefined) throw new UnsupportedOperationException(
+              "WAP staging covers appends only: an overwrite retracts rows, and " +
+                "cherry-picking a retraction after main advances is unsound — " +
+                "run the overwrite directly, or stage the new rows and delete after publish")
+            new ManifestOverwriteBatchWrite(path, info.schema(), f)
+          case None    => new ManifestBatchWrite(path, info.schema(), wapId)
         }
-        override def toStreaming: StreamingWrite =
+        override def toStreaming: StreamingWrite = {
+          if (wapId.isDefined) throw new UnsupportedOperationException(
+            "WAP staging covers batch appends only; streaming epochs publish directly")
           new ManifestStreamingWrite(path, info.schema())
+        }
       }
     }
   }
@@ -3089,7 +3188,8 @@ private[sources] class StagedManifestTable(
   }
 }
 
-private class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+private class ManifestBatchWrite(path: String, schema: StructType,
+    wapId: Option[String] = None) extends BatchWrite {
 
   ManifestFileSink.vetWritable(schema)
 
@@ -3101,10 +3201,12 @@ private class ManifestBatchWrite(path: String, schema: StructType) extends Batch
   /** The atomic visibility point: only files that made it into a task
     * commit message are listed — an attempt that wrote bytes but never
     * committed stays permanently invisible. The UUID name never collides,
-    * so batch publication is unconditional. */
+    * so batch publication is unconditional. A WAP id stages the commit
+    * instead of publishing it (`staged=` header marker). */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     ManifestFileSink.publish(path,
-      s"manifest-${java.util.UUID.randomUUID().toString}", schema, messages)
+      s"manifest-${java.util.UUID.randomUUID().toString}", schema, messages,
+      staged = wapId)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     ManifestFileSink.flattenCommits(messages).foreach {
