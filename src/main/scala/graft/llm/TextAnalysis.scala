@@ -1446,6 +1446,37 @@ object TextAnalysis {
       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total
       |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Deterministic GLOBAL corpus shuffle — every epoch-0 training run
+    * starts with one: a reproducible pseudorandom permutation of the
+    * corpus (position i = training step order). The naive plan is THE
+    * canonical scale trap — `ORDER BY hash(id)` is a full corpus sort,
+    * and `ROW_NUMBER() OVER (ORDER BY …)` funnels everything through
+    * one task. Here the hash key is a map-side multiplicative hash and
+    * the position is the [[graft.ops.DistributedCumulate.runningTotals]]
+    * global rank — bucket-partitioned windows + triangular offsets, no
+    * single-task sort anywhere, same plan at 500 docs or 100 TB. The
+    * permutation is a pure function of doc_id, so re-runs, re-shards,
+    * and both engines agree exactly. */
+  def globalShuffle: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.select(col("doc_id"),
+      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("hkey"))
+    graft.ops.DistributedCumulate.runningTotals(
+        d, s.sessionState.conf.numShufflePartitions,
+        Seq(col("hkey"), col("doc_id")), Nil, "pos")
+      .select(col("doc_id"), col("hkey"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle ranks with a global window — correct at oracle scale; the
+    * Spark plan must reproduce it through the distributed rank kernel. */
+  val globalShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS hkey
+      |  FROM documents)
+      |SELECT doc_id, hkey,
+      |  ROW_NUMBER() OVER (ORDER BY hkey, doc_id) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** Collocation extraction by pointwise mutual information over adjacent
     * word pairs — the corpus-statistics pass that surfaces multi-word
     * units ("new york", "machine learning") for tokenizer/vocab curation.
@@ -1667,6 +1698,7 @@ object TextAnalysis {
     "text_vocab_growth"      -> vocabGrowth,
     "text_pmi_bigrams"       -> pmiBigrams,
     "text_shard_stripe"      -> shardStripe,
+    "text_global_shuffle"    -> globalShuffle,
     "text_lm_score"          -> lmScore,
     "text_lm_score_capped"   -> lmScoreCapped,
     "text_pii_scrub"         -> piiScrub,
@@ -1698,6 +1730,7 @@ object TextAnalysis {
     "text_vocab_growth"     -> vocabGrowthSql,
     "text_pmi_bigrams"      -> pmiBigramsSql,
     "text_shard_stripe"     -> shardStripeSql,
+    "text_global_shuffle"   -> globalShuffleSql,
     "text_lm_score"         -> lmScoreSql,
     "text_lm_score_capped"  -> lmScoreCappedSql,
     "text_pii_scrub"        -> piiScrubSql,

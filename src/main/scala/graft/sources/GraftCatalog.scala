@@ -570,6 +570,9 @@ private[sources] class GraftProcedure(op: String, root: String)
     case "wap_publish" | "wap_discard" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("id", StringType).build())
+    case "expire_snapshots" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", IntegerType).defaultValue("2").build())
     case "set_partition_spec" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("spec", StringType).build()) // comma-joined _partition lines
@@ -634,6 +637,9 @@ private[sources] class GraftProcedure(op: String, root: String)
         ManifestFileSink.wapPublish(path, input.getUTF8String(1).toString)
       case "wap_discard" =>
         ManifestFileSink.wapDiscard(path, input.getUTF8String(1).toString)
+      case "expire_snapshots" =>
+        ManifestFileSink.expireSnapshots(path,
+          if (input.isNullAt(1)) 2 else input.getInt(1))
     }
     val outSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("affected_files", IntegerType, nullable = false)))
@@ -827,5 +833,5 @@ private[sources] object GraftProcedure {
     Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
       "apply_deletes", "migrate_schema", "snapshots", "files",
       "constraints", "tag", "untag", "set_partition_spec",
-      "wap_publish", "wap_discard")
+      "wap_publish", "wap_discard", "expire_snapshots")
 }

@@ -1778,7 +1778,16 @@ object ManifestFileSink {
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       schema: StructType): Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (deleteVectors(path, asOf).nonEmpty) return None
+    // Deletion vectors: a bare COUNT(*) stays exactly derivable (live =
+    // rows − |dv| per file; positions are distinct by construction), so
+    // row-level deletes don't cost the metadata-answered count. Every
+    // OTHER derivation refuses: a MIN/MAX claim may name a deleted row,
+    // and the grouped path would emit a zero-count row for a fully
+    // deleted file's group where the real aggregate emits nothing.
+    val dvs = deleteVectors(path, asOf)
+    if (dvs.nonEmpty && (agg.groupByExpressions.nonEmpty ||
+        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])))
+      return None
     // Shared latest-listing-per-file policy (advice-r13).
     val entries = latestEntriesWithSchema(path, asOf)
     val ddlCache = scala.collection.mutable.Map.empty[String, StructType]
@@ -1834,7 +1843,9 @@ object ManifestFileSink {
       }
       Some((dt, acc))
     }
-    val total = entries.map(_._2).sum
+    val total = entries.map { case (f, rows, _, _) =>
+      rows - dvs.getOrElse(f, Array.empty[Long]).length
+    }.sum
     val out = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => (LongType: DataType, total: Any, false)
       case m: Min =>
@@ -2288,6 +2299,48 @@ object ManifestFileSink {
     ms.foreach(m => Files.deleteIfExists(m.toPath))
     ms.size + superseded.size
   }
+
+  /** EXPIRE old snapshots, keeping the newest `keepLast` time-travelable
+    * (the Iceberg expire_snapshots contract, bounded by count instead of
+    * age — deterministic for tests and CI): every older manifest folds
+    * into ONE combined manifest that takes the oldest range's POSITION
+    * (seq = the max folded seq, NOT nextSeq — the kept snapshots'
+    * prefixes must still resolve to exactly the file sets they sealed),
+    * so the current state and every kept snapshot are byte-identical
+    * before and after, while travel to an expired snapshot fails with
+    * the explicit retired error. Only the FOLDED manifests' schemas
+    * must agree (kept ones may have evolved); deletion-vector lines
+    * carry through the fold verbatim, exactly as [[compact]]'s do.
+    * Returns the number of manifests folded (0 = nothing to expire). */
+  def expireSnapshots(path: String, keepLast: Int): Int =
+    commitLock(path).synchronized {
+      require(keepLast >= 1, s"keep_last must be >= 1 (got $keepLast)")
+      val ms0 = orderedManifests(path)
+      val ms = ms0.dropRight(keepLast)
+      if (ms.size < 2) return 0
+      val schemas = ms.map(schemaLine).distinct
+      if (schemas.size > 1)
+        throw new IllegalStateException(
+          s"refusing to expire snapshots of $path: ${schemas.size} distinct " +
+            "schemas across the expired range; run migrateSchema(path) first")
+      val entries = ms.flatMap(m =>
+        Files.readAllLines(m.toPath).asScala.drop(readMeta(m).headerLines)).distinct
+      val metas = ms.map(readMeta)
+      val folded = ms.map(_.getName).zip(metas)
+        .flatMap { case (n, m) => n +: m.folded }.distinct
+      val fseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMinSeq)).min
+      val lseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMaxSeq)).max
+      val meta = ManifestMeta(lseq, folded,
+        foldedMinSeq = Some(fseq), foldedMaxSeq = Some(lseq))
+      val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+      val tmp = Paths.get(path, s".$name.tmp")
+      Files.write(tmp, (renderHeader(meta) +: schemas.head +: entries).asJava,
+        StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
+      Files.move(tmp, Paths.get(path, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ms.foreach(m => Files.deleteIfExists(m.toPath))
+      ms.size
+    }
 
   private[sources] def render(row: InternalRow, schema: StructType): String =
     schema.fields.indices.map { i =>

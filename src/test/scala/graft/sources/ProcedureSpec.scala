@@ -106,6 +106,35 @@ class ProcedureSpec extends SparkTestBase {
       .head().getLong(0) === 3)
   }
 
+  test("expire_snapshots keeps the newest N travelable; expired travel fails explicitly") {
+    root
+    spark.sql("CREATE TABLE gproc.db.ex (id BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO gproc.db.ex VALUES ($i)"))
+    val before = spark.table("gproc.db.ex").orderBy("id").collect().toSeq
+    val h = spark.sql("CALL gproc.system.snapshots(table => 'db.ex')").collect()
+    assert(h.length === 6) // create + 5 inserts
+    val oldSeq = h(1).getLong(0)  // after the first insert — will expire
+    val keptSeq = h(4).getLong(0) // after the 4th insert — inside keep_last=2
+
+    val folded = spark.sql(
+      "CALL gproc.system.expire_snapshots(table => 'db.ex', keep_last => 2)")
+      .head().getInt(0)
+    assert(folded === 4, "create + first 3 inserts fold; the newest 2 are kept")
+
+    // Current state byte-identical; kept snapshot still resolves to the
+    // exact file set it sealed; expired seq fails loudly.
+    assert(spark.table("gproc.db.ex").orderBy("id").collect().toSeq === before)
+    assert(spark.sql(s"SELECT count(*) FROM gproc.db.ex VERSION AS OF $keptSeq")
+      .head().getLong(0) === 4)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM gproc.db.ex VERSION AS OF $oldSeq").collect())
+    assert(e.getMessage.contains("retired") || e.getMessage.contains("no commit"))
+    // Idempotent: nothing left to expire at the same retention.
+    assert(spark.sql(
+      "CALL gproc.system.expire_snapshots(table => 'db.ex', keep_last => 2)")
+      .head().getInt(0) === 0)
+  }
+
   test("tags: named snapshots survive later writes; untag removes; typos fail loudly") {
     root
     spark.sql("CREATE TABLE gproc.db.tt (id BIGINT)")
