@@ -79,6 +79,10 @@ object ScaleBench {
       if (ts.contains(-1.0)) -1.0 else ts.min
     }
 
+    // No silent caps: a typo'd name must not quietly shrink the suite
+    // and shift the median (the repo's log-what-was-dropped discipline).
+    queries.filterNot(SparkEntry.queries.contains).foreach(q =>
+      println(s"""{"warn":"unknown query dropped","q":"$q"}"""))
     val rows = queries.flatMap { q =>
       if (!SparkEntry.queries.contains(q)) None
       else {
@@ -103,7 +107,11 @@ object ScaleBench {
       factor: Int): Unit = {
     val marker = Paths.get(s"$big/_replica_marker")
     def fingerprint: String = {
-      val srcs = Seq("orders", "lineitem", "events", "documents", "embeddings")
+      // EVERY source table the replica derives from (review-r14: a
+      // 5-table fingerprint silently reused stale part/customer/supplier
+      // replicas after a corpus refresh of only those tables).
+      val srcs = Seq("nation", "region", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
         .map { t =>
           val p = Paths.get(s"$sfDir/$t.parquet")
           val (sz, mt) =

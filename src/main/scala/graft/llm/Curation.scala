@@ -58,8 +58,13 @@ object Curation {
 
   private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  // eager = false (review-r14): the lazy variant cuts lineage
+  // identically (the stage boundary becomes a LogicalRDD at build) but
+  // defers EXECUTION to the first real action — plan-only consumers
+  // (the suite-wide CI plan audits instantiate every registry entry)
+  // no longer pay four full pipeline materializations per inspection.
   def curationPipeline: Q = (s, dir) =>
-    curationPlan(s, dir, _.localCheckpoint())
+    curationPlan(s, dir, _.localCheckpoint(eager = false))
 
   /** The pipeline dataflow with the stage-boundary cut INJECTED:
     * production passes `localCheckpoint` (see the stage-1 comment);
@@ -159,20 +164,8 @@ object Curation {
     // a doc is dropped iff ANY smaller-id quality survivor sits at
     // J ≥ 0.8 (the suite's deterministic keep-first rule — semDedup's).
     val shS1 = sh.join(s1, "doc_id").persist(lvl)
-    val shh = shS1.withColumn("shh", pmod(xxhash64(col("sh")), lit(M)))
-    val sig = shh.groupBy(col("doc_id"))
-      .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
-        (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
-    val bandArr = array((0 until NumBands).map(k =>
-      bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
-      .persist(lvl)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    val dup = Dedup.jaccardPairsFromShingles(shS1, 0.8, Some(cand))
+    val dup = Dedup.jaccardPairsFromShingles(shS1, 0.8,
+        Some(Dedup.lshCandidates(shS1)))
       .select(col("d2").as("doc_id")).distinct()
     val s2 = cut(s1.join(dup, Seq("doc_id"), "left_anti"))
 

@@ -321,40 +321,48 @@ object Dedup {
 
   // --------------------------------------------------------- minhash lsh
 
+  /** Minhash-LSH candidate pairs over a prebuilt (doc_id, sh) shingle
+    * relation — the banding half of the near-dup kernel, shared by the
+    * standalone entry and the curation pipeline (review-r14: the block
+    * was duplicated; a band/hash change must hit every consumer).
+    *
+    * Signature hashing uses native xxhash64 (single codegen'd call, no
+    * string re-parsing): the hash family only determines candidate
+    * RECALL — every candidate is exactly verified downstream, and the
+    * oracle checks the verified output — so the internal hash is free
+    * to be the fast one. (SimHash/fingerprint keep the portable
+    * polynomial hash because their oracles recompute signatures.) pmod
+    * keeps the affine minhash arithmetic in [0, M). The band relation
+    * is persisted: a self-join's two sides are separate subtrees to
+    * Spark, so without it the signature aggregation (the expensive hash
+    * pass over every shingle) runs TWICE — once per side; 8 longs per
+    * doc is the textbook cache point. */
+  private[llm] def lshCandidates(sh: DataFrame): DataFrame = {
+    val shh = sh.withColumn("shh", pmod(xxhash64(col("sh")), lit(M)))
+    // 16 min-aggregates: one map-side-combinable pass.
+    val sig = shh.groupBy(col("doc_id"))
+      .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
+        (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
+    // Banding: array of 8 band keys, posexplode, equi-join on (band, key).
+    val bandArr = array((0 until NumBands).map(k =>
+      bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     // One persisted shingle pass feeds signature generation AND exact
     // verification — the explode+distinct is the expensive part.
     val shAll = shingleRows(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Signature hashing uses native xxhash64 (single codegen'd call, no
-    // string re-parsing): the hash family only determines candidate
-    // RECALL — every candidate is exactly verified below, and the oracle
-    // checks the verified output — so the internal hash is free to be the
-    // fast one. (SimHash/fingerprint keep the portable polynomial hash
-    // because their oracles recompute signatures.) pmod keeps the affine
-    // minhash arithmetic in [0, M) exactly as before.
-    val sh = shAll.withColumn("shh", pmod(xxhash64(col("sh")), lit(M)))
-    // 16 min-aggregates: one map-side-combinable pass.
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
-        (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
-    // Banding: array of 8 band keys, posexplode, equi-join on (band, key).
-    // Persisted: a self-join's two sides are separate subtrees to Spark, so
-    // without it the signature aggregation (the expensive hash pass over
-    // every shingle) runs TWICE — once per side. The band relation is tiny
-    // (8 longs per doc), so this is the textbook cache point.
-    val bandArr = array((0 until NumBands).map(k =>
-      bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
     // Exact verification of LSH candidates — output is exact-Jaccard pairs.
-    jaccardPairsFromShingles(shAll, 0.8, Some(cand))
+    jaccardPairsFromShingles(shAll, 0.8, Some(lshCandidates(shAll)))
   }
 
   def dedupMinhashLsh: Q = (s, dir) =>

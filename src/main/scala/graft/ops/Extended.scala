@@ -765,10 +765,15 @@ object Extended {
     val wPrev = Window.partitionBy(col("__g")).orderBy(col("p_retailprice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = priceMax.withColumn("__amax", max(col("__mx")).over(wPrev))
+    // Persisted (review-r14): the survivor union feeds FOUR subtrees —
+    // the cap count, both dominance-join sides, each times the count
+    // branch riding along — and without the cache every one re-runs
+    // phase 1 (scan + fold + window) from the source.
     val u0 = g.join(cum, Seq("__g", "p_retailprice"))
       .filter((col("__amax").isNull || col("__amax") < col("p_size")) &&
         col("__mx") === col("p_size"))
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Runtime survivor cap ahead of the broadcast: one survivor-grain
     // count rides a broadcast row; past the cap the plan throws with
     // the remediation named, instead of degrading into an unbounded

@@ -167,13 +167,17 @@ object ManifestFileSink {
     * name never contributes entries again, whether or not its file still
     * exists. */
   private[sources] def orderedManifests(path: String): Seq[File] = {
-    val ms = manifests(path)
-    val folded = ms.flatMap(readMeta(_).folded).toSet
+    // One header read per manifest (review-r14: the folded-set pass, the
+    // staged filter, and the sort each re-opened every file — 3× IO on
+    // the hottest metadata path).
+    val metas = manifests(path).map(f => (f, readMeta(f)))
+    val folded = metas.flatMap(_._2.folded).toSet
     // STAGED manifests (write-audit-publish, `staged=<id>` header) are
     // invisible to the main line — and to every maintenance pass built
     // on this listing — until wapPublish cherry-picks them in.
-    ms.filterNot(f => folded.contains(f.getName) || readMeta(f).staged.isDefined)
-      .sortBy(f => (readMeta(f).seq, f.getName))
+    metas.filterNot { case (f, m) =>
+      folded.contains(f.getName) || m.staged.isDefined
+    }.sortBy { case (f, m) => (m.seq, f.getName) }.map(_._1)
   }
 
   /** Staged (unpublished) manifests of one WAP id, in commit order. */
@@ -2307,11 +2311,17 @@ object ManifestFileSink {
     * (seq = the max folded seq, NOT nextSeq — the kept snapshots'
     * prefixes must still resolve to exactly the file sets they sealed),
     * so the current state and every kept snapshot are byte-identical
-    * before and after, while travel to an expired snapshot fails with
-    * the explicit retired error. Only the FOLDED manifests' schemas
-    * must agree (kept ones may have evolved); deletion-vector lines
-    * carry through the fold verbatim, exactly as [[compact]]'s do.
-    * Returns the number of manifests folded (0 = nothing to expire). */
+    * before and after. Travel granularity after expiry (review-r14
+    * precision): the FOLD-BOUNDARY snapshot remains travelable by its
+    * seq — the combined manifest IS that snapshot's exact state (union
+    * of the folded commits), so `VERSION AS OF <boundary seq>` keeps
+    * answering with the correct historical content; every seq strictly
+    * inside the expired range fails with the explicit retired error.
+    * Net: keepLast kept snapshots + the boundary state stay travelable.
+    * Only the FOLDED manifests' schemas must agree (kept ones may have
+    * evolved); deletion-vector lines carry through the fold verbatim,
+    * exactly as [[compact]]'s do. Returns the number of manifests
+    * folded (0 = nothing to expire). */
   def expireSnapshots(path: String, keepLast: Int): Int =
     commitLock(path).synchronized {
       require(keepLast >= 1, s"keep_last must be >= 1 (got $keepLast)")

@@ -122,13 +122,20 @@ class ProcedureSpec extends SparkTestBase {
     assert(folded === 4, "create + first 3 inserts fold; the newest 2 are kept")
 
     // Current state byte-identical; kept snapshot still resolves to the
-    // exact file set it sealed; expired seq fails loudly.
+    // exact file set it sealed; a seq strictly inside the expired range
+    // fails loudly; the FOLD-BOUNDARY seq keeps answering with the
+    // correct historical content (the combined manifest IS that
+    // snapshot's state — review-r14 pinned this boundary explicitly).
     assert(spark.table("gproc.db.ex").orderBy("id").collect().toSeq === before)
     assert(spark.sql(s"SELECT count(*) FROM gproc.db.ex VERSION AS OF $keptSeq")
       .head().getLong(0) === 4)
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM gproc.db.ex VERSION AS OF $oldSeq").collect())
     assert(e.getMessage.contains("retired") || e.getMessage.contains("no commit"))
+    val boundarySeq = h(3).getLong(0) // newest EXPIRED seq = the fold position
+    assert(spark.sql(s"SELECT count(*) FROM gproc.db.ex VERSION AS OF $boundarySeq")
+      .head().getLong(0) === 3,
+      "the fold-boundary snapshot must stay travelable with its exact state")
     // Idempotent: nothing left to expire at the same retention.
     assert(spark.sql(
       "CALL gproc.system.expire_snapshots(table => 'db.ex', keep_last => 2)")
