@@ -1446,6 +1446,74 @@ object TextAnalysis {
       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total
       |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Per-source CORPUS REPORT — the dataset-datasheet aggregation every
+    * curation run publishes next to its output (Datasheets for Datasets,
+    * Gebru et al.): doc/token volumes, exact-duplicate counts, language
+    * spread, mean integer quality density, and the median document
+    * length per source, in ONE entry.
+    *
+    * Scale shape: one corpus scan feeds a source-grain aggregate
+    * (map-side combinable except the two DISTINCTs, which shuffle at
+    * most one row per distinct (source, text)/(source, lang) — at
+    * 100 TB swap the text for xxhash64(text) to keep the exchange
+    * narrow; the oracle gate keeps the exact form) plus the grouped
+    * cutpoint kernel for the per-source median length — group-local
+    * buckets, no per-source sort buffer. */
+  def corpusReport: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val d = Tables(s, dir).documents
+      .select(col("source"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        split(col("text"), " ").as("wl"))
+      .select(col("source"), col("text"), col("lang"), col("n_chars"),
+        (size(col("wl")) - cnt(col("wl"), "the") - cnt(col("wl"), "a"))
+          .cast("long").as("cw"))
+      .select(col("source"), col("text"), col("lang"), col("n_chars"),
+        expr("(n_chars + 3) div 4").as("est_tokens"),
+        expr("(1000000L * cw) div n_chars").as("density"),
+        substring(col("source"), 4, 10).cast("int").as("__g"))
+    val base = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("est_tokens")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(col("density")).cast("double") / count(lit(1)), 6)
+          .as("avg_density"))
+    val med = graft.ops.DistributedCumulate.exactDiscCutsGrouped(
+        d, "__g", "n_chars", Seq(0.5 -> "med_chars"), B, gMax = 64)
+      .join(d.select(col("__g"), col("source")).distinct(), "__g")
+      .select(col("source"), col("med_chars"))
+    base.join(med, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"), col("n_langs"), col("avg_density"),
+        col("med_chars"))
+      .orderBy(col("source"))
+  }
+
+  val corpusReportSql: String = {
+    val stops = s"(${cntSql("the")} + ${cntSql("a")})"
+    s"""WITH d AS (
+       |  SELECT source, text, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |    (n_chars + 3) // 4 AS est_tokens,
+       |    (1000000 * (len(wl) - $stops)) // n_chars AS density
+       |  FROM (SELECT source, text, lang, n_chars,
+       |          string_split(text, ' ') AS wl FROM documents)),
+       |base AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(est_tokens) AS BIGINT) AS n_tokens,
+       |    COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs,
+       |    COUNT(DISTINCT lang) AS n_langs,
+       |    ROUND(CAST(SUM(density) AS DOUBLE) / COUNT(*), 6) AS avg_density
+       |  FROM d GROUP BY source),
+       |med AS (SELECT source,
+       |    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars
+       |  FROM d GROUP BY source)
+       |SELECT b.source, b.n_docs, b.n_tokens, b.n_dup_docs, b.n_langs,
+       |  b.avg_density, m.med_chars
+       |FROM base b JOIN med m ON b.source = m.source
+       |ORDER BY b.source""".stripMargin
+  }
+
   /** Deterministic GLOBAL corpus shuffle — every epoch-0 training run
     * starts with one: a reproducible pseudorandom permutation of the
     * corpus (position i = training step order). The naive plan is THE
@@ -1699,6 +1767,7 @@ object TextAnalysis {
     "text_pmi_bigrams"       -> pmiBigrams,
     "text_shard_stripe"      -> shardStripe,
     "text_global_shuffle"    -> globalShuffle,
+    "text_corpus_report"     -> corpusReport,
     "text_lm_score"          -> lmScore,
     "text_lm_score_capped"   -> lmScoreCapped,
     "text_pii_scrub"         -> piiScrub,
@@ -1731,6 +1800,7 @@ object TextAnalysis {
     "text_pmi_bigrams"      -> pmiBigramsSql,
     "text_shard_stripe"     -> shardStripeSql,
     "text_global_shuffle"   -> globalShuffleSql,
+    "text_corpus_report"    -> corpusReportSql,
     "text_lm_score"         -> lmScoreSql,
     "text_lm_score_capped"  -> lmScoreCappedSql,
     "text_pii_scrub"        -> piiScrubSql,

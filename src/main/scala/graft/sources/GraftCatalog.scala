@@ -598,6 +598,7 @@ private[sources] class GraftProcedure(op: String, root: String)
     if (ManifestFileSink.manifests(path).isEmpty)
       throw new IllegalArgumentException(s"no graft table at $table (resolved: $path)")
     if (op == "snapshots") return snapshotsScan(path)
+    if (op == "wap_stages") return wapStagesScan(path)
     if (op == "files") return filesScan(path)
     if (op == "constraints") return constraintsScan(path)
     if (op == "tag") return tagScan(path, input)
@@ -703,6 +704,34 @@ private[sources] class GraftProcedure(op: String, root: String)
     * — pin the current (or a specific-seq) snapshot under a name;
     * `VERSION AS OF '<name>'` then reads it forever. Returns the pinned
     * manifest. Metadata-only: one control-file line, no data touched. */
+  /** `CALL graft.system.wap_stages(table => ...)` — the staged (not yet
+    * published) WAP commits: one row per stage id with its commit and
+    * row counts. The operability view that makes a forgotten stage
+    * visible instead of silently holding disk. */
+  private def wapStagesScan(path: String)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val stageRows = ManifestFileSink.stagedIds(path).map { id =>
+      val ms = ManifestFileSink.stagedManifests(path, id)
+      val rows = ms.flatMap(ManifestFileSink.entriesOf).map(_._2).sum
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(id), ms.size.toLong, rows)
+    }.toArray
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_commits",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = stageRows
+        override def readSchema(): StructType = outSchema
+        override def description(): String = "graft.wap_stages result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
   private def tagScan(path: String, input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     import org.apache.spark.unsafe.types.UTF8String
@@ -833,5 +862,5 @@ private[sources] object GraftProcedure {
     Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
       "apply_deletes", "migrate_schema", "snapshots", "files",
       "constraints", "tag", "untag", "set_partition_spec",
-      "wap_publish", "wap_discard", "expire_snapshots")
+      "wap_publish", "wap_discard", "wap_stages", "expire_snapshots")
 }

@@ -37,6 +37,10 @@ class WapSpec extends SparkTestBase {
       "staged commits leaked into the main line")
     val path = s"$root/db/t"
     assert(ManifestFileSink.stagedIds(path) == Seq("batch7"))
+    // The operability listing sees the stage: 2 commits, 3 rows.
+    val stages = spark.sql("CALL gwap.system.wap_stages(table => 'db.t')").collect()
+    assert(stages.length == 1 && stages.head.getString(0) == "batch7" &&
+      stages.head.getLong(1) == 2 && stages.head.getLong(2) == 3)
 
     // Audit view: main + stage, read-only.
     val audit = spark.read.option("versionAsOf", "wap:batch7").table("gwap.db.t")
