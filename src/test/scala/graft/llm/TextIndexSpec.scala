@@ -1,0 +1,86 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.ManifestFileSink
+import org.apache.spark.sql.functions._
+
+/** The persisted-postings contract: build once into the term-bucketed
+  * layout, serve by opening ONLY the probed buckets' files, return
+  * exactly the in-query BM25 entry's answers, refuse staleness. */
+class TextIndexSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val path: String = {
+    val p = Files.createTempDirectory("graft-textindex").toString
+    TextIndex.build(spark, sf, p)
+    p
+  }
+
+  test("build demuxes one single-bucket data file per term bucket") {
+    val files = spark.read.format(classOf[ManifestFileSink].getName)
+      .option("path", s"$path/postings").load()
+      .groupBy(col("_file"))
+      .agg(countDistinct(col("tb")).as("nb"), first(col("tb")).as("tb"))
+      .collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_.getLong(1) === 1L), "a bucket file must hold one bucket")
+    assert(files.map(_.getLong(2)).distinct.length === files.length,
+      "one file per bucket (the clustered demux)")
+  }
+
+  test("serve opens ONLY the probed buckets' files (partition-pruned postings scan)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = TextIndex.serve(spark, path, Seq("dup", "spark", "window"))
+      assert(served.collect().nonEmpty)
+      val scans = served.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }
+        .filter(_.scan.description.contains("In(tb"))
+      assert(scans.nonEmpty, "expected the probed-bucket IN filter pushed to the postings scan")
+      val nBuckets = spark.read.format(classOf[ManifestFileSink].getName)
+        .option("path", s"$path/postings").load()
+        .select(col("tb")).distinct().count()
+      val fetch = scans.head
+      val read = fetch.metrics("filesRead").value
+      val pruned = fetch.metrics("filesPruned").value
+      assert(read + pruned === nBuckets,
+        s"read($read) + pruned($pruned) must cover all $nBuckets bucket files")
+      assert(read <= 3, s"three terms probe at most three buckets (read=$read)")
+      assert(read < nBuckets, s"the fetch must not open every bucket")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("served ranking is bit-identical to the in-query BM25 entry") {
+    val got = TextIndex.serve(spark, path, Seq("dup", "spark", "window"))
+      .collect().toSeq
+    val want = TextAnalysis.bm25(spark, sf).collect().toSeq
+    assert(got === want)
+  }
+
+  test("staleness fence: drifted corpus → serve refuses, build rebuilds") {
+    val dir = Files.createTempDirectory("graft-textindex-corpus").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = Files.createTempDirectory("graft-textindex-fence").toString
+    TextIndex.build(spark, dir, p)
+    assert(TextIndex.staleness(p).contains(false))
+    // Drift the corpus (append one doc) — serve must refuse.
+    import spark.implicits._
+    Seq((999999L, "drift doc text here", "en", "src0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(TextIndex.staleness(p).contains(true))
+    val e = intercept[IllegalStateException](
+      TextIndex.serve(spark, p, Seq("dup")))
+    assert(e.getMessage.contains("STALE"))
+    // build() detects the drift and reconstructs in place; serve works.
+    TextIndex.build(spark, dir, p)
+    assert(TextIndex.staleness(p).contains(false))
+    assert(TextIndex.serve(spark, p, Seq("drift")).collect().nonEmpty)
+  }
+}
