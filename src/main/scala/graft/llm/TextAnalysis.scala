@@ -1759,6 +1759,68 @@ object TextAnalysis {
       |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY doc_id""".stripMargin
 
+  /** CROSS-document duplicated n-gram coverage — the corpus-level
+    * companion of [[repetitionFilter]]'s intra-document signals (the
+    * Gopher/MassiveText "fraction of n-grams duplicated across
+    * documents" quality filter; Rae et al. 2021 §A1.2): per document,
+    * how many of its DISTINCT 5-grams also appear in at least one
+    * OTHER document. High coverage marks boilerplate/template docs
+    * that exact- and near-dup passes miss because no single pair
+    * clears a Jaccard threshold.
+    *
+    * Shape: one corpus scan builds each doc's distinct-gram ARRAY as
+    * per-row codegen (transform over a sequence + array_distinct — the
+    * corpus is never exploded token-by-token); the explode lands at the
+    * (doc, distinct-gram) grain, a single grouped count over the gram
+    * key marks grams with df ≥ 2, and ONE per-doc aggregation folds
+    * both counters after the gram-keyed join. Zero-gram docs (< 5
+    * words) re-enter via a left join from the doc spine. At 100 TB the
+    * gram strings would fold to 64-bit hashes BEFORE the df shuffle
+    * (the [[Dedup.dedupSubstringSpansHashed]] discipline — ~6× less
+    * exchange volume); kept as strings here for bit-exact oracle parity
+    * at test scale. Counts are exact integers — no FP in the compare. */
+  def dupGramCoverage: Q = (s, dir) => {
+    val N = 5
+    val d = Tables(s, dir).documents
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("g", array_distinct(
+        when(size(col("w")) >= N,
+          transform(sequence(lit(0), size(col("w")) - N),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(N)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("g"))
+    val e = d.select(col("doc_id"), explode(col("g")).as("gram"))
+    // df ≥ 2 flag per gram; e is distinct per (doc, gram) by
+    // construction so count(*) counts DOCUMENTS.
+    val shared = e.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .select(col("gram"), (col("df") >= 2).as("dup"))
+    val perDoc = e.join(shared, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_grams"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupGramCoverageSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 4),
+      |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS g
+      |      FROM d),
+      |e AS (SELECT doc_id, unnest(g) AS gram FROM s),
+      |df AS (SELECT gram, COUNT(*) >= 2 AS dup FROM e GROUP BY gram),
+      |pd AS (SELECT e.doc_id, COUNT(*) AS n_grams,
+      |         SUM(CASE WHEN df.dup THEN 1 ELSE 0 END) AS dup_grams
+      |       FROM e JOIN df USING (gram) GROUP BY e.doc_id)
+      |SELECT s.doc_id,
+      |  CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(pd.dup_grams, 0) AS BIGINT) AS dup_grams
+      |FROM s LEFT JOIN pd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_ccnet_buckets"     -> ccnetBuckets,
@@ -1788,6 +1850,7 @@ object TextAnalysis {
     "text_quality"     -> qualityScore,
     "text_token_count" -> tokenCount,
     "text_repetition_filter" -> repetitionFilter,
+    "text_dup_gram_coverage" -> dupGramCoverage,
     "text_chunk_pack"  -> chunkPack,
     "text_seq_pack"    -> seqPack,
   )
@@ -1821,6 +1884,7 @@ object TextAnalysis {
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
     "text_repetition_filter" -> repetitionFilterSql,
+    "text_dup_gram_coverage" -> dupGramCoverageSql,
     "text_chunk_pack"  -> chunkPackSql,
     "text_seq_pack"    -> seqPackSql,
   )

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -491,7 +492,66 @@ object Profile {
       |  MAX(tot) AS total_qty
       |FROM c GROUP BY returnflag ORDER BY returnflag""".stripMargin
 
+  /** Inter-arrival median per market segment — the order-cadence
+    * profile (median days between a customer's CONSECUTIVE orders,
+    * grouped by segment): purchase-frequency distributions are the
+    * canonical churn/engagement profiling statistic, and "median of
+    * per-entity sequence gaps" is a shape none of the other profiling
+    * entries exercise. Two kernels compose: consecutive gaps come from
+    * a lag window partitioned by o_custkey — HIGH-cardinality, so each
+    * task sorts only one customer's handful of orders (the
+    * dimension-bounded-window audit's allowed class) — and the
+    * per-segment median comes from
+    * [[DistributedCumulate.exactDiscCutsGrouped]] (group-local buckets,
+    * no 5-way sort serialization). The gap multiset is tie-order
+    * invariant: equal dates yield 0-day gaps under ANY tiebreak, so the
+    * o_orderkey tiebreak only pins engine-side determinism, not the
+    * answer. Integer day counts end to end. */
+  def qInterarrivalMedian: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = t.orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev")).cast("long").as("gap"))
+    val seg = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val g = gaps.join(seg, gaps("o_custkey") === seg("c_custkey"))
+      .select(
+        when(col("c_mktsegment") === "AUTOMOBILE", 0)
+          .when(col("c_mktsegment") === "BUILDING", 1)
+          .when(col("c_mktsegment") === "FURNITURE", 2)
+          .when(col("c_mktsegment") === "HOUSEHOLD", 3)
+          .otherwise(4).as("g"),
+        col("c_mktsegment").as("segment"), col("gap"))
+    val med = DistributedCumulate.exactDiscCutsGrouped(
+      g, "g", "gap", Seq(0.5 -> "med_gap_days"), B, gMax = 5)
+    g.groupBy(col("g"), col("segment")).agg(count(lit(1)).as("n_gaps"))
+      .join(broadcast(med), "g")
+      .select(col("segment"), col("n_gaps"), col("med_gap_days"))
+      .orderBy(col("segment"))
+  }
+
+  val qInterarrivalMedianSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |g AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap
+      |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE prev IS NOT NULL)
+      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS med_gap_days
+      |FROM g GROUP BY segment ORDER BY segment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_interarrival_median" -> qInterarrivalMedian,
     "q_group_quantiles" -> qGroupQuantiles,
     "q_mad_group"      -> qMadGroup,
     "q_weighted_median_group" -> qWeightedMedianGroup,
@@ -503,6 +563,7 @@ object Profile {
     "q_dq_checks"      -> qDqChecks,
     "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
+    "q_interarrival_median" -> qInterarrivalMedianSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
     "q_mad_group"      -> qMadGroupSql,
     "q_weighted_median_group" -> qWeightedMedianGroupSql,
