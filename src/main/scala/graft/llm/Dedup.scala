@@ -338,21 +338,30 @@ object Dedup {
     * pass over every shingle) runs TWICE — once per side; 8 longs per
     * doc is the textbook cache point. */
   private[llm] def lshCandidates(sh: DataFrame): DataFrame = {
-    val shh = sh.withColumn("shh", pmod(xxhash64(col("sh")), lit(M)))
-    // 16 min-aggregates: one map-side-combinable pass.
-    val sig = shh.groupBy(col("doc_id"))
-      .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
-        (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
-    // Banding: array of 8 band keys, posexplode, equi-join on (band, key).
-    val bandArr = array((0 until NumBands).map(k =>
-      bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+    val bands = bandRows(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** The banding half of [[lshCandidates]] as a relation: `(doc_id,
+    * band, bh)` — 16 min-aggregates in one map-side-combinable pass,
+    * then the 8 band keys posexplode. Extracted so the PERSISTED dedup
+    * index ([[DedupIndex]]) builds and probes with the exact same hash
+    * family as the in-query entries — a band/hash change must hit every
+    * consumer (the same single-definition rule that extracted
+    * [[lshCandidates]] itself). */
+  private[llm] def bandRows(sh: DataFrame): DataFrame = {
+    val shh = sh.withColumn("shh", pmod(xxhash64(col("sh")), lit(M)))
+    val sig = shh.groupBy(col("doc_id"))
+      .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
+        (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
+    val bandArr = array((0 until NumBands).map(k =>
+      bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
+    sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
   }
 
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {

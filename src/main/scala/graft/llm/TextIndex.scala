@@ -60,23 +60,8 @@ object TextIndex {
 
   private def corpusPath(dir: String): String = s"$dir/documents.parquet"
 
-  private def fenceFile(path: String) = Paths.get(path, "corpus.fp")
-
-  private def readFence(path: String): Option[(String, Long)] = {
-    val f = fenceFile(path)
-    if (!Files.isRegularFile(f)) None
-    else {
-      val line = new String(Files.readAllBytes(f), "UTF-8").trim
-      val cut = line.lastIndexOf('|')
-      if (cut < 0) None else Some((line.substring(0, cut), line.substring(cut + 1).toLong))
-    }
-  }
-
   /** None = no/pre-fence index; Some(true) = corpus drifted since build. */
-  def staleness(path: String): Option[Boolean] = readFence(path).map {
-    case (corpus, fp) =>
-      fp != 0L && graft.plans.MaterializedRollupRewrite.fenceFingerprint(corpus) != fp
-  }
+  def staleness(path: String): Option[Boolean] = IndexFence.staleness(path)
 
   private def tb(tok: org.apache.spark.sql.Column) =
     pmod(xxhash64(tok), lit(Buckets.toLong))
@@ -93,17 +78,11 @@ object TextIndex {
     if (built && staleness(path).contains(false)) return
     if (built) {
       s.catalog.refreshByPath(corpusPath(dir))
-      def rm(p: java.nio.file.Path): Unit =
-        if (Files.exists(p)) {
-          val st = Files.walk(p)
-          try st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => Files.delete(q))
-          finally st.close()
-        }
-      rm(Paths.get(postingsPath)); rm(Paths.get(statsPath))
-      Files.deleteIfExists(fenceFile(path))
+      IndexFence.rmTree(Paths.get(postingsPath))
+      IndexFence.rmTree(Paths.get(statsPath))
+      IndexFence.clear(path)
     }
-    val fp = graft.plans.MaterializedRollupRewrite.fenceFingerprint(corpusPath(dir))
+    val fp = IndexFence.fingerprint(corpusPath(dir))
     val d = Tables(s, dir).documents
     val tf = d
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
@@ -127,7 +106,7 @@ object TextIndex {
       .write.format(fmt).option("path", statsPath).mode("append").save()
     tf.unpersist(blocking = true)
     // Fence LAST: a crash mid-build reads as pre-fence and rebuilds.
-    Files.write(fenceFile(path), s"${corpusPath(dir)}|$fp".getBytes("UTF-8"))
+    IndexFence.write(path, corpusPath(dir), fp)
   }
 
   /** BM25 top-20 for `terms` from the persisted index. REFUSES a stale
@@ -135,7 +114,7 @@ object TextIndex {
   def serve(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
     staleness(path) match {
       case Some(true) =>
-        val corpus = readFence(path).map(_._1).getOrElse("<unknown>")
+        val corpus = IndexFence.read(path).map(_._1).getOrElse("<unknown>")
         throw new IllegalStateException(
           s"text index at $path is STALE: corpus $corpus changed since " +
             "build. Rebuild via TextIndex.build(spark, dir, path).")
