@@ -570,6 +570,10 @@ private[sources] class GraftProcedure(op: String, root: String)
     case "wap_publish" | "wap_discard" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("id", StringType).build())
+    case "rollback" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      // a commit seq, a tag name, or a manifest name
+      ProcedureParameter.in("ref", StringType).build())
     case "expire_snapshots" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).defaultValue("2").build())
@@ -641,6 +645,8 @@ private[sources] class GraftProcedure(op: String, root: String)
       case "expire_snapshots" =>
         ManifestFileSink.expireSnapshots(path,
           if (input.isNullAt(1)) 2 else input.getInt(1))
+      case "rollback" =>
+        ManifestFileSink.rollbackTo(path, input.getUTF8String(1).toString)
     }
     val outSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("affected_files", IntegerType, nullable = false)))
@@ -862,5 +868,6 @@ private[sources] object GraftProcedure {
     Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
       "apply_deletes", "migrate_schema", "snapshots", "files",
       "constraints", "tag", "untag", "set_partition_spec",
-      "wap_publish", "wap_discard", "wap_stages", "expire_snapshots")
+      "wap_publish", "wap_discard", "wap_stages", "expire_snapshots",
+      "rollback")
 }

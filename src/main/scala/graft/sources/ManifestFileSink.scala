@@ -2352,6 +2352,82 @@ object ManifestFileSink {
       ms.size
     }
 
+  /** ROLLBACK the table to an earlier snapshot (the Iceberg
+    * `rollback_to_snapshot` contract): the current state becomes exactly
+    * the state `ref` sealed — later appends, deletes, overwrites AND
+    * schema evolution are all retracted in ONE commit. `ref` is a commit
+    * seq, a tag name, or a manifest name.
+    *
+    * Mechanism: publish one new manifest with NO entries whose `folded`
+    * header names every later main-line manifest (transitively). The
+    * fold ledger already means "superseded" to every reader and to
+    * maintenance GC, so the hidden commits vanish from the listing
+    * atomically, the rollback itself is a normal commit (the table's seq
+    * keeps rising — a rollback is not a secret), and `storedSchema`
+    * resolves to the target's DDL again because the rollback manifest
+    * carries it. The rolled-back snapshots are RETIRED immediately
+    * (time travel to them raises the explicit expire-snapshots error —
+    * unlike Iceberg, which keeps them until expiry; retirement here is
+    * what makes the fold ledger reusable without a second ref concept),
+    * and their data files become orphans for [[vacuum]].
+    *
+    * Refusals: an unknown ref raises; a ref retired by maintenance
+    * raises; a later maintenance fold that ABSORBED commits at or before
+    * the target raises (part of the target state lives only inside that
+    * fold — hiding it would corrupt, and its inputs are already
+    * deleted). WAP stages are untouched: staging is off the main line,
+    * and a stage published after a rollback lands on the rolled-back
+    * state with fresh seqs. Streaming consumers whose resume offset is
+    * inside the rolled-back range must reset — the rollback manifest's
+    * fseq/lseq range makes the straddle detectable, the same rule as
+    * [[compact]]'s fold window. Returns the number of commits rolled
+    * back (0 = ref is already the current state). */
+  def rollbackTo(path: String, ref: String): Int = commitLock(path).synchronized {
+    val ordered = orderedManifests(path)
+    val manifest: String =
+      if (ref.forall(_.isDigit) && ref.nonEmpty)
+        ordered.find(m => readMeta(m).seq == ref.toLong).map(_.getName)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no commit with seq $ref in $path (retired by maintenance, " +
+              "or never published)"))
+      else tags(path).toMap.getOrElse(ref, {
+        if (ordered.exists(_.getName == ref)) ref
+        else if (foldedNames(path).contains(ref))
+          throw new IllegalArgumentException(
+            s"snapshot $ref was retired by compaction (expire-snapshots): " +
+              "it cannot be rolled back to")
+        else throw new IllegalArgumentException(
+          s"'$ref' is neither a seq, a tag, nor a manifest of $path; " +
+            s"tags: ${tags(path).map(_._1).mkString(", ")}")
+      })
+    val i = ordered.indexWhere(_.getName == manifest)
+    if (i < 0) throw new IllegalArgumentException(
+      s"snapshot $manifest is not on the main line of $path")
+    val target = ordered(i)
+    val after = ordered.drop(i + 1)
+    if (after.isEmpty) return 0
+    val targetSeq = readMeta(target).seq
+    val metas = after.map(readMeta)
+    metas.zip(after).foreach { case (m, f) =>
+      require(m.foldedMinSeq.forall(_ > targetSeq),
+        s"cannot roll back to $manifest: ${f.getName} folded commits at or " +
+          "before the target (compact/expire ran since), so the target " +
+          "state is no longer separable from later history")
+    }
+    val folded = (after.map(_.getName) ++ metas.flatMap(_.folded)).distinct
+    val fseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMinSeq)).min
+    val lseq = (metas.map(_.seq) ++ metas.flatMap(_.foldedMaxSeq)).max
+    val meta = ManifestMeta(nextSeq(path), folded,
+      foldedMinSeq = Some(fseq), foldedMaxSeq = Some(lseq))
+    val name = s"manifest-${java.util.UUID.randomUUID().toString}"
+    val tmp = Paths.get(path, s".$name.tmp")
+    Files.write(tmp, Seq(renderHeader(meta), schemaLine(target)).asJava,
+      StandardCharsets.UTF_8, StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, Paths.get(path, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    after.size
+  }
+
   private[sources] def render(row: InternalRow, schema: StructType): String =
     schema.fields.indices.map { i =>
       if (row.isNullAt(i)) "\\N"

@@ -237,4 +237,48 @@ class ProcedureSpec extends SparkTestBase {
     assert(cs.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("nonneg", "v >= 0")))
   }
+
+  test("rollback: state returns to the target; later history retires; writes continue") {
+    root
+    spark.sql("CREATE TABLE gproc.db.rb (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gproc.db.rb VALUES (1, 1.5)")
+    spark.sql("INSERT INTO gproc.db.rb VALUES (2, 2.5)")
+    spark.sql("CALL gproc.system.tag(table => 'db.rb', name => 'good')")
+    val goodState = spark.table("gproc.db.rb").orderBy("id").collect().toSeq
+    // Later history to retract: an append, a row-level delete.
+    spark.sql("INSERT INTO gproc.db.rb VALUES (3, 3.5)")
+    spark.sql("DELETE FROM gproc.db.rb WHERE id = 1")
+    val retiredSeq = spark.sql("CALL gproc.system.snapshots(table => 'db.rb')")
+      .agg(max(col("seq"))).head().getLong(0)
+    assert(spark.table("gproc.db.rb").orderBy("id").collect().toSeq !== goodState)
+
+    val n = spark.sql("CALL gproc.system.rollback(table => 'db.rb', ref => 'good')")
+      .head().getInt(0)
+    assert(n === 2, "an append and a delete were rolled back")
+    assert(spark.table("gproc.db.rb").orderBy("id").collect().toSeq === goodState,
+      "current state must equal the tagged snapshot exactly")
+
+    // The rolled-back snapshots are retired: explicit error, never empty.
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM gproc.db.rb VERSION AS OF $retiredSeq").collect())
+    assert(e.getMessage.contains("retired") || e.getMessage.contains("never published"),
+      s"unexpected: ${e.getMessage}")
+    // The target itself stays travelable through its tag.
+    assert(spark.sql("SELECT * FROM gproc.db.rb VERSION AS OF 'good'")
+      .orderBy("id").collect().toSeq === goodState)
+
+    // The table keeps working: fresh commits land on the rolled-back state.
+    spark.sql("INSERT INTO gproc.db.rb VALUES (4, 4.5)")
+    assert(spark.table("gproc.db.rb").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    // Rolling back to the current state is a no-op …
+    spark.sql("CALL gproc.system.tag(table => 'db.rb', name => 'now')")
+    assert(spark.sql("CALL gproc.system.rollback(table => 'db.rb', ref => 'now')")
+      .head().getInt(0) === 0)
+    // … and a bogus ref fails loudly.
+    val bad = intercept[Exception](
+      spark.sql("CALL gproc.system.rollback(table => 'db.rb', ref => 'nope')")
+        .collect())
+    assert(bad.getMessage.contains("neither a seq, a tag, nor a manifest"))
+  }
 }
