@@ -82,7 +82,20 @@ object Dedup {
     * LSH pointless (it would redo the exact all-pairs work). */
   private[llm] def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
                                        candidates: Option[DataFrame],
-                                       broadcastCandidates: Boolean = true): DataFrame = {
+                                       broadcastCandidates: Boolean = true): DataFrame =
+    intersectionCounts(sh, candidates, broadcastCandidates)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Pairwise shingle-set intersection counts with both set sizes —
+    * `(d1, d2, inter, n1, n2)` — the shared trunk under every set-overlap
+    * score (Jaccard in [[jaccardPairsFromShingles]], containment in
+    * [[dedupContainment]]): the scores differ only in the final one-row
+    * arithmetic, so the join strategy lives once. */
+  private[llm] def intersectionCounts(sh: DataFrame,
+                                      candidates: Option[DataFrame],
+                                      broadcastCandidates: Boolean = true): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val joined = candidates match {
       case Some(c) if broadcastCandidates =>
@@ -116,9 +129,8 @@ object Dedup {
     joined
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("inter"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"))
   }
 
   private def jaccardSql(threshold: Double): String =
@@ -186,6 +198,45 @@ object Dedup {
   }
 
   val dedupNgramJaccardCappedSql: String = jaccardSql(0.5)
+
+  // ----------------------------------------------------------- containment
+
+  /** CONTAINMENT dedup (Broder 1997's asymmetric resemblance):
+    * `|A∩B| / min(|A|,|B|) ≥ 0.9` — the score that catches NEAR-SUBSET
+    * duplication, which symmetric Jaccard structurally misses: a short
+    * document quoted whole inside a long one has containment 1.0 but
+    * Jaccard ≈ |short|/|long| → 0, so no Jaccard threshold can find it
+    * without drowning in noise (DedupContainmentSpec pins exactly this
+    * separation on a synthesized subset pair). The training-data
+    * reading: boilerplate-wrapped articles, quoted reposts, and
+    * truncated re-crawls are subset dupes, not symmetric ones.
+    *
+    * Shape: [[intersectionCounts]] — the same inverted-index trunk as
+    * the Jaccard family; only the final one-row arithmetic differs. The
+    * same scale disciplines compose unchanged (df-cap the join, or
+    * prefix-filter it — for containment the prefix bound is even
+    * stronger: only the SMALLER document needs a prefix, since the
+    * required overlap is a fraction of min(|A|,|B|) alone). */
+  def dedupContainment: Q = (s, dir) => {
+    val sh = shingleRows(Tables(s, dir).documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    intersectionCounts(sh, None)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / least(col("n1"), col("n2"))).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $shingleSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(i AS DOUBLE) / LEAST(s1.n, s2.n) AS containment
+       |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE CAST(i AS DOUBLE) / LEAST(s1.n, s2.n) >= 0.9
+       |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------- prefix-filtered (AllPairs)
 
@@ -1115,6 +1166,7 @@ object Dedup {
     "dedup_contamination_bloom"  -> contaminationBloom,
     "dedup_ngram_jaccard"        -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
+    "dedup_containment"          -> dedupContainment,
     "dedup_jaccard_prefix"       -> dedupJaccardPrefix,
     "dedup_novelty"              -> dedupNovelty,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
@@ -1136,6 +1188,7 @@ object Dedup {
     "dedup_contamination_bloom"  -> contaminationBloomSql,
     "dedup_ngram_jaccard"        -> dedupNgramJaccardSql,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCappedSql,
+    "dedup_containment"          -> dedupContainmentSql,
     "dedup_jaccard_prefix"       -> dedupJaccardPrefixSql,
     "dedup_novelty"              -> dedupNoveltySql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
