@@ -66,20 +66,40 @@ object TextIndex {
   private def tb(tok: org.apache.spark.sql.Column) =
     pmod(xxhash64(tok), lit(Buckets.toLong))
 
+  private val DocBuckets = 64
+
+  private def db(docId: org.apache.spark.sql.Column) =
+    pmod(docId, lit(DocBuckets.toLong))
+
+  private def refuseStale(path: String): Unit = staleness(path) match {
+    case Some(true) =>
+      val corpus = IndexFence.read(path).map(_._1).getOrElse("<unknown>")
+      throw new IllegalStateException(
+        s"text index at $path is STALE: corpus $corpus changed since " +
+          "build. Rebuild via TextIndex.build(spark, dir, path).")
+    case _ =>
+  }
+
   /** Tokenize + fold + write. No-op when already built and provably
     * fresh; a drifted or pre-fence index rebuilds from scratch. */
   def build(s: SparkSession, dir: String, path: String): Unit = synchronized {
     val postingsPath = s"$path/postings"
     val statsPath = s"$path/stats"
+    val normsPath = s"$path/norms"
     val built = Files.isDirectory(Paths.get(postingsPath)) && {
       val l = Files.list(Paths.get(postingsPath))
       try l.iterator().hasNext finally l.close()
     }
-    if (built && staleness(path).contains(false)) return
+    // A fresh fence on a norms-less layout is a PRE-NORMS index (built
+    // before hybrid serving existed): rebuild it rather than crash the
+    // cosine ranker on a missing table.
+    if (built && staleness(path).contains(false) &&
+        Files.isDirectory(Paths.get(normsPath))) return
     if (built) {
       s.catalog.refreshByPath(corpusPath(dir))
       IndexFence.rmTree(Paths.get(postingsPath))
       IndexFence.rmTree(Paths.get(statsPath))
+      IndexFence.rmTree(Paths.get(normsPath))
       IndexFence.clear(path)
     }
     val fp = IndexFence.fingerprint(corpusPath(dir))
@@ -92,6 +112,7 @@ object TextIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumnRenamed("tok", "df_tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Files.createDirectories(Paths.get(postingsPath))
     ManifestFileSink.setPartitionColumn(postingsPath, "tb")
     // df join shuffles at the term grain (bounded by vocabulary); the
@@ -100,10 +121,28 @@ object TextIndex {
       .select(col("tok"), tb(col("tok")).as("tb"), col("doc_id"),
         col("dl"), col("tf"), col("df"))
       .write.format(fmt).option("path", postingsPath).mode("append").save()
-    tf.select(col("doc_id"), col("dl")).distinct()
+    val stats = tf.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1)
+    stats.coalesce(1)
       .write.format(fmt).option("path", statsPath).mode("append").save()
+    // Per-document FULL tf-idf vector norms, materialized at build — the
+    // line [[TextAnalysis.rrfFusion]]'s doc promises ("a production
+    // stack materializes norms once per corpus build"): the cosine
+    // ranker's only corpus-grain input, one slim row per doc, bucketed
+    // by doc id so hybrid serving prunes to the docs its query terms
+    // touch. The weight expression is rrfFusion's VERBATIM (tf·N/df
+    // over the same integers) so the stored doubles are bit-identical.
+    Files.createDirectories(Paths.get(normsPath))
+    ManifestFileSink.setPartitionColumn(normsPath, "db")
+    tf.join(df, col("tok") === col("df_tok"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("doc_id"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nd"))
+      .select(col("doc_id"), db(col("doc_id")).as("db"), col("nd"))
+      .write.format(fmt).option("path", normsPath).mode("append").save()
+    df.unpersist(blocking = true)
     tf.unpersist(blocking = true)
     // Fence LAST: a crash mid-build reads as pre-fence and rebuilds.
     IndexFence.write(path, corpusPath(dir), fp)
@@ -111,25 +150,23 @@ object TextIndex {
 
   /** BM25 top-20 for `terms` from the persisted index. REFUSES a stale
     * index (the wrong-answer class the fence exists for). */
-  def serve(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
-    staleness(path) match {
-      case Some(true) =>
-        val corpus = IndexFence.read(path).map(_._1).getOrElse("<unknown>")
-        throw new IllegalStateException(
-          s"text index at $path is STALE: corpus $corpus changed since " +
-            "build. Rebuild via TextIndex.build(spark, dir, path).")
-      case _ =>
-    }
-    // The probed buckets, computed with the BUILD's own hash expression
-    // (one |terms|-row job — a driver-side reimplementation of xxhash64
-    // could silently disagree seed-for-seed; this cannot).
+  /** The probed buckets, computed with the BUILD's own hash expression
+    * (one |terms|-row job — a driver-side reimplementation of xxhash64
+    * could silently disagree seed-for-seed; this cannot). */
+  private def prunedPostings(s: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val buckets = s.createDataset(terms.asJava)(
         org.apache.spark.sql.Encoders.STRING)
       .select(tb(col("value")).as("tb")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val postings = s.read.format(fmt).option("path", s"$path/postings").load()
+    s.read.format(fmt).option("path", s"$path/postings").load()
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+  }
+
+  def serve(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    refuseStale(path)
+    val postings = prunedPostings(s, path, terms)
     val stats = s.read.format(fmt).option("path", s"$path/stats").load()
     // Scoring arithmetic = TextAnalysis.bm25 verbatim over the stored
     // integers — identical doubles, identical ranking, same oracle.
@@ -149,6 +186,84 @@ object TextIndex {
       .limit(20)
   }
 
+  /** HYBRID retrieval (BM25 + tf-idf cosine, reciprocal-rank fused)
+    * served ENTIRELY from the persisted index — the production shape of
+    * [[TextAnalysis.rrfFusion]], which re-tokenizes the corpus for both
+    * rankers on every query. Here the lexical ranker reads the probed
+    * postings buckets (as [[serve]]) and the vector ranker reads the
+    * SAME probed postings (its dot product only touches query-term
+    * weights) plus the build-time `norms` table, pruned to the doc
+    * buckets the query's postings actually hit — a bounded `db IN`
+    * collect, the [[DedupIndex]] discipline. Every scoring expression
+    * is rrfFusion's VERBATIM over identical stored values (weights
+    * tf·N/df, norms √Σw², RSJ BM25, 6-dp rank rounding, 1/(60+r)
+    * fusion), so the served ranking replays the same DuckDB oracle
+    * while the plan opens only probed bucket files.
+    *
+    * At 100 TB: the query pays |terms| postings buckets + the norm
+    * buckets of matching docs; the full corpus-grain work (tokenize,
+    * df, norms) happened ONCE at build. The global rank windows run
+    * over candidate docs only (docs sharing ≥1 query term), the same
+    * bounded-input argument as the in-query entry's. */
+  def serveHybrid(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    refuseStale(path)
+    val K = 30
+    val postings = prunedPostings(s, path, terms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = s.read.format(fmt).option("path", s"$path/stats").load()
+    // --- ranker L: BM25 from stored integers (serve's expressions).
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val dnorm = lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")
+    val sc = col("idf") * (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * col("dnorm"))
+    val bm = postings
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("idf", idf)
+      .withColumn("dnorm", dnorm)
+      .withColumn("sc", sc)
+      .groupBy(col("doc_id")).agg(round(sum(col("sc")), 6).as("bm"))
+    val rl = bm
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm").desc, col("doc_id"))))
+      .filter(col("r_lex") <= K)
+      .select(col("doc_id"), col("r_lex"))
+    // --- ranker V: tf-idf cosine from stored weights + built norms.
+    val n = stats.select(col("n_docs"))
+    val w = postings.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+    val qvec = postings.select(col("tok"), col("df")).distinct()
+      .crossJoin(broadcast(n))
+      .select(col("tok"), (col("n_docs").cast("double") / col("df")).as("qw"))
+    val qnorm = qvec.agg(sqrt(sum(col("qw") * col("qw"))).as("nq"))
+    // Norm buckets of the candidate docs — bounded metadata (≤ DocBuckets).
+    val probedDb = postings.select(db(col("doc_id")).as("db")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val norms = s.read.format(fmt).option("path", s"$path/norms").load()
+      .filter(col("db").isin(probedDb: _*))
+      .select(col("doc_id"), col("nd"))
+    val cosScore = w.join(broadcast(qvec), "tok")
+      .groupBy(col("doc_id")).agg(sum(col("w") * col("qw")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"), round(col("dot") / (col("nd") * col("nq")), 6).as("cos"))
+    val rv = cosScore
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("r_vec") <= K)
+      .select(col("doc_id"), col("r_vec"))
+    // --- fusion (rrfFusion verbatim).
+    rl.join(rv, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Oracle-gated entry: build-once then serve the standard query — the
     * results are bit-identical to [[TextAnalysis.bm25]] (same integers,
     * same expression tree), so the same DuckDB oracle replays it while
@@ -160,9 +275,20 @@ object TextIndex {
     serve(s, path, Seq("dup", "spark", "window"))
   }
 
+  /** Oracle-gated hybrid entry: same contract as [[textIndexServe]],
+    * replaying [[TextAnalysis.rrfFusionSql]] against the persisted
+    * layout. */
+  def textHybridIndexServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    val path = indexPath(dir)
+    build(s, dir, path)
+    serveHybrid(s, path, Seq("dup", "spark", "window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_index_serve" -> textIndexServe)
+    "text_index_serve" -> textIndexServe,
+    "text_hybrid_index_serve" -> textHybridIndexServe)
 
   val oracleSql: Map[String, String] = Map(
-    "text_index_serve" -> TextAnalysis.bm25Sql)
+    "text_index_serve" -> TextAnalysis.bm25Sql,
+    "text_hybrid_index_serve" -> TextAnalysis.rrfFusionSql)
 }

@@ -62,6 +62,30 @@ class TextIndexSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("hybrid serve equals the in-query RRF fusion bit-for-bit") {
+    val got = TextIndex.serveHybrid(spark, path, Seq("dup", "spark", "window"))
+      .collect().toSeq
+    val want = TextAnalysis.rrfFusion(spark, sf).collect().toSeq
+    assert(got === want)
+  }
+
+  test("a pre-norms index layout rebuilds on build() instead of crashing hybrid serve") {
+    val p = Files.createTempDirectory("graft-textindex-prenorms").toString
+    TextIndex.build(spark, sf, p)
+    // Simulate an index built before hybrid serving existed: norms gone,
+    // fence still fresh.
+    val norms = java.nio.file.Paths.get(s"$p/norms")
+    val st = Files.walk(norms)
+    try st.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => Files.delete(q))
+    finally st.close()
+    assert(!Files.isDirectory(norms))
+    TextIndex.build(spark, sf, p)
+    assert(Files.isDirectory(norms), "build must detect the missing table and rebuild")
+    assert(TextIndex.serveHybrid(spark, p, Seq("dup", "spark", "window"))
+      .collect().nonEmpty)
+  }
+
   test("staleness fence: drifted corpus → serve refuses, build rebuilds") {
     val dir = Files.createTempDirectory("graft-textindex-corpus").toString
     spark.read.parquet(s"$sf/documents.parquet")
