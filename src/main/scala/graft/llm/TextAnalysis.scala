@@ -1821,8 +1821,119 @@ object TextAnalysis {
       |FROM s LEFT JOIN pd USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** CROSS-MODAL hybrid retrieval: BM25 lexical ranking fused with
+    * EMBEDDING-cosine semantic ranking by reciprocal rank — the fusion
+    * every retrieval-augmented stack actually ships ([[rrfFusion]]'s
+    * vector ranker is tf-idf, i.e. still lexical; this one consults the
+    * embedding table, so documents with NO query-term overlap can
+    * surface on meaning alone). Query: the fixed term set for ranker L,
+    * embedding `vec_id = 0` as the query vector for ranker S (the
+    * knn-entry convention).
+    *
+    * Scale shape — deliberately BETTER than [[rrfFusion]]'s: each
+    * ranker cuts its top-30 with orderBy+limit (TakeOrderedAndProject —
+    * per-partition bounded heaps + one ≤30-row merge, no global window
+    * over the corpus-grain score relation; the semantic ranker scores
+    * EVERY document, which at 100 TB makes a corpus-wide rank window
+    * unshippable), then derives ranks with a row_number over the ≤30
+    * survivors. Identical total order (6-dp-rounded score desc, doc_id)
+    * on both engines, so limit-then-rank equals the oracle's
+    * rank-then-filter row for row. The cosine is the shared exact dot
+    * fold over build-normalized vectors; at production scale ranker S's
+    * scan is the IVF index probe ([[Similarity]]'s serving path) — the
+    * brute-force scan here is the oracle-checkable baseline. */
+  def semanticRrf: Q = (s, dir) => {
+    val terms = Seq("dup", "spark", "window")
+    val K = 30
+    val t = Tables(s, dir)
+    val d = t.documents
+    // --- ranker L: BM25 (rrfFusion's block verbatim; same constants).
+    val toks = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+    val qtoks = toks.filter(col("tok").isin(terms: _*))
+    val stats = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tfq = qtoks.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val bm = tfq.join(broadcast(dfq), col("tok") === col("df_tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("dnorm",
+        lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+      .withColumn("sc",
+        col("idf") * (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * col("dnorm")))
+      .groupBy(col("doc_id")).agg(round(sum(col("sc")), 6).as("bm"))
+    val rl = bm.orderBy(col("bm").desc, col("doc_id")).limit(K)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    // --- ranker S: cosine of every doc's embedding to the query vector.
+    val emb = Similarity.normalized(t)
+    val qv = emb.filter(col("vec_id") === 0).select(col("vn").as("qv"))
+    val cos = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorFunctions.dotp(col("vn"), col("qv")), 6).as("cos"))
+    val rs = cos.orderBy(col("cos").desc, col("doc_id")).limit(K)
+      .withColumn("r_sem",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_sem"))
+    // --- fusion (the rrfFusion combiner).
+    rl.join(rs, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val semanticRrfSql: String =
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |         string_split(text, ' ') AS wl
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       |toks AS (SELECT doc_id, dl, UNNEST(wl) AS tok FROM dl),
+       |tfq AS (
+       |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ('dup', 'spark', 'window') GROUP BY 1, 2, 3),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok),
+       |bmsc AS (
+       |  SELECT doc_id, ROUND(SUM(
+       |    ((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+       |      * (t.tf * CAST(2.2 AS DOUBLE))
+       |      / (t.tf + CAST(1.2 AS DOUBLE) *
+       |         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+       |          CAST(0.75 AS DOUBLE) * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 6) AS bm
+       |  FROM tfq t JOIN dfq d USING (tok) CROSS JOIN stats s GROUP BY doc_id),
+       |rl AS (
+       |  SELECT doc_id, r_lex FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm DESC, doc_id) AS r_lex
+       |    FROM bmsc) t WHERE r_lex <= 30),
+       |${Similarity.normalizedSql},
+       |qv AS (SELECT vn FROM e WHERE vec_id = 0),
+       |cossc AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         ROUND(list_dot_product(e.vn, q.vn), 6) AS cos
+       |  FROM e CROSS JOIN qv q),
+       |rs AS (
+       |  SELECT doc_id, r_sem FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+       |    FROM cossc) t WHERE r_sem <= 30)
+       |SELECT COALESCE(rl.doc_id, rs.doc_id) AS doc_id, r_lex, r_sem,
+       |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0), 6) AS rrf
+       |FROM rl FULL OUTER JOIN rs ON rl.doc_id = rs.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
+    "text_semantic_rrf"      -> semanticRrf,
     "text_ccnet_buckets"     -> ccnetBuckets,
     "text_ccnet_buckets_cut" -> ccnetBucketsCut,
     "text_vocab_growth"      -> vocabGrowth,
@@ -1857,6 +1968,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_rrf_fusion"       -> rrfFusionSql,
+    "text_semantic_rrf"     -> semanticRrfSql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
     "text_ccnet_buckets_cut" -> ccnetBucketsCutSql,
     "text_vocab_growth"     -> vocabGrowthSql,

@@ -550,8 +550,49 @@ object Profile {
       |  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS med_gap_days
       |FROM g GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** 10% TRIMMED mean per group — the third robust-location statistic
+    * next to [[qMadGroup]] and [[qWeightedMedianGroup]]: the mean of
+    * order values inside the group's [p10, p90] band (percentile_disc
+    * cut points from the grouped kernel, so both engines draw the SAME
+    * integer fences), outlier-immune where the raw mean is not. One
+    * kernel pass for the fences (broadcast back — ≤ gMax rows), one
+    * filtered map-side-combined sum/count, one exactly-rounded
+    * division. No per-group sort anywhere. */
+  def qTrimmedMeanGroup: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val o = Tables(s, dir).orders
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").minus(1).as("g"),
+        col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val cuts = DistributedCumulate.exactDiscCutsGrouped(
+      o, "g", "v", Seq(0.1 -> "p10", 0.9 -> "p90"), B, gMax = 5)
+    o.join(broadcast(cuts), "g")
+      .filter(col("v") >= col("p10") && col("v") <= col("p90"))
+      .groupBy(col("g"), col("priority"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("sum_cents"))
+      .select(col("priority"), col("n_kept"),
+        round(col("sum_cents").cast("double") / col("n_kept"), 6).as("trimmed_mean_cents"))
+      .orderBy(col("priority"))
+  }
+
+  val qTrimmedMeanGroupSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |cuts AS (SELECT priority,
+      |    CAST(quantile_disc(v, 0.1) AS BIGINT) AS p10,
+      |    CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90
+      |  FROM o GROUP BY 1)
+      |SELECT o.priority, COUNT(*) AS n_kept,
+      |  ROUND(CAST(SUM(o.v) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean_cents
+      |FROM o JOIN cuts ON o.priority = cuts.priority
+      |WHERE o.v >= cuts.p10 AND o.v <= cuts.p90
+      |GROUP BY o.priority ORDER BY o.priority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_interarrival_median" -> qInterarrivalMedian,
+    "q_trimmed_mean_group" -> qTrimmedMeanGroup,
     "q_group_quantiles" -> qGroupQuantiles,
     "q_mad_group"      -> qMadGroup,
     "q_weighted_median_group" -> qWeightedMedianGroup,
@@ -564,6 +605,7 @@ object Profile {
     "q_dq_benford"     -> qDqBenford)
   val oracles: Map[String, String] = Map(
     "q_interarrival_median" -> qInterarrivalMedianSql,
+    "q_trimmed_mean_group" -> qTrimmedMeanGroupSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
     "q_mad_group"      -> qMadGroupSql,
     "q_weighted_median_group" -> qWeightedMedianGroupSql,
