@@ -1931,9 +1931,91 @@ object TextAnalysis {
        |FROM rl FULL OUTER JOIN rs ON rl.doc_id = rs.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** χ² term–source association — the classic supervised
+    * feature-selection statistic (Yang & Pedersen 1997): for each
+    * corpus source, the 10 terms whose document-presence is most
+    * positively associated with that source, by the 2×2 contingency
+    * χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). This is what picks
+    * domain-marker vocabularies for mixture balancing and trains the
+    * quality classifier's feature set above it.
+    *
+    * Shape: ONE corpus pass collapses to distinct (doc, term) presence
+    * (map-side combined), one fold to the (term, source) contingency
+    * grain — vocab-grain, never doc×term — with n_docs / per-source
+    * totals riding as broadcasts; a global df ≥ 5 floor cuts the hapax
+    * tail BEFORE the per-source join (the Zipf-head discipline); the
+    * positive-association cut (a·N > df·n_src) compares exact int64
+    * products; top-10 per source is the native bounded-heap plan, no
+    * window. Both engines rank on the 6-dp-ROUNDED χ² with the term as
+    * tiebreak, so rank agreement never hangs on a raw-double tie. */
+  def chi2Terms: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val pres = d
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val bySrc = pres.groupBy(col("tok"), col("source")).agg(count(lit(1)).as("a"))
+    val dfTok = bySrc.groupBy(col("tok")).agg(sum(col("a")).as("df"))
+      .filter(col("df") >= 5)
+    val nSrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val grid = bySrc
+      .join(dfTok, "tok")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(n))
+      .filter(col("a") * col("n_docs") > col("df") * col("n_src"))
+    val bc = (col("n_src") - col("a")) * (col("df") - col("a"))
+    val ad = col("a") * (col("n_docs") - col("n_src") - col("df") + col("a"))
+    val scored = grid.select(col("source"), col("tok"), col("a"),
+      round(col("n_docs").cast("double") * (ad - bc).cast("double") *
+        (ad - bc).cast("double") /
+        (col("n_src").cast("double") * (col("n_docs") - col("n_src")) *
+          col("df") * (col("n_docs") - col("df"))), 6).as("chi2"),
+      round(col("a").cast("double") * col("n_docs") /
+        (col("df").cast("double") * col("n_src")), 6).as("lift"))
+    graft.plans.TopKPerGroup(scored, Seq("source"),
+      Seq(("chi2", false), ("tok", true)), 10)
+      .select(col("source"), col("tok"), col("a").as("n_docs_with"),
+        col("chi2"), col("lift"))
+      .orderBy(col("source"), col("chi2").desc, col("tok"))
+  }
+
+  val chi2TermsSql: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT doc_id, source, tok FROM (
+      |    SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+      |    FROM documents)),
+      |by_src AS (SELECT tok, source, COUNT(*) AS a FROM pres GROUP BY 1, 2),
+      |df_tok AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS df FROM by_src
+      |  GROUP BY tok HAVING SUM(a) >= 5),
+      |n_src AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT b.source, b.tok, b.a,
+      |    ROUND(CAST(n.n_docs AS DOUBLE)
+      |      * CAST(b.a*(n.n_docs - s.n_src - d.df + b.a)
+      |             - (s.n_src - b.a)*(d.df - b.a) AS DOUBLE)
+      |      * CAST(b.a*(n.n_docs - s.n_src - d.df + b.a)
+      |             - (s.n_src - b.a)*(d.df - b.a) AS DOUBLE)
+      |      / (CAST(s.n_src AS DOUBLE) * (n.n_docs - s.n_src)
+      |         * d.df * (n.n_docs - d.df)), 6) AS chi2,
+      |    ROUND(CAST(b.a AS DOUBLE) * n.n_docs
+      |      / (CAST(d.df AS DOUBLE) * s.n_src), 6) AS lift
+      |  FROM by_src b JOIN df_tok d USING (tok) JOIN n_src s USING (source)
+      |  CROSS JOIN n
+      |  WHERE b.a * n.n_docs > d.df * s.n_src),
+      |rk AS (
+      |  SELECT source, tok, a, chi2, lift,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY chi2 DESC, tok) AS r
+      |  FROM scored)
+      |SELECT source, tok, a AS n_docs_with, chi2, lift
+      |FROM rk WHERE r <= 10
+      |ORDER BY source, chi2 DESC, tok""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_semantic_rrf"      -> semanticRrf,
+    "text_chi2_terms"        -> chi2Terms,
     "text_ccnet_buckets"     -> ccnetBuckets,
     "text_ccnet_buckets_cut" -> ccnetBucketsCut,
     "text_vocab_growth"      -> vocabGrowth,
@@ -1969,6 +2051,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_rrf_fusion"       -> rrfFusionSql,
     "text_semantic_rrf"     -> semanticRrfSql,
+    "text_chi2_terms"       -> chi2TermsSql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
     "text_ccnet_buckets_cut" -> ccnetBucketsCutSql,
     "text_vocab_growth"     -> vocabGrowthSql,

@@ -154,6 +154,62 @@ object DistributedCumulate {
     shifted.drop("__bkt" +: (rankOut +: sums.map(_._2)).map(c => s"__o_$c"): _*)
   }
 
+  /** [[runningTotals]]' max-fold sibling: appends, under the total order
+    * `order` (unique tiebreaker required), a 1-based global rank
+    * `rankOut` and one EXCLUSIVE prefix-max column per `(sourceCol,
+    * outCol)` in `maxes` — each row's max over all STRICTLY EARLIER
+    * rows, NULL for the global first row. The exclusive frame is the
+    * point: it is the batch formulation of a streaming WATERMARK (what
+    * had already been seen when this row arrived), where an inclusive
+    * max would let every row dominate itself.
+    *
+    * Same bucket discipline as [[runningTotals]]: range-bucketed local
+    * windows (partitioned by `__bkt`, never global), per-bucket totals
+    * read off the INCLUSIVE window output via max_by (keeping this
+    * branch's plan canonically identical through the bucket exchange so
+    * the exchange is reused), exclusive cross-bucket offsets via the
+    * literal-range triangular join, `greatest` (null-skipping) to merge
+    * the local exclusive max with the offset. */
+  def runningMaxExclusive(df: DataFrame, buckets: Int, order: Seq[Column],
+      maxes: Seq[(String, String)], rankOut: String,
+      extraAggs: Seq[(Column, String)] = Nil): DataFrame = {
+    val ranged = withBucket(df, buckets, order, extraAggs)
+    val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
+    val inc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exc = w.rowsBetween(Window.unboundedPreceding, -1)
+    val local = maxes.foldLeft(
+      ranged.withColumn(rankOut, row_number().over(w).cast("long"))) {
+      case (d, (src, out)) =>
+        d.withColumn(s"__inc_$out", max(col(src)).over(inc))
+          .withColumn(out, max(col(src)).over(exc))
+    }
+    val totAggs = max(col(rankOut)).as("__n") +:
+      maxes.map { case (_, out) =>
+        max_by(col(s"__inc_$out"), col(rankOut)).as(s"__t_$out")
+      }
+    val totals = local.groupBy(col("__bkt")).agg(totAggs.head, totAggs.tail: _*)
+    // Offsets: max over earlier buckets' totals — null when no earlier
+    // bucket exists, which greatest() then skips, so the global first
+    // row's exclusive max stays null exactly like the single-window
+    // formulation's.
+    val offAggs = coalesce(sum(col("b.__n")), lit(0L)).as(s"__o_$rankOut") +:
+      maxes.map { case (_, out) => max(col(s"b.__t_$out")).as(s"__o_$out") }
+    val ids = df.sparkSession.range(-1L, buckets + 1L)
+      .select(col("id").cast("int").as("__bkt")).as("a")
+    val offs = ids
+      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left_outer")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    val joined = local.join(broadcast(offs), "__bkt")
+    val shifted = maxes.foldLeft(
+      joined.withColumn(rankOut, col(rankOut) + col(s"__o_$rankOut"))) {
+      case (d, (_, out)) => d.withColumn(out, greatest(col(out), col(s"__o_$out")))
+    }
+    shifted.drop("__bkt" +:
+      (maxes.map { case (_, out) => s"__inc_$out" } ++
+        (rankOut +: maxes.map(_._2)).map(c => s"__o_$c")): _*)
+  }
+
   /** Exact `percentile_disc` cutpoints, fully distributed — the scale
     * path for quantile-cutpoint stages, replacing the ungrouped
     * `percentile_disc` sort-aggregate (which buffers EVERY value of the

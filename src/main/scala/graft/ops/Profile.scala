@@ -590,9 +590,250 @@ object Profile {
       |WHERE o.v >= cuts.p10 AND o.v <= cuts.p90
       |GROUP BY o.priority ORDER BY o.priority""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov drift test — the CONTINUOUS
+    * companion of [[qTvdDrift]]'s categorical TVD: D = max |F1 − F2|
+    * over the union of observed values, between the URGENT and LOW
+    * priority bands' order-value distributions, with the α=0.05
+    * critical value and the accept/reject verdict.
+    *
+    * Shape: the classic formulation sorts the pooled sample in one
+    * task. Here the pool collapses to DISTINCT integer cents with
+    * per-sample counts (the only full-relation pass, map-side
+    * combined), then [[DistributedCumulate.runningTotals]] gives every
+    * distinct value BOTH cumulative counts without any unpartitioned
+    * window (range-bucketed prefix sums), the sample sizes ride the
+    * same pass as constant columns, and the argmax row is a bounded
+    * top-1 heap. Every F1/F2 evaluation divides exact int64 cumulative
+    * counts — both engines see identical doubles, so the unrounded
+    * D > crit comparison agrees. */
+  def qKsDrift: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val o = Tables(s, dir).orders
+      .filter(col("o_orderpriority").startsWith("1") ||
+        col("o_orderpriority").startsWith("5"))
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"),
+        when(col("o_orderpriority").startsWith("1"), lit(1L)).otherwise(lit(0L)).as("s1"),
+        when(col("o_orderpriority").startsWith("5"), lit(1L)).otherwise(lit(0L)).as("s2"))
+    val c = o.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val cum = DistributedCumulate.runningTotals(c, B, Seq(col("v")),
+      Seq("c1" -> "cum1", "c2" -> "cum2"), "rk",
+      extraAggs = Seq(sum(col("c1")) -> "n1", sum(col("c2")) -> "n2"))
+    val crit = lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+      (col("n1").cast("double") * col("n2")))
+    cum
+      .withColumn("d", abs(col("cum1").cast("double") / col("n1") -
+        col("cum2").cast("double") / col("n2")))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(col("n1"), col("n2"), round(col("d"), 9).as("ks_d"),
+        col("v").as("ks_at_cents"), round(crit, 9).as("crit_005"),
+        (col("d") > crit).as("reject_005"))
+  }
+
+  val qKsDriftSql: String =
+    """WITH o AS (
+      |  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS s1,
+      |    CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END AS s2
+      |  FROM orders
+      |  WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '5%'),
+      |c AS (SELECT v, CAST(SUM(s1) AS BIGINT) AS c1,
+      |             CAST(SUM(s2) AS BIGINT) AS c2 FROM o GROUP BY v),
+      |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+      |cum AS (SELECT v,
+      |    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+      |    CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2 FROM c),
+      |d AS (SELECT v, n1, n2,
+      |    ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS d,
+      |    CAST(1.358 AS DOUBLE) *
+      |      SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS crit
+      |  FROM cum CROSS JOIN n)
+      |SELECT n1, n2, ROUND(d, 9) AS ks_d, v AS ks_at_cents,
+      |  ROUND(crit, 9) AS crit_005, d > crit AS reject_005
+      |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin
+
+  /** Mann–Whitney U rank-sum test — the NONPARAMETRIC companion of
+    * [[qKsDrift]] over the same two samples (URGENT vs LOW order
+    * values): where KS asks "are the distributions different anywhere",
+    * U asks "does one stochastically dominate", robust to outliers the
+    * t-test would chase. Midranks (tie-averaged), tie-corrected normal
+    * approximation, α=0.05 two-sided verdict.
+    *
+    * Shape: the textbook formulation ranks the POOLED sample in one
+    * sort. Here the pool collapses to distinct values with per-sample
+    * counts, [[DistributedCumulate.runningTotals]] gives each value its
+    * exclusive pooled predecessor count, and the whole statistic stays
+    * in EXACT int64 — doubled rank sum 2·R1 = Σ c1·(2·cum_before + t
+    * + 1) (doubling clears the midrank halves), tie term Σ(t³−t) — so
+    * both engines reach z through identical correctly-rounded double
+    * ops on identical integers, and the unrounded |z| > 1.96 verdict
+    * agrees. One map-side-combinable final fold; no global sort
+    * anywhere. */
+  def qMannWhitney: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val o = Tables(s, dir).orders
+      .filter(col("o_orderpriority").startsWith("1") ||
+        col("o_orderpriority").startsWith("5"))
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"),
+        when(col("o_orderpriority").startsWith("1"), lit(1L)).otherwise(lit(0L)).as("s1"),
+        when(col("o_orderpriority").startsWith("5"), lit(1L)).otherwise(lit(0L)).as("s2"))
+    val c = o.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+      .withColumn("t", col("c1") + col("c2"))
+    val cum = DistributedCumulate.runningTotals(c, B, Seq(col("v")),
+      Seq("t" -> "cumt"), "rk",
+      extraAggs = Seq(sum(col("c1")) -> "n1", sum(col("c2")) -> "n2"))
+    val agg = cum
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("c1") * (lit(2L) * (col("cumt") - col("t")) + col("t") + lit(1L)))
+          .as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val nn = (col("n1") + col("n2")).cast("double")
+    val z = (col("u1x2").cast("double") / 2.0 -
+        col("n1").cast("double") * col("n2") / 2.0) /
+      sqrt(col("n1").cast("double") * col("n2") / 12.0 *
+        ((nn + lit(1.0)) - col("ties").cast("double") / (nn * (nn - lit(1.0)))))
+    agg
+      .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + lit(1L)))
+      .select(col("n1"), col("n2"), col("u1x2").as("u1_x2"),
+        round(z, 6).as("z"), (abs(z) > 1.96).as("reject_005"))
+  }
+
+  val qMannWhitneySql: String =
+    """WITH o AS (
+      |  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS s1,
+      |    CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END AS s2
+      |  FROM orders
+      |  WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '5%'),
+      |c AS (SELECT v, CAST(SUM(s1) AS BIGINT) AS c1,
+      |             CAST(SUM(s2) AS BIGINT) AS c2 FROM o GROUP BY v),
+      |cum AS (SELECT c1, c2, c1 + c2 AS t,
+      |    CAST(SUM(c1 + c2) OVER (ORDER BY v) AS BIGINT) AS cumt FROM c),
+      |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+      |agg AS (SELECT
+      |    CAST(SUM(c1 * (2*(cumt - t) + t + 1)) AS BIGINT) AS r1x2,
+      |    CAST(SUM(t*t*t - t) AS BIGINT) AS ties FROM cum),
+      |stat AS (SELECT n1, n2, r1x2 - n1*(n1 + 1) AS u1_x2, ties,
+      |    CAST(n1 + n2 AS DOUBLE) AS nn
+      |  FROM agg CROSS JOIN n)
+      |SELECT n1, n2, u1_x2,
+      |  ROUND((CAST(u1_x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+      |    / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+      |        ((nn + 1.0) - CAST(ties AS DOUBLE) / (nn * (nn - 1.0)))), 6) AS z,
+      |  ABS((CAST(u1_x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+      |    / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+      |        ((nn + 1.0) - CAST(ties AS DOUBLE) / (nn * (nn - 1.0))))) > 1.96
+      |    AS reject_005
+      |FROM stat""".stripMargin
+
+  /** Distribution-CONCENTRATION profile per day — Shannon entropy,
+    * normalized entropy, and the Herfindahl index of the event-type
+    * mix: the within-day companion of [[qTvdDrift]]'s vs-corpus drift
+    * (drift says "today differs from the corpus"; entropy collapse says
+    * "today one type ate the feed" even when the corpus itself is
+    * already skewed). One map-side-combinable (day × type) fold, then a
+    * ≤|types|-term per-day fold — no windows, no joins beyond the tiny
+    * day-total broadcast. The ln calls are the only libm arithmetic;
+    * the 6-dp grain absorbs their cross-engine ulp. */
+  def qEntropyGroup: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+    val byDay = ev.groupBy(col("d"), col("event_type")).agg(count(lit(1)).as("c"))
+    val dayTot = byDay.groupBy(col("d")).agg(sum(col("c")).as("nd"))
+    byDay.join(broadcast(dayTot), "d")
+      .select(col("d"), col("nd"),
+        (col("c").cast("double") / col("nd")).as("p"))
+      .groupBy(col("d"), col("nd"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(-col("p") * log(col("p"))).as("h"),
+        round(sum(col("p") * col("p")), 6).as("hhi"))
+      .select(col("d"), col("nd").as("n_events"), col("n_types"),
+        round(col("h"), 6).as("entropy"),
+        round(when(col("n_types") === 1, lit(0.0))
+          .otherwise(col("h") / log(col("n_types").cast("double"))), 6)
+          .as("entropy_norm"),
+        col("hhi"))
+      .orderBy(col("d"))
+  }
+
+  val qEntropyGroupSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |by_day AS (SELECT d, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      |day_tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS nd FROM by_day GROUP BY 1),
+      |p AS (SELECT b.d, t.nd, CAST(b.c AS DOUBLE) / t.nd AS p
+      |  FROM by_day b JOIN day_tot t USING (d)),
+      |agg AS (SELECT d, nd, COUNT(*) AS n_types,
+      |    SUM(-p * LN(p)) AS h, ROUND(SUM(p * p), 6) AS hhi
+      |  FROM p GROUP BY d, nd)
+      |SELECT d, nd AS n_events, n_types, ROUND(h, 6) AS entropy,
+      |  ROUND(CASE WHEN n_types = 1 THEN 0.0
+      |        ELSE h / LN(CAST(n_types AS DOUBLE)) END, 6) AS entropy_norm,
+      |  hhi
+      |FROM agg ORDER BY d""".stripMargin
+
+  /** Late-arrival audit — the batch formulation of a streaming
+    * WATERMARK health check: an event is LATE when something with a
+    * newer event time had already arrived more than `tol` before it
+    * (arrival order = event_id, the ingest sequence). Per event-day:
+    * how many events a `withWatermark(1 hour)` streaming job would
+    * have dropped, their share, and the worst lateness — the number
+    * that tells you whether the streaming twin of a batch pipeline
+    * can use a 1-hour watermark or needs a bigger allowed-lateness
+    * budget.
+    *
+    * Shape: the naive formulation is MAX(ts) OVER (ORDER BY event_id
+    * ROWS … 1 PRECEDING) — one task sorts the whole ingest log. Here
+    * [[DistributedCumulate.runningMaxExclusive]] computes the same
+    * exclusive prefix max over range buckets (local windows partitioned
+    * by bucket id + a broadcast of per-bucket maxima), then one
+    * map-side-combinable per-day fold. Integer microseconds end to
+    * end. */
+  def qLateEvents: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val tolUs = 3600L * 1000000L
+    val e = Tables(s, dir).events
+      .select(col("event_id"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("v"))
+    val wm = DistributedCumulate.runningMaxExclusive(
+      e, B, Seq(col("event_id")), Seq("v" -> "wm"), "rk")
+    val lateUs = when(col("wm") - col("v") > tolUs, col("wm") - col("v"))
+    wm.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"),
+        count(lateUs).as("n_late"),
+        coalesce(max(lateUs), lit(0L)).as("max_late_us"))
+      .select(col("d"), col("n_events"), col("n_late"),
+        round(col("n_late").cast("double") / col("n_events"), 6).as("late_share"),
+        col("max_late_us"))
+      .orderBy(col("d"))
+  }
+
+  val qLateEventsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS d, epoch_us(ts) AS v
+      |  FROM events),
+      |w AS (SELECT d, v,
+      |    MAX(v) OVER (ORDER BY event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      |  FROM e),
+      |l AS (SELECT d, v,
+      |    CASE WHEN wm - v > 3600000000 THEN wm - v END AS late_us
+      |  FROM w)
+      |SELECT d, COUNT(*) AS n_events, COUNT(late_us) AS n_late,
+      |  ROUND(CAST(COUNT(late_us) AS DOUBLE) / COUNT(*), 6) AS late_share,
+      |  CAST(COALESCE(MAX(late_us), 0) AS BIGINT) AS max_late_us
+      |FROM l GROUP BY d ORDER BY d""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_interarrival_median" -> qInterarrivalMedian,
     "q_trimmed_mean_group" -> qTrimmedMeanGroup,
+    "q_ks_drift"       -> qKsDrift,
+    "q_mannwhitney"    -> qMannWhitney,
+    "q_entropy_group"  -> qEntropyGroup,
+    "q_late_events"    -> qLateEvents,
     "q_group_quantiles" -> qGroupQuantiles,
     "q_mad_group"      -> qMadGroup,
     "q_weighted_median_group" -> qWeightedMedianGroup,
@@ -606,6 +847,10 @@ object Profile {
   val oracles: Map[String, String] = Map(
     "q_interarrival_median" -> qInterarrivalMedianSql,
     "q_trimmed_mean_group" -> qTrimmedMeanGroupSql,
+    "q_ks_drift"       -> qKsDriftSql,
+    "q_mannwhitney"    -> qMannWhitneySql,
+    "q_entropy_group"  -> qEntropyGroupSql,
+    "q_late_events"    -> qLateEventsSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
     "q_mad_group"      -> qMadGroupSql,
     "q_weighted_median_group" -> qWeightedMedianGroupSql,

@@ -162,6 +162,36 @@ class DistributedCumulateSpec extends SparkTestBase {
     assert(r.getLong(0) === 20L && r.getLong(1) === 40L)
   }
 
+  test("runningMaxExclusive equals the exclusive-frame global window") {
+    val refMax = (df: org.apache.spark.sql.DataFrame) => {
+      val w = Window.orderBy(col("id"))
+      df.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("wm", max(col("x")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("id"), col("rk"), col("wm"))
+    }
+    val kernelMax = (df: org.apache.spark.sql.DataFrame, b: Int) =>
+      DistributedCumulate.runningMaxExclusive(df, b,
+        Seq(col("id")), Seq("x" -> "wm"), "rk")
+        .select(col("id"), col("rk"), col("wm"))
+    val rng = new scala.util.Random(7)
+    // monotone-ish with bursts of out-of-order drops: the exclusive max
+    // must stay null ONLY on the global first row, and bucket-boundary
+    // rows must see earlier buckets' maxima through the offset join.
+    val rows = (1L to 400L).map(id => (id, 0L, id * 3 + rng.nextInt(50) - 25))
+    Seq(1, 2, 5, 32, 97).foreach { b =>
+      val df = rows.toDF("id", "v", "x")
+      val got = kernelMax(df, b).orderBy("rk").collect().toSeq
+      val want = refMax(df).orderBy("rk").collect().toSeq
+      assert(got === want, s"buckets=$b")
+      assert(got.head.isNullAt(2), "global first row must have null watermark")
+    }
+    // descending values: every row after the first is dominated by row 1.
+    val desc = (1L to 50L).map(id => (id, 0L, 1000L - id)).toDF("id", "v", "x")
+    val g = kernelMax(desc, 8).orderBy("rk").collect().toSeq
+    assert(g.tail.forall(_.getLong(2) === 999L))
+  }
+
   test("rank-only mode (no sums) matches row_number") {
     val rows = (1L to 200L).map(id => (id, id % 11, id * 3)).toDF("id", "v", "x")
     val got = DistributedCumulate.runningTotals(rows, 13,

@@ -55,6 +55,33 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the rewritten bounded-heap top-k (no Window) in:\n$p")
   }
 
+  test("text_chi2_terms: per-source top-k is the native bounded heap, never a Window") {
+    val p = plan("text_chi2_terms")
+    assert(p.contains("TopKPerGroup"),
+      s"expected the bounded-heap per-group top-k in:\n$p")
+    assert(!p.contains("Window"),
+      s"per-source ranking must not plan a vocab-grain Window:\n$p")
+  }
+
+  test("q_ks_drift: KS fold is kernel-bucketed, argmax a bounded top-1 heap") {
+    val p = plan("q_ks_drift")
+    // The cumulative CDFs come from runningTotals' range-bucketed
+    // windows; the only window partition key allowed is the kernel's
+    // bucket id, never an unpartitioned global sort.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"KS argmax must be a bounded top-1 heap:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("__bkt")),
+      s"every KS window must partition by the kernel bucket id:\n${winLines.mkString("\n")}")
+  }
+
+  test("q_late_events: watermark fold is kernel-bucketed, never a global window") {
+    val p = plan("q_late_events")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__bkt")),
+      s"every watermark window must partition by the kernel bucket id:\n${winLines.mkString("\n")}")
+  }
+
   test("q_mv_rewrite: answered from the materialized rollup, base never scanned") {
     val p = plan("q_mv_rewrite")
     assert(p.contains("graft-mv") && !p.contains("lineitem.parquet"),
