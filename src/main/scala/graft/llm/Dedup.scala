@@ -605,10 +605,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: the same pair graph closed transitively with a recursive CTE,
-    * component = min reachable doc_id (including self). */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $shingleSql,
+  /** Shared oracle CTE chain: the exact-Jaccard ≥ 0.5 pair graph closed
+    * transitively (`reach`) — the prefix under every component-consuming
+    * oracle ([[dedupClustersSql]], [[dedupKeepLongestSql]]). Declared
+    * BEFORE its interpolating consumers: object vals initialize in
+    * declaration order, and a forward reference interpolates null. */
+  private[llm] val componentReachSqlCtes: String =
+    s"""$shingleSql,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -620,7 +623,58 @@ object Dedup {
        |       UNION SELECT d2, d1 FROM pairs),
        |reach AS (SELECT a, b FROM bi
        |          UNION
-       |          SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a)
+       |          SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a)""".stripMargin
+
+  /** Quality-aware cluster representative selection — the KEEP-BEST
+    * half of near-dup dedup that [[dedupClusters]] stops short of (and
+    * the keep-FIRST rule the curation pipeline uses, upgraded to the
+    * rule production corpora actually ship: keep the LONGEST member of
+    * each duplicate cluster, the fullest crawl of the page). Emits the
+    * REMOVED docs with their kept representative — the audit trail a
+    * dedup pass leaves behind.
+    *
+    * Shape: the component labels come from the same min-label kernel
+    * (lineage already cut by its per-iteration checkpoints); the argmax
+    * per component is one max(struct(n_chars, −doc_id)) hash aggregate
+    * — no per-cluster sort, no window — and the members join back on
+    * the component key. Tie rule: longest, then smallest doc_id. */
+  def dedupKeepLongest: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val pairs = jaccardPairs(docs, 0.5).select(col("d1"), col("d2"))
+    val comps = minLabelComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    val sized = comps.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val best = sized.groupBy(col("component"))
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("component"), (-col("b.nid")).as("kept_doc"),
+        col("b.nc").as("kept_chars"))
+    sized.join(best, "component")
+      .filter(col("doc_id") =!= col("kept_doc"))
+      .select(col("component"), col("doc_id"), col("n_chars"),
+        col("kept_doc"), col("kept_chars"))
+      .orderBy(col("component"), col("doc_id"))
+  }
+
+  val dedupKeepLongestSql: String =
+    s"""WITH RECURSIVE $componentReachSqlCtes,
+       |comp AS (SELECT a AS doc_id, LEAST(MIN(b), a) AS component
+       |         FROM reach GROUP BY a),
+       |sized AS (SELECT c.doc_id, c.component, d.n_chars
+       |          FROM comp c JOIN documents d USING (doc_id)),
+       |best AS (SELECT component, doc_id AS kept_doc, n_chars AS kept_chars
+       |         FROM (SELECT component, doc_id, n_chars,
+       |                 ROW_NUMBER() OVER (PARTITION BY component
+       |                   ORDER BY n_chars DESC, doc_id) AS r
+       |               FROM sized) t WHERE r = 1)
+       |SELECT s.component, s.doc_id, s.n_chars, b.kept_doc, b.kept_chars
+       |FROM sized s JOIN best b USING (component)
+       |WHERE s.doc_id <> b.kept_doc
+       |ORDER BY s.component, s.doc_id""".stripMargin
+
+  /** Oracle: the same pair graph closed transitively with a recursive CTE,
+    * component = min reachable doc_id (including self). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $componentReachSqlCtes
        |SELECT a AS doc_id, LEAST(MIN(b), a) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
@@ -1174,6 +1228,7 @@ object Dedup {
     "dedup_simhash"              -> dedupSimhash,
     "dedup_clusters"             -> dedupClusters,
     "dedup_clusters_star"        -> dedupClustersStar,
+    "dedup_keep_longest"         -> dedupKeepLongest,
     "dedup_savings"              -> dedupSavings,
     "dedup_incremental"          -> incrementalDelta,
     "doc_fingerprint"            -> docFingerprint,
@@ -1196,6 +1251,7 @@ object Dedup {
     "dedup_simhash"              -> dedupSimhashSql,
     "dedup_clusters"             -> dedupClustersSql,
     "dedup_clusters_star"        -> dedupClustersStarSql,
+    "dedup_keep_longest"         -> dedupKeepLongestSql,
     "dedup_savings"              -> dedupSavingsSql,
     "dedup_incremental"          -> incrementalDeltaSql,
     "doc_fingerprint"            -> docFingerprintSql,

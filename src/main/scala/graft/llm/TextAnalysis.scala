@@ -2012,10 +2012,71 @@ object TextAnalysis {
       |FROM rk WHERE r <= 10
       |ORDER BY source, chi2 DESC, tok""".stripMargin
 
+  /** Decile LIFT / gains table of the quality classifier — the
+    * evaluation every scoring model ships with: rank the held-out docs
+    * by [[qualityClassifier]]'s score, cut into ten equal-count bands,
+    * and report per decile how many true positives it captures, the
+    * cumulative capture rate, and the lift over random selection. This
+    * is the curve that decides WHERE to set a quality-filter threshold
+    * (take deciles until marginal lift flattens) — accuracy alone
+    * can't.
+    *
+    * Shape: the textbook gains table sorts every scored row in one
+    * task (NTILE). Here [[graft.ops.DistributedCumulate.runningTotals]]
+    * assigns the global rank AND the cumulative-positive count in the
+    * same range-bucketed pass (the corpus totals ride as constant
+    * columns), the decile is integer arithmetic on the rank, and the
+    * cumulative columns fall out of max() per decile because the
+    * kernel's running sum is monotone — no second pass, no window, no
+    * 10-row triangular join. Scores are the classifier's 6-dp-rounded
+    * decimals, so both engines cut identical deciles. */
+  def classifierLift: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val scored = qualityClassifier(s, dir)
+      .select(col("doc_id"), col("y_true").cast("long").as("yl"), col("nb_score"))
+    val ranked = graft.ops.DistributedCumulate.runningTotals(scored, B,
+      Seq(col("nb_score").desc, col("doc_id")), Seq("yl" -> "cumy"), "rk",
+      extraAggs = Seq(count(lit(1)) -> "n", sum(col("yl")) -> "npos"))
+    ranked
+      .withColumn("decile", expr("((rk - 1) * 10) div n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("yl")).as("n_pos"),
+        max(col("rk")).as("cum_docs"), max(col("cumy")).as("cum_pos"),
+        max(col("n")).as("n"), max(col("npos")).as("npos"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        col("cum_docs"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("npos"), 6).as("cum_capture"),
+        round((col("cum_pos").cast("double") / col("cum_docs")) /
+          (col("npos").cast("double") / col("n")), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val classifierLiftSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, y_true, nb_score FROM ($qualityClassifierSql) q),
+       |r AS (SELECT doc_id, y_true,
+       |    ROW_NUMBER() OVER (ORDER BY nb_score DESC, doc_id) AS rk,
+       |    CAST(SUM(y_true) OVER (ORDER BY nb_score DESC, doc_id) AS BIGINT)
+       |      AS cumy
+       |  FROM scored),
+       |n AS (SELECT COUNT(*) AS n, CAST(SUM(y_true) AS BIGINT) AS npos
+       |      FROM scored),
+       |dec AS (SELECT ((rk - 1) * 10) // n.n AS decile,
+       |    COUNT(*) AS n_docs, CAST(SUM(y_true) AS BIGINT) AS n_pos,
+       |    MAX(rk) AS cum_docs, MAX(cumy) AS cum_pos,
+       |    MAX(n.n) AS n, MAX(n.npos) AS npos
+       |  FROM r CROSS JOIN n GROUP BY 1)
+       |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+       |  ROUND(CAST(cum_pos AS DOUBLE) / npos, 6) AS cum_capture,
+       |  ROUND((CAST(cum_pos AS DOUBLE) / cum_docs)
+       |    / (CAST(npos AS DOUBLE) / n), 6) AS lift
+       |FROM dec ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_semantic_rrf"      -> semanticRrf,
     "text_chi2_terms"        -> chi2Terms,
+    "text_classifier_lift"   -> classifierLift,
     "text_ccnet_buckets"     -> ccnetBuckets,
     "text_ccnet_buckets_cut" -> ccnetBucketsCut,
     "text_vocab_growth"      -> vocabGrowth,
@@ -2052,6 +2113,7 @@ object TextAnalysis {
     "text_rrf_fusion"       -> rrfFusionSql,
     "text_semantic_rrf"     -> semanticRrfSql,
     "text_chi2_terms"       -> chi2TermsSql,
+    "text_classifier_lift"  -> classifierLiftSql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
     "text_ccnet_buckets_cut" -> ccnetBucketsCutSql,
     "text_vocab_growth"     -> vocabGrowthSql,

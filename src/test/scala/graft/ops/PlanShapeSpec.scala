@@ -82,6 +82,14 @@ class PlanShapeSpec extends SparkTestBase {
       s"every watermark window must partition by the kernel bucket id:\n${winLines.mkString("\n")}")
   }
 
+  test("text_classifier_lift: gains curve is kernel-bucketed, never NTILE") {
+    val p = plan("text_classifier_lift")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__bkt")),
+      s"every lift-table window must partition by the kernel bucket id:\n${winLines.mkString("\n")}")
+    assert(!p.contains("ntile"), s"gains table must not plan a global NTILE:\n$p")
+  }
+
   test("q_mv_rewrite: answered from the materialized rollup, base never scanned") {
     val p = plan("q_mv_rewrite")
     assert(p.contains("graft-mv") && !p.contains("lineitem.parquet"),
