@@ -730,6 +730,140 @@ object Profile {
       |    AS reject_005
       |FROM stat""".stripMargin
 
+  /** Welch's unequal-variance t-test — the PARAMETRIC member of the
+    * two-sample battery ([[qKsDrift]] distributional, [[qMannWhitney]]
+    * rank-based, this one mean-based with the Welch–Satterthwaite df):
+    * does the URGENT band's mean order value differ from the LOW
+    * band's. ONE map-side-combinable pass folds both samples' exact
+    * integer moments (n, Σv, Σv² — the squares summed as DECIMAL(38,0)
+    * so cent-scale values can't overflow int64 at any SF), then t and
+    * df are fixed-shape double arithmetic on exact integers — identical
+    * correctly-rounded ops on both engines, so the unrounded verdict
+    * comparison agrees. No shuffle beyond the one aggregate. */
+  def qWelchTtest: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+      .filter(col("o_orderpriority").startsWith("1") ||
+        col("o_orderpriority").startsWith("5"))
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"),
+        when(col("o_orderpriority").startsWith("1"), lit(1L)).otherwise(lit(0L)).as("s1"))
+    val m = o.agg(
+      sum(col("s1")).as("n1"), sum(lit(1L) - col("s1")).as("n2"),
+      sum(col("v") * col("s1")).as("sum1"),
+      sum(col("v") * (lit(1L) - col("s1"))).as("sum2"),
+      sum((col("v") * col("v") * col("s1")).cast("decimal(38,0)")).as("q1"),
+      sum((col("v") * col("v") * (lit(1L) - col("s1"))).cast("decimal(38,0)")).as("q2"))
+    val m1 = col("sum1").cast("double") / col("n1")
+    val m2 = col("sum2").cast("double") / col("n2")
+    val var1 = (col("q1").cast("double") -
+      col("sum1").cast("double") * col("sum1") / col("n1")) / (col("n1") - lit(1L))
+    val var2 = (col("q2").cast("double") -
+      col("sum2").cast("double") * col("sum2") / col("n2")) / (col("n2") - lit(1L))
+    val se1 = var1 / col("n1")
+    val se2 = var2 / col("n2")
+    val t = (m1 - m2) / sqrt(se1 + se2)
+    val dfW = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (col("n1") - lit(1L)) + se2 * se2 / (col("n2") - lit(1L)))
+    m.select(col("n1"), col("n2"),
+      round(m1 - m2, 6).as("mean_diff_cents"),
+      round(t, 6).as("t"), round(dfW, 3).as("df"),
+      (abs(t) > 1.96).as("reject_005"))
+  }
+
+  val qWelchTtestSql: String =
+    """WITH o AS (
+      |  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS s1
+      |  FROM orders
+      |  WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '5%'),
+      |m AS (SELECT
+      |    CAST(SUM(s1) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - s1) AS BIGINT) AS n2,
+      |    CAST(SUM(v * s1) AS BIGINT) AS sum1,
+      |    CAST(SUM(v * (1 - s1)) AS BIGINT) AS sum2,
+      |    SUM(CAST(v * v * s1 AS HUGEINT)) AS q1,
+      |    SUM(CAST(v * v * (1 - s1) AS HUGEINT)) AS q2
+      |  FROM o),
+      |e AS (SELECT n1, n2,
+      |    CAST(sum1 AS DOUBLE) / n1 AS m1, CAST(sum2 AS DOUBLE) / n2 AS m2,
+      |    (CAST(q1 AS DOUBLE) - CAST(sum1 AS DOUBLE) * sum1 / n1) / (n1 - 1)
+      |      / n1 AS se1,
+      |    (CAST(q2 AS DOUBLE) - CAST(sum2 AS DOUBLE) * sum2 / n2) / (n2 - 1)
+      |      / n2 AS se2
+      |  FROM m)
+      |SELECT n1, n2, ROUND(m1 - m2, 6) AS mean_diff_cents,
+      |  ROUND((m1 - m2) / SQRT(se1 + se2), 6) AS t,
+      |  ROUND((se1 + se2) * (se1 + se2)
+      |    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 3) AS df,
+      |  ABS((m1 - m2) / SQRT(se1 + se2)) > 1.96 AS reject_005
+      |FROM e""".stripMargin
+
+  /** One-way ANOVA F-test across ALL five priority bands — the k-group
+    * generalization of [[qWelchTtest]] (is ANY band's mean different):
+    * F = (SSB/(k−1)) / (SSW/(N−k)) from one pass of exact integer
+    * moments per group. The k-term Σ S_g²/n_g fold is the one place
+    * engines could diverge (aggregate order over doubles is
+    * unspecified), so it is PIVOTED into five conditional aggregates
+    * added in a fixed left-associative chain — both engines evaluate
+    * the identical expression tree. Squares sum as DECIMAL(38,0)
+    * (int64-safe at any SF). */
+  def qAnovaGroups: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+    def ind(i: Int) = when(col("g") === i, lit(1L)).otherwise(lit(0L))
+    val aggs =
+      (1 to 5).flatMap { i =>
+        Seq(sum(ind(i)).as(s"n$i"), sum(col("v") * ind(i)).as(s"s$i"))
+      } :+ sum((col("v") * col("v")).cast("decimal(38,0)")).as("q")
+    val m = o.agg(aggs.head, aggs.tail: _*)
+    def term(i: Int): org.apache.spark.sql.Column =
+      col(s"s$i").cast("double") * col(s"s$i") / col(s"n$i")
+    val ssg = term(1) + term(2) + term(3) + term(4) + term(5)
+    val n = col("n1") + col("n2") + col("n3") + col("n4") + col("n5")
+    val sTot = col("s1") + col("s2") + col("s3") + col("s4") + col("s5")
+    val ssb = ssg - sTot.cast("double") * sTot / n
+    val ssw = col("q").cast("double") - ssg
+    val f = (ssb / lit(4.0)) / (ssw / (n - lit(5L)).cast("double"))
+    m.select(n.as("n"), round(f, 6).as("f"),
+      round(ssb / (col("q").cast("double") - sTot.cast("double") * sTot / n), 6)
+        .as("eta_sq"),
+      (f > 2.372).as("reject_005"))
+  }
+
+  val qAnovaGroupsSql: String =
+    """WITH o AS (
+      |  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS g,
+      |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |m AS (SELECT
+      |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN g = 2 THEN v ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(SUM(CASE WHEN g = 3 THEN v ELSE 0 END) AS BIGINT) AS s3,
+      |    CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      |    CAST(SUM(CASE WHEN g = 4 THEN v ELSE 0 END) AS BIGINT) AS s4,
+      |    CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+      |    CAST(SUM(CASE WHEN g = 5 THEN v ELSE 0 END) AS BIGINT) AS s5,
+      |    SUM(CAST(v * v AS HUGEINT)) AS q
+      |  FROM o),
+      |e AS (SELECT n1 + n2 + n3 + n4 + n5 AS n,
+      |    CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2
+      |      + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4
+      |      + CAST(s5 AS DOUBLE) * s5 / n5 AS ssg,
+      |    s1 + s2 + s3 + s4 + s5 AS st, CAST(q AS DOUBLE) AS qd
+      |  FROM m),
+      |st AS (SELECT n,
+      |    ssg - CAST(st AS DOUBLE) * st / n AS ssb,
+      |    qd - ssg AS ssw,
+      |    qd - CAST(st AS DOUBLE) * st / n AS sst
+      |  FROM e)
+      |SELECT n, ROUND((ssb / 4.0) / (ssw / CAST(n - 5 AS DOUBLE)), 6) AS f,
+      |  ROUND(ssb / sst, 6) AS eta_sq,
+      |  (ssb / 4.0) / (ssw / CAST(n - 5 AS DOUBLE)) > 2.372 AS reject_005
+      |FROM st""".stripMargin
+
   /** Distribution-CONCENTRATION profile per day — Shannon entropy,
     * normalized entropy, and the Herfindahl index of the event-type
     * mix: the within-day companion of [[qTvdDrift]]'s vs-corpus drift
@@ -832,6 +966,8 @@ object Profile {
     "q_trimmed_mean_group" -> qTrimmedMeanGroup,
     "q_ks_drift"       -> qKsDrift,
     "q_mannwhitney"    -> qMannWhitney,
+    "q_welch_ttest"    -> qWelchTtest,
+    "q_anova_groups"   -> qAnovaGroups,
     "q_entropy_group"  -> qEntropyGroup,
     "q_late_events"    -> qLateEvents,
     "q_group_quantiles" -> qGroupQuantiles,
@@ -849,6 +985,8 @@ object Profile {
     "q_trimmed_mean_group" -> qTrimmedMeanGroupSql,
     "q_ks_drift"       -> qKsDriftSql,
     "q_mannwhitney"    -> qMannWhitneySql,
+    "q_welch_ttest"    -> qWelchTtestSql,
+    "q_anova_groups"   -> qAnovaGroupsSql,
     "q_entropy_group"  -> qEntropyGroupSql,
     "q_late_events"    -> qLateEventsSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
