@@ -864,6 +864,57 @@ object Profile {
       |  (ssb / 4.0) / (ssw / CAST(n - 5 AS DOUBLE)) > 2.372 AS reject_005
       |FROM st""".stripMargin
 
+  /** Cramér's V — the effect-size companion of the test battery for
+    * CATEGORICAL × CATEGORICAL association (is order priority
+    * independent of order status, and how strongly not): χ² over the
+    * full contingency grid normalized to [0,1] by N·(min(r,c)−1), so
+    * pipelines can rank candidate stratification keys by association
+    * strength rather than raw χ² (which grows with N).
+    *
+    * Shape: one map-side-combinable fold to the r×c cell grid, two
+    * tiny re-aggregations for the margins, broadcast joins back — the
+    * corpus is touched once. The ≤15-term χ² double fold carries
+    * 1e-16-order noise vs the 6-dp output grain (the [[qTvdDrift]]
+    * precedent); every input to each term is an exact int64. */
+  def qCramersV: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+      .select(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+    val cells = o.groupBy(col("a"), col("b")).agg(count(lit(1)).as("obs"))
+    val rows = cells.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val colsT = cells.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    val term = (col("obs").cast("double") - e) * (col("obs").cast("double") - e) / e
+    cells.join(broadcast(rows), "a").join(broadcast(colsT), "b")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(term).as("chi2"))
+      .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") * (least(col("r"), col("c")) - lit(1L)))), 6)
+          .as("cramers_v"))
+  }
+
+  val qCramersVSql: String =
+    """WITH o AS (SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders),
+      |cells AS (SELECT a, b, COUNT(*) AS obs FROM o GROUP BY 1, 2),
+      |r AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY a),
+      |c AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY b),
+      |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+      |        COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc FROM cells),
+      |terms AS (SELECT t.n, t.nr, t.nc,
+      |    (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * ct / t.n)
+      |      * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * ct / t.n)
+      |      / (CAST(rt AS DOUBLE) * ct / t.n) AS term
+      |  FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN t)
+      |SELECT n, (nr - 1) * (nc - 1) AS dof,
+      |  ROUND(SUM(term), 6) AS chi2,
+      |  ROUND(SQRT(SUM(term)
+      |    / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))), 6) AS cramers_v
+      |FROM terms GROUP BY n, nr, nc""".stripMargin
+
   /** Distribution-CONCENTRATION profile per day — Shannon entropy,
     * normalized entropy, and the Herfindahl index of the event-type
     * mix: the within-day companion of [[qTvdDrift]]'s vs-corpus drift
@@ -968,6 +1019,7 @@ object Profile {
     "q_mannwhitney"    -> qMannWhitney,
     "q_welch_ttest"    -> qWelchTtest,
     "q_anova_groups"   -> qAnovaGroups,
+    "q_cramers_v"      -> qCramersV,
     "q_entropy_group"  -> qEntropyGroup,
     "q_late_events"    -> qLateEvents,
     "q_group_quantiles" -> qGroupQuantiles,
@@ -987,6 +1039,7 @@ object Profile {
     "q_mannwhitney"    -> qMannWhitneySql,
     "q_welch_ttest"    -> qWelchTtestSql,
     "q_anova_groups"   -> qAnovaGroupsSql,
+    "q_cramers_v"      -> qCramersVSql,
     "q_entropy_group"  -> qEntropyGroupSql,
     "q_late_events"    -> qLateEventsSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
