@@ -321,9 +321,104 @@ object Curation {
        |FROM s5 ORDER BY doc_id""".stripMargin
   }
 
+  /** The INCREMENTAL curation path — what production runs per-batch
+    * once [[curationPipeline]] has built the corpus: an arriving batch
+    * (the suite's standard `doc_id % 13 = 5` split) is curated AGAINST
+    * the existing corpus without rescanning it, then budget-selected.
+    *
+    *   1. corpus near-dup gate: [[DedupIndex.serve]] probes the
+    *      PERSISTED band/shingle buckets (partition-pruned `bb IN` /
+    *      `db IN` scans — the corpus text is never re-tokenized) and
+    *      drops every batch doc with a verified Jaccard ≥ 0.8 corpus
+    *      twin;
+    *   2. within-batch near-dup keep-first: the in-query Jaccard kernel
+    *      over the BATCH only (batch-sized, not corpus-sized), dropping
+    *      the larger doc_id of each pair;
+    *   3. quality gate: the integer content-word density rule the
+    *      classifier trains on (> QcThreshold per million);
+    *   4. token-budget selection among survivors: [[TextAnalysis
+    *      .budgetSelect]]'s bucket-kernel cumulate, budget = half the
+    *      SURVIVOR token mass riding the same pass as a constant.
+    *
+    * Composition is the test subject: the index fence, the pruned
+    * serve, the shared shingle kernel, and the budget cumulate all
+    * execute in one entry, and the oracle replays the whole chain
+    * (cross-split dups ∪ within-batch dups → density gate → running
+    * cut) from the single documents table. */
+  def curationIngest: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val path = DedupIndex.indexPath(dir)
+    DedupIndex.build(s, dir, path)
+    val batch = Tables(s, dir).documents.filter(col("doc_id") % 13 === 5)
+    val corpusDups = DedupIndex.serve(s, path, batch)
+      .select(col("d2").as("doc_id"))
+    val bsh = Dedup.shingleRows(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inBatchDups = Dedup.jaccardPairsFromShingles(bsh, 0.8, None)
+      .select(col("d2").as("doc_id"))
+    val dropped = corpusDups.unionByName(inBatchDups).distinct()
+    val surv = batch.join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("wl", split(col("text"), " "))
+    val stops = TextAnalysis.cnt(col("wl"), "the") + TextAnalysis.cnt(col("wl"), "a")
+    val scored = surv
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (size(col("wl")) - stops).cast("long").as("cw"))
+      .select(col("doc_id"), col("source"),
+        expr("(n_chars + 3) div 4").as("est_tokens"),
+        expr("(1000000L * cw) div n_chars").as("priority"))
+      .filter(col("priority") > TextAnalysis.QcThreshold)
+    graft.ops.DistributedCumulate.runningTotals(
+        scored, B, Seq(col("priority").desc, col("doc_id")),
+        Seq(("est_tokens", "cum_tokens")), "sel_rank",
+        extraAggs = Seq((expr("sum(est_tokens) div 2"), "__budget")))
+      .filter(col("cum_tokens") - col("est_tokens") < col("__budget"))
+      .select(col("doc_id"), col("source"), col("est_tokens"),
+        col("priority"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationIngestSql: String = {
+    val stops = "(len(list_filter(wl, x -> x = 'the')) " +
+      "+ len(list_filter(wl, x -> x = 'a')))"
+    s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(wl[x+1:x+3], ' ') AS sh
+       |       FROM wl, UNNEST(range(len(wl)-2)) AS t(x)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |cross_i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |            FROM sh a JOIN sh b ON a.sh = b.sh
+       |            WHERE a.doc_id % 13 <> 5 AND b.doc_id % 13 = 5
+       |            GROUP BY 1, 2),
+       |in_i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |         WHERE a.doc_id % 13 = 5 AND b.doc_id % 13 = 5
+       |         GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM (
+       |    SELECT d1, d2, i FROM cross_i
+       |    UNION ALL SELECT d1, d2, i FROM in_i) p
+       |  JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
+       |surv AS (
+       |  SELECT d.doc_id, d.source, (d.n_chars + 3) // 4 AS est_tokens,
+       |    (1000000 * (len(w.wl) - $stops)) // d.n_chars AS priority
+       |  FROM documents d JOIN wl w USING (doc_id)
+       |  WHERE d.doc_id % 13 = 5
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+       |    AND (1000000 * (len(w.wl) - $stops)) // d.n_chars > 171215),
+       |b AS (SELECT SUM(est_tokens) // 2 AS budget FROM surv),
+       |cum AS (SELECT surv.*, CAST(SUM(est_tokens) OVER (
+       |    ORDER BY priority DESC, doc_id ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum_tokens FROM surv)
+       |SELECT doc_id, source, est_tokens, priority, cum_tokens
+       |FROM cum, b WHERE cum_tokens - est_tokens < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "text_curation_pipeline" -> curationPipeline)
+    "text_curation_pipeline" -> curationPipeline,
+    "text_curation_ingest"   -> curationIngest)
 
   val oracleSql: Map[String, String] = Map(
-    "text_curation_pipeline" -> curationPipelineSql)
+    "text_curation_pipeline" -> curationPipelineSql,
+    "text_curation_ingest"   -> curationIngestSql)
 }
