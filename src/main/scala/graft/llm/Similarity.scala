@@ -1109,7 +1109,71 @@ object Similarity {
        |FROM af LEFT JOIN dup ON af.vec_id = dup.vec_id
        |ORDER BY af.vec_id""".stripMargin
 
+  /** Embedding-distribution DRIFT monitor — per label, how far the
+    * class centroid moved between the reference half and the current
+    * half of the corpus (split `vec_id % 2` standing in for
+    * batch-over-time): centroid cosine and L2 shift, the check that
+    * catches an embedding-model change or a data-mix shift BEFORE a
+    * downstream ANN index silently degrades (the staleness fence says
+    * the corpus CHANGED; this says how much it MOVED).
+    *
+    * Shape ([[kmeansUpdate]]'s discipline): vectors unroll to (label,
+    * half, component) partial sums — map-side combined, the exchange
+    * carries labels×2×64 rows regardless of corpus size — means round
+    * to 6 dp (accumulation-order noise ~1e-15 vs the 1e-6 grain), the
+    * tiny per-class relation folds back into arrays, and both distance
+    * numbers come off the SAME sequential dot fold both engines share
+    * (L2² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ — no element-wise zip needed). */
+  def centroidDrift: Q = (s, dir) => {
+    val e = Tables(s, dir).embeddings
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val comp = e.select(col("label"), col("half"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("label"), col("half"), col("j"))
+      .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"), count(lit(1)).as("n"))
+    val cents = comp.groupBy(col("label"), col("half"))
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"),
+        max(col("n")).as("n"))
+      .select(col("label"), col("half"),
+        transform(col("jm"), x => x.getField("m")).as("c"), col("n"))
+    val ref = cents.filter(col("half") === 0)
+      .select(col("label"), col("c").as("c0"), col("n").as("n_ref"))
+    val cur = cents.filter(col("half") === 1)
+      .select(col("label"), col("c").as("c1"), col("n").as("n_cur"))
+    ref.join(cur, "label")
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        round(dotp(col("c0"), col("c1")) /
+          (sqrt(dotp(col("c0"), col("c0"))) * sqrt(dotp(col("c1"), col("c1")))), 6)
+          .as("centroid_cos"),
+        round(sqrt(greatest(lit(0.0),
+          dotp(col("c0"), col("c0")) - lit(2.0) * dotp(col("c0"), col("c1")) +
+            dotp(col("c1"), col("c1")))), 6).as("centroid_l2"))
+      .orderBy(col("label"))
+  }
+
+  val centroidDriftSql: String =
+    """WITH e AS (SELECT label, vec_id % 2 AS half, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |x AS (SELECT label, half, t.j, v[t.j + 1] AS x
+      |  FROM e, UNNEST(range(len(v))) AS t(j)),
+      |comp AS (SELECT label, half, j,
+      |    ROUND(SUM(x) / COUNT(*), 6) AS m, COUNT(*) AS n
+      |  FROM x GROUP BY 1, 2, 3),
+      |cents AS (SELECT label, half, MAX(n) AS n, list(m ORDER BY j) AS c
+      |  FROM comp GROUP BY 1, 2)
+      |SELECT r.label, r.n AS n_ref, c.n AS n_cur,
+      |  ROUND(list_dot_product(r.c, c.c)
+      |    / (SQRT(list_dot_product(r.c, r.c))
+      |       * SQRT(list_dot_product(c.c, c.c))), 6) AS centroid_cos,
+      |  ROUND(SQRT(GREATEST(0.0,
+      |    list_dot_product(r.c, r.c) - 2.0 * list_dot_product(r.c, c.c)
+      |      + list_dot_product(c.c, c.c))), 6) AS centroid_l2
+      |FROM (SELECT * FROM cents WHERE half = 0) r
+      |JOIN (SELECT * FROM cents WHERE half = 1) c USING (label)
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embedding_centroid_drift" -> centroidDrift,
     "embedding_pca_power"    -> pcaPower,
     "embedding_semdedup"     -> semDedup,
     "vec_quantize"           -> vecQuantize,
@@ -1137,6 +1201,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "embedding_pca_power"    -> pcaPowerSql,
     "embedding_semdedup"     -> semDedupSql,
+    "embedding_centroid_drift" -> centroidDriftSql,
     "vec_quantize"           -> vecQuantizeSql,
     "embedding_dedup_clusters" -> embeddingDedupClustersSql,
     "knn_brute_force"        -> knnBruteForceSql,
