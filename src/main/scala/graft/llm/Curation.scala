@@ -367,6 +367,13 @@ object Curation {
         expr("(n_chars + 3) div 4").as("est_tokens"),
         expr("(1000000L * cw) div n_chars").as("priority"))
       .filter(col("priority") > TextAnalysis.QcThreshold)
+      // Survivor-set boundary: the budget kernel consumes `scored`
+      // TWICE (bucket-boundary sketch + the main branch), and with only
+      // broadcast joins upstream there is no exchange for reuse to
+      // latch onto — without the cut, the serve probes + both dedup
+      // kernels execute once per consumer (the curationPipeline
+      // lineage lesson; measured 8.9 s → see BENCH_NOTES).
+      .localCheckpoint(false)
     graft.ops.DistributedCumulate.runningTotals(
         scored, B, Seq(col("priority").desc, col("doc_id")),
         Seq(("est_tokens", "cum_tokens")), "sel_rank",
