@@ -1172,8 +1172,84 @@ object Similarity {
       |JOIN (SELECT * FROM cents WHERE half = 1) c USING (label)
       |ORDER BY label""".stripMargin
 
+  /** Johnson–Lindenstrauss random projection (64 → 16 dims, Achlioptas
+    * ±1 signs) WITH its distortion certificate — the dimension
+    * reduction a 100 TB ANN stack runs before indexing (4× less vector
+    * I/O per probe), shipped honestly: the entry projects the corpus
+    * and then REPORTS, for every pair in the bounded 30-vector sample,
+    * the original vs projected cosine and the absolute distortion, so
+    * the recall cost of the compression is a measured number, not a
+    * promise (the knn_recall_eval discipline applied to JL).
+    *
+    * Determinism: the sign matrix is the portable affine hash family
+    * ([[TextHash.M]] arithmetic — exact int64 on both engines); the
+    * projection fold rounds to 6 dp under the kmeansUpdate
+    * order-noise argument; /4 is division by a power of two (exact in
+    * IEEE). Shape: signs broadcast (K×64 rows), the projection is one
+    * map-side-combinable (vec, j) fold — the corpus is never shuffled
+    * at vector grain — and the certificate's cross join is 30×30
+    * broadcast-bounded. */
+  def jlProject: Q = (s, dir) => {
+    val K = 16
+    val e = normalized(Tables(s, dir))
+    val comp = e.select(col("vec_id"), posexplode(col("vn")).as(Seq("d", "x")))
+    val signs = s.range(K * 64L).select(
+      (col("id") / 64).cast("long").as("j"), (col("id") % 64).as("d"),
+      when(((lit(1103515245L) * col("id") + lit(12345L)) % lit(TextHash.M)) % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0)).as("sg"))
+    val proj = comp.join(broadcast(signs), "d")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("x") * col("sg")) / 4.0, 6).as("p"))
+    val pv = proj.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("p")))).as("jp"))
+      .select(col("vec_id"), transform(col("jp"), x => x.getField("p")).as("pv"))
+    val sample = e.filter(col("vec_id") < 30)
+      .join(pv, "vec_id")
+      .select(col("vec_id"), col("vn"), col("pv"))
+      // 30-row survivor boundary: both sides of the certificate's self
+      // cross join consume `sample`, and without the cut each side
+      // re-runs the corpus-wide projection fold (the curation-ingest
+      // double-lineage lesson).
+      .localCheckpoint(false)
+    val pairs = sample.as("a")
+      .join(broadcast(sample.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+    pairs
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(dotp(col("a.vn"), col("b.vn")), 6).as("orig_cos"),
+        round(dotp(col("a.pv"), col("b.pv")) /
+          (sqrt(dotp(col("a.pv"), col("a.pv"))) * sqrt(dotp(col("b.pv"), col("b.pv")))), 6)
+          .as("proj_cos"))
+      .withColumn("abs_err", round(abs(col("orig_cos") - col("proj_cos")), 6))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val jlProjectSql: String =
+    s"""WITH ${normalizedSql},
+       |comp AS (SELECT vec_id, t.d, vn[t.d + 1] AS x
+       |  FROM e, UNNEST(range(len(vn))) AS t(d)),
+       |signs AS (SELECT t.id // 64 AS j, t.id % 64 AS d,
+       |    CASE WHEN ((1103515245 * t.id + 12345) % ${TextHash.M}) % 2 = 0
+       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sg
+       |  FROM UNNEST(range(${16 * 64})) AS t(id)),
+       |proj AS (SELECT vec_id, j, ROUND(SUM(x * sg) / 4.0, 6) AS p
+       |  FROM comp JOIN signs USING (d) GROUP BY 1, 2),
+       |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY 1),
+       |smp AS (SELECT e.vec_id, e.vn, pv.pv FROM e JOIN pv USING (vec_id)
+       |  WHERE e.vec_id < 30),
+       |prs AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    ROUND(list_dot_product(a.vn, b.vn), 6) AS orig_cos,
+       |    ROUND(list_dot_product(a.pv, b.pv)
+       |      / (SQRT(list_dot_product(a.pv, a.pv))
+       |         * SQRT(list_dot_product(b.pv, b.pv))), 6) AS proj_cos
+       |  FROM smp a JOIN smp b ON a.vec_id < b.vec_id)
+       |SELECT v1, v2, orig_cos, proj_cos,
+       |  ROUND(ABS(orig_cos - proj_cos), 6) AS abs_err
+       |FROM prs ORDER BY v1, v2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embedding_centroid_drift" -> centroidDrift,
+    "embedding_jl_project"   -> jlProject,
     "embedding_pca_power"    -> pcaPower,
     "embedding_semdedup"     -> semDedup,
     "vec_quantize"           -> vecQuantize,
@@ -1202,6 +1278,7 @@ object Similarity {
     "embedding_pca_power"    -> pcaPowerSql,
     "embedding_semdedup"     -> semDedupSql,
     "embedding_centroid_drift" -> centroidDriftSql,
+    "embedding_jl_project"  -> jlProjectSql,
     "vec_quantize"           -> vecQuantizeSql,
     "embedding_dedup_clusters" -> embeddingDedupClustersSql,
     "knn_brute_force"        -> knnBruteForceSql,
