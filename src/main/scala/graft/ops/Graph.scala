@@ -223,11 +223,13 @@ object Graph {
     * connectedComponents does. */
   private val LpaIters = 3
 
-  def qLabelProp: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val li = Tables(s, dir).lineitem
-    val supp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val pairs = supp.as("a")
+  /** The strong-tie co-supply pair graph (u < v, ≥ StrongTie shared
+    * orders) — the shared trunk under [[qLabelProp]] and
+    * [[qModularity]]. */
+  private def strongTiePairs(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    supp.as("a")
       .join(supp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -235,9 +237,12 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= StrongTie)
       .select(col("u"), col("v"))
-    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
-      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
-      .persist()
+  }
+
+  /** LpaIters rounds of mode-label propagation over the bidirected
+    * edge list; returns (node, label). */
+  private def lpaLabels(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val byMode = Window.partitionBy(col("dst"))
@@ -251,10 +256,59 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("dst").as("node"), col("label"))
     }
-    labels.orderBy(col("node"))
+    labels
   }
 
-  val qLabelPropSql: String = {
+  def qLabelProp: Q = (s, dir) => {
+    val pairs = strongTiePairs(s, dir)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    lpaLabels(edges).orderBy(col("node"))
+  }
+
+  /** Newman MODULARITY of the propagated communities — the quality
+    * number that tells you whether [[qLabelProp]]'s partition is
+    * structure or noise (Q ≈ 0: no better than random given the degree
+    * sequence; Q ≳ 0.3: real community structure), reported with the
+    * community count so a degenerate all-one-label collapse is visible.
+    *
+    * Q = Σ_c (m_c/m − (D_c/2m)²) over communities: within-community
+    * edge counts and degree sums are exact int64 folds over the SAME
+    * pair/edge relations the propagation used (both endpoints' labels
+    * arrive by two joins against the label table — node-grain
+    * equi-joins, no new shuffle class); the ≤|communities|-term double
+    * fold rides the 6-dp grain precedent. */
+  def qModularity: Q = (s, dir) => {
+    val pairs = strongTiePairs(s, dir).persist()
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val lab = lpaLabels(edges).localCheckpoint(false)
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val inc = pairs
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+    val mc = inc.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("m_c"))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, "node")
+      .groupBy(col("label")).agg(sum(col("d")).as("d_c"))
+    val dOver = col("d_c").cast("double") / (lit(2L) * col("m"))
+    dc.join(mc, Seq("label"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(
+        (coalesce(col("m_c"), lit(0L)).cast("double") / col("m") -
+          dOver * dOver).as("t"))
+      .agg(count(lit(1)).as("n_communities"), round(sum(col("t")), 6).as("modularity"))
+      .crossJoin(broadcast(m))
+      .select(col("m").as("m_edges"), col("n_communities"), col("modularity"))
+  }
+
+  /** Shared oracle CTE prefix: the strong-tie graph + LpaIters unrolled
+    * propagation rounds (ending at `l$LpaIters`) — under both
+    * [[qLabelPropSql]] and [[qModularitySql]]. */
+  private val lpaCtesSql: String = {
     def iterCte(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT dst AS node, label FROM (
@@ -276,9 +330,34 @@ object Graph {
        |  SELECT u AS src, v AS dst FROM pairs
        |  UNION ALL SELECT v, u FROM pairs),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-       |$iters
-       |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin
+       |$iters"""
   }
+
+  val qLabelPropSql: String =
+    s"""${lpaCtesSql.stripMargin}
+       |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin
+
+  /** Oracle: the label-prop CTE chain + the modularity arithmetic. */
+  val qModularitySql: String =
+    s"""${lpaCtesSql.stripMargin},
+       |lab AS (SELECT node, label FROM l$LpaIters),
+       |m AS (SELECT COUNT(*) AS m FROM pairs),
+       |inc AS (SELECT la.label AS lu, lb.label AS lv
+       |        FROM pairs p JOIN lab la ON p.u = la.node
+       |        JOIN lab lb ON p.v = lb.node),
+       |mc AS (SELECT lu AS label, COUNT(*) AS m_c FROM inc
+       |       WHERE lu = lv GROUP BY 1),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+       |dc AS (SELECT lab.label, CAST(SUM(d) AS BIGINT) AS d_c
+       |       FROM deg JOIN lab USING (node) GROUP BY 1),
+       |terms AS (SELECT
+       |    CAST(COALESCE(mc.m_c, 0) AS DOUBLE) / m.m
+       |      - (CAST(d_c AS DOUBLE) / (2 * m.m))
+       |        * (CAST(d_c AS DOUBLE) / (2 * m.m)) AS t
+       |  FROM dc LEFT JOIN mc USING (label) CROSS JOIN m)
+       |SELECT (SELECT m FROM m) AS m_edges, COUNT(*) AS n_communities,
+       |  ROUND(SUM(t), 6) AS modularity
+       |FROM terms""".stripMargin
 
   /** Multi-source BFS hop distance on the strong co-supply graph: for
     * every supplier reachable within [[BfsIters]] hops of a seed set
@@ -553,6 +632,7 @@ object Graph {
     "q_pagerank" -> qPageRank,
     "q_triangle_count" -> qTriangleCount,
     "q_label_prop" -> qLabelProp,
+    "q_modularity" -> qModularity,
     "q_bfs_hops" -> qBfsHops,
     "q_link_prediction" -> qLinkPrediction,
     "q_kcore" -> qKcore)
@@ -561,6 +641,7 @@ object Graph {
     "q_pagerank" -> qPageRankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_label_prop" -> qLabelPropSql,
+    "q_modularity" -> qModularitySql,
     "q_bfs_hops" -> qBfsHopsSql,
     "q_link_prediction" -> qLinkPredictionSql,
     "q_kcore" -> qKcoreSql)
