@@ -1189,20 +1189,40 @@ object Similarity {
     * map-side-combinable (vec, j) fold — the corpus is never shuffled
     * at vector grain — and the certificate's cross join is 30×30
     * broadcast-bounded. */
-  def jlProject: Q = (s, dir) => {
+  /** The 64 → 16 Achlioptas ±1 projection of every corpus vector —
+    * `(vec_id, pv)` — shared by [[jlProject]]'s distortion certificate
+    * and [[jlRecall]]'s end-task eval. */
+  private def jlVectors(e: DataFrame): DataFrame = {
     val K = 16
-    val e = normalized(Tables(s, dir))
     val comp = e.select(col("vec_id"), posexplode(col("vn")).as(Seq("d", "x")))
-    val signs = s.range(K * 64L).select(
+    val signs = e.sparkSession.range(K * 64L).select(
       (col("id") / 64).cast("long").as("j"), (col("id") % 64).as("d"),
       when(((lit(1103515245L) * col("id") + lit(12345L)) % lit(TextHash.M)) % 2 === 0,
         lit(1.0)).otherwise(lit(-1.0)).as("sg"))
     val proj = comp.join(broadcast(signs), "d")
       .groupBy(col("vec_id"), col("j"))
       .agg(round(sum(col("x") * col("sg")) / 4.0, 6).as("p"))
-    val pv = proj.groupBy(col("vec_id"))
+    proj.groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("j"), col("p")))).as("jp"))
       .select(col("vec_id"), transform(col("jp"), x => x.getField("p")).as("pv"))
+  }
+
+  /** Shared oracle CTEs for the projection: `comp`/`signs`/`proj`/`pv`
+    * on top of the `e` normalized-vectors CTE. */
+  private val jlCtesSql: String =
+    s"""comp AS (SELECT vec_id, t.d, vn[t.d + 1] AS x
+       |  FROM e, UNNEST(range(len(vn))) AS t(d)),
+       |signs AS (SELECT t.id // 64 AS j, t.id % 64 AS d,
+       |    CASE WHEN ((1103515245 * t.id + 12345) % ${TextHash.M}) % 2 = 0
+       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sg
+       |  FROM UNNEST(range(${16 * 64})) AS t(id)),
+       |proj AS (SELECT vec_id, j, ROUND(SUM(x * sg) / 4.0, 6) AS p
+       |  FROM comp JOIN signs USING (d) GROUP BY 1, 2),
+       |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY 1)""".stripMargin
+
+  def jlProject: Q = (s, dir) => {
+    val e = normalized(Tables(s, dir))
+    val pv = jlVectors(e)
     val sample = e.filter(col("vec_id") < 30)
       .join(pv, "vec_id")
       .select(col("vec_id"), col("vn"), col("pv"))
@@ -1226,15 +1246,7 @@ object Similarity {
 
   val jlProjectSql: String =
     s"""WITH ${normalizedSql},
-       |comp AS (SELECT vec_id, t.d, vn[t.d + 1] AS x
-       |  FROM e, UNNEST(range(len(vn))) AS t(d)),
-       |signs AS (SELECT t.id // 64 AS j, t.id % 64 AS d,
-       |    CASE WHEN ((1103515245 * t.id + 12345) % ${TextHash.M}) % 2 = 0
-       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sg
-       |  FROM UNNEST(range(${16 * 64})) AS t(id)),
-       |proj AS (SELECT vec_id, j, ROUND(SUM(x * sg) / 4.0, 6) AS p
-       |  FROM comp JOIN signs USING (d) GROUP BY 1, 2),
-       |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY 1),
+       |$jlCtesSql,
        |smp AS (SELECT e.vec_id, e.vn, pv.pv FROM e JOIN pv USING (vec_id)
        |  WHERE e.vec_id < 30),
        |prs AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -1247,9 +1259,72 @@ object Similarity {
        |  ROUND(ABS(orig_cos - proj_cos), 6) AS abs_err
        |FROM prs ORDER BY v1, v2""".stripMargin
 
+  /** Recall@5 of the JL-PROJECTED space against the original space for
+    * the 10 standard query vectors — [[jlProject]] certifies geometry
+    * (pairwise distortion); this certifies the END TASK (does the
+    * compressed index still return the same neighbors). Both rankings
+    * cut top-5 with the native bounded heap on 6-dp-rounded scores
+    * (id tiebreak), so the overlap count is engine-stable; the recall
+    * division is an exact /5. */
+  def jlRecall: Q = (s, dir) => {
+    val k = 5
+    val e = normalized(Tables(s, dir))
+    val pv = jlVectors(e).localCheckpoint(false)
+    def topk(vecs: DataFrame, vcol: String, normalize: Boolean): DataFrame = {
+      val q = broadcast(vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col(vcol).as("qv")))
+      val base = vecs.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      val cs =
+        if (normalize)
+          dotp(col(vcol), col("qv")) /
+            (sqrt(dotp(col(vcol), col(vcol))) * sqrt(dotp(col("qv"), col("qv"))))
+        else dotp(col(vcol), col("qv"))
+      val scored = base.select(col("query_id"), col("vec_id").as("nid"),
+        round(cs, 6).as("cs"))
+      graft.plans.TopKPerGroup(scored, Seq("query_id"),
+        Seq(("cs", false), ("nid", true)), k)
+        .select(col("query_id"), col("nid"))
+    }
+    val orig = topk(e, "vn", normalize = false)
+    val proj = topk(pv, "pv", normalize = true)
+      .select(col("query_id").as("pq"), col("nid").as("pn"))
+    orig.join(proj,
+        col("query_id") === col("pq") && col("nid") === col("pn"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("pn")).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / 5.0, 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val jlRecallSql: String =
+    s"""WITH ${normalizedSql},
+       |$jlCtesSql,
+       |q AS (SELECT vec_id AS query_id, vn AS qv FROM e WHERE vec_id < 10),
+       |so AS (SELECT q.query_id, e.vec_id AS nid,
+       |    ROUND(list_dot_product(e.vn, q.qv), 6) AS cs
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ro AS (SELECT query_id, nid FROM (
+       |    SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, nid) AS rn FROM so) t WHERE rn <= 5),
+       |qp AS (SELECT vec_id AS query_id, pv AS qv FROM pv WHERE vec_id < 10),
+       |sp AS (SELECT qp.query_id, p.vec_id AS nid,
+       |    ROUND(list_dot_product(p.pv, qp.qv)
+       |      / (SQRT(list_dot_product(p.pv, p.pv))
+       |         * SQRT(list_dot_product(qp.qv, qp.qv))), 6) AS cs
+       |  FROM pv p CROSS JOIN qp WHERE p.vec_id <> qp.query_id),
+       |rp AS (SELECT query_id, nid FROM (
+       |    SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, nid) AS rn FROM sp) t WHERE rn <= 5)
+       |SELECT ro.query_id, COUNT(rp.nid) AS n_overlap,
+       |  ROUND(CAST(COUNT(rp.nid) AS DOUBLE) / 5.0, 6) AS recall
+       |FROM ro LEFT JOIN rp ON ro.query_id = rp.query_id AND ro.nid = rp.nid
+       |GROUP BY ro.query_id ORDER BY ro.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embedding_centroid_drift" -> centroidDrift,
     "embedding_jl_project"   -> jlProject,
+    "knn_jl_recall"          -> jlRecall,
     "embedding_pca_power"    -> pcaPower,
     "embedding_semdedup"     -> semDedup,
     "vec_quantize"           -> vecQuantize,
@@ -1279,6 +1354,7 @@ object Similarity {
     "embedding_semdedup"     -> semDedupSql,
     "embedding_centroid_drift" -> centroidDriftSql,
     "embedding_jl_project"  -> jlProjectSql,
+    "knn_jl_recall"         -> jlRecallSql,
     "vec_quantize"           -> vecQuantizeSql,
     "embedding_dedup_clusters" -> embeddingDedupClustersSql,
     "knn_brute_force"        -> knnBruteForceSql,

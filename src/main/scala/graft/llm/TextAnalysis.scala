@@ -2072,11 +2072,70 @@ object TextAnalysis {
        |    / (CAST(npos AS DOUBLE) / n), 6) AS lift
        |FROM dec ORDER BY decile""".stripMargin
 
+  /** Within-document BIGRAM entropy — the predictability quality
+    * signal next to [[repetitionFilter]]'s top-gram shares: machine-
+    * generated or template text has LOW bigram entropy for its length
+    * (few distinct continuations), while natural prose sits near the
+    * normalized-entropy ceiling. Computed via the one-pass identity
+    * H = ln n − (Σ c·ln c)/n over the per-doc bigram counts, so the
+    * (doc, gram) fold feeds ONE aggregation — no second join for
+    * totals; docs too short for a bigram re-enter via the doc spine at
+    * zero (the dup-gram-coverage discipline). At 100 TB the grams fold
+    * to 64-bit hashes before the shuffle (entropy only needs counts,
+    * not the strings — the substring-spans-hashed trade). */
+  def ngramEntropy: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+    val bi = d.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(0), size(col("w")) - 2),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val c = bi.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val perDoc = c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slnc"))
+      .select(col("doc_id"), col("n").as("n_bigrams"), col("k").as("n_distinct"),
+        round(log(col("n").cast("double")) - col("slnc") / col("n"), 6).as("entropy"),
+        round(when(col("k") === 1, lit(0.0))
+          .otherwise((log(col("n").cast("double")) - col("slnc") / col("n")) /
+            log(col("k").cast("double"))), 6).as("entropy_norm"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"),
+        coalesce(col("entropy_norm"), lit(0.0)).as("entropy_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramEntropySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |g AS (SELECT doc_id, array_to_string(wl[x+1:x+2], ' ') AS gram
+      |      FROM w, UNNEST(range(len(wl)-1)) AS t(x)),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k,
+      |    SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS slnc
+      |  FROM c GROUP BY doc_id),
+      |e AS (SELECT doc_id, n AS n_bigrams, k AS n_distinct,
+      |    ROUND(LN(CAST(n AS DOUBLE)) - slnc / n, 6) AS entropy,
+      |    ROUND(CASE WHEN k = 1 THEN 0.0
+      |      ELSE (LN(CAST(n AS DOUBLE)) - slnc / n)
+      |        / LN(CAST(k AS DOUBLE)) END, 6) AS entropy_norm
+      |  FROM pd)
+      |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(n_distinct, 0) AS n_distinct,
+      |  COALESCE(entropy, 0.0) AS entropy,
+      |  COALESCE(entropy_norm, 0.0) AS entropy_norm
+      |FROM documents d LEFT JOIN e USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_semantic_rrf"      -> semanticRrf,
     "text_chi2_terms"        -> chi2Terms,
     "text_classifier_lift"   -> classifierLift,
+    "text_ngram_entropy"     -> ngramEntropy,
     "text_ccnet_buckets"     -> ccnetBuckets,
     "text_ccnet_buckets_cut" -> ccnetBucketsCut,
     "text_vocab_growth"      -> vocabGrowth,
@@ -2114,6 +2173,7 @@ object TextAnalysis {
     "text_semantic_rrf"     -> semanticRrfSql,
     "text_chi2_terms"       -> chi2TermsSql,
     "text_classifier_lift"  -> classifierLiftSql,
+    "text_ngram_entropy"    -> ngramEntropySql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
     "text_ccnet_buckets_cut" -> ccnetBucketsCutSql,
     "text_vocab_growth"     -> vocabGrowthSql,
