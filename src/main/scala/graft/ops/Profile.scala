@@ -864,6 +864,121 @@ object Profile {
       |  (ssb / 4.0) / (ssw / CAST(n - 5 AS DOUBLE)) > 2.372 AS reject_005
       |FROM st""".stripMargin
 
+  /** BURSTINESS of event arrivals per type — Fano factor (σ²/μ over
+    * daily counts) and the Goh–Barabási burstiness (σ−μ)/(σ+μ): a
+    * collector flapping on and off shows the same daily MEAN as a
+    * healthy one, but its variance explodes — this is the audit that
+    * separates them (the [[qTvdDrift]]/[[qEntropyGroup]] family's
+    * temporal member). One (type, day) fold, then exact integer
+    * moments per type (counts and squared counts in int64), fixed-
+    * shape double arithmetic at the end. Observed days only: a type
+    * absent a whole day contributes no row — documented, determinstic
+    * on both engines. */
+  def qBurstiness: Q = (s, dir) => {
+    val byDay = Tables(s, dir).events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+    val m = byDay.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val mu = col("s").cast("double") / col("n_days")
+    val varC = (col("q").cast("double") -
+      col("s").cast("double") * col("s") / col("n_days")) / (col("n_days") - lit(1L))
+    val sd = sqrt(varC)
+    m.filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"),
+        round(mu, 6).as("mean_daily"),
+        round(varC / mu, 6).as("fano"),
+        round((sd - mu) / (sd + mu), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  val qBurstinessSql: String =
+    """WITH bd AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+      |  FROM bd GROUP BY 1),
+      |e AS (SELECT event_type, n_days,
+      |    CAST(s AS DOUBLE) / n_days AS mu,
+      |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+      |      / (n_days - 1) AS varc
+      |  FROM m WHERE n_days > 1)
+      |SELECT event_type, n_days, ROUND(mu, 6) AS mean_daily,
+      |  ROUND(varc / mu, 6) AS fano,
+      |  ROUND((SQRT(varc) - mu) / (SQRT(varc) + mu), 6) AS burstiness
+      |FROM e ORDER BY event_type""".stripMargin
+
+  /** THEIL index of order-value inequality, DECOMPOSED — the property
+    * Gini structurally lacks ([[graft.ops.Analytic]]'s `q_gini` ranks
+    * within nations but cannot split total inequality into
+    * between-nation and within-nation parts; Theil T can, exactly):
+    * one row per nation (within-nation T), plus `_between` and
+    * `_total` rows. All three are per-row ln folds against broadcast
+    * group moments — NO rank, NO cutpoint kernel, no window: the
+    * map-side-combinable shape the rank-based Gini cannot have. Group
+    * moments are exact int64; the per-group double folds ride the 6-dp
+    * precedent. */
+  def qTheilDecompose: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val o = t.orders.select(col("o_custkey"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val joined = o
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("g"), col("v"))
+    val grp = joined.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"))
+    val tot = grp.agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"))
+    val within = joined.join(broadcast(grp), "g")
+      .groupBy(col("g"), col("ng"))
+      .agg(round(sum((col("v").cast("double") / col("sg")) *
+        log(col("v").cast("double") * col("ng") / col("sg"))), 6).as("theil"))
+      .select(col("g").as("scope"), col("ng").as("n_orders"), col("theil"))
+    val between = grp.crossJoin(broadcast(tot))
+      .agg(round(sum((col("sg").cast("double") / col("s")) *
+        log(col("sg").cast("double") * col("n") /
+          (col("s").cast("double") * col("ng")))), 6).as("theil"))
+      .crossJoin(broadcast(tot))
+      .select(lit("_between").as("scope"), col("n").as("n_orders"), col("theil"))
+    val total = joined.crossJoin(broadcast(tot))
+      .agg(round(sum((col("v").cast("double") / col("s")) *
+        log(col("v").cast("double") * col("n") / col("s"))), 6).as("theil"))
+      .crossJoin(broadcast(tot))
+      .select(lit("_total").as("scope"), col("n").as("n_orders"), col("theil"))
+    within.unionByName(between).unionByName(total).orderBy(col("scope"))
+  }
+
+  val qTheilDecomposeSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v FROM orders),
+      |j AS (SELECT n.n_name AS g, o.v
+      |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |grp AS (SELECT g, COUNT(*) AS ng, CAST(SUM(v) AS BIGINT) AS sg
+      |  FROM j GROUP BY g),
+      |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+      |        CAST(SUM(sg) AS BIGINT) AS s FROM grp),
+      |w AS (SELECT g AS scope, ng AS n_orders,
+      |    ROUND(SUM((CAST(v AS DOUBLE) / sg)
+      |      * LN(CAST(v AS DOUBLE) * ng / sg)), 6) AS theil
+      |  FROM j JOIN grp USING (g) GROUP BY g, ng),
+      |bt AS (SELECT '_between' AS scope, t.n AS n_orders,
+      |    ROUND(SUM((CAST(sg AS DOUBLE) / t.s)
+      |      * LN(CAST(sg AS DOUBLE) * t.n / (CAST(t.s AS DOUBLE) * ng))), 6)
+      |      AS theil
+      |  FROM grp CROSS JOIN tot t GROUP BY t.n),
+      |tt AS (SELECT '_total' AS scope, t.n AS n_orders,
+      |    ROUND(SUM((CAST(v AS DOUBLE) / t.s)
+      |      * LN(CAST(v AS DOUBLE) * t.n / t.s)), 6) AS theil
+      |  FROM j CROSS JOIN tot t GROUP BY t.n)
+      |SELECT scope, n_orders, theil FROM w
+      |UNION ALL SELECT scope, n_orders, theil FROM bt
+      |UNION ALL SELECT scope, n_orders, theil FROM tt
+      |ORDER BY scope""".stripMargin
+
   /** Cramér's V — the effect-size companion of the test battery for
     * CATEGORICAL × CATEGORICAL association (is order priority
     * independent of order status, and how strongly not): χ² over the
@@ -1020,6 +1135,8 @@ object Profile {
     "q_welch_ttest"    -> qWelchTtest,
     "q_anova_groups"   -> qAnovaGroups,
     "q_cramers_v"      -> qCramersV,
+    "q_burstiness"     -> qBurstiness,
+    "q_theil_decompose" -> qTheilDecompose,
     "q_entropy_group"  -> qEntropyGroup,
     "q_late_events"    -> qLateEvents,
     "q_group_quantiles" -> qGroupQuantiles,
@@ -1040,6 +1157,8 @@ object Profile {
     "q_welch_ttest"    -> qWelchTtestSql,
     "q_anova_groups"   -> qAnovaGroupsSql,
     "q_cramers_v"      -> qCramersVSql,
+    "q_burstiness"     -> qBurstinessSql,
+    "q_theil_decompose" -> qTheilDecomposeSql,
     "q_entropy_group"  -> qEntropyGroupSql,
     "q_late_events"    -> qLateEventsSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
