@@ -574,6 +574,11 @@ private[sources] class GraftProcedure(op: String, root: String)
       ProcedureParameter.in("table", StringType).build(),
       // a commit seq, a tag name, or a manifest name
       ProcedureParameter.in("ref", StringType).build())
+    case "snapshot_diff" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      // each ref: a commit seq or tag name; empty = the CURRENT snapshot
+      ProcedureParameter.in("from_ref", StringType).build(),
+      ProcedureParameter.in("to_ref", StringType).defaultValue("''").build())
     case "expire_snapshots" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).defaultValue("2").build())
@@ -604,6 +609,7 @@ private[sources] class GraftProcedure(op: String, root: String)
     if (op == "snapshots") return snapshotsScan(path)
     if (op == "wap_stages") return wapStagesScan(path)
     if (op == "files") return filesScan(path)
+    if (op == "snapshot_diff") return snapshotDiffScan(path, input)
     if (op == "constraints") return constraintsScan(path)
     if (op == "tag") return tagScan(path, input)
     if (op == "set_partition_spec") return setSpecScan(path, input)
@@ -805,6 +811,65 @@ private[sources] class GraftProcedure(op: String, root: String)
     java.util.Collections.singletonList(scan).iterator()
   }
 
+  /** `CALL graft.system.snapshot_diff(table, from_ref, to_ref)` — the
+    * METADATA changelog between two snapshots, the question an
+    * incremental consumer asks before deciding whether to re-read
+    * ("what did commits (from, to] actually change"): one row per
+    * (change, file) where change is `added` (file new in `to`, n_rows
+    * = its row count), `removed` (file gone, n_rows = what it held at
+    * `from`), or `dv_grew` (file in both but with more delete-vector
+    * positions, n_rows = the delta). Refs are commit seqs or tag
+    * names; empty = the current snapshot. Pure manifest arithmetic —
+    * no data file is opened (the `files`-procedure discipline). The
+    * DATA-level sibling is `q_table_diff`; this one answers from
+    * metadata alone. */
+  private def snapshotDiffScan(path: String,
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def refOf(i: Int): Option[String] =
+      (if (input.isNullAt(i)) None
+       else Some(input.getUTF8String(i).toString).filter(_.nonEmpty))
+        .map(r => ManifestFileSink.resolveRef(path, r))
+    val fromRef = refOf(1)
+    val toRef = refOf(2)
+    def entries(asOf: Option[String]): Map[String, Long] =
+      ManifestFileSink.latestEntriesWithSchema(path, asOf)
+        .map { case (f, n, _, _) => f -> n }.toMap
+    def dvCounts(asOf: Option[String]): Map[String, Long] =
+      ManifestFileSink.deleteVectors(path, asOf)
+        .map { case (f, a) => f -> a.length.toLong }
+    val fromE = entries(fromRef)
+    val toE = entries(toRef)
+    val fromD = dvCounts(fromRef)
+    val toD = dvCounts(toRef)
+    val added = (toE.keySet -- fromE.keySet).toSeq.sorted
+      .map(f => ("added", f, toE(f)))
+    val removed = (fromE.keySet -- toE.keySet).toSeq.sorted
+      .map(f => ("removed", f, fromE(f)))
+    val dvGrew = (fromE.keySet & toE.keySet).toSeq.sorted
+      .map(f => (f, toD.getOrElse(f, 0L) - fromD.getOrElse(f, 0L)))
+      .filter(_._2 > 0)
+      .map { case (f, d) => ("dv_grew", f, d) }
+    val diffRows = (added ++ removed ++ dvGrew).sortBy(r => (r._1, r._2))
+      .map { case (c, f, n) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(c), UTF8String.fromString(f), n)
+      }.toArray
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("change", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("file", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = diffRows
+        override def readSchema(): StructType = outSchema
+        override def description(): String = "graft.snapshot_diff result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
   /** `CALL graft.system.constraints(table => …)` — the table's declared
     * CHECK constraints as (name, predicate) rows. */
   private def constraintsScan(path: String)
@@ -867,7 +932,7 @@ private[sources] object GraftProcedure {
   val Names: Seq[String] =
     Seq("optimize", "zorder", "repartition_table", "vacuum", "compact",
       "apply_deletes", "migrate_schema", "snapshots", "files",
-      "constraints", "tag", "untag", "set_partition_spec",
+      "snapshot_diff", "constraints", "tag", "untag", "set_partition_spec",
       "wap_publish", "wap_discard", "wap_stages", "expire_snapshots",
       "rollback")
 }

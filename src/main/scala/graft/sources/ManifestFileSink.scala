@@ -2382,24 +2382,32 @@ object ManifestFileSink {
     * fseq/lseq range makes the straddle detectable, the same rule as
     * [[compact]]'s fold window. Returns the number of commits rolled
     * back (0 = ref is already the current state). */
+  /** Resolve a user-facing snapshot ref — a commit seq, a tag name, or
+    * a manifest name — to the manifest name [[snapshot]] understands
+    * (shared by [[rollbackTo]] and the `snapshot_diff` procedure; one
+    * resolution, one set of error messages). */
+  private[sources] def resolveRef(path: String, ref: String): String = {
+    val ordered = orderedManifests(path)
+    if (ref.forall(_.isDigit) && ref.nonEmpty)
+      ordered.find(m => readMeta(m).seq == ref.toLong).map(_.getName)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no commit with seq $ref in $path (retired by maintenance, " +
+            "or never published)"))
+    else tags(path).toMap.getOrElse(ref, {
+      if (ordered.exists(_.getName == ref)) ref
+      else if (foldedNames(path).contains(ref))
+        throw new IllegalArgumentException(
+          s"snapshot $ref was retired by compaction (expire-snapshots): " +
+            "it cannot be rolled back to")
+      else throw new IllegalArgumentException(
+        s"'$ref' is neither a seq, a tag, nor a manifest of $path; " +
+          s"tags: ${tags(path).map(_._1).mkString(", ")}")
+    })
+  }
+
   def rollbackTo(path: String, ref: String): Int = commitLock(path).synchronized {
     val ordered = orderedManifests(path)
-    val manifest: String =
-      if (ref.forall(_.isDigit) && ref.nonEmpty)
-        ordered.find(m => readMeta(m).seq == ref.toLong).map(_.getName)
-          .getOrElse(throw new IllegalArgumentException(
-            s"no commit with seq $ref in $path (retired by maintenance, " +
-              "or never published)"))
-      else tags(path).toMap.getOrElse(ref, {
-        if (ordered.exists(_.getName == ref)) ref
-        else if (foldedNames(path).contains(ref))
-          throw new IllegalArgumentException(
-            s"snapshot $ref was retired by compaction (expire-snapshots): " +
-              "it cannot be rolled back to")
-        else throw new IllegalArgumentException(
-          s"'$ref' is neither a seq, a tag, nor a manifest of $path; " +
-            s"tags: ${tags(path).map(_._1).mkString(", ")}")
-      })
+    val manifest: String = resolveRef(path, ref)
     val i = ordered.indexWhere(_.getName == manifest)
     if (i < 0) throw new IllegalArgumentException(
       s"snapshot $manifest is not on the main line of $path")

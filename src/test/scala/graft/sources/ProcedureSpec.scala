@@ -142,6 +142,38 @@ class ProcedureSpec extends SparkTestBase {
       .head().getInt(0) === 0)
   }
 
+  test("snapshot_diff: metadata changelog between two refs, no data files opened") {
+    root
+    spark.sql("CREATE TABLE gproc.db.sd (id BIGINT)")
+    spark.sql("INSERT INTO gproc.db.sd VALUES (1), (2)")
+    spark.sql("CALL gproc.system.tag(table => 'db.sd', name => 'base')")
+    spark.sql("INSERT INTO gproc.db.sd VALUES (3), (4), (5)")
+    spark.sql("DELETE FROM gproc.db.sd WHERE id = 1")
+
+    // base → current: 3 rows across added task files, one DV grew by 1.
+    val d = spark.sql(
+      "CALL gproc.system.snapshot_diff(table => 'db.sd', from_ref => 'base')")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(d.count(_._1 == "added") >= 1, s"expected added files in $d")
+    assert(d.filter(_._1 == "added").map(_._2).sum === 3)
+    assert(d.filter(_._1 == "dv_grew") === Seq(("dv_grew", 1L)), s"got $d")
+    assert(!d.exists(_._1 == "removed"))
+
+    // Reverse direction: the added file reads as removed.
+    val h = spark.sql("CALL gproc.system.snapshots(table => 'db.sd')").collect()
+    val cur = h.last.getLong(0)
+    val r = spark.sql(
+      s"CALL gproc.system.snapshot_diff(table => 'db.sd', from_ref => '$cur', " +
+        "to_ref => 'base')")
+      .collect().map(_.getString(0)).toSeq
+    assert(r.contains("removed") && !r.contains("added"))
+
+    // Identical refs diff to nothing.
+    assert(spark.sql(
+      "CALL gproc.system.snapshot_diff(table => 'db.sd', from_ref => 'base', " +
+        "to_ref => 'base')").collect().isEmpty)
+  }
+
   test("tags: named snapshots survive later writes; untag removes; typos fail loudly") {
     root
     spark.sql("CREATE TABLE gproc.db.tt (id BIGINT)")
