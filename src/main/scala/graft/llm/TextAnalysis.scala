@@ -2130,12 +2130,73 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN e USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Zipf-law fit over the term-frequency head — the corpus-health
+    * number ([[vocabGrowth]] watches the vocabulary's SIZE; this
+    * watches its SHAPE): natural language sits near slope −1 on the
+    * log–log rank/frequency line, and a corpus drifting toward
+    * templates or spam bends it. OLS over (ln rank, ln freq) of the
+    * top-500 terms with slope, intercept and R².
+    *
+    * Shape: the vocab-grain tf fold is the only corpus pass; the
+    * top-500 cut is a bounded-heap orderBy+limit (never a vocab-grain
+    * rank window — the rank derives over the ≤500 survivors,
+    * limit-then-rank equal to the oracle's rank-then-filter under the
+    * (freq desc, term) total order); the OLS moments are one fold over
+    * 500 rows. */
+  def zipfFit: Q = (s, dir) => {
+    val K = 500
+    val tf = Tables(s, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = tf.orderBy(col("c").desc, col("tok")).limit(K)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    val pts = top.select(log(col("rk").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    m.select(col("n").as("n_terms"),
+      round(cov / vx, 6).as("slope"),
+      round((col("sy") - cov / vx * col("sx")) / nD, 6).as("intercept"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS c FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |top AS (SELECT c, rk FROM (
+      |    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk FROM tf) t
+      |  WHERE rk <= 500),
+      |pts AS (SELECT LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+      |  FROM top),
+      |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM pts),
+      |e AS (SELECT n, sx, sy,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS vy
+      |  FROM m)
+      |SELECT n AS n_terms, ROUND(cov / vx, 6) AS slope,
+      |  ROUND((sy - cov / vx * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+      |  ROUND(cov * cov / (vx * vy), 6) AS r2
+      |FROM e""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_semantic_rrf"      -> semanticRrf,
     "text_chi2_terms"        -> chi2Terms,
     "text_classifier_lift"   -> classifierLift,
     "text_ngram_entropy"     -> ngramEntropy,
+    "text_zipf_fit"          -> zipfFit,
     "text_ccnet_buckets"     -> ccnetBuckets,
     "text_ccnet_buckets_cut" -> ccnetBucketsCut,
     "text_vocab_growth"      -> vocabGrowth,
@@ -2174,6 +2235,7 @@ object TextAnalysis {
     "text_chi2_terms"       -> chi2TermsSql,
     "text_classifier_lift"  -> classifierLiftSql,
     "text_ngram_entropy"    -> ngramEntropySql,
+    "text_zipf_fit"         -> zipfFitSql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
     "text_ccnet_buckets_cut" -> ccnetBucketsCutSql,
     "text_vocab_growth"     -> vocabGrowthSql,

@@ -506,6 +506,7 @@ class PlanShapeSpec extends SparkTestBase {
     "text_rrf_fusion" -> "rank fusion over two top-30 candidate lists (<=60 rows by construction)",
     "text_semantic_rrf" -> "rank fusion over two top-30 candidate lists (<=60 rows by construction)",
     "text_hybrid_index_serve" -> "rank fusion over two top-30 candidate lists (<=60 rows by construction)",
+    "text_zipf_fit" -> "rank over the top-500 bounded-heap cut (<=500 rows by construction)",
     "q_rfm_segments" -> "global ntile certifier; production swap ships as q_rfm_segments_cut",
     "text_ccnet_buckets" -> "global ntile certifier; production swap ships as text_ccnet_buckets_cut",
     "q_histogram_equidepth" -> "global ntile certifier; production swap ships as q_histogram_equidepth_cut"
