@@ -864,6 +864,88 @@ object Profile {
       |  (ssb / 4.0) / (ssw / CAST(n - 5 AS DOUBLE)) > 2.372 AS reject_005
       |FROM st""".stripMargin
 
+  /** SPEARMAN rank correlation between order value and order width
+    * (lineitem count) — the monotone-association statistic that
+    * survives the outliers and nonlinearity Pearson chokes on, and the
+    * profiling question behind it ("do bigger orders have more lines,
+    * monotonically?") is the join-fanout predictor [[qJoinFanout]]
+    * summarizes marginally.
+    *
+    * Fully distributed and EXACT: each variable's tie-averaged midrank
+    * comes from [[DistributedCumulate.runningTotals]] over its
+    * distinct-value collapse, held as DOUBLED integers (2·mid = 2·
+    * cum_before + t + 1 — the [[qMannWhitney]] identity), rows re-join
+    * their ranks by value key, and Spearman ρ is Pearson over the
+    * doubled ranks (scale-invariant), whose moments fold exactly in
+    * DECIMAL(38,0)/HUGEINT. One fixed-shape double expression at the
+    * end — no pooled sort, no window, engines agree bit-for-bit. */
+  def qSpearman: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val t = Tables(s, dir)
+    val width = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("v2"))
+    val base = t.orders
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v1"))
+      .join(width, col("o_orderkey") === col("l_orderkey"))
+      .select(col("v1"), col("v2"))
+    def ranks(vcol: String, out: String): DataFrame = {
+      val c = base.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("t"))
+      DistributedCumulate.runningTotals(c, B, Seq(col("v")),
+        Seq("t" -> "cum"), "rk")
+        .select(col("v").as(vcol),
+          (lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L)).as(out))
+    }
+    val ranked = base
+      .join(ranks("v1", "r1"), "v1")
+      .join(ranks("v2", "r2"), "v2")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r1").cast("decimal(38,0)")).as("sx"),
+      sum(col("r2").cast("decimal(38,0)")).as("sy"),
+      sum((col("r1") * col("r1")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("syy"),
+      sum((col("r1") * col("r2")).cast("decimal(38,0)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n"), round(cov / sqrt(vx * vy), 6).as("spearman_rho"))
+  }
+
+  val qSpearmanSql: String =
+    """WITH width AS (SELECT l_orderkey, COUNT(*) AS v2
+      |  FROM lineitem GROUP BY 1),
+      |base AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v1, v2
+      |  FROM orders o JOIN width w ON o.o_orderkey = w.l_orderkey),
+      |c1 AS (SELECT v1 AS v, COUNT(*) AS t FROM base GROUP BY 1),
+      |m1 AS (SELECT v AS v1,
+      |    2*(CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) - t) + t + 1 AS r1
+      |  FROM c1),
+      |c2 AS (SELECT v2 AS v, COUNT(*) AS t FROM base GROUP BY 1),
+      |m2 AS (SELECT v AS v2,
+      |    2*(CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) - t) + t + 1 AS r2
+      |  FROM c2),
+      |r AS (SELECT r1, r2 FROM base JOIN m1 USING (v1) JOIN m2 USING (v2)),
+      |m AS (SELECT COUNT(*) AS n,
+      |    SUM(CAST(r1 AS HUGEINT)) AS sx, SUM(CAST(r2 AS HUGEINT)) AS sy,
+      |    SUM(CAST(r1*r1 AS HUGEINT)) AS sxx,
+      |    SUM(CAST(r2*r2 AS HUGEINT)) AS syy,
+      |    SUM(CAST(r1*r2 AS HUGEINT)) AS sxy
+      |  FROM r),
+      |e AS (SELECT n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM m)
+      |SELECT n, ROUND(cov / SQRT(vx * vy), 6) AS spearman_rho
+      |FROM e""".stripMargin
+
   /** BURSTINESS of event arrivals per type — Fano factor (σ²/μ over
     * daily counts) and the Goh–Barabási burstiness (σ−μ)/(σ+μ): a
     * collector flapping on and off shows the same daily MEAN as a
@@ -1137,6 +1219,7 @@ object Profile {
     "q_cramers_v"      -> qCramersV,
     "q_burstiness"     -> qBurstiness,
     "q_theil_decompose" -> qTheilDecompose,
+    "q_spearman"       -> qSpearman,
     "q_entropy_group"  -> qEntropyGroup,
     "q_late_events"    -> qLateEvents,
     "q_group_quantiles" -> qGroupQuantiles,
@@ -1159,6 +1242,7 @@ object Profile {
     "q_cramers_v"      -> qCramersVSql,
     "q_burstiness"     -> qBurstinessSql,
     "q_theil_decompose" -> qTheilDecomposeSql,
+    "q_spearman"       -> qSpearmanSql,
     "q_entropy_group"  -> qEntropyGroupSql,
     "q_late_events"    -> qLateEventsSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
