@@ -864,6 +864,58 @@ object Profile {
       |  (ssb / 4.0) / (ssw / CAST(n - 5 AS DOUBLE)) > 2.372 AS reject_005
       |FROM st""".stripMargin
 
+  /** REFERENTIAL-integrity audit over the star schema — the DQ check
+    * [[qDqChecks]]'s single-table rules can't express: per foreign-key
+    * relationship, how many child rows point at a parent that does not
+    * exist (orphans), as count and rate. On a lake with independent
+    * ingest jobs per table this is the first thing that breaks, and the
+    * number every join in the suite silently depends on.
+    *
+    * Shape: one LEFT ANTI join per relationship (shuffle hash join on
+    * the key at scale; the nation side broadcasts), each folding to a
+    * single count — the child table is scanned once per relationship
+    * and nothing wider than (key) is carried. */
+  def qDqReferential: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(ck))
+      val orphans = c.join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_child"), 6).as("orphan_rate"))
+    }
+    rel("lineitem.orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+      .unionByName(rel("orders.custkey->customer", t.orders, "o_custkey",
+        t.customer, "c_custkey"))
+      .unionByName(rel("customer.nationkey->nation", t.customer, "c_nationkey",
+        t.nation, "n_nationkey"))
+      .orderBy(col("relationship"))
+  }
+
+  val qDqReferentialSql: String =
+    """WITH r1 AS (SELECT 'lineitem.orderkey->orders' AS relationship,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans),
+      |r2 AS (SELECT 'orders.custkey->customer' AS relationship,
+      |    (SELECT COUNT(*) FROM orders) AS n_child,
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey)) AS n_orphans),
+      |r3 AS (SELECT 'customer.nationkey->nation' AS relationship,
+      |    (SELECT COUNT(*) FROM customer) AS n_child,
+      |    (SELECT COUNT(*) FROM customer c
+      |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+      |                       WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans),
+      |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |      UNION ALL SELECT * FROM r3)
+      |SELECT relationship, n_child, n_orphans,
+      |  ROUND(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+      |FROM u ORDER BY relationship""".stripMargin
+
   /** SPEARMAN rank correlation between order value and order width
     * (lineitem count) — the monotone-association statistic that
     * survives the outliers and nonlinearity Pearson chokes on, and the
@@ -1220,6 +1272,7 @@ object Profile {
     "q_burstiness"     -> qBurstiness,
     "q_theil_decompose" -> qTheilDecompose,
     "q_spearman"       -> qSpearman,
+    "q_dq_referential" -> qDqReferential,
     "q_entropy_group"  -> qEntropyGroup,
     "q_late_events"    -> qLateEvents,
     "q_group_quantiles" -> qGroupQuantiles,
@@ -1243,6 +1296,7 @@ object Profile {
     "q_burstiness"     -> qBurstinessSql,
     "q_theil_decompose" -> qTheilDecomposeSql,
     "q_spearman"       -> qSpearmanSql,
+    "q_dq_referential" -> qDqReferentialSql,
     "q_entropy_group"  -> qEntropyGroupSql,
     "q_late_events"    -> qLateEventsSql,
     "q_group_quantiles" -> qGroupQuantilesSql,
