@@ -2907,11 +2907,14 @@ private[sources] class ManifestTable(
             new ManifestOverwriteBatchWrite(path, info.schema(), f)
           case None    => new ManifestBatchWrite(path, info.schema(), wapId)
         }
-        override def toStreaming: StreamingWrite = {
-          if (wapId.isDefined) throw new UnsupportedOperationException(
-            "WAP staging covers batch appends only; streaming epochs publish directly")
-          new ManifestStreamingWrite(path, info.schema())
-        }
+        override def toStreaming: StreamingWrite =
+          // Streaming epochs are pure appends, so the WAP soundness
+          // argument (cherry-picked appends commute with intervening
+          // commits) holds epoch by epoch: a staged STREAM runs a whole
+          // backfill invisibly to main-line readers, audited via
+          // VERSION AS OF 'wap:<id>', then publishes or discards as one
+          // decision — the blue/green streaming backfill.
+          new ManifestStreamingWrite(path, info.schema(), wapId)
       }
     }
   }
@@ -3885,7 +3888,8 @@ private class ManifestDataWriter(path: String, schema: StructType, name: String,
   * converges to one complete manifest of the same epoch's data). Sink-side
   * idempotency + the engine's replay = end-to-end exactly-once, the same
   * contract H2Sink.writeBatch implements with a staging-table swap. */
-private class ManifestStreamingWrite(path: String, schema: StructType)
+private class ManifestStreamingWrite(path: String, schema: StructType,
+    wapId: Option[String] = None)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -3894,8 +3898,13 @@ private class ManifestStreamingWrite(path: String, schema: StructType)
       ManifestFileSink.boundChecks(path, schema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // Staged epochs get wap-scoped manifest names so a restarted staged
+    // run keeps its per-epoch replay idempotence without colliding with
+    // main-line epoch names (or another stage's).
+    val name = wapId.fold(f"manifest-e$epochId%012d")(id =>
+      f"manifest-wap-$id-e$epochId%012d")
     val published = ManifestFileSink.publish(
-      path, f"manifest-e$epochId%012d", schema, messages)
+      path, name, schema, messages, staged = wapId)
     if (!published) ManifestFileSink.flattenCommits(messages).foreach {
       case CommittedFile(f, _, _) => Files.deleteIfExists(Paths.get(path, "data", f))
       case _ =>

@@ -90,6 +90,44 @@ class WapSpec extends SparkTestBase {
     assert(err.getMessage.contains("no staged commits under WAP id 'nope'"))
   }
 
+  test("staged STREAMING backfill: epochs invisible, audit sees them, publish in order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    root
+    spark.sql("CREATE TABLE gwap.db.s (id BIGINT)")
+    spark.sql("INSERT INTO gwap.db.s VALUES (1)")
+    val path = s"$root/db/s"
+
+    // Two epochs of a staged stream — the blue/green backfill.
+    val in = MemoryStream[Long]
+    val q = in.toDF().select($"value".as("id"))
+      .writeStream.format(classOf[ManifestFileSink].getName)
+      .option("path", path).option("wap-id", "bg1")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gwap-s").toString)
+      .start()
+    in.addData(10L, 11L); q.processAllAvailable()
+    in.addData(12L); q.processAllAvailable()
+    q.stop()
+
+    // Invisible to the main line; visible to the audit view.
+    assert(spark.table("gwap.db.s").count() == 1,
+      "staged streaming epochs leaked into the main line")
+    assert(ManifestFileSink.stagedIds(path) == Seq("bg1"))
+    assert(spark.read.option("versionAsOf", "wap:bg1").table("gwap.db.s")
+      .count() == 4)
+
+    // A main-line commit lands mid-audit; publish still lands cleanly.
+    spark.sql("INSERT INTO gwap.db.s VALUES (2)")
+    val n = spark.sql("CALL gwap.system.wap_publish(table => 'db.s', id => 'bg1')")
+      .head().getInt(0)
+    assert(n == 2, s"expected 2 published epoch commits, got $n")
+    assert(spark.table("gwap.db.s").orderBy("id").as[Long].collect().toSeq ===
+      Seq(1L, 2L, 10L, 11L, 12L))
+    assert(ManifestFileSink.stagedIds(path).isEmpty)
+  }
+
   test("WAP refuses non-append writes") {
     root
     spark.sql("CREATE TABLE gwap.db.r (id BIGINT)")
