@@ -415,6 +415,97 @@ object Dedup {
     sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
   }
 
+  /** LSH RECALL eval — the dedup family's measured certificate (what
+    * [[graft.llm.Similarity]]'s knn_recall_eval is to IVF): at
+    * threshold J ≥ 0.5 — where the b=8/r=2 banding's theoretical
+    * candidate recall floor drops to 1−(1−J²)⁸ ≈ 0.9 for borderline
+    * pairs — report true pairs, LSH candidates, verified-found pairs,
+    * recall and candidate precision: the measured numbers that justify
+    * (or refute) a banding configuration for THIS corpus before a
+    * corpus-scale run commits to it (here the true pairs all sit at
+    * J ≥ 0.96, so measured recall is 1.0 and precision ~0.76 — the
+    * report is the point, not a fixed verdict).
+    *
+    * This entry banding uses the PORTABLE affine hash family end to end
+    * (the production entries use xxhash64 internally, defensible there
+    * because every candidate is exactly verified — here the CANDIDATE
+    * set itself is the output, so the oracle must replay the
+    * signatures). The true-pair side runs the exact inverted-index
+    * kernel: at 100 TB this eval runs on a SAMPLE — the exact side is
+    * the measurement harness, not the production path. */
+  def lshRecallEval: Q = (s, dir) => {
+    val Thr = 0.5
+    val sh = shingleRows(Tables(s, dir).documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = split(col("sh"), " ")
+    val shh = sh.select(col("doc_id"),
+      (gramHashFoldCol((0 until 3).map(i => wordHashCol(element_at(w, i + 1))))
+        % lit(M)).as("shh"))
+    val sig = shh.groupBy(col("doc_id"))
+      .agg(min(minhashCol(col("shh"), 0)).as("mh0"),
+        (1 until NumHashes).map(i => min(minhashCol(col("shh"), i)).as(s"mh$i")): _*)
+    val bandArr = array((0 until NumBands).map(k =>
+      bandHashCol(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truePairs = jaccardPairsFromShingles(sh, Thr, None)
+      .select(col("d1"), col("d2"))
+    val found = jaccardPairsFromShingles(sh, Thr, Some(cands))
+      .select(col("d1"), col("d2"))
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_true"), col("n_candidates"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 6).as("recall"),
+        round(col("n_found").cast("double") / col("n_candidates"), 6)
+          .as("candidate_precision"))
+  }
+
+  val lshRecallEvalSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"MIN(${minhashSql("shh", i)}) AS mh$i").mkString(",\n|    ")
+    val bandCases = (0 until NumBands)
+      .map(k => s"WHEN $k THEN ${bandHashSql(s"mh${2 * k}", s"mh${2 * k + 1}")}")
+      .mkString("\n|      ")
+    val gram = gramHashFoldSql(
+      Seq(wordHashSql("sw[1]"), wordHashSql("sw[2]"), wordHashSql("sw[3]")))
+    s"""WITH $shingleSql,
+       |sp AS (SELECT doc_id, string_split(sh, ' ') AS sw FROM sh),
+       |shh AS (SELECT doc_id, ($gram) % $M AS shh FROM sp),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, t.k AS band,
+       |    CASE t.k
+       |      $bandCases
+       |    END AS bh
+       |  FROM sig, UNNEST(range($NumBands)) AS t(k)),
+       |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |tp AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id
+       |       JOIN sz s2 ON d2 = s2.doc_id
+       |       WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5),
+       |fp AS (SELECT d1, d2 FROM tp JOIN cands USING (d1, d2)),
+       |m AS (SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+       |        (SELECT COUNT(*) FROM cands) AS n_candidates,
+       |        (SELECT COUNT(*) FROM fp) AS n_found)
+       |SELECT n_true, n_candidates, n_found,
+       |  ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
+       |  ROUND(CAST(n_found AS DOUBLE) / n_candidates, 6) AS candidate_precision
+       |FROM m""".stripMargin
+  }
+
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     // One persisted shingle pass feeds signature generation AND exact
@@ -1224,6 +1315,7 @@ object Dedup {
     "dedup_jaccard_prefix"       -> dedupJaccardPrefix,
     "dedup_novelty"              -> dedupNovelty,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
+    "dedup_lsh_recall_eval"      -> lshRecallEval,
     "dedup_crossmodal_audit"     -> dedupCrossmodalAudit,
     "dedup_simhash"              -> dedupSimhash,
     "dedup_clusters"             -> dedupClusters,
@@ -1247,6 +1339,7 @@ object Dedup {
     "dedup_jaccard_prefix"       -> dedupJaccardPrefixSql,
     "dedup_novelty"              -> dedupNoveltySql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
+    "dedup_lsh_recall_eval"      -> lshRecallEvalSql,
     "dedup_crossmodal_audit"     -> dedupCrossmodalAuditSql,
     "dedup_simhash"              -> dedupSimhashSql,
     "dedup_clusters"             -> dedupClustersSql,
