@@ -506,6 +506,54 @@ object Dedup {
        |FROM m""".stripMargin
   }
 
+  /** Threshold SWEEP — the table a data engineer reads before picking
+    * the dedup threshold everything downstream hard-codes: for each
+    * candidate J threshold, the pair count, the docs a keep-first pass
+    * would remove, and the bytes reclaimed, ALL from one evaluation of
+    * the exact pair kernel (the inverted-index trunk runs once at the
+    * loosest threshold; the sweep is four filtered re-aggregations of
+    * the persisted pair relation — the marginal threshold costs nothing
+    * at any scale). */
+  def dedupThresholdSweep: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val sh = shingleRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = jaccardPairsFromShingles(sh, 0.5, None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chars = docs.select(col("doc_id"), col("n_chars"))
+    Seq(0.5, 0.7, 0.8, 0.9).map { t =>
+      val p = pairs.filter(col("jaccard") >= t)
+      val removed = p.select(col("d2").as("doc_id")).distinct().join(chars, "doc_id")
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(removed.agg(count(lit(1)).as("n_docs_removed"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_removed")))
+        .select(lit(t).as("threshold"), col("n_pairs"),
+          col("n_docs_removed"), col("chars_removed"))
+    }.reduce(_ unionByName _).orderBy(col("threshold"))
+  }
+
+  val dedupThresholdSweepSql: String = {
+    def row(t: String): String =
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  (SELECT COUNT(*) FROM pj WHERE jaccard >= $t) AS n_pairs,
+         |  (SELECT COUNT(*) FROM
+         |    (SELECT DISTINCT d2 FROM pj WHERE jaccard >= $t)) AS n_docs_removed,
+         |  (SELECT COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM documents
+         |   WHERE doc_id IN (SELECT DISTINCT d2 FROM pj WHERE jaccard >= $t))
+         |    AS chars_removed""".stripMargin
+    s"""WITH $shingleSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pj AS (SELECT d1, d2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+       |       FROM inter JOIN sz s1 ON d1 = s1.doc_id
+       |       JOIN sz s2 ON d2 = s2.doc_id
+       |       WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.5)
+       |${Seq("0.5", "0.7", "0.8", "0.9").map(row).mkString("\nUNION ALL\n")}
+       |ORDER BY threshold""".stripMargin
+  }
+
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     // One persisted shingle pass feeds signature generation AND exact
@@ -1316,6 +1364,7 @@ object Dedup {
     "dedup_novelty"              -> dedupNovelty,
     "dedup_minhash_lsh"          -> dedupMinhashLsh,
     "dedup_lsh_recall_eval"      -> lshRecallEval,
+    "dedup_threshold_sweep"      -> dedupThresholdSweep,
     "dedup_crossmodal_audit"     -> dedupCrossmodalAudit,
     "dedup_simhash"              -> dedupSimhash,
     "dedup_clusters"             -> dedupClusters,
@@ -1340,6 +1389,7 @@ object Dedup {
     "dedup_novelty"              -> dedupNoveltySql,
     "dedup_minhash_lsh"          -> dedupMinhashLshSql,
     "dedup_lsh_recall_eval"      -> lshRecallEvalSql,
+    "dedup_threshold_sweep"      -> dedupThresholdSweepSql,
     "dedup_crossmodal_audit"     -> dedupCrossmodalAuditSql,
     "dedup_simhash"              -> dedupSimhashSql,
     "dedup_clusters"             -> dedupClustersSql,
