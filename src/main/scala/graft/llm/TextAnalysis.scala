@@ -2190,6 +2190,34 @@ object TextAnalysis {
       |  ROUND(cov * cov / (vx * vy), 6) AS r2
       |FROM e""".stripMargin
 
+  /** Per-source document-LENGTH profile — exact p10/p50/p90 of n_chars
+    * per source via the grouped cutpoint kernel: the ingest-shape
+    * audit that catches a truncating scraper (p90 collapses) or a
+    * concatenating one (p90 explodes) per source, where a corpus-wide
+    * percentile would average the signal away. No per-group sort: the
+    * kernel's group-local buckets carry all 20 sources through one
+    * distributed pass ([[graft.ops.Profile]]'s trimmed-mean
+    * discipline). */
+  def lengthProfile: Q = (s, dir) => {
+    val B = s.sessionState.conf.numShufflePartitions
+    val d = Tables(s, dir).documents
+      .select(substring(col("source"), 4, 10).cast("int").as("g"),
+        col("source"), col("n_chars").as("v"))
+    val cuts = graft.ops.DistributedCumulate.exactDiscCutsGrouped(
+      d, "g", "v", Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90"), B, gMax = 20)
+    d.groupBy(col("g"), col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(cuts), "g")
+      .select(col("source"), col("n_docs"), col("p10"), col("p50"), col("p90"))
+      .orderBy(col("source"))
+  }
+
+  val lengthProfileSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS p10,
+      |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+      |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rrf_fusion"        -> rrfFusion,
     "text_semantic_rrf"      -> semanticRrf,
@@ -2197,6 +2225,7 @@ object TextAnalysis {
     "text_classifier_lift"   -> classifierLift,
     "text_ngram_entropy"     -> ngramEntropy,
     "text_zipf_fit"          -> zipfFit,
+    "text_length_profile"    -> lengthProfile,
     "text_ccnet_buckets"     -> ccnetBuckets,
     "text_ccnet_buckets_cut" -> ccnetBucketsCut,
     "text_vocab_growth"      -> vocabGrowth,
@@ -2236,6 +2265,7 @@ object TextAnalysis {
     "text_classifier_lift"  -> classifierLiftSql,
     "text_ngram_entropy"    -> ngramEntropySql,
     "text_zipf_fit"         -> zipfFitSql,
+    "text_length_profile"   -> lengthProfileSql,
     "text_ccnet_buckets"    -> ccnetBucketsSql,
     "text_ccnet_buckets_cut" -> ccnetBucketsCutSql,
     "text_vocab_growth"     -> vocabGrowthSql,
