@@ -72,6 +72,29 @@ object Bench {
       // costs ~11 extra 0.25s probes per full run; time-local
       // normalization then sees what it is normalizing by.
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "10").toInt)
+    // Cross-round anchor: the PRIOR round's closing run, snapshotted as
+    // bench_full_r<N>.json at round start (BENCH_NOTES records the
+    // ritual). Hoisted above the measure loop because the suspect
+    // trigger (verdict-r14 #2, BenchNorm.isSuspect) needs the anchor's
+    // per-query mins WHILE measuring, not just in the closing gate.
+    val anchor: Option[(String, java.nio.file.Path)] = try {
+      val dir = java.nio.file.Paths.get(".")
+      val rx = "bench_full_r(\\d+)\\.json".r
+      val snaps = java.nio.file.Files.list(dir).toArray.toSeq
+        .map(_.toString.stripPrefix("./"))
+        .collect { case s @ rx(n) => (n.toInt, s) }
+      snaps.sortBy(-_._1).headOption
+        .map { case (n, s) => (s"r$n", java.nio.file.Paths.get(s)) }
+    } catch { case _: Throwable => None }
+    val anchorMins: Map[String, Double] = anchor.map(_._2).filter(p =>
+      java.nio.file.Files.exists(p)).map { p =>
+      val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prev).map(_.group(1))
+      if (prevSf.contains(sfDir)) BenchNorm.parseMins(prev)
+      else Map.empty[String, Double]
+    }.getOrElse(Map.empty)
+    // name -> (remeasure sec, canary re-probe sec) for suspects.
+    val suspects = scala.collection.mutable.Map[String, (Double, Double)]()
     var qIdx = 0
     val measured = benched.toSeq.map { case (name, fn) =>
       if (qIdx > 0 && qIdx % canaryEvery == 0) {
@@ -92,6 +115,25 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // Suspect-triggered in-run re-measure (verdict-r14 #2): if this
+      // query's min just exceeded 2× its cross-round anchor, re-probe
+      // the canary and re-run the query ONCE, immediately — while the
+      // host burst (if that's what it is) is still open or just closed.
+      // The probes bracket but cannot interleave a running query; this
+      // is the only moment the evidence can be captured. Runs BEFORE
+      // the cache clear so the re-measure sees identical conditions.
+      val minT = if (times.contains(-1.0)) -1.0 else times.min
+      anchorMins.get(name).filter(_ > 0).foreach { am =>
+        if (BenchNorm.isSuspect(minT, am)) {
+          val probe = canaryProbe()
+          if (probe > 0) timeline += ((elapsed, probe))
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          val re = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          suspects(name) = (re, probe)
+        }
       }
       // Release the query's persisted kernels before the next query:
       // every query is self-contained, and without this the bench loop
@@ -169,10 +211,19 @@ object Bench {
               else {
                 val curLc = lcByName.get(name).filter(_ > 0).getOrElse(canary)
                 val prevLc = prevLcs.get(name).filter(_ > 0).getOrElse(prevCanary)
-                val rawRatio = cur / pm
-                val normRatio = (cur / curLc) / (pm / prevLc)
-                if (cur >= 0.3 && rawRatio > 2.0 && normRatio > 2.0)
-                  Some(s"""{"q":"$name","prev_min":$pm,"min":$cur,"raw_ratio":${math.rint(rawRatio * 100) / 100},"norm_ratio":${math.rint(normRatio * 100) / 100}}""")
+                // The suspect re-measure (if one ran) is one more timed
+                // sample: a burst that closed re-measured in band, the
+                // min absorbs it here, and the flag self-clears — the
+                // verdict-r14 #2 contract. A real regression survives
+                // its own re-measure and ships WITH the evidence.
+                val curEff = BenchNorm.effectiveMin(cur, suspects.get(name).map(_._1))
+                val susJson = suspects.get(name).map { case (re, pr) =>
+                  s""","suspect":{"remeasure":$re,"canary_probe":$pr}"""
+                }.getOrElse("")
+                val rawRatio = curEff / pm
+                val normRatio = (curEff / curLc) / (pm / prevLc)
+                if (curEff >= 0.3 && rawRatio > 2.0 && normRatio > 2.0)
+                  Some(s"""{"q":"$name","prev_min":$pm,"min":$curEff,"raw_ratio":${math.rint(rawRatio * 100) / 100},"norm_ratio":${math.rint(normRatio * 100) / 100}$susJson}""")
                 else None
               }
             }
@@ -183,21 +234,9 @@ object Bench {
     // Intra-round gate: diff against this round's previous run.
     val regressions = regressionsVs(java.nio.file.Paths.get("bench_full.json"))
     // Cross-round gate: diff against the PRIOR round's closing run —
-    // bench_full_r<N>.json, snapshotted at round start from the
-    // bench_full.json the driver's closing run left behind (BENCH_NOTES
-    // records the ritual). Without this anchor, a plan change early in a
-    // round rebaselines bench_full.json and the round-over-round move is
-    // never flagged (judge-r11 finding: text_vocab_growth's 2.2× rewire
-    // cost was invisible to the intra-round gate).
-    val anchor: Option[(String, java.nio.file.Path)] = try {
-      val dir = java.nio.file.Paths.get(".")
-      val rx = "bench_full_r(\\d+)\\.json".r
-      val snaps = java.nio.file.Files.list(dir).toArray.toSeq
-        .map(_.toString.stripPrefix("./"))
-        .collect { case s @ rx(n) => (n.toInt, s) }
-      snaps.sortBy(-_._1).headOption
-        .map { case (n, s) => (s"r$n", java.nio.file.Paths.get(s)) }
-    } catch { case _: Throwable => None }
+    // the `anchor` snapshot detected above the measure loop (without
+    // it, a plan change early in a round rebaselines bench_full.json
+    // and the round-over-round move is never flagged — judge-r11).
     val crossRegs = anchor.map { case (lbl, p) => lbl -> regressionsVs(p) }
     val regsJson = regressions.mkString("[", ",", "]")
     val crossJson = crossRegs.map { case (lbl, rs) =>
@@ -206,7 +245,14 @@ object Bench {
     val tlJson = timeline.map { case (t, v) =>
       s"[${math.rint(t * 1000) / 1000},${math.rint(v * 1e6) / 1e6}]"
     }.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"canary_timeline":$tlJson,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson$crossJson,"sf":"$sfDir"}"""
+    // Every suspect re-measure is recorded even when it auto-cleared a
+    // flag: the cleared ones ARE the adjudication evidence (in-band
+    // re-measure + the canary probe taken inside the window).
+    val susAll = suspects.toSeq.sortBy(_._1).map { case (n, (re, pr)) =>
+      val am = anchorMins.getOrElse(n, -1.0)
+      s"\"$n\":{\"anchor\":$am,\"remeasure\":$re,\"canary_probe\":$pr}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"canary_timeline":$tlJson,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson$crossJson,"suspects":$susAll,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line
     // carrying the headline total: the driver tail-captures stdout, and a
     // total that only exists at the front of the long line gets truncated

@@ -48,4 +48,35 @@ object BenchNorm {
       .findAllMatchIn(prev)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
+
+  /** Per-query min fields from a previous bench_full.json spread — the
+    * anchor the suspect trigger compares against mid-run.
+    */
+  def parseMins(prev: String): Map[String, Double] =
+    "\"([A-Za-z0-9_]+)\":\\{\"min\":([-0-9.eE]+)".r
+      .findAllMatchIn(prev)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
+  /** Suspect-triggered in-run re-measure (verdict-r14 #2): four
+    * consecutive rounds of driver-run regression flags were adjudicated
+    * environmental — a host burst opening and closing between canary
+    * probes inflates whatever contiguous block of queries it brackets,
+    * and the probes cannot interleave a RUNNING query. The flag is made
+    * self-adjudicating: the moment a query's min-of-N exceeds 2× its
+    * cross-round anchor, Bench immediately (a) re-probes the canary and
+    * (b) re-runs the query once. A burst that closed yields an in-band
+    * re-measure — [[effectiveMin]] absorbs it and the gate auto-clears;
+    * a real regression survives its own re-measure and the flag ships
+    * carrying the evidence. Trigger threshold matches the gate (2× and
+    * the ≥0.3 s noise floor) so every potential flag gets a re-measure.
+    */
+  def isSuspect(minT: Double, anchorMin: Double): Boolean =
+    anchorMin > 0 && minT >= 0.3 && minT > 2.0 * anchorMin
+
+  /** The re-measure is one more timed sample of the same binary, so the
+    * query's min absorbs it (failed re-measures, reported ≤0, do not).
+    */
+  def effectiveMin(min: Double, remeasure: Option[Double]): Double =
+    remeasure.filter(_ > 0).fold(min)(r => math.min(min, r))
 }

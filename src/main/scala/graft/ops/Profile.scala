@@ -665,8 +665,10 @@ object Profile {
     * sort. Here the pool collapses to distinct values with per-sample
     * counts, [[DistributedCumulate.runningTotals]] gives each value its
     * exclusive pooled predecessor count, and the whole statistic stays
-    * in EXACT int64 — doubled rank sum 2·R1 = Σ c1·(2·cum_before + t
-    * + 1) (doubling clears the midrank halves), tie term Σ(t³−t) — so
+    * EXACT — int64 per value, DECIMAL(38,0) for every product of two
+    * data-bounded integers: doubled rank sum 2·R1 = Σ c1·(2·cum_before
+    * + t + 1) (doubling clears the midrank halves), tie term Σ(t³−t) —
+    * so
     * both engines reach z through identical correctly-rounded double
     * ops on identical integers, and the unrounded |z| > 1.96 verdict
     * agrees. One map-side-combinable final fold; no global sort
@@ -685,19 +687,30 @@ object Profile {
     val cum = DistributedCumulate.runningTotals(c, B, Seq(col("v")),
       Seq("t" -> "cumt"), "rk",
       extraAggs = Seq(sum(col("c1")) -> "n1", sum(col("c2")) -> "n2"))
+    // Per-row products of DATA-bounded longs fold in DECIMAL(38,0):
+    // c1·(2·cum+…) reaches ~2n² and t³ wraps past 2.1e6 ties if left in
+    // int64 (verdict-r14 #1). Cast the FIRST factor before the multiply
+    // — the qWelchTtest discipline — so Spark folds exactly where DuckDB
+    // folds in HUGEINT; the engines stay bit-identical at every scale.
     val agg = cum
       .groupBy(col("n1"), col("n2"))
-      .agg(sum(col("c1") * (lit(2L) * (col("cumt") - col("t")) + col("t") + lit(1L)))
+      .agg(sum(col("c1").cast("decimal(38,0)") *
+          (lit(2L) * (col("cumt") - col("t")) + col("t") + lit(1L)))
           .as("r1x2"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("ties"))
     val nn = (col("n1") + col("n2")).cast("double")
     val z = (col("u1x2").cast("double") / 2.0 -
         col("n1").cast("double") * col("n2") / 2.0) /
       sqrt(col("n1").cast("double") * col("n2") / 12.0 *
         ((nn + lit(1.0)) - col("ties").cast("double") / (nn * (nn - lit(1.0)))))
+    // u1_x2 ≈ 2n² exceeds int64 past n ≈ 2·10⁹, so the exact decimal is
+    // surfaced as DOUBLE (one correctly-rounded cast, identical on both
+    // engines); n1·(n1+1) likewise folds in decimal.
     agg
-      .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + lit(1L)))
-      .select(col("n1"), col("n2"), col("u1x2").as("u1_x2"),
+      .withColumn("u1x2", col("r1x2") -
+        col("n1").cast("decimal(38,0)") * (col("n1") + lit(1L)))
+      .select(col("n1"), col("n2"), col("u1x2").cast("double").as("u1_x2"),
         round(z, 6).as("z"), (abs(z) > 1.96).as("reject_005"))
   }
 
@@ -715,9 +728,10 @@ object Profile {
       |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
       |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
       |agg AS (SELECT
-      |    CAST(SUM(c1 * (2*(cumt - t) + t + 1)) AS BIGINT) AS r1x2,
-      |    CAST(SUM(t*t*t - t) AS BIGINT) AS ties FROM cum),
-      |stat AS (SELECT n1, n2, r1x2 - n1*(n1 + 1) AS u1_x2, ties,
+      |    SUM(CAST(c1 AS HUGEINT) * (2*(cumt - t) + t + 1)) AS r1x2,
+      |    SUM(CAST(t AS HUGEINT)*t*t - t) AS ties FROM cum),
+      |stat AS (SELECT n1, n2,
+      |    CAST(r1x2 - CAST(n1 AS HUGEINT)*(n1 + 1) AS DOUBLE) AS u1_x2, ties,
       |    CAST(n1 + n2 AS DOUBLE) AS nn
       |  FROM agg CROSS JOIN n)
       |SELECT n1, n2, u1_x2,
@@ -954,9 +968,13 @@ object Profile {
     val m = ranked.agg(count(lit(1)).as("n"),
       sum(col("r1").cast("decimal(38,0)")).as("sx"),
       sum(col("r2").cast("decimal(38,0)")).as("sy"),
-      sum((col("r1") * col("r1")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("syy"),
-      sum((col("r1") * col("r2")).cast("decimal(38,0)")).as("sxy"))
+      // Doubled midranks reach ~2n, so each rank product is ~4n² and
+      // wraps int64 past n ≈ 1.5·10⁹ rows (verdict-r14 #1). The cast
+      // goes on the FIRST FACTOR, not the product: the multiply itself
+      // must happen in decimal — casting a wrapped long is too late.
+      sum(col("r1").cast("decimal(38,0)") * col("r1")).as("sxx"),
+      sum(col("r2").cast("decimal(38,0)") * col("r2")).as("syy"),
+      sum(col("r1").cast("decimal(38,0)") * col("r2")).as("sxy"))
     val nD = col("n").cast("double")
     val cov = nD * col("sxy").cast("double") -
       col("sx").cast("double") * col("sy").cast("double")
@@ -983,9 +1001,9 @@ object Profile {
       |r AS (SELECT r1, r2 FROM base JOIN m1 USING (v1) JOIN m2 USING (v2)),
       |m AS (SELECT COUNT(*) AS n,
       |    SUM(CAST(r1 AS HUGEINT)) AS sx, SUM(CAST(r2 AS HUGEINT)) AS sy,
-      |    SUM(CAST(r1*r1 AS HUGEINT)) AS sxx,
-      |    SUM(CAST(r2*r2 AS HUGEINT)) AS syy,
-      |    SUM(CAST(r1*r2 AS HUGEINT)) AS sxy
+      |    SUM(CAST(r1 AS HUGEINT)*r1) AS sxx,
+      |    SUM(CAST(r2 AS HUGEINT)*r2) AS syy,
+      |    SUM(CAST(r1 AS HUGEINT)*r2) AS sxy
       |  FROM r),
       |e AS (SELECT n,
       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -1013,8 +1031,10 @@ object Profile {
       .select(to_date(col("ts")).as("d"), col("event_type"))
       .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
     val m = byDay.groupBy(col("event_type"))
+      // c·c wraps int64 at a ~3·10⁹-events/day cell (verdict-r14 #1):
+      // decimal cast BEFORE the multiply, same rule as qSpearman.
       .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
-        sum(col("c") * col("c")).as("q"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
     val mu = col("s").cast("double") / col("n_days")
     val varC = (col("q").cast("double") -
       col("s").cast("double") * col("s") / col("n_days")) / (col("n_days") - lit(1L))

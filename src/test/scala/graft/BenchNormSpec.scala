@@ -48,6 +48,49 @@ class BenchNormSpec extends AnyFunSuite {
     assert(normReg > 2.0)
   }
 
+  test("suspect trigger fires exactly where the gate would (2x over anchor, 0.3s floor)") {
+    // Synthetic slow query: anchor 0.24s, measured min 0.55s (2.3x).
+    assert(BenchNorm.isSuspect(0.55, 0.24))
+    // Below the noise floor: a 0.1s -> 0.25s move (2.5x) never triggers.
+    assert(!BenchNorm.isSuspect(0.25, 0.1))
+    // Exactly 2x is in band, not a suspect (the gate uses strict >).
+    assert(!BenchNorm.isSuspect(0.48, 0.24))
+    // No usable anchor (new query, failed prior run): nothing to compare.
+    assert(!BenchNorm.isSuspect(5.0, -1.0))
+    assert(!BenchNorm.isSuspect(5.0, 0.0))
+  }
+
+  test("suspect path A — burst closed: in-band re-measure auto-clears the flag") {
+    // Driver-r14 scenario: q_merge_upsert anchor 0.236, burst min 0.478
+    // (raw 2.02x). The in-run re-measure lands back in band at 0.25.
+    val anchorMin = 0.236
+    val burstMin = 0.478
+    assert(BenchNorm.isSuspect(burstMin, anchorMin))
+    val eff = BenchNorm.effectiveMin(burstMin, Some(0.25))
+    assert(eff === 0.25)
+    // The gate's raw-ratio condition (>2.0) no longer holds: flag cleared.
+    assert(eff / anchorMin <= 2.0)
+  }
+
+  test("suspect path B — real regression survives its own re-measure") {
+    // A genuine plan regression: anchor 0.3, min 0.9, re-measure 0.88 —
+    // still 2.9x. The flag must ship (with the evidence attached).
+    val eff = BenchNorm.effectiveMin(0.9, Some(0.88))
+    assert(eff === 0.88)
+    assert(eff / 0.3 > 2.0)
+    // A FAILED re-measure (-1) must not lower the min to garbage.
+    assert(BenchNorm.effectiveMin(0.9, Some(-1.0)) === 0.9)
+    assert(BenchNorm.effectiveMin(0.9, None) === 0.9)
+  }
+
+  test("parseMins reads per-query anchor mins from a spread") {
+    val prev =
+      """{"canary":0.25,"spread":{"q_a":{"min":0.15,"med":0.2,"max":0.3,"n":3,"t":12.5,"lc":0.31},""" +
+        """"q_b":{"min":1.0,"med":1.1,"max":1.2,"n":3,"t":40.0,"lc":0.27}},"sf":"/x"}"""
+    val mins = BenchNorm.parseMins(prev)
+    assert(mins.get("q_a").contains(0.15) && mins.get("q_b").contains(1.0))
+  }
+
   test("parseLc reads per-query lc from a spread; absent on old files") {
     val prev =
       """{"canary":0.25,"spread":{"q_a":{"min":0.15,"med":0.2,"max":0.3,"n":3,"t":12.5,"lc":0.31},""" +
