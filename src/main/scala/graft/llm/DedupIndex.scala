@@ -79,7 +79,25 @@ object DedupIndex {
 
   /** Shingle + signature the standing corpus once; write the band and
     * shingle tables. No-op when already built and provably fresh. */
-  def build(s: SparkSession, dir: String, path: String): Unit = synchronized {
+  def build(s: SparkSession, dir: String, path: String): Unit =
+    buildFrom(s, Tables(s, dir).documents.filter(!isBatch),
+      corpusPath(dir), path)
+
+  /** One slice's band-table rows, from its shingle relation — the SAME
+    * banding expressions for build and maintained append. */
+  private[llm] def bandTableRows(sh: DataFrame): DataFrame =
+    Dedup.bandRows(sh)
+      .select(col("band"), col("bh"), bb.as("bb"), col("doc_id"))
+
+  /** One slice's shingle-table rows. */
+  private[llm] def shingleTableRows(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), db.as("db"), col("sh"))
+
+  /** Build over an explicit corpus (the managed-corpus maintenance path
+    * fences on its OWN table; the classic path fences on the testdata
+    * parquet). */
+  private[llm] def buildFrom(s: SparkSession, corpus: DataFrame,
+      fenceCorpus: String, path: String): Unit = synchronized {
     val bandsPath = s"$path/bands"
     val shinglesPath = s"$path/shingles"
     val built = Files.isDirectory(Paths.get(bandsPath)) && {
@@ -88,29 +106,27 @@ object DedupIndex {
     }
     if (built && staleness(path).contains(false)) return
     if (built) {
-      s.catalog.refreshByPath(corpusPath(dir))
+      s.catalog.refreshByPath(fenceCorpus)
       IndexFence.rmTree(Paths.get(bandsPath))
       IndexFence.rmTree(Paths.get(shinglesPath))
       IndexFence.clear(path)
     }
-    val fp = IndexFence.fingerprint(corpusPath(dir))
-    val corpus = Tables(s, dir).documents.filter(!isBatch)
+    val fp = IndexFence.fingerprint(fenceCorpus)
     // One shingle pass feeds both tables (the explode+distinct is the
     // expensive part — the same persist point every in-query entry uses).
     val sh = Dedup.shingleRows(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Files.createDirectories(Paths.get(bandsPath))
     ManifestFileSink.setPartitionColumn(bandsPath, "bb")
-    Dedup.bandRows(sh)
-      .select(col("band"), col("bh"), bb.as("bb"), col("doc_id"))
+    bandTableRows(sh)
       .write.format(fmt).option("path", bandsPath).mode("append").save()
     Files.createDirectories(Paths.get(shinglesPath))
     ManifestFileSink.setPartitionColumn(shinglesPath, "db")
-    sh.select(col("doc_id"), db.as("db"), col("sh"))
+    shingleTableRows(sh)
       .write.format(fmt).option("path", shinglesPath).mode("append").save()
     sh.unpersist(blocking = true)
     // Fence LAST: a crash mid-build reads as pre-fence and rebuilds.
-    IndexFence.write(path, corpusPath(dir), fp)
+    IndexFence.write(path, fenceCorpus, fp)
   }
 
   /** Near-dup matches of an arriving `batch` (docs with `doc_id`,

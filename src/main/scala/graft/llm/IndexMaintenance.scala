@@ -1,0 +1,286 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ManifestFileSink, Tables}
+
+/** INCREMENTAL maintenance for the persisted indexes — the production
+  * gap verdict-r14 #3 names: `text_curation_ingest` gates an arriving
+  * batch against the dedup index, but short of a full rebuild nothing
+  * UPDATED an index afterwards — every fence refused drift and rebuilt
+  * in place, and at 100 TB an append-heavy corpus cannot re-derive
+  * postings/bands per batch.
+  *
+  * The composition (all machinery that already exists, now arranged as
+  * the Iceberg-style ingest transaction):
+  *
+  *   - a MANAGED corpus table (manifest format) is the source of truth
+  *     the indexes fence on — not the raw input files;
+  *   - [[ingestAppend]] stages, under ONE `wap-id`, the batch's corpus
+  *     rows AND its text-index posting rows AND its per-segment stats
+  *     row AND its dedup band + shingle rows — five appends, one
+  *     decision;
+  *   - the AUDIT reads the staged state through `VERSION AS OF
+  *     'wap:<id>'` and checks the append contract: batch doc ids are
+  *     NEW (disjoint from the standing corpus — the property the
+  *     serve-side df fold and the band probe both rely on) and each
+  *     staged table grew by exactly the batch's computed row count;
+  *   - publish cherry-picks all five stages onto their main lines
+  *     (append-only, so publication commutes with anything that landed
+  *     in between; [[ManifestFileSink.wapPublish]] is idempotent across
+  *     crash windows via the folded ledger); a failed audit discards
+  *     all five and nothing of the batch survives;
+  *   - the text index's per-doc tf-idf NORMS are then re-materialized
+  *     from the PERSISTED postings table (every norm shifts when
+  *     n_docs or a shared term's df moves — but the recompute is
+  *     index-grain: the corpus text is never re-tokenized);
+  *   - LAST, both [[IndexFence]]s advance to the corpus table's new
+  *     fingerprint: drift that went through this path is ACCEPTED,
+  *     while out-of-band drift (anything that touched the corpus
+  *     without the maintenance transaction) still mismatches and
+  *     serve still refuses. A crash anywhere in the window leaves the
+  *     fence behind the corpus, which reads as stale — the failure
+  *     mode is a refusal plus one rebuild, never a wrong answer.
+  *
+  * Serve-side exactness after appends (why the served results are
+  * hash-identical to a full rebuild):
+  *   - dedup: band and shingle rows are PER-DOC — no global statistic
+  *     exists to stale, so append-then-probe ≡ rebuild-then-probe;
+  *   - text BM25: posting rows are per-(doc, term); df is derived from
+  *     the probed rows at serve ([[TextIndex]]'s segment-append
+  *     design) and n_docs/sum_dl fold over the per-segment stats rows,
+  *     so every global statistic is exact after any number of appends;
+  *   - hybrid: norms re-materialize inside the transaction (above).
+  *
+  * At 100 TB: the per-batch cost is tokenize/shingle THE BATCH, five
+  * bounded appends, and the norms re-materialization — the one
+  * index-grain term, amortized by batching maintenance epochs (the
+  * norms table is one slim row per doc; rebuilding it reads the
+  * postings table, ~1% of corpus bytes, not the corpus). Everything
+  * else is O(batch).
+  *
+  * Entry split: the managed corpus starts as `doc_id % 13 ∉ {5, 6}`,
+  * the maintained append is class 6, and class 5 stays the probe batch
+  * — so after maintenance the corpus is exactly `% 13 ≠ 5` and both
+  * entries replay against DuckDB oracles over the one documents table
+  * (class 6 docs appear as `d1` in the served dedup pairs at every
+  * test SF, so a silently-skipped band append is a hash miss, not a
+  * silent pass).
+  */
+object IndexMaintenance {
+
+  private def fmt = classOf[ManifestFileSink].getName
+
+  private val AppendClass = 6
+  private val ProbeClass = 5
+  private val WapId = "ingest-c6"
+
+  def basePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ingest", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  def corpusTable(base: String): String = s"$base/corpus"
+  def textPath(base: String): String = s"$base/text"
+  def dedupPath(base: String): String = s"$base/dedup"
+
+  private def readCorpus(s: SparkSession, base: String): DataFrame =
+    s.read.format(fmt).option("path", corpusTable(base)).load()
+
+  /** Build the managed corpus + both indexes when absent or when a
+    * fence reads stale (out-of-band drift self-heals here by rebuild —
+    * the same recovery every standalone index uses; only the direct
+    * serve path REFUSES). Idempotent: fresh fences no-op. */
+  def ensureBase(s: SparkSession, dir: String): String = synchronized {
+    val base = basePath(dir)
+    val ct = corpusTable(base)
+    val corpusExists = Files.isDirectory(Paths.get(ct)) && {
+      val l = Files.list(Paths.get(ct))
+      try l.iterator().hasNext finally l.close()
+    }
+    if (!corpusExists) {
+      IndexFence.rmTree(Paths.get(base))
+      Files.createDirectories(Paths.get(ct))
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 13 =!= ProbeClass &&
+          col("doc_id") % 13 =!= AppendClass)
+        .write.format(fmt).option("path", ct).mode("append").save()
+    }
+    s.catalog.refreshByPath(ct)
+    // Index (re)builds read the MANAGED table — the production lineage:
+    // buildFrom no-ops on a fresh fence, rebuilds on drift/pre-fence.
+    TextIndex.buildFrom(s, readCorpus(s, base), ct, textPath(base))
+    DedupIndex.buildFrom(s, readCorpus(s, base), ct, dedupPath(base))
+    base
+  }
+
+  /** Has the standard append batch already been ingested? One bounded
+    * probe (first matching row, not a count) — at scale this is the
+    * ingest ledger's job; here the corpus itself answers. */
+  def batchApplied(s: SparkSession, base: String): Boolean =
+    !readCorpus(s, base)
+      .filter(col("doc_id") % 13 === AppendClass)
+      .limit(1).isEmpty
+
+  /** The ingest transaction: stage batch rows into all five tables
+    * under one WAP id, audit the staged state, publish or discard as
+    * one decision, re-materialize norms, advance both fences. */
+  def ingestAppend(s: SparkSession, base: String, batch: DataFrame): Unit =
+    synchronized {
+      val ct = corpusTable(base)
+      val tp = textPath(base)
+      val dp = dedupPath(base)
+      // Out-of-band drift refuses here too: maintenance may only extend
+      // a fence-fresh index.
+      for (p <- Seq(tp, dp); st <- IndexFence.staleness(p))
+        if (st) throw new IllegalStateException(
+          s"index at $p is STALE (out-of-band corpus drift): rebuild " +
+            "before maintaining.")
+      val postingsT = s"$tp/postings"
+      val statsT = s"$tp/stats"
+      val bandsT = s"$dp/bands"
+      val shinglesT = s"$dp/shingles"
+      val allTables = Seq(ct, postingsT, statsT, bandsT, shinglesT)
+
+      val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bPost = TextIndex.postingRows(b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bSh = Dedup.shingleRows(b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bBands = DedupIndex.bandTableRows(bSh)
+      val bShRows = DedupIndex.shingleTableRows(bSh)
+
+      def stage(df: DataFrame, path: String): Unit =
+        df.write.format(fmt).option("path", path).option("wap-id", WapId)
+          .mode("append").save()
+      def wapView(path: String): DataFrame =
+        s.read.format(fmt).option("path", path)
+          .option("asOfManifest", s"wap:$WapId").load()
+      def mainCount(path: String): Long =
+        s.read.format(fmt).option("path", path).load().count()
+
+      try {
+        val pre = allTables.map(p => p -> mainCount(p)).toMap
+        stage(b, ct)
+        stage(bPost, postingsT)
+        stage(TextIndex.statsRow(bPost), statsT)
+        stage(bBands, bandsT)
+        stage(bShRows, shinglesT)
+        // ---- AUDIT (reads the staged state via VERSION AS OF 'wap:').
+        // 1. The append contract: batch doc ids are NEW. The serve-side
+        //    df fold counts rows per (term) assuming (doc, term)
+        //    uniqueness across segments; a replayed doc would silently
+        //    double df. Batch-bounded probe: semi-join of the standing
+        //    corpus against the batch's ids.
+        val collisions = readCorpus(s, base).join(
+          b.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+        if (collisions > 0) throw new IllegalStateException(
+          s"ingest audit failed: $collisions batch doc_ids already in " +
+            "the corpus — appends must be new documents")
+        // 2. Each staged table grew by exactly its computed batch rows.
+        val expected = Map(
+          ct -> b.count(), postingsT -> bPost.count(),
+          statsT -> 1L, bandsT -> bBands.count(),
+          shinglesT -> bShRows.count())
+        for (p <- allTables) {
+          val grew = wapView(p).count() - pre(p)
+          if (grew != expected(p)) throw new IllegalStateException(
+            s"ingest audit failed: $p staged ${grew} rows, expected " +
+              s"${expected(p)}")
+        }
+        // ---- PUBLISH: all five stages onto their main lines.
+        allTables.foreach(p => ManifestFileSink.wapPublish(p, WapId))
+      } catch {
+        case e: Throwable =>
+          allTables.foreach { p =>
+            try ManifestFileSink.wapDiscard(p, WapId)
+            catch { case _: Throwable => () }
+          }
+          b.unpersist(); bPost.unpersist(); bSh.unpersist()
+          throw e
+      }
+      // ---- Norms re-materialize from the PERSISTED postings (index-
+      // grain; see object doc). Runs after publish so it sees the full
+      // posting set; a crash before the fence writes below leaves the
+      // fence behind → stale → refusal + rebuild, never a wrong answer.
+      s.catalog.refreshByPath(postingsT)
+      TextIndex.writeNorms(s,
+        s.read.format(fmt).option("path", postingsT).load(), tp)
+      // ---- Fences advance LAST: maintained drift is now accepted.
+      s.catalog.refreshByPath(ct)
+      val fp = IndexFence.fingerprint(ct)
+      IndexFence.write(tp, ct, fp)
+      IndexFence.write(dp, ct, fp)
+      b.unpersist(); bPost.unpersist(); bSh.unpersist()
+    }
+
+  /** ensure → ingest-once → serve; the shared entry skeleton. */
+  private def maintained(s: SparkSession, dir: String): String = {
+    val base = ensureBase(s, dir)
+    if (!batchApplied(s, base)) {
+      ingestAppend(s, base,
+        Tables(s, dir).documents.filter(col("doc_id") % 13 === AppendClass))
+      // The ingest advanced the corpus: make both index paths re-list.
+      s.catalog.refreshByPath(corpusTable(base))
+    }
+    base
+  }
+
+  /** Oracle-gated: BM25 serve from the MAINTAINED text index — built
+    * over `%13 ∉ {5,6}`, extended by the class-6 append, so the served
+    * universe is exactly `%13 ≠ 5` and DuckDB replays it from the one
+    * documents table while the plan reads probed buckets of a table
+    * that was never rebuilt. Hash-identical to a full rebuild by the
+    * segment-append design (df from probed rows, stats folded). */
+  def textIndexAppend: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
+  }
+
+  /** Oracle-gated: near-dup probe of the class-5 batch against the
+    * MAINTAINED dedup index. Class-6 docs appear as `d1` in the result
+    * pairs, so a dropped band/shingle append is a missing row — the
+    * oracle sees it. */
+  def dedupIndexAppend: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    DedupIndex.serve(s, dedupPath(base),
+      Tables(s, dir).documents.filter(col("doc_id") % 13 === ProbeClass))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_index_append" -> textIndexAppend,
+    "dedup_index_append" -> dedupIndexAppend)
+
+  /** BM25 over the `%13 ≠ 5` universe — [[TextAnalysis.bm25Sql]] with
+    * the corpus CTE restricted to the maintained corpus' membership. */
+  val textIndexAppendSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         string_split(text, ' ') AS wl
+      |  FROM documents WHERE doc_id % 13 <> 5),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |toks AS (SELECT doc_id, dl, UNNEST(wl) AS tok FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('dup', 'spark', 'window') GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+      |      * (tf.tf * CAST(2.2 AS DOUBLE))
+      |      / (tf.tf + CAST(1.2 AS DOUBLE) *
+      |         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+      |          CAST(0.75 AS DOUBLE) * tf.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS sc
+      |  FROM tf JOIN df USING (tok) CROSS JOIN stats s)
+      |SELECT doc_id, ROUND(SUM(sc), 6) AS bm25, COUNT(*) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_index_append" -> textIndexAppendSql,
+    // The maintained corpus is exactly %13 ≠ 5 — the same universe the
+    // standalone serve entry replays.
+    "dedup_index_append" -> DedupIndex.oracleSql("dedup_index_serve"))
+}

@@ -14,16 +14,20 @@ import graft.sources.{ManifestFileSink, Tables}
   * ONCE and each query pays only the buckets holding its terms.
   *
   * BUILD ([[build]]): one corpus tokenization pass folds the postings
-  * relation `(tok, tb, doc_id, dl, tf, df)` — tf per (doc, term), doc
-  * length riding the grouping key, df DENORMALIZED onto every posting
-  * row (the standard immutable-index trade: ~8 bytes/row buys serving
-  * with zero term-stats join) — written as a manifest table
+  * relation `(tok, tb, doc_id, dl, tf)` — tf per (doc, term), doc
+  * length riding the grouping key — written as a manifest table
   * `PARTITIONED BY (tb)` where `tb = pmod(xxhash64(tok), Buckets)` is
   * a precomputed TERM BUCKET column: the clustered write demuxes one
   * data file per bucket, each file's bucket proven by its zone map.
-  * A one-row corpus-stats table (n_docs, sum_dl) sits beside it.
-  * Terms hash ~uniformly across buckets, so bucket files stay balanced
-  * no matter how Zipf the term distribution of any ONE document is.
+  * A corpus-stats table (one row PER SEGMENT: initial build + each
+  * maintained append — serve folds them) sits beside it. df is
+  * deliberately NOT denormalized onto posting rows: a stored df
+  * freezes at write time and an appended segment moves df for every
+  * shared term; serve derives it from the probed rows instead (which
+  * it already reads in full per query term) — the segment-append
+  * design [[graft.llm.IndexMaintenance]] builds on. Terms hash
+  * ~uniformly across buckets, so bucket files stay balanced no matter
+  * how Zipf the term distribution of any ONE document is.
   *
   * SERVE ([[serve]]): hash the query's terms to their buckets (one
   * tiny Spark job — the SAME xxhash64 expression the build used, so
@@ -32,7 +36,8 @@ import graft.sources.{ManifestFileSink, Tables}
   * partition pruning opens ONLY the probed buckets' files
   * (TextIndexSpec pins filesRead + filesPruned == bucket files, read <
   * all) — and score Robertson–Walker BM25 (k1=1.2, b=0.75, rational
-  * RSJ idf) from the STORED tf/df/dl. The arithmetic is
+  * RSJ idf) from the stored tf/dl with df folded from the probed rows
+  * (one |terms|-row broadcast). The arithmetic is
   * [[TextAnalysis.bm25]]'s verbatim over identical integers, so the
   * served ranking is bit-identical to the in-query entry and the same
   * DuckDB oracle replays it while the PLAN reads the persisted table.
@@ -82,7 +87,38 @@ object TextIndex {
 
   /** Tokenize + fold + write. No-op when already built and provably
     * fresh; a drifted or pre-fence index rebuilds from scratch. */
-  def build(s: SparkSession, dir: String, path: String): Unit = synchronized {
+  def build(s: SparkSession, dir: String, path: String): Unit =
+    buildFrom(s, Tables(s, dir).documents, corpusPath(dir), path)
+
+  /** The per-document posting rows of one corpus slice — `(tok, tb,
+    * doc_id, dl, tf)`. df is NOT stored (the segment-append decision:
+    * a stored df freezes at write time, and an appended segment changes
+    * df for terms it shares with the standing corpus — serve derives
+    * df from the probed rows instead, see [[withDf]]). Extracted so the
+    * incremental maintenance path appends rows built by the SAME
+    * expressions as the full build. */
+  private[llm] def postingRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), tb(col("tok")).as("tb"), col("doc_id"),
+        col("dl"), col("tf"))
+
+  /** One segment's corpus-stats row from its posting rows. The stats
+    * table holds ONE ROW PER SEGMENT (initial build + each maintained
+    * append); serve folds them, so global n_docs/sum_dl are exact after
+    * any number of appends. */
+  private[llm] def statsRow(postings: DataFrame): DataFrame =
+    postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Build over an explicit corpus (the managed-corpus maintenance path
+    * fences on its OWN table; the classic path fences on the testdata
+    * parquet). */
+  private[llm] def buildFrom(s: SparkSession, corpus: DataFrame,
+      fenceCorpus: String, path: String): Unit = synchronized {
     val postingsPath = s"$path/postings"
     val statsPath = s"$path/stats"
     val normsPath = s"$path/norms"
@@ -96,56 +132,55 @@ object TextIndex {
     if (built && staleness(path).contains(false) &&
         Files.isDirectory(Paths.get(normsPath))) return
     if (built) {
-      s.catalog.refreshByPath(corpusPath(dir))
+      s.catalog.refreshByPath(fenceCorpus)
       IndexFence.rmTree(Paths.get(postingsPath))
       IndexFence.rmTree(Paths.get(statsPath))
       IndexFence.rmTree(Paths.get(normsPath))
       IndexFence.clear(path)
     }
-    val fp = IndexFence.fingerprint(corpusPath(dir))
-    val d = Tables(s, dir).documents
-    val tf = d
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumnRenamed("tok", "df_tok")
+    val fp = IndexFence.fingerprint(fenceCorpus)
+    val tf = postingRows(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Files.createDirectories(Paths.get(postingsPath))
     ManifestFileSink.setPartitionColumn(postingsPath, "tb")
-    // df join shuffles at the term grain (bounded by vocabulary); the
-    // posting write then demuxes one attested file per term bucket.
-    tf.join(df, col("tok") === col("df_tok"))
-      .select(col("tok"), tb(col("tok")).as("tb"), col("doc_id"),
-        col("dl"), col("tf"), col("df"))
-      .write.format(fmt).option("path", postingsPath).mode("append").save()
-    val stats = tf.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    stats.coalesce(1)
+    // The posting write demuxes one attested file per term bucket.
+    tf.write.format(fmt).option("path", postingsPath).mode("append").save()
+    statsRow(tf).coalesce(1)
       .write.format(fmt).option("path", statsPath).mode("append").save()
-    // Per-document FULL tf-idf vector norms, materialized at build — the
-    // line [[TextAnalysis.rrfFusion]]'s doc promises ("a production
-    // stack materializes norms once per corpus build"): the cosine
-    // ranker's only corpus-grain input, one slim row per doc, bucketed
-    // by doc id so hybrid serving prunes to the docs its query terms
-    // touch. The weight expression is rrfFusion's VERBATIM (tf·N/df
-    // over the same integers) so the stored doubles are bit-identical.
+    writeNorms(s, tf, path)
+    tf.unpersist(blocking = true)
+    // Fence LAST: a crash mid-build reads as pre-fence and rebuilds.
+    IndexFence.write(path, fenceCorpus, fp)
+  }
+
+  /** Per-document FULL tf-idf vector norms, (re)materialized from a
+    * postings relation — the line [[TextAnalysis.rrfFusion]]'s doc
+    * promises ("a production stack materializes norms once per corpus
+    * build"): the cosine ranker's only corpus-grain input, one slim row
+    * per doc, bucketed by doc id so hybrid serving prunes to the docs
+    * its query terms touch. The weight expression is rrfFusion's
+    * VERBATIM (tf·N/df over the same integers) so the stored doubles
+    * are bit-identical. df and n_docs derive from the postings relation
+    * itself (every norm shifts when N or any shared term's df moves, so
+    * a maintained append recomputes this table from the PERSISTED
+    * postings — index-grain, never a corpus re-tokenize). */
+  private[llm] def writeNorms(s: SparkSession, postings: DataFrame,
+      path: String): Unit = {
+    val normsPath = s"$path/norms"
+    IndexFence.rmTree(Paths.get(normsPath))
     Files.createDirectories(Paths.get(normsPath))
     ManifestFileSink.setPartitionColumn(normsPath, "db")
-    tf.join(df, col("tok") === col("df_tok"))
-      .crossJoin(broadcast(stats.select(col("n_docs"))))
+    val dfRel = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val n = postings.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    postings.join(dfRel, col("tok") === col("df_tok"))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"),
         (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
       .groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nd"))
       .select(col("doc_id"), db(col("doc_id")).as("db"), col("nd"))
       .write.format(fmt).option("path", normsPath).mode("append").save()
-    df.unpersist(blocking = true)
-    tf.unpersist(blocking = true)
-    // Fence LAST: a crash mid-build reads as pre-fence and rebuilds.
-    IndexFence.write(path, corpusPath(dir), fp)
   }
 
   /** BM25 top-20 for `terms` from the persisted index. REFUSES a stale
@@ -164,10 +199,28 @@ object TextIndex {
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
   }
 
+  /** Global df for each probed term, derived FROM the probed rows: the
+    * pruned scan already reads every posting of a query term, rows are
+    * unique per (doc, term) across segments (a maintained append only
+    * adds NEW doc ids — audited), so count-per-term over the pruned
+    * relation IS the global document frequency even after appends. One
+    * |terms|-row fold broadcast back onto the postings — no extra
+    * bucket read, and nothing stored that an append could stale. */
+  private def withDf(postings: DataFrame): DataFrame = {
+    val dfRel = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    postings.join(broadcast(dfRel), col("tok") === col("df_tok")).drop("df_tok")
+  }
+
+  /** Global corpus stats = fold of the per-segment stats rows. */
+  private def readStats(s: SparkSession, path: String): DataFrame =
+    s.read.format(fmt).option("path", s"$path/stats").load()
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+
   def serve(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
     refuseStale(path)
-    val postings = prunedPostings(s, path, terms)
-    val stats = s.read.format(fmt).option("path", s"$path/stats").load()
+    val postings = withDf(prunedPostings(s, path, terms))
+    val stats = readStats(s, path)
     // Scoring arithmetic = TextAnalysis.bm25 verbatim over the stored
     // integers — identical doubles, identical ranking, same oracle.
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
@@ -212,9 +265,9 @@ object TextIndex {
     import org.apache.spark.sql.expressions.Window
     refuseStale(path)
     val K = 30
-    val postings = prunedPostings(s, path, terms)
+    val postings = withDf(prunedPostings(s, path, terms))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = s.read.format(fmt).option("path", s"$path/stats").load()
+    val stats = readStats(s, path)
     // --- ranker L: BM25 from stored integers (serve's expressions).
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))

@@ -46,4 +46,40 @@ class DriverContractSpec extends SparkTestBase {
     assert(missing.isEmpty,
       s"registry keys absent from SURVEY §2.11's index table: $missing")
   }
+
+  test("every post-r13 registry key has a ×10 scale row (or an explicit exemption)") {
+    // Verdict-r14 #6: the "every new entry gets a ×10 ScaleBench row"
+    // process rule, mechanized the way §2.11 mechanized the inventory.
+    // Grandfather line = the round-13 registry (CORRECTNESS_r13.json is
+    // the driver's own frozen record of it); everything registered
+    // after must appear in BENCH_NOTES' "×10 scale registry" table or
+    // in its explicit constant-grain exemption list.
+    def readFile(p: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val grandfathered = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
+      .findAllMatchIn(readFile("CORRECTNESS_r13.json"))
+      .map(_.group(1)).toSet
+    assert(grandfathered.size > 200, "r13 registry parse failed")
+    val notes = readFile("BENCH_NOTES.md")
+    val heading = "## ×10 scale registry (mechanical"
+    assert(notes.contains(heading),
+      "BENCH_NOTES.md must carry the ×10 scale registry section")
+    val body0 = notes.substring(notes.indexOf(heading) + heading.length)
+    val end = body0.indexOf("\n## ")
+    val body = if (end >= 0) body0.substring(0, end) else body0
+    val rows = "\\| ([A-Za-z0-9_]+) \\| [-0-9.]+ \\|".r
+      .findAllMatchIn(body).map(_.group(1)).toSet
+    val exempt = "exemptions \\(no ×10 row required\\):([^\n]*)".r
+      .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+    val exempted = "[A-Za-z0-9_]{2,}".r.findAllIn(exempt).toSet - "none"
+    val keys = SparkEntry.queries.keySet
+    val missing = keys -- grandfathered -- rows -- exempted
+    assert(missing.isEmpty,
+      s"registry keys without a ×10 scale row or exemption: $missing " +
+        "(run ScaleBench and add the row to BENCH_NOTES' ×10 registry)")
+    // Rot check: the ledger may only name live registry keys.
+    val rotten = (rows ++ exempted) -- keys
+    assert(rotten.isEmpty,
+      s"×10 registry names non-registry keys: $rotten")
+  }
 }
