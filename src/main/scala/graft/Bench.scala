@@ -95,6 +95,11 @@ object Bench {
     }.getOrElse(Map.empty)
     // name -> (remeasure sec, canary re-probe sec) for suspects.
     val suspects = scala.collection.mutable.Map[String, (Double, Double)]()
+    // Suspects whose flag-time probe read elevated (burst still OPEN by
+    // the canary's testimony): their re-measure defers to end-of-run so
+    // the adjudication sample isn't taken inside the very burst it
+    // adjudicates (verdict-r15 #4). name -> flag-time probe.
+    val deferred = scala.collection.mutable.LinkedHashMap[String, Double]()
     var qIdx = 0
     val measured = benched.toSeq.map { case (name, fn) =>
       if (qIdx > 0 && qIdx % canaryEvery == 0) {
@@ -128,11 +133,17 @@ object Bench {
         if (BenchNorm.isSuspect(minT, am)) {
           val probe = canaryProbe()
           if (probe > 0) timeline += ((elapsed, probe))
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          val re = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-          suspects(name) = (re, probe)
+          if (BenchNorm.deferRemeasure(probe, canary)) {
+            // Burst still open: an immediate re-measure would carry the
+            // burst it's meant to adjudicate — queue for end-of-run.
+            deferred(name) = probe
+          } else {
+            val t0 = System.nanoTime()
+            val ok = try { fn(spark, sfDir).count(); true }
+                     catch { case _: Throwable => false }
+            val re = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+            suspects(name) = (re, probe)
+          }
         }
       }
       // Release the query's persisted kernels before the next query:
@@ -146,14 +157,44 @@ object Bench {
     }
     val endProbe = canaryProbe()
     if (endProbe > 0) timeline += ((elapsed, endProbe))
-    val lcByName: Map[String, Double] = measured.map { case (name, _, t) =>
+    // End-of-run adjudication of the deferred suspects: one untimed
+    // warmup (their kernels were cache-cleared by the loop) then one
+    // timed run, bracketed by a fresh probe that attests the
+    // conditions the sample was ACTUALLY taken under.
+    val benchedMap = benched.toMap
+    deferred.keys.foreach { name =>
+      benchedMap.get(name).foreach { fn =>
+        val probe = canaryProbe()
+        if (probe > 0) timeline += ((elapsed, probe))
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val re = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        suspects(name) = (re, probe)
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case _: Throwable => () }
+      }
+    }
+    // Fold each successful re-measure into the query's recorded sample
+    // set (advice-r15 low): the spread/min written to bench_full.json is
+    // then the ADJUDICATED value, so the next run's anchor doesn't
+    // inherit a burst-inflated min that would quietly raise the bar for
+    // flagging a real regression.
+    val adjudicated = measured.map { case (name, v, t) =>
+      suspects.get(name).map(_._1).filter(_ > 0) match {
+        case Some(re) if !v.contains(-1.0) => (name, (v :+ re).sorted, t)
+        case _ => (name, v, t)
+      }
+    }
+    val lcByName: Map[String, Double] = adjudicated.map { case (name, _, t) =>
       name -> BenchNorm.localAt(timeline.toSeq, t)
     }.toMap
     val results: Seq[(String, Seq[Double])] =
-      measured.map { case (name, v, _) => (name, v) }
+      adjudicated.map { case (name, v, _) => (name, v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.head }
       .mkString("{", ",", "}")
-    val spread = measured.map { case (k, v, t) =>
+    val spread = adjudicated.map { case (k, v, t) =>
       // True median for even n too (v is sorted) — with n=2 the naive
       // v(n/2) would report the MAX labeled as the median. "t" is the
       // query's midpoint offset into the run; "lc" the time-local canary
@@ -250,7 +291,11 @@ object Bench {
     // re-measure + the canary probe taken inside the window).
     val susAll = suspects.toSeq.sortBy(_._1).map { case (n, (re, pr)) =>
       val am = anchorMins.getOrElse(n, -1.0)
-      s"\"$n\":{\"anchor\":$am,\"remeasure\":$re,\"canary_probe\":$pr}"
+      // A deferred suspect also records the flag-time probe that proved
+      // the burst was open — the full adjudication story in one record.
+      val defJson = deferred.get(n)
+        .map(fp => s",\"deferred_from_probe\":$fp").getOrElse("")
+      s"\"$n\":{\"anchor\":$am,\"remeasure\":$re,\"canary_probe\":$pr$defJson}"
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"canary_timeline":$tlJson,"unit":"sec","queries":$qs,"spread":$spread,"regressions":$regsJson$crossJson,"suspects":$susAll,"sf":"$sfDir"}"""
     // Full per-query JSON first (one long line), then a SHORT final line

@@ -79,4 +79,18 @@ object BenchNorm {
     */
   def effectiveMin(min: Double, remeasure: Option[Double]): Double =
     remeasure.filter(_ > 0).fold(min)(r => math.min(min, r))
+
+  /** Should a suspect's re-measure DEFER to end-of-run? (verdict-r15
+    * #4): the immediate re-measure runs inside a still-open burst when
+    * the suspect's own canary probe reads elevated — r15's
+    * q_rfm_segments_cut re-measured 3.67 s under a 0.772 probe (3.3×
+    * the clean canary) vs 1.61 s on an isolated run, so the "evidence"
+    * carried the burst it was meant to adjudicate. When the probe
+    * exceeds 1.5× the run's start-of-run canary the burst is open by
+    * the canary's own testimony: queue the re-measure and take it after
+    * the last query, when a fresh probe can attest the conditions.
+    * A dark canary (≤0) can't attest either way — measure immediately,
+    * the old behavior. */
+  def deferRemeasure(probe: Double, runCanary: Double): Boolean =
+    runCanary > 0 && probe > 1.5 * runCanary
 }

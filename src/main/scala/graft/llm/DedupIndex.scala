@@ -63,6 +63,15 @@ object DedupIndex {
 
   private def fmt = classOf[ManifestFileSink].getName
 
+  /** On-disk layout version (see [[IndexFence.layoutFile]]; the
+    * discipline verdict-r15 #1 established after the [[TextIndex]]
+    * layout change shipped without one). v1 = band table `(band, bh,
+    * bb, doc_id)` + shingle table `(doc_id, db, sh)`. An untagged index
+    * reads as 0 and rebuilds once; any future schema change bumps this
+    * constant instead of trusting a fresh fence over a layout the code
+    * no longer matches. */
+  private[llm] val LayoutVersion = 1
+
   def indexPath(dir: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_dedupindex", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
@@ -96,7 +105,7 @@ object DedupIndex {
   /** Build over an explicit corpus (the managed-corpus maintenance path
     * fences on its OWN table; the classic path fences on the testdata
     * parquet). */
-  private[llm] def buildFrom(s: SparkSession, corpus: DataFrame,
+  private[graft] def buildFrom(s: SparkSession, corpus: DataFrame,
       fenceCorpus: String, path: String): Unit = synchronized {
     val bandsPath = s"$path/bands"
     val shinglesPath = s"$path/shingles"
@@ -104,7 +113,8 @@ object DedupIndex {
       val l = Files.list(Paths.get(bandsPath))
       try l.iterator().hasNext finally l.close()
     }
-    if (built && staleness(path).contains(false)) return
+    if (built && staleness(path).contains(false) &&
+        IndexFence.readLayout(path) == LayoutVersion) return
     if (built) {
       s.catalog.refreshByPath(fenceCorpus)
       IndexFence.rmTree(Paths.get(bandsPath))
@@ -125,7 +135,8 @@ object DedupIndex {
     shingleTableRows(sh)
       .write.format(fmt).option("path", shinglesPath).mode("append").save()
     sh.unpersist(blocking = true)
-    // Fence LAST: a crash mid-build reads as pre-fence and rebuilds.
+    // Layout tag before the fence; fence LAST stays the commit point.
+    IndexFence.writeLayout(path, LayoutVersion)
     IndexFence.write(path, fenceCorpus, fp)
   }
 

@@ -12,7 +12,7 @@ import java.nio.file.{Files, Path, Paths}
   * pre-fence and rebuilds. One definition so an index can never check
   * freshness with a different listing than the one its build recorded.
   */
-private[llm] object IndexFence {
+private[graft] object IndexFence {
 
   def fenceFile(path: String): Path = Paths.get(path, "corpus.fp")
 
@@ -43,7 +43,36 @@ private[llm] object IndexFence {
   def write(path: String, corpus: String, fp: Long): Unit =
     Files.write(fenceFile(path), s"$corpus|$fp".getBytes("UTF-8"))
 
-  def clear(path: String): Unit = Files.deleteIfExists(fenceFile(path))
+  def clear(path: String): Unit = {
+    Files.deleteIfExists(fenceFile(path))
+    Files.deleteIfExists(layoutFile(path))
+  }
+
+  /** LAYOUT VERSION tag (verdict-r15 #1): the round-15 segment-append
+    * refactor changed the persisted postings schema (df no longer
+    * stored) but the freshness no-op had no layout notion, so a
+    * pre-refactor index on a /tmp that survives across runs passed as
+    * fresh and serve crashed on the legacy column. The fix the verdict
+    * prescribes — and the form that covers every FUTURE layout change:
+    * each index build records its layout version beside the fence; the
+    * freshness no-op additionally requires the recorded version to
+    * match the code's current constant, so ANY layout bump (or a
+    * pre-versioning index, which has no tag and reads as 0) forces one
+    * clean rebuild instead of serving a schema the code no longer
+    * understands. Written BEFORE the fence (the fence stays the commit
+    * point: a crash between the two reads as pre-fence and rebuilds). */
+  def layoutFile(path: String): Path = Paths.get(path, "layout.v")
+
+  /** 0 = pre-versioning (or unreadable) layout — always a mismatch. */
+  def readLayout(path: String): Int = {
+    val f = layoutFile(path)
+    if (!Files.isRegularFile(f)) 0
+    else try new String(Files.readAllBytes(f), "UTF-8").trim.toInt
+    catch { case _: NumberFormatException => 0 }
+  }
+
+  def writeLayout(path: String, v: Int): Unit =
+    Files.write(layoutFile(path), v.toString.getBytes("UTF-8"))
 
   /** Recursive delete of a stale index artifact directory. */
   def rmTree(p: Path): Unit =

@@ -93,8 +93,13 @@ object IndexMaintenance {
     * fence reads stale (out-of-band drift self-heals here by rebuild —
     * the same recovery every standalone index uses; only the direct
     * serve path REFUSES). Idempotent: fresh fences no-op. */
-  def ensureBase(s: SparkSession, dir: String): String = synchronized {
-    val base = basePath(dir)
+  def ensureBase(s: SparkSession, dir: String): String =
+    ensureBaseAt(s, dir, basePath(dir))
+
+  /** [[ensureBase]] at an explicit base — the streaming ingest keeps
+    * its OWN managed corpus ([[graft.streaming.StreamingIngest]]) so
+    * the batch and stream entries can't race each other's fences. */
+  def ensureBaseAt(s: SparkSession, dir: String, base: String): String = synchronized {
     val ct = corpusTable(base)
     val corpusExists = Files.isDirectory(Paths.get(ct)) && {
       val l = Files.list(Paths.get(ct))
@@ -126,8 +131,12 @@ object IndexMaintenance {
 
   /** The ingest transaction: stage batch rows into all five tables
     * under one WAP id, audit the staged state, publish or discard as
-    * one decision, re-materialize norms, advance both fences. */
-  def ingestAppend(s: SparkSession, base: String, batch: DataFrame): Unit =
+    * one decision, re-materialize norms, advance both fences. `wapId`
+    * defaults to the batch entry's fixed id; the streaming path passes
+    * a PER-EPOCH id (`ingest-e<epoch>`) so a replayed epoch's leftover
+    * stage is distinguishable from a concurrent one. */
+  def ingestAppend(s: SparkSession, base: String, batch: DataFrame,
+      wapId: String = WapId): Unit =
     synchronized {
       val ct = corpusTable(base)
       val tp = textPath(base)
@@ -153,11 +162,11 @@ object IndexMaintenance {
       val bShRows = DedupIndex.shingleTableRows(bSh)
 
       def stage(df: DataFrame, path: String): Unit =
-        df.write.format(fmt).option("path", path).option("wap-id", WapId)
+        df.write.format(fmt).option("path", path).option("wap-id", wapId)
           .mode("append").save()
       def wapView(path: String): DataFrame =
         s.read.format(fmt).option("path", path)
-          .option("asOfManifest", s"wap:$WapId").load()
+          .option("asOfManifest", s"wap:$wapId").load()
       def mainCount(path: String): Long =
         s.read.format(fmt).option("path", path).load().count()
 
@@ -191,11 +200,11 @@ object IndexMaintenance {
               s"${expected(p)}")
         }
         // ---- PUBLISH: all five stages onto their main lines.
-        allTables.foreach(p => ManifestFileSink.wapPublish(p, WapId))
+        allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
           allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, WapId)
+            try ManifestFileSink.wapDiscard(p, wapId)
             catch { case _: Throwable => () }
           }
           b.unpersist(); bPost.unpersist(); bSh.unpersist()
@@ -215,6 +224,53 @@ object IndexMaintenance {
       IndexFence.write(dp, ct, fp)
       b.unpersist(); bPost.unpersist(); bSh.unpersist()
     }
+
+  /** One STREAMING epoch's ingest, exactly-once under replay — the
+    * `foreachBatch` body [[graft.streaming.StreamingIngest]] installs
+    * (verdict-r15 Next #4). Structured Streaming's recovery contract is
+    * at-least-once delivery to the sink: after a mid-stream kill the
+    * restarted query REPLAYS the last unacknowledged epoch, so the body
+    * must make the five-table transaction idempotent per epoch:
+    *
+    *   1. a replayed epoch whose batch FULLY landed (crash after
+    *      publish, before the checkpoint ack) detects itself — every
+    *      batch doc id already in the corpus — and no-ops;
+    *   2. a torn stage from a crashed attempt (staged manifests under
+    *      this epoch's own `wap-id`, never published) is discarded
+    *      before re-staging, so the retry starts clean — and with the
+    *      manifest-chain fence fingerprint, that discard does not
+    *      stale anything;
+    *   3. a PARTIAL overlap (some ids present, some not) is neither —
+    *      it means the batch boundary itself drifted across the
+    *      restart, which no append-only recovery can reconcile:
+    *      refuse loudly (the ingestAppend audit does).
+    *
+    * Returns true when the epoch applied, false when it replayed as a
+    * no-op. */
+  def applyEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean = synchronized {
+    val wapId = s"ingest-e$epochId"
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = b.select(col("doc_id"))
+      val total = ids.count()
+      if (total == 0) return false
+      val present = readCorpus(s, base)
+        .join(ids, Seq("doc_id"), "left_semi").count()
+      if (present == total) return false // fully-applied replay: no-op
+      // (present in (0, total) falls through: the new-ids audit inside
+      // ingestAppend refuses it with the collision count — case 3.)
+      val allTables = Seq(corpusTable(base),
+        s"${textPath(base)}/postings", s"${textPath(base)}/stats",
+        s"${dedupPath(base)}/bands", s"${dedupPath(base)}/shingles")
+      allTables.foreach { p => // case 2: clear any torn stage of THIS epoch
+        try ManifestFileSink.wapDiscard(p, wapId)
+        catch { case _: Throwable => () }
+      }
+      ingestAppend(s, base, b, wapId)
+      true
+    } finally b.unpersist()
+  }
 
   /** ensure → ingest-once → serve; the shared entry skeleton. */
   private def maintained(s: SparkSession, dir: String): String = {
@@ -249,9 +305,41 @@ object IndexMaintenance {
       Tables(s, dir).documents.filter(col("doc_id") % 13 === ProbeClass))
   }
 
+  /** Oracle-gated: COMPACT the maintained postings table back to one
+    * file per term bucket, then serve — the maintenance loop's third
+    * verb (build → append → compact). Each appended segment adds one
+    * file per touched bucket, so a probed serve opens `segments` files
+    * per term; compaction folds them with
+    * [[ManifestFileSink.repartitionTable]] (cluster by the bucket
+    * column → ONE task owns each bucket → one attested file, sort
+    * attestations re-earned) and is gated on the published segment
+    * count so an already-compacted table pays a metadata read, not a
+    * rewrite. Serve is hash-identical before/after BY CONSTRUCTION:
+    * postings rows are preserved exactly, df derives from probed rows,
+    * stats and norms tables are untouched — the same oracle as the
+    * append entry replays it. The corpus never changed, so the fence
+    * is untouched by design (it fingerprints the corpus chain, not the
+    * index files).
+    *
+    * At 100 TB: compaction cost is one clustered rewrite of the
+    * postings table (~1% of corpus bytes), amortized over however many
+    * appends accumulated — the knob is the segment-count threshold,
+    * here 1 because the entry exists to prove the fold, in production
+    * more like 16–64. */
+  def textIndexCompact: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    val postingsT = s"${textPath(base)}/postings"
+    if (ManifestFileSink.publishedManifestCount(postingsT) > 1) {
+      ManifestFileSink.repartitionTable(s, postingsT, Seq("tb"), 64)
+      s.catalog.refreshByPath(postingsT)
+    }
+    TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_index_append" -> textIndexAppend,
-    "dedup_index_append" -> dedupIndexAppend)
+    "dedup_index_append" -> dedupIndexAppend,
+    "text_index_compact" -> textIndexCompact)
 
   /** BM25 over the `%13 ≠ 5` universe — [[TextAnalysis.bm25Sql]] with
     * the corpus CTE restricted to the maintained corpus' membership. */
@@ -282,5 +370,8 @@ object IndexMaintenance {
     "text_index_append" -> textIndexAppendSql,
     // The maintained corpus is exactly %13 ≠ 5 — the same universe the
     // standalone serve entry replays.
-    "dedup_index_append" -> DedupIndex.oracleSql("dedup_index_serve"))
+    "dedup_index_append" -> DedupIndex.oracleSql("dedup_index_serve"),
+    // Compaction preserves every posting row, so the append oracle
+    // replays the compacted serve unchanged.
+    "text_index_compact" -> textIndexAppendSql)
 }

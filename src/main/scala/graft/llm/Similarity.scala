@@ -35,9 +35,14 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   /** (vec_id, vn): L2-normalized double vectors, computed once per row. */
-  private[llm] def normalized(t: Tables): DataFrame = {
+  private[llm] def normalized(t: Tables): DataFrame =
+    normalizedDf(t.embeddings)
+
+  /** The same normalization over an explicit embeddings relation — the
+    * managed-corpus maintenance path reads its OWN table, not testdata. */
+  private[llm] def normalizedDf(embRows: DataFrame): DataFrame = {
     val v = transform(col("embedding"), _.cast("double"))
-    t.embeddings
+    embRows
       .select(col("vec_id"), v.as("v"))
       .withColumn("nrm", sqrt(dotp(col("v"), col("v"))))
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
@@ -218,7 +223,7 @@ object Similarity {
     * hint: without it the pre-AQE plan is a sort-merge join exchanging
     * BOTH sides on `cell` (the persisted assignment has no stats to
     * trigger the broadcast conversion planning-side). */
-  private def ivfSearch(probes: DataFrame, assigned: DataFrame): DataFrame = {
+  private[llm] def ivfSearch(probes: DataFrame, assigned: DataFrame): DataFrame = {
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -460,32 +465,40 @@ object Similarity {
     * |vectors|×|centroids| window input carries ~1 KB/row of list payload
     * per unrolled stage and DuckDB exhausts its memory limit at 5k
     * vectors (observed at sf0.1). */
-  private[llm] val kmeansCtesSql: String = {
-    def assignCte(name: String, cents: String): String =
+  /** The k-means replay CTEs, parametrized by which relation TRAINS the
+    * centroids and which relation the final `af` ASSIGNS — identical
+    * when the index trains over its whole corpus (`kmeansCtesSql`),
+    * distinct for the MAINTAINED index (verdict-r15 Next family:
+    * centroids train over the pre-append base, frozen; appends assign
+    * against them — so the oracle trains on `eb` and assigns `e`). */
+  private[llm] def kmeansCtes(train: String, assign: String): String = {
+    def assignCte(name: String, cents: String, src: String): String =
       s"""$name AS (
-         |  SELECT s.vec_id, e.vn, s.cell FROM (
+         |  SELECT s.vec_id, e0.vn, s.cell FROM (
          |    SELECT vec_id, cell FROM (
          |      SELECT sc.vec_id, sc.cent_id AS cell,
          |        ROW_NUMBER() OVER (PARTITION BY sc.vec_id
          |          ORDER BY sc.score DESC, sc.cent_id) AS rn
          |      FROM (
-         |        SELECT e.vec_id, c.cent_id,
-         |          list_dot_product(e.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
-         |        FROM e CROSS JOIN $cents c) sc) t WHERE rn = 1) s
-         |  JOIN e ON s.vec_id = e.vec_id)"""
+         |        SELECT e1.vec_id, c.cent_id,
+         |          list_dot_product(e1.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
+         |        FROM $src e1 CROSS JOIN $cents c) sc) t WHERE rn = 1) s
+         |  JOIN $src e0 ON s.vec_id = e0.vec_id)"""
     def step(t: Int): String =
-      s"""${assignCte(s"a$t", if (t == 1) "c0" else s"c${t - 1}")},
+      s"""${assignCte(s"a$t", if (t == 1) "c0" else s"c${t - 1}", train)},
          |s$t AS (
          |  SELECT cell, i AS j, ROUND(SUM(vn[i]) / COUNT(*), 6) AS m
          |  FROM a$t, UNNEST(generate_series(1, len(vn))) AS u(i)
          |  GROUP BY cell, i),
          |c$t AS (SELECT cell AS cent_id, list(m ORDER BY j) AS cv FROM s$t GROUP BY cell)"""
-    s"""c0 AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 25 = 0),
+    s"""c0 AS (SELECT vec_id AS cent_id, vn AS cv FROM $train WHERE vec_id % 25 = 0),
        |${step(1)},
        |${step(2)},
        |${step(3)},
-       |${assignCte("af", "c3")}"""
+       |${assignCte("af", "c3", assign)}"""
   }
+
+  private[llm] val kmeansCtesSql: String = kmeansCtes("e", "e")
 
   /** Oracle-gated TRAINED cell assignments — the direct gate on the
     * k-means algebra itself (the search entry gates it only through

@@ -57,6 +57,18 @@ object TextIndex {
 
   private val Buckets = 64
 
+  /** On-disk layout version (see [[IndexFence.layoutFile]]). History:
+    * v0/untagged = pre-versioning (round-14 and earlier: postings
+    * carried a STORED `df` column, frozen at write time); v2 = the
+    * segment-append layout (postings `tok,tb,doc_id,dl,tf` — df derived
+    * from probed rows at serve, per-segment stats rows, doc-bucketed
+    * norms). A version mismatch — including any pre-versioning index a
+    * persistent /tmp carries across runs — forces one clean rebuild in
+    * [[buildFrom]]; serving a legacy layout would join a second `df`
+    * onto postings that already store one (AMBIGUOUS_REFERENCE — the
+    * exact round-15 regression this tag closes). */
+  private[llm] val LayoutVersion = 2
+
   private def fmt = classOf[ManifestFileSink].getName
 
   def indexPath(dir: String): String =
@@ -117,7 +129,7 @@ object TextIndex {
   /** Build over an explicit corpus (the managed-corpus maintenance path
     * fences on its OWN table; the classic path fences on the testdata
     * parquet). */
-  private[llm] def buildFrom(s: SparkSession, corpus: DataFrame,
+  private[graft] def buildFrom(s: SparkSession, corpus: DataFrame,
       fenceCorpus: String, path: String): Unit = synchronized {
     val postingsPath = s"$path/postings"
     val statsPath = s"$path/stats"
@@ -126,10 +138,14 @@ object TextIndex {
       val l = Files.list(Paths.get(postingsPath))
       try l.iterator().hasNext finally l.close()
     }
-    // A fresh fence on a norms-less layout is a PRE-NORMS index (built
-    // before hybrid serving existed): rebuild it rather than crash the
-    // cosine ranker on a missing table.
+    // A fresh fence no-ops ONLY when the on-disk layout is the one this
+    // code serves: the version tag (v2 = segment-append, df derived at
+    // serve) catches a pre-refactor index whose postings still store df
+    // (round-15's AMBIGUOUS_REFERENCE regression), and the norms-dir
+    // check catches the older pre-hybrid layout — both rebuild cleanly
+    // instead of crashing serve.
     if (built && staleness(path).contains(false) &&
+        IndexFence.readLayout(path) == LayoutVersion &&
         Files.isDirectory(Paths.get(normsPath))) return
     if (built) {
       s.catalog.refreshByPath(fenceCorpus)
@@ -149,7 +165,9 @@ object TextIndex {
       .write.format(fmt).option("path", statsPath).mode("append").save()
     writeNorms(s, tf, path)
     tf.unpersist(blocking = true)
-    // Fence LAST: a crash mid-build reads as pre-fence and rebuilds.
+    // Layout tag before the fence; fence LAST stays the commit point —
+    // a crash anywhere before it reads as pre-fence and rebuilds.
+    IndexFence.writeLayout(path, LayoutVersion)
     IndexFence.write(path, fenceCorpus, fp)
   }
 

@@ -43,10 +43,10 @@ import graft.sources.{ManifestFileSink, Tables}
   */
 object VectorIndex {
 
-  private def enc(col0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[llm] def enc(col0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_join(transform(col0, x => x.cast("string")), ",")
 
-  private def dec(col0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[llm] def dec(col0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(split(col0, ","), x => x.cast("double"))
 
   private def fmt = classOf[ManifestFileSink].getName

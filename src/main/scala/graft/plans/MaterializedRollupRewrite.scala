@@ -82,6 +82,18 @@ object MaterializedRollupRewrite {
   private[plans] def fingerprint(path: String): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     try {
+      // A MANIFEST table's visible state is its published chain, not its
+      // directory metadata: fingerprint the chain so the fence is
+      // invariant under WAP stage+discard (a refused ingest restores the
+      // chain exactly but bumps the data/ dir mtime — verdict-r15 #3,
+      // which left a logically-unchanged index permanently "stale") and
+      // under vacuum, while every real commit still moves it. Raw
+      // parquet/CSV directories have no chain and keep the physical
+      // listing below.
+      graft.sources.ManifestFileSink.publishedChainFingerprint(path) match {
+        case Some(fp) => return if (fp == 0L) 1L else fp
+        case None =>
+      }
       val hp = new HPath(path)
       val conf = org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sessionState.newHadoopConf())

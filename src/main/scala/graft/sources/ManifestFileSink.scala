@@ -199,6 +199,41 @@ object ManifestFileSink {
   def latestManifest(path: String): Option[String] =
     orderedManifests(path).lastOption.map(_.getName)
 
+  /** Number of PUBLISHED manifests on the main line — the segment count
+    * an index-maintenance caller checks before deciding a compaction is
+    * worth a rewrite (1 = already one segment, nothing to fold). */
+  def publishedManifestCount(path: String): Int = orderedManifests(path).size
+
+  /** LOGICAL-state fingerprint of a manifest table: a fold over the
+    * PUBLISHED manifest chain (names + seqs, commit order). None when
+    * `path` is not a manifest table (no `manifest-*` children) — the
+    * caller falls back to its physical listing.
+    *
+    * Why this exists (verdict-r15 #3): staleness fences hashed every
+    * table by directory mtimes, but a manifest table's visible state is
+    * defined by its published chain ONLY — staging under a `wap-id` and
+    * then discarding restores the chain exactly while bumping the
+    * `data/` directory's mtime, so a REFUSED ingest read as corpus
+    * drift and every subsequent serve refused a logically-unchanged
+    * index until a full rebuild. Hashing the chain makes the fence
+    * invariant under stage+discard (and under readers, vacuum of
+    * unreferenced files, etc.) while still moving on every real commit:
+    * any append/delete/merge/publish adds a manifest, and a compact
+    * rewrites the chain. Staged manifests are EXCLUDED (they are
+    * invisible to readers until published — a fence must not see them
+    * either); seq rides beside the name so a discard-recreate under a
+    * recycled name cannot alias. */
+  def publishedChainFingerprint(path: String): Option[Long] = {
+    val ms = manifests(path)
+    if (ms.isEmpty) None
+    else Some(ms.map(f => (f, readMeta(f)))
+      .filter(_._2.staged.isEmpty)
+      .sortBy { case (f, m) => (m.seq, f.getName) }
+      .foldLeft(1L) { case (h, (f, m)) =>
+        (h * 1000003L + f.getName.hashCode.toLong) * 1000003L + m.seq
+      })
+  }
+
   private[sources] def schemaLine(f: File): String = {
     val skip = readMeta(f).headerLines - 1 // v2: skip the #graft header; v1: DDL is line 0
     val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)

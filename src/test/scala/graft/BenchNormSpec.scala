@@ -83,6 +83,29 @@ class BenchNormSpec extends AnyFunSuite {
     assert(BenchNorm.effectiveMin(0.9, None) === 0.9)
   }
 
+  test("suspect path C — open burst defers; the end-of-run re-measure clears the flag") {
+    // Driver-r15 scenario (verdict-r15 #4): q_rfm_segments_cut flagged
+    // at min 4.30 vs anchor 1.10 while its own canary probe read 0.772
+    // — 3.3× the run's clean canary 0.232. The burst is OPEN by the
+    // canary's testimony: an immediate re-measure recorded 3.67 s (still
+    // tainted); the isolated re-run read 1.61 s. The probe must DEFER
+    // the re-measure to end-of-run, where the clean sample clears the
+    // raw-ratio gate.
+    val runCanary = 0.232
+    assert(BenchNorm.isSuspect(4.30, 1.10))
+    assert(BenchNorm.deferRemeasure(0.772, runCanary),
+      "a probe 3.3x the run canary means the burst is still open")
+    // End-of-run: fresh probe clean, re-measure lands in band.
+    assert(!BenchNorm.deferRemeasure(0.240, runCanary))
+    val eff = BenchNorm.effectiveMin(4.30, Some(1.61))
+    assert(eff === 1.61)
+    assert(eff / 1.10 <= 2.0, "the deferred clean re-measure clears the flag")
+    // A probe near the run canary does NOT defer (the r14 immediate
+    // path stays the common case), and a dark canary can't attest.
+    assert(!BenchNorm.deferRemeasure(0.30, runCanary))
+    assert(!BenchNorm.deferRemeasure(9.0, -1.0))
+  }
+
   test("parseMins reads per-query anchor mins from a spread") {
     val prev =
       """{"canary":0.25,"spread":{"q_a":{"min":0.15,"med":0.2,"max":0.3,"n":3,"t":12.5,"lc":0.31},""" +

@@ -115,6 +115,79 @@ class IndexAppendSpec extends SparkTestBase {
       Seq("dup")).count() > 0)
   }
 
+  test("refused ingest → serve succeeds WITHOUT a rebuild (file set unchanged)") {
+    // Verdict-r15 #3's stronger contract: the stage+discard must leave
+    // the fence fingerprint EXACTLY restored (the published manifest
+    // chain is the logical state; directory mtimes are not), so the
+    // recovery path after a refusal is "serve as before" — never the
+    // full rebuild the maintenance path exists to avoid. Proven by file
+    // identity: every index artifact file (name, length) is untouched
+    // through refusal → ensureBase → serve.
+    val dir = freshDir()
+    val base = IndexMaintenance.ensureBase(spark, dir)
+    def listing(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(f => (f.getName, f.length)).toSet ++
+        d.listFiles().filter(_.isDirectory)
+          .flatMap(s => s.listFiles().filter(_.isFile)
+            .map(f => (s.getName + "/" + f.getName, f.length)))
+    }
+    val tp = IndexMaintenance.textPath(base)
+    val dp = IndexMaintenance.dedupPath(base)
+    val pre = listing(s"$tp/postings") ++ listing(s"$tp/norms") ++
+      listing(s"$dp/bands")
+    val existing = spark.read.format(fmt)
+      .option("path", IndexMaintenance.corpusTable(base)).load()
+      .orderBy(col("doc_id")).limit(1)
+    intercept[IllegalStateException](
+      IndexMaintenance.ingestAppend(spark, base, existing))
+    // ensureBase would rebuild on a stale fence — it must no-op here.
+    IndexMaintenance.ensureBase(spark, dir)
+    assert(TextIndex.serve(spark, tp, Seq("dup")).count() > 0)
+    assert(DedupIndex.serve(spark, dp,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 13 === 5)).collect() != null)
+    val post = listing(s"$tp/postings") ++ listing(s"$tp/norms") ++
+      listing(s"$dp/bands")
+    assert(post === pre,
+      "a refused ingest must not trigger any index rebuild or rewrite")
+  }
+
+  test("compaction folds append segments; serve hash-unchanged, one file per probed bucket") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = freshDir()
+      val base = IndexMaintenance.ensureBase(spark, dir)
+      IndexMaintenance.ingestAppend(spark, base,
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 13 === 6))
+      val tp = IndexMaintenance.textPath(base)
+      val postingsT = s"$tp/postings"
+      val terms = Seq("dup", "spark", "window")
+      val pre = TextIndex.serve(spark, tp, terms).collect().toSeq
+      assert(ManifestFileSink.publishedManifestCount(postingsT) > 1,
+        "append must have left a second segment to fold")
+      ManifestFileSink.repartitionTable(spark, postingsT, Seq("tb"), 64)
+      spark.catalog.refreshByPath(postingsT)
+      assert(ManifestFileSink.publishedManifestCount(postingsT) === 1,
+        "compaction publishes ONE superseding manifest")
+      // Fence untouched: the corpus never moved, only index files did.
+      assert(TextIndex.staleness(tp).contains(false))
+      val served = TextIndex.serve(spark, tp, terms)
+      assert(served.collect().toSeq === pre,
+        "compaction must not change a single served row")
+      val scans = served.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }
+        .filter(_.scan.description.contains("In(tb"))
+      assert(scans.nonEmpty)
+      val read = scans.map(_.metrics("filesRead").value).max
+      assert(read <= terms.size,
+        s"after compaction each probed bucket is ONE file (read=$read)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("serve after maintenance still opens only probed buckets (filesRead pin)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

@@ -86,6 +86,48 @@ class TextIndexSpec extends SparkTestBase {
       .collect().nonEmpty)
   }
 
+  test("LEGACY layout (stored df, no version tag) migrates: build rebuilds, serve answers") {
+    // Reconstruct the exact round-14 on-disk state that broke round 15
+    // (verdict-r15 #1): postings still carry a STORED `df` column, the
+    // fence is fresh, norms exist, and no layout tag was ever written —
+    // a /tmp surviving across runs hands this to the new code. Serve
+    // over it would join a SECOND df onto the postings
+    // (AMBIGUOUS_REFERENCE); build() must detect the version mismatch
+    // and rebuild cleanly instead.
+    val fmt = classOf[ManifestFileSink].getName
+    val p = Files.createTempDirectory("graft-textindex-legacy").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pr = TextIndex.postingRows(docs)
+    val dfRel = pr.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("tok", "df_tok")
+    val legacy = pr.join(dfRel, col("tok") === col("df_tok")).drop("df_tok")
+      .select(col("tok"), col("tb"), col("doc_id"), col("dl"), col("tf"), col("df"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$p/postings"))
+    ManifestFileSink.setPartitionColumn(s"$p/postings", "tb")
+    legacy.write.format(fmt).option("path", s"$p/postings").mode("append").save()
+    TextIndex.statsRow(pr).coalesce(1)
+      .write.format(fmt).option("path", s"$p/stats").mode("append").save()
+    TextIndex.writeNorms(spark, pr, p)
+    IndexFence.write(p, s"$sf/documents.parquet",
+      IndexFence.fingerprint(s"$sf/documents.parquet"))
+    // The legacy index reads as fresh by fence alone — the failure mode.
+    assert(TextIndex.staleness(p).contains(false))
+    assert(IndexFence.readLayout(p) === 0, "pre-versioning index carries no tag")
+    // build() must see the layout mismatch and rebuild in place.
+    TextIndex.build(spark, sf, p)
+    assert(IndexFence.readLayout(p) === TextIndex.LayoutVersion)
+    val schema = spark.read.format(fmt).option("path", s"$p/postings").load()
+      .schema.fieldNames.filterNot(_.startsWith("_"))
+    assert(!schema.contains("df"),
+      s"rebuilt postings must use the segment-append layout, got ${schema.toSeq}")
+    assert(TextIndex.serve(spark, p, Seq("dup", "spark", "window"))
+      .collect().toSeq ===
+      TextIndex.serve(spark, path, Seq("dup", "spark", "window")).collect().toSeq)
+    assert(TextIndex.serveHybrid(spark, p, Seq("dup", "spark", "window"))
+      .collect().toSeq ===
+      TextIndex.serveHybrid(spark, path, Seq("dup", "spark", "window")).collect().toSeq)
+  }
+
   test("staleness fence: drifted corpus → serve refuses, build rebuilds") {
     val dir = Files.createTempDirectory("graft-textindex-corpus").toString
     spark.read.parquet(s"$sf/documents.parquet")

@@ -1,0 +1,133 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.ManifestFileSink
+import org.apache.spark.sql.functions._
+
+/** The vector-maintenance contract (the trilogy's third leg): the
+  * two-table WAP transaction appends a batch's corpus rows + frozen-
+  * centroid assignments; maintained serve equals the frozen-centroid
+  * full pipeline row-for-row; the fence accepts maintained drift,
+  * refuses out-of-band drift, and a refused audit leaves the index
+  * fresh, servable, and physically untouched. */
+class VecMaintenanceSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fmt = classOf[ManifestFileSink].getName
+
+  /** A private corpus copy so the spec never collides with entry runs
+    * over shared testdata (documents.parquet comes along because
+    * Tables resolves all names from the dir). */
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-vecmaint-dir").toString
+    for (t <- Seq("embeddings", "documents"))
+      spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$d/$t.parquet")
+    d
+  }
+
+  private def embAll(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("maintained serve equals the frozen-centroid pipeline, hash-strict") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBase(spark, dir)
+    VectorMaintenance.ingestAppend(spark, base,
+      embAll(dir).filter(col("vec_id") % 13 === 6))
+    val served = VectorIndex.serve(spark, VectorMaintenance.vecPath(base), 1)
+      .collect().toSeq
+    // The frozen-centroid reference: train over the base universe only,
+    // assign EVERYTHING against those centroids, search nprobe=1 — the
+    // exact semantics the oracle replays with train=eb / assign=e.
+    val embBase = Similarity.normalizedDf(
+      embAll(dir).filter(col("vec_id") % 13 =!= 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Similarity.kmeansCentroids(embBase)
+    val assigned = Similarity.kmeansAssign(
+      Similarity.normalizedDf(embAll(dir)), cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")))
+    val want = Similarity.ivfSearch(probes, assigned).collect().toSeq
+    assert(served === want)
+  }
+
+  test("fence: maintained drift accepted, out-of-band drift refused") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBase(spark, dir)
+    val ip = VectorMaintenance.vecPath(base)
+    assert(IndexFence.staleness(ip).contains(false))
+    VectorMaintenance.ingestAppend(spark, base,
+      embAll(dir).filter(col("vec_id") % 13 === 6))
+    assert(IndexFence.staleness(ip).contains(false),
+      "the transaction's own fence advance accepts maintained drift")
+    // Out-of-band append to the managed corpus (the table's encoded
+    // row shape): serve must refuse.
+    embAll(dir).orderBy(col("vec_id").desc).limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        VectorIndex.enc(transform(col("embedding"), _.cast("double"))).as("embenc"))
+      .write.format(fmt)
+      .option("path", VectorMaintenance.corpusTable(base))
+      .mode("append").save()
+    assert(IndexFence.staleness(ip).contains(true))
+    val e = intercept[IllegalStateException](
+      VectorIndex.serve(spark, ip, 1))
+    assert(e.getMessage.contains("STALE"))
+  }
+
+  test("refused audit: nothing grows, index stays fresh + servable, no rebuild") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBase(spark, dir)
+    val ip = VectorMaintenance.vecPath(base)
+    def count(p: String): Long =
+      spark.read.format(fmt).option("path", p).load().count()
+    def listing(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(f => (f.getName, f.length)).toSet ++
+        d.listFiles().filter(_.isDirectory)
+          .flatMap(s => s.listFiles().filter(_.isFile)
+            .map(f => (s.getName + "/" + f.getName, f.length)))
+    }
+    val tables = Seq(VectorMaintenance.corpusTable(base), s"$ip/assigned")
+    val pre = tables.map(p => p -> count(p)).toMap
+    val preFiles = listing(s"$ip/assigned")
+    // Replaying an existing vector violates the new-ids audit (decoded
+    // back to the raw batch shape ingestAppend takes).
+    val existing = spark.read.format(fmt)
+      .option("path", VectorMaintenance.corpusTable(base)).load()
+      .orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), VectorIndex.dec(col("embenc")).as("embedding"))
+    val e = intercept[IllegalStateException](
+      VectorMaintenance.ingestAppend(spark, base, existing))
+    assert(e.getMessage.contains("already in the corpus"))
+    tables.foreach(p => assert(count(p) === pre(p), s"$p must not grow"))
+    assert(IndexFence.staleness(ip).contains(false),
+      "a refused audit must not stale the fence (manifest-chain fingerprint)")
+    assert(VectorIndex.serve(spark, ip, 1).count() > 0)
+    assert(listing(s"$ip/assigned") === preFiles,
+      "a refused ingest must not rewrite any index file")
+  }
+
+  test("serve after maintenance still prunes to probed cells") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = freshDir()
+      val base = VectorMaintenance.ensureBase(spark, dir)
+      VectorMaintenance.ingestAppend(spark, base,
+        embAll(dir).filter(col("vec_id") % 13 === 6))
+      val served = VectorIndex.serve(spark, VectorMaintenance.vecPath(base), 1)
+      served.collect()
+      val scans = served.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }
+        .filter(_.scan.description.contains("In(cell"))
+      assert(scans.nonEmpty, "expected the probed-cell IN filter")
+      val read = scans.map(_.metrics("filesRead").value).max
+      val pruned = scans.map(_.metrics("filesPruned").value).max
+      assert(pruned > 0 && read < read + pruned,
+        s"maintained serve must prune cells: read=$read pruned=$pruned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}

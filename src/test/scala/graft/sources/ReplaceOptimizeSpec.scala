@@ -118,10 +118,19 @@ class ReplaceOptimizeSpec extends SparkTestBase {
     val dir = freshDir()
     append(dir, Seq((1L, "a", 1.0)))
     // Orphans: an aborted attempt's file and a refused optimize's output.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "data", "part-orphan-1"), "9\tz\t9.9\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "data", "part-o-orphan-2"), "8\ty\t8.8\n")
+    // Back-date the orphans: vacuum's retention compares mtime < cutoff
+    // strictly, and with olderThanMs=0 an orphan written in the SAME
+    // clock tick as the vacuum call reads as "young" and survives — a
+    // flake that only fires under load (observed once in a full-suite
+    // run with two concurrent Spark JVMs; deterministic in intent, so
+    // pin the intent).
+    for (n <- Seq("part-orphan-1" -> "9\tz\t9.9\n", "part-o-orphan-2" -> "8\ty\t8.8\n")) {
+      val p = java.nio.file.Paths.get(dir, "data", n._1)
+      java.nio.file.Files.writeString(p, n._2)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+    }
     // Retention fence: everything is younger than 7 days — nothing deleted.
     assert(ManifestFileSink.vacuum(dir) === 0)
     // With the fence dropped, exactly the orphans go; committed data stays.
