@@ -38,7 +38,7 @@ object Dedup {
     * shingle string crosses the distinct's shuffle: the three words are
     * recoverable by splitting (words contain no spaces), so carrying them
     * as separate columns would triple the shuffle payload for nothing. */
-  private[llm] def shingleRows(docs: DataFrame): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("wl"))
       .filter(size(col("wl")) >= 3)
       .select(col("doc_id"),

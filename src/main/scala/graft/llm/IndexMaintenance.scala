@@ -272,6 +272,159 @@ object IndexMaintenance {
     } finally b.unpersist()
   }
 
+  // ------------------------------------------------ curated epochs
+
+  /** Decision ledger for GATED epochs: unlike the plain append (where
+    * "every batch id in the corpus" IS the applied-marker), a curated
+    * epoch REJECTS documents — a replayed epoch whose admits all landed
+    * is indistinguishable from an unprocessed epoch by corpus content
+    * alone. One ledger row per decided epoch, staged and published
+    * INSIDE the epoch's own transaction, makes the decision itself
+    * atomic with its effects. */
+  def ledgerTable(base: String): String = s"$base/ledger"
+
+  def epochDecided(s: SparkSession, base: String, epochId: Long): Boolean = {
+    val lt = ledgerTable(base)
+    // A ledger dir holding ONLY a torn stage (crash before the first
+    // publish) has no readable published snapshot — that reads as
+    // "undecided", which is exactly right: the retry discards the torn
+    // stage and re-runs the epoch.
+    try {
+      Files.isDirectory(Paths.get(lt)) && {
+        val l = Files.list(Paths.get(lt))
+        val nonEmpty = try l.iterator().hasNext finally l.close()
+        nonEmpty && !s.read.format(fmt).option("path", lt).load()
+          .filter(col("epoch") === epochId).limit(1).isEmpty
+      }
+    } catch { case _: Exception => false }
+  }
+
+  /** One CURATED streaming epoch — the full production admission gate
+    * run per micro-batch, with the epoch decision atomic under one
+    * `wap-id` (the [[graft.streaming.StreamingIngest]] delivery, the
+    * [[Curation.curationIngest]] gate, this transaction):
+    *
+    *   1. near-dup REJECT against the standing corpus — a pruned probe
+    *      of the persisted dedup index (exact Jaccard ≥ 0.8 verify);
+    *   2. within-epoch keep-first dedup (d1 < d2 over the epoch's own
+    *      shingles — computed over the FULL epoch, before quality, the
+    *      [[Curation]] ordering);
+    *   3. quality gate (integer density > QcThreshold);
+    *   4. the ADMITTED set appends through the five index tables PLUS
+    *      the decision-ledger row — six stages, one publish/discard;
+    *   5. norms refold + fences advance, exactly as [[ingestAppend]].
+    *
+    * Epoch k+1's corpus probe sees base ∪ admitted(≤k): the sequential
+    * dependence a real ingest has, and the DuckDB oracle replays it by
+    * unrolling the epochs ([[graft.streaming.CurationStream]]).
+    * Exactly-once under replay: the ledger row decides (a replayed
+    * epoch no-ops), a torn stage under this epoch's id discards before
+    * retrying. Returns true when the epoch DECIDED here. */
+  def curateEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean = synchronized {
+    if (epochDecided(s, base, epochId)) return false
+    val wapId = s"curate-e$epochId"
+    val ct = corpusTable(base)
+    val tp = textPath(base)
+    val dp = dedupPath(base)
+    for (p <- Seq(tp, dp); st <- IndexFence.staleness(p))
+      if (st) throw new IllegalStateException(
+        s"index at $p is STALE (out-of-band corpus drift): rebuild " +
+          "before maintaining.")
+    val postingsT = s"$tp/postings"
+    val statsT = s"$tp/stats"
+    val bandsT = s"$dp/bands"
+    val shinglesT = s"$dp/shingles"
+    val lt = ledgerTable(base)
+    val allTables = Seq(ct, postingsT, statsT, bandsT, shinglesT, lt)
+    allTables.foreach { p => // clear any torn stage of THIS epoch
+      try ManifestFileSink.wapDiscard(p, wapId)
+      catch { case _: Throwable => () }
+    }
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = b.count()
+      if (total == 0) return false
+      // ---- THE GATE (the curationIngest chain, per epoch).
+      val corpusDups = DedupIndex.serve(s, dp, b)
+        .select(col("d2").as("doc_id"))
+      val bshAll = Dedup.shingleRows(b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inBatchDups = Dedup.jaccardPairsFromShingles(bshAll, 0.8, None)
+        .select(col("d2").as("doc_id"))
+      val dropped = corpusDups.unionByName(inBatchDups).distinct()
+      val admitted = b.join(dropped, Seq("doc_id"), "left_anti")
+        .withColumn("wl", split(col("text"), " "))
+        .withColumn("cw",
+          (size(col("wl")) - TextAnalysis.cnt(col("wl"), "the")
+            - TextAnalysis.cnt(col("wl"), "a")).cast("long"))
+        .filter(expr("(1000000L * cw) div n_chars") > lit(TextAnalysis.QcThreshold))
+        .drop("wl", "cw")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nAdmitted = admitted.count()
+      // ---- SIX-STAGE TRANSACTION over the admitted set.
+      val bPost = TextIndex.postingRows(admitted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bSh = Dedup.shingleRows(admitted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bBands = DedupIndex.bandTableRows(bSh)
+      val bShRows = DedupIndex.shingleTableRows(bSh)
+      import s.implicits._
+      val ledgerRow = Seq((epochId, nAdmitted, total - nAdmitted))
+        .toDF("epoch", "admitted", "rejected")
+      def stage(df: DataFrame, path: String): Unit =
+        df.write.format(fmt).option("path", path).option("wap-id", wapId)
+          .mode("append").save()
+      def wapView(path: String): DataFrame =
+        s.read.format(fmt).option("path", path)
+          .option("asOfManifest", s"wap:$wapId").load()
+      def mainCount(path: String): Long =
+        s.read.format(fmt).option("path", path).load().count()
+      try {
+        val pre = allTables.map(p => p -> mainCount(p)).toMap
+        stage(admitted, ct)
+        stage(bPost, postingsT)
+        stage(TextIndex.statsRow(bPost), statsT)
+        stage(bBands, bandsT)
+        stage(bShRows, shinglesT)
+        stage(ledgerRow, lt)
+        val collisions = readCorpus(s, base).join(
+          admitted.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+        if (collisions > 0) throw new IllegalStateException(
+          s"curated-epoch audit failed: $collisions admitted doc_ids " +
+            "already in the corpus")
+        val expected = Map(
+          ct -> nAdmitted, postingsT -> bPost.count(), statsT -> 1L,
+          bandsT -> bBands.count(), shinglesT -> bShRows.count(), lt -> 1L)
+        for (p <- allTables) {
+          val grew = wapView(p).count() - pre(p)
+          if (grew != expected(p)) throw new IllegalStateException(
+            s"curated-epoch audit failed: $p staged $grew rows, expected " +
+              s"${expected(p)}")
+        }
+        allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
+      } catch {
+        case e: Throwable =>
+          allTables.foreach { p =>
+            try ManifestFileSink.wapDiscard(p, wapId)
+            catch { case _: Throwable => () }
+          }
+          throw e
+      } finally {
+        bPost.unpersist(); bSh.unpersist(); bshAll.unpersist()
+        admitted.unpersist()
+      }
+      s.catalog.refreshByPath(postingsT)
+      TextIndex.writeNorms(s,
+        s.read.format(fmt).option("path", postingsT).load(), tp)
+      s.catalog.refreshByPath(ct)
+      val fp = IndexFence.fingerprint(ct)
+      IndexFence.write(tp, ct, fp)
+      IndexFence.write(dp, ct, fp)
+      true
+    } finally b.unpersist()
+  }
+
   /** ensure → ingest-once → serve; the shared entry skeleton. */
   private def maintained(s: SparkSession, dir: String): String = {
     val base = ensureBase(s, dir)

@@ -17,10 +17,10 @@ object TextAnalysis {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private[llm] def cnt(words: Column, w: String): Column =
+  private[graft] def cnt(words: Column, w: String): Column =
     size(filter(words, x => x === lit(w)))
 
-  private[llm] def cntSql(w: String): String =
+  private[graft] def cntSql(w: String): String =
     s"len(list_filter(wl, x -> x = '$w'))"
 
   /** Marker-word language scoring: deterministic n-gram-frequency stand-in
