@@ -489,10 +489,92 @@ object IndexMaintenance {
     TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
   }
 
+  /** Oracle-gated: COMPACT the maintained DEDUP index's two tables —
+    * bands back to one file per band bucket (`bb`), shingles per doc
+    * bucket (`db`) — then probe the class-5 batch. The compaction verb
+    * operates on the manifest layer, so it carries from the postings
+    * table to these unchanged: rows preserved exactly (both tables are
+    * per-doc, no global statistic), serve hash-identical, fences
+    * untouched. Gated per table on the published segment count so an
+    * already-compacted table pays a metadata read. */
+  def dedupIndexCompact: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    val dp = dedupPath(base)
+    for ((t, c) <- Seq(s"$dp/bands" -> "bb", s"$dp/shingles" -> "db"))
+      if (ManifestFileSink.publishedManifestCount(t) > 1) {
+        ManifestFileSink.repartitionTable(s, t, Seq(c), 32)
+        s.catalog.refreshByPath(t)
+      }
+    DedupIndex.serve(s, dp,
+      Tables(s, dir).documents.filter(col("doc_id") % 13 === ProbeClass))
+  }
+
+  /** Oracle-gated: VACUUM — the maintenance loop's retention verb
+    * (build → append → compact → vacuum). Compaction's superseding
+    * manifest retires the pre-fold segments but deliberately leaves
+    * their data files on disk (in-flight scans may still hold them);
+    * vacuum reclaims every file no manifest references once the safety
+    * window passes. Here the window is 0 because the entry IS the
+    * quiescent maintenance job; production uses the snapshot-retention
+    * horizon. Serve is untouched by construction — vacuum deletes only
+    * unreferenced files, and the audit that it did is the same append
+    * oracle hashing the served rows.
+    *
+    * At 100 TB: vacuum is a pure metadata-diff + delete pass (list the
+    * data dir, subtract the referenced set) — no data bytes read; the
+    * cost scales with FILE COUNT, which compaction just bounded to one
+    * per bucket. */
+  def textIndexVacuum: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    val postingsT = s"${textPath(base)}/postings"
+    if (ManifestFileSink.publishedManifestCount(postingsT) > 1) {
+      ManifestFileSink.repartitionTable(s, postingsT, Seq("tb"), 64)
+      s.catalog.refreshByPath(postingsT)
+    }
+    ManifestFileSink.vacuum(postingsT, olderThanMs = 0L)
+    TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
+  }
+
+  /** Oracle-gated: cross-table CONSISTENCY audit of the maintained base
+    * — the invariant set a production maintenance job re-checks after
+    * every transaction: each index table's doc-grain membership derives
+    * exactly from the corpus it fences on (postings/norms/stats cover
+    * every doc; bands/shingles cover every ≥3-word doc). The DuckDB
+    * oracle recomputes each expected count from the one documents
+    * table, so a lost append on ANY of the five tables — or a torn
+    * stage that half-published — is a hash miss on its row.
+    *
+    * At 100 TB: corpus/norms/stats rows are metadata-answered (COUNT
+    * pushdown; stats is one row per segment); the two distinct-doc
+    * probes read the index tables (~1% of corpus bytes), never the
+    * corpus text. */
+  def indexConsistencyAudit: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    val tp = textPath(base)
+    val dp = dedupPath(base)
+    def tbl(p: String): DataFrame = s.read.format(fmt).option("path", p).load()
+    def row(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("invariant"), col("n"))
+    Seq(
+      row("bands_docs",
+        tbl(s"$dp/bands").agg(countDistinct(col("doc_id")).as("n"))),
+      row("corpus_rows", tbl(corpusTable(base)).agg(count(lit(1)).as("n"))),
+      row("norms_rows", tbl(s"$tp/norms").agg(count(lit(1)).as("n"))),
+      row("postings_docs",
+        tbl(s"$tp/postings").agg(countDistinct(col("doc_id")).as("n"))),
+      row("shingles_docs",
+        tbl(s"$dp/shingles").agg(countDistinct(col("doc_id")).as("n"))),
+      row("stats_docs", tbl(s"$tp/stats").agg(sum(col("n_docs")).as("n"))))
+      .reduce(_.unionByName(_)).orderBy(col("invariant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_index_append" -> textIndexAppend,
     "dedup_index_append" -> dedupIndexAppend,
-    "text_index_compact" -> textIndexCompact)
+    "text_index_compact" -> textIndexCompact,
+    "dedup_index_compact" -> dedupIndexCompact,
+    "text_index_vacuum" -> textIndexVacuum,
+    "index_consistency_audit" -> indexConsistencyAudit)
 
   /** BM25 over the `%13 ≠ 5` universe — [[TextAnalysis.bm25Sql]] with
     * the corpus CTE restricted to the maintained corpus' membership. */
@@ -526,5 +608,23 @@ object IndexMaintenance {
     "dedup_index_append" -> DedupIndex.oracleSql("dedup_index_serve"),
     // Compaction preserves every posting row, so the append oracle
     // replays the compacted serve unchanged.
-    "text_index_compact" -> textIndexAppendSql)
+    "text_index_compact" -> textIndexAppendSql,
+    // Both dedup tables are per-doc: the fold moves files, not rows.
+    "dedup_index_compact" -> DedupIndex.oracleSql("dedup_index_serve"),
+    // Vacuum deletes only unreferenced files — served rows identical.
+    "text_index_vacuum" -> textIndexAppendSql,
+    "index_consistency_audit" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT * FROM (
+        |  SELECT 'bands_docs' AS invariant,
+        |    (SELECT COUNT(*) FROM c WHERE len(wl) >= 3) AS n
+        |  UNION ALL SELECT 'corpus_rows', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'norms_rows', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'postings_docs', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'shingles_docs',
+        |    (SELECT COUNT(*) FROM c WHERE len(wl) >= 3)
+        |  UNION ALL SELECT 'stats_docs', (SELECT COUNT(*) FROM c)
+        |) ORDER BY invariant""".stripMargin)
 }

@@ -342,15 +342,17 @@ object ProductQuantization {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Per-(cell, subspace, code) retrained centroid: dim-wise member
     // means, round-6 quantized (the kmeansUpdate discipline) so both
-    // engines hold the identical book.
+    // engines hold the identical book. SubDim is a static 8, so the
+    // dim means are EIGHT sum columns in ONE partial-aggregated groupBy
+    // — not a posexplode (×8 shuffle-row fanout) plus a second shuffle
+    // to collect_list the dims back (the r15 shape; 2 shuffles → 1,
+    // 1/8th the shuffled rows).
     val cb1 = code0l
-      .select(col("cell"), col("sub"), col("code"), posexplode(col("sv")).as(Seq("j", "v")))
-      .groupBy(col("cell"), col("sub"), col("code"), col("j"))
-      .agg(round(sum(col("v")) / count(lit(1)), 6).as("m"))
       .groupBy(col("cell"), col("sub"), col("code"))
-      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .agg(count(lit(1)).as("n"),
+        (1 to SubDim).map(j => sum(element_at(col("sv"), j)).as(s"s$j")): _*)
       .select(col("cell"), col("sub"), col("code"),
-        transform(col("jm"), x => x.getField("m")).as("cv8"))
+        array((1 to SubDim).map(j => round(col(s"s$j") / col("n"), 6)): _*).as("cv8"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Re-encode each member against ITS cell's retrained book: argmin of
     // ||sv − cv8||² ≡ argmax of dot(sv, cv8) − ½·dot(cv8, cv8) — both

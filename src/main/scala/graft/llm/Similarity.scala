@@ -1340,10 +1340,92 @@ object Similarity {
        |FROM ro LEFT JOIN rp ON ro.query_id = rp.query_id AND ro.nid = rp.nid
        |GROUP BY ro.query_id ORDER BY ro.query_id""".stripMargin
 
+  /** Recall@5 of INT8 scalar quantization against the exact space — the
+    * quantization family's second certificate ([[ProductQuantization]]
+    * covers the codebook path; this covers the memory-bandwidth path a
+    * serving tier actually deploys first: per-vector symmetric SQ8,
+    * scale = 127/max|v_i|, q_i = round(v_i·s), 8× fewer bytes than the
+    * float64 it replaces). The quantizer is DETERMINISTIC ARITHMETIC —
+    * scale from an exact elementwise max, one ROUND per component (both
+    * engines round half away from zero), reconstruct q_i/s — so DuckDB
+    * replays the whole pipeline bit-for-bit; rankings cut top-5 on
+    * 6-dp-rounded cosine with id tiebreak (the [[jlRecall]] discipline)
+    * and the recall division is an exact /5.
+    *
+    * At 100 TB: quantized candidate scoring reads 1/8th the bytes at
+    * the same row grain — compose with IVF cells (the candidate set is
+    * cell-pruned, SQ8 shrinks what each probe READS); this entry is the
+    * measured end-task certificate that the representation keeps the
+    * neighbors. */
+  def sq8Recall: Q = (s, dir) => {
+    val k = 5
+    val e = normalized(Tables(s, dir))
+    val rv = e
+      .withColumn("sc", lit(127.0) /
+        aggregate(col("vn"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .select(col("vec_id"),
+        transform(col("vn"), x => round(x * col("sc")) / col("sc")).as("rv"))
+      .localCheckpoint(false)
+    def topk(vecs: DataFrame, vcol: String, normalize: Boolean): DataFrame = {
+      val q = broadcast(vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col(vcol).as("qv")))
+      val base = vecs.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      val cs =
+        if (normalize)
+          dotp(col(vcol), col("qv")) /
+            (sqrt(dotp(col(vcol), col(vcol))) * sqrt(dotp(col("qv"), col("qv"))))
+        else dotp(col(vcol), col("qv"))
+      val scored = base.select(col("query_id"), col("vec_id").as("nid"),
+        round(cs, 6).as("cs"))
+      graft.plans.TopKPerGroup(scored, Seq("query_id"),
+        Seq(("cs", false), ("nid", true)), k)
+        .select(col("query_id"), col("nid"))
+    }
+    val orig = topk(e, "vn", normalize = false)
+    val quant = topk(rv, "rv", normalize = true)
+      .select(col("query_id").as("pq"), col("nid").as("pn"))
+    orig.join(quant,
+        col("query_id") === col("pq") && col("nid") === col("pn"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("pn")).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / 5.0, 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val sq8RecallSql: String =
+    s"""WITH ${normalizedSql},
+       |rv AS (SELECT vec_id,
+       |    list_transform(vn, x -> ROUND(x * sc) / sc) AS rv
+       |  FROM (SELECT vec_id, vn,
+       |      127.0 / list_max(list_transform(vn, x -> ABS(x))) AS sc
+       |    FROM e)),
+       |q AS (SELECT vec_id AS query_id, vn AS qv FROM e WHERE vec_id < 10),
+       |so AS (SELECT q.query_id, e.vec_id AS nid,
+       |    ROUND(list_dot_product(e.vn, q.qv), 6) AS cs
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ro AS (SELECT query_id, nid FROM (
+       |    SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, nid) AS rn FROM so) t WHERE rn <= 5),
+       |qp AS (SELECT vec_id AS query_id, rv AS qv FROM rv WHERE vec_id < 10),
+       |sp AS (SELECT qp.query_id, p.vec_id AS nid,
+       |    ROUND(list_dot_product(p.rv, qp.qv)
+       |      / (SQRT(list_dot_product(p.rv, p.rv))
+       |         * SQRT(list_dot_product(qp.qv, qp.qv))), 6) AS cs
+       |  FROM rv p CROSS JOIN qp WHERE p.vec_id <> qp.query_id),
+       |rp AS (SELECT query_id, nid FROM (
+       |    SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, nid) AS rn FROM sp) t WHERE rn <= 5)
+       |SELECT ro.query_id, COUNT(rp.nid) AS n_overlap,
+       |  ROUND(CAST(COUNT(rp.nid) AS DOUBLE) / 5.0, 6) AS recall
+       |FROM ro LEFT JOIN rp ON ro.query_id = rp.query_id AND ro.nid = rp.nid
+       |GROUP BY ro.query_id ORDER BY ro.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embedding_centroid_drift" -> centroidDrift,
     "embedding_jl_project"   -> jlProject,
     "knn_jl_recall"          -> jlRecall,
+    "knn_sq8_recall"         -> sq8Recall,
     "embedding_pca_power"    -> pcaPower,
     "embedding_semdedup"     -> semDedup,
     "vec_quantize"           -> vecQuantize,
@@ -1374,6 +1456,7 @@ object Similarity {
     "embedding_centroid_drift" -> centroidDriftSql,
     "embedding_jl_project"  -> jlProjectSql,
     "knn_jl_recall"         -> jlRecallSql,
+    "knn_sq8_recall"        -> sq8RecallSql,
     "vec_quantize"           -> vecQuantizeSql,
     "embedding_dedup_clusters" -> embeddingDedupClustersSql,
     "knn_brute_force"        -> knnBruteForceSql,

@@ -62,6 +62,12 @@ object VectorMaintenance {
     Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_vecingest", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
+  /** The retrain entry keeps its own managed corpus so it can't disturb
+    * `vec_index_append`'s frozen-centroid contract on the shared base. */
+  def retrainBasePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_vecretrain", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
   def corpusTable(base: String): String = s"$base/corpus"
   def vecPath(base: String): String = s"$base/index"
 
@@ -83,8 +89,13 @@ object VectorMaintenance {
   /** Build the managed embeddings corpus + the frozen-centroid index
     * when absent, stale, or layout-mismatched. Idempotent: a fresh
     * fence + current layout no-ops. */
-  def ensureBase(s: SparkSession, dir: String): String = synchronized {
-    val base = basePath(dir)
+  def ensureBase(s: SparkSession, dir: String): String =
+    ensureBaseAt(s, dir, basePath(dir))
+
+  /** [[ensureBase]] at an explicit base — the streaming vector ingest
+    * keeps its OWN managed corpus ([[graft.streaming.VectorStream]]) so
+    * the batch and stream entries can't race each other's fences. */
+  def ensureBaseAt(s: SparkSession, dir: String, base: String): String = synchronized {
     val ct = corpusTable(base)
     val ip = vecPath(base)
     val corpusExists = Files.isDirectory(Paths.get(ct)) && {
@@ -112,6 +123,18 @@ object VectorMaintenance {
       IndexFence.rmTree(Paths.get(centsPath))
       IndexFence.clear(ip)
     }
+    buildIndex(s, base)
+    base
+  }
+
+  /** Train centroids over the CURRENT managed corpus, write the
+    * assigned/cents tables, record the trained-over fingerprint, and
+    * advance layout + fence (fence LAST stays the commit point). */
+  private def buildIndex(s: SparkSession, base: String): Unit = {
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    val assignedPath = s"$ip/assigned"
+    val centsPath = s"$ip/cents"
     val fp = IndexFence.fingerprint(ct)
     val emb = Similarity.normalizedDf(readCorpusEmb(s, base))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -126,10 +149,36 @@ object VectorMaintenance {
       .coalesce(1)
       .write.format(fmt).option("path", centsPath).mode("append").save()
     emb.unpersist(blocking = true)
-    // Layout tag before the fence; fence LAST stays the commit point.
+    Files.writeString(Paths.get(trainedFile(ip)), fp.toString)
     IndexFence.writeLayout(ip, LayoutVersion)
     IndexFence.write(ip, ct, fp)
-    base
+  }
+
+  /** The corpus fingerprint the centroids were TRAINED over — distinct
+    * from the fence (which accepts maintained drift without retraining):
+    * frozen-centroid appends advance the fence but not this marker, so
+    * marker ≠ current-fingerprint is exactly "the training sample has
+    * drifted from the data". */
+  private def trainedFile(ip: String): String = s"$ip/trained.fp"
+
+  /** The RETRAIN door — the deliberate rebuild that closes the
+    * frozen-centroid decay loop ([[VectorIndex.assignmentImbalance]]'s
+    * job is deciding WHEN; this is the verb): retrain centroids over
+    * the full grown corpus, reassign every vector, advance the marker.
+    * Idempotent via the trained-over fingerprint — a corpus unchanged
+    * since the last train no-ops with a metadata read. Returns true iff
+    * a retrain ran. */
+  def ensureRetrained(s: SparkSession, base: String): Boolean = synchronized {
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    val cur = IndexFence.fingerprint(ct)
+    val tf = Paths.get(trainedFile(ip))
+    if (Files.isRegularFile(tf) && Files.readString(tf) == cur.toString) return false
+    IndexFence.rmTree(Paths.get(s"$ip/assigned"))
+    IndexFence.rmTree(Paths.get(s"$ip/cents"))
+    IndexFence.clear(ip)
+    buildIndex(s, base)
+    true
   }
 
   /** Has the standard append batch already been ingested? */
@@ -139,8 +188,11 @@ object VectorMaintenance {
       .limit(1).isEmpty
 
   /** The two-table ingest transaction: stage → audit → publish/discard
-    * → fence advance. `batch` carries raw (vec_id, embedding) rows. */
-  def ingestAppend(s: SparkSession, base: String, batch: DataFrame): Unit =
+    * → fence advance. `batch` carries raw (vec_id, embedding) rows.
+    * `wapId` defaults to the batch entry's constant; the streaming path
+    * passes a per-epoch id so torn stages discard per epoch. */
+  def ingestAppend(s: SparkSession, base: String, batch: DataFrame,
+      wapId: String = WapId): Unit =
     synchronized {
       val ct = corpusTable(base)
       val ip = vecPath(base)
@@ -155,11 +207,11 @@ object VectorMaintenance {
       val bAssigned = VectorIndex.assignNew(s, ip, b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def stage(df: DataFrame, path: String): Unit =
-        df.write.format(fmt).option("path", path).option("wap-id", WapId)
+        df.write.format(fmt).option("path", path).option("wap-id", wapId)
           .mode("append").save()
       def wapView(path: String): DataFrame =
         s.read.format(fmt).option("path", path)
-          .option("asOfManifest", s"wap:$WapId").load()
+          .option("asOfManifest", s"wap:$wapId").load()
       def mainCount(path: String): Long =
         s.read.format(fmt).option("path", path).load().count()
       try {
@@ -180,11 +232,11 @@ object VectorMaintenance {
           if (grew != expected(p)) throw new IllegalStateException(
             s"ingest audit failed: $p staged $grew rows, expected ${expected(p)}")
         }
-        allTables.foreach(p => ManifestFileSink.wapPublish(p, WapId))
+        allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
           allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, WapId)
+            try ManifestFileSink.wapDiscard(p, wapId)
             catch { case _: Throwable => () }
           }
           b.unpersist(); bAssigned.unpersist()
@@ -196,16 +248,73 @@ object VectorMaintenance {
       b.unpersist(); bAssigned.unpersist()
     }
 
-  /** Oracle-gated: nprobe=1 serve from the MAINTAINED vector index —
-    * base trained + frozen, class-6 appended, so the served universe is
-    * ALL vectors while the centroids are the base's. DuckDB replays it
-    * with train=eb / assign=e (the [[Similarity.kmeansCtes]] split). */
-  def vecIndexAppend: (SparkSession, String) => DataFrame = (s, dir) => {
+  /** One streaming vector epoch — [[IndexMaintenance.applyEpoch]]'s
+    * idempotence contract over the two-table transaction: a replayed
+    * epoch whose vec_ids fully landed no-ops, a torn stage under this
+    * epoch's own `wap-id` discards before re-staging, and a partial
+    * overlap refuses through the new-ids audit inside [[ingestAppend]].
+    * Returns true when the epoch applied. */
+  def applyEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean = synchronized {
+    val wapId = s"vecingest-e$epochId"
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = b.select(col("vec_id"))
+      val total = ids.count()
+      if (total == 0) return false
+      val present = readCorpus(s, base)
+        .join(ids, Seq("vec_id"), "left_semi").count()
+      if (present == total) return false // fully-applied replay: no-op
+      val allTables = Seq(corpusTable(base), s"${vecPath(base)}/assigned")
+      allTables.foreach { p => // clear any torn stage of THIS epoch
+        try ManifestFileSink.wapDiscard(p, wapId)
+        catch { case _: Throwable => () }
+      }
+      ingestAppend(s, base, b, wapId)
+      true
+    } finally b.unpersist()
+  }
+
+  /** ensure → ingest-once → ready; the shared entry skeleton. */
+  private def maintained(s: SparkSession, dir: String): String = {
     val base = ensureBase(s, dir)
     if (!batchApplied(s, base)) {
       ingestAppend(s, base,
         Tables(s, dir).embeddings.filter(col("vec_id") % 13 === AppendClass))
       s.catalog.refreshByPath(corpusTable(base))
+    }
+    base
+  }
+
+  /** Oracle-gated: nprobe=1 serve from the MAINTAINED vector index —
+    * base trained + frozen, class-6 appended, so the served universe is
+    * ALL vectors while the centroids are the base's. DuckDB replays it
+    * with train=eb / assign=e (the [[Similarity.kmeansCtes]] split). */
+  def vecIndexAppend: (SparkSession, String) => DataFrame = (s, dir) => {
+    VectorIndex.serve(s, vecPath(maintained(s, dir)), nprobe = 1)
+  }
+
+  /** Oracle-gated: COMPACT the maintained assigned table back to one
+    * attested file per cell, then serve — [[IndexMaintenance
+    * .textIndexCompact]]'s verb applied to the vector index (the
+    * compaction operates on the manifest layer, so it carries to every
+    * maintained table unchanged). Each append adds one file per touched
+    * cell; the fold clusters by the identity `cell` column so ONE task
+    * owns each cell and the demux re-earns one file per cell, gated on
+    * the published segment count so re-runs pay a metadata read. Serve
+    * is hash-identical by construction (assignment rows preserved, no
+    * global statistic), and the fence is untouched — it fingerprints
+    * the corpus chain, not index files.
+    *
+    * At 100 TB: the rewrite is one clustered pass over the assigned
+    * table, amortized over the appends since the last fold; the knob is
+    * the segment-count threshold (1 here to prove the fold each run). */
+  def vecIndexCompact: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    val assignedT = s"${vecPath(base)}/assigned"
+    if (ManifestFileSink.publishedManifestCount(assignedT) > 1) {
+      ManifestFileSink.repartitionTable(s, assignedT, Seq("cell"), 8)
+      s.catalog.refreshByPath(assignedT)
     }
     VectorIndex.serve(s, vecPath(base), nprobe = 1)
   }
@@ -223,9 +332,35 @@ object VectorMaintenance {
        |  FROM p JOIN af a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Oracle-gated: the RETRAIN verb end-to-end on its own managed
+    * corpus — build (train over base), append class 6 frozen, then
+    * [[ensureRetrained]] retrains over the grown corpus and reassigns
+    * everything. Served results equal training over ALL vectors, so
+    * DuckDB replays it with the train=assign=e CTEs — a skipped or
+    * partial retrain is a hash miss (the frozen serve differs at every
+    * test SF). Re-runs no-op via the trained-over fingerprint. */
+  def vecIndexRetrain: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = ensureBaseAt(s, dir, retrainBasePath(dir))
+    if (!batchApplied(s, base)) {
+      ingestAppend(s, base,
+        Tables(s, dir).embeddings.filter(col("vec_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(corpusTable(base))
+    }
+    ensureRetrained(s, base)
+    VectorIndex.serve(s, vecPath(base), nprobe = 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "vec_index_append" -> vecIndexAppend)
+    "vec_index_append" -> vecIndexAppend,
+    "vec_index_compact" -> vecIndexCompact,
+    "vec_index_retrain" -> vecIndexRetrain)
 
   val oracleSql: Map[String, String] = Map(
-    "vec_index_append" -> vecIndexAppendSql)
+    "vec_index_append" -> vecIndexAppendSql,
+    // Compaction preserves every assignment row, so the append oracle
+    // replays the compacted serve unchanged.
+    "vec_index_compact" -> vecIndexAppendSql,
+    // Retrained serve ≡ train over the full universe — the standalone
+    // trained-IVF oracle replays it.
+    "vec_index_retrain" -> Similarity.knnIvfTrainedSql)
 }

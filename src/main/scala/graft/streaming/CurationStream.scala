@@ -120,11 +120,12 @@ object CurationStream {
   /** Two chained admission rounds, each: corpus near-dup reject (exact
     * Jaccard ≥ 0.8 vs base ∪ earlier admits), within-epoch keep-first,
     * quality gate — [[graft.llm.Curation.curationIngestSql]]'s chain
-    * unrolled per epoch. */
-  val curationIngestStreamSql: String = {
+    * unrolled per epoch. Shared CTE body: the membership entry and the
+    * ledger report project different finals over the same replay. */
+  private val gateCtes: String = {
     val stops = "(len(list_filter(w.wl, x -> x = 'the')) " +
       "+ len(list_filter(w.wl, x -> x = 'a')))"
-    s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    s"""wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(wl[x+1:x+3], ' ') AS sh
        |       FROM wl, UNNEST(range(len(wl)-2)) AS t(x)),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -161,15 +162,51 @@ object CurationStream {
        |adm1 AS (
        |  SELECT doc_id FROM e1
        |  WHERE doc_id IN (SELECT doc_id FROM qual)
-       |    AND doc_id NOT IN (SELECT doc_id FROM drop1))
+       |    AND doc_id NOT IN (SELECT doc_id FROM drop1))""".stripMargin
+  }
+
+  val curationIngestStreamSql: String =
+    s"""WITH $gateCtes
        |SELECT d.doc_id, d.source FROM documents d
        |WHERE d.doc_id IN (SELECT doc_id FROM adm0 UNION SELECT doc_id FROM adm1)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle-gated: the admission LEDGER itself — one row per decided
+    * epoch with its admitted/rejected counts, the observability surface
+    * a production ingest monitors (admission-rate drop = upstream
+    * duplication or quality regression). The ledger is written inside
+    * each epoch's transaction ([[graft.llm.IndexMaintenance
+    * .curateEpoch]]), so this entry also gates that the recorded
+    * decisions equal the oracle's replayed gate outcomes — a ledger row
+    * that disagrees with the admitted membership is a hash miss.
+    *
+    * At 100 TB: the report reads one metadata-grain table (one row per
+    * epoch, never per document). */
+  def curationLedgerReport: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = IndexMaintenance.ensureBaseAt(s, dir, basePath(dir))
+    runIngest(s, dir, base)
+    s.read.format(fmt)
+      .option("path", IndexMaintenance.ledgerTable(base)).load()
+      .select(col("epoch"), col("admitted"), col("rejected"))
+      .orderBy(col("epoch"))
   }
 
+  val curationLedgerReportSql: String =
+    s"""WITH $gateCtes
+       |SELECT CAST(0 AS BIGINT) AS epoch,
+       |  (SELECT COUNT(*) FROM adm0) AS admitted,
+       |  (SELECT COUNT(*) FROM e0) - (SELECT COUNT(*) FROM adm0) AS rejected
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT),
+       |  (SELECT COUNT(*) FROM adm1),
+       |  (SELECT COUNT(*) FROM e1) - (SELECT COUNT(*) FROM adm1)
+       |ORDER BY epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "curation_ingest_stream" -> curationIngestStream)
+    "curation_ingest_stream" -> curationIngestStream,
+    "curation_ledger_report" -> curationLedgerReport)
 
   val oracleSql: Map[String, String] = Map(
-    "curation_ingest_stream" -> curationIngestStreamSql)
+    "curation_ingest_stream" -> curationIngestStreamSql,
+    "curation_ledger_report" -> curationLedgerReportSql)
 }

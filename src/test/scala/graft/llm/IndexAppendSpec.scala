@@ -217,4 +217,65 @@ class IndexAppendSpec extends SparkTestBase {
         s"maintained serve must prune: read=$read pruned=$pruned of $all buckets")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("dedup compaction folds both tables; probe hash-unchanged, fences fresh") {
+    val dir = freshDir()
+    val base = IndexMaintenance.ensureBase(spark, dir)
+    IndexMaintenance.ingestAppend(spark, base,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 13 === 6))
+    val dp = IndexMaintenance.dedupPath(base)
+    val probe = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 13 === 5)
+    val pre = DedupIndex.serve(spark, dp, probe).collect().toSeq
+    for ((t, c) <- Seq(s"$dp/bands" -> "bb", s"$dp/shingles" -> "db")) {
+      assert(ManifestFileSink.publishedManifestCount(t) > 1,
+        s"$t: append must have left a second segment to fold")
+      ManifestFileSink.repartitionTable(spark, t, Seq(c), 32)
+      spark.catalog.refreshByPath(t)
+      assert(ManifestFileSink.publishedManifestCount(t) === 1,
+        s"$t: compaction publishes ONE superseding manifest")
+    }
+    assert(DedupIndex.staleness(dp).contains(false),
+      "the corpus never moved — compaction must not touch the fence")
+    assert(DedupIndex.serve(spark, dp, probe).collect().toSeq === pre,
+      "compaction must not change a single probed pair")
+  }
+
+  test("vacuum reclaims exactly the unreferenced post-compaction files; serve unchanged") {
+    val dir = freshDir()
+    val base = IndexMaintenance.ensureBase(spark, dir)
+    IndexMaintenance.ingestAppend(spark, base,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 13 === 6))
+    val tp = IndexMaintenance.textPath(base)
+    val postingsT = s"$tp/postings"
+    val terms = Seq("dup", "spark", "window")
+    val pre = TextIndex.serve(spark, tp, terms).collect().toSeq
+    ManifestFileSink.repartitionTable(spark, postingsT, Seq("tb"), 64)
+    spark.catalog.refreshByPath(postingsT)
+    def dataFiles(): Set[String] = {
+      val d = new java.io.File(postingsT, "data")
+      d.listFiles().filter(_.isFile).map(_.getName).toSet
+    }
+    // Post-compaction live set = ONE file per populated term bucket
+    // (the compaction case pins this); everything beyond it on disk is
+    // a superseded original awaiting vacuum.
+    val liveBuckets = spark.read.format(fmt).option("path", postingsT).load()
+      .select(col("tb")).distinct().count()
+    val before = dataFiles()
+    assert(before.size > liveBuckets,
+      "compaction must leave its superseded originals on disk for vacuum")
+    val removed = ManifestFileSink.vacuum(postingsT, olderThanMs = 0L)
+    assert(removed > 0, "vacuum must reclaim the superseded files")
+    val after = dataFiles()
+    assert(after.size === before.size - removed)
+    assert(after.size === liveBuckets,
+      "after vacuum the data dir holds exactly the one-per-bucket live files")
+    assert(after.subsetOf(before))
+    assert(TextIndex.serve(spark, tp, terms).collect().toSeq === pre,
+      "vacuum must not change a single served row")
+    assert(ManifestFileSink.vacuum(postingsT, olderThanMs = 0L) === 0,
+      "a second vacuum finds nothing to reclaim")
+  }
 }

@@ -130,4 +130,88 @@ class VecMaintenanceSpec extends SparkTestBase {
         s"maintained serve must prune cells: read=$read pruned=$pruned")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("compaction folds the assigned segments; serve hash-unchanged, fence fresh") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBase(spark, dir)
+    VectorMaintenance.ingestAppend(spark, base,
+      embAll(dir).filter(col("vec_id") % 13 === 6))
+    val ip = VectorMaintenance.vecPath(base)
+    val assignedT = s"$ip/assigned"
+    val pre = VectorIndex.serve(spark, ip, 1).collect().toSeq
+    assert(ManifestFileSink.publishedManifestCount(assignedT) > 1,
+      "append must have left a second segment to fold")
+    ManifestFileSink.repartitionTable(spark, assignedT, Seq("cell"), 8)
+    spark.catalog.refreshByPath(assignedT)
+    assert(ManifestFileSink.publishedManifestCount(assignedT) === 1,
+      "compaction publishes ONE superseding manifest")
+    assert(IndexFence.staleness(ip).contains(false),
+      "the corpus never moved — compaction must not touch the fence")
+    assert(VectorIndex.serve(spark, ip, 1).collect().toSeq === pre,
+      "compaction must not change a single served row")
+  }
+
+  test("epoch replay idempotence: fully-applied no-op, torn stage discarded, partial refused") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBaseAt(spark, dir,
+      java.nio.file.Files.createTempDirectory("graft-vecmaint-base").toString)
+    def corpusCount(): Long = spark.read.format(fmt)
+      .option("path", VectorMaintenance.corpusTable(base)).load().count()
+    val c6 = embAll(dir).filter(col("vec_id") % 13 === 6)
+    val e0 = c6.filter(expr("(vec_id div 13) % 2 = 0"))
+    val e1 = c6.filter(expr("(vec_id div 13) % 2 = 1"))
+    val pre = corpusCount()
+    assert(VectorMaintenance.applyEpoch(spark, base, e0, 0L))
+    val afterE0 = corpusCount()
+    assert(afterE0 === pre + e0.count())
+    assert(!VectorMaintenance.applyEpoch(spark, base, e0, 0L),
+      "a fully-applied replay must no-op")
+    assert(corpusCount() === afterE0)
+    assert(IndexFence.staleness(VectorMaintenance.vecPath(base)).contains(false))
+    // Torn stage from a crashed attempt of epoch 1: the retry discards
+    // it and lands the batch exactly once.
+    e1.select(col("vec_id"),
+        VectorIndex.enc(transform(col("embedding"), _.cast("double"))).as("embenc"))
+      .write.format(fmt)
+      .option("path", VectorMaintenance.corpusTable(base))
+      .option("wap-id", "vecingest-e1").mode("append").save()
+    assert(corpusCount() === afterE0, "staged rows are invisible")
+    assert(VectorMaintenance.applyEpoch(spark, base, e1, 1L))
+    assert(corpusCount() === afterE0 + e1.count(),
+      "the torn stage must not double the batch")
+    // Partial overlap straddling an applied boundary (one applied id +
+    // one genuinely-new id): refuse loudly.
+    val straddle = e0.limit(1).unionByName(
+      e0.limit(1).withColumn("vec_id", col("vec_id") + 1000000L))
+    val e = intercept[IllegalStateException](
+      VectorMaintenance.applyEpoch(spark, base, straddle, 2L))
+    assert(e.getMessage.contains("already in the corpus"))
+  }
+
+  test("retrain door: marker-gated rebuild over the grown corpus, serve = full-train") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBaseAt(spark, dir,
+      java.nio.file.Files.createTempDirectory("graft-vecmaint-retrain").toString)
+    VectorMaintenance.ingestAppend(spark, base,
+      embAll(dir).filter(col("vec_id") % 13 === 6))
+    // Frozen-centroid appends advance the FENCE but not the trained-over
+    // marker — exactly the drift the retrain door watches.
+    assert(IndexFence.staleness(VectorMaintenance.vecPath(base)).contains(false))
+    assert(VectorMaintenance.ensureRetrained(spark, base),
+      "marker behind the grown corpus: must retrain")
+    assert(!VectorMaintenance.ensureRetrained(spark, base),
+      "unchanged corpus must no-op (metadata read only)")
+    assert(IndexFence.staleness(VectorMaintenance.vecPath(base)).contains(false))
+    // Served results equal training over EVERYTHING (the frozen serve
+    // would differ: its centroids never saw class 6).
+    val emb = Similarity.normalizedDf(embAll(dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = Similarity.kmeansAssign(emb, Similarity.kmeansCentroids(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cell")))
+    val want = Similarity.ivfSearch(probes, assigned).collect().toSeq
+    assert(VectorIndex.serve(spark, VectorMaintenance.vecPath(base), 1)
+      .collect().toSeq === want)
+  }
 }

@@ -144,4 +144,30 @@ class CurationStreamSpec extends SparkTestBase {
     assert(CurationStream.runIngest(spark, dir, base) === 0L)
     assert(corpusIds(base) === base0 ++ adm0 ++ adm1)
   }
+
+  test("ledger records one row per epoch with the gate's exact counts") {
+    val dir = freshDir()
+    val base = IndexMaintenance.ensureBaseAt(spark, dir,
+      Files.createTempDirectory("graft-curstream-ledger").toString)
+    val base0 = corpusIds(base)
+    val c6 = docs(dir).filter(col("doc_id") % 13 === 6)
+    val e0 = c6.filter(expr("(doc_id div 13) % 2 = 0"))
+    val e1 = c6.filter(expr("(doc_id div 13) % 2 = 1"))
+    assert(IndexMaintenance.curateEpoch(spark, base, e0, 0L))
+    assert(IndexMaintenance.curateEpoch(spark, base, e1, 1L))
+    val adm0 = expectedAdmits(dir, base0, e0)
+    val adm1 = expectedAdmits(dir, base0 ++ adm0, e1)
+    val ledger = spark.read.format(fmt)
+      .option("path", IndexMaintenance.ledgerTable(base)).load()
+      .orderBy(col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ledger === Seq(
+      (0L, adm0.size.toLong, e0.count() - adm0.size),
+      (1L, adm1.size.toLong, e1.count() - adm1.size)),
+      "one ledger row per epoch, counts equal to the replayed gate")
+    // A replayed epoch adds no second ledger row.
+    assert(!IndexMaintenance.curateEpoch(spark, base, e0, 0L))
+    assert(spark.read.format(fmt)
+      .option("path", IndexMaintenance.ledgerTable(base)).load().count() === 2L)
+  }
 }
