@@ -2218,7 +2218,97 @@ object TextAnalysis {
       |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Context length for the packing entries — the knob a pretraining
+    * pipeline sets to its model's sequence length. */
+  private val PackCtx = 512L
+
+  /** GLOBAL concat-and-chunk SEQUENCE PACKING — [[seqPack]]'s
+    * complement: that entry packs PER SOURCE SHARD (one window
+    * partition each — how packing parallelizes when shard boundaries
+    * are acceptable sequence boundaries), while this one packs the
+    * whole corpus as ONE token stream, the variant a single training
+    * run with a global document order needs — and the per-source
+    * window can't express at scale (one unbounded partition). The
+    * GLOBAL prefix sum is the [[graft.ops.DistributedCumulate]]
+    * two-level kernel — bucketed local windows + broadcast offsets,
+    * never a single-task sort — so the plan scales with the corpus
+    * while DuckDB replays it as one window.
+    *
+    * Each doc's placement is pure integer math over the prefix sum:
+    * first chunk = ⌊start/CTX⌋, last = ⌊(end−1)/CTX⌋, and `straddles`
+    * marks docs cut by a chunk boundary — the cross-document-attention
+    * / truncation cost the packing strategy trades against padding. */
+  def packChunks: Q = (s, dir) => {
+    val t = Tables(s, dir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    graft.ops.DistributedCumulate.runningTotals(t,
+        s.sessionState.conf.numShufflePartitions,
+        Seq(col("doc_id")), Seq(("tok", "cum")), "rk")
+      .select(col("doc_id"), col("tok"),
+        expr(s"(cum - tok) div $PackCtx").as("chunk_first"),
+        expr(s"(cum - 1) div $PackCtx").as("chunk_last"))
+      .withColumn("straddles", col("chunk_first") =!= col("chunk_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, tok, CAST(SUM(tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum FROM t)
+       |SELECT doc_id, tok,
+       |  (cum - tok) // $PackCtx AS chunk_first,
+       |  (cum - 1) // $PackCtx AS chunk_last,
+       |  (cum - tok) // $PackCtx <> (cum - 1) // $PackCtx AS straddles
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The packing run's one-row efficiency report: chunk count, straddle
+    * rate (docs cut by a boundary), and tail padding — the numbers that
+    * decide CTX and packing strategy before a training run. Folded from
+    * the same placement math as [[packChunks]]. */
+  def packStats: Q = (s, dir) => {
+    val t = Tables(s, dir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    graft.ops.DistributedCumulate.runningTotals(t,
+        s.sessionState.conf.numShufflePartitions,
+        Seq(col("doc_id")), Seq(("tok", "cum")), "rk")
+      .select(col("tok"), col("cum"),
+        (expr(s"(cum - tok) div $PackCtx") =!= expr(s"(cum - 1) div $PackCtx"))
+          .cast("long").as("str"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"),
+        max(col("cum")).as("mx"), sum(col("str")).as("n_straddling"))
+      .select(col("n_docs"), col("total_tokens"),
+        expr(s"(mx + ${PackCtx - 1}) div $PackCtx").as("n_chunks"),
+        col("n_straddling"),
+        round(col("n_straddling").cast("double") / col("n_docs"), 6)
+          .as("straddle_rate"),
+        (expr(s"(mx + ${PackCtx - 1}) div $PackCtx") * lit(PackCtx) - col("mx"))
+          .as("tail_padding"))
+  }
+
+  val packStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, tok, CAST(SUM(tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum FROM t)
+       |SELECT COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       |  (MAX(cum) + ${PackCtx - 1}) // $PackCtx AS n_chunks,
+       |  CAST(SUM(CASE WHEN (cum - tok) // $PackCtx <> (cum - 1) // $PackCtx
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+       |  ROUND(CAST(SUM(CASE WHEN (cum - tok) // $PackCtx
+       |        <> (cum - 1) // $PackCtx THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / COUNT(*), 6) AS straddle_rate,
+       |  (MAX(cum) + ${PackCtx - 1}) // $PackCtx * $PackCtx - MAX(cum)
+       |    AS tail_padding
+       |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_pack_chunks"       -> packChunks,
+    "text_pack_stats"        -> packStats,
     "text_rrf_fusion"        -> rrfFusion,
     "text_semantic_rrf"      -> semanticRrf,
     "text_chi2_terms"        -> chi2Terms,
@@ -2259,6 +2349,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pack_chunks"      -> packChunksSql,
+    "text_pack_stats"       -> packStatsSql,
     "text_rrf_fusion"       -> rrfFusionSql,
     "text_semantic_rrf"     -> semanticRrfSql,
     "text_chi2_terms"       -> chi2TermsSql,
