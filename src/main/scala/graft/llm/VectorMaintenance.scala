@@ -275,6 +275,117 @@ object VectorMaintenance {
     } finally b.unpersist()
   }
 
+  /** SemDeDup-at-ingest cosine threshold — [[Similarity.semDedup]]'s
+    * 0.45, applied as an ADMISSION gate instead of a batch prune. */
+  private val SemTau = 0.45
+
+  /** One GATED vector epoch — SemDeDup AT INGEST, the embedding-side
+    * twin of [[IndexMaintenance.curateEpoch]]: an arriving vector is
+    * REJECTED when a standing vector in its assigned cell (frozen
+    * centroids) has cosine ≥ τ, or an earlier same-cell vector of its
+    * own epoch does (within-epoch keep-first by vec_id). The ADMITTED
+    * set appends through the two index tables plus the decision-ledger
+    * row, all under one `wap-id`; the ledger (not corpus content)
+    * decides replays, because rejects leave no corpus trace. Epoch k+1
+    * gates against base ∪ admitted(≤k) — the assigned table itself is
+    * the standing set, so the sequential dependence is free.
+    *
+    * At 100 TB: the candidate probe is CELL-PRUNED (the batch's
+    * distinct cells — a bounded ≤K collect — prune the assigned-table
+    * scan), the within-epoch verify is cell-keyed (never a cross
+    * product), and the epoch body stays map-only + bounded appends. */
+  def curateVecEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean = synchronized {
+    if (IndexMaintenance.epochDecided(s, base, epochId)) return false
+    val wapId = s"veccurate-e$epochId"
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    for (st <- IndexFence.staleness(ip))
+      if (st) throw new IllegalStateException(
+        s"vector index at $ip is STALE (out-of-band corpus drift): " +
+          "rebuild before maintaining.")
+    val assignedT = s"$ip/assigned"
+    val lt = IndexMaintenance.ledgerTable(base)
+    val allTables = Seq(ct, assignedT, lt)
+    allTables.foreach { p => // clear any torn stage of THIS epoch
+      try ManifestFileSink.wapDiscard(p, wapId)
+      catch { case _: Throwable => () }
+    }
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = b.count()
+      if (total == 0) return false
+      val bAssigned = VectorIndex.assignNew(s, ip, b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bVec = bAssigned.select(col("vec_id"),
+          VectorIndex.dec(col("vnenc")).as("vn"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Bounded probe list: distinct cells of the batch (≤ centroid
+      // count by construction) prune the standing-set scan.
+      val probed = bVec.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val cands = s.read.format(fmt).option("path", assignedT).load()
+        .filter(col("cell").isin(probed: _*))
+        .select(VectorIndex.dec(col("vnenc")).as("cvn"), col("cell"))
+      val corpusDups = bVec.join(cands, Seq("cell"))
+        .filter(graft.functions.VectorFunctions.dotp(col("vn"), col("cvn")) >= SemTau)
+        .select(col("vec_id"))
+      val inBatchDups = bVec.as("a").join(bVec.as("b"),
+          col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+        .filter(graft.functions.VectorFunctions.dotp(col("a.vn"), col("b.vn")) >= SemTau)
+        .select(col("a.vec_id").as("vec_id"))
+      val dropped = corpusDups.unionByName(inBatchDups).distinct()
+      val admitted = b.join(dropped, Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val admAssigned = bAssigned.join(dropped, Seq("vec_id"), "left_anti")
+      val nAdmitted = admitted.count()
+      import s.implicits._
+      val ledgerRow = Seq((epochId, nAdmitted, total - nAdmitted))
+        .toDF("epoch", "admitted", "rejected")
+      def stage(df: DataFrame, path: String): Unit =
+        df.write.format(fmt).option("path", path).option("wap-id", wapId)
+          .mode("append").save()
+      def wapView(path: String): DataFrame =
+        s.read.format(fmt).option("path", path)
+          .option("asOfManifest", s"wap:$wapId").load()
+      def mainCount(path: String): Long =
+        s.read.format(fmt).option("path", path).load().count()
+      try {
+        val pre = allTables.map(p => p -> mainCount(p)).toMap
+        stage(encodeRows(admitted), ct)
+        stage(admAssigned, assignedT)
+        stage(ledgerRow, lt)
+        val collisions = readCorpus(s, base).join(
+          admitted.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+        if (collisions > 0) throw new IllegalStateException(
+          s"curated-epoch audit failed: $collisions admitted vec_ids " +
+            "already in the corpus")
+        val expected = Map(
+          ct -> nAdmitted, assignedT -> nAdmitted, lt -> 1L)
+        for (p <- allTables) {
+          val grew = wapView(p).count() - pre(p)
+          if (grew != expected(p)) throw new IllegalStateException(
+            s"curated-epoch audit failed: $p staged $grew rows, expected " +
+              s"${expected(p)}")
+        }
+        allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
+      } catch {
+        case e: Throwable =>
+          allTables.foreach { p =>
+            try ManifestFileSink.wapDiscard(p, wapId)
+            catch { case _: Throwable => () }
+          }
+          throw e
+      } finally {
+        bAssigned.unpersist(); bVec.unpersist(); admitted.unpersist()
+      }
+      s.catalog.refreshByPath(ct)
+      s.catalog.refreshByPath(assignedT)
+      IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
+      true
+    } finally b.unpersist()
+  }
+
   /** ensure → ingest-once → ready; the shared entry skeleton. */
   private def maintained(s: SparkSession, dir: String): String = {
     val base = ensureBase(s, dir)
@@ -349,6 +460,37 @@ object VectorMaintenance {
     ensureRetrained(s, base)
     VectorIndex.serve(s, vecPath(base), nprobe = 1)
   }
+
+  val vecCurationStreamSql: String =
+    s"""WITH ${Similarity.normalizedSql},
+       |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
+       |${Similarity.kmeansCtes("eb", "e")},
+       |base0 AS (SELECT vec_id, vn, cell FROM af WHERE vec_id % 13 <> 6),
+       |e0 AS (SELECT vec_id, vn, cell FROM af
+       |       WHERE vec_id % 13 = 6 AND (vec_id // 13) % 2 = 0),
+       |e1 AS (SELECT vec_id, vn, cell FROM af
+       |       WHERE vec_id % 13 = 6 AND (vec_id // 13) % 2 = 1),
+       |drop0 AS (SELECT DISTINCT a.vec_id FROM e0 a
+       |  WHERE EXISTS (SELECT 1 FROM base0 b WHERE b.cell = a.cell
+       |          AND list_dot_product(a.vn, b.vn) >= 0.45)
+       |     OR EXISTS (SELECT 1 FROM e0 b WHERE b.cell = a.cell
+       |          AND b.vec_id < a.vec_id
+       |          AND list_dot_product(a.vn, b.vn) >= 0.45)),
+       |adm0 AS (SELECT * FROM e0
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM drop0)),
+       |st1 AS (SELECT * FROM base0 UNION ALL SELECT * FROM adm0),
+       |drop1 AS (SELECT DISTINCT a.vec_id FROM e1 a
+       |  WHERE EXISTS (SELECT 1 FROM st1 b WHERE b.cell = a.cell
+       |          AND list_dot_product(a.vn, b.vn) >= 0.45)
+       |     OR EXISTS (SELECT 1 FROM e1 b WHERE b.cell = a.cell
+       |          AND b.vec_id < a.vec_id
+       |          AND list_dot_product(a.vn, b.vn) >= 0.45)),
+       |adm1 AS (SELECT * FROM e1
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM drop1))
+       |SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell FROM adm0
+       |  UNION ALL SELECT vec_id, cell FROM adm1)
+       |ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_index_append" -> vecIndexAppend,
