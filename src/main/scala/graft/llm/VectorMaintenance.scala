@@ -492,10 +492,44 @@ object VectorMaintenance {
        |  UNION ALL SELECT vec_id, cell FROM adm1)
        |ORDER BY vec_id""".stripMargin
 
+  /** Oracle-gated: the vector base's cross-table CONSISTENCY audit —
+    * [[IndexMaintenance.indexConsistencyAudit]]'s two-table sibling:
+    * the corpus and assigned tables are the SAME per-vector grain, so
+    * their row counts must agree after any number of two-table
+    * transactions (a torn publish that landed one side is a hash miss
+    * on its row), and the used-cell count is bounded by the trained
+    * centroid set (the oracle re-derives it from the frozen-centroid
+    * assignment). Counts are metadata-answered except the distinct-cell
+    * probe, which reads the assigned table — never an embedding. */
+  def vecConsistencyAudit: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintained(s, dir)
+    def tbl(p: String): DataFrame = s.read.format(fmt).option("path", p).load()
+    def row(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("invariant"), col("n"))
+    Seq(
+      row("assigned_rows",
+        tbl(s"${vecPath(base)}/assigned").agg(count(lit(1)).as("n"))),
+      row("cells_used",
+        tbl(s"${vecPath(base)}/assigned").agg(countDistinct(col("cell")).as("n"))),
+      row("corpus_rows", tbl(corpusTable(base)).agg(count(lit(1)).as("n"))))
+      .reduce(_.unionByName(_)).orderBy(col("invariant"))
+  }
+
+  val vecConsistencyAuditSql: String =
+    s"""WITH ${Similarity.normalizedSql},
+       |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
+       |${Similarity.kmeansCtes("eb", "e")}
+       |SELECT * FROM (
+       |  SELECT 'assigned_rows' AS invariant, (SELECT COUNT(*) FROM af) AS n
+       |  UNION ALL SELECT 'cells_used', (SELECT COUNT(DISTINCT cell) FROM af)
+       |  UNION ALL SELECT 'corpus_rows', (SELECT COUNT(*) FROM e)
+       |) ORDER BY invariant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_index_append" -> vecIndexAppend,
     "vec_index_compact" -> vecIndexCompact,
-    "vec_index_retrain" -> vecIndexRetrain)
+    "vec_index_retrain" -> vecIndexRetrain,
+    "vec_consistency_audit" -> vecConsistencyAudit)
 
   val oracleSql: Map[String, String] = Map(
     "vec_index_append" -> vecIndexAppendSql,
@@ -504,5 +538,6 @@ object VectorMaintenance {
     "vec_index_compact" -> vecIndexAppendSql,
     // Retrained serve ≡ train over the full universe — the standalone
     // trained-IVF oracle replays it.
-    "vec_index_retrain" -> Similarity.knnIvfTrainedSql)
+    "vec_index_retrain" -> Similarity.knnIvfTrainedSql,
+    "vec_consistency_audit" -> vecConsistencyAuditSql)
 }
