@@ -1,0 +1,91 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.ManifestFileSink
+import org.apache.spark.sql.functions._
+
+/** The maintenance verbs COMPOSE: every verb is specced in isolation
+  * (IndexAppendSpec, VecMaintenanceSpec, StreamingIngestSpec,
+  * VecCurationSpec); this spec drives ONE base through the full
+  * production sequence — build → stream-ingest → compact → vacuum →
+  * audit → serve — and pins that the end state equals a from-scratch
+  * rebuild. A verb that silently assumed "I run first" (a layout it
+  * alone writes, a fence it alone advances) fails here even when its
+  * isolated spec stays green. */
+class MaintenanceLifecycleSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fmt = classOf[ManifestFileSink].getName
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-lifecycle-dir").toString
+    for (t <- Seq("documents", "embeddings"))
+      spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$d/$t.parquet")
+    d
+  }
+
+  test("text lifecycle: build → stream-ingest → compact → vacuum → serve ≡ rebuild") {
+    val dir = freshDir()
+    val base = Files.createTempDirectory("graft-lifecycle-text").toString
+    IndexMaintenance.ensureBaseAt(spark, dir, base)
+    // Deliver the class-6 backlog through the checkpointed stream.
+    assert(graft.streaming.StreamingIngest.runIngest(spark, dir, base) === 2L)
+    val tp = IndexMaintenance.textPath(base)
+    val postingsT = s"$tp/postings"
+    // Compact every appended segment, then reclaim the superseded files.
+    assert(ManifestFileSink.publishedManifestCount(postingsT) > 1)
+    ManifestFileSink.repartitionTable(spark, postingsT, Seq("tb"), 64)
+    spark.catalog.refreshByPath(postingsT)
+    assert(ManifestFileSink.vacuum(postingsT, olderThanMs = 0L) > 0)
+    // The fence never moved off the corpus chain: still fresh.
+    assert(TextIndex.staleness(tp).contains(false))
+    // Cross-table audit invariants hold after the full sequence.
+    def tbl(p: String) = spark.read.format(fmt).option("path", p).load()
+    val corpusN = tbl(IndexMaintenance.corpusTable(base)).count()
+    assert(tbl(postingsT).select(col("doc_id")).distinct().count() === corpusN)
+    assert(tbl(s"$tp/norms").count() === corpusN)
+    assert(tbl(s"$tp/stats").agg(sum(col("n_docs"))).head.getLong(0) === corpusN)
+    // Serve equals a from-scratch rebuild over the final universe.
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 13 =!= 5)
+    val tFull = Files.createTempDirectory("graft-lifecycle-tfull").toString
+    TextIndex.buildFrom(spark, expect, s"$dir/documents.parquet", tFull)
+    val terms = Seq("dup", "spark", "window")
+    assert(TextIndex.serve(spark, tp, terms).collect().toSeq ===
+      TextIndex.serve(spark, tFull, terms).collect().toSeq)
+    // And the stream is drained: a re-run applies nothing.
+    assert(graft.streaming.StreamingIngest.runIngest(spark, dir, base) === 0L)
+  }
+
+  test("vector lifecycle: build → gated-ingest → compact → retrain → audit") {
+    val dir = freshDir()
+    val base = Files.createTempDirectory("graft-lifecycle-vec").toString
+    VectorMaintenance.ensureBaseAt(spark, dir, base)
+    // Gated admission of the class-6 backlog (SemDeDup at ingest).
+    assert(graft.streaming.VectorStream.runGatedIngest(spark, dir, base) === 2L)
+    val ip = VectorMaintenance.vecPath(base)
+    val assignedT = s"$ip/assigned"
+    def tbl(p: String) = spark.read.format(fmt).option("path", p).load()
+    val admitted = tbl(assignedT)
+      .filter(col("vec_id") % 13 === 6).count()
+    // Compact the per-epoch segments back to one file per cell.
+    assert(ManifestFileSink.publishedManifestCount(assignedT) > 1)
+    ManifestFileSink.repartitionTable(spark, assignedT, Seq("cell"), 8)
+    spark.catalog.refreshByPath(assignedT)
+    assert(ManifestFileSink.publishedManifestCount(assignedT) === 1)
+    // Retrain over base ∪ admitted — the marker sees the gated drift.
+    assert(VectorMaintenance.ensureRetrained(spark, base),
+      "gated admits moved the corpus past the trained-over marker")
+    assert(!VectorMaintenance.ensureRetrained(spark, base))
+    assert(IndexFence.staleness(ip).contains(false))
+    // Two-table grain invariant holds through the whole sequence, and
+    // the retrain preserved the admitted membership exactly.
+    val corpusN = tbl(VectorMaintenance.corpusTable(base)).count()
+    assert(tbl(assignedT).count() === corpusN)
+    assert(tbl(assignedT).filter(col("vec_id") % 13 === 6).count() === admitted)
+    assert(VectorIndex.serve(spark, ip, 1).count() > 0)
+  }
+}
