@@ -2306,7 +2306,99 @@ object TextAnalysis {
        |    AS tail_padding
        |FROM c""".stripMargin
 
+  /** PASSAGE-grain BM25 with max-passage doc scoring — the retrieval
+    * shape a RAG serving tier actually runs: score every overlapping
+    * chunk ([[chunkPack]]'s 32/24 windows) against the standing query
+    * terms, fold each doc to its BEST passage (score + which chunk), and
+    * return the top docs. Max-passage beats doc-grain BM25 when the hit
+    * is a small region of a long document — exactly the long-context
+    * retrieval failure doc-level length normalization causes.
+    *
+    * Scale + determinism shape: term frequencies are THREE map-side
+    * `filter(cw, = term)` counts on the chunk rows (never an
+    * explode-words shuffle — the [[chunkPack]] rule), the corpus stats
+    * fold to ONE broadcast row, and the per-chunk score is a FIXED
+    * three-term left-associated double chain (not a SUM over rows), so
+    * both engines compute bit-identical doubles before the 6-dp round;
+    * the only shuffle is the doc-grain max fold, and the top-20 is a
+    * bounded TakeOrdered. */
+  def passageBm25: Q = (s, dir) => {
+    val terms = Seq("dup", "spark", "window")
+    val ChunkLen = 32
+    val Stride = 24
+    val chunks = Tables(s, dir).documents
+      .withColumn("wl", split(col("text"), " "))
+      .select(col("doc_id"), col("wl"),
+        posexplode(filter(sequence(lit(0), size(col("wl")) - 1),
+          st => st % Stride === 0)).as(Seq("chunk_idx", "st")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("wl"), col("st") + 1, lit(ChunkLen)).as("cw"))
+      .withColumn("dl", size(col("cw")).cast("long"))
+    val m = terms.foldLeft(chunks) { (d, t) =>
+      d.withColumn(s"tf_$t", cnt(col("cw"), t).cast("long"))
+    }.drop("cw")
+    val statAggs = count(lit(1)).as("n") +: (sum(col("dl")).as("sum_dl") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")))
+    val g = m.agg(statAggs.head, statAggs.tail: _*)
+    val scored = m.crossJoin(broadcast(g))
+    val termSc = terms.map { t =>
+      when(col(s"tf_$t") > 0,
+        ((col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))) *
+          (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(1.2) *
+            (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / (col("sum_dl").cast("double") / col("n")))))
+        .otherwise(lit(0.0))
+    }
+    scored
+      .withColumn("sc", round(termSc.reduceLeft(_ + _), 6))
+      .filter(col("sc") > 0)
+      .groupBy(col("doc_id"))
+      .agg(max(col("sc")).as("bm25_passage"),
+        max_by(col("chunk_idx"), struct(col("sc"), -col("chunk_idx")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("bm25_passage"))
+      .orderBy(col("bm25_passage").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val passageBm25Sql: String = {
+    def tfCol(t: String) =
+      s"CAST(len(list_filter(cw, x -> x = '$t')) AS BIGINT) AS tf_$t"
+    def dfCol(t: String) =
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t"
+    def scTerm(t: String) =
+      s"""(CASE WHEN tf_$t > 0 THEN
+         |    ((g.n - g.df_$t + CAST(0.5 AS DOUBLE)) / (g.df_$t + CAST(0.5 AS DOUBLE)))
+         |    * (tf_$t * CAST(2.2 AS DOUBLE))
+         |    / (tf_$t + CAST(1.2 AS DOUBLE) *
+         |       (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+         |        CAST(0.75 AS DOUBLE) * dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))
+         |  ELSE CAST(0 AS DOUBLE) END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+       |ch AS (SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_idx,
+       |         wl[st+1 : st+32] AS cw
+       |       FROM d, UNNEST(list_filter(range(len(wl)), s -> s % 24 = 0)) AS t(st)),
+       |m AS (SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS dl,
+       |  ${tfCol("dup")}, ${tfCol("spark")}, ${tfCol("window")} FROM ch),
+       |g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |  ${dfCol("dup")}, ${dfCol("spark")}, ${dfCol("window")} FROM m),
+       |sc AS (SELECT doc_id, chunk_idx,
+       |  ROUND(${scTerm("dup")}
+       |   + ${scTerm("spark")}
+       |   + ${scTerm("window")}, 6) AS s
+       |  FROM m CROSS JOIN g)
+       |SELECT doc_id, chunk_idx, bm25_passage FROM (
+       |  SELECT doc_id, chunk_idx, s AS bm25_passage,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, chunk_idx)
+       |      AS rn
+       |  FROM sc WHERE s > 0) t
+       |WHERE rn = 1
+       |ORDER BY bm25_passage DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_passage_bm25"      -> passageBm25,
     "text_pack_chunks"       -> packChunks,
     "text_pack_stats"        -> packStats,
     "text_rrf_fusion"        -> rrfFusion,
@@ -2349,6 +2441,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_passage_bm25"     -> passageBm25Sql,
     "text_pack_chunks"      -> packChunksSql,
     "text_pack_stats"       -> packStatsSql,
     "text_rrf_fusion"       -> rrfFusionSql,
