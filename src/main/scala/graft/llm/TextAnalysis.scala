@@ -2334,9 +2334,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         slice(col("wl"), col("st") + 1, lit(ChunkLen)).as("cw"))
       .withColumn("dl", size(col("cw")).cast("long"))
+    // Lineage cut at the survivor set (the SCALE.md second-consumer
+    // rule): the stats fold and the scoring pass both consume the chunk
+    // rows — without the cut each re-runs the corpus-wide chunk
+    // generation (measured: a second full scan in the plan). The
+    // checkpointed rows carry only ids + 4 longs, never the words.
     val m = terms.foldLeft(chunks) { (d, t) =>
       d.withColumn(s"tf_$t", cnt(col("cw"), t).cast("long"))
-    }.drop("cw")
+    }.drop("cw").localCheckpoint(false)
     val statAggs = count(lit(1)).as("n") +: (sum(col("dl")).as("sum_dl") +:
       terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")))
     val g = m.agg(statAggs.head, statAggs.tail: _*)
