@@ -236,6 +236,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         expr("(n_chars + 3) div 4").as("est_tokens"),
         expr("(1000000L * cw) div n_chars").as("priority"))
+      // Lineage cut: the kernel's boundary sketch is a second consumer
+      // of these scan-direct rows — without the cut the corpus
+      // tokenizes twice (the classifier-lift lesson; four slim columns
+      // survive, so the "one scan to score" claim above stays true).
+      .localCheckpoint(false)
     graft.ops.DistributedCumulate.runningTotals(
         scored, 32, Seq(col("priority").desc, col("doc_id")),
         Seq(("est_tokens", "cum_tokens")), "sel_rank",
@@ -2032,8 +2037,14 @@ object TextAnalysis {
     * decimals, so both engines cut identical deciles. */
   def classifierLift: Q = (s, dir) => {
     val B = s.sessionState.conf.numShufflePartitions
+    // Lineage cut: the rank kernel's bucket-boundary sketch is a SECOND
+    // consumer of the scored rows, and the NB scorer's doc branch is
+    // scan + broadcast model only — no exchange for reuse to latch onto
+    // (the curation-ingest lesson) — so without the cut the classifier
+    // re-scores the corpus per consumer. Three slim columns survive.
     val scored = qualityClassifier(s, dir)
       .select(col("doc_id"), col("y_true").cast("long").as("yl"), col("nb_score"))
+      .localCheckpoint(false)
     val ranked = graft.ops.DistributedCumulate.runningTotals(scored, B,
       Seq(col("nb_score").desc, col("doc_id")), Seq("yl" -> "cumy"), "rk",
       extraAggs = Seq(count(lit(1)) -> "n", sum(col("yl")) -> "npos"))
@@ -2241,6 +2252,9 @@ object TextAnalysis {
   def packChunks: Q = (s, dir) => {
     val t = Tables(s, dir).documents
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      // Lineage cut: two longs per doc survive; the kernel's boundary
+      // sketch would otherwise re-tokenize the corpus (second consumer).
+      .localCheckpoint(false)
     graft.ops.DistributedCumulate.runningTotals(t,
         s.sessionState.conf.numShufflePartitions,
         Seq(col("doc_id")), Seq(("tok", "cum")), "rk")
@@ -2271,6 +2285,9 @@ object TextAnalysis {
   def packStats: Q = (s, dir) => {
     val t = Tables(s, dir).documents
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      // Lineage cut: two longs per doc survive; the kernel's boundary
+      // sketch would otherwise re-tokenize the corpus (second consumer).
+      .localCheckpoint(false)
     graft.ops.DistributedCumulate.runningTotals(t,
         s.sessionState.conf.numShufflePartitions,
         Seq(col("doc_id")), Seq(("tok", "cum")), "rk")
