@@ -101,6 +101,14 @@ object DistributedCumulate {
     * session's shuffle parallelism. `extraAggs` rides extra one-row
     * aggregates of `df` through as constant columns (see
     * [[withBucket]]).
+    *
+    * CALLER CONTRACT: the boundary sketch makes this kernel a SECOND
+    * consumer of `df`. If `df`'s plan ends in an exchange (a groupBy /
+    * distinct / join output), exchange reuse shares one evaluation; if
+    * `df` is scan-direct or broadcast-scored rows, the whole upstream
+    * pipeline re-runs per consumer — `localCheckpoint(false)` the slim
+    * survivor set first (measured 4× in round 16: classifier re-score,
+    * double tokenize ×3).
     */
   def runningTotals(df: DataFrame, buckets: Int, order: Seq[Column],
       sums: Seq[(String, String)], rankOut: String,
