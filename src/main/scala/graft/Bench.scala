@@ -272,8 +272,18 @@ object Bench {
         } else Seq.empty
       } else Seq.empty
     } catch { case _: Throwable => Seq.empty }
-    // Intra-round gate: diff against this round's previous run.
-    val regressions = regressionsVs(java.nio.file.Paths.get("bench_full.json"))
+    // Intra-round gate: diff against this round's previous run AT THIS
+    // SF. The baseline file is namespaced per sf: the canonical driver
+    // sf (sf0.1) owns `bench_full.json`, every other sf gets its own
+    // suffixed file — without this, a verify-recipe smoke at sf0.001
+    // SQUATS bench_full.json (it writes when the file is missing or
+    // already sf0.001) and the same-sf write guard below then blocks
+    // every sf0.1 full run from rebaselining (found round 16: the
+    // committed anchor was silently the sf0.001 smoke).
+    val baselinePath = java.nio.file.Paths.get(
+      if (sfDir.endsWith("sf0.1")) "bench_full.json"
+      else s"bench_full.${new java.io.File(sfDir).getName}.json")
+    val regressions = regressionsVs(baselinePath)
     // Cross-round gate: diff against the PRIOR round's closing run —
     // the `anchor` snapshot detected above the measure loop (without
     // it, a plan change early in a round rebaselines bench_full.json
@@ -311,7 +321,7 @@ object Bench {
     // intra-round gate, which skips on sf mismatch). To intentionally
     // move the baseline to a new sf, delete bench_full.json first.
     if (only.isEmpty) try {
-      val p = java.nio.file.Paths.get("bench_full.json")
+      val p = baselinePath
       val existingSf =
         if (java.nio.file.Files.exists(p))
           "\"sf\":\"([^\"]+)\"".r
@@ -324,7 +334,7 @@ object Bench {
     val crossN = crossRegs.map { case (lbl, rs) =>
       s""","regressions_vs_${lbl}_n":${rs.size}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"regressions_n":${regressions.size}$crossN,"full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"regressions_n":${regressions.size}$crossN,"full":"${baselinePath.getFileName}"}""")
     spark.stop()
   }
 }
