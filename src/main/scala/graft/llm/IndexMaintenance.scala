@@ -114,11 +114,46 @@ object IndexMaintenance {
         .write.format(fmt).option("path", ct).mode("append").save()
     }
     s.catalog.refreshByPath(ct)
+    // A torn maintenance crash must not cost a rebuild: finish any
+    // mid-publish transaction (norms + fences re-derived inside) before
+    // the builds below judge freshness.
+    recoverTorn(s, base)
     // Index (re)builds read the MANAGED table — the production lineage:
     // buildFrom no-ops on a fresh fence, rebuilds on drift/pre-fence.
     TextIndex.buildFrom(s, readCorpus(s, base), ct, textPath(base))
     DedupIndex.buildFrom(s, readCorpus(s, base), ct, dedupPath(base))
     base
+  }
+
+  /** Finish any transaction on this base that died MID-PUBLISH (see
+    * [[ManifestFileSink.wapRollForward]]: stage order == publish order,
+    * corpus table first, so a wap id staged on a later table but
+    * consumed on the corpus is exact evidence the publish loop started
+    * and crashed), then re-derive the post-publish state the crash
+    * lost: the norms refold and both fences. Unlike the vector index
+    * there is NO content-based fence reconcile here — postings/shingles
+    * legitimately omit short or empty documents, so corpus-vs-index id
+    * equality is not a sound audit; a crash between the LAST publish
+    * and the fence write still reads as stale and rebuilds (safe,
+    * never wrong — and the window is one file write wide). */
+  private def recoverTorn(s: SparkSession, base: String): Seq[String] = {
+    val ct = corpusTable(base)
+    val tp = textPath(base)
+    val dp = dedupPath(base)
+    val postingsT = s"$tp/postings"
+    val tables = Seq(ct, postingsT, s"$tp/stats", s"$tp/dfparts",
+      s"$dp/bands", s"$dp/shingles", ledgerTable(base))
+    val torn = ManifestFileSink.wapRollForward(tables)
+    if (torn.nonEmpty) {
+      tables.foreach(s.catalog.refreshByPath)
+      TextIndex.writeNorms(s,
+        s.read.format(fmt).option("path", postingsT).load(), tp)
+      s.catalog.refreshByPath(ct)
+      val fp = IndexFence.fingerprint(ct)
+      IndexFence.write(tp, ct, fp)
+      IndexFence.write(dp, ct, fp)
+    }
+    torn
   }
 
   /** Has the standard append batch already been ingested? One bounded
@@ -141,6 +176,7 @@ object IndexMaintenance {
       val ct = corpusTable(base)
       val tp = textPath(base)
       val dp = dedupPath(base)
+      recoverTorn(s, base)
       // Out-of-band drift refuses here too: maintenance may only extend
       // a fence-fresh index.
       for (p <- Seq(tp, dp); st <- IndexFence.staleness(p))
@@ -149,12 +185,15 @@ object IndexMaintenance {
             "before maintaining.")
       val postingsT = s"$tp/postings"
       val statsT = s"$tp/stats"
+      val dfPartsT = s"$tp/dfparts"
       val bandsT = s"$dp/bands"
       val shinglesT = s"$dp/shingles"
-      val allTables = Seq(ct, postingsT, statsT, bandsT, shinglesT)
+      val allTables = Seq(ct, postingsT, statsT, dfPartsT, bandsT, shinglesT)
 
       val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bPost = TextIndex.postingRows(b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bDfParts = TextIndex.dfPartRows(bPost)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bSh = Dedup.shingleRows(b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -175,6 +214,7 @@ object IndexMaintenance {
         stage(b, ct)
         stage(bPost, postingsT)
         stage(TextIndex.statsRow(bPost), statsT)
+        stage(bDfParts, dfPartsT)
         stage(bBands, bandsT)
         stage(bShRows, shinglesT)
         // ---- AUDIT (reads the staged state via VERSION AS OF 'wap:').
@@ -191,8 +231,8 @@ object IndexMaintenance {
         // 2. Each staged table grew by exactly its computed batch rows.
         val expected = Map(
           ct -> b.count(), postingsT -> bPost.count(),
-          statsT -> 1L, bandsT -> bBands.count(),
-          shinglesT -> bShRows.count())
+          statsT -> 1L, dfPartsT -> bDfParts.count(),
+          bandsT -> bBands.count(), shinglesT -> bShRows.count())
         for (p <- allTables) {
           val grew = wapView(p).count() - pre(p)
           if (grew != expected(p)) throw new IllegalStateException(
@@ -207,7 +247,8 @@ object IndexMaintenance {
             try ManifestFileSink.wapDiscard(p, wapId)
             catch { case _: Throwable => () }
           }
-          b.unpersist(); bPost.unpersist(); bSh.unpersist()
+          b.unpersist(); bPost.unpersist(); bDfParts.unpersist()
+          bSh.unpersist()
           throw e
       }
       // ---- Norms re-materialize from the PERSISTED postings (index-
@@ -222,7 +263,7 @@ object IndexMaintenance {
       val fp = IndexFence.fingerprint(ct)
       IndexFence.write(tp, ct, fp)
       IndexFence.write(dp, ct, fp)
-      b.unpersist(); bPost.unpersist(); bSh.unpersist()
+      b.unpersist(); bPost.unpersist(); bDfParts.unpersist(); bSh.unpersist()
     }
 
   /** One STREAMING epoch's ingest, exactly-once under replay — the
@@ -250,6 +291,11 @@ object IndexMaintenance {
   def applyEpoch(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
     val wapId = s"ingest-e$epochId"
+    // Primary torn-state recovery: a crash mid-publish leaves a staged
+    // suffix — finish it (and its norms/fence re-derivation) BEFORE the
+    // membership check below, so "fully landed in the corpus" implies
+    // fully landed everywhere and the no-op is sound.
+    val recovered = recoverTorn(s, base)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ids = b.select(col("doc_id"))
@@ -257,11 +303,15 @@ object IndexMaintenance {
       if (total == 0) return false
       val present = readCorpus(s, base)
         .join(ids, Seq("doc_id"), "left_semi").count()
-      if (present == total) return false // fully-applied replay: no-op
+      if (present == total)
+        // Fully-applied replay: no-op — unless the roll-forward above is
+        // what completed it, in which case this call DID apply the epoch.
+        return recovered.contains(wapId)
       // (present in (0, total) falls through: the new-ids audit inside
       // ingestAppend refuses it with the collision count — case 3.)
       val allTables = Seq(corpusTable(base),
         s"${textPath(base)}/postings", s"${textPath(base)}/stats",
+        s"${textPath(base)}/dfparts",
         s"${dedupPath(base)}/bands", s"${dedupPath(base)}/shingles")
       allTables.foreach { p => // case 2: clear any torn stage of THIS epoch
         try ManifestFileSink.wapDiscard(p, wapId)
@@ -322,7 +372,21 @@ object IndexMaintenance {
     * retrying. Returns true when the epoch DECIDED here. */
   def curateEpoch(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
-    if (epochDecided(s, base, epochId)) return false
+    // Finish any mid-publish crash first: if the roll-forward completes
+    // THIS epoch's ledger publish, the epoch was decided by the
+    // original run (the staged ledger row IS the original decision).
+    val recovered = recoverTorn(s, base)
+    if (epochDecided(s, base, epochId))
+      return recovered.contains(s"curate-e$epochId")
+    // The gated chain is ORDER-DEPENDENT (epoch k+1 gates against
+    // admitted(≤k)); delivery order rests on the file source reading
+    // unread files in mtime order — undocumented behavior. Verify it
+    // here so an out-of-order delivery fails loudly instead of
+    // silently deciding against the wrong standing set.
+    if (epochId > 0 && !epochDecided(s, base, epochId - 1))
+      throw new IllegalStateException(
+        s"gated epoch $epochId delivered before epoch ${epochId - 1} " +
+          "was decided — epochs must decide in order")
     val wapId = s"curate-e$epochId"
     val ct = corpusTable(base)
     val tp = textPath(base)
@@ -333,10 +397,11 @@ object IndexMaintenance {
           "before maintaining.")
     val postingsT = s"$tp/postings"
     val statsT = s"$tp/stats"
+    val dfPartsT = s"$tp/dfparts"
     val bandsT = s"$dp/bands"
     val shinglesT = s"$dp/shingles"
     val lt = ledgerTable(base)
-    val allTables = Seq(ct, postingsT, statsT, bandsT, shinglesT, lt)
+    val allTables = Seq(ct, postingsT, statsT, dfPartsT, bandsT, shinglesT, lt)
     allTables.foreach { p => // clear any torn stage of THIS epoch
       try ManifestFileSink.wapDiscard(p, wapId)
       catch { case _: Throwable => () }
@@ -385,6 +450,7 @@ object IndexMaintenance {
         stage(admitted, ct)
         stage(bPost, postingsT)
         stage(TextIndex.statsRow(bPost), statsT)
+        stage(TextIndex.dfPartRows(bPost), dfPartsT)
         stage(bBands, bandsT)
         stage(bShRows, shinglesT)
         stage(ledgerRow, lt)
@@ -395,6 +461,7 @@ object IndexMaintenance {
             "already in the corpus")
         val expected = Map(
           ct -> nAdmitted, postingsT -> bPost.count(), statsT -> 1L,
+          dfPartsT -> TextIndex.dfPartRows(bPost).count(),
           bandsT -> bBands.count(), shinglesT -> bShRows.count(), lt -> 1L)
         for (p <- allTables) {
           val grew = wapView(p).count() - pre(p)
@@ -481,11 +548,14 @@ object IndexMaintenance {
     * more like 16–64. */
   def textIndexCompact: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = maintained(s, dir)
-    val postingsT = s"${textPath(base)}/postings"
-    if (ManifestFileSink.publishedManifestCount(postingsT) > 1) {
-      ManifestFileSink.repartitionTable(s, postingsT, Seq("tb"), 64)
-      s.catalog.refreshByPath(postingsT)
-    }
+    // Postings AND df-partials fold back to one file per term bucket.
+    // The dfparts fold moves rows, never merges them — a term's partial
+    // rows stay distinct and serve's SUM is unchanged by construction.
+    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts"))
+      if (ManifestFileSink.publishedManifestCount(t) > 1) {
+        ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
+        s.catalog.refreshByPath(t)
+      }
     TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
   }
 
@@ -526,12 +596,13 @@ object IndexMaintenance {
     * per bucket. */
   def textIndexVacuum: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = maintained(s, dir)
-    val postingsT = s"${textPath(base)}/postings"
-    if (ManifestFileSink.publishedManifestCount(postingsT) > 1) {
-      ManifestFileSink.repartitionTable(s, postingsT, Seq("tb"), 64)
-      s.catalog.refreshByPath(postingsT)
+    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts")) {
+      if (ManifestFileSink.publishedManifestCount(t) > 1) {
+        ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
+        s.catalog.refreshByPath(t)
+      }
+      ManifestFileSink.vacuum(t, olderThanMs = 0L)
     }
-    ManifestFileSink.vacuum(postingsT, olderThanMs = 0L)
     TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
   }
 
@@ -560,6 +631,8 @@ object IndexMaintenance {
         tbl(s"$dp/bands").agg(countDistinct(col("doc_id")).as("n"))),
       row("corpus_rows", tbl(corpusTable(base)).agg(count(lit(1)).as("n"))),
       row("norms_rows", tbl(s"$tp/norms").agg(count(lit(1)).as("n"))),
+      row("dfparts_mass",
+        tbl(s"$tp/dfparts").agg(sum(col("dfp")).as("n"))),
       row("postings_docs",
         tbl(s"$tp/postings").agg(countDistinct(col("doc_id")).as("n"))),
       row("shingles_docs",
@@ -621,6 +694,8 @@ object IndexMaintenance {
         |  SELECT 'bands_docs' AS invariant,
         |    (SELECT COUNT(*) FROM c WHERE len(wl) >= 3) AS n
         |  UNION ALL SELECT 'corpus_rows', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'dfparts_mass',
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, UNNEST(wl) FROM c))
         |  UNION ALL SELECT 'norms_rows', (SELECT COUNT(*) FROM c)
         |  UNION ALL SELECT 'postings_docs', (SELECT COUNT(*) FROM c)
         |  UNION ALL SELECT 'shingles_docs',

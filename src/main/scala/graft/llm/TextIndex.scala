@@ -61,13 +61,20 @@ object TextIndex {
     * v0/untagged = pre-versioning (round-14 and earlier: postings
     * carried a STORED `df` column, frozen at write time); v2 = the
     * segment-append layout (postings `tok,tb,doc_id,dl,tf` — df derived
-    * from probed rows at serve, per-segment stats rows, doc-bucketed
-    * norms). A version mismatch — including any pre-versioning index a
+    * by RE-COUNTING the probed posting rows at serve, per-segment stats
+    * rows, doc-bucketed norms); v3 (verdict-r16 #4) adds the `dfparts`
+    * table — per-segment `(tok, tb, dfp)` document-frequency PARTIALS,
+    * term-bucketed like the postings — so serve folds |terms| stored
+    * partial rows instead of aggregating every probed posting row per
+    * query, and the norms refold stops re-counting df too. Appends stay
+    * exact: a segment's partials sum with the standing ones (and a
+    * retraction appends NEGATIVE partials — the sum-fold absorbs both).
+    * A version mismatch — including any pre-versioning index a
     * persistent /tmp carries across runs — forces one clean rebuild in
-    * [[buildFrom]]; serving a legacy layout would join a second `df`
-    * onto postings that already store one (AMBIGUOUS_REFERENCE — the
-    * exact round-15 regression this tag closes). */
-  private[llm] val LayoutVersion = 2
+    * [[buildFrom]]; serving a legacy layout would either join a second
+    * `df` onto postings that already store one (the round-15
+    * AMBIGUOUS_REFERENCE) or miss the dfparts table entirely. */
+  private[llm] val LayoutVersion = 3
 
   private def fmt = classOf[ManifestFileSink].getName
 
@@ -126,6 +133,17 @@ object TextIndex {
     postings.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
+  /** One segment's document-frequency PARTIALS from its posting rows —
+    * `(tok, tb, dfp)` where dfp = this segment's doc count for the
+    * term. Global df = SUM of a term's partials across segments (rows
+    * are unique per (doc, term) across segments — the append audit —
+    * so partial counts add exactly; a retraction contributes negative
+    * partials and the same fold stays exact). Term-bucketed by the
+    * postings' own `tb`, so serve reads partials from the SAME probed
+    * buckets it already opens. */
+  private[llm] def dfPartRows(postings: DataFrame): DataFrame =
+    postings.groupBy(col("tok"), col("tb")).agg(count(lit(1)).as("dfp"))
+
   /** Build over an explicit corpus (the managed-corpus maintenance path
     * fences on its OWN table; the classic path fences on the testdata
     * parquet). */
@@ -134,6 +152,7 @@ object TextIndex {
     val postingsPath = s"$path/postings"
     val statsPath = s"$path/stats"
     val normsPath = s"$path/norms"
+    val dfPartsPath = s"$path/dfparts"
     val built = Files.isDirectory(Paths.get(postingsPath)) && {
       val l = Files.list(Paths.get(postingsPath))
       try l.iterator().hasNext finally l.close()
@@ -152,6 +171,7 @@ object TextIndex {
       IndexFence.rmTree(Paths.get(postingsPath))
       IndexFence.rmTree(Paths.get(statsPath))
       IndexFence.rmTree(Paths.get(normsPath))
+      IndexFence.rmTree(Paths.get(dfPartsPath))
       IndexFence.clear(path)
     }
     val fp = IndexFence.fingerprint(fenceCorpus)
@@ -163,6 +183,10 @@ object TextIndex {
     tf.write.format(fmt).option("path", postingsPath).mode("append").save()
     statsRow(tf).coalesce(1)
       .write.format(fmt).option("path", statsPath).mode("append").save()
+    Files.createDirectories(Paths.get(dfPartsPath))
+    ManifestFileSink.setPartitionColumn(dfPartsPath, "tb")
+    dfPartRows(tf)
+      .write.format(fmt).option("path", dfPartsPath).mode("append").save()
     writeNorms(s, tf, path)
     tf.unpersist(blocking = true)
     // Layout tag before the fence; fence LAST stays the commit point —
@@ -188,9 +212,17 @@ object TextIndex {
     IndexFence.rmTree(Paths.get(normsPath))
     Files.createDirectories(Paths.get(normsPath))
     ManifestFileSink.setPartitionColumn(normsPath, "db")
-    val dfRel = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df and n_docs fold from the STORED partials/stats (written before
+    // norms in both the build and every maintenance transaction) — the
+    // refold reads two slim tables + the postings, never re-counting df
+    // from corpus-grain rows (the v3 layout's point).
+    s.catalog.refreshByPath(s"$path/dfparts")
+    s.catalog.refreshByPath(s"$path/stats")
+    val dfRel = s.read.format(fmt).option("path", s"$path/dfparts").load()
+      .groupBy(col("tok")).agg(sum(col("dfp")).as("df"))
       .withColumnRenamed("tok", "df_tok")
-    val n = postings.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    val n = s.read.format(fmt).option("path", s"$path/stats").load()
+      .agg(sum(col("n_docs")).as("n_docs"))
     postings.join(dfRel, col("tok") === col("df_tok"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"),
@@ -206,29 +238,34 @@ object TextIndex {
   /** The probed buckets, computed with the BUILD's own hash expression
     * (one |terms|-row job — a driver-side reimplementation of xxhash64
     * could silently disagree seed-for-seed; this cannot). */
-  private def prunedPostings(s: SparkSession, path: String,
-      terms: Seq[String]): DataFrame = {
+  private def probedBuckets(s: SparkSession, terms: Seq[String]): Seq[Long] = {
     import scala.jdk.CollectionConverters._
-    val buckets = s.createDataset(terms.asJava)(
-        org.apache.spark.sql.Encoders.STRING)
+    s.createDataset(terms.asJava)(org.apache.spark.sql.Encoders.STRING)
       .select(tb(col("value")).as("tb")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    s.read.format(fmt).option("path", s"$path/postings").load()
-      .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .collect().map(_.getLong(0)).sorted.toSeq
   }
 
-  /** Global df for each probed term, derived FROM the probed rows: the
-    * pruned scan already reads every posting of a query term, rows are
-    * unique per (doc, term) across segments (a maintained append only
-    * adds NEW doc ids — audited), so count-per-term over the pruned
-    * relation IS the global document frequency even after appends. One
-    * |terms|-row fold broadcast back onto the postings — no extra
-    * bucket read, and nothing stored that an append could stale. */
-  private def withDf(postings: DataFrame): DataFrame = {
-    val dfRel = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+  private def prunedPostings(s: SparkSession, path: String,
+      terms: Seq[String], buckets: Seq[Long]): DataFrame =
+    s.read.format(fmt).option("path", s"$path/postings").load()
+      .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+
+  /** Global df for each probed term = fold of its STORED per-segment
+    * partials (v3 layout), read from the same probed term buckets the
+    * postings scan opens — |terms| result rows from a slim
+    * vocabulary-grain table, instead of re-aggregating every probed
+    * posting row per query (the v2 shape the r16 verdict priced at ~2×
+    * on the hybrid serve path). Exact after any append/retraction
+    * because partials sum. */
+  private def prunedDf(s: SparkSession, path: String,
+      terms: Seq[String], buckets: Seq[Long]): DataFrame =
+    s.read.format(fmt).option("path", s"$path/dfparts").load()
+      .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(sum(col("dfp")).as("df"))
       .withColumnRenamed("tok", "df_tok")
+
+  private def withDf(postings: DataFrame, dfRel: DataFrame): DataFrame =
     postings.join(broadcast(dfRel), col("tok") === col("df_tok")).drop("df_tok")
-  }
 
   /** Global corpus stats = fold of the per-segment stats rows. */
   private def readStats(s: SparkSession, path: String): DataFrame =
@@ -237,7 +274,9 @@ object TextIndex {
 
   def serve(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
     refuseStale(path)
-    val postings = withDf(prunedPostings(s, path, terms))
+    val buckets = probedBuckets(s, terms)
+    val postings = withDf(prunedPostings(s, path, terms, buckets),
+      prunedDf(s, path, terms, buckets))
     val stats = readStats(s, path)
     // Scoring arithmetic = TextAnalysis.bm25 verbatim over the stored
     // integers — identical doubles, identical ranking, same oracle.
@@ -283,7 +322,10 @@ object TextIndex {
     import org.apache.spark.sql.expressions.Window
     refuseStale(path)
     val K = 30
-    val postings = withDf(prunedPostings(s, path, terms))
+    val buckets = probedBuckets(s, terms)
+    val dfRel = prunedDf(s, path, terms, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = withDf(prunedPostings(s, path, terms, buckets), dfRel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = readStats(s, path)
     // --- ranker L: BM25 from stored integers (serve's expressions).
@@ -313,7 +355,10 @@ object TextIndex {
     val w = postings.crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
         (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
-    val qvec = postings.select(col("tok"), col("df")).distinct()
+    // Query vector straight from the stored df partials — no postings
+    // re-scan: a term's dfparts row exists iff the term has ≥1 posting,
+    // the exact membership the postings-derived distinct used to give.
+    val qvec = dfRel.withColumnRenamed("df_tok", "tok")
       .crossJoin(broadcast(n))
       .select(col("tok"), (col("n_docs").cast("double") / col("df")).as("qw"))
     val qnorm = qvec.agg(sqrt(sum(col("qw") * col("qw"))).as("nq"))

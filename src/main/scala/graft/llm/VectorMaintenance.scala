@@ -116,6 +116,10 @@ object VectorMaintenance {
       val l = Files.list(Paths.get(assignedPath))
       try l.iterator().hasNext finally l.close()
     }
+    // A torn maintenance crash must not cost a rebuild: finish any
+    // mid-publish transaction and reconcile a content-consistent fence
+    // before judging freshness.
+    if (built) { recoverTorn(s, base); reconcileFence(s, base); () }
     if (built && IndexFence.staleness(ip).contains(false) &&
         IndexFence.readLayout(ip) == LayoutVersion) return base
     if (built) {
@@ -181,6 +185,51 @@ object VectorMaintenance {
     true
   }
 
+  /** Finish any transaction on this base that died MID-PUBLISH (see
+    * [[ManifestFileSink.wapRollForward]] for the attribution argument:
+    * stage order == publish order, corpus table first), then re-derive
+    * the post-publish state the crash lost — here just the fence, since
+    * the vector index keeps no refolded statistic. Safe to call from
+    * every entry point: a clean base is a no-op metadata listing. */
+  private def recoverTorn(s: SparkSession, base: String): Seq[String] = {
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    val tables = Seq(ct, s"$ip/assigned", IndexMaintenance.ledgerTable(base))
+    val torn = ManifestFileSink.wapRollForward(tables)
+    if (torn.nonEmpty) {
+      tables.foreach(s.catalog.refreshByPath)
+      IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
+    }
+    torn
+  }
+
+  /** Reconcile a STALE fence whose drift the index already reflects: a
+    * crash between the final publish and the fence write leaves content
+    * fully consistent with the corpus and only the fingerprint behind.
+    * The audit is content equality — corpus vec_ids ≡ assigned vec_ids
+    * AND equal row counts (the count guard catches an out-of-band
+    * duplicate-id append, which id-set equality alone would bless) —
+    * because the fence's one job is catching drift the index does NOT
+    * reflect. An out-of-band writer who keeps both tables consistent is
+    * indistinguishable from maintenance by any content audit; that
+    * residual trust is documented here. Returns true when fresh
+    * (already, or after reconciling). */
+  private def reconcileFence(s: SparkSession, base: String): Boolean = {
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    if (!IndexFence.staleness(ip).contains(true)) return true
+    val assignedT = s"$ip/assigned"
+    val corpusIds = readCorpus(s, base).select(col("vec_id"))
+    val assignedIds = s.read.format(fmt).option("path", assignedT).load()
+      .select(col("vec_id"))
+    val consistent =
+      corpusIds.count() == assignedIds.count() &&
+        corpusIds.join(assignedIds, Seq("vec_id"), "left_anti").isEmpty &&
+        assignedIds.join(corpusIds, Seq("vec_id"), "left_anti").isEmpty
+    if (consistent) IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
+    consistent
+  }
+
   /** Has the standard append batch already been ingested? */
   def batchApplied(s: SparkSession, base: String): Boolean =
     !readCorpus(s, base)
@@ -196,6 +245,7 @@ object VectorMaintenance {
     synchronized {
       val ct = corpusTable(base)
       val ip = vecPath(base)
+      recoverTorn(s, base)
       for (st <- IndexFence.staleness(ip))
         if (st) throw new IllegalStateException(
           s"vector index at $ip is STALE (out-of-band corpus drift): " +
@@ -250,13 +300,34 @@ object VectorMaintenance {
 
   /** One streaming vector epoch — [[IndexMaintenance.applyEpoch]]'s
     * idempotence contract over the two-table transaction: a replayed
-    * epoch whose vec_ids fully landed no-ops, a torn stage under this
-    * epoch's own `wap-id` discards before re-staging, and a partial
-    * overlap refuses through the new-ids audit inside [[ingestAppend]].
-    * Returns true when the epoch applied. */
+    * epoch whose vec_ids fully landed IN BOTH TABLES no-ops, a torn
+    * stage under this epoch's own `wap-id` discards before re-staging,
+    * and a partial overlap refuses through the new-ids audit inside
+    * [[ingestAppend]].
+    *
+    * The fully-applied check verifies BOTH tables, not just the corpus:
+    * [[ingestAppend]] publishes the corpus table first, so a crash
+    * between the two publishes leaves the epoch's rows in the corpus
+    * but not the assigned table — corpus membership alone would no-op
+    * that replay forever, silently losing the assignments. When the
+    * tables disagree that way, the replay REPAIRS: it re-stages exactly
+    * the missing assignment rows under the epoch's `wap-id`, audits the
+    * growth, publishes, and re-advances the fence (the torn run died
+    * before its fence write, so the index reads as stale until here).
+    * Returns true when the epoch applied (including a repair). */
   def applyEpoch(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
     val wapId = s"vecingest-e$epochId"
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    val assignedT = s"$ip/assigned"
+    // Primary torn-state recovery: finish any mid-publish crash (the
+    // staged-manifest suffix is exact evidence), reconcile a fence the
+    // crash window left behind. The membership checks below then see
+    // the RECOVERED state; the recompute repair further down only fires
+    // if the staged evidence itself was lost.
+    val recovered = recoverTorn(s, base)
+    reconcileFence(s, base)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ids = b.select(col("vec_id"))
@@ -264,8 +335,42 @@ object VectorMaintenance {
       if (total == 0) return false
       val present = readCorpus(s, base)
         .join(ids, Seq("vec_id"), "left_semi").count()
-      if (present == total) return false // fully-applied replay: no-op
-      val allTables = Seq(corpusTable(base), s"${vecPath(base)}/assigned")
+      val presentAssigned = s.read.format(fmt).option("path", assignedT).load()
+        .join(ids, Seq("vec_id"), "left_semi").count()
+      if (present == total && presentAssigned == total)
+        // Fully-applied replay: no-op — unless the roll-forward above is
+        // what completed it, in which case this call DID apply the epoch.
+        return recovered.contains(wapId)
+      if (present == total) {
+        // Torn publish: corpus landed, assigned didn't (the publish
+        // order inside ingestAppend). Repair the assigned side only.
+        try ManifestFileSink.wapDiscard(assignedT, wapId)
+        catch { case _: Throwable => () }
+        val missing = VectorIndex.assignNew(s, ip, b)
+          .join(s.read.format(fmt).option("path", assignedT).load()
+            .select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val want = missing.count()
+          val pre = s.read.format(fmt).option("path", assignedT).load().count()
+          missing.write.format(fmt).option("path", assignedT)
+            .option("wap-id", wapId).mode("append").save()
+          val grew = s.read.format(fmt).option("path", assignedT)
+            .option("asOfManifest", s"wap:$wapId").load().count() - pre
+          if (grew != want) throw new IllegalStateException(
+            s"assigned-repair audit failed: staged $grew rows, expected $want")
+          ManifestFileSink.wapPublish(assignedT, wapId)
+        } catch {
+          case e: Throwable =>
+            try ManifestFileSink.wapDiscard(assignedT, wapId)
+            catch { case _: Throwable => () }
+            throw e
+        } finally missing.unpersist()
+        s.catalog.refreshByPath(ct)
+        IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
+        return true
+      }
+      val allTables = Seq(ct, assignedT)
       allTables.foreach { p => // clear any torn stage of THIS epoch
         try ManifestFileSink.wapDiscard(p, wapId)
         catch { case _: Throwable => () }
@@ -296,7 +401,23 @@ object VectorMaintenance {
     * product), and the epoch body stays map-only + bounded appends. */
   def curateVecEpoch(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
-    if (IndexMaintenance.epochDecided(s, base, epochId)) return false
+    // Finish any mid-publish crash FIRST: if the roll-forward completes
+    // THIS epoch's ledger publish, the epoch was decided (by the
+    // original run — the staged ledger row IS the original decision)
+    // and the replay below no-ops on it.
+    val recovered = recoverTorn(s, base)
+    reconcileFence(s, base)
+    if (IndexMaintenance.epochDecided(s, base, epochId))
+      return recovered.contains(s"veccurate-e$epochId")
+    // The gated chain is ORDER-DEPENDENT (epoch k+1 gates against
+    // admitted(≤k)); delivery order rests on the file source reading
+    // unread files in mtime order — undocumented behavior. Verify it
+    // here so an out-of-order delivery fails loudly instead of
+    // silently deciding against the wrong standing set.
+    if (epochId > 0 && !IndexMaintenance.epochDecided(s, base, epochId - 1))
+      throw new IllegalStateException(
+        s"gated epoch $epochId delivered before epoch ${epochId - 1} " +
+          "was decided — epochs must decide in order")
     val wapId = s"veccurate-e$epochId"
     val ct = corpusTable(base)
     val ip = vecPath(base)
@@ -321,11 +442,19 @@ object VectorMaintenance {
           VectorIndex.dec(col("vnenc")).as("vn"), col("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Bounded probe list: distinct cells of the batch (≤ centroid
-      // count by construction) prune the standing-set scan.
+      // count by construction) prune the standing-set scan. The batch's
+      // OWN vec_ids are excluded from the standing set: after a torn
+      // publish (corpus/assigned landed, ledger didn't) the replay
+      // would otherwise self-match every vector at cosine 1 and record
+      // admitted=0 — a permanently wrong decision row. The anti-join
+      // makes a replay reconverge to the original decision, and the
+      // torn state then surfaces via the collisions audit (or repairs,
+      // below) instead of a bogus ledger row.
       val probed = bVec.select(col("cell")).distinct()
         .collect().map(_.getLong(0)).toSeq
       val cands = s.read.format(fmt).option("path", assignedT).load()
         .filter(col("cell").isin(probed: _*))
+        .join(bVec.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .select(VectorIndex.dec(col("vnenc")).as("cvn"), col("cell"))
       val corpusDups = bVec.join(cands, Seq("cell"))
         .filter(graft.functions.VectorFunctions.dotp(col("vn"), col("cvn")) >= SemTau)
@@ -350,6 +479,44 @@ object VectorMaintenance {
           .option("asOfManifest", s"wap:$wapId").load()
       def mainCount(path: String): Long =
         s.read.format(fmt).option("path", path).load().count()
+      // Torn-publish REPAIR: the epoch's effects fully landed (the
+      // reconverged admitted set is already in both index tables — the
+      // self-match exclusion above is what makes the decision
+      // reconverge) but the crash hit before the ledger publish. The
+      // decision record is the only missing piece; publish it alone and
+      // re-advance the fence (the torn run died before its fence write).
+      val alreadyInCorpus =
+        if (nAdmitted == 0) 0L
+        else readCorpus(s, base).join(
+          admitted.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+      if (nAdmitted > 0 && alreadyInCorpus == nAdmitted) {
+        val alreadyAssigned = s.read.format(fmt).option("path", assignedT)
+          .load().join(admitted.select(col("vec_id")),
+            Seq("vec_id"), "left_semi").count()
+        if (alreadyAssigned != nAdmitted) throw new IllegalStateException(
+          s"curated-epoch repair refused: $alreadyInCorpus admitted " +
+            s"vec_ids in the corpus but only $alreadyAssigned in the " +
+            "assigned table — inconsistent torn state needs a rebuild")
+        try {
+          val pre = mainCount(lt)
+          stage(ledgerRow, lt)
+          val grew = wapView(lt).count() - pre
+          if (grew != 1L) throw new IllegalStateException(
+            s"curated-epoch repair audit failed: ledger staged $grew " +
+              "rows, expected 1")
+          ManifestFileSink.wapPublish(lt, wapId)
+        } catch {
+          case e: Throwable =>
+            try ManifestFileSink.wapDiscard(lt, wapId)
+            catch { case _: Throwable => () }
+            throw e
+        } finally {
+          bAssigned.unpersist(); bVec.unpersist(); admitted.unpersist()
+        }
+        s.catalog.refreshByPath(ct)
+        IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
+        return true
+      }
       try {
         val pre = allTables.map(p => p -> mainCount(p)).toMap
         stage(encodeRows(admitted), ct)

@@ -1164,6 +1164,30 @@ object ManifestFileSink {
     st.size
   }
 
+  /** ROLL-FORWARD recovery for MULTI-TABLE WAP transactions that died
+    * mid-publish. Contract: the transaction stages and publishes its
+    * tables in the SAME order, head table first. A wap id still staged
+    * on a LATER table while the head table holds no stage for it can
+    * only mean the publish loop started (the head's stage was consumed
+    * by [[wapPublish]]) and crashed — the commit decision was already
+    * taken and per-table publishes are irreversible, so the correct
+    * recovery is to FINISH the publish, never to discard the surviving
+    * half (which would tear the transaction's atomicity the other way).
+    * Publishes each such id's surviving stages in table order and
+    * returns the completed ids; the CALLER re-derives any post-publish
+    * state (norms refolds, fence advances). Ids still staged on the
+    * head table are untouched: that is a mid-STAGE crash, and the
+    * per-epoch discard-then-retry path owns it. */
+  def wapRollForward(tables: Seq[String]): Seq[String] = {
+    val staged = tables.map(p => p -> stagedIds(p).toSet)
+    val headIds = staged.head._2
+    val torn = staged.tail.flatMap(_._2).distinct
+      .filterNot(headIds.contains).sorted
+    for (id <- torn; (p, ids) <- staged; if ids.contains(id))
+      wapPublish(p, id)
+    torn
+  }
+
   /** DISCARD a WAP stage: delete its staged manifests and any data file
     * they alone reference (a file also named by another manifest —
     * impossible for append task files, but checked — is spared). The

@@ -107,7 +107,21 @@ class TextIndexSpec extends SparkTestBase {
     legacy.write.format(fmt).option("path", s"$p/postings").mode("append").save()
     TextIndex.statsRow(pr).coalesce(1)
       .write.format(fmt).option("path", s"$p/stats").mode("append").save()
-    TextIndex.writeNorms(spark, pr, p)
+    // Legacy norms, written the round-14 way (df and n_docs re-counted
+    // from the postings — the v3 writeNorms reads the dfparts table,
+    // which this layout predates).
+    Files.createDirectories(java.nio.file.Paths.get(s"$p/norms"))
+    ManifestFileSink.setPartitionColumn(s"$p/norms", "db")
+    val nLegacy = pr.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    pr.join(dfRel, col("tok") === col("df_tok"))
+      .crossJoin(broadcast(nLegacy))
+      .select(col("doc_id"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nd"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("db"), col("nd"))
+      .write.format(fmt).option("path", s"$p/norms").mode("append").save()
     IndexFence.write(p, s"$sf/documents.parquet",
       IndexFence.fingerprint(s"$sf/documents.parquet"))
     // The legacy index reads as fresh by fence alone — the failure mode.
