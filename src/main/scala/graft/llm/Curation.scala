@@ -64,7 +64,7 @@ object Curation {
   // (the suite-wide CI plan audits instantiate every registry entry)
   // no longer pay four full pipeline materializations per inspection.
   def curationPipeline: Q = (s, dir) =>
-    curationPlan(s, dir, _.localCheckpoint(eager = false))
+    curationPlan(s, dir, graft.ops.Lineage.cut)
 
   /** The pipeline dataflow with the stage-boundary cut INJECTED:
     * production passes `localCheckpoint` (see the stage-1 comment);
@@ -373,7 +373,7 @@ object Curation {
       // latch onto — without the cut, the serve probes + both dedup
       // kernels execute once per consumer (the curationPipeline
       // lineage lesson; measured 8.9 s → see BENCH_NOTES).
-      .localCheckpoint(false)
+      .transform(graft.ops.Lineage.cut)
     graft.ops.DistributedCumulate.runningTotals(
         scored, B, Seq(col("priority").desc, col("doc_id")),
         Seq(("est_tokens", "cum_tokens")), "sel_rank",

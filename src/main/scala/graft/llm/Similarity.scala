@@ -1249,7 +1249,7 @@ object Similarity {
       // cross join consume `sample`, and without the cut each side
       // re-runs the corpus-wide projection fold (the curation-ingest
       // double-lineage lesson).
-      .localCheckpoint(false)
+      .transform(graft.ops.Lineage.cut)
     val pairs = sample.as("a")
       .join(broadcast(sample.as("b")),
         col("a.vec_id") < col("b.vec_id"))
@@ -1288,7 +1288,7 @@ object Similarity {
   def jlRecall: Q = (s, dir) => {
     val k = 5
     val e = normalized(Tables(s, dir))
-    val pv = jlVectors(e).localCheckpoint(false)
+    val pv = jlVectors(e).transform(graft.ops.Lineage.cut)
     def topk(vecs: DataFrame, vcol: String, normalize: Boolean): DataFrame = {
       val q = broadcast(vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col(vcol).as("qv")))
@@ -1365,7 +1365,7 @@ object Similarity {
         aggregate(col("vn"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
       .select(col("vec_id"),
         transform(col("vn"), x => round(x * col("sc")) / col("sc")).as("rv"))
-      .localCheckpoint(false)
+      .transform(graft.ops.Lineage.cut)
     def topk(vecs: DataFrame, vcol: String, normalize: Boolean): DataFrame = {
       val q = broadcast(vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col(vcol).as("qv")))

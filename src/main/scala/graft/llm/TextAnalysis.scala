@@ -240,7 +240,7 @@ object TextAnalysis {
       // of these scan-direct rows — without the cut the corpus
       // tokenizes twice (the classifier-lift lesson; four slim columns
       // survive, so the "one scan to score" claim above stays true).
-      .localCheckpoint(false)
+      .transform(graft.ops.Lineage.cut)
     graft.ops.DistributedCumulate.runningTotals(
         scored, 32, Seq(col("priority").desc, col("doc_id")),
         Seq(("est_tokens", "cum_tokens")), "sel_rank",
@@ -1466,29 +1466,39 @@ object TextAnalysis {
     * buckets, no per-source sort buffer. */
   def corpusReport: Q = (s, dir) => {
     val B = s.sessionState.conf.numShufflePartitions
+    // Slim per-doc survivor set, CUT: its three consumers (the source
+    // rollup, the grouped-median kernel's fold, the group-ordinal
+    // labels) used to re-run the tokenize each — the second-consumer
+    // class the r17 call-site audit flagged on this entry (1.60×
+    // normalized drift, r16 verdict). The text column stays OUT of the
+    // cut set (never materialize corpus bytes the table already
+    // stores): the one text-dependent aggregate reads the raw column
+    // below, with no tokenize.
     val d = Tables(s, dir).documents
-      .select(col("source"), col("text"), col("lang"),
+      .select(col("source"), col("lang"),
         col("n_chars").cast("long").as("n_chars"),
         split(col("text"), " ").as("wl"))
-      .select(col("source"), col("text"), col("lang"), col("n_chars"),
+      .select(col("source"), col("lang"), col("n_chars"),
         (size(col("wl")) - cnt(col("wl"), "the") - cnt(col("wl"), "a"))
           .cast("long").as("cw"))
-      .select(col("source"), col("text"), col("lang"), col("n_chars"),
+      .select(col("source"), col("lang"), col("n_chars"),
         expr("(n_chars + 3) div 4").as("est_tokens"),
         expr("(1000000L * cw) div n_chars").as("density"),
         substring(col("source"), 4, 10).cast("int").as("__g"))
+      .transform(graft.ops.Lineage.cut)
     val base = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("est_tokens")).as("n_tokens"),
-        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
         countDistinct(col("lang")).as("n_langs"),
         round(sum(col("density")).cast("double") / count(lit(1)), 6)
           .as("avg_density"))
+    val dup = Tables(s, dir).documents.groupBy(col("source"))
+      .agg((count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
     val med = graft.ops.DistributedCumulate.exactDiscCutsGrouped(
         d, "__g", "n_chars", Seq(0.5 -> "med_chars"), B, gMax = 64)
       .join(d.select(col("__g"), col("source")).distinct(), "__g")
       .select(col("source"), col("med_chars"))
-    base.join(med, "source")
+    base.join(dup, "source").join(med, "source")
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_dup_docs"), col("n_langs"), col("avg_density"),
         col("med_chars"))
@@ -1531,6 +1541,10 @@ object TextAnalysis {
     * permutation is a pure function of doc_id, so re-runs, re-shards,
     * and both engines agree exactly. */
   def globalShuffle: Q = (s, dir) => {
+    // Scan-direct kernel input, NO cut by design (r17 call-site audit):
+    // the upstream is a bare two-column projection, so the sketch
+    // branch's re-scan is cheaper than materializing the corpus-grain
+    // set once — the documented exception in [[graft.ops.Lineage]].
     val d = Tables(s, dir).documents.select(col("doc_id"),
       pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("hkey"))
     graft.ops.DistributedCumulate.runningTotals(
@@ -1737,10 +1751,14 @@ object TextAnalysis {
     val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
     val firstOwner = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
-    val perDocNew = perDoc
+    // Slim per-doc survivor set, CUT: the kernel consumes it twice
+    // (boundary sketch + main), and while both groupBy exchanges below
+    // are reused, the outer-join merge re-ran per consumer (r17
+    // call-site audit).
+    val perDocNew = graft.ops.Lineage.cut(perDoc
       .join(firstOwner, col("doc_id") === col("first_doc"), "left_outer")
       .select(col("doc_id"), col("n_tok"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
+        coalesce(col("n_new"), lit(0L)).as("n_new")))
     graft.ops.DistributedCumulate.runningTotals(
         perDocNew, s.sessionState.conf.numShufflePartitions,
         Seq(col("doc_id")),
@@ -2044,7 +2062,7 @@ object TextAnalysis {
     // re-scores the corpus per consumer. Three slim columns survive.
     val scored = qualityClassifier(s, dir)
       .select(col("doc_id"), col("y_true").cast("long").as("yl"), col("nb_score"))
-      .localCheckpoint(false)
+      .transform(graft.ops.Lineage.cut)
     val ranked = graft.ops.DistributedCumulate.runningTotals(scored, B,
       Seq(col("nb_score").desc, col("doc_id")), Seq("yl" -> "cumy"), "rk",
       extraAggs = Seq(count(lit(1)) -> "n", sum(col("yl")) -> "npos"))
@@ -2254,7 +2272,7 @@ object TextAnalysis {
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
       // Lineage cut: two longs per doc survive; the kernel's boundary
       // sketch would otherwise re-tokenize the corpus (second consumer).
-      .localCheckpoint(false)
+      .transform(graft.ops.Lineage.cut)
     graft.ops.DistributedCumulate.runningTotals(t,
         s.sessionState.conf.numShufflePartitions,
         Seq(col("doc_id")), Seq(("tok", "cum")), "rk")
@@ -2287,7 +2305,7 @@ object TextAnalysis {
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
       // Lineage cut: two longs per doc survive; the kernel's boundary
       // sketch would otherwise re-tokenize the corpus (second consumer).
-      .localCheckpoint(false)
+      .transform(graft.ops.Lineage.cut)
     graft.ops.DistributedCumulate.runningTotals(t,
         s.sessionState.conf.numShufflePartitions,
         Seq(col("doc_id")), Seq(("tok", "cum")), "rk")
@@ -2358,7 +2376,7 @@ object TextAnalysis {
     // checkpointed rows carry only ids + 4 longs, never the words.
     val m = terms.foldLeft(chunks) { (d, t) =>
       d.withColumn(s"tf_$t", cnt(col("cw"), t).cast("long"))
-    }.drop("cw").localCheckpoint(false)
+    }.drop("cw").transform(graft.ops.Lineage.cut)
     val statAggs = count(lit(1)).as("n") +: (sum(col("dl")).as("sum_dl") +:
       terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")))
     val g = m.agg(statAggs.head, statAggs.tail: _*)

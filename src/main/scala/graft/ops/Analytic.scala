@@ -1623,7 +1623,13 @@ object Analytic {
     * the equal-count certifier. All three metrics are int64, so every
     * comparison is exact in both engines. */
   def qRfmSegmentsCut: Q = (s, dir) => {
-    val cust = rfmCustomer(s, dir)
+    // Customer-grain survivor set, CUT: rfmCustomer ends in a broadcast
+    // cross-join (the ref-date row) — the kernel contract's
+    // "broadcast-scored rows" class — so its two consumers (the unpivot
+    // fold and the final bucketing pass) re-ran the ref-date scan and
+    // the aggregate finish otherwise (r17 call-site audit; 1.73× drift,
+    // r16 verdict).
+    val cust = Lineage.cut(rfmCustomer(s, dir))
     val B = s.sessionState.conf.numShufflePartitions
     // All nine quartile cutpoints from ONE grouped-kernel invocation:
     // the three metrics unpivot to (metric ordinal, value) rows and

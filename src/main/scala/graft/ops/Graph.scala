@@ -284,7 +284,7 @@ object Graph {
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
       .persist()
-    val lab = lpaLabels(edges).localCheckpoint(false)
+    val lab = Lineage.cut(lpaLabels(edges))
     val m = pairs.agg(count(lit(1)).as("m"))
     val inc = pairs
       .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")

@@ -405,10 +405,13 @@ object Profile {
     * Everything stays exact int64; output is cents. */
   def qMadGroup: Q = (s, dir) => {
     val B = s.sessionState.conf.numShufflePartitions
-    val o = Tables(s, dir).orders
+    // Slim fact projection, CUT: three consumers (inner-median fold,
+    // deviation fold, labels) each re-scanned orders otherwise (r17
+    // call-site audit; 1.41x drift, r16 verdict).
+    val o = Lineage.cut(Tables(s, dir).orders
       .select(substring(col("o_orderpriority"), 1, 1).cast("int").minus(1).as("g"),
         col("o_orderpriority").as("priority"),
-        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v")))
     val med = DistributedCumulate.exactDiscCutsGrouped(
       o, "g", "v", Seq(0.5 -> "med_cents"), B, gMax = 5)
     val dev = o.join(broadcast(med), "g")
@@ -519,14 +522,19 @@ object Profile {
       .select(col("o_custkey"),
         datediff(col("o_orderdate"), col("prev")).cast("long").as("gap"))
     val seg = t.customer.select(col("c_custkey"), col("c_mktsegment"))
-    val g = gaps.join(seg, gaps("o_custkey") === seg("c_custkey"))
+    // Slim survivor set, CUT: both consumers (the kernel's fold and the
+    // per-segment count) re-ran the lag window + join otherwise — the
+    // exchange below the window is reused, but the sort + window + join
+    // re-execute per consumer (r17 call-site audit; 1.76× drift, r16
+    // verdict).
+    val g = Lineage.cut(gaps.join(seg, gaps("o_custkey") === seg("c_custkey"))
       .select(
         when(col("c_mktsegment") === "AUTOMOBILE", 0)
           .when(col("c_mktsegment") === "BUILDING", 1)
           .when(col("c_mktsegment") === "FURNITURE", 2)
           .when(col("c_mktsegment") === "HOUSEHOLD", 3)
           .otherwise(4).as("g"),
-        col("c_mktsegment").as("segment"), col("gap"))
+        col("c_mktsegment").as("segment"), col("gap")))
     val med = DistributedCumulate.exactDiscCutsGrouped(
       g, "g", "gap", Seq(0.5 -> "med_gap_days"), B, gMax = 5)
     g.groupBy(col("g"), col("segment")).agg(count(lit(1)).as("n_gaps"))
@@ -560,10 +568,13 @@ object Profile {
     * division. No per-group sort anywhere. */
   def qTrimmedMeanGroup: Q = (s, dir) => {
     val B = s.sessionState.conf.numShufflePartitions
-    val o = Tables(s, dir).orders
+    // Slim fact projection, CUT: the kernel's fold and the trimmed
+    // sum/count both re-scanned orders otherwise (r17 call-site audit;
+    // 1.62x drift, r16 verdict).
+    val o = Lineage.cut(Tables(s, dir).orders
       .select(substring(col("o_orderpriority"), 1, 1).cast("int").minus(1).as("g"),
         col("o_orderpriority").as("priority"),
-        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v")))
     val cuts = DistributedCumulate.exactDiscCutsGrouped(
       o, "g", "v", Seq(0.1 -> "p10", 0.9 -> "p90"), B, gMax = 5)
     o.join(broadcast(cuts), "g")
@@ -1249,6 +1260,10 @@ object Profile {
   def qLateEvents: Q = (s, dir) => {
     val B = s.sessionState.conf.numShufflePartitions
     val tolUs = 3600L * 1000000L
+    // Scan-direct kernel input, NO cut by design (r17 call-site audit):
+    // the upstream is a bare columnar projection of the event log, so
+    // the sketch branch's re-scan beats materializing the full log —
+    // the documented exception in [[Lineage]].
     val e = Tables(s, dir).events
       .select(col("event_id"), to_date(col("ts")).as("d"),
         unix_micros(col("ts")).as("v"))
