@@ -142,7 +142,7 @@ object IndexMaintenance {
     val dp = dedupPath(base)
     val postingsT = s"$tp/postings"
     val tables = Seq(ct, postingsT, s"$tp/stats", s"$tp/dfparts",
-      s"$dp/bands", s"$dp/shingles", ledgerTable(base))
+      s"$dp/bands", s"$dp/shingles", ledgerTable(base), delsTable(base))
     val torn = ManifestFileSink.wapRollForward(tables)
     if (torn.nonEmpty) {
       tables.foreach(s.catalog.refreshByPath)
@@ -163,6 +163,146 @@ object IndexMaintenance {
     !readCorpus(s, base)
       .filter(col("doc_id") % 13 === AppendClass)
       .limit(1).isEmpty
+
+  /** Retraction ledger — one row per applied delete (`del_lo, del_hi,
+    * n_docs`), staged and published INSIDE the delete's own transaction
+    * exactly like the curated epochs' decision ledger. */
+  def delsTable(base: String): String = s"$base/dels"
+
+  /** The DELETE maintenance verb (verdict-r16 Next #2 — the missing
+    * verb): retract every document in `[lo, hi)` from the corpus AND
+    * all five index tables in ONE WAP-staged multi-table commit, so a
+    * production takedown (licensing, GDPR, a bad crawl window) costs a
+    * bounded retraction instead of the full rebuild the fence used to
+    * force. The range form is the scale-honest shape: deletion vectors
+    * resolve it with pure zone-map pruning (a file whose doc_id min/max
+    * refutes the range is never opened) and no victim-id list rides the
+    * driver; an id-addressed takedown list is ranges of width one.
+    *
+    * Transaction (stage order == publish order, corpus first — the
+    * [[recoverTorn]] roll-forward covers every mid-publish crash):
+    *
+    *   1. staged deletion vectors on corpus, postings, bands, shingles
+    *      (all four carry `doc_id`, so the ONE range predicate serves
+    *      every table — [[ManifestFileSink.deleteWhereStaged]]);
+    *   2. a NEGATIVE per-segment stats row (−n_docs, −sum_dl) and
+    *      NEGATIVE df partials (tok, tb, −dfp), both computed from the
+    *      victims' still-visible posting rows — the sum-folds that make
+    *      serve's global statistics exact under appends absorb
+    *      retractions by the same argument;
+    *   3. the retraction-ledger row;
+    *   4. AUDIT via the `wap:` views: every table's staged delta equals
+    *      the victim grain computed from the pre-delete main line —
+    *      then publish all seven, or discard all seven;
+    *   5. norms refold from the surviving postings (same index-grain
+    *      recompute as the append path) and both fences advance:
+    *      a delete through this path is maintained drift; out-of-band
+    *      deletes still read as stale and refuse.
+    *
+    * Idempotent: a replayed range finds no victims (deletion vectors
+    * already mask them) and no-ops. Serve-side exactness: probed
+    * postings are survivors (merge-on-read masks victims), df = sum of
+    * partials (positive + negative) = survivor document frequency,
+    * stats fold = survivor counts — so maintained-serve ≡
+    * rebuild-over-survivors row for row (IndexDeleteSpec pins it).
+    *
+    * Returns the number of corpus documents retracted (0 = replay). */
+  def deleteRange(s: SparkSession, base: String, lo: Long, hi: Long): Long =
+    synchronized {
+      require(lo < hi, s"empty delete range [$lo, $hi)")
+      val wapId = s"delete-$lo-$hi"
+      val ct = corpusTable(base)
+      val tp = textPath(base)
+      val dp = dedupPath(base)
+      recoverTorn(s, base)
+      for (p <- Seq(tp, dp); st <- IndexFence.staleness(p))
+        if (st) throw new IllegalStateException(
+          s"index at $p is STALE (out-of-band corpus drift): rebuild " +
+            "before maintaining.")
+      val postingsT = s"$tp/postings"
+      val statsT = s"$tp/stats"
+      val dfPartsT = s"$tp/dfparts"
+      val bandsT = s"$dp/bands"
+      val shinglesT = s"$dp/shingles"
+      val dt = delsTable(base)
+      val allTables = Seq(ct, postingsT, statsT, dfPartsT, bandsT, shinglesT, dt)
+      allTables.foreach { p => // clear any torn stage of THIS delete
+        try ManifestFileSink.wapDiscard(p, wapId)
+        catch { case _: Throwable => () }
+      }
+      val pred = col("doc_id") >= lo && col("doc_id") < hi
+      val filt = org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", lo),
+        org.apache.spark.sql.sources.LessThan("doc_id", hi))
+      def read(p: String): DataFrame =
+        s.read.format(fmt).option("path", p).load()
+      // Victim grain from the PRE-delete main line (the staged vectors
+      // are invisible until publish, so these reads see the victims).
+      val nDocs = readCorpus(s, base).filter(pred).count()
+      if (nDocs == 0) return 0L // replay or empty window: no-op
+      val vPost = read(postingsT).filter(pred)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPost = vPost.count()
+      val nBands = read(bandsT).filter(pred).count()
+      val nSh = read(shinglesT).filter(pred).count()
+      val negStats = TextIndex.statsRow(vPost)
+        .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+      val negParts = TextIndex.dfPartRows(vPost)
+        .select(col("tok"), col("tb"), (-col("dfp")).as("dfp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nParts = negParts.count()
+      import s.implicits._
+      val delRow = Seq((lo, hi, nDocs)).toDF("del_lo", "del_hi", "n_docs")
+      def stage(df: DataFrame, path: String): Unit =
+        df.write.format(fmt).option("path", path).option("wap-id", wapId)
+          .mode("append").save()
+      def wapCount(path: String): Long =
+        s.read.format(fmt).option("path", path)
+          .option("asOfManifest", s"wap:$wapId").load().count()
+      def mainCount(path: String): Long = read(path).count()
+      try {
+        val pre = allTables.map(p => p -> mainCount(p)).toMap
+        val dCorpus = ManifestFileSink.deleteWhereStaged(ct, filt, wapId)
+        val dPost = ManifestFileSink.deleteWhereStaged(postingsT, filt, wapId)
+        stage(negStats, statsT)
+        stage(negParts, dfPartsT)
+        val dBands = ManifestFileSink.deleteWhereStaged(bandsT, filt, wapId)
+        val dSh = ManifestFileSink.deleteWhereStaged(shinglesT, filt, wapId)
+        stage(delRow, dt)
+        // AUDIT: the staged retraction is exactly the victim grain.
+        val expected = Map(
+          ct -> -nDocs, postingsT -> -nPost, statsT -> 1L,
+          dfPartsT -> nParts, bandsT -> -nBands, shinglesT -> -nSh,
+          dt -> 1L)
+        val staged = Map(ct -> dCorpus, postingsT -> dPost,
+          bandsT -> dBands, shinglesT -> dSh)
+        for ((p, d) <- staged)
+          if (d != -expected(p)) throw new IllegalStateException(
+            s"delete audit failed: $p staged $d deletions, expected " +
+              s"${-expected(p)}")
+        for (p <- allTables) {
+          val delta = wapCount(p) - pre(p)
+          if (delta != expected(p)) throw new IllegalStateException(
+            s"delete audit failed: $p staged delta $delta, expected " +
+              s"${expected(p)}")
+        }
+        allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
+      } catch {
+        case e: Throwable =>
+          allTables.foreach { p =>
+            try ManifestFileSink.wapDiscard(p, wapId)
+            catch { case _: Throwable => () }
+          }
+          throw e
+      } finally { vPost.unpersist(); negParts.unpersist() }
+      allTables.foreach(s.catalog.refreshByPath)
+      TextIndex.writeNorms(s, read(postingsT), tp)
+      s.catalog.refreshByPath(ct)
+      val fp = IndexFence.fingerprint(ct)
+      IndexFence.write(tp, ct, fp)
+      IndexFence.write(dp, ct, fp)
+      nDocs
+    }
 
   /** The ingest transaction: stage batch rows into all five tables
     * under one WAP id, audit the staged state, publish or discard as
@@ -641,21 +781,72 @@ object IndexMaintenance {
       .reduce(_.unionByName(_)).orderBy(col("invariant"))
   }
 
+  /** The delete entries keep their OWN managed base so the retraction
+    * can't disturb the append/compact entries' fences on the shared
+    * /tmp. */
+  def deleteBasePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_delete", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** The standard retraction window: documents `[100, 300)` — present
+    * at every test SF, overlapping both the base classes and the
+    * appended class 6, so the delete retracts rows from EVERY segment
+    * kind. */
+  private[llm] val DelLo = 100L
+  private[llm] val DelHi = 300L
+
+  /** ensure → append-once → delete-once; idempotent across runs (the
+    * replayed range finds only masked victims and no-ops). */
+  private def maintainedDeleted(s: SparkSession, dir: String): String = {
+    val base = ensureBaseAt(s, dir, deleteBasePath(dir))
+    if (!batchApplied(s, base)) {
+      ingestAppend(s, base,
+        Tables(s, dir).documents.filter(col("doc_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(corpusTable(base))
+    }
+    deleteRange(s, base, DelLo, DelHi)
+    base
+  }
+
+  /** Oracle-gated: BM25 serve AFTER the retraction — the maintained
+    * universe is `%13 ≠ 5 minus [100, 300)` and DuckDB replays it from
+    * the one documents table while the plan reads a table that was
+    * never rebuilt (deletion vectors mask victims, negative partials
+    * fold df, the negative stats row folds n_docs/sum_dl). */
+  def textIndexDelete: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintainedDeleted(s, dir)
+    TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
+  }
+
+  /** Oracle-gated: near-dup probe of the class-5 batch against the
+    * POST-delete dedup index — a retracted doc must vanish from the
+    * candidate pairs (its bands are masked), which the oracle's d1
+    * universe pins. */
+  def dedupIndexDelete: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintainedDeleted(s, dir)
+    DedupIndex.serve(s, dedupPath(base),
+      Tables(s, dir).documents.filter(col("doc_id") % 13 === ProbeClass))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_index_append" -> textIndexAppend,
+    "text_index_delete" -> textIndexDelete,
+    "dedup_index_delete" -> dedupIndexDelete,
     "dedup_index_append" -> dedupIndexAppend,
     "text_index_compact" -> textIndexCompact,
     "dedup_index_compact" -> dedupIndexCompact,
     "text_index_vacuum" -> textIndexVacuum,
     "index_consistency_audit" -> indexConsistencyAudit)
 
-  /** BM25 over the `%13 ≠ 5` universe — [[TextAnalysis.bm25Sql]] with
-    * the corpus CTE restricted to the maintained corpus' membership. */
-  val textIndexAppendSql: String =
-    """WITH dl AS (
+  /** BM25 over a parameterized corpus universe — [[TextAnalysis
+    * .bm25Sql]] with the corpus CTE restricted to the maintained
+    * corpus' membership (append: `%13 ≠ 5`; delete: additionally minus
+    * the retraction window). */
+  private def bm25OverSql(universe: String): String =
+    s"""WITH dl AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
       |         string_split(text, ' ') AS wl
-      |  FROM documents WHERE doc_id % 13 <> 5),
+      |  FROM documents WHERE $universe),
       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
       |toks AS (SELECT doc_id, dl, UNNEST(wl) AS tok FROM dl),
       |tf AS (
@@ -674,8 +865,36 @@ object IndexMaintenance {
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  val textIndexAppendSql: String = bm25OverSql("doc_id % 13 <> 5")
+
+  val textIndexDeleteSql: String = bm25OverSql(
+    "doc_id % 13 <> 5 AND NOT (doc_id >= 100 AND doc_id < 300)")
+
+  /** Cross-split exact-Jaccard pairs with the d1 (standing) universe
+    * shrunk by the retraction window — the post-delete twin of
+    * [[DedupIndex]]'s serve oracle. */
+  val dedupIndexDeleteSql: String =
+    """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(wl[x+1:x+3], ' ') AS sh
+      |       FROM wl, UNNEST(range(len(wl)-2)) AS t(x)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh
+      |          WHERE a.doc_id % 13 <> 5
+      |            AND NOT (a.doc_id >= 100 AND a.doc_id < 300)
+      |            AND b.doc_id % 13 = 5
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+      |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_index_append" -> textIndexAppendSql,
+    // Serve over corpus-minus-deleted: DuckDB recomputes the whole
+    // universe; the plan reads masked postings + folded negatives.
+    "text_index_delete" -> textIndexDeleteSql,
+    "dedup_index_delete" -> dedupIndexDeleteSql,
     // The maintained corpus is exactly %13 ≠ 5 — the same universe the
     // standalone serve entry replays.
     "dedup_index_append" -> DedupIndex.oracleSql("dedup_index_serve"),

@@ -262,6 +262,11 @@ object TextIndex {
     s.read.format(fmt).option("path", s"$path/dfparts").load()
       .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
       .groupBy(col("tok")).agg(sum(col("dfp")).as("df"))
+      // A retraction can net a term's partials to ZERO (every posting
+      // deleted): the term has no surviving rows and must vanish here
+      // too — the same membership the postings-derived fold gave — or
+      // the hybrid query weight would divide by its zero df.
+      .filter(col("df") > 0)
       .withColumnRenamed("tok", "df_tok")
 
   private def withDf(postings: DataFrame, dfRel: DataFrame): DataFrame =

@@ -194,7 +194,8 @@ object VectorMaintenance {
   private def recoverTorn(s: SparkSession, base: String): Seq[String] = {
     val ct = corpusTable(base)
     val ip = vecPath(base)
-    val tables = Seq(ct, s"$ip/assigned", IndexMaintenance.ledgerTable(base))
+    val tables = Seq(ct, s"$ip/assigned", IndexMaintenance.ledgerTable(base),
+      IndexMaintenance.delsTable(base))
     val torn = ManifestFileSink.wapRollForward(tables)
     if (torn.nonEmpty) {
       tables.foreach(s.catalog.refreshByPath)
@@ -553,6 +554,83 @@ object VectorMaintenance {
     } finally b.unpersist()
   }
 
+  /** The DELETE maintenance verb for the vector index — the embedding
+    * twin of [[IndexMaintenance.deleteRange]]: retract every vector in
+    * `[lo, hi)` from the managed corpus AND the assigned table in ONE
+    * WAP-staged commit with a retraction-ledger row. The vector index
+    * stores no global statistic, so there is no negative-partial step:
+    * masking the per-vector rows IS the whole retraction, and serve
+    * over survivors equals assign-survivors-then-serve under the SAME
+    * frozen centroids by the per-vector-row argument. The trained-over
+    * marker is deliberately untouched: a delete drifts the corpus from
+    * the training sample like any append does, and the RETRAIN door
+    * ([[ensureRetrained]]) stays the explicit verb for closing it.
+    * Idempotent: a replayed range finds only masked victims, no-ops. */
+  def deleteRange(s: SparkSession, base: String, lo: Long, hi: Long): Long =
+    synchronized {
+      require(lo < hi, s"empty delete range [$lo, $hi)")
+      val wapId = s"vecdelete-$lo-$hi"
+      val ct = corpusTable(base)
+      val ip = vecPath(base)
+      recoverTorn(s, base)
+      reconcileFence(s, base)
+      for (st <- IndexFence.staleness(ip))
+        if (st) throw new IllegalStateException(
+          s"vector index at $ip is STALE (out-of-band corpus drift): " +
+            "rebuild before maintaining.")
+      val assignedT = s"$ip/assigned"
+      val dt = IndexMaintenance.delsTable(base)
+      val allTables = Seq(ct, assignedT, dt)
+      allTables.foreach { p => // clear any torn stage of THIS delete
+        try ManifestFileSink.wapDiscard(p, wapId)
+        catch { case _: Throwable => () }
+      }
+      val pred = col("vec_id") >= lo && col("vec_id") < hi
+      val filt = org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", lo),
+        org.apache.spark.sql.sources.LessThan("vec_id", hi))
+      val nVecs = readCorpus(s, base).filter(pred).count()
+      if (nVecs == 0) return 0L // replay or empty window: no-op
+      val nAssigned = s.read.format(fmt).option("path", assignedT).load()
+        .filter(pred).count()
+      import s.implicits._
+      val delRow = Seq((lo, hi, nVecs)).toDF("del_lo", "del_hi", "n_docs")
+      def wapCount(path: String): Long =
+        s.read.format(fmt).option("path", path)
+          .option("asOfManifest", s"wap:$wapId").load().count()
+      def mainCount(path: String): Long =
+        s.read.format(fmt).option("path", path).load().count()
+      try {
+        val pre = allTables.map(p => p -> mainCount(p)).toMap
+        val dCorpus = ManifestFileSink.deleteWhereStaged(ct, filt, wapId)
+        val dAssigned = ManifestFileSink.deleteWhereStaged(assignedT, filt, wapId)
+        delRow.write.format(fmt).option("path", dt).option("wap-id", wapId)
+          .mode("append").save()
+        if (dCorpus != nVecs || dAssigned != nAssigned)
+          throw new IllegalStateException(
+            s"vector delete audit failed: staged $dCorpus/$dAssigned " +
+              s"deletions, expected $nVecs/$nAssigned")
+        val expected = Map(ct -> -nVecs, assignedT -> -nAssigned, dt -> 1L)
+        for (p <- allTables) {
+          val delta = wapCount(p) - pre(p)
+          if (delta != expected(p)) throw new IllegalStateException(
+            s"vector delete audit failed: $p staged delta $delta, " +
+              s"expected ${expected(p)}")
+        }
+        allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
+      } catch {
+        case e: Throwable =>
+          allTables.foreach { p =>
+            try ManifestFileSink.wapDiscard(p, wapId)
+            catch { case _: Throwable => () }
+          }
+          throw e
+      }
+      allTables.foreach(s.catalog.refreshByPath)
+      IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
+      nVecs
+    }
+
   /** ensure → ingest-once → ready; the shared entry skeleton. */
   private def maintained(s: SparkSession, dir: String): String = {
     val base = ensureBase(s, dir)
@@ -571,6 +649,42 @@ object VectorMaintenance {
   def vecIndexAppend: (SparkSession, String) => DataFrame = (s, dir) => {
     VectorIndex.serve(s, vecPath(maintained(s, dir)), nprobe = 1)
   }
+
+  /** The delete entry keeps its OWN managed base (the retraction must
+    * not disturb the append/compact entries' fences). */
+  def deleteBasePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_vecdelete", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** Oracle-gated: nprobe=1 serve AFTER the standard retraction window
+    * (`vec_id ∈ [100, 300)`) — centroids stay the base-trained frozen
+    * set (training saw the later-deleted vectors: exactly a production
+    * takedown), the served universe is survivors only, and DuckDB
+    * replays train = eb (full base) / assign = survivors. */
+  def vecIndexDelete: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = ensureBaseAt(s, dir, deleteBasePath(dir))
+    if (!batchApplied(s, base)) {
+      ingestAppend(s, base,
+        Tables(s, dir).embeddings.filter(col("vec_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(corpusTable(base))
+    }
+    deleteRange(s, base, IndexMaintenance.DelLo, IndexMaintenance.DelHi)
+    VectorIndex.serve(s, vecPath(base), nprobe = 1)
+  }
+
+  val vecIndexDeleteSql: String =
+    s"""WITH ${Similarity.normalizedSql},
+       |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
+       |ed AS (SELECT * FROM e WHERE NOT (vec_id >= 100 AND vec_id < 300)),
+       |${Similarity.kmeansCtes("eb", "ed")},
+       |p AS (SELECT vec_id AS query_id, vn AS qv, cell FROM af WHERE vec_id < 10)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(p.qv, a.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_dot_product(p.qv, a.vn) DESC, a.vec_id) AS rank
+       |  FROM p JOIN af a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Oracle-gated: COMPACT the maintained assigned table back to one
     * attested file per cell, then serve — [[IndexMaintenance
@@ -694,12 +808,15 @@ object VectorMaintenance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_index_append" -> vecIndexAppend,
+    "vec_index_delete" -> vecIndexDelete,
     "vec_index_compact" -> vecIndexCompact,
     "vec_index_retrain" -> vecIndexRetrain,
     "vec_consistency_audit" -> vecConsistencyAudit)
 
   val oracleSql: Map[String, String] = Map(
     "vec_index_append" -> vecIndexAppendSql,
+    // Serve over corpus-minus-deleted under base-trained centroids.
+    "vec_index_delete" -> vecIndexDeleteSql,
     // Compaction preserves every assignment row, so the append oracle
     // replays the compacted serve unchanged.
     "vec_index_compact" -> vecIndexAppendSql,

@@ -710,8 +710,9 @@ object ManifestFileSink {
       path: String,
       schemaText: String,
       dataLines: Seq[String],
-      dvs: Seq[(String, Seq[Long])]): Unit = {
-    val meta = ManifestMeta(nextSeq(path), Nil)
+      dvs: Seq[(String, Seq[Long])],
+      staged: Option[String] = None): Unit = {
+    val meta = ManifestMeta(nextSeq(path), Nil, staged = staged)
     val lines = renderHeader(meta) +: schemaText +:
       (dataLines ++ dvs.map { case (f, ps) =>
         s"$DvMarker\t$f\t${ps.length}\t${ps.mkString(",")}"
@@ -744,6 +745,35 @@ object ManifestFileSink {
     val newDvs = matchPositions(path, filter, schema)
     if (newDvs.isEmpty) return 0L
     publishCommit(path, schemaText, Nil, newDvs)
+    newDvs.map(_._2.size.toLong).sum
+  }
+
+  /** [[deleteWhere]] STAGED as a WAP commit: the deletion-vector
+    * manifest carries `staged=<wapId>` — invisible to main-line
+    * readers, visible through `VERSION AS OF 'wap:<id>'`, and published
+    * or discarded with the rest of the transaction, which is what makes
+    * a MULTI-TABLE retraction (corpus delete + each index table's
+    * retraction) one atomic decision. UNLIKE a staged append, a staged
+    * deletion vector names `(file, position)` pairs of the snapshot it
+    * was computed against, so the publish-commutes-with-anything
+    * argument in [[wapPublish]]'s doc does NOT extend to it: the CALLER
+    * must keep the table quiescent between stage and publish (no
+    * compact/purge/second delete) — the maintenance transactions hold
+    * their base's monitor for the whole window, which is exactly that
+    * guarantee. Returns the number of rows newly staged for deletion
+    * (positions already deleted on the main line are skipped, so a
+    * replayed delete stages nothing and the transaction can no-op). */
+  def deleteWhereStaged(
+      path: String,
+      filter: org.apache.spark.sql.sources.Filter,
+      wapId: String): Long = commitLock(path).synchronized {
+    val snap = snapshot(path, None)
+    if (snap.isEmpty) return 0L
+    val schemaText = schemaLine(snap.last)
+    val schema = asNullable(StructType.fromDDL(schemaText))
+    val newDvs = matchPositions(path, filter, schema)
+    if (newDvs.isEmpty) return 0L
+    publishCommit(path, schemaText, Nil, newDvs, staged = Some(wapId))
     newDvs.map(_._2.size.toLong).sum
   }
 
