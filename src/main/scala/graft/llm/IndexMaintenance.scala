@@ -142,6 +142,7 @@ object IndexMaintenance {
     val dp = dedupPath(base)
     val postingsT = s"$tp/postings"
     val tables = Seq(ct, postingsT, s"$tp/stats", s"$tp/dfparts",
+      s"$tp/passages", s"$tp/pstats", s"$tp/pdfparts",
       s"$dp/bands", s"$dp/shingles", ledgerTable(base), delsTable(base))
     val torn = ManifestFileSink.wapRollForward(tables)
     if (torn.nonEmpty) {
@@ -222,10 +223,14 @@ object IndexMaintenance {
       val postingsT = s"$tp/postings"
       val statsT = s"$tp/stats"
       val dfPartsT = s"$tp/dfparts"
+      val passagesT = s"$tp/passages"
+      val pstatsT = s"$tp/pstats"
+      val pdfPartsT = s"$tp/pdfparts"
       val bandsT = s"$dp/bands"
       val shinglesT = s"$dp/shingles"
       val dt = delsTable(base)
-      val allTables = Seq(ct, postingsT, statsT, dfPartsT, bandsT, shinglesT, dt)
+      val allTables = Seq(ct, postingsT, statsT, dfPartsT,
+        passagesT, pstatsT, pdfPartsT, bandsT, shinglesT, dt)
       allTables.foreach { p => // clear any torn stage of THIS delete
         try ManifestFileSink.wapDiscard(p, wapId)
         catch { case _: Throwable => () }
@@ -243,6 +248,9 @@ object IndexMaintenance {
       val vPost = read(postingsT).filter(pred)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPost = vPost.count()
+      val vPass = read(passagesT).filter(pred)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPass = vPass.count()
       val nBands = read(bandsT).filter(pred).count()
       val nSh = read(shinglesT).filter(pred).count()
       val negStats = TextIndex.statsRow(vPost)
@@ -251,6 +259,12 @@ object IndexMaintenance {
         .select(col("tok"), col("tb"), (-col("dfp")).as("dfp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nParts = negParts.count()
+      val negPstats = TextIndex.pstatsRow(vPass)
+        .select((-col("n_chunks")).as("n_chunks"), (-col("sum_dl")).as("sum_dl"))
+      val negPParts = TextIndex.pdfPartRows(vPass)
+        .select(col("tok"), col("tb"), (-col("dfp")).as("dfp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPParts = negPParts.count()
       import s.implicits._
       val delRow = Seq((lo, hi, nDocs)).toDF("del_lo", "del_hi", "n_docs")
       def stage(df: DataFrame, path: String): Unit =
@@ -266,16 +280,20 @@ object IndexMaintenance {
         val dPost = ManifestFileSink.deleteWhereStaged(postingsT, filt, wapId)
         stage(negStats, statsT)
         stage(negParts, dfPartsT)
+        val dPass = ManifestFileSink.deleteWhereStaged(passagesT, filt, wapId)
+        stage(negPstats, pstatsT)
+        stage(negPParts, pdfPartsT)
         val dBands = ManifestFileSink.deleteWhereStaged(bandsT, filt, wapId)
         val dSh = ManifestFileSink.deleteWhereStaged(shinglesT, filt, wapId)
         stage(delRow, dt)
         // AUDIT: the staged retraction is exactly the victim grain.
         val expected = Map(
           ct -> -nDocs, postingsT -> -nPost, statsT -> 1L,
-          dfPartsT -> nParts, bandsT -> -nBands, shinglesT -> -nSh,
+          dfPartsT -> nParts, passagesT -> -nPass, pstatsT -> 1L,
+          pdfPartsT -> nPParts, bandsT -> -nBands, shinglesT -> -nSh,
           dt -> 1L)
         val staged = Map(ct -> dCorpus, postingsT -> dPost,
-          bandsT -> dBands, shinglesT -> dSh)
+          passagesT -> dPass, bandsT -> dBands, shinglesT -> dSh)
         for ((p, d) <- staged)
           if (d != -expected(p)) throw new IllegalStateException(
             s"delete audit failed: $p staged $d deletions, expected " +
@@ -294,7 +312,10 @@ object IndexMaintenance {
             catch { case _: Throwable => () }
           }
           throw e
-      } finally { vPost.unpersist(); negParts.unpersist() }
+      } finally {
+        vPost.unpersist(); negParts.unpersist()
+        vPass.unpersist(); negPParts.unpersist()
+      }
       allTables.foreach(s.catalog.refreshByPath)
       TextIndex.writeNorms(s, read(postingsT), tp)
       s.catalog.refreshByPath(ct)
@@ -326,14 +347,20 @@ object IndexMaintenance {
       val postingsT = s"$tp/postings"
       val statsT = s"$tp/stats"
       val dfPartsT = s"$tp/dfparts"
+      val passagesT = s"$tp/passages"
+      val pstatsT = s"$tp/pstats"
+      val pdfPartsT = s"$tp/pdfparts"
       val bandsT = s"$dp/bands"
       val shinglesT = s"$dp/shingles"
-      val allTables = Seq(ct, postingsT, statsT, dfPartsT, bandsT, shinglesT)
+      val allTables = Seq(ct, postingsT, statsT, dfPartsT,
+        passagesT, pstatsT, pdfPartsT, bandsT, shinglesT)
 
       val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bPost = TextIndex.postingRows(b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bDfParts = TextIndex.dfPartRows(bPost)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bPass = TextIndex.passageRows(b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bSh = Dedup.shingleRows(b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -355,6 +382,9 @@ object IndexMaintenance {
         stage(bPost, postingsT)
         stage(TextIndex.statsRow(bPost), statsT)
         stage(bDfParts, dfPartsT)
+        stage(bPass, passagesT)
+        stage(TextIndex.pstatsRow(bPass), pstatsT)
+        stage(TextIndex.pdfPartRows(bPass), pdfPartsT)
         stage(bBands, bandsT)
         stage(bShRows, shinglesT)
         // ---- AUDIT (reads the staged state via VERSION AS OF 'wap:').
@@ -372,6 +402,8 @@ object IndexMaintenance {
         val expected = Map(
           ct -> b.count(), postingsT -> bPost.count(),
           statsT -> 1L, dfPartsT -> bDfParts.count(),
+          passagesT -> bPass.count(), pstatsT -> 1L,
+          pdfPartsT -> TextIndex.pdfPartRows(bPass).count(),
           bandsT -> bBands.count(), shinglesT -> bShRows.count())
         for (p <- allTables) {
           val grew = wapView(p).count() - pre(p)
@@ -388,7 +420,7 @@ object IndexMaintenance {
             catch { case _: Throwable => () }
           }
           b.unpersist(); bPost.unpersist(); bDfParts.unpersist()
-          bSh.unpersist()
+          bPass.unpersist(); bSh.unpersist()
           throw e
       }
       // ---- Norms re-materialize from the PERSISTED postings (index-
@@ -403,7 +435,8 @@ object IndexMaintenance {
       val fp = IndexFence.fingerprint(ct)
       IndexFence.write(tp, ct, fp)
       IndexFence.write(dp, ct, fp)
-      b.unpersist(); bPost.unpersist(); bDfParts.unpersist(); bSh.unpersist()
+      b.unpersist(); bPost.unpersist(); bDfParts.unpersist()
+      bPass.unpersist(); bSh.unpersist()
     }
 
   /** One STREAMING epoch's ingest, exactly-once under replay — the
@@ -451,7 +484,8 @@ object IndexMaintenance {
       // ingestAppend refuses it with the collision count — case 3.)
       val allTables = Seq(corpusTable(base),
         s"${textPath(base)}/postings", s"${textPath(base)}/stats",
-        s"${textPath(base)}/dfparts",
+        s"${textPath(base)}/dfparts", s"${textPath(base)}/passages",
+        s"${textPath(base)}/pstats", s"${textPath(base)}/pdfparts",
         s"${dedupPath(base)}/bands", s"${dedupPath(base)}/shingles")
       allTables.foreach { p => // case 2: clear any torn stage of THIS epoch
         try ManifestFileSink.wapDiscard(p, wapId)
@@ -538,10 +572,14 @@ object IndexMaintenance {
     val postingsT = s"$tp/postings"
     val statsT = s"$tp/stats"
     val dfPartsT = s"$tp/dfparts"
+    val passagesT = s"$tp/passages"
+    val pstatsT = s"$tp/pstats"
+    val pdfPartsT = s"$tp/pdfparts"
     val bandsT = s"$dp/bands"
     val shinglesT = s"$dp/shingles"
     val lt = ledgerTable(base)
-    val allTables = Seq(ct, postingsT, statsT, dfPartsT, bandsT, shinglesT, lt)
+    val allTables = Seq(ct, postingsT, statsT, dfPartsT,
+      passagesT, pstatsT, pdfPartsT, bandsT, shinglesT, lt)
     allTables.foreach { p => // clear any torn stage of THIS epoch
       try ManifestFileSink.wapDiscard(p, wapId)
       catch { case _: Throwable => () }
@@ -570,6 +608,8 @@ object IndexMaintenance {
       // ---- SIX-STAGE TRANSACTION over the admitted set.
       val bPost = TextIndex.postingRows(admitted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bPass = TextIndex.passageRows(admitted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bSh = Dedup.shingleRows(admitted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bBands = DedupIndex.bandTableRows(bSh)
@@ -591,6 +631,9 @@ object IndexMaintenance {
         stage(bPost, postingsT)
         stage(TextIndex.statsRow(bPost), statsT)
         stage(TextIndex.dfPartRows(bPost), dfPartsT)
+        stage(bPass, passagesT)
+        stage(TextIndex.pstatsRow(bPass), pstatsT)
+        stage(TextIndex.pdfPartRows(bPass), pdfPartsT)
         stage(bBands, bandsT)
         stage(bShRows, shinglesT)
         stage(ledgerRow, lt)
@@ -602,6 +645,8 @@ object IndexMaintenance {
         val expected = Map(
           ct -> nAdmitted, postingsT -> bPost.count(), statsT -> 1L,
           dfPartsT -> TextIndex.dfPartRows(bPost).count(),
+          passagesT -> bPass.count(), pstatsT -> 1L,
+          pdfPartsT -> TextIndex.pdfPartRows(bPass).count(),
           bandsT -> bBands.count(), shinglesT -> bShRows.count(), lt -> 1L)
         for (p <- allTables) {
           val grew = wapView(p).count() - pre(p)
@@ -618,8 +663,8 @@ object IndexMaintenance {
           }
           throw e
       } finally {
-        bPost.unpersist(); bSh.unpersist(); bshAll.unpersist()
-        admitted.unpersist()
+        bPost.unpersist(); bPass.unpersist(); bSh.unpersist()
+        bshAll.unpersist(); admitted.unpersist()
       }
       s.catalog.refreshByPath(postingsT)
       TextIndex.writeNorms(s,
@@ -691,7 +736,8 @@ object IndexMaintenance {
     // Postings AND df-partials fold back to one file per term bucket.
     // The dfparts fold moves rows, never merges them — a term's partial
     // rows stay distinct and serve's SUM is unchanged by construction.
-    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts"))
+    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts",
+        s"${textPath(base)}/passages", s"${textPath(base)}/pdfparts"))
       if (ManifestFileSink.publishedManifestCount(t) > 1) {
         ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
         s.catalog.refreshByPath(t)
@@ -736,7 +782,8 @@ object IndexMaintenance {
     * per bucket. */
   def textIndexVacuum: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = maintained(s, dir)
-    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts")) {
+    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts",
+        s"${textPath(base)}/passages", s"${textPath(base)}/pdfparts")) {
       if (ManifestFileSink.publishedManifestCount(t) > 1) {
         ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
         s.catalog.refreshByPath(t)

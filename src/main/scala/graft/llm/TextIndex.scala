@@ -73,8 +73,20 @@ object TextIndex {
     * persistent /tmp carries across runs — forces one clean rebuild in
     * [[buildFrom]]; serving a legacy layout would either join a second
     * `df` onto postings that already store one (the round-15
-    * AMBIGUOUS_REFERENCE) or miss the dfparts table entirely. */
-  private[llm] val LayoutVersion = 3
+    * AMBIGUOUS_REFERENCE) or miss the dfparts table entirely.
+    * v4 (r17, verdict-r16 #6) adds the PASSAGE tables — `passages`
+    * (chunk-grain postings `tok, tb, doc_id, chunk_idx, dl, tf` over
+    * the 32/24 sliding windows), `pstats` (per-segment chunk count +
+    * length mass) and `pdfparts` (per-segment chunk-frequency partials)
+    * — so max-passage retrieval serves from probed buckets instead of
+    * re-chunking the corpus per query. */
+  private[llm] val LayoutVersion = 4
+
+  /** Passage window geometry — [[graft.llm.TextAnalysis.passageBm25]]'s
+    * 32-token chunks on a 24-token stride, shared so the index build
+    * and the in-query entry can never disagree. */
+  private[llm] val ChunkLen = 32
+  private[llm] val Stride = 24
 
   private def fmt = classOf[ManifestFileSink].getName
 
@@ -144,6 +156,41 @@ object TextIndex {
   private[llm] def dfPartRows(postings: DataFrame): DataFrame =
     postings.groupBy(col("tok"), col("tb")).agg(count(lit(1)).as("dfp"))
 
+  /** One corpus slice's CHUNK-grain posting rows — `(tok, tb, doc_id,
+    * chunk_idx, dl, tf)`, one row per (chunk, term): the 32/24 sliding
+    * windows of [[graft.llm.TextAnalysis.passageBm25]], exploded to an
+    * inverted index over ALL tokens so ANY query's passages serve from
+    * probed term buckets. Every document yields ≥1 chunk (an empty
+    * text still splits to one token), so chunk coverage equals corpus
+    * coverage — the audit grain. */
+  private[llm] def passageRows(docs: DataFrame): DataFrame =
+    docs.withColumn("wl", split(col("text"), " "))
+      .select(col("doc_id"), col("wl"),
+        posexplode(filter(sequence(lit(0), size(col("wl")) - 1),
+          st => st % Stride === 0)).as(Seq("chunk_idx", "st")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("wl"), col("st") + 1, lit(ChunkLen)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("dl"),
+        explode(col("cw")).as("tok"))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), tb(col("tok")).as("tb"), col("doc_id"),
+        col("chunk_idx"), col("dl"), col("tf"))
+
+  /** One segment's chunk-grain stats row — `(n_chunks, sum_dl)` over
+    * the segment's distinct chunks. Folds across segments like
+    * [[statsRow]]; a retraction appends the negated row. */
+  private[llm] def pstatsRow(passages: DataFrame): DataFrame =
+    passages.select(col("doc_id"), col("chunk_idx"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
+
+  /** One segment's chunk-frequency partials — `(tok, tb, dfp)` where
+    * dfp = this segment's CHUNK count for the term (rows are unique per
+    * (chunk, term), so partials sum exactly; retractions negate). */
+  private[llm] def pdfPartRows(passages: DataFrame): DataFrame =
+    passages.groupBy(col("tok"), col("tb")).agg(count(lit(1)).as("dfp"))
+
   /** Build over an explicit corpus (the managed-corpus maintenance path
     * fences on its OWN table; the classic path fences on the testdata
     * parquet). */
@@ -153,6 +200,9 @@ object TextIndex {
     val statsPath = s"$path/stats"
     val normsPath = s"$path/norms"
     val dfPartsPath = s"$path/dfparts"
+    val passagesPath = s"$path/passages"
+    val pstatsPath = s"$path/pstats"
+    val pdfPartsPath = s"$path/pdfparts"
     val built = Files.isDirectory(Paths.get(postingsPath)) && {
       val l = Files.list(Paths.get(postingsPath))
       try l.iterator().hasNext finally l.close()
@@ -168,10 +218,9 @@ object TextIndex {
         Files.isDirectory(Paths.get(normsPath))) return
     if (built) {
       s.catalog.refreshByPath(fenceCorpus)
-      IndexFence.rmTree(Paths.get(postingsPath))
-      IndexFence.rmTree(Paths.get(statsPath))
-      IndexFence.rmTree(Paths.get(normsPath))
-      IndexFence.rmTree(Paths.get(dfPartsPath))
+      for (t <- Seq(postingsPath, statsPath, normsPath, dfPartsPath,
+          passagesPath, pstatsPath, pdfPartsPath))
+        IndexFence.rmTree(Paths.get(t))
       IndexFence.clear(path)
     }
     val fp = IndexFence.fingerprint(fenceCorpus)
@@ -187,6 +236,19 @@ object TextIndex {
     ManifestFileSink.setPartitionColumn(dfPartsPath, "tb")
     dfPartRows(tf)
       .write.format(fmt).option("path", dfPartsPath).mode("append").save()
+    // Passage (chunk-grain) tables — the max-passage retrieval layer.
+    val ptf = passageRows(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Files.createDirectories(Paths.get(passagesPath))
+    ManifestFileSink.setPartitionColumn(passagesPath, "tb")
+    ptf.write.format(fmt).option("path", passagesPath).mode("append").save()
+    pstatsRow(ptf).coalesce(1)
+      .write.format(fmt).option("path", pstatsPath).mode("append").save()
+    Files.createDirectories(Paths.get(pdfPartsPath))
+    ManifestFileSink.setPartitionColumn(pdfPartsPath, "tb")
+    pdfPartRows(ptf)
+      .write.format(fmt).option("path", pdfPartsPath).mode("append").save()
+    ptf.unpersist(blocking = true)
     writeNorms(s, tf, path)
     tf.unpersist(blocking = true)
     // Layout tag before the fence; fence LAST stays the commit point —
@@ -392,6 +454,64 @@ object TextIndex {
       .limit(20)
   }
 
+  /** MAX-PASSAGE BM25 served ENTIRELY from the persisted index — the
+    * production shape of [[TextAnalysis.passageBm25]], which re-chunks
+    * the corpus on every query; here the chunk generation happened ONCE
+    * at build (the `passages` table) and a query pays |terms| probed
+    * term buckets + two slim stat folds. Scoring is bit-identical to
+    * the in-query entry: the per-chunk tf pivot restores the exact
+    * integers (a stored row exists iff tf > 0 — the pivot's zero-fill
+    * matches the in-query zero counts), df folds from the stored
+    * chunk-frequency partials, n/sum_dl from the per-segment stats
+    * rows, and the score is the SAME fixed left-associated three-term
+    * double chain — so the same DuckDB oracle replays the ranking while
+    * the plan opens only probed bucket files.
+    *
+    * At 100 TB: candidate chunks = chunks containing ≥1 query term
+    * (probed buckets only, never a corpus re-chunk); the doc fold is
+    * the one shuffle; top-20 is a bounded heap. */
+  def servePassages(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    refuseStale(path)
+    val buckets = probedBuckets(s, terms)
+    val probed = s.read.format(fmt).option("path", s"$path/passages").load()
+      .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+    val tfAggs = terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("tf"))), lit(0L)).as(s"tf_$t"))
+    val m = probed.groupBy(col("doc_id"), col("chunk_idx"), col("dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val stats = s.read.format(fmt).option("path", s"$path/pstats").load()
+      .agg(sum(col("n_chunks")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+    val dfWide = terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("df"))), lit(0L)).as(s"df_$t"))
+    val dfRow = s.read.format(fmt).option("path", s"$path/pdfparts").load()
+      .filter(col("tb").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(sum(col("dfp")).as("df"))
+      .filter(col("df") > 0)
+      .agg(dfWide.head, dfWide.tail: _*)
+    val g = stats.crossJoin(dfRow)
+    val scored = m.crossJoin(broadcast(g))
+    // The EXACT passageBm25 term chain over the restored integers.
+    val termSc = terms.map { t =>
+      when(col(s"tf_$t") > 0,
+        ((col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))) *
+          (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(1.2) *
+            (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / (col("sum_dl").cast("double") / col("n")))))
+        .otherwise(lit(0.0))
+    }
+    scored
+      .withColumn("sc", round(termSc.reduceLeft(_ + _), 6))
+      .filter(col("sc") > 0)
+      .groupBy(col("doc_id"))
+      .agg(max(col("sc")).as("bm25_passage"),
+        max_by(col("chunk_idx"), struct(col("sc"), -col("chunk_idx")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("bm25_passage"))
+      .orderBy(col("bm25_passage").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Oracle-gated entry: build-once then serve the standard query — the
     * results are bit-identical to [[TextAnalysis.bm25]] (same integers,
     * same expression tree), so the same DuckDB oracle replays it while
@@ -412,11 +532,24 @@ object TextIndex {
     serveHybrid(s, path, Seq("dup", "spark", "window"))
   }
 
+  /** Oracle-gated passage entry: same contract, replaying
+    * [[TextAnalysis.passageBm25Sql]] against the persisted chunk-grain
+    * layout. */
+  def textPassageIndexServe: (SparkSession, String) => DataFrame = (s, dir) => {
+    val path = indexPath(dir)
+    build(s, dir, path)
+    servePassages(s, path, Seq("dup", "spark", "window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_index_serve" -> textIndexServe,
-    "text_hybrid_index_serve" -> textHybridIndexServe)
+    "text_hybrid_index_serve" -> textHybridIndexServe,
+    "text_passage_index_serve" -> textPassageIndexServe)
 
   val oracleSql: Map[String, String] = Map(
     "text_index_serve" -> TextAnalysis.bm25Sql,
-    "text_hybrid_index_serve" -> TextAnalysis.rrfFusionSql)
+    "text_hybrid_index_serve" -> TextAnalysis.rrfFusionSql,
+    // The passage sibling replays the in-query max-passage oracle while
+    // the plan reads probed buckets of the persisted chunk index.
+    "text_passage_index_serve" -> TextAnalysis.passageBm25Sql)
 }

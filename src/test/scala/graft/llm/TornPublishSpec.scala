@@ -183,9 +183,10 @@ class TornPublishSpec extends SparkTestBase {
     val batch = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 13 === 6)
     val wapId = "ingest-e0"
-    // Replicate ingestAppend's six stages, then crash after publishing
+    // Replicate ingestAppend's nine stages, then crash after publishing
     // only the first two tables.
     val bPost = TextIndex.postingRows(batch)
+    val bPass = TextIndex.passageRows(batch)
     val bSh = Dedup.shingleRows(batch)
     def stage(df: DataFrame, p: String): Unit =
       df.write.format(fmt).option("path", p).option("wap-id", wapId)
@@ -194,6 +195,9 @@ class TornPublishSpec extends SparkTestBase {
     stage(bPost, s"$tp/postings")
     stage(TextIndex.statsRow(bPost), s"$tp/stats")
     stage(TextIndex.dfPartRows(bPost), s"$tp/dfparts")
+    stage(bPass, s"$tp/passages")
+    stage(TextIndex.pstatsRow(bPass), s"$tp/pstats")
+    stage(TextIndex.pdfPartRows(bPass), s"$tp/pdfparts")
     stage(DedupIndex.bandTableRows(bSh), s"$dp/bands")
     stage(DedupIndex.shingleTableRows(bSh), s"$dp/shingles")
     ManifestFileSink.wapPublish(ct, wapId)
