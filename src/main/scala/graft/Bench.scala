@@ -77,15 +77,22 @@ object Bench {
     // ritual). Hoisted above the measure loop because the suspect
     // trigger (verdict-r14 #2, BenchNorm.isSuspect) needs the anchor's
     // per-query mins WHILE measuring, not just in the closing gate.
-    val anchor: Option[(String, java.nio.file.Path)] = try {
+    // TWO anchors (verdict-r16 #4): the newest snapshot AND the one
+    // before it. Diffing only against the newest lets intra-round drift
+    // bake into the next anchor unseen — anything that moved between
+    // the previous round's anchor and this round's opening snapshot was
+    // invisible to both gates forever after. The second diff closes
+    // that blind spot.
+    val anchors: Seq[(String, java.nio.file.Path)] = try {
       val dir = java.nio.file.Paths.get(".")
       val rx = "bench_full_r(\\d+)\\.json".r
       val snaps = java.nio.file.Files.list(dir).toArray.toSeq
         .map(_.toString.stripPrefix("./"))
         .collect { case s @ rx(n) => (n.toInt, s) }
-      snaps.sortBy(-_._1).headOption
+      snaps.sortBy(-_._1).take(2)
         .map { case (n, s) => (s"r$n", java.nio.file.Paths.get(s)) }
-    } catch { case _: Throwable => None }
+    } catch { case _: Throwable => Seq.empty }
+    val anchor: Option[(String, java.nio.file.Path)] = anchors.headOption
     val anchorMins: Map[String, Double] = anchor.map(_._2).filter(p =>
       java.nio.file.Files.exists(p)).map { p =>
       val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -288,11 +295,11 @@ object Bench {
     // the `anchor` snapshot detected above the measure loop (without
     // it, a plan change early in a round rebaselines bench_full.json
     // and the round-over-round move is never flagged — judge-r11).
-    val crossRegs = anchor.map { case (lbl, p) => lbl -> regressionsVs(p) }
+    val crossRegs = anchors.map { case (lbl, p) => lbl -> regressionsVs(p) }
     val regsJson = regressions.mkString("[", ",", "]")
     val crossJson = crossRegs.map { case (lbl, rs) =>
       s""","regressions_vs_$lbl":${rs.mkString("[", ",", "]")}"""
-    }.getOrElse("")
+    }.mkString
     val tlJson = timeline.map { case (t, v) =>
       s"[${math.rint(t * 1000) / 1000},${math.rint(v * 1e6) / 1e6}]"
     }.mkString("[", ",", "]")
@@ -333,7 +340,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val crossN = crossRegs.map { case (lbl, rs) =>
       s""","regressions_vs_${lbl}_n":${rs.size}"""
-    }.getOrElse("")
+    }.mkString
     println(s"""{"metric":"total","value":$total,"med_total":$medTotal,"canary":$canary,"unit":"sec","sf":"$sfDir","queries_n":${results.size},"regressions_n":${regressions.size}$crossN,"full":"${baselinePath.getFileName}"}""")
     spark.stop()
   }

@@ -1623,13 +1623,14 @@ object Analytic {
     * the equal-count certifier. All three metrics are int64, so every
     * comparison is exact in both engines. */
   def qRfmSegmentsCut: Q = (s, dir) => {
-    // Customer-grain survivor set, CUT: rfmCustomer ends in a broadcast
-    // cross-join (the ref-date row) — the kernel contract's
-    // "broadcast-scored rows" class — so its two consumers (the unpivot
-    // fold and the final bucketing pass) re-ran the ref-date scan and
-    // the aggregate finish otherwise (r17 call-site audit; 1.73× drift,
-    // r16 verdict).
-    val cust = Lineage.cut(rfmCustomer(s, dir))
+    // NOT cut (r17 call-site audit, measured A/B): rfmCustomer ends in
+    // a broadcast cross-join (the contract's broadcast-scored class),
+    // so its two consumers re-run the ref-date scan + aggregate finish
+    // — but both re-runs are vectorized scans over two orders columns
+    // with exchange reuse under them, and the customer-grain
+    // materialization measured slower than paying them (2.3 s vs 1.8 s
+    // isolated at sf0.1) — the [[Lineage]] exception.
+    val cust = rfmCustomer(s, dir)
     val B = s.sessionState.conf.numShufflePartitions
     // All nine quartile cutpoints from ONE grouped-kernel invocation:
     // the three metrics unpivot to (metric ordinal, value) rows and

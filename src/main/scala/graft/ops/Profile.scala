@@ -405,13 +405,15 @@ object Profile {
     * Everything stays exact int64; output is cents. */
   def qMadGroup: Q = (s, dir) => {
     val B = s.sessionState.conf.numShufflePartitions
-    // Slim fact projection, CUT: three consumers (inner-median fold,
-    // deviation fold, labels) each re-scanned orders otherwise (r17
-    // call-site audit; 1.41x drift, r16 verdict).
-    val o = Lineage.cut(Tables(s, dir).orders
+    // NOT cut (r17 call-site audit, measured A/B): three consumers
+    // re-scan orders, but the upstream is a bare two-column vectorized
+    // projection — the [[Lineage]] exception — and materializing the
+    // fact-grain rows measured SLOWER than the re-scans (5.3 s vs 3.3 s
+    // isolated at sf0.1).
+    val o = Tables(s, dir).orders
       .select(substring(col("o_orderpriority"), 1, 1).cast("int").minus(1).as("g"),
         col("o_orderpriority").as("priority"),
-        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v")))
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
     val med = DistributedCumulate.exactDiscCutsGrouped(
       o, "g", "v", Seq(0.5 -> "med_cents"), B, gMax = 5)
     val dev = o.join(broadcast(med), "g")
@@ -568,13 +570,13 @@ object Profile {
     * division. No per-group sort anywhere. */
   def qTrimmedMeanGroup: Q = (s, dir) => {
     val B = s.sessionState.conf.numShufflePartitions
-    // Slim fact projection, CUT: the kernel's fold and the trimmed
-    // sum/count both re-scanned orders otherwise (r17 call-site audit;
-    // 1.62x drift, r16 verdict).
-    val o = Lineage.cut(Tables(s, dir).orders
+    // NOT cut (r17 call-site audit): both consumers re-scan orders, a
+    // bare two-column vectorized projection — the [[Lineage]] exception;
+    // the A/B measured the cut as no better than the re-scan.
+    val o = Tables(s, dir).orders
       .select(substring(col("o_orderpriority"), 1, 1).cast("int").minus(1).as("g"),
         col("o_orderpriority").as("priority"),
-        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v")))
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
     val cuts = DistributedCumulate.exactDiscCutsGrouped(
       o, "g", "v", Seq(0.1 -> "p10", 0.9 -> "p90"), B, gMax = 5)
     o.join(broadcast(cuts), "g")
