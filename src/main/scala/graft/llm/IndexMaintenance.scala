@@ -875,9 +875,59 @@ object IndexMaintenance {
       Tables(s, dir).documents.filter(col("doc_id") % 13 === ProbeClass))
   }
 
+  /** The PURGE maintenance verb — the copy-on-write half of the delete
+    * story (deletion vectors are merge-on-read: every scan pays the
+    * mask until the files fold). [[ManifestFileSink.applyDeletes]]
+    * streams each DV-touched file once into a replacement with the dead
+    * rows dropped, supersedes the history, and leaves the originals for
+    * [[ManifestFileSink.vacuum]]; content is unchanged by construction,
+    * so serve is hash-identical and the fences simply re-advance to the
+    * purged chain (the purge IS maintained drift). The vector sibling's
+    * trained-over marker is left alone: it already mismatched at the
+    * delete (by design — the retrain door), and a purge changes no
+    * content the centroids could retrain differently over.
+    *
+    * At 100 TB: purge cost is one streamed rewrite of ONLY the files
+    * the vectors touch (victim-window locality keeps that a small
+    * fraction), amortized over however many deletes accumulated;
+    * after it, scans stop paying the mask and vacuum reclaims the
+    * originals' bytes. */
+  def purgeDeletes(s: SparkSession, base: String): Int = synchronized {
+    val ct = corpusTable(base)
+    val tp = textPath(base)
+    val dp = dedupPath(base)
+    recoverTorn(s, base)
+    val tables = Seq(ct, s"$tp/postings", s"$tp/passages",
+      s"$dp/bands", s"$dp/shingles")
+    val purged = tables.map { t =>
+      val n = ManifestFileSink.applyDeletes(t)
+      ManifestFileSink.vacuum(t, olderThanMs = 0L)
+      s.catalog.refreshByPath(t)
+      n
+    }.sum
+    if (purged > 0) {
+      s.catalog.refreshByPath(ct)
+      val fp = IndexFence.fingerprint(ct)
+      IndexFence.write(tp, ct, fp)
+      IndexFence.write(dp, ct, fp)
+    }
+    purged
+  }
+
+  /** Oracle-gated: serve after delete-then-PURGE — the same survivor
+    * universe as `text_index_delete` (purge preserves every surviving
+    * row by construction), with the plan now reading rewritten files
+    * that carry NO deletion vectors. */
+  def textIndexPurge: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintainedDeleted(s, dir)
+    purgeDeletes(s, base)
+    TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_index_append" -> textIndexAppend,
     "text_index_delete" -> textIndexDelete,
+    "text_index_purge" -> textIndexPurge,
     "dedup_index_delete" -> dedupIndexDelete,
     "dedup_index_append" -> dedupIndexAppend,
     "text_index_compact" -> textIndexCompact,
@@ -941,6 +991,8 @@ object IndexMaintenance {
     // Serve over corpus-minus-deleted: DuckDB recomputes the whole
     // universe; the plan reads masked postings + folded negatives.
     "text_index_delete" -> textIndexDeleteSql,
+    // Purge preserves every surviving row: the delete oracle replays it.
+    "text_index_purge" -> textIndexDeleteSql,
     "dedup_index_delete" -> dedupIndexDeleteSql,
     // The maintained corpus is exactly %13 ≠ 5 — the same universe the
     // standalone serve entry replays.

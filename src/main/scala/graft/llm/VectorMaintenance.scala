@@ -672,6 +672,39 @@ object VectorMaintenance {
     VectorIndex.serve(s, vecPath(base), nprobe = 1)
   }
 
+  /** PURGE for the vector base — [[IndexMaintenance.purgeDeletes]]'s
+    * two-table form. */
+  def purgeDeletes(s: SparkSession, base: String): Int = synchronized {
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    recoverTorn(s, base)
+    val purged = Seq(ct, s"$ip/assigned").map { t =>
+      val n = ManifestFileSink.applyDeletes(t)
+      ManifestFileSink.vacuum(t, olderThanMs = 0L)
+      s.catalog.refreshByPath(t)
+      n
+    }.sum
+    if (purged > 0) {
+      s.catalog.refreshByPath(ct)
+      IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
+    }
+    purged
+  }
+
+  /** Oracle-gated: serve after delete-then-PURGE — the delete oracle
+    * replays it (purge preserves every surviving row). */
+  def vecIndexPurge: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = ensureBaseAt(s, dir, deleteBasePath(dir))
+    if (!batchApplied(s, base)) {
+      ingestAppend(s, base,
+        Tables(s, dir).embeddings.filter(col("vec_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(corpusTable(base))
+    }
+    deleteRange(s, base, IndexMaintenance.DelLo, IndexMaintenance.DelHi)
+    purgeDeletes(s, base)
+    VectorIndex.serve(s, vecPath(base), nprobe = 1)
+  }
+
   val vecIndexDeleteSql: String =
     s"""WITH ${Similarity.normalizedSql},
        |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
@@ -809,6 +842,7 @@ object VectorMaintenance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_index_append" -> vecIndexAppend,
     "vec_index_delete" -> vecIndexDelete,
+    "vec_index_purge" -> vecIndexPurge,
     "vec_index_compact" -> vecIndexCompact,
     "vec_index_retrain" -> vecIndexRetrain,
     "vec_consistency_audit" -> vecConsistencyAudit)
@@ -817,6 +851,8 @@ object VectorMaintenance {
     "vec_index_append" -> vecIndexAppendSql,
     // Serve over corpus-minus-deleted under base-trained centroids.
     "vec_index_delete" -> vecIndexDeleteSql,
+    // Purge preserves every surviving row: the delete oracle replays it.
+    "vec_index_purge" -> vecIndexDeleteSql,
     // Compaction preserves every assignment row, so the append oracle
     // replays the compacted serve unchanged.
     "vec_index_compact" -> vecIndexAppendSql,

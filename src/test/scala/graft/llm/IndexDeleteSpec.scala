@@ -120,6 +120,49 @@ class IndexDeleteSpec extends SparkTestBase {
       .isEmpty, "netted partials must equal survivor document frequency")
   }
 
+  test("purge folds the vectors copy-on-write: serve hash-unchanged, masks gone") {
+    val dir = freshDir()
+    val base = maintainedBase(dir)
+    val ct = IndexMaintenance.corpusTable(base)
+    val tp = IndexMaintenance.textPath(base)
+    assert(IndexMaintenance.deleteRange(spark, base, 100L, 300L) > 0)
+    val servedMasked = TextIndex.serve(spark, tp, Seq("dup", "spark", "window"))
+      .collect().toSeq
+    def dataBytes(p: String): Long = {
+      val d = new java.io.File(p, "data")
+      if (!d.isDirectory) 0L else d.listFiles().map(_.length).sum
+    }
+    val preBytes = dataBytes(ct)
+    assert(IndexMaintenance.purgeDeletes(spark, base) > 0,
+      "the purge must rewrite at least one DV-touched file")
+    // Content preserved exactly; fence re-advanced; bytes reclaimed.
+    assert(TextIndex.serve(spark, tp, Seq("dup", "spark", "window"))
+      .collect().toSeq === servedMasked)
+    assert(IndexFence.staleness(tp).contains(false))
+    assert(dataBytes(ct) < preBytes,
+      "vacuum after the purge must reclaim the originals' bytes")
+    assert(readT(ct).filter(col("doc_id") >= 100 && col("doc_id") < 300).isEmpty)
+    // Idempotent: nothing left to fold.
+    assert(IndexMaintenance.purgeDeletes(spark, base) === 0)
+    // And a replayed delete window still no-ops (victims physically gone).
+    assert(IndexMaintenance.deleteRange(spark, base, 100L, 300L) === 0L)
+  }
+
+  test("vector purge: serve hash-unchanged, fence fresh, idempotent") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBaseAt(spark, dir, tmpBase("vecp"))
+    val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
+    VectorMaintenance.ingestAppend(spark, base,
+      embAll.filter(col("vec_id") % 13 === 6))
+    assert(VectorMaintenance.deleteRange(spark, base, 100L, 300L) > 0)
+    val ip = VectorMaintenance.vecPath(base)
+    val servedMasked = VectorIndex.serve(spark, ip, 1).collect().toSeq
+    assert(VectorMaintenance.purgeDeletes(spark, base) > 0)
+    assert(VectorIndex.serve(spark, ip, 1).collect().toSeq === servedMasked)
+    assert(IndexFence.staleness(ip).contains(false))
+    assert(VectorMaintenance.purgeDeletes(spark, base) === 0)
+  }
+
   test("vector delete: serve ≡ frozen-centroid assignment over survivors") {
     val dir = freshDir()
     val base = VectorMaintenance.ensureBaseAt(spark, dir, tmpBase("vec"))
