@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytic.queries ++ Subqueries.queries ++ Extended.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Curation.queries ++ TextIndex.queries ++ DedupIndex.queries ++ IndexMaintenance.queries ++ VectorMaintenance.queries ++ graft.streaming.StreamingIngest.queries ++ graft.streaming.CurationStream.queries ++ graft.streaming.VectorStream.queries ++
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Curation.queries ++ TextIndex.queries ++ DedupIndex.queries ++ IndexMaintenance.queries ++ VectorMaintenance.queries ++ graft.streaming.StreamingIngest.queries ++ graft.streaming.CurationStream.queries ++ graft.streaming.VectorStream.queries ++ graft.streaming.TakedownStream.queries ++
       Multimodal.queries ++ graft.functions.Udfs.queries ++ graft.plans.PlanOps.queries ++
       Layout.queries ++ Mutation.queries ++ Graph.queries ++ ProductQuantization.queries ++
       Profile.queries ++ Incremental.queries ++ TpchBreadth.queries
@@ -29,7 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytic.oracles ++ Subqueries.oracles ++ Extended.oracles ++
-      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++ Curation.oracleSql ++ TextIndex.oracleSql ++ DedupIndex.oracleSql ++ IndexMaintenance.oracleSql ++ VectorMaintenance.oracleSql ++ graft.streaming.StreamingIngest.oracleSql ++ graft.streaming.CurationStream.oracleSql ++ graft.streaming.VectorStream.oracleSql ++
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++ Curation.oracleSql ++ TextIndex.oracleSql ++ DedupIndex.oracleSql ++ IndexMaintenance.oracleSql ++ VectorMaintenance.oracleSql ++ graft.streaming.StreamingIngest.oracleSql ++ graft.streaming.CurationStream.oracleSql ++ graft.streaming.VectorStream.oracleSql ++ graft.streaming.TakedownStream.oracleSql ++
       Multimodal.oracles ++ graft.functions.Udfs.oracles ++ graft.plans.PlanOps.oracles ++
       Layout.oracles ++ Mutation.oracles ++ Graph.oracles ++ ProductQuantization.oracles ++
       Profile.oracles ++ Incremental.oracles ++ TpchBreadth.oracles

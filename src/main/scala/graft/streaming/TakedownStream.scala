@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.llm.{IndexMaintenance, TextIndex}
+
+/** STREAMING takedowns — the delete verb's arrival path, closing the
+  * stream × verb matrix ([[StreamingIngest]] delivers appends,
+  * [[CurationStream]] gated appends; this delivers RETRACTIONS): delete
+  * windows arrive as a checkpointed file stream (one takedown order per
+  * file, `(del_lo, del_hi)` rows), and each micro-batch applies its
+  * windows through [[IndexMaintenance.deleteRange]] — the ten-table WAP
+  * retraction transaction, unchanged.
+  *
+  * Exactly-once under replay comes from the verb itself: a replayed
+  * window finds only masked victims and no-ops (the deletion vectors
+  * ARE the applied-marker, the way corpus membership is for appends),
+  * and the retraction ledger records each applied window exactly once
+  * because deleteRange only stages a ledger row when victims exist.
+  * A crash inside a window's transaction recovers by the standard
+  * roll-forward/discard machinery one layer down.
+  *
+  * At 100 TB this is the production takedown feed: legal/GDPR orders
+  * arrive continuously, each costs one victim-window-bounded
+  * transaction, and the corpus never pays a rebuild. Epoch ordering is
+  * NOT load-bearing here (unlike the gated curation chain): deletes of
+  * disjoint windows commute, so file-arrival order can be anything. */
+object TakedownStream {
+
+  private val AppendClass = 6
+
+  def basePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_takedown", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** Stage the takedown orders once: TWO window files — `[100, 200)`
+    * and `[200, 300)` — whose union is the standard retraction window,
+    * so the streamed end state replays the batch delete entry's oracle
+    * exactly. `_SUCCESS` gates a torn write. */
+  private[streaming] def ensureOrderFiles(s: SparkSession, base: String): String = {
+    val ep = s"$base/orders"
+    if (!Files.isRegularFile(Paths.get(ep, "_SUCCESS"))) {
+      graft.llm.IndexFence.rmTree(Paths.get(ep))
+      import s.implicits._
+      Seq((100L, 200L), (200L, 300L)).toDF("del_lo", "del_hi")
+        .repartitionByRange(2, col("del_lo"))
+        .write.mode("overwrite").parquet(ep)
+    }
+    ep
+  }
+
+  /** Apply one micro-batch of takedown orders. Windows inside a batch
+    * apply in (del_lo, del_hi) order for determinism; the bounded
+    * collect is the order list itself — takedown feeds are
+    * metadata-grain by nature (a window per legal order, never per
+    * document). Returns windows that retracted anything. */
+  private def applyOrders(s: SparkSession, base: String, batch: DataFrame): Long =
+    batch.select(col("del_lo"), col("del_hi")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+      .count { case (lo, hi) =>
+        IndexMaintenance.deleteRange(s, base, lo, hi) > 0
+      }
+
+  /** Drain the takedown backlog. Returns windows that applied (0 on a
+    * fully-caught-up restart). */
+  def runTakedowns(s: SparkSession, dir: String, base: String): Long = {
+    val ep = ensureOrderFiles(s, base)
+    val applied = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = s.readStream
+      .schema(s.read.parquet(ep).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ep)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applied.addAndGet(applyOrders(s, base, batch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
+  /** Oracle-gated: BM25 serve after the takedown stream drains — the
+    * base is built + class-6 appended (the maintained universe), then
+    * the two streamed windows retract `[100, 300)` in two per-window
+    * WAP transactions, so the batch delete entry's oracle replays the
+    * end state exactly. Re-runs drain an empty backlog, find masked
+    * victims, and serve — idempotent. */
+  def textTakedownStream: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = IndexMaintenance.ensureBaseAt(s, dir, basePath(dir))
+    if (!IndexMaintenance.batchApplied(s, base)) {
+      IndexMaintenance.ingestAppend(s, base,
+        graft.sources.Tables(s, dir).documents
+          .filter(col("doc_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(IndexMaintenance.corpusTable(base))
+    }
+    runTakedowns(s, dir, base)
+    TextIndex.serve(s, IndexMaintenance.textPath(base),
+      Seq("dup", "spark", "window"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_takedown_stream" -> textTakedownStream)
+
+  val oracleSql: Map[String, String] = Map(
+    "text_takedown_stream" -> IndexMaintenance.textIndexDeleteSql)
+}

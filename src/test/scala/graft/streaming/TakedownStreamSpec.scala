@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.llm.{IndexFence, IndexMaintenance, TextIndex}
+import graft.sources.ManifestFileSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The takedown STREAM: delete windows delivered through a checkpointed
+  * file source, each applied via the ten-table WAP retraction — replays
+  * no-op on masked victims, a mid-stream kill/restart converges to the
+  * batch delete's exact end state, and a caught-up re-run retracts
+  * nothing. */
+class TakedownStreamSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def fmt = classOf[ManifestFileSink].getName
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-takedown-dir").toString
+    for (t <- Seq("documents", "embeddings"))
+      spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$d/$t.parquet")
+    d
+  }
+
+  private def maintainedBase(dir: String): String = {
+    val base = IndexMaintenance.ensureBaseAt(spark, dir,
+      Files.createTempDirectory("graft-takedown-base").toString)
+    IndexMaintenance.ingestAppend(spark, base,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 13 === 6))
+    base
+  }
+
+  test("streamed takedowns converge to the batch delete's end state") {
+    val dir = freshDir()
+    val base = maintainedBase(dir)
+    assert(TakedownStream.runTakedowns(spark, dir, base) === 2L)
+    val tp = IndexMaintenance.textPath(base)
+    assert(IndexFence.staleness(tp).contains(false))
+    // End state ≡ ONE batch delete of the union window.
+    val ref = maintainedBase(dir)
+    assert(IndexMaintenance.deleteRange(spark, ref, 100L, 300L) > 0)
+    val terms = Seq("dup", "spark", "window")
+    assert(TextIndex.serve(spark, tp, terms).collect().toSeq ===
+      TextIndex.serve(spark, IndexMaintenance.textPath(ref), terms)
+        .collect().toSeq)
+    // The ledger recorded the two windows, once each.
+    val dels = spark.read.format(fmt)
+      .option("path", IndexMaintenance.delsTable(base)).load()
+      .orderBy(col("del_lo")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dels === Seq((100L, 200L), (200L, 300L)))
+    // Caught-up re-run: drains nothing, retracts nothing.
+    assert(TakedownStream.runTakedowns(spark, dir, base) === 0L)
+  }
+
+  test("mid-stream kill + restart replays the edge window as a no-op") {
+    val dir = freshDir()
+    val base = maintainedBase(dir)
+    val ep = TakedownStream.ensureOrderFiles(spark, base)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(spark.read.parquet(ep).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ep)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("del_lo"), col("del_hi")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+          .foreach { case (lo, hi) =>
+            IndexMaintenance.deleteRange(spark, base, lo, hi) }
+        // Kill AFTER the first window applied but BEFORE the
+        // checkpoint acks it — the restart must replay it.
+        if (seen.incrementAndGet() == 1)
+          throw new RuntimeException("simulated mid-stream kill")
+        ()
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    // Restart drains the backlog: the replayed window no-ops (masked
+    // victims), the unprocessed one applies — at most one window can
+    // still retract.
+    assert(TakedownStream.runTakedowns(spark, dir, base) <= 1L)
+    val dels = spark.read.format(fmt)
+      .option("path", IndexMaintenance.delsTable(base)).load()
+      .orderBy(col("del_lo")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dels === Seq((100L, 200L), (200L, 300L)),
+      "each window's ledger row must appear exactly once across the replay")
+    val ct = IndexMaintenance.corpusTable(base)
+    assert(spark.read.format(fmt).option("path", ct).load()
+      .filter(col("doc_id") >= 100 && col("doc_id") < 300).isEmpty)
+  }
+}
