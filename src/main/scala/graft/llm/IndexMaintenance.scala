@@ -924,8 +924,41 @@ object IndexMaintenance {
     TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
   }
 
+  /** Oracle-gated: the consistency audit run over the POST-delete base
+    * — every folded statistic (stats, dfparts, pstats) must NET to the
+    * survivor grain after the negative rows, and every per-doc table
+    * must cover exactly the survivors. Extends the append audit with
+    * the passage-table invariants (chunk coverage = Σ 1+(len−1)/24 over
+    * survivor docs). A delete that dropped a negative row, or one that
+    * missed a table, is a hash miss on its invariant row. */
+  def indexDeleteAudit: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = maintainedDeleted(s, dir)
+    val tp = textPath(base)
+    val dp = dedupPath(base)
+    def tbl(p: String): DataFrame = s.read.format(fmt).option("path", p).load()
+    def row(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("invariant"), col("n"))
+    Seq(
+      row("bands_docs",
+        tbl(s"$dp/bands").agg(countDistinct(col("doc_id")).as("n"))),
+      row("corpus_rows", tbl(corpusTable(base)).agg(count(lit(1)).as("n"))),
+      row("dfparts_mass", tbl(s"$tp/dfparts").agg(sum(col("dfp")).as("n"))),
+      row("norms_rows", tbl(s"$tp/norms").agg(count(lit(1)).as("n"))),
+      row("passages_docs",
+        tbl(s"$tp/passages").agg(countDistinct(col("doc_id")).as("n"))),
+      row("postings_docs",
+        tbl(s"$tp/postings").agg(countDistinct(col("doc_id")).as("n"))),
+      row("pstats_chunks",
+        tbl(s"$tp/pstats").agg(sum(col("n_chunks")).as("n"))),
+      row("shingles_docs",
+        tbl(s"$dp/shingles").agg(countDistinct(col("doc_id")).as("n"))),
+      row("stats_docs", tbl(s"$tp/stats").agg(sum(col("n_docs")).as("n"))))
+      .reduce(_.unionByName(_)).orderBy(col("invariant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_index_append" -> textIndexAppend,
+    "index_delete_audit" -> indexDeleteAudit,
     "text_index_delete" -> textIndexDelete,
     "text_index_purge" -> textIndexPurge,
     "dedup_index_delete" -> dedupIndexDelete,
@@ -993,6 +1026,26 @@ object IndexMaintenance {
     "text_index_delete" -> textIndexDeleteSql,
     // Purge preserves every surviving row: the delete oracle replays it.
     "text_index_purge" -> textIndexDeleteSql,
+    "index_delete_audit" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |    AND NOT (doc_id >= 100 AND doc_id < 300))
+        |SELECT * FROM (
+        |  SELECT 'bands_docs' AS invariant,
+        |    (SELECT COUNT(*) FROM c WHERE len(wl) >= 3) AS n
+        |  UNION ALL SELECT 'corpus_rows', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'dfparts_mass',
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, UNNEST(wl) FROM c))
+        |  UNION ALL SELECT 'norms_rows', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'passages_docs', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'pstats_chunks',
+        |    (SELECT CAST(SUM(1 + (len(wl) - 1) // 24) AS BIGINT) FROM c)
+        |  UNION ALL SELECT 'postings_docs', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 'shingles_docs',
+        |    (SELECT COUNT(*) FROM c WHERE len(wl) >= 3)
+        |  UNION ALL SELECT 'stats_docs', (SELECT COUNT(*) FROM c)
+        |) ORDER BY invariant""".stripMargin,
     "dedup_index_delete" -> dedupIndexDeleteSql,
     // The maintained corpus is exactly %13 ≠ 5 — the same universe the
     // standalone serve entry replays.
