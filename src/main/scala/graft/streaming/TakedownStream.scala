@@ -105,9 +105,61 @@ object TakedownStream {
       Seq("dup", "spark", "window"))
   }
 
+  // ------------------------------------------- vector takedown feed
+
+  def vecBasePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_vectakedown", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** Drain the takedown backlog against a VECTOR base — the same
+    * window files, applied through [[graft.llm.VectorMaintenance
+    * .deleteRange]]'s two-table retraction. */
+  def runVecTakedowns(s: SparkSession, dir: String, base: String): Long = {
+    val ep = ensureOrderFiles(s, base)
+    val applied = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = s.readStream
+      .schema(s.read.parquet(ep).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ep)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applied.addAndGet(
+          batch.select(col("del_lo"), col("del_hi")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+            .count { case (lo, hi) =>
+              graft.llm.VectorMaintenance.deleteRange(s, base, lo, hi) > 0
+            })
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
+  /** Oracle-gated: the vector sibling — base trained + class-6
+    * appended, the two streamed windows retract `[100, 300)`, serve
+    * under the frozen base-trained centroids replays the batch vector
+    * delete's oracle exactly. */
+  def vecTakedownStream: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.llm.{VectorIndex, VectorMaintenance}
+    val base = VectorMaintenance.ensureBaseAt(s, dir, vecBasePath(dir))
+    if (!VectorMaintenance.batchApplied(s, base)) {
+      VectorMaintenance.ingestAppend(s, base,
+        graft.sources.Tables(s, dir).embeddings
+          .filter(col("vec_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(VectorMaintenance.corpusTable(base))
+    }
+    runVecTakedowns(s, dir, base)
+    VectorIndex.serve(s, VectorMaintenance.vecPath(base), nprobe = 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_takedown_stream" -> textTakedownStream)
+    "text_takedown_stream" -> textTakedownStream,
+    "vec_takedown_stream" -> vecTakedownStream)
 
   val oracleSql: Map[String, String] = Map(
-    "text_takedown_stream" -> IndexMaintenance.textIndexDeleteSql)
+    "text_takedown_stream" -> IndexMaintenance.textIndexDeleteSql,
+    "vec_takedown_stream" -> graft.llm.VectorMaintenance.vecIndexDeleteSql)
 }

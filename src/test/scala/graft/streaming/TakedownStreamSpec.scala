@@ -57,6 +57,28 @@ class TakedownStreamSpec extends SparkTestBase {
     assert(TakedownStream.runTakedowns(spark, dir, base) === 0L)
   }
 
+  test("vector takedown stream converges to the batch vector delete") {
+    val dir = freshDir()
+    val base = graft.llm.VectorMaintenance.ensureBaseAt(spark, dir,
+      Files.createTempDirectory("graft-vectakedown-base").toString)
+    graft.llm.VectorMaintenance.ingestAppend(spark, base,
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 13 === 6))
+    assert(TakedownStream.runVecTakedowns(spark, dir, base) === 2L)
+    val ip = graft.llm.VectorMaintenance.vecPath(base)
+    assert(IndexFence.staleness(ip).contains(false))
+    val ref = graft.llm.VectorMaintenance.ensureBaseAt(spark, dir,
+      Files.createTempDirectory("graft-vectakedown-ref").toString)
+    graft.llm.VectorMaintenance.ingestAppend(spark, ref,
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 13 === 6))
+    assert(graft.llm.VectorMaintenance.deleteRange(spark, ref, 100L, 300L) > 0)
+    assert(graft.llm.VectorIndex.serve(spark, ip, 1).collect().toSeq ===
+      graft.llm.VectorIndex.serve(spark,
+        graft.llm.VectorMaintenance.vecPath(ref), 1).collect().toSeq)
+    assert(TakedownStream.runVecTakedowns(spark, dir, base) === 0L)
+  }
+
   test("mid-stream kill + restart replays the edge window as a no-op") {
     val dir = freshDir()
     val base = maintainedBase(dir)
