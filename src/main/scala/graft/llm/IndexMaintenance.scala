@@ -147,8 +147,16 @@ object IndexMaintenance {
     val torn = ManifestFileSink.wapRollForward(tables)
     if (torn.nonEmpty) {
       tables.foreach(s.catalog.refreshByPath)
-      TextIndex.writeNorms(s,
-        s.read.format(fmt).option("path", postingsT).load(), tp)
+      // The norms refold reads the v3+ dfparts/stats tables: a PRE-v4
+      // base surviving on a persistent /tmp that also carries a torn
+      // staged suffix has no dfparts to read (advice-r17 low) — skip
+      // the refold AND the fence advance, so the base falls through to
+      // [[TextIndex.buildFrom]]'s layout-version clean rebuild instead
+      // of crashing inside recovery.
+      if (IndexFence.readLayout(tp) == TextIndex.LayoutVersion)
+        TextIndex.writeNorms(s,
+          s.read.format(fmt).option("path", postingsT).load(), tp)
+      else return torn
       s.catalog.refreshByPath(ct)
       val fp = IndexFence.fingerprint(ct)
       IndexFence.write(tp, ct, fp)
@@ -231,10 +239,9 @@ object IndexMaintenance {
       val dt = delsTable(base)
       val allTables = Seq(ct, postingsT, statsT, dfPartsT,
         passagesT, pstatsT, pdfPartsT, bandsT, shinglesT, dt)
-      allTables.foreach { p => // clear any torn stage of THIS delete
-        try ManifestFileSink.wapDiscard(p, wapId)
-        catch { case _: Throwable => () }
-      }
+      // Clear any torn stage of THIS delete (reverse-order / roll-
+      // forward aware — see [[ManifestFileSink.wapAbort]]).
+      ManifestFileSink.wapAbort(allTables, wapId)
       val pred = col("doc_id") >= lo && col("doc_id") < hi
       val filt = org.apache.spark.sql.sources.And(
         org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", lo),
@@ -307,10 +314,7 @@ object IndexMaintenance {
         allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
-          allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, wapId)
-            catch { case _: Throwable => () }
-          }
+          ManifestFileSink.wapAbort(allTables, wapId)
           throw e
       } finally {
         vPost.unpersist(); negParts.unpersist()
@@ -415,10 +419,7 @@ object IndexMaintenance {
         allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
-          allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, wapId)
-            catch { case _: Throwable => () }
-          }
+          ManifestFileSink.wapAbort(allTables, wapId)
           b.unpersist(); bPost.unpersist(); bDfParts.unpersist()
           bPass.unpersist(); bSh.unpersist()
           throw e
@@ -487,10 +488,9 @@ object IndexMaintenance {
         s"${textPath(base)}/dfparts", s"${textPath(base)}/passages",
         s"${textPath(base)}/pstats", s"${textPath(base)}/pdfparts",
         s"${dedupPath(base)}/bands", s"${dedupPath(base)}/shingles")
-      allTables.foreach { p => // case 2: clear any torn stage of THIS epoch
-        try ManifestFileSink.wapDiscard(p, wapId)
-        catch { case _: Throwable => () }
-      }
+      // case 2: clear any torn stage of THIS epoch (reverse-order /
+      // roll-forward aware).
+      ManifestFileSink.wapAbort(allTables, wapId)
       ingestAppend(s, base, b, wapId)
       true
     } finally b.unpersist()
@@ -580,10 +580,9 @@ object IndexMaintenance {
     val lt = ledgerTable(base)
     val allTables = Seq(ct, postingsT, statsT, dfPartsT,
       passagesT, pstatsT, pdfPartsT, bandsT, shinglesT, lt)
-    allTables.foreach { p => // clear any torn stage of THIS epoch
-      try ManifestFileSink.wapDiscard(p, wapId)
-      catch { case _: Throwable => () }
-    }
+    // Clear any torn stage of THIS epoch (reverse-order / roll-forward
+    // aware).
+    ManifestFileSink.wapAbort(allTables, wapId)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = b.count()
@@ -657,10 +656,7 @@ object IndexMaintenance {
         allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
-          allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, wapId)
-            catch { case _: Throwable => () }
-          }
+          ManifestFileSink.wapAbort(allTables, wapId)
           throw e
       } finally {
         bPost.unpersist(); bPass.unpersist(); bSh.unpersist()

@@ -286,10 +286,7 @@ object VectorMaintenance {
         allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
-          allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, wapId)
-            catch { case _: Throwable => () }
-          }
+          ManifestFileSink.wapAbort(allTables, wapId)
           b.unpersist(); bAssigned.unpersist()
           throw e
       }
@@ -372,10 +369,9 @@ object VectorMaintenance {
         return true
       }
       val allTables = Seq(ct, assignedT)
-      allTables.foreach { p => // clear any torn stage of THIS epoch
-        try ManifestFileSink.wapDiscard(p, wapId)
-        catch { case _: Throwable => () }
-      }
+      // Clear any torn stage of THIS epoch (reverse-order / roll-
+      // forward aware).
+      ManifestFileSink.wapAbort(allTables, wapId)
       ingestAppend(s, base, b, wapId)
       true
     } finally b.unpersist()
@@ -429,10 +425,9 @@ object VectorMaintenance {
     val assignedT = s"$ip/assigned"
     val lt = IndexMaintenance.ledgerTable(base)
     val allTables = Seq(ct, assignedT, lt)
-    allTables.foreach { p => // clear any torn stage of THIS epoch
-      try ManifestFileSink.wapDiscard(p, wapId)
-      catch { case _: Throwable => () }
-    }
+    // Clear any torn stage of THIS epoch (reverse-order / roll-forward
+    // aware).
+    ManifestFileSink.wapAbort(allTables, wapId)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = b.count()
@@ -539,10 +534,7 @@ object VectorMaintenance {
         allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
-          allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, wapId)
-            catch { case _: Throwable => () }
-          }
+          ManifestFileSink.wapAbort(allTables, wapId)
           throw e
       } finally {
         bAssigned.unpersist(); bVec.unpersist(); admitted.unpersist()
@@ -581,10 +573,9 @@ object VectorMaintenance {
       val assignedT = s"$ip/assigned"
       val dt = IndexMaintenance.delsTable(base)
       val allTables = Seq(ct, assignedT, dt)
-      allTables.foreach { p => // clear any torn stage of THIS delete
-        try ManifestFileSink.wapDiscard(p, wapId)
-        catch { case _: Throwable => () }
-      }
+      // Clear any torn stage of THIS delete (reverse-order / roll-
+      // forward aware).
+      ManifestFileSink.wapAbort(allTables, wapId)
       val pred = col("vec_id") >= lo && col("vec_id") < hi
       val filt = org.apache.spark.sql.sources.And(
         org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", lo),
@@ -620,10 +611,7 @@ object VectorMaintenance {
         allTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
       } catch {
         case e: Throwable =>
-          allTables.foreach { p =>
-            try ManifestFileSink.wapDiscard(p, wapId)
-            catch { case _: Throwable => () }
-          }
+          ManifestFileSink.wapAbort(allTables, wapId)
           throw e
       }
       allTables.foreach(s.catalog.refreshByPath)

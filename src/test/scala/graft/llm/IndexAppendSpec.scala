@@ -128,7 +128,10 @@ class IndexAppendSpec extends SparkTestBase {
     def listing(p: String): Set[(String, Long)] = {
       val d = new java.io.File(p)
       d.listFiles().filter(_.isFile).map(f => (f.getName, f.length)).toSet ++
-        d.listFiles().filter(_.isDirectory)
+        // Seq-claim markers (`_commits/`) are excluded: a refused stage
+        // legitimately leaves its claimed seq behind as a permanent gap
+        // — claims are allocation bookkeeping, not logical table state.
+        d.listFiles().filter(d2 => d2.isDirectory && d2.getName != "_commits")
           .flatMap(s => s.listFiles().filter(_.isFile)
             .map(f => (s.getName + "/" + f.getName, f.length)))
     }

@@ -398,6 +398,14 @@ class ManifestSinkSpec extends SparkTestBase {
       Files.write(m.toPath, lines.subList(1, lines.size()))
       m.setLastModified(mtime)
     }
+    // ... and the seq-claim markers: the v1 format predates the
+    // cross-process commit fence, so a genuine v1 table has none.
+    val claims = Paths.get(dir, "_commits")
+    if (Files.isDirectory(claims)) {
+      val l = Files.list(claims)
+      try l.forEach(p => Files.deleteIfExists(p)) finally l.close()
+      Files.deleteIfExists(claims)
+    }
     // A pre-existing v1 table reads completely — not "not a graft manifest".
     assert(spark.read.format(fmt).option("path", dir).load()
       .collect().map(_.getLong(0)).sorted === Array(1L, 2L))
