@@ -217,9 +217,42 @@ object IndexMaintenance {
     *
     * Returns the number of corpus documents retracted (0 = replay). */
   def deleteRange(s: SparkSession, base: String, lo: Long, hi: Long): Long =
+    deleteRanges(s, base, Seq((lo, hi))).head
+
+  /** The BATCHED delete verb (verdict-r17 Next #2): retract K disjoint
+    * windows in ONE ten-table WAP transaction — K orders in one
+    * takedown micro-batch used to pay K transactions and K norms
+    * refolds where one of each suffices (disjoint windows commute, so
+    * their union is one victim set). The union predicate is an OR of
+    * range filters, which the zone maps prune file-by-file exactly as
+    * the single window's AND does; the negative stats/df-partial rows
+    * fold over the union victims; the retraction ledger still records
+    * ONE ROW PER WINDOW (each order stays individually auditable), all
+    * staged and published under one wap id with one refold and one
+    * fence advance.
+    *
+    * `windows` must be strictly ascending and pairwise disjoint (the
+    * commutation argument — an overlap would double-count the shared
+    * victims in the per-window ledger rows). A window with no victims
+    * is a per-window replay: it contributes no ledger row and returns
+    * 0; only if EVERY window is a replay does the whole call no-op.
+    * Returns per-window retracted counts, aligned with `windows`. */
+  def deleteRanges(s: SparkSession, base: String,
+      windows: Seq[(Long, Long)]): Seq[Long] =
     synchronized {
-      require(lo < hi, s"empty delete range [$lo, $hi)")
-      val wapId = s"delete-$lo-$hi"
+      require(windows.nonEmpty, "no delete windows")
+      windows.foreach { case (lo, hi) =>
+        require(lo < hi, s"empty delete range [$lo, $hi)") }
+      windows.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => require(h1 <= l2,
+          s"delete windows must be sorted and disjoint (got …$h1) ∩ [$l2…)")
+        case _ =>
+      }
+      // One window keeps the pre-batch wap id (replay compatibility
+      // with r17 ledgers); a batch derives its id from every window.
+      val wapId =
+        if (windows.size == 1) s"delete-${windows.head._1}-${windows.head._2}"
+        else "delete-batch-" + windows.map { case (l, h) => s"$l-$h" }.mkString("_")
       val ct = corpusTable(base)
       val tp = textPath(base)
       val dp = dedupPath(base)
@@ -242,16 +275,31 @@ object IndexMaintenance {
       // Clear any torn stage of THIS delete (reverse-order / roll-
       // forward aware — see [[ManifestFileSink.wapAbort]]).
       ManifestFileSink.wapAbort(allTables, wapId)
-      val pred = col("doc_id") >= lo && col("doc_id") < hi
-      val filt = org.apache.spark.sql.sources.And(
-        org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", lo),
-        org.apache.spark.sql.sources.LessThan("doc_id", hi))
+      val pred = windows.map { case (lo, hi) =>
+        col("doc_id") >= lo && col("doc_id") < hi }.reduce(_ || _)
+      val filt = windows.map { case (lo, hi) =>
+        org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", lo),
+          org.apache.spark.sql.sources.LessThan("doc_id", hi))
+          : org.apache.spark.sql.sources.Filter
+      }.reduce(org.apache.spark.sql.sources.Or(_, _))
       def read(p: String): DataFrame =
         s.read.format(fmt).option("path", p).load()
       // Victim grain from the PRE-delete main line (the staged vectors
       // are invisible until publish, so these reads see the victims).
-      val nDocs = readCorpus(s, base).filter(pred).count()
-      if (nDocs == 0) return 0L // replay or empty window: no-op
+      // Per-window counts in ONE pruned pass: the window label is a
+      // when-chain over K range tests — K is the order list, metadata-
+      // grain by nature, never the data.
+      val winCol = windows.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, ((lo, hi), i)) =>
+          when(col("doc_id") >= lo && col("doc_id") < hi, lit(i)).otherwise(acc)
+      }
+      val perWin = readCorpus(s, base).filter(pred)
+        .groupBy(winCol.as("w")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val counts = windows.indices.map(i => perWin.getOrElse(i, 0L))
+      val nDocs = counts.sum
+      if (nDocs == 0) return counts // replay or empty windows: no-op
       val vPost = read(postingsT).filter(pred)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPost = vPost.count()
@@ -273,7 +321,11 @@ object IndexMaintenance {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPParts = negPParts.count()
       import s.implicits._
-      val delRow = Seq((lo, hi, nDocs)).toDF("del_lo", "del_hi", "n_docs")
+      // One ledger row per window WITH victims: a per-window replay
+      // inside a batch stays a no-op row-wise, same as standalone.
+      val applied = windows.zip(counts).filter(_._2 > 0)
+      val delRow = applied.map { case ((lo, hi), n) => (lo, hi, n) }
+        .toDF("del_lo", "del_hi", "n_docs")
       def stage(df: DataFrame, path: String): Unit =
         df.write.format(fmt).option("path", path).option("wap-id", wapId)
           .mode("append").save()
@@ -298,7 +350,7 @@ object IndexMaintenance {
           ct -> -nDocs, postingsT -> -nPost, statsT -> 1L,
           dfPartsT -> nParts, passagesT -> -nPass, pstatsT -> 1L,
           pdfPartsT -> nPParts, bandsT -> -nBands, shinglesT -> -nSh,
-          dt -> 1L)
+          dt -> applied.size.toLong)
         val staged = Map(ct -> dCorpus, postingsT -> dPost,
           passagesT -> dPass, bandsT -> dBands, shinglesT -> dSh)
         for ((p, d) <- staged)
@@ -326,7 +378,7 @@ object IndexMaintenance {
       val fp = IndexFence.fingerprint(ct)
       IndexFence.write(tp, ct, fp)
       IndexFence.write(dp, ct, fp)
-      nDocs
+      counts
     }
 
   /** The ingest transaction: stage batch rows into all five tables
@@ -727,17 +779,49 @@ object IndexMaintenance {
     * appends accumulated — the knob is the segment-count threshold,
     * here 1 because the entry exists to prove the fold, in production
     * more like 16–64. */
+  /** Compact the text index's partial/stats tables too: NET the
+    * per-segment rows (sum per key, drop fully-retracted ≤0 keys)
+    * instead of just relocating them (verdict-r17 Next #4). Without
+    * this the dfparts/stats/pstats/pdfparts tables accumulate one row
+    * set per append/delete FOREVER, and serve's "O(segments) metadata
+    * fold" grows without bound on a long-maintained index; netting at
+    * compaction restores serve to O(terms) — and it is hash-invariant
+    * by construction, because every consumer of these tables reads
+    * them through a SUM (serve's df fold, the stats fold, the norms
+    * refold, the audit's mass invariants) and summing netted partials
+    * equals summing the originals. One rewrite commit per table, the
+    * same crash-safety as the postings fold. */
+  private[llm] def netPartials(s: SparkSession, tp: String): Unit = {
+    for (t <- Seq(s"$tp/dfparts", s"$tp/pdfparts"))
+      if (ManifestFileSink.publishedManifestCount(t) > 1) {
+        ManifestFileSink.rewriteTable(s, t,
+          df => df.groupBy(col("tok"), col("tb"))
+            .agg(sum(col("dfp")).as("dfp"))
+            .filter(col("dfp") > 0),
+          clusterCols = Seq("tb"), numFiles = 64)
+        s.catalog.refreshByPath(t)
+      }
+    for ((t, cnt, sm) <- Seq((s"$tp/stats", "n_docs", "sum_dl"),
+        (s"$tp/pstats", "n_chunks", "sum_dl")))
+      if (ManifestFileSink.publishedManifestCount(t) > 1) {
+        ManifestFileSink.rewriteTable(s, t,
+          df => df.agg(sum(col(cnt)).as(cnt), sum(col(sm)).as(sm)),
+          numFiles = 1)
+        s.catalog.refreshByPath(t)
+      }
+  }
+
   def textIndexCompact: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = maintained(s, dir)
-    // Postings AND df-partials fold back to one file per term bucket.
-    // The dfparts fold moves rows, never merges them — a term's partial
-    // rows stay distinct and serve's SUM is unchanged by construction.
-    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts",
-        s"${textPath(base)}/passages", s"${textPath(base)}/pdfparts"))
+    // Postings/passages fold back to one file per term bucket (rows
+    // preserved exactly); the partials/stats tables NET — see
+    // [[netPartials]].
+    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/passages"))
       if (ManifestFileSink.publishedManifestCount(t) > 1) {
         ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
         s.catalog.refreshByPath(t)
       }
+    netPartials(s, textPath(base))
     TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
   }
 

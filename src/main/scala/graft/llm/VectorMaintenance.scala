@@ -559,9 +559,27 @@ object VectorMaintenance {
     * ([[ensureRetrained]]) stays the explicit verb for closing it.
     * Idempotent: a replayed range finds only masked victims, no-ops. */
   def deleteRange(s: SparkSession, base: String, lo: Long, hi: Long): Long =
+    deleteRanges(s, base, Seq((lo, hi))).head
+
+  /** The BATCHED vector delete (verdict-r17 Next #2, the embedding twin
+    * of [[IndexMaintenance.deleteRanges]]): K sorted disjoint windows
+    * retract in ONE three-table transaction — union predicate, one
+    * ledger row per window with victims, one fence advance. Returns
+    * per-window retracted counts, aligned with `windows`. */
+  def deleteRanges(s: SparkSession, base: String,
+      windows: Seq[(Long, Long)]): Seq[Long] =
     synchronized {
-      require(lo < hi, s"empty delete range [$lo, $hi)")
-      val wapId = s"vecdelete-$lo-$hi"
+      require(windows.nonEmpty, "no delete windows")
+      windows.foreach { case (lo, hi) =>
+        require(lo < hi, s"empty delete range [$lo, $hi)") }
+      windows.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => require(h1 <= l2,
+          s"delete windows must be sorted and disjoint (got …$h1) ∩ [$l2…)")
+        case _ =>
+      }
+      val wapId =
+        if (windows.size == 1) s"vecdelete-${windows.head._1}-${windows.head._2}"
+        else "vecdelete-batch-" + windows.map { case (l, h) => s"$l-$h" }.mkString("_")
       val ct = corpusTable(base)
       val ip = vecPath(base)
       recoverTorn(s, base)
@@ -576,16 +594,30 @@ object VectorMaintenance {
       // Clear any torn stage of THIS delete (reverse-order / roll-
       // forward aware).
       ManifestFileSink.wapAbort(allTables, wapId)
-      val pred = col("vec_id") >= lo && col("vec_id") < hi
-      val filt = org.apache.spark.sql.sources.And(
-        org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", lo),
-        org.apache.spark.sql.sources.LessThan("vec_id", hi))
-      val nVecs = readCorpus(s, base).filter(pred).count()
-      if (nVecs == 0) return 0L // replay or empty window: no-op
+      val pred = windows.map { case (lo, hi) =>
+        col("vec_id") >= lo && col("vec_id") < hi }.reduce(_ || _)
+      val filt = windows.map { case (lo, hi) =>
+        org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", lo),
+          org.apache.spark.sql.sources.LessThan("vec_id", hi))
+          : org.apache.spark.sql.sources.Filter
+      }.reduce(org.apache.spark.sql.sources.Or(_, _))
+      val winCol = windows.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, ((lo, hi), i)) =>
+          when(col("vec_id") >= lo && col("vec_id") < hi, lit(i)).otherwise(acc)
+      }
+      val perWin = readCorpus(s, base).filter(pred)
+        .groupBy(winCol.as("w")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val counts = windows.indices.map(i => perWin.getOrElse(i, 0L))
+      val nVecs = counts.sum
+      if (nVecs == 0) return counts // replay or empty windows: no-op
       val nAssigned = s.read.format(fmt).option("path", assignedT).load()
         .filter(pred).count()
       import s.implicits._
-      val delRow = Seq((lo, hi, nVecs)).toDF("del_lo", "del_hi", "n_docs")
+      val applied = windows.zip(counts).filter(_._2 > 0)
+      val delRow = applied.map { case ((lo, hi), n) => (lo, hi, n) }
+        .toDF("del_lo", "del_hi", "n_docs")
       def wapCount(path: String): Long =
         s.read.format(fmt).option("path", path)
           .option("asOfManifest", s"wap:$wapId").load().count()
@@ -601,7 +633,8 @@ object VectorMaintenance {
           throw new IllegalStateException(
             s"vector delete audit failed: staged $dCorpus/$dAssigned " +
               s"deletions, expected $nVecs/$nAssigned")
-        val expected = Map(ct -> -nVecs, assignedT -> -nAssigned, dt -> 1L)
+        val expected = Map(ct -> -nVecs, assignedT -> -nAssigned,
+          dt -> applied.size.toLong)
         for (p <- allTables) {
           val delta = wapCount(p) - pre(p)
           if (delta != expected(p)) throw new IllegalStateException(
@@ -616,7 +649,7 @@ object VectorMaintenance {
       }
       allTables.foreach(s.catalog.refreshByPath)
       IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
-      nVecs
+      counts
     }
 
   /** ensure → ingest-once → ready; the shared entry skeleton. */

@@ -1160,6 +1160,36 @@ object ManifestFileSink {
       .select(outCols.map(col): _*)
   }
 
+  /** MAINTENANCE REWRITE of a whole table through `transform` — the
+    * non-row-preserving sibling of [[repartitionTable]], for folds that
+    * must NET rows, not just relocate them (e.g. summing a partials
+    * table's per-segment rows into one row per key at compaction,
+    * verdict-r17 Next #4). Same crash-safety as compact/optimize: the
+    * pinned snapshot is read, the transformed rows write under new
+    * names, and ONE combined manifest supersedes the whole prior chain
+    * via the folded ledger — publish is the atomic point, a concurrent
+    * commit past the pin refuses the rewrite, superseded files wait for
+    * vacuum. `transform` must preserve the table's schema (names,
+    * types, order); `clusterCols`, when given, demux the output so each
+    * key tuple owns one file. Returns the rewritten entry count. */
+  def rewriteTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      clusterCols: Seq[String] = Nil,
+      numFiles: Int = 8): Int =
+    latestManifest(path) match {
+      case None => 0
+      case Some(pin) =>
+        optimizePinned(spark, path, clusterCols.headOption.getOrElse(""),
+          numFiles, pin, cluster = Some { df =>
+            val t = transform(df)
+            if (clusterCols.isEmpty) t.coalesce(numFiles)
+            else t.repartition(numFiles, clusterCols.map(t.col): _*)
+              .sortWithinPartitions(clusterCols.map(t.col): _*)
+          })
+    }
+
   private[sources] def optimizePinned(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

@@ -97,6 +97,56 @@ class IndexDeleteSpec extends SparkTestBase {
     assert(TextIndex.serve(spark, tp, Seq("dup")).collect().toSeq === servedOnce)
   }
 
+  test("batched windows: ONE transaction, per-window ledger rows, serve ≡ sequential") {
+    val dir = freshDir()
+    val windows = Seq((100L, 170L), (180L, 250L), (250L, 300L))
+    // Reference: the same windows applied as three sequential deletes.
+    val ref = maintainedBase(dir)
+    val seqCounts = windows.map { case (lo, hi) =>
+      IndexMaintenance.deleteRange(spark, ref, lo, hi) }
+    assert(seqCounts.forall(_ > 0), "every window must hit at every SF")
+
+    val base = maintainedBase(dir)
+    val ct = IndexMaintenance.corpusTable(base)
+    val tp = IndexMaintenance.textPath(base)
+    val preCt = ManifestFileSink.publishedManifestCount(ct)
+    val prePost = ManifestFileSink.publishedManifestCount(s"$tp/postings")
+    val counts = IndexMaintenance.deleteRanges(spark, base, windows)
+    assert(counts === seqCounts, "per-window counts must match the sequential verbs")
+    // ONE transaction: each table gained exactly ONE published commit
+    // (three sequential deletes would gain three) — the refold
+    // amortization verdict-r17 Next #2 asks for.
+    assert(ManifestFileSink.publishedManifestCount(ct) === preCt + 1)
+    assert(ManifestFileSink.publishedManifestCount(s"$tp/postings") === prePost + 1)
+    // ... but the ledger still records each order individually.
+    val dels = readT(IndexMaintenance.delsTable(base))
+      .orderBy(col("del_lo")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dels === windows.zip(seqCounts).map { case ((l, h), n) => (l, h, n) })
+    // End state ≡ the sequential reference, hash-strict on both serves.
+    val terms = Seq("dup", "spark", "window")
+    assert(TextIndex.serve(spark, tp, terms).collect().toSeq ===
+      TextIndex.serve(spark, IndexMaintenance.textPath(ref), terms)
+        .collect().toSeq)
+    assert(TextIndex.serveHybrid(spark, tp, terms).collect().toSeq ===
+      TextIndex.serveHybrid(spark, IndexMaintenance.textPath(ref), terms)
+        .collect().toSeq)
+    // A replayed batch finds only masked victims: all-zero, no staging.
+    assert(IndexMaintenance.deleteRanges(spark, base, windows) ===
+      Seq(0L, 0L, 0L))
+    // A PARTIAL replay (one new window, two masked) applies only the new
+    // one and ledgers only it.
+    val mixed = Seq((100L, 170L), (300L, 320L))
+    val mixedCounts = IndexMaintenance.deleteRanges(spark, base, mixed)
+    assert(mixedCounts.head === 0L)
+    assert(readT(IndexMaintenance.delsTable(base)).count() ===
+      windows.size.toLong + (if (mixedCounts(1) > 0) 1L else 0L))
+    // Overlapping windows refuse loudly (the commutation contract).
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteRanges(spark, base, Seq((10L, 30L), (20L, 40L)))
+    }
+  }
+
   test("df partials fold negatives: a fully-deleted term vanishes from serve") {
     // Every posting of a term inside the window nets its df to zero —
     // the serve-side guard (df > 0) must drop it instead of dividing

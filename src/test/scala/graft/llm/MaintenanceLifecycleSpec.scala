@@ -73,6 +73,60 @@ class MaintenanceLifecycleSpec extends SparkTestBase {
     assert(IndexMaintenance.deleteRange(spark, base, 100L, 300L) === 0L)
   }
 
+  test("compaction NETS the partials: row count collapses, serve hash-unchanged") {
+    // verdict-r17 Next #4: a long-maintained index accumulates one
+    // dfparts/stats row SET per append/delete forever — serve's
+    // "O(segments) metadata fold" grows without bound. Drive ten
+    // append/delete cycles, then compact: the partials must collapse
+    // to one row per surviving key (every ≤0 key dropped), the stats
+    // tables to ONE row, and both serves must be bit-identical across
+    // the fold.
+    val dir = freshDir()
+    val base = Files.createTempDirectory("graft-lifecycle-net").toString
+    IndexMaintenance.ensureBaseAt(spark, dir, base)
+    val tp = IndexMaintenance.textPath(base)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 13 === 6)
+    (1 to 5).foreach { k =>
+      // Each cycle appends the class-6 batch under fresh ids, then
+      // retracts half of it — one positive and one negative partial
+      // row set per cycle.
+      val off = 1000000L * k
+      IndexMaintenance.ingestAppend(spark, base,
+        docs.withColumn("doc_id", col("doc_id") + off), s"cycle-$k")
+      assert(IndexMaintenance.deleteRange(spark, base,
+        off, off + 500000L) > 0)
+    }
+    val dfpT = s"$tp/dfparts"
+    val statsT = s"$tp/stats"
+    def tbl(p: String) = spark.read.format(fmt).option("path", p).load()
+    val preRows = tbl(dfpT).count()
+    val preKeys = tbl(dfpT).select(col("tok"), col("tb")).distinct().count()
+    assert(preRows > preKeys, "cycles must have accumulated per-segment rows")
+    assert(tbl(statsT).count() === 11L, "1 build + 5 appends + 5 deletes")
+    val terms = Seq("dup", "spark", "window")
+    val preServe = TextIndex.serve(spark, tp, terms).collect().toSeq
+    val preHybrid = TextIndex.serveHybrid(spark, tp, terms).collect().toSeq
+
+    IndexMaintenance.netPartials(spark, tp)
+
+    val nets = tbl(dfpT)
+    assert(nets.count() === nets.select(col("tok"), col("tb")).distinct().count(),
+      "netting must leave exactly one row per key")
+    assert(nets.filter(col("dfp") <= 0).isEmpty,
+      "fully-retracted keys must drop at the fold")
+    assert(nets.count() < preRows)
+    assert(tbl(statsT).count() === 1L, "stats nets to one row")
+    assert(tbl(s"$tp/pstats").count() === 1L)
+    assert(TextIndex.serve(spark, tp, terms).collect().toSeq === preServe,
+      "netting is hash-invariant: every consumer reads these tables through a SUM")
+    assert(TextIndex.serveHybrid(spark, tp, terms).collect().toSeq === preHybrid)
+    // The fence never moved (index-only rewrite): still fresh, and the
+    // NEXT maintenance verb composes — a further delete still nets.
+    assert(TextIndex.staleness(tp).contains(false))
+    assert(IndexMaintenance.deleteRange(spark, base, 5000000L, 5000500L) >= 0L)
+  }
+
   test("vector lifecycle: build → gated-ingest → compact → retrain → audit") {
     val dir = freshDir()
     val base = Files.createTempDirectory("graft-lifecycle-vec").toString
