@@ -55,8 +55,14 @@ object VectorMaintenance {
   private val WapId = "vecingest-c6"
 
   /** Layout v1 = assigned `(vec_id, vnenc, cell)` cell-partitioned +
-    * cents `(cent_id, cvenc)` (see [[IndexFence.layoutFile]]). */
-  private[llm] val LayoutVersion = 1
+    * cents `(cent_id, cvenc)`; v2 adds cstats `(cell, j, s, n)` — the
+    * per-cell per-component PARTIAL SUMS of the assigned vectors, one
+    * row set per segment (build + each append; deletes append negated
+    * rows), which is what makes the INCREMENTAL retrain a metadata-
+    * grain fold instead of a corpus pass ([[retrainIncremental]]).
+    * A v1 base rebuilds cleanly through the layout gate (see
+    * [[IndexFence.layoutFile]]). */
+  private[llm] val LayoutVersion = 2
 
   def basePath(dir: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
@@ -125,15 +131,31 @@ object VectorMaintenance {
     if (built) {
       IndexFence.rmTree(Paths.get(assignedPath))
       IndexFence.rmTree(Paths.get(centsPath))
+      IndexFence.rmTree(Paths.get(cstatsTable(ip)))
       IndexFence.clear(ip)
     }
     buildIndex(s, base)
     base
   }
 
+  /** The per-cell per-component partial-sums table (layout v2) — the
+    * `kmeansUpdate` shape PERSISTED: `(cell, j, s, n)` where s = Σ
+    * vn[j] and n = member count over one segment's assigned rows.
+    * Partials SUM across segments exactly like the text index's
+    * dfparts (appends add positive rows, deletes add negated rows), so
+    * the mean centroid of the CURRENT corpus is a fold of this table —
+    * `k×64` rows per segment, never a corpus pass. */
+  def cstatsTable(ip: String): String = s"$ip/cstats"
+
+  /** One segment's partial-sum rows from its (cell, vn) assignment. */
+  private def cellPartials(rows: DataFrame): DataFrame =
+    rows.select(col("cell"), posexplode(col("vn")).as(Seq("j", "v")))
+      .groupBy(col("cell"), col("j"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+
   /** Train centroids over the CURRENT managed corpus, write the
-    * assigned/cents tables, record the trained-over fingerprint, and
-    * advance layout + fence (fence LAST stays the commit point). */
+    * assigned/cents/cstats tables, record the trained-over fingerprint,
+    * and advance layout + fence (fence LAST stays the commit point). */
   private def buildIndex(s: SparkSession, base: String): Unit = {
     val ct = corpusTable(base)
     val ip = vecPath(base)
@@ -144,6 +166,7 @@ object VectorMaintenance {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = Similarity.kmeansCentroids(emb)
     val assigned = Similarity.kmeansAssign(emb, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Files.createDirectories(Paths.get(assignedPath))
     ManifestFileSink.setPartitionColumn(assignedPath, "cell")
     assigned
@@ -152,6 +175,10 @@ object VectorMaintenance {
     cents.select(col("cent_id"), VectorIndex.enc(col("cv")).as("cvenc"))
       .coalesce(1)
       .write.format(fmt).option("path", centsPath).mode("append").save()
+    cellPartials(assigned.select(col("cell"), col("vn")))
+      .coalesce(1)
+      .write.format(fmt).option("path", cstatsTable(ip)).mode("append").save()
+    assigned.unpersist()
     emb.unpersist(blocking = true)
     Files.writeString(Paths.get(trainedFile(ip)), fp.toString)
     IndexFence.writeLayout(ip, LayoutVersion)
@@ -180,8 +207,51 @@ object VectorMaintenance {
     if (Files.isRegularFile(tf) && Files.readString(tf) == cur.toString) return false
     IndexFence.rmTree(Paths.get(s"$ip/assigned"))
     IndexFence.rmTree(Paths.get(s"$ip/cents"))
+    IndexFence.rmTree(Paths.get(cstatsTable(ip)))
     IndexFence.clear(ip)
     buildIndex(s, base)
+    true
+  }
+
+  /** The INCREMENTAL retrain (verdict-r17 Next #6) — the mini-batch
+    * Lloyd update behind the SAME trained-over marker as the full
+    * door: centroids advance to the mean of the CURRENT corpus's
+    * assignments by folding the persisted [[cstatsTable]] partial sums
+    * — `round(Σs / Σn, 6)` per (cell, component), the exact
+    * [[Similarity.kmeansUpdate]] expression — and the cents table
+    * rewrites in ONE superseding commit. Assignments are deliberately
+    * NOT recomputed (that is the mini-batch trade: stored cells lag the
+    * moved centroids by one update, probe selection uses the fresh
+    * ones), so the fold is O(k × dims × segments) METADATA work — the
+    * full [[ensureRetrained]] was the last O(corpus) maintenance verb.
+    * A cell whose members all retracted (Σn ≤ 0) drops out, exactly as
+    * an emptied cell drops from the full train. Idempotent via the
+    * marker; a pre-v2 base (no cstats) falls back THROUGH the full
+    * door. Returns true iff an update ran. */
+  def retrainIncremental(s: SparkSession, base: String): Boolean = synchronized {
+    val ct = corpusTable(base)
+    val ip = vecPath(base)
+    val cur = IndexFence.fingerprint(ct)
+    val tf = Paths.get(trainedFile(ip))
+    if (Files.isRegularFile(tf) && Files.readString(tf) == cur.toString) return false
+    if (IndexFence.readLayout(ip) != LayoutVersion)
+      return ensureRetrained(s, base) // fallback door: full retrain
+    val folded = s.read.format(fmt).option("path", cstatsTable(ip)).load()
+      .groupBy(col("cell"), col("j"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("cell"), col("j"), round(col("s") / col("n"), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("cell").as("cent_id"),
+        transform(col("jm"), x => x.getField("m")).as("cv"))
+      .select(col("cent_id"), VectorIndex.enc(col("cv")).as("cvenc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    folded.count()
+    ManifestFileSink.rewriteTable(s, s"$ip/cents", _ => folded, numFiles = 1)
+    folded.unpersist()
+    s.catalog.refreshByPath(s"$ip/cents")
+    Files.writeString(tf, cur.toString)
     true
   }
 
@@ -194,8 +264,8 @@ object VectorMaintenance {
   private def recoverTorn(s: SparkSession, base: String): Seq[String] = {
     val ct = corpusTable(base)
     val ip = vecPath(base)
-    val tables = Seq(ct, s"$ip/assigned", IndexMaintenance.ledgerTable(base),
-      IndexMaintenance.delsTable(base))
+    val tables = Seq(ct, s"$ip/assigned", cstatsTable(ip),
+      IndexMaintenance.ledgerTable(base), IndexMaintenance.delsTable(base))
     val torn = ManifestFileSink.wapRollForward(tables)
     if (torn.nonEmpty) {
       tables.foreach(s.catalog.refreshByPath)
@@ -252,10 +322,16 @@ object VectorMaintenance {
           s"vector index at $ip is STALE (out-of-band corpus drift): " +
             "rebuild before maintaining.")
       val assignedT = s"$ip/assigned"
-      val allTables = Seq(ct, assignedT)
+      val cstatsT = cstatsTable(ip)
+      val allTables = Seq(ct, assignedT, cstatsT)
       val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Frozen-centroid assignment: one map pass, no shuffle.
       val bAssigned = VectorIndex.assignNew(s, ip, b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // The batch's per-cell partial sums — what keeps the incremental
+      // retrain a metadata fold ([[retrainIncremental]]).
+      val bCstats = cellPartials(bAssigned
+          .select(col("cell"), VectorIndex.dec(col("vnenc")).as("vn")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def stage(df: DataFrame, path: String): Unit =
         df.write.format(fmt).option("path", path).option("wap-id", wapId)
@@ -269,6 +345,7 @@ object VectorMaintenance {
         val pre = allTables.map(p => p -> mainCount(p)).toMap
         stage(encodeRows(b), ct)
         stage(bAssigned, assignedT)
+        stage(bCstats, cstatsT)
         // AUDIT 1: batch vec_ids are NEW (per-vector rows are exact
         // under appends ONLY because ids never replay).
         val collisions = readCorpus(s, base).join(
@@ -277,7 +354,8 @@ object VectorMaintenance {
           s"ingest audit failed: $collisions batch vec_ids already in " +
             "the corpus — appends must be new vectors")
         // AUDIT 2: exact growth per table.
-        val expected = Map(ct -> b.count(), assignedT -> bAssigned.count())
+        val expected = Map(ct -> b.count(), assignedT -> bAssigned.count(),
+          cstatsT -> bCstats.count())
         for (p <- allTables) {
           val grew = wapView(p).count() - pre(p)
           if (grew != expected(p)) throw new IllegalStateException(
@@ -287,13 +365,13 @@ object VectorMaintenance {
       } catch {
         case e: Throwable =>
           ManifestFileSink.wapAbort(allTables, wapId)
-          b.unpersist(); bAssigned.unpersist()
+          b.unpersist(); bAssigned.unpersist(); bCstats.unpersist()
           throw e
       }
       // Fence advances LAST to the corpus chain's new state.
       s.catalog.refreshByPath(ct)
       IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
-      b.unpersist(); bAssigned.unpersist()
+      b.unpersist(); bAssigned.unpersist(); bCstats.unpersist()
     }
 
   /** One streaming vector epoch — [[IndexMaintenance.applyEpoch]]'s
@@ -341,9 +419,12 @@ object VectorMaintenance {
         return recovered.contains(wapId)
       if (present == total) {
         // Torn publish: corpus landed, assigned didn't (the publish
-        // order inside ingestAppend). Repair the assigned side only.
-        try ManifestFileSink.wapDiscard(assignedT, wapId)
-        catch { case _: Throwable => () }
+        // order inside ingestAppend). Repair the assigned side only —
+        // and the cstats partials of exactly the repaired rows, so the
+        // incremental-retrain fold stays corpus-exact.
+        val cstatsT = cstatsTable(ip)
+        val repairTables = Seq(assignedT, cstatsT)
+        ManifestFileSink.wapAbort(repairTables, wapId)
         val missing = VectorIndex.assignNew(s, ip, b)
           .join(s.read.format(fmt).option("path", assignedT).load()
             .select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -353,22 +434,25 @@ object VectorMaintenance {
           val pre = s.read.format(fmt).option("path", assignedT).load().count()
           missing.write.format(fmt).option("path", assignedT)
             .option("wap-id", wapId).mode("append").save()
+          cellPartials(missing
+              .select(col("cell"), VectorIndex.dec(col("vnenc")).as("vn")))
+            .write.format(fmt).option("path", cstatsT)
+            .option("wap-id", wapId).mode("append").save()
           val grew = s.read.format(fmt).option("path", assignedT)
             .option("asOfManifest", s"wap:$wapId").load().count() - pre
           if (grew != want) throw new IllegalStateException(
             s"assigned-repair audit failed: staged $grew rows, expected $want")
-          ManifestFileSink.wapPublish(assignedT, wapId)
+          repairTables.foreach(p => ManifestFileSink.wapPublish(p, wapId))
         } catch {
           case e: Throwable =>
-            try ManifestFileSink.wapDiscard(assignedT, wapId)
-            catch { case _: Throwable => () }
+            ManifestFileSink.wapAbort(repairTables, wapId)
             throw e
         } finally missing.unpersist()
         s.catalog.refreshByPath(ct)
         IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
         return true
       }
-      val allTables = Seq(ct, assignedT)
+      val allTables = Seq(ct, assignedT, cstatsTable(ip))
       // Clear any torn stage of THIS epoch (reverse-order / roll-
       // forward aware).
       ManifestFileSink.wapAbort(allTables, wapId)
@@ -589,8 +673,9 @@ object VectorMaintenance {
           s"vector index at $ip is STALE (out-of-band corpus drift): " +
             "rebuild before maintaining.")
       val assignedT = s"$ip/assigned"
+      val cstatsT = cstatsTable(ip)
       val dt = IndexMaintenance.delsTable(base)
-      val allTables = Seq(ct, assignedT, dt)
+      val allTables = Seq(ct, assignedT, cstatsT, dt)
       // Clear any torn stage of THIS delete (reverse-order / roll-
       // forward aware).
       ManifestFileSink.wapAbort(allTables, wapId)
@@ -614,6 +699,15 @@ object VectorMaintenance {
       if (nVecs == 0) return counts // replay or empty windows: no-op
       val nAssigned = s.read.format(fmt).option("path", assignedT).load()
         .filter(pred).count()
+      // NEGATED per-cell partial sums from the victims' still-visible
+      // assigned rows — the incremental-retrain fold absorbs the
+      // retraction exactly as the text index's df partials do.
+      val negCstats = cellPartials(
+          s.read.format(fmt).option("path", assignedT).load().filter(pred)
+            .select(col("cell"), VectorIndex.dec(col("vnenc")).as("vn")))
+        .select(col("cell"), col("j"), (-col("s")).as("s"), (-col("n")).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nNegCstats = negCstats.count()
       import s.implicits._
       val applied = windows.zip(counts).filter(_._2 > 0)
       val delRow = applied.map { case ((lo, hi), n) => (lo, hi, n) }
@@ -627,6 +721,8 @@ object VectorMaintenance {
         val pre = allTables.map(p => p -> mainCount(p)).toMap
         val dCorpus = ManifestFileSink.deleteWhereStaged(ct, filt, wapId)
         val dAssigned = ManifestFileSink.deleteWhereStaged(assignedT, filt, wapId)
+        negCstats.write.format(fmt).option("path", cstatsT)
+          .option("wap-id", wapId).mode("append").save()
         delRow.write.format(fmt).option("path", dt).option("wap-id", wapId)
           .mode("append").save()
         if (dCorpus != nVecs || dAssigned != nAssigned)
@@ -634,7 +730,7 @@ object VectorMaintenance {
             s"vector delete audit failed: staged $dCorpus/$dAssigned " +
               s"deletions, expected $nVecs/$nAssigned")
         val expected = Map(ct -> -nVecs, assignedT -> -nAssigned,
-          dt -> applied.size.toLong)
+          cstatsT -> nNegCstats, dt -> applied.size.toLong)
         for (p <- allTables) {
           val delta = wapCount(p) - pre(p)
           if (delta != expected(p)) throw new IllegalStateException(
@@ -646,7 +742,7 @@ object VectorMaintenance {
         case e: Throwable =>
           ManifestFileSink.wapAbort(allTables, wapId)
           throw e
-      }
+      } finally negCstats.unpersist()
       allTables.foreach(s.catalog.refreshByPath)
       IndexFence.write(ip, ct, IndexFence.fingerprint(ct))
       counts
@@ -796,6 +892,64 @@ object VectorMaintenance {
     VectorIndex.serve(s, vecPath(base), nprobe = 1)
   }
 
+  /** Own base for the INCREMENTAL retrain entry (must not disturb the
+    * full-retrain entry's marker or the append entry's frozen cents). */
+  def incRetrainBasePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_vecincretrain", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** Oracle-gated: the INCREMENTAL retrain end-to-end — build (train
+    * over the base corpus), append class 6 frozen, then
+    * [[retrainIncremental]] advances the centroids to the grown
+    * corpus's per-cell means by folding the persisted cstats partials
+    * (never touching the corpus). Serve probes against the MOVED
+    * centroids while candidates keep their stored (mini-batch-lagged)
+    * cells — exactly the state DuckDB replays with one extra
+    * mean-update CTE over the final assignment, so a skipped fold, a
+    * stale partial row, or a drifted mean is a hash miss. Re-runs
+    * no-op via the trained-over marker. */
+  def vecIndexRetrainIncremental: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = ensureBaseAt(s, dir, incRetrainBasePath(dir))
+    if (!batchApplied(s, base)) {
+      ingestAppend(s, base,
+        Tables(s, dir).embeddings.filter(col("vec_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(corpusTable(base))
+    }
+    retrainIncremental(s, base)
+    VectorIndex.serve(s, vecPath(base), nprobe = 1)
+  }
+
+  /** DuckDB replay of the incremental retrain: c3/af = the base-trained
+    * centroids and the frozen assignment of ALL vectors (the standard
+    * split CTEs), c4 = the mini-batch Lloyd update (per-cell component
+    * means over af, ROUND 6 — [[Similarity.kmeansUpdate]]'s exact
+    * expression), probes re-select their cell against c4, candidates
+    * come from the af (stored) cells. */
+  val vecIndexRetrainIncrementalSql: String =
+    s"""WITH ${Similarity.normalizedSql},
+       |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
+       |${Similarity.kmeansCtes("eb", "e")},
+       |s4 AS (
+       |  SELECT cell, i AS j, ROUND(SUM(vn[i]) / COUNT(*), 6) AS m
+       |  FROM af, UNNEST(generate_series(1, len(vn))) AS u(i)
+       |  GROUP BY cell, i),
+       |c4 AS (SELECT cell AS cent_id, list(m ORDER BY j) AS cv FROM s4 GROUP BY cell),
+       |p AS (
+       |  SELECT vec_id AS query_id, vn AS qv, cell FROM (
+       |    SELECT q.vec_id, q.vn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+       |          c.cent_id) AS rn
+       |    FROM (SELECT vec_id, vn FROM af WHERE vec_id < 10) q
+       |    CROSS JOIN c4 c) t WHERE rn = 1)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(p.qv, a.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_dot_product(p.qv, a.vn) DESC, a.vec_id) AS rank
+       |  FROM p JOIN af a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val vecCurationStreamSql: String =
     s"""WITH ${Similarity.normalizedSql},
        |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
@@ -866,6 +1020,7 @@ object VectorMaintenance {
     "vec_index_purge" -> vecIndexPurge,
     "vec_index_compact" -> vecIndexCompact,
     "vec_index_retrain" -> vecIndexRetrain,
+    "vec_index_retrain_incremental" -> vecIndexRetrainIncremental,
     "vec_consistency_audit" -> vecConsistencyAudit)
 
   val oracleSql: Map[String, String] = Map(
@@ -880,5 +1035,6 @@ object VectorMaintenance {
     // Retrained serve ≡ train over the full universe — the standalone
     // trained-IVF oracle replays it.
     "vec_index_retrain" -> Similarity.knnIvfTrainedSql,
+    "vec_index_retrain_incremental" -> vecIndexRetrainIncrementalSql,
     "vec_consistency_audit" -> vecConsistencyAuditSql)
 }

@@ -217,4 +217,63 @@ class VecMaintenanceSpec extends SparkTestBase {
     assert(VectorIndex.serve(spark, VectorMaintenance.vecPath(base), 1)
       .collect().toSeq === want)
   }
+
+  test("incremental retrain: partial fold ≡ direct means, absorbs deletes, marker-gated") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBaseAt(spark, dir,
+      Files.createTempDirectory("graft-vecmaint-inc").toString)
+    val ip = VectorMaintenance.vecPath(base)
+    VectorMaintenance.ingestAppend(spark, base,
+      embAll(dir).filter(col("vec_id") % 13 === 6))
+
+    def centsNow(): Map[Long, Seq[Double]] =
+      spark.read.format(fmt).option("path", s"$ip/cents").load()
+        .select(col("cent_id"), VectorIndex.dec(col("cvenc")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // The exactness contract: the cstats fold must equal the means
+    // computed DIRECTLY from the assigned table (what a corpus pass
+    // would give) — per cell, per component, at the 6-dp grain.
+    def directMeans(): Map[Long, Seq[Double]] =
+      spark.read.format(fmt).option("path", s"$ip/assigned").load()
+        .select(col("cell"), posexplode(VectorIndex.dec(col("vnenc"))).as(Seq("j", "v")))
+        .groupBy(col("cell"), col("j")).agg(round(avg(col("v")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+        .select(col("cell"), transform(col("jm"), x => x.getField("m")).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+
+    val frozen = centsNow()
+    assert(VectorMaintenance.retrainIncremental(spark, base),
+      "appended drift must trigger the update")
+    val moved = centsNow()
+    assert(moved !== frozen, "centroids must move toward the grown corpus")
+    assert(moved === directMeans(),
+      "the metadata fold must equal a direct corpus-pass mean")
+    // Marker-gated idempotence: a second call no-ops.
+    assert(!VectorMaintenance.retrainIncremental(spark, base))
+    assert(centsNow() === moved)
+    // Serve still works against the moved centroids (stored cells lag
+    // by one update — the mini-batch trade, by design).
+    assert(VectorIndex.serve(spark, ip, 1).collect().nonEmpty)
+
+    // DELETE absorption: negated partials net out the victims, so the
+    // next fold equals direct means over the SURVIVORS.
+    assert(VectorMaintenance.deleteRange(spark, base, 100L, 300L) > 0)
+    assert(VectorMaintenance.retrainIncremental(spark, base),
+      "the delete re-drifted the marker")
+    assert(centsNow() === directMeans(),
+      "negated partials must fold to the survivor means")
+    // And the partials table stays mass-consistent: Σn per cell equals
+    // the assigned table's live member count.
+    val fromParts = spark.read.format(fmt).option("path",
+        VectorMaintenance.cstatsTable(ip)).load()
+      .filter(col("j") === 0)
+      .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromAssigned = spark.read.format(fmt).option("path", s"$ip/assigned").load()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromParts === fromAssigned)
+  }
 }
