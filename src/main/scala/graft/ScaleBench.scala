@@ -119,7 +119,9 @@ object ScaleBench {
             else (-1L, -1L)
           s"$t:$sz:$mt"
         }
-      s"sfDir=$sfDir factor=$factor ${srcs.mkString(" ")}"
+      // gen=v2: the replica SHAPE is part of the cache key — the r18
+      // sign-pattern change must invalidate verbatim-vector replicas.
+      s"gen=v2 sfDir=$sfDir factor=$factor ${srcs.mkString(" ")}"
     }
     if (Files.exists(marker) &&
         new String(Files.readAllBytes(marker), "UTF-8") == fingerprint) return
@@ -163,7 +165,26 @@ object ScaleBench {
         when(col("__rep") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1_"), col("__rep"))))), "documents")
-    write(rep("embeddings").withColumn("vec_id", shift("vec_id")), "embeddings")
+    // Per-replica deterministic SIGN PATTERN on the components (round-18;
+    // found by the full-suite ×10 sweep): replicating vectors verbatim
+    // makes every replica a NEAR-DUPLICATE of the original — threshold-
+    // pair entries (near-dup, cosine clusters) then see every dup
+    // cluster grow ×F in SIZE, blowing the pair grain ×F² — the exact
+    // dishonesty the document text's per-replica token suffix already
+    // guards against. Sign-flips fix it losslessly for the within-
+    // replica structure: cos(s⊙a, s⊙b) = cos(a, b) (signs square away),
+    // so every original cluster replicates EXACTLY — while across
+    // replicas cos(s⊙a, t⊙b) is a Rademacher-weighted dot (mean 0,
+    // sd ≈ 1/√64 ≈ 0.125), far below the 0.45 threshold. Clusters
+    // multiply in COUNT, not in size — what a bigger corpus looks like.
+    // Rep 0 keeps the original vectors (the ×1 corpus embeds verbatim).
+    write(rep("embeddings")
+      .withColumn("vec_id", shift("vec_id"))
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (v, j) =>
+            (v * when(pmod(hash(col("__rep"), j), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).cast("float")))), "embeddings")
     Files.write(marker, fingerprint.getBytes("UTF-8"))
   }
 }

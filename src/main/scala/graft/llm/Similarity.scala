@@ -322,9 +322,13 @@ object Similarity {
     * is 1−(1−p⁴)⁸ with p = 1−acos(c)/π (≈0.998 at c=0.9); the miss set is
     * the documented trade, not a correctness gap — the oracle runs the
     * identical algorithm. */
-  def embeddingNearDupLsh: Q = (s, dir) => {
-    val emb = normalized(Tables(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** LSH candidate pairs `(v1 < v2)` — the random-hyperplane blocked
+    * pair generation the near-dup entry and the clusters scale path
+    * share: 12-bit sign signatures per table, candidates = same-bucket
+    * pairs in ANY table, EQUI-join on (tbl, bucket) so the shuffle is
+    * hash-partitioned and per-bucket bounded — never an all-pairs
+    * nested loop. */
+  private def lshCandidatePairs(emb: DataFrame): DataFrame = {
     val bucketCols = (0 until NumTables).map { t =>
       (0 until BitsPerTable).map { j =>
         val plane = array(Planes(t * BitsPerTable + j).map(lit): _*)
@@ -336,12 +340,33 @@ object Similarity {
     val buckets = emb
       .select(col("vec_id"), posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
       .distinct()
-    cand
+  }
+
+  /** The matching DuckDB CTEs (`buckets`, `cand`) for
+    * [[lshCandidatePairs]]. */
+  private def lshCandCtes: String = {
+    val arms = (0 until NumTables).map { t =>
+      val bits = (0 until BitsPerTable).map { j =>
+        s"(CASE WHEN list_dot_product(vn, ${planeLiteral(t * BitsPerTable + j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""buckets AS (
+       |  $arms),
+       |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |         FROM buckets x JOIN buckets y
+       |           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  def embeddingNearDupLsh: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshCandidatePairs(emb)
       .join(emb.as("a"), col("v1") === col("a.vec_id"))
       .join(emb.as("b"), col("v2") === col("b.vec_id"))
       .select(col("v1"), col("v2"), dotp(col("a.vn"), col("b.vn")).as("cos"))
@@ -356,24 +381,60 @@ object Similarity {
     Planes(p).map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
       .mkString("[", ", ", "]")
 
-  val embeddingNearDupLshSql: String = {
-    val arms = (0 until NumTables).map { t =>
-      val bits = (0 until BitsPerTable).map { j =>
-        s"(CASE WHEN list_dot_product(vn, ${planeLiteral(t * BitsPerTable + j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM e"
-    }.mkString("\n  UNION ALL\n  ")
+  val embeddingNearDupLshSql: String =
     s"""WITH $normalizedSql,
-       |buckets AS (
-       |  $arms),
-       |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-       |         FROM buckets x JOIN buckets y
-       |           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |$lshCandCtes
        |SELECT v1, v2, ROUND(list_dot_product(a.vn, b.vn), 9) AS cos_sim
        |FROM cand JOIN e a ON v1 = a.vec_id JOIN e b ON v2 = b.vec_id
        |WHERE list_dot_product(a.vn, b.vn) >= 0.45
        |ORDER BY v1, v2""".stripMargin
+
+  /** Embedding-cosine dedup CLUSTERS, the SCALE PATH (round-18; the
+    * exact entry above is the brute-force baseline, the knn_brute_force
+    * precedent): pair generation is BLOCKED BY TRAINED K-MEANS CELL —
+    * the SemDeDup co-design, and the only blocking that is honest at a
+    * LOW threshold like 0.45, where sign-LSH cannot help (collision
+    * probability 1 − θ/π ≈ 0.65 per bit: this round MEASURED the
+    * 8×4-bit LSH blocking at 219× under ×10 data — candidates are
+    * n²/16, a quadratic with a hat on). Cells come from the standard
+    * trained centroids, whose COUNT grows with the corpus (grid seeds =
+    * every 25th vector), so per-cell membership stays ~25 and the
+    * same-cell candidate volume is LINEAR in the corpus; the 0.45
+    * threshold then filters candidates and the same min-label fold
+    * yields components. Cross-cell pairs are deliberately missed —
+    * SemDeDup's documented recall trade, part of the entry's semantics
+    * (the oracle replays the same cells). */
+  def embeddingDedupClustersCell: Q = (s, dir) => {
+    val emb = normalized(Tables(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = kmeansAssign(emb, kmeansCentroids(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dotp(col("a.vn"), col("b.vn")) >= 0.45)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+    Dedup.minLabelComponents(pairs)
+      .select(col("node").as("vec_id"), col("label").as("component"))
+      .orderBy(col("vec_id"))
   }
+
+  // lazy: kmeansCtesSql is declared further down the object — an eager
+  // val here would interpolate null at init order.
+  lazy val embeddingDedupClustersCellSql: String =
+    s"""WITH RECURSIVE $normalizedSql,
+       |$kmeansCtesSql,
+       |pairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM af a JOIN af b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.vn, b.vn) >= 0.45),
+       |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |       UNION SELECT d2, d1 FROM pairs),
+       |reach AS (SELECT a, b FROM bi
+       |          UNION
+       |          SELECT r.a, e2.b FROM reach r JOIN bi e2 ON r.b = e2.a)
+       |SELECT a AS vec_id, LEAST(MIN(b), a) AS component
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
 
   /** IVF with multi-probe (nprobe=2): each query searches its TWO nearest
     * cells instead of one. This is the standard recall lever for IVF —
@@ -1430,6 +1491,7 @@ object Similarity {
     "embedding_semdedup"     -> semDedup,
     "vec_quantize"           -> vecQuantize,
     "embedding_dedup_clusters" -> embeddingDedupClusters,
+    "embedding_dedup_clusters_cell" -> embeddingDedupClustersCell,
     "knn_recall_eval"        -> knnRecallEval,
     "knn_brute_force"        -> knnBruteForce,
     "knn_ivf"                -> knnIvf,
@@ -1459,6 +1521,7 @@ object Similarity {
     "knn_sq8_recall"        -> sq8RecallSql,
     "vec_quantize"           -> vecQuantizeSql,
     "embedding_dedup_clusters" -> embeddingDedupClustersSql,
+    "embedding_dedup_clusters_cell" -> embeddingDedupClustersCellSql,
     "knn_brute_force"        -> knnBruteForceSql,
     "knn_recall_eval"        -> knnRecallEvalSql,
     "knn_ivf"                -> knnIvfSql,
