@@ -222,7 +222,9 @@ object ManifestFileSink {
     math.max(0L, manifests(path).map(readMeta(_).seq).maxOption.getOrElse(0L)) + 1L
 
   /** Manifests in PUBLICATION order — the embedded commit sequence, with a
-    * name tiebreak only for malformed hand-written duplicates. This order
+    * name tiebreak only for malformed hand-written duplicates — two
+    * honest writers can no longer produce a same-seq pair, because every
+    * allocation passes [[claimSeq]]'s cross-process CAS. This order
     * is also the snapshot timeline for [[visibleFiles]]' time travel.
     *
     * A live manifest whose NAME appears in another live manifest's
