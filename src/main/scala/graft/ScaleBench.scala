@@ -47,6 +47,22 @@ object ScaleBench {
     // the round's scale-risk rewires + the new composition entry
     "q_gini", "q_skyline", "text_curation_pipeline")
 
+  /** Adjudicated EXACT all-pairs baselines (BENCH_NOTES round-18 items
+    * 2–3): quadratic BY DESIGN — their job is gating the blocked scale
+    * paths' oracles (the knn_brute_force precedent), and at threshold
+    * 0.45 their OUTPUT is Θ(n²), so no sweep factor makes them linear.
+    * A ×F sweep prices them at ~F²·base, which made the full-suite ×10
+    * sweep's cost ceiling exactly this family (33×/136×/250× in round
+    * 18 — verdict-r18 #5). At `factor > BaselineCapFactor` the sweep
+    * times them against the ×[[BaselineCapFactor]] replica instead and
+    * says so in the row (`"factor_used"`) and in a `"capped"` warn line
+    * — the no-silent-caps rule: the cap is recorded, never implied.
+    * Capped rows are EXCLUDED from the suite median and the flag gate
+    * (a ×3 ratio is not comparable to ×10 ratios). */
+  private[graft] val QuadraticBaselines: Set[String] =
+    Set("embedding_dedup_clusters", "embedding_near_dup")
+  private[graft] val BaselineCapFactor = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -66,6 +82,15 @@ object ScaleBench {
 
     val big = s"$outDir/x$factor"
     buildReplica(spark, sfDir, big, factor)
+    // The quadratic-baseline cap (doc on [[QuadraticBaselines]]).
+    val cappedQs = queries.filter(q =>
+      QuadraticBaselines.contains(q) && factor > BaselineCapFactor).toSet
+    val capDir = s"$outDir/x$BaselineCapFactor"
+    if (cappedQs.nonEmpty) {
+      cappedQs.foreach(q => println(
+        s"""{"warn":"quadratic baseline capped","q":"$q","factor_used":$BaselineCapFactor,"requested":$factor}"""))
+      buildReplica(spark, sfDir, capDir, BaselineCapFactor)
+    }
 
     def timeQ(name: String, dir: String, samples: Int): Double = {
       val fn = SparkEntry.queries(name)
@@ -86,20 +111,25 @@ object ScaleBench {
     val rows = queries.flatMap { q =>
       if (!SparkEntry.queries.contains(q)) None
       else {
+        val isCapped = cappedQs.contains(q)
+        val fUsed = if (isCapped) BaselineCapFactor else factor
         val base = timeQ(q, sfDir, 2)
-        val scaled = timeQ(q, big, 2)
+        val scaled = timeQ(q, if (isCapped) capDir else big, 2)
         val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
-        println(f"""{"q":"$q","base":$base%.3f,"x$factor":$scaled%.3f,"ratio":$ratio%.2f}""")
-        Some((q, base, scaled, ratio))
+        println(f"""{"q":"$q","base":$base%.3f,"x$fUsed":$scaled%.3f,"ratio":$ratio%.2f,"factor_used":$fUsed}""")
+        Some((q, base, scaled, ratio, isCapped))
       }
     }
-    val ratios = rows.map(_._4).filter(_ > 0).sorted
+    // Capped baselines never enter the median or the flag gate: their
+    // ratio is at a different factor.
+    val ratios = rows.filterNot(_._5).map(_._4).filter(_ > 0).sorted
     val med = if (ratios.nonEmpty) ratios(ratios.size / 2) else -1.0
-    val flagged = rows.filter { case (_, _, _, r) => med > 0 && r > 2 * med }
-    val qs = rows.map { case (q, b, s2, r) =>
-      s""""$q":{"base":${math.rint(b * 1000) / 1000},"scaled":${math.rint(s2 * 1000) / 1000},"ratio":${math.rint(r * 100) / 100}}"""
+    val flagged = rows.filter { case (_, _, _, r, c) => !c && med > 0 && r > 2 * med }
+    val qs = rows.map { case (q, b, s2, r, c) =>
+      val fu = if (c) BaselineCapFactor else factor
+      s""""$q":{"base":${math.rint(b * 1000) / 1000},"scaled":${math.rint(s2 * 1000) / 1000},"ratio":${math.rint(r * 100) / 100},"factor_used":$fu}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_ratio_median","value":${math.rint(med * 100) / 100},"factor":$factor,"queries":$qs,"flagged":[${flagged.map(f => "\"" + f._1 + "\"").mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"scale_ratio_median","value":${math.rint(med * 100) / 100},"factor":$factor,"queries":$qs,"flagged":[${flagged.map(f => "\"" + f._1 + "\"").mkString(",")}],"capped":[${rows.filter(_._5).map(f => "\"" + f._1 + "\"").mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 

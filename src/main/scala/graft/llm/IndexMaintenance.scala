@@ -239,6 +239,11 @@ object IndexMaintenance {
     * Returns per-window retracted counts, aligned with `windows`. */
   def deleteRanges(s: SparkSession, base: String,
       windows: Seq[(Long, Long)]): Seq[Long] =
+    MaintenanceLease.withLease(base, "deleteRanges")(
+      deleteRangesImpl(s, base, windows))
+
+  private def deleteRangesImpl(s: SparkSession, base: String,
+      windows: Seq[(Long, Long)]): Seq[Long] =
     synchronized {
       require(windows.nonEmpty, "no delete windows")
       windows.foreach { case (lo, hi) =>
@@ -389,6 +394,11 @@ object IndexMaintenance {
     * stage is distinguishable from a concurrent one. */
   def ingestAppend(s: SparkSession, base: String, batch: DataFrame,
       wapId: String = WapId): Unit =
+    MaintenanceLease.withLease(base, "ingestAppend")(
+      ingestAppendImpl(s, base, batch, wapId))
+
+  private def ingestAppendImpl(s: SparkSession, base: String, batch: DataFrame,
+      wapId: String): Unit =
     synchronized {
       val ct = corpusTable(base)
       val tp = textPath(base)
@@ -515,6 +525,11 @@ object IndexMaintenance {
     * Returns true when the epoch applied, false when it replayed as a
     * no-op. */
   def applyEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean =
+    MaintenanceLease.withLease(base, "applyEpoch")(
+      applyEpochImpl(s, base, batch, epochId))
+
+  private def applyEpochImpl(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
     val wapId = s"ingest-e$epochId"
     // Primary torn-state recovery: a crash mid-publish leaves a staged
@@ -597,6 +612,11 @@ object IndexMaintenance {
     * epoch no-ops), a torn stage under this epoch's id discards before
     * retrying. Returns true when the epoch DECIDED here. */
   def curateEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean =
+    MaintenanceLease.withLease(base, "curateEpoch")(
+      curateEpochImpl(s, base, batch, epochId))
+
+  private def curateEpochImpl(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
     // Finish any mid-publish crash first: if the roll-forward completes
     // THIS epoch's ledger publish, the epoch was decided by the
@@ -816,12 +836,14 @@ object IndexMaintenance {
     // Postings/passages fold back to one file per term bucket (rows
     // preserved exactly); the partials/stats tables NET — see
     // [[netPartials]].
-    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/passages"))
-      if (ManifestFileSink.publishedManifestCount(t) > 1) {
-        ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
-        s.catalog.refreshByPath(t)
-      }
-    netPartials(s, textPath(base))
+    MaintenanceLease.withLease(base, "compact") {
+      for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/passages"))
+        if (ManifestFileSink.publishedManifestCount(t) > 1) {
+          ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
+          s.catalog.refreshByPath(t)
+        }
+      netPartials(s, textPath(base))
+    }
     TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
   }
 
@@ -836,11 +858,13 @@ object IndexMaintenance {
   def dedupIndexCompact: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = maintained(s, dir)
     val dp = dedupPath(base)
-    for ((t, c) <- Seq(s"$dp/bands" -> "bb", s"$dp/shingles" -> "db"))
-      if (ManifestFileSink.publishedManifestCount(t) > 1) {
-        ManifestFileSink.repartitionTable(s, t, Seq(c), 32)
-        s.catalog.refreshByPath(t)
-      }
+    MaintenanceLease.withLease(base, "compact") {
+      for ((t, c) <- Seq(s"$dp/bands" -> "bb", s"$dp/shingles" -> "db"))
+        if (ManifestFileSink.publishedManifestCount(t) > 1) {
+          ManifestFileSink.repartitionTable(s, t, Seq(c), 32)
+          s.catalog.refreshByPath(t)
+        }
+    }
     DedupIndex.serve(s, dp,
       Tables(s, dir).documents.filter(col("doc_id") % 13 === ProbeClass))
   }
@@ -862,13 +886,15 @@ object IndexMaintenance {
     * per bucket. */
   def textIndexVacuum: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = maintained(s, dir)
-    for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts",
-        s"${textPath(base)}/passages", s"${textPath(base)}/pdfparts")) {
-      if (ManifestFileSink.publishedManifestCount(t) > 1) {
-        ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
-        s.catalog.refreshByPath(t)
+    MaintenanceLease.withLease(base, "vacuum") {
+      for (t <- Seq(s"${textPath(base)}/postings", s"${textPath(base)}/dfparts",
+          s"${textPath(base)}/passages", s"${textPath(base)}/pdfparts")) {
+        if (ManifestFileSink.publishedManifestCount(t) > 1) {
+          ManifestFileSink.repartitionTable(s, t, Seq("tb"), 64)
+          s.catalog.refreshByPath(t)
+        }
+        ManifestFileSink.vacuum(t, olderThanMs = 0L)
       }
-      ManifestFileSink.vacuum(t, olderThanMs = 0L)
     }
     TextIndex.serve(s, textPath(base), Seq("dup", "spark", "window"))
   }
@@ -972,7 +998,10 @@ object IndexMaintenance {
     * fraction), amortized over however many deletes accumulated;
     * after it, scans stop paying the mask and vacuum reclaims the
     * originals' bytes. */
-  def purgeDeletes(s: SparkSession, base: String): Int = synchronized {
+  def purgeDeletes(s: SparkSession, base: String): Int =
+    MaintenanceLease.withLease(base, "purgeDeletes")(purgeDeletesImpl(s, base))
+
+  private def purgeDeletesImpl(s: SparkSession, base: String): Int = synchronized {
     val ct = corpusTable(base)
     val tp = textPath(base)
     val dp = dedupPath(base)

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.dotp
+import graft.plans.TopKPerGroup
 import graft.sources.{ManifestFileSink, Tables}
 
 /** INCREMENTAL maintenance for the VECTOR index — the third leg of the
@@ -147,8 +149,10 @@ object VectorMaintenance {
     * `k×64` rows per segment, never a corpus pass. */
   def cstatsTable(ip: String): String = s"$ip/cstats"
 
-  /** One segment's partial-sum rows from its (cell, vn) assignment. */
-  private def cellPartials(rows: DataFrame): DataFrame =
+  /** One segment's partial-sum rows from its (cell, vn) assignment.
+    * `private[llm]`: VecMaintenanceSpec stages a bit-faithful torn
+    * transaction with it. */
+  private[llm] def cellPartials(rows: DataFrame): DataFrame =
     rows.select(col("cell"), posexplode(col("vn")).as(Seq("j", "v")))
       .groupBy(col("cell"), col("j"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -199,7 +203,10 @@ object VectorMaintenance {
     * Idempotent via the trained-over fingerprint — a corpus unchanged
     * since the last train no-ops with a metadata read. Returns true iff
     * a retrain ran. */
-  def ensureRetrained(s: SparkSession, base: String): Boolean = synchronized {
+  def ensureRetrained(s: SparkSession, base: String): Boolean =
+    MaintenanceLease.withLease(base, "retrain")(ensureRetrainedImpl(s, base))
+
+  private def ensureRetrainedImpl(s: SparkSession, base: String): Boolean = synchronized {
     val ct = corpusTable(base)
     val ip = vecPath(base)
     val cur = IndexFence.fingerprint(ct)
@@ -228,9 +235,27 @@ object VectorMaintenance {
     * an emptied cell drops from the full train. Idempotent via the
     * marker; a pre-v2 base (no cstats) falls back THROUGH the full
     * door. Returns true iff an update ran. */
-  def retrainIncremental(s: SparkSession, base: String): Boolean = synchronized {
+  def retrainIncremental(s: SparkSession, base: String): Boolean =
+    MaintenanceLease.withLease(base, "retrainIncremental")(
+      retrainIncrementalImpl(s, base))
+
+  private def retrainIncrementalImpl(s: SparkSession, base: String): Boolean = synchronized {
     val ct = corpusTable(base)
     val ip = vecPath(base)
+    // Same preamble as ingestAppend/deleteRanges (advice-r18 #1): a crash
+    // mid-publish of a sibling verb leaves the newest cstats suffix staged
+    // and invisible — folding WITHOUT rolling it forward would advance the
+    // trained-over marker past partials the fold never saw, silently wrong
+    // centroids until the next drift. Runs BEFORE the fingerprint read so
+    // the idempotence check sees the rolled-forward corpus.
+    if (IndexFence.readLayout(ip) == LayoutVersion) {
+      recoverTorn(s, base)
+      reconcileFence(s, base)
+      for (st <- IndexFence.staleness(ip))
+        if (st) throw new IllegalStateException(
+          s"vector index at $ip is STALE (out-of-band corpus drift): " +
+            "rebuild before maintaining.")
+    }
     val cur = IndexFence.fingerprint(ct)
     val tf = Paths.get(trainedFile(ip))
     if (Files.isRegularFile(tf) && Files.readString(tf) == cur.toString) return false
@@ -313,6 +338,11 @@ object VectorMaintenance {
     * passes a per-epoch id so torn stages discard per epoch. */
   def ingestAppend(s: SparkSession, base: String, batch: DataFrame,
       wapId: String = WapId): Unit =
+    MaintenanceLease.withLease(base, "ingestAppend")(
+      ingestAppendImpl(s, base, batch, wapId))
+
+  private def ingestAppendImpl(s: SparkSession, base: String, batch: DataFrame,
+      wapId: String): Unit =
     synchronized {
       val ct = corpusTable(base)
       val ip = vecPath(base)
@@ -392,6 +422,11 @@ object VectorMaintenance {
     * before its fence write, so the index reads as stale until here).
     * Returns true when the epoch applied (including a repair). */
   def applyEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean =
+    MaintenanceLease.withLease(base, "applyEpoch")(
+      applyEpochImpl(s, base, batch, epochId))
+
+  private def applyEpochImpl(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
     val wapId = s"vecingest-e$epochId"
     val ct = corpusTable(base)
@@ -481,6 +516,11 @@ object VectorMaintenance {
     * scan), the within-epoch verify is cell-keyed (never a cross
     * product), and the epoch body stays map-only + bounded appends. */
   def curateVecEpoch(s: SparkSession, base: String, batch: DataFrame,
+      epochId: Long): Boolean =
+    MaintenanceLease.withLease(base, "curateVecEpoch")(
+      curateVecEpochImpl(s, base, batch, epochId))
+
+  private def curateVecEpochImpl(s: SparkSession, base: String, batch: DataFrame,
       epochId: Long): Boolean = synchronized {
     // Finish any mid-publish crash FIRST: if the roll-forward completes
     // THIS epoch's ledger publish, the epoch was decided (by the
@@ -652,6 +692,11 @@ object VectorMaintenance {
     * per-window retracted counts, aligned with `windows`. */
   def deleteRanges(s: SparkSession, base: String,
       windows: Seq[(Long, Long)]): Seq[Long] =
+    MaintenanceLease.withLease(base, "deleteRanges")(
+      deleteRangesImpl(s, base, windows))
+
+  private def deleteRangesImpl(s: SparkSession, base: String,
+      windows: Seq[(Long, Long)]): Seq[Long] =
     synchronized {
       require(windows.nonEmpty, "no delete windows")
       windows.foreach { case (lo, hi) =>
@@ -791,7 +836,10 @@ object VectorMaintenance {
 
   /** PURGE for the vector base — [[IndexMaintenance.purgeDeletes]]'s
     * two-table form. */
-  def purgeDeletes(s: SparkSession, base: String): Int = synchronized {
+  def purgeDeletes(s: SparkSession, base: String): Int =
+    MaintenanceLease.withLease(base, "purgeDeletes")(purgeDeletesImpl(s, base))
+
+  private def purgeDeletesImpl(s: SparkSession, base: String): Int = synchronized {
     val ct = corpusTable(base)
     val ip = vecPath(base)
     recoverTorn(s, base)
@@ -854,9 +902,11 @@ object VectorMaintenance {
   def vecIndexCompact: (SparkSession, String) => DataFrame = (s, dir) => {
     val base = maintained(s, dir)
     val assignedT = s"${vecPath(base)}/assigned"
-    if (ManifestFileSink.publishedManifestCount(assignedT) > 1) {
-      ManifestFileSink.repartitionTable(s, assignedT, Seq("cell"), 8)
-      s.catalog.refreshByPath(assignedT)
+    MaintenanceLease.withLease(base, "compact") {
+      if (ManifestFileSink.publishedManifestCount(assignedT) > 1) {
+        ManifestFileSink.repartitionTable(s, assignedT, Seq("cell"), 8)
+        s.catalog.refreshByPath(assignedT)
+      }
     }
     VectorIndex.serve(s, vecPath(base), nprobe = 1)
   }
@@ -1014,6 +1064,218 @@ object VectorMaintenance {
        |  UNION ALL SELECT 'corpus_rows', (SELECT COUNT(*) FROM e)
        |) ORDER BY invariant""".stripMargin
 
+  /** Own base for the retrain-recall certificate (its maintenance
+    * history must not disturb the other entries' fences or markers). */
+  def recallCertBasePath(dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_vecrecallcert", dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  /** The certificate's two retraction windows. W1 contains NO class-6
+    * vec_id (nothing later re-appends into it, so replaying the delete
+    * is a no-op and the entry stays idempotent); W2 contains one id
+    * from EACH append half (201 ≡ 19, 214 ≡ 6 mod 26), so the second
+    * retraction stages negative partials against both appended
+    * segments — the fold cancellation the certificate must price. */
+  private val CertW1: (Long, Long) = (100L, 110L)
+  private val CertW2: (Long, Long) = (195L, 221L)
+
+  /** RECALL-DRIFT CERTIFICATE for the incremental retrain (verdict-r18
+    * Next #4) — the knn_recall_eval discipline applied to the mini-batch
+    * trade: [[retrainIncremental]] advances centroids to the exact
+    * grown-corpus means but leaves STORED assignments one update stale
+    * (the documented mini-batch Lloyd lag), and until this entry that
+    * trade's recall cost was asserted, not measured. After TWO full
+    * append + delete + retrainIncremental cycles (the second append
+    * assigns against the ONCE-MOVED centroids, so the lag is real, not
+    * simulated), it measures recall@5 of the served incremental index
+    * against brute-force ground truth over the survivors, NEXT TO the
+    * same probe set served by a full from-scratch retrain (train +
+    * assign over the final corpus — zero lag). One row per probe:
+    * `(n_truth, hits_inc, recall_inc_at_5, hits_full, recall_full_at_5)`
+    * — the parity claim (incremental ≈ full) is pinned by
+    * RetrainRecallCertSpec; the oracle replays the whole maintenance
+    * history (two assignment epochs, two retractions, two mean folds,
+    * plus an independent from-scratch training) so a skipped fold, a
+    * wrong lag, or a drifted mean is a hash miss.
+    *
+    * Scale shape: the certificate is a SAMPLE instrument — ground truth
+    * is the brute-force scan every recall audit pays (per probe, one
+    * corpus pass through the bounded heap), which is why probes are a
+    * fixed 20-id sample; the two serves touch one cell per probe and the
+    * from-scratch reference costs one training (3 Lloyd passes). At
+    * 100 TB this runs on a probe sample per maintenance epoch, exactly
+    * like knn_recall_eval. */
+  def vecRetrainRecallCert: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = ensureBaseAt(s, dir, recallCertBasePath(dir))
+    val ip = vecPath(base)
+    val emb = Tables(s, dir).embeddings
+    def missing(id: Long): Boolean =
+      readCorpus(s, base).filter(col("vec_id") === id).limit(1).isEmpty
+    // Cycle 1: append the even half of class 6 (assigned under the
+    // build-trained centroids), retract W1, advance the centroids.
+    if (missing(6L))
+      ingestAppend(s, base,
+        emb.filter(col("vec_id") % 26 === 6), wapId = "cert-c6even")
+    deleteRanges(s, base, Seq(CertW1)) // replayed: zero victims, no-op
+    retrainIncremental(s, base)
+    // Cycle 2: the odd half assigns against the MOVED centroids (the
+    // lag under measurement), retract W2, advance again.
+    if (missing(19L))
+      ingestAppend(s, base,
+        emb.filter(col("vec_id") % 26 === 19), wapId = "cert-c6odd")
+    deleteRanges(s, base, Seq(CertW2))
+    retrainIncremental(s, base)
+
+    val k = 5
+    val cents = s.read.format(fmt).option("path", s"$ip/cents").load()
+      .select(col("cent_id"), VectorIndex.dec(col("cvenc")).as("cv"))
+    val stored = s.read.format(fmt).option("path", s"$ip/assigned").load()
+      .select(col("vec_id"), VectorIndex.dec(col("vnenc")).as("vn"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = stored.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    // Ground truth: brute-force top-5 over the survivors (broadcast
+    // probes, corpus scanned once through the bounded heap).
+    val exactScored = broadcast(probes)
+      .join(stored, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotp(col("qv"), col("vn")).as("cos"))
+    val exact = TopKPerGroup(exactScored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Probe-side cell selection against a given centroid set (the serve
+    // expressions: dot/|cv| score, ties to the lowest cent_id).
+    def probeCells(cs: DataFrame): DataFrame =
+      probes.join(broadcast(cs))
+        .select(col("query_id"), col("qv"), col("cent_id"),
+          (dotp(col("qv"), col("cv")) / sqrt(dotp(col("cv"), col("cv"))))
+            .as("score"))
+        .groupBy(col("query_id"))
+        .agg(max_by(col("cent_id"),
+            struct(col("score"), -col("cent_id"))).as("cell"),
+          first(col("qv")).as("qv"))
+    def top5(candidates: DataFrame, pc: DataFrame): DataFrame = {
+      val scored = broadcast(pc).join(candidates, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dotp(col("qv"), col("vn")).as("cos"))
+      TopKPerGroup(scored, Seq("query_id"),
+        Seq(("cos", false), ("neighbor_id", true)), k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    // The served INCREMENTAL index: probes re-select under the folded
+    // centroids, candidates keep their stored (lagged) cells.
+    val inc = top5(stored, probeCells(cents))
+    // The FROM-SCRATCH reference: full k-means retrain over the
+    // survivors — fresh training, fresh assignment, zero lag.
+    val sv = stored.select(col("vec_id"), col("vn"))
+    val fresh = Similarity.kmeansCentroids(sv)
+    val full = top5(Similarity.kmeansAssign(sv, fresh), probeCells(fresh))
+    def hitsOf(approx: DataFrame, nm: String): DataFrame =
+      exact.join(approx.withColumn("h", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("h"), lit(0L))).as(nm))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hitsOf(inc, "hits_inc"), Seq("query_id"))
+      .join(hitsOf(full, "hits_full"), Seq("query_id"))
+      .select(col("query_id"), col("n_truth"), col("hits_inc"),
+        (col("hits_inc").cast("double") / k).as("recall_inc_at_5"),
+        col("hits_full"),
+        (col("hits_full").cast("double") / k).as("recall_full_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB replay of the certificate's WHOLE maintenance history:
+    * base training (c0–c3, af), epoch-1 assignment of the even half
+    * against c3 (`a1n`), retraction W1 (`st1`), mean fold (`c4`),
+    * epoch-2 assignment of the odd half against the MOVED c4 (`a2n`),
+    * retraction W2 (`st2`), final fold (`c5`) — next to an independent
+    * from-scratch training over the survivors (`c3r`/`afr`, the
+    * suffixed [[Similarity.kmeansCtes]]). Both serves and the exact
+    * ground truth run over the same survivor relation. */
+  val vecRetrainRecallCertSql: String = {
+    val (w1lo, w1hi) = CertW1
+    val (w2lo, w2hi) = CertW2
+    def assignCte(name: String, cents: String, src: String): String =
+      s"""$name AS (
+         |  SELECT s.vec_id, e0.vn, s.cell FROM (
+         |    SELECT vec_id, cell FROM (
+         |      SELECT sc.vec_id, sc.cent_id AS cell,
+         |        ROW_NUMBER() OVER (PARTITION BY sc.vec_id
+         |          ORDER BY sc.score DESC, sc.cent_id) AS rn
+         |      FROM (
+         |        SELECT e1.vec_id, c.cent_id,
+         |          list_dot_product(e1.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) AS score
+         |        FROM $src e1 CROSS JOIN $cents c) sc) t WHERE rn = 1) s
+         |  JOIN $src e0 ON s.vec_id = e0.vec_id)"""
+    def meanFold(sName: String, cName: String, src: String): String =
+      s"""$sName AS (
+         |  SELECT cell, i AS j, ROUND(SUM(vn[i]) / COUNT(*), 6) AS m
+         |  FROM $src, UNNEST(generate_series(1, len(vn))) AS u(i)
+         |  GROUP BY cell, i),
+         |$cName AS (SELECT cell AS cent_id, list(m ORDER BY j) AS cv FROM $sName GROUP BY cell)"""
+    def probeSel(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT p.query_id, p.qv, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_dot_product(p.qv, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+         |          c.cent_id) AS rn
+         |    FROM p CROSS JOIN $cents c) t WHERE rn = 1)"""
+    def top5(name: String, pc: String, cand: String): String =
+      s"""$name AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT pc.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY pc.query_id
+         |        ORDER BY list_dot_product(pc.qv, a.vn) DESC, a.vec_id) AS rn
+         |    FROM $pc pc JOIN $cand a
+         |      ON pc.cell = a.cell AND a.vec_id <> pc.query_id) t WHERE rn <= 5)"""
+    def hitsCte(name: String, approx: String, hcol: String): String =
+      s"""$name AS (
+         |  SELECT x.query_id,
+         |    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS $hcol
+         |  FROM exact x LEFT JOIN $approx a
+         |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |  GROUP BY x.query_id)"""
+    s"""WITH ${Similarity.normalizedSql},
+       |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
+       |${Similarity.kmeansCtes("eb", "eb")},
+       |en1 AS (SELECT vec_id, vn FROM e WHERE vec_id % 26 = 6),
+       |${assignCte("a1n", "c3", "en1")},
+       |st1 AS (SELECT * FROM (SELECT * FROM af UNION ALL SELECT * FROM a1n)
+       |        WHERE NOT (vec_id >= $w1lo AND vec_id < $w1hi)),
+       |${meanFold("s4", "c4", "st1")},
+       |en2 AS (SELECT vec_id, vn FROM e WHERE vec_id % 26 = 19),
+       |${assignCte("a2n", "c4", "en2")},
+       |st2 AS (SELECT * FROM (SELECT * FROM st1 UNION ALL SELECT * FROM a2n)
+       |        WHERE NOT (vec_id >= $w2lo AND vec_id < $w2hi)),
+       |${meanFold("s5", "c5", "st2")},
+       |sv AS (SELECT vec_id, vn FROM st2),
+       |${Similarity.kmeansCtes("sv", "sv", "r")},
+       |p AS (SELECT vec_id AS query_id, vn AS qv FROM st2 WHERE vec_id < 20),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_dot_product(p.qv, b.vn) DESC, b.vec_id) AS rn
+       |    FROM p JOIN st2 b ON b.vec_id <> p.query_id) t WHERE rn <= 5),
+       |${probeSel("pinc", "c5")},
+       |${probeSel("pfull", "c3r")},
+       |${top5("ainc", "pinc", "st2")},
+       |${top5("afull", "pfull", "afr")},
+       |${hitsCte("hi", "ainc", "hits_inc")},
+       |${hitsCte("hf", "afull", "hits_full")}
+       |SELECT q.query_id, q.n_truth, hi.hits_inc,
+       |  CAST(hi.hits_inc AS DOUBLE) / 5 AS recall_inc_at_5,
+       |  hf.hits_full, CAST(hf.hits_full AS DOUBLE) / 5 AS recall_full_at_5
+       |FROM (SELECT query_id, COUNT(*) AS n_truth FROM exact GROUP BY query_id) q
+       |JOIN hi ON q.query_id = hi.query_id
+       |JOIN hf ON q.query_id = hf.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_index_append" -> vecIndexAppend,
     "vec_index_delete" -> vecIndexDelete,
@@ -1021,6 +1283,7 @@ object VectorMaintenance {
     "vec_index_compact" -> vecIndexCompact,
     "vec_index_retrain" -> vecIndexRetrain,
     "vec_index_retrain_incremental" -> vecIndexRetrainIncremental,
+    "vec_retrain_recall_cert" -> vecRetrainRecallCert,
     "vec_consistency_audit" -> vecConsistencyAudit)
 
   val oracleSql: Map[String, String] = Map(
@@ -1036,5 +1299,6 @@ object VectorMaintenance {
     // trained-IVF oracle replays it.
     "vec_index_retrain" -> Similarity.knnIvfTrainedSql,
     "vec_index_retrain_incremental" -> vecIndexRetrainIncrementalSql,
+    "vec_retrain_recall_cert" -> vecRetrainRecallCertSql,
     "vec_consistency_audit" -> vecConsistencyAuditSql)
 }

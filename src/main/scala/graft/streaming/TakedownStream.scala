@@ -53,20 +53,40 @@ object TakedownStream {
     ep
   }
 
+  /** Normalize a micro-batch's raw order list into the sorted DISJOINT
+    * window sequence [[IndexMaintenance.deleteRanges]] requires
+    * (advice-r18 #2): two independent legal orders may overlap —
+    * `.distinct` only removes exact duplicates, and an overlap inside
+    * `foreachBatch` would throw, fail the query, and poison the
+    * checkpoint into replaying the same batch forever. Overlapping
+    * windows merge into their interval UNION (retraction of a union ≡
+    * retractions of the parts: deletes commute and masked victims
+    * no-op), so the merged ledger row is the union window — the audit
+    * trail records what was retracted in this transaction, and the raw
+    * per-order feed remains in the checkpointed source files.
+    * Touching-but-not-overlapping windows stay separate (deleteRanges
+    * accepts adjacency), keeping their individual ledger rows. */
+  private[streaming] def coalesceOverlaps(ws: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    ws.distinct.sortBy(identity).foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: acc, (l, h)) if l < hi => (lo, math.max(hi, h)) :: acc
+      case (acc, w) => w :: acc
+    }.reverse
+
   /** Apply one micro-batch of takedown orders as ONE batched
     * transaction (verdict-r17 Next #2): K windows in a micro-batch
     * used to pay K ten-table transactions and K norms refolds where
     * one of each suffices — [[IndexMaintenance.deleteRanges]] stages
     * every window under one wap id with one refold and one ledger
-    * batch (still one ledger row per window, so each order stays
-    * individually auditable). Windows sort by (del_lo, del_hi) for
-    * determinism; the bounded collect is the order list itself —
-    * takedown feeds are metadata-grain by nature (a window per legal
-    * order, never per document). Returns windows that retracted
-    * anything. */
-  private def applyOrders(s: SparkSession, base: String, batch: DataFrame): Long = {
-    val windows = batch.select(col("del_lo"), col("del_hi")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(identity).toSeq
+    * batch (one ledger row per disjoint window after
+    * [[coalesceOverlaps]], so each order stays individually auditable
+    * unless orders overlap — then the union row is the audit record).
+    * Windows sort by (del_lo, del_hi) for determinism; the bounded
+    * collect is the order list itself — takedown feeds are
+    * metadata-grain by nature (a window per legal order, never per
+    * document). Returns windows that retracted anything. */
+  private[streaming] def applyOrders(s: SparkSession, base: String, batch: DataFrame): Long = {
+    val windows = coalesceOverlaps(batch.select(col("del_lo"), col("del_hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
     if (windows.isEmpty) 0L
     else IndexMaintenance.deleteRanges(s, base, windows).count(_ > 0).toLong
   }
@@ -132,8 +152,10 @@ object TakedownStream {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val windows = batch.select(col("del_lo"), col("del_hi")).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(identity).toSeq
+        // Same overlap discipline as [[applyOrders]] — the vector
+        // deleteRanges has the identical disjointness require().
+        val windows = coalesceOverlaps(batch.select(col("del_lo"), col("del_hi"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
         if (windows.nonEmpty) applied.addAndGet(
           graft.llm.VectorMaintenance.deleteRanges(s, base, windows)
             .count(_ > 0).toLong)

@@ -276,4 +276,64 @@ class VecMaintenanceSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fromParts === fromAssigned)
   }
+
+  test("incremental retrain recovers a torn mid-publish before folding (advice-r18 #1)") {
+    val dir = freshDir()
+    val base = VectorMaintenance.ensureBaseAt(spark, dir,
+      Files.createTempDirectory("graft-vecmaint-torninc").toString)
+    val ip = VectorMaintenance.vecPath(base)
+    val ct = VectorMaintenance.corpusTable(base)
+    VectorMaintenance.ingestAppend(spark, base,
+      embAll(dir).filter(col("vec_id") % 13 === 6))
+    assert(VectorMaintenance.retrainIncremental(spark, base))
+
+    // Simulate an ingestAppend that crashed MID-PUBLISH: all three
+    // tables staged under one wap id, only the HEAD (corpus) published —
+    // the decision was taken, so recovery must roll the survivors
+    // forward. Shapes replicate ingestAppend's staging bit-for-bit.
+    val wapId = "vecingest-crash-sim"
+    val b2 = embAll(dir).filter(col("vec_id") % 13 === 7)
+    val b2Assigned = VectorIndex.assignNew(spark, ip, b2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b2Cstats = VectorMaintenance.cellPartials(b2Assigned
+      .select(col("cell"), VectorIndex.dec(col("vnenc")).as("vn")))
+    def stage(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.write.format(fmt).option("path", path).option("wap-id", wapId)
+        .mode("append").save()
+    stage(b2.select(col("vec_id"),
+      VectorIndex.enc(transform(col("embedding"), _.cast("double"))).as("embenc")), ct)
+    stage(b2Assigned, s"$ip/assigned")
+    stage(b2Cstats, VectorMaintenance.cstatsTable(ip))
+    ManifestFileSink.wapPublish(ct, wapId) // …and the process dies here.
+    spark.catalog.refreshByPath(ct)
+
+    // The STANDALONE verb (no sibling entry point ran first): it must
+    // roll the assigned/cstats suffix forward BEFORE folding, or the
+    // marker advances past partials the fold never saw.
+    assert(VectorMaintenance.retrainIncremental(spark, base),
+      "published corpus drift must trigger the update")
+    val cents = spark.read.format(fmt).option("path", s"$ip/cents").load()
+      .select(col("cent_id"), VectorIndex.dec(col("cvenc")).as("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val want = spark.read.format(fmt).option("path", s"$ip/assigned").load()
+      .select(col("cell"), posexplode(VectorIndex.dec(col("vnenc"))).as(Seq("j", "v")))
+      .groupBy(col("cell"), col("j")).agg(round(avg(col("v")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("cell"), transform(col("jm"), x => x.getField("m")).as("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(cents === want,
+      "the fold must see the rolled-forward batch's partials")
+    // And the recovery published the batch's assignments (not just read
+    // around them): both tables hold every batch-2 id.
+    val b2Ids = b2.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    for (p <- Seq(ct, s"$ip/assigned")) {
+      val have = spark.read.format(fmt).option("path", p).load()
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(b2Ids.subsetOf(have), s"$p missing rolled-forward batch rows")
+    }
+    assert(IndexFence.staleness(ip).contains(false),
+      "recovery re-derives the fence the crash lost")
+    b2Assigned.unpersist()
+  }
 }

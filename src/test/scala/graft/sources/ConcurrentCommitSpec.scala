@@ -123,6 +123,54 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(publishedSeqs(dir).sorted === Seq(1L, 3L))
   }
 
+  test("claim-dir growth is bounded over a 10k-commit history with periodic compact (verdict-r18 #6)") {
+    // claimSeq LISTS `_commits` on every allocation, so an unbounded
+    // claim dir would make allocation cost grow with total history —
+    // the GC is wired into compact/vacuum, but the LOOP (allocate …
+    // compact … allocate) is what production runs. Pin it: 10k commits
+    // with a compact every 500 keep the dir at or below one compaction
+    // period, and allocation latency in the last period matches the
+    // first (no O(history) creep).
+    val dir = freshDir()
+    val d = new Driver(getClass.getClassLoader)
+    val period = 500
+    val total = 10000
+    def claimCount: Long = {
+      val l = Files.list(Paths.get(dir, "_commits"))
+      try l.count() finally l.close()
+    }
+    var maxClaims = 0L
+    var firstPeriodNs = 0L
+    var lastPeriodNs = 0L
+    (1 to total).foreach { i =>
+      val t0 = System.nanoTime()
+      d.publish(dir)
+      val dt = System.nanoTime() - t0
+      if (i <= period) firstPeriodNs += dt
+      if (i > total - period) lastPeriodNs += dt
+      if (i % period == 0) {
+        // Peak = just before the GC: one period of live claims.
+        maxClaims = math.max(maxClaims, claimCount)
+        ManifestFileSink.compact(dir)
+      }
+    }
+    ManifestFileSink.compact(dir)
+    // Bounded: never more than one period of live claims + the
+    // compaction's own (the fold claims a seq too; +8 slack for the
+    // occasional pre-GC listing).
+    assert(maxClaims <= period + 8,
+      s"claim dir grew to $maxClaims across a $period-commit period")
+    assert(claimCount <= 1, s"post-compact claims must be ~empty, found $claimCount")
+    // No O(history) creep: the 20th period allocates within 4× the
+    // 1st (generous — the bound is a shape claim, not a microbenchmark).
+    assert(lastPeriodNs < 4L * firstPeriodNs,
+      f"allocation slowed: first period ${firstPeriodNs / 1e6}%.0f ms, " +
+        f"last ${lastPeriodNs / 1e6}%.0f ms")
+    println(f"[claims-growth] 10k commits, compact every $period: " +
+      f"maxClaims=$maxClaims, firstPeriod=${firstPeriodNs / 1e6}%.0f ms, " +
+      f"lastPeriod=${lastPeriodNs / 1e6}%.0f ms")
+  }
+
   test("claim markers are maintenance debris: compact prunes the retired ones") {
     val dir = freshDir()
     val d = new Driver(getClass.getClassLoader)

@@ -119,4 +119,43 @@ class TakedownStreamSpec extends SparkTestBase {
     assert(spark.read.format(fmt).option("path", ct).load()
       .filter(col("doc_id") >= 100 && col("doc_id") < 300).isEmpty)
   }
+
+  test("overlapping orders in one micro-batch coalesce instead of poisoning the feed (advice-r18 #2)") {
+    // Two independent legal orders with overlapping ranges: the previous
+    // sequential loop handled these; the batched path must coalesce them
+    // into the interval union, not throw deleteRanges' disjointness
+    // require() inside foreachBatch (which would fail the query and
+    // replay the same poisoned batch forever).
+    import spark.implicits._
+    assert(TakedownStream.coalesceOverlaps(
+      Seq((200L, 300L), (100L, 250L), (400L, 450L), (100L, 250L))) ===
+      Seq((100L, 300L), (400L, 450L)))
+    // Adjacency is legal input downstream — must NOT merge (keeps the
+    // per-order ledger rows).
+    assert(TakedownStream.coalesceOverlaps(Seq((100L, 200L), (200L, 300L))) ===
+      Seq((100L, 200L), (200L, 300L)))
+    // Nested windows collapse to the outer one.
+    assert(TakedownStream.coalesceOverlaps(Seq((100L, 400L), (150L, 200L))) ===
+      Seq((100L, 400L)))
+
+    val dir = freshDir()
+    val base = maintainedBase(dir)
+    val batch = Seq((100L, 250L), (200L, 300L)).toDF("del_lo", "del_hi")
+    assert(TakedownStream.applyOrders(spark, base, batch) === 1L,
+      "the overlapping pair applies as one union window")
+    // End state ≡ one batch delete of the union.
+    val ref = maintainedBase(dir)
+    assert(IndexMaintenance.deleteRange(spark, ref, 100L, 300L) > 0)
+    val terms = Seq("dup", "spark", "window")
+    assert(TextIndex.serve(spark, IndexMaintenance.textPath(base), terms)
+      .collect().toSeq ===
+      TextIndex.serve(spark, IndexMaintenance.textPath(ref), terms)
+        .collect().toSeq)
+    // The union row is the audit record.
+    val dels = spark.read.format(fmt)
+      .option("path", IndexMaintenance.delsTable(base)).load()
+      .orderBy(col("del_lo")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dels === Seq((100L, 300L)))
+  }
 }
