@@ -75,7 +75,7 @@ object IndexMaintenance {
   private def fmt = classOf[ManifestFileSink].getName
 
   private val AppendClass = 6
-  private val ProbeClass = 5
+  private[graft] val ProbeClass = 5
   private val WapId = "ingest-c6"
 
   def basePath(dir: String): String =

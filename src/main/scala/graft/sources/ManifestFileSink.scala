@@ -139,18 +139,122 @@ object ManifestFileSink {
     throw new IllegalStateException("unreachable")
   }
 
-  /** GC claim markers that can never be re-minted (value ≤ the max
-    * published seq — [[claimSeq]] allocates strictly above it). */
+  /** How long an unconsumed claim marker stays EVIDENCE of an in-flight
+    * commit before it is presumed crashed (advice-r18 low — the
+    * claim→rename visibility window): [[stableSeqCeiling]] treats a
+    * younger unconsumed claim as a pending commit and holds the finality
+    * ceiling below it; past the TTL the claimant is presumed dead and
+    * the claim becomes GC-able debris. The commit path's claim→rename
+    * window is microseconds, so the generous default only matters for
+    * genuinely crashed claimants. Same TTL-trust discipline as the
+    * maintenance lease: a claimant that stalls LONGER and then publishes
+    * retro-fills past an already-finalized ceiling — documented
+    * residual, priced in SCALE.md. Env/property-tunable for operators;
+    * specs age claims by backdating marker mtimes. */
+  private def claimTtlMs: Long =
+    sys.props.get("graft.claim.ttl.ms").orElse(sys.env.get("GRAFT_CLAIM_TTL_MS"))
+      .map(_.toLong).getOrElse(900000L)
+
+  /** Is a claimed seq CONSUMED — a manifest at that seq exists (main or
+    * staged: a staged manifest re-seqs at publish, so its claim value
+    * can never retro-publish), or the seq sits inside a compaction's
+    * folded [fseq, lseq] range (its commit published and was folded
+    * away). A consumed seq can never appear retroactively on the main
+    * line; an unconsumed claim is either an in-flight commit or a
+    * crashed claimant.
+    *
+    * The folded-range test over-approximates: a GAP inside a folded
+    * range (a claim that never published before the fold) reads as
+    * consumed, so a writer still stalled in its claim→rename window
+    * when a compact folds PAST its claim loses its pending-commit
+    * evidence. That is compaction's standing quiescence edge (the
+    * straddling-fold rule already fails live change-feed consumers
+    * loudly; `compact(path, aboveSeq)` folds around live writers the
+    * same way it folds around live consumers) — and the window is the
+    * microsecond claim→rename rename, not the verb's span. */
+  private def seqConsumed(path: String): Long => Boolean = {
+    val metas = manifests(path).map(readMeta)
+    val direct = metas.map(_.seq).toSet
+    val ranges = metas.flatMap(m => m.foldedMinSeq.zip(m.foldedMaxSeq))
+    v => direct.contains(v) ||
+      ranges.exists { case (lo, hi) => v >= lo && v <= hi }
+  }
+
+  /** Claim values not [[seqConsumed]] and with age within
+    * [[claimTtlMs]] — the in-flight commits a finality reader must
+    * treat as pending. */
+  private def pendingClaims(path: String): Seq[Long] = {
+    val dir = Paths.get(path, ClaimDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val consumed = seqConsumed(path)
+    val now = System.currentTimeMillis()
+    val ttl = claimTtlMs
+    val out = Seq.newBuilder[Long]
+    val l = Files.list(dir)
+    try l.forEach { p =>
+      try {
+        val v = p.getFileName.toString.toLong
+        if (!consumed(v) &&
+            now - Files.getLastModifiedTime(p).toMillis <= ttl)
+          out += v
+      } catch { case _: Exception => } // non-numeric or vanished: skip
+    } finally l.close()
+    out.result()
+  }
+
+  /** The highest seq whose PREFIX of the timeline is FINAL — no live
+    * unconsumed claim sits at or below it, so no commit can ever appear
+    * retroactively under that line (up to the [[claimTtlMs]] residual).
+    * [[claimSeq]] fences seq uniqueness but not publication-order
+    * stability: a writer that claims seq s and stalls before its atomic
+    * rename publishes AFTER a faster claimant of s+1, retroactively
+    * inserting into the snapshot timeline. A reader that must never
+    * re-interpret history — a change-feed consumer recording a resume
+    * point, a time-travel pin that has to stay bit-stable — caps its
+    * boundary here instead of at the raw max. Long.MaxValue when
+    * nothing is pending (no constraint). */
+  private[sources] def stableSeqCeiling(path: String): Long =
+    pendingClaims(path).minOption.fold(Long.MaxValue)(_ - 1L)
+
+  /** The newest published manifest at or below [[stableSeqCeiling]] —
+    * what an incremental consumer should record as its `sinceManifest`
+    * resume point (and pin as `asOfManifest` for the cycle) instead of
+    * [[latestManifest]]: a resume point taken past an in-flight claim
+    * would put the late commit's files into the consumer's BASELINE
+    * instead of its next diff — a silently missed commit. The streaming
+    * commit feed applies the same cap to its offsets. */
+  def stableManifest(path: String): Option[String] = {
+    val ceil = stableSeqCeiling(path)
+    orderedManifests(path).map(f => (f, readMeta(f).seq))
+      .filter(_._2 <= ceil).lastOption.map(_._1.getName)
+  }
+
+  /** GC claim markers that are DEBRIS: [[seqConsumed]] claims (their
+    * commit published — possibly since folded — or staged, so
+    * [[claimSeq]] can never re-mint the value and no retro-publish is
+    * possible there) immediately; UNCONSUMED claims ≤ the published max
+    * only after [[claimTtlMs]] — while young they are the only evidence
+    * [[stableSeqCeiling]] has of an in-flight commit, and deleting them
+    * mid-flight would let a finality reader seal a boundary the stalled
+    * writer then publishes under (the advice-r18 anomaly). */
   private[sources] def pruneClaims(path: String): Int = {
     val dir = Paths.get(path, ClaimDir)
     if (!Files.isDirectory(dir)) return 0
     val fence = manifests(path).map(readMeta(_).seq).maxOption.getOrElse(return 0)
+    val consumed = seqConsumed(path)
+    val now = System.currentTimeMillis()
+    val ttl = claimTtlMs
     var n = 0
     val l = Files.list(dir)
     try l.forEach { p =>
       val v = try p.getFileName.toString.toLong
         catch { case _: NumberFormatException => Long.MaxValue }
-      if (v <= fence && Files.deleteIfExists(p)) n += 1
+      val dead = v <= fence && (consumed(v) || {
+        val age = try now - Files.getLastModifiedTime(p).toMillis
+          catch { case _: Exception => 0L } // vanished: nothing to do
+        age > ttl
+      })
+      if (dead && Files.deleteIfExists(p)) n += 1
     } finally l.close()
     n
   }
@@ -263,9 +367,11 @@ object ManifestFileSink {
   private[sources] def foldedNames(path: String): Set[String] =
     manifests(path).flatMap(readMeta(_).folded).toSet
 
-  /** The newest published manifest name — the snapshot handle an
-    * incremental consumer pins as `asOfManifest` for one maintenance
-    * cycle and then records as its `sinceManifest` resume point. */
+  /** The newest published manifest name. For an incremental consumer's
+    * `asOfManifest` pin / `sinceManifest` resume point prefer
+    * [[stableManifest]] — this raw latest can sit ABOVE an in-flight
+    * claim, and a commit that lands under it retroactively would fall
+    * into the consumer's baseline instead of its next diff. */
   def latestManifest(path: String): Option[String] =
     orderedManifests(path).lastOption.map(_.getName)
 
@@ -4923,9 +5029,15 @@ private class ManifestMicroBatchStream(
   override def initialOffset(): streaming.Offset = SeqOffset(Long.MinValue)
 
   private def pending(startSeq: Long): Seq[(File, ManifestFileSink.ManifestMeta)] = {
+    // Finality cap (advice-r18): never admit past a live in-flight claim
+    // — once the checkpointed offset seals a seq, a commit retro-filling
+    // below it would be skipped FOREVER (offsets only grow). Holding the
+    // offset under the lowest pending claim makes the late commit land
+    // above the boundary instead, where the next trigger reads it.
+    val ceil = ManifestFileSink.stableSeqCeiling(path)
     val all = ManifestFileSink.orderedManifests(path)
       .map(f => (f, ManifestFileSink.readMeta(f)))
-      .filter(_._2.seq > startSeq)
+      .filter(m => m._2.seq > startSeq && m._2.seq <= ceil)
     // Trigger.AvailableNow: drain to the bound sealed at query start, in
     // admission-limited micro-batches; commits landing mid-drain wait for
     // the next query (they're after the bound).
@@ -4970,9 +5082,14 @@ private class ManifestMicroBatchStream(
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit) is the entry point")
 
-  override def reportLatestOffset(): streaming.Offset =
+  override def reportLatestOffset(): streaming.Offset = {
+    // Same finality cap as [[pending]]: the reported latest (and with it
+    // the AvailableNow drain bound) stops under any live in-flight claim.
+    val ceil = ManifestFileSink.stableSeqCeiling(path)
     SeqOffset(ManifestFileSink.orderedManifests(path)
-      .map(ManifestFileSink.readMeta(_).seq).maxOption.getOrElse(Long.MinValue))
+      .map(ManifestFileSink.readMeta(_).seq).filter(_ <= ceil)
+      .maxOption.getOrElse(Long.MinValue))
+  }
 
   override def deserializeOffset(json: String): streaming.Offset =
     SeqOffset(json.toLong)

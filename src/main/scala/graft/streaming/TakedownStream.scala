@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.llm.{IndexMaintenance, TextIndex}
+import graft.llm.{DedupIndex, IndexMaintenance, TextIndex}
 
 /** STREAMING takedowns — the delete verb's arrival path, closing the
   * stream × verb matrix ([[StreamingIngest]] delivers appends,
@@ -183,11 +183,40 @@ object TakedownStream {
     VectorIndex.serve(s, VectorMaintenance.vecPath(base), nprobe = 1)
   }
 
+  /** Oracle-gated: near-dup probe against the DEDUP side of the same
+    * takedown-streamed base — the delivery leg completed for the
+    * maintenance trilogy's third index: [[IndexMaintenance.deleteRanges]]
+    * retracts from all ten tables (bands and shingles included) in the
+    * one streamed transaction, so the streamed windows' victims must
+    * vanish from the candidate pairs exactly as the batch delete entry's
+    * oracle replays (a probe whose masked partner still surfaced would
+    * be a hash miss). Shares the text stream's base and backlog — the
+    * entries compose in either order because the drain is idempotent
+    * (an already-caught-up checkpoint applies nothing, masked victims
+    * no-op). */
+  def dedupTakedownStream: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = IndexMaintenance.ensureBaseAt(s, dir, basePath(dir))
+    if (!IndexMaintenance.batchApplied(s, base)) {
+      IndexMaintenance.ingestAppend(s, base,
+        graft.sources.Tables(s, dir).documents
+          .filter(col("doc_id") % 13 === AppendClass))
+      s.catalog.refreshByPath(IndexMaintenance.corpusTable(base))
+    }
+    runTakedowns(s, dir, base)
+    DedupIndex.serve(s, IndexMaintenance.dedupPath(base),
+      graft.sources.Tables(s, dir).documents
+        .filter(col("doc_id") % 13 === IndexMaintenance.ProbeClass))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_takedown_stream" -> textTakedownStream,
+    "dedup_takedown_stream" -> dedupTakedownStream,
     "vec_takedown_stream" -> vecTakedownStream)
 
   val oracleSql: Map[String, String] = Map(
     "text_takedown_stream" -> IndexMaintenance.textIndexDeleteSql,
+    // Same end state as the batch dedup delete: the stream retracts the
+    // identical windows from the identical base.
+    "dedup_takedown_stream" -> IndexMaintenance.dedupIndexDeleteSql,
     "vec_takedown_stream" -> graft.llm.VectorMaintenance.vecIndexDeleteSql)
 }

@@ -171,6 +171,57 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       f"lastPeriod=${lastPeriodNs / 1e6}%.0f ms")
   }
 
+  test("finality ceiling: a live in-flight claim holds stableManifest back; a dead one releases it") {
+    // advice-r18 low: claimSeq fences seq uniqueness, not publication-
+    // order stability — a writer that claims seq s and stalls publishes
+    // AFTER a faster claimant of s+1, retroactively inserting under any
+    // boundary a reader sealed in between. stableManifest is the
+    // finality handle: it never passes a live unconsumed claim.
+    val dir = freshDir()
+    val d = new Driver(getClass.getClassLoader)
+    (1 to 3).foreach(_ => d.publish(dir))
+    Files.createDirectories(Paths.get(dir, "_commits"))
+    Files.createFile(Paths.get(dir, "_commits", f"${4L}%020d")) // stalled writer
+    d.publish(dir) // faster claimant takes 5
+    assert(publishedSeqs(dir).sorted === Seq(1L, 2L, 3L, 5L))
+    val bySeq = ManifestFileSink.manifests(dir)
+      .map(f => ManifestFileSink.readMeta(f).seq -> f.getName).toMap
+    // Raw latest sits ABOVE the in-flight claim; the stable handle does
+    // not — a consumer pinning it cannot have seq 4 retro-fill into its
+    // baseline.
+    assert(ManifestFileSink.latestManifest(dir) === Some(bySeq(5L)))
+    assert(ManifestFileSink.stableManifest(dir) === Some(bySeq(3L)))
+    // Past the claim TTL the claimant is presumed dead and the ceiling
+    // reopens (backdate the marker an hour — well past the default TTL).
+    Files.setLastModifiedTime(Paths.get(dir, "_commits", f"${4L}%020d"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    assert(ManifestFileSink.stableManifest(dir) === Some(bySeq(5L)))
+  }
+
+  test("prune keeps a live unconsumed claim as evidence, GCs it once presumed dead") {
+    val dir = freshDir()
+    val d = new Driver(getClass.getClassLoader)
+    (1 to 2).foreach(_ => d.publish(dir))
+    Files.createDirectories(Paths.get(dir, "_commits"))
+    val stalled = Paths.get(dir, "_commits", f"${3L}%020d")
+    Files.createFile(stalled)
+    d.publish(dir) // seq 4
+    // Direct prune (no compact — a fold's [fseq, lseq] range would
+    // absorb the gap, compaction's documented quiescence edge): the
+    // retired claims 1/2/4 go, the live in-flight claim 3 stays.
+    assert(ManifestFileSink.pruneClaims(dir) === 3)
+    assert(Files.exists(stalled),
+      "a young unconsumed claim is in-flight evidence, not debris")
+    // Backdate past the TTL: the claimant is presumed dead, the marker
+    // is debris.
+    Files.setLastModifiedTime(stalled,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    assert(ManifestFileSink.pruneClaims(dir) === 1)
+    assert(!Files.exists(stalled))
+  }
+
   test("claim markers are maintenance debris: compact prunes the retired ones") {
     val dir = freshDir()
     val d = new Driver(getClass.getClassLoader)
