@@ -812,6 +812,39 @@ object VectorMaintenance {
     VectorIndex.serve(s, vecPath(maintained(s, dir)), nprobe = 1)
   }
 
+  /** Oracle-gated: the MAINTAINED index's nprobe=2 serve — the IVF
+    * recall lever wired on the maintained base, not just the persisted
+    * static index (`knn_index_serve_multiprobe`): probes take their
+    * top-2 cells against the frozen base-trained centroids and the
+    * candidate set doubles, which is exactly what an operator turns up
+    * when the maintained index's measured recall
+    * ([[vecRetrainRecallCert]]) reads low — the two entries are the
+    * knob and its gauge. Read-only over `vec_index_append`'s base, so
+    * the entries share one build. DuckDB replays it with the same
+    * train=eb/assign=e split plus the rn ≤ 2 probe CTE. */
+  def vecIndexServeMultiprobe: (SparkSession, String) => DataFrame = (s, dir) =>
+    VectorIndex.serve(s, vecPath(maintained(s, dir)), nprobe = 2)
+
+  val vecIndexServeMultiprobeSql: String =
+    s"""WITH ${Similarity.normalizedSql},
+       |eb AS (SELECT * FROM e WHERE vec_id % 13 <> 6),
+       |${Similarity.kmeansCtes("eb", "e")},
+       |p AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.vn AS qv, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.vn, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+       |          c.cent_id) AS rn
+       |    FROM (SELECT vec_id, vn FROM af WHERE vec_id < 10) q
+       |    CROSS JOIN c3 c) t WHERE rn <= 2)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(p.qv, a.vn), 9) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_dot_product(p.qv, a.vn) DESC, a.vec_id) AS rank
+       |  FROM p JOIN af a ON p.cell = a.cell AND a.vec_id <> p.query_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** The delete entry keeps its OWN managed base (the retraction must
     * not disturb the append/compact entries' fences). */
   def deleteBasePath(dir: String): String =
@@ -1277,6 +1310,7 @@ object VectorMaintenance {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_index_serve_multiprobe" -> vecIndexServeMultiprobe,
     "vec_index_append" -> vecIndexAppend,
     "vec_index_delete" -> vecIndexDelete,
     "vec_index_purge" -> vecIndexPurge,
@@ -1287,6 +1321,7 @@ object VectorMaintenance {
     "vec_consistency_audit" -> vecConsistencyAudit)
 
   val oracleSql: Map[String, String] = Map(
+    "vec_index_serve_multiprobe" -> vecIndexServeMultiprobeSql,
     "vec_index_append" -> vecIndexAppendSql,
     // Serve over corpus-minus-deleted under base-trained centroids.
     "vec_index_delete" -> vecIndexDeleteSql,

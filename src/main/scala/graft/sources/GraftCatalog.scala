@@ -606,6 +606,7 @@ private[sources] class GraftProcedure(op: String, root: String)
       throw new IllegalArgumentException(s"table '$table' escapes catalog root")
     if (ManifestFileSink.manifests(path).isEmpty)
       throw new IllegalArgumentException(s"no graft table at $table (resolved: $path)")
+    if (op == "stable_manifest") return stableManifestScan(path)
     if (op == "snapshots") return snapshotsScan(path)
     if (op == "wap_stages") return wapStagesScan(path)
     if (op == "files") return filesScan(path)
@@ -664,6 +665,28 @@ private[sources] class GraftProcedure(op: String, root: String)
         override def description(): String = s"graft.$op result"
       }
     java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** `CALL graft.system.stable_manifest('tbl')` — the FINALITY handles
+    * as one ops row: the newest published manifest (what a plain reader
+    * sees), the newest FINAL one (what a change-feed consumer records
+    * as its resume point — never past a live in-flight claim), and the
+    * live pending-claim count explaining any gap between the two. */
+  private def stableManifestScan(path: String)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.sql.types.StringType
+    val latest = ManifestFileSink.latestManifest(path)
+    val stable = ManifestFileSink.stableManifest(path)
+    val pending = ManifestFileSink.pendingClaimCount(path)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("latest_manifest", StringType),
+      org.apache.spark.sql.types.StructField("stable_manifest", StringType),
+      org.apache.spark.sql.types.StructField("pending_claims", IntegerType,
+        nullable = false)))
+    def u(v: Option[String]) =
+      v.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+    oneRowScan("stable_manifest", schema,
+      org.apache.spark.sql.catalyst.InternalRow(u(latest), u(stable), pending))
   }
 
   private def oneRowScan(opName: String, outSchema: StructType,
@@ -934,5 +957,5 @@ private[sources] object GraftProcedure {
       "apply_deletes", "migrate_schema", "snapshots", "files",
       "snapshot_diff", "constraints", "tag", "untag", "set_partition_spec",
       "wap_publish", "wap_discard", "wap_stages", "expire_snapshots",
-      "rollback")
+      "rollback", "stable_manifest")
 }

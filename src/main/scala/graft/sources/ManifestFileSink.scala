@@ -229,6 +229,11 @@ object ManifestFileSink {
       .filter(_._2 <= ceil).lastOption.map(_._1.getName)
   }
 
+  /** Live pending claims (the finality gap's explanation) — surfaced by
+    * the `stable_manifest` catalog procedure. */
+  private[sources] def pendingClaimCount(path: String): Int =
+    pendingClaims(path).size
+
   /** GC claim markers that are DEBRIS: [[seqConsumed]] claims (their
     * commit published — possibly since folded — or staged, so
     * [[claimSeq]] can never re-mint the value and no retro-publish is

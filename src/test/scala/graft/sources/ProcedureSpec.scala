@@ -313,4 +313,30 @@ class ProcedureSpec extends SparkTestBase {
         .collect())
     assert(bad.getMessage.contains("neither a seq, a tag, nor a manifest"))
   }
+
+  test("stable_manifest: the finality handles as one ops row") {
+    root
+    spark.sql("CREATE TABLE gproc.db.sm (id BIGINT)")
+    spark.sql("INSERT INTO gproc.db.sm VALUES (1)")
+    spark.sql("INSERT INTO gproc.db.sm VALUES (2)")
+    val path = s"$root/db/sm"
+    // Quiet table: stable == latest, nothing pending.
+    val quiet = spark.sql("CALL gproc.system.stable_manifest(table => 'db.sm')").head()
+    assert(quiet.getString(0) === quiet.getString(1),
+      "no in-flight claims: the stable handle IS the latest")
+    assert(quiet.getInt(2) === 0)
+    // A writer stalls in its claim->rename window; a faster one publishes.
+    val next = ManifestFileSink.manifests(path)
+      .map(ManifestFileSink.readMeta(_).seq).max + 1
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "_commits"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, "_commits", f"$next%020d"))
+    spark.sql("INSERT INTO gproc.db.sm VALUES (3)")
+    val held = spark.sql("CALL gproc.system.stable_manifest(table => 'db.sm')").head()
+    assert(held.getString(0) !== held.getString(1),
+      "a live claim must hold the stable handle under the latest")
+    assert(held.getString(1) === quiet.getString(0),
+      "the stable handle stays at the last pre-claim manifest")
+    assert(held.getInt(2) === 1)
+  }
 }
